@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the suite's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from magmapandas_spark.relational import suite
+    from magmapandas_spark.session import get_spark
+
+    spark = get_spark(app_name="magmapandas-bench")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in suite.queries().items():
+        # warm the JVM/IO path once so we measure steady-state plan
+        # execution, not first-touch classloading
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop write materializes the FULL plan (incl. sorts that
+        # count() would optimize away)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        n = -1
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,265 @@
+"""Correctness-gate query suite: paired (Spark query, DuckDB oracle SQL).
+
+Each entry exercises an operator family from SURVEY.md §2 on the
+driver-provided parquet tables. Domain (geochemistry) operators run on a
+*deterministic synthetic melt table* derived from ``lineitem`` with pure
+integer/decimal arithmetic, so Spark and DuckDB compute bit-comparable
+inputs; model outputs are rounded to 4-6 decimals on both sides.
+
+Numeric-determinism rules used throughout (so value-hashes match across
+engines):
+- big SUM/AVG aggregates go through per-row DECIMAL(18,6) casts (exact,
+  order-independent summation) and back to DOUBLE;
+- closed-form model outputs are ROUNDed on both sides;
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magmapandas_spark.chem import elements as chem
+from magmapandas_spark.core.geoframe import GeoFrame
+
+W = chem.calculate_weight
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def dsum(col: F.Column) -> F.Column:
+    """Order-independent exact sum: per-row DECIMAL(18,6) cast → exact
+    decimal sum → DOUBLE."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+
+def davg(col: F.Column) -> F.Column:
+    return (F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)))
+
+
+SQL_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+SQL_DAVG = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+
+
+# ----------------------------------------------------------------------
+# synthetic melt table (shared by all domain-model queries)
+# ----------------------------------------------------------------------
+
+MELT_SPECIES = [
+    "SiO2", "Al2O3", "TiO2", "MgO", "FeO", "CaO", "Na2O", "K2O",
+    "MnO", "P2O5", "H2O", "CO2",
+]
+
+
+def synthetic_melt(spark: SparkSession, sf_dir: str) -> GeoFrame:
+    """Deterministic basaltic-range compositions derived from lineitem.
+
+    Pure integer-modulo / fixed-point arithmetic so DuckDB reproduces the
+    values bit-for-bit (see ``SQL_MELT_CTE``)."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    df = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("name"),
+        (F.lit(45.0) + (F.col("l_partkey") % 1000) * F.lit(0.02)).alias("SiO2"),
+        (F.lit(12.0) + (F.col("l_suppkey") % 100) * F.lit(0.05)).alias("Al2O3"),
+        (F.lit(1.5) + (F.col("l_partkey") % 7) * F.lit(0.1)).alias("TiO2"),
+        (F.lit(4.0) + (F.col("l_quantity") % F.lit(10.0))).alias("MgO"),
+        (F.lit(8.0) + F.col("l_discount") * F.lit(20.0)).alias("FeO"),
+        (F.lit(9.0) + F.col("l_tax") * F.lit(10.0)).alias("CaO"),
+        (F.lit(2.0) + F.col("l_discount") * F.lit(10.0)).alias("Na2O"),
+        (F.lit(0.5) + F.col("l_tax") * F.lit(5.0)).alias("K2O"),
+        F.lit(0.15).alias("MnO"),
+        F.lit(0.3).alias("P2O5"),
+        ((F.col("l_orderkey") % 40) * F.lit(0.1)).alias("H2O"),
+        (F.lit(0.1) + (F.col("l_suppkey") % 5) * F.lit(0.1)).alias("CO2"),
+        (F.lit(1000.0) + (F.col("l_orderkey") % 5) * F.lit(1000.0)).alias("P_bar"),
+    )
+    return GeoFrame(df, units="wt.%", datatype="oxide", species=MELT_SPECIES)
+
+
+SQL_MELT_CTE = """
+melt AS (
+  SELECT
+    l_orderkey * 10 + l_linenumber AS name,
+    45.0 + (l_partkey % 1000) * 0.02 AS SiO2,
+    12.0 + (l_suppkey % 100) * 0.05 AS Al2O3,
+    1.5 + (l_partkey % 7) * 0.1 AS TiO2,
+    4.0 + (l_quantity % 10.0) AS MgO,
+    8.0 + l_discount * 20.0 AS FeO,
+    9.0 + l_tax * 10.0 AS CaO,
+    2.0 + l_discount * 10.0 AS Na2O,
+    0.5 + l_tax * 5.0 AS K2O,
+    0.15 AS MnO,
+    0.3 AS P2O5,
+    (l_orderkey % 40) * 0.1 AS H2O,
+    0.1 + (l_suppkey % 5) * 0.1 AS CO2,
+    1000.0 + (l_orderkey % 5) * 1000.0 AS P_bar
+  FROM lineitem
+)
+"""
+
+
+def _sql_mole_fraction_terms(species: list[str]) -> tuple[str, dict[str, str]]:
+    """SQL snippets: total-moles expression and per-species mole fraction,
+    matching GeoFrame.moles() term order."""
+    terms = [f"({s} / {W(s)!r})" for s in species]
+    total = " + ".join(terms)
+    fracs = {s: f"(({s} / {W(s)!r}) / ({total}))" for s in species}
+    return total, fracs
+
+
+# ----------------------------------------------------------------------
+# queries
+# ----------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Partial (map-side) aggregation +
+    single shuffle on a low-cardinality key — the canonical scale-safe
+    aggregate."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {SQL_DSUM.format(x='l_quantity')} AS sum_qty,
+  {SQL_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+  {SQL_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {SQL_DSUM.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {SQL_DAVG.format(x='l_quantity')} AS avg_qty,
+  {SQL_DAVG.format(x='l_extendedprice')} AS avg_price,
+  {SQL_DAVG.format(x='l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_thermometer_putirka15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default melt thermometer (Putirka 2008 eq. 15,
+    ``thermometers/melt.py:191-279``) over the synthetic melt table —
+    narrow, shuffle-free expression pipeline."""
+    from magmapandas_spark.models import thermometers as tm
+
+    gf = synthetic_melt(spark, sf_dir)
+    out = tm.putirka2008_15(gf, P_bar="P_bar")
+    return out.select("name", F.round("T_K", 4).alias("T_K")).orderBy("name")
+
+
+def _sql_thermometer_putirka15() -> str:
+    anhyd = [s for s in MELT_SPECIES if s != "H2O"]
+    _, frac = _sql_mole_fraction_terms(anhyd)
+    mg_no = f"({frac['MgO']} / ({frac['MgO']} + {frac['FeO']}))"
+    t_k = (
+        f"815.3 + 265.5 * {mg_no} + 15.37 * MgO + 8.61 * FeO"
+        f" + 6.646 * (Na2O + K2O) + 39.16 * (P_bar / 10000.0)"
+        f" - 12.83 * H2O + 273.15"
+    )
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT name, ROUND({t_k}, 4) AS T_K
+FROM melt
+ORDER BY name
+"""
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analytics: per-language doc counts / char sums / mean token
+    counts (whitespace tokenizer)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    tokens = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            davg(tokens.cast("double")).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DOC_STATS = f"""
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  SUM(n_chars) AS total_chars,
+  {SQL_DAVG.format(x="CAST(len(str_split(text, ' ')) AS DOUBLE)")} AS avg_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication accounting by source: md5 content hash →
+    distinct count. Hash-groupBy is the 100 TB-scale pattern (no sort,
+    single shuffle on the hash)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.col("text"))).alias("n_unique"),
+        )
+        .withColumn("n_dupes", F.col("n_docs") - F.col("n_unique"))
+        .orderBy("source")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT
+  source,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT md5(text)) AS n_unique,
+  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ----------------------------------------------------------------------
+# registry
+# ----------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "thermometer_putirka2008_15": q_thermometer_putirka15,
+        "doc_stats": q_doc_stats,
+        "dedup_exact": q_dedup_exact,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "thermometer_putirka2008_15": _sql_thermometer_putirka15(),
+        "doc_stats": SQL_DOC_STATS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+    }

@@ -1,0 +1,83 @@
+"""Local mirror of the driver's t2 correctness gate: run every suite
+query on Spark and its oracle SQL on DuckDB over the same sf0.01 parquet,
+then demand EXACT value equality (the driver hash-compares values, so
+close-but-not-equal is a failure here too)."""
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return pdf
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    spark_df = QUERIES[name](spark, SF_DIR).toPandas()
+    if name not in ORACLES:
+        assert len(spark_df) >= 0
+        return
+    con = duck_connection()
+    duck_df = con.execute(ORACLES[name]).fetchdf()
+    con.close()
+
+    assert len(spark_df) == len(duck_df), (
+        f"{name}: row count {len(spark_df)} vs oracle {len(duck_df)}"
+    )
+    a, b = normalize(spark_df), normalize(duck_df)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    )
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype(float)
+            bv = bv.astype(float)
+            both_nan = av.isna() & bv.isna()
+            eq = (av == bv) | both_nan
+        else:
+            eq = av.astype(object).eq(bv.astype(object))
+        if not eq.all():
+            bad = np.where(~eq)[0][:5]
+            raise AssertionError(
+                f"{name}.{col}: {int((~eq).sum())} mismatches, e.g. rows "
+                f"{bad.tolist()}: spark={av.iloc[bad].tolist()} "
+                f"oracle={bv.iloc[bad].tolist()}"
+            )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
