@@ -30,6 +30,41 @@ W = chem.calculate_weight
 # helpers
 # ----------------------------------------------------------------------
 
+_shipped_sessions: set[int] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the magmapandas_spark package to executor Python workers.
+
+    The driver harness may run from any cwd with its own SparkSession;
+    pandas UDFs cloudpickle references to this package, so workers must
+    be able to import it. A zip via ``addPyFile`` works in local and
+    cluster mode alike."""
+    key = id(spark)
+    if key in _shipped_sessions:
+        return
+    import os
+    import shutil
+    import tempfile
+
+    import magmapandas_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(magmapandas_spark.__file__))
+    zip_base = os.path.join(
+        tempfile.gettempdir(), "magmapandas_spark_pyfiles"
+    )
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(
+            zip_base, "zip", os.path.dirname(pkg_dir), "magmapandas_spark"
+        )
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    _shipped_sessions.add(key)
+
+
 def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
@@ -247,19 +282,37 @@ ORDER BY source
 # registry
 # ----------------------------------------------------------------------
 
+def _wrap(fn: Callable) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from magmapandas_spark.relational import suite2
+
+    out = {
         "pricing_summary": q_pricing_summary,
         "thermometer_putirka2008_15": q_thermometer_putirka15,
         "doc_stats": q_doc_stats,
         "dedup_exact": q_dedup_exact,
     }
+    out.update(suite2.queries())
+    return {k: _wrap(v) for k, v in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from magmapandas_spark.relational import suite2
+
+    out = {
         "pricing_summary": SQL_PRICING_SUMMARY,
         "thermometer_putirka2008_15": _sql_thermometer_putirka15(),
         "doc_stats": SQL_DOC_STATS,
         "dedup_exact": SQL_DEDUP_EXACT,
     }
+    out.update(suite2.oracle_sql())
+    return out

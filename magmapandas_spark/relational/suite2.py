@@ -1,0 +1,680 @@
+"""Correctness-suite part 2: relational surface, domain-model chains,
+text analytics, dedup, similarity search.
+
+Same cross-engine determinism rules as :mod:`suite` (decimal-cast sums,
+identical fold order for float reductions, explicit tie-breaks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from magmapandas_spark.chem import elements as chem
+from magmapandas_spark.core.geoframe import GeoFrame
+from magmapandas_spark.relational.suite import (
+    MELT_SPECIES,
+    SQL_DAVG,
+    SQL_DSUM,
+    SQL_MELT_CTE,
+    _sql_mole_fraction_terms,
+    _t,
+    davg,
+    dsum,
+    synthetic_melt,
+)
+
+W = chem.calculate_weight
+R_GAS = 8.314462618
+
+
+# ----------------------------------------------------------------------
+# relational: joins / windows / set ops / time buckets
+# ----------------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join. Dimension tables (region/nation/
+    customer) are broadcast; only the lineitem⋈orders join shuffles —
+    the plan that survives 100 TB."""
+    region = spark.read.parquet(_t(sf_dir, "region"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    customer = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    lineitem = spark.read.parquet(_t(sf_dir, "lineitem"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            dsum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REVENUE_BY_NATION = f"""
+SELECT r_name, n_name,
+  {SQL_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + deterministic top-k (tie-break on key)."""
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    lineitem = spark.read.parquet(_t(sf_dir, "lineitem"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+        .limit(20)
+    )
+
+
+SQL_TOP_PARTS = f"""
+SELECT p_partkey, p_name, p_brand,
+  {SQL_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+  COUNT(*) AS n_orders
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey, p_name, p_brand
+ORDER BY revenue DESC, p_partkey
+LIMIT 20
+"""
+
+
+def q_customer_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-customer order sequence + lag + running sum.
+    Single shuffle on the partition key; no global sort."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    out = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "prev_price",
+            F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)),
+        )
+        .withColumn(
+            "running_spend",
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "rn", "o_orderkey", "o_totalprice", "prev_price",
+            "running_spend",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+    return out
+
+
+SQL_CUSTOMER_ORDER_WINDOW = """
+SELECT o_custkey, rn, o_orderkey, o_totalprice, prev_price, running_spend
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER w AS rn,
+    COALESCE(LAG(o_totalprice) OVER w, 0.0) AS prev_price,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_spend
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+def q_part_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: brands sold in large sizes EXCEPT brands sold to
+    returned lineitems; plus intersect count."""
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    lineitem = spark.read.parquet(_t(sf_dir, "lineitem"))
+    returned_parts = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand")
+        .distinct()
+    )
+    large = part.filter(F.col("p_size") >= 40).select("p_brand").distinct()
+    return large.exceptAll(
+        large.intersect(returned_parts)
+    ).orderBy("p_brand")
+
+
+SQL_PART_SETOPS = """
+(SELECT DISTINCT p_brand FROM part WHERE p_size >= 40)
+EXCEPT
+((SELECT DISTINCT p_brand FROM part WHERE p_size >= 40)
+ INTERSECT
+ (SELECT DISTINCT p_brand FROM part JOIN lineitem ON l_partkey = p_partkey
+  WHERE l_returnflag = 'R'))
+ORDER BY p_brand
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events stream table — the
+    batch twin of the streaming tumbling-window query. Timestamp parts
+    extracted as ints under an explicit UTC session to stay
+    tz-invariant across engines."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark won't read as a
+    # timestamp — read the raw int64 nanos and convert (exact integer
+    # division to µs)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        events.groupBy(
+            F.dayofmonth(ts).alias("day"),
+            F.hour(ts).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day", "hour", "event_type")
+    )
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT
+  EXTRACT(day FROM ts) AS day,
+  EXTRACT(hour FROM ts) AS hour,
+  event_type,
+  COUNT(*) AS n_events,
+  {SQL_DSUM.format(x='value')} AS total_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY day, hour, event_type
+"""
+
+
+# ----------------------------------------------------------------------
+# domain-model chains on the synthetic melt
+# ----------------------------------------------------------------------
+
+def _sql_putirka15_raw() -> str:
+    anhyd = [s for s in MELT_SPECIES if s != "H2O"]
+    _, frac = _sql_mole_fraction_terms(anhyd)
+    mg_no = f"({frac['MgO']} / ({frac['MgO']} + {frac['FeO']}))"
+    return (
+        f"(815.3 + 265.5 * {mg_no} + 15.37 * MgO + 8.61 * FeO"
+        f" + 6.646 * (Na2O + K2O) + 39.16 * (P_bar / 10000.0)"
+        f" - 12.83 * H2O + 273.15)"
+    )
+
+
+def q_redox_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship chained pipeline (EP2 of SURVEY §3): thermometer →
+    QFM(1 bar)+1 fO2 → Borisov Fe3Fe2 — one shuffle-free codegen stage
+    end-to-end."""
+    from magmapandas_spark.models import fe3fe2, fo2
+    from magmapandas_spark.models import thermometers as tm
+    from magmapandas_spark.models.common import mole_fraction_exprs
+
+    gf = synthetic_melt(spark, sf_dir)
+    with_t = tm.putirka2008_15(gf, P_bar="P_bar")
+    gf2 = GeoFrame(with_t, units="wt.%", datatype="oxide",
+                   species=MELT_SPECIES)
+    fO2 = fo2.fo2_qfm_1bar(1.0, F.col("T_K"))
+    comp = {s: F.coalesce(F.col(s), F.lit(0.0)) for s in gf2.species}
+    mol = mole_fraction_exprs(comp)
+    fe = fe3fe2.fe3fe2_borisov2018(mol, F.col("T_K"), fO2)
+    return (
+        gf2.df.withColumn("Fe3Fe2", fe)
+        .select(
+            "name",
+            F.round("T_K", 4).alias("T_K"),
+            F.round("Fe3Fe2", 6).alias("Fe3Fe2"),
+        )
+        .orderBy("name")
+    )
+
+
+def _sql_redox_chain() -> str:
+    t_k = _sql_putirka15_raw()
+    _, frac = _sql_mole_fraction_terms(MELT_SPECIES)
+    fo2 = (
+        f"(EXP((-587474 + 1584.427 * T_K - 203.3164 * T_K * LN(T_K)"
+        f" + 0.092710 * T_K * T_K) / ({R_GAS!r} * T_K)) * 10.0)"
+    )
+    log10fo2 = f"(LN({fo2}) / LN(10.0))"
+    fe3fe2 = (
+        f"POWER(10.0, 0.207 * {log10fo2} + 4633.3 / T_K"
+        f" - 0.445 * {frac['SiO2']} - 0.900 * {frac['TiO2']}"
+        f" + 1.532 * {frac['MgO']} + 0.314 * {frac['CaO']}"
+        f" + 2.030 * {frac['Na2O']} + 3.355 * {frac['K2O']}"
+        f" - 4.851 * {frac['P2O5']}"
+        f" - 3.081 * {frac['SiO2']} * {frac['Al2O3']}"
+        f" - 4.370 * {frac['SiO2']} * {frac['MgO']} - 1.852)"
+    )
+    return f"""
+WITH {SQL_MELT_CTE},
+with_t AS (SELECT *, {t_k} AS T_K FROM melt)
+SELECT name, ROUND(T_K, 4) AS T_K, ROUND({fe3fe2}, 6) AS Fe3Fe2
+FROM with_t
+ORDER BY name
+"""
+
+
+_DENSITY = {
+    "T_REF": {"SiO2": 1773.0, "TiO2": 1773.0, "Al2O3": 1773.0,
+              "Fe2O3": 1723.0, "FeO": 1723.0, "MgO": 1773.0, "CaO": 1773.0,
+              "Na2O": 1773.0, "K2O": 1773.0, "H2O": 1273.0},
+    "MV": {"SiO2": 26.86, "TiO2": 28.32, "Al2O3": 37.42, "Fe2O3": 41.50,
+           "FeO": 12.68, "MgO": 12.02, "CaO": 16.90, "Na2O": 29.65,
+           "K2O": 47.28, "H2O": 22.9},
+    "DVDT": {"SiO2": 0.0, "TiO2": 0.00724, "Al2O3": 0.00262, "Fe2O3": 0.0,
+             "FeO": 0.00369, "MgO": 0.00327, "CaO": 0.00374,
+             "Na2O": 0.00768, "K2O": 0.01208, "H2O": 0.0095},
+    "DVDP": {"SiO2": -1.89e-4, "TiO2": -2.31e-4, "Al2O3": -2.26e-4,
+             "Fe2O3": -2.5e-4, "FeO": -4.5e-5, "MgO": 2.7e-5,
+             "CaO": 3.4e-5, "Na2O": -2.4e-4, "K2O": -6.75e-4,
+             "H2O": -3.2e-4},
+}
+
+
+def q_density_viscosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iacovino density + Giordano viscosity over the synthetic melt."""
+    from magmapandas_spark.models import rheology
+
+    gf = synthetic_melt(spark, sf_dir)
+    T_K, P_bar = 1473.15, 2000.0
+    d = rheology.calculate_density(gf, T_K=T_K, P_bar=P_bar)
+    gf_d = GeoFrame(d, units="wt.%", datatype="oxide", species=MELT_SPECIES)
+    out = rheology.calculate_viscosity(gf_d, T_K=T_K)
+    return (
+        out.select(
+            "name",
+            F.round("density", 4).alias("density"),
+            F.round("viscosity", 6).alias("viscosity"),
+        )
+        .orderBy("name")
+    )
+
+
+def _sql_density_viscosity() -> str:
+    T_K, P_bar = 1473.15, 2000.0
+    comps = list(_DENSITY["MV"])
+    # mole fractions over ALL species (density.py:96-98), model oxides only
+    # in the volume sum; Fe2O3 missing → zero term
+    _, frac = _sql_mole_fraction_terms(MELT_SPECIES)
+    mass = " + ".join(
+        f"({frac[s]} * {W(s)!r})" for s in comps if s in frac
+    )
+    vol = " + ".join(
+        f"((({T_K!r} - {_DENSITY['T_REF'][s]!r}) * {_DENSITY['DVDT'][s]!r}"
+        f" + ({P_bar!r} - 1.0) * {_DENSITY['DVDP'][s]!r}"
+        f" + {_DENSITY['MV'][s]!r}) * {frac[s]})"
+        for s in comps
+        if s in frac
+    )
+    density = f"(({mass}) / ({vol}) * 1000.0)"
+
+    m = {s: f"({frac[s]} * 100.0)" for s in frac}
+    z = "0.0"
+    g = lambda s: m.get(s, z)
+    B = (
+        f"(159.6 * ({g('SiO2')} + {g('TiO2')})"
+        f" + -173.3 * {g('Al2O3')}"
+        f" + 72.1 * ({g('FeO')} + {g('MnO')} + {g('P2O5')})"
+        f" + 75.7 * {g('MgO')}"
+        f" + -39.0 * {g('CaO')}"
+        f" + -84.1 * ({g('Na2O')} + {g('H2O')} + {z})"
+        f" + 141.5 * ({g('H2O')} + {z} + LN(1.0 + {g('H2O')}))"
+        f" + -2.43 * (({g('SiO2')} + {g('TiO2')}) * ({g('FeO')} + {g('MnO')} + {g('MgO')}))"
+        f" + -0.91 * (({g('SiO2')} + {g('TiO2')} + {g('Al2O3')} + {g('P2O5')})"
+        f" * ({g('Na2O')} + {g('K2O')} + {g('H2O')}))"
+        f" + 17.6 * ({g('Al2O3')} * ({g('Na2O')} + {g('K2O')})))"
+    )
+    C = (
+        f"(2.75 * {g('SiO2')}"
+        f" + 15.7 * ({g('TiO2')} + {g('Al2O3')})"
+        f" + 8.3 * ({g('FeO')} + {g('MgO')} + {g('MnO')})"
+        f" + 10.2 * {g('CaO')}"
+        f" + -12.3 * ({g('Na2O')} + {g('K2O')})"
+        f" + -99.5 * LN(1.0 + {g('H2O')} + {z})"
+        f" + 0.3 * (({g('Al2O3')} + {g('FeO')} + {g('MgO')} + {g('MnO')}"
+        f" + {g('CaO')} - {g('P2O5')})"
+        f" * ({g('Na2O')} + {g('K2O')} + {g('H2O')} + {z})))"
+    )
+    viscosity = f"(-4.55 + {B} / ({T_K!r} - {C}))"
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT name, ROUND({density}, 4) AS density, ROUND({viscosity}, 6) AS viscosity
+FROM melt
+ORDER BY name
+"""
+
+
+SQL_OLIVINE_CTE = """
+olivine AS (
+  SELECT
+    p_partkey AS name,
+    39.0 + (p_partkey % 30) * 0.05 AS SiO2,
+    42.0 + (p_size % 20) * 0.25 AS MgO,
+    10.0 + (p_partkey % 80) * 0.1 AS FeO,
+    0.1 + (p_size % 5) * 0.05 AS MnO,
+    0.25 AS NiO,
+    0.05 + (p_partkey % 3) * 0.05 AS CaO
+  FROM part
+)
+"""
+
+OLIVINE_SPECIES = ["SiO2", "MgO", "FeO", "MnO", "NiO", "CaO"]
+
+
+def synthetic_olivine(spark: SparkSession, sf_dir: str) -> GeoFrame:
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    df = part.select(
+        F.col("p_partkey").alias("name"),
+        (F.lit(39.0) + (F.col("p_partkey") % 30) * F.lit(0.05)).alias("SiO2"),
+        (F.lit(42.0) + (F.col("p_size") % 20) * F.lit(0.25)).alias("MgO"),
+        (F.lit(10.0) + (F.col("p_partkey") % 80) * F.lit(0.1)).alias("FeO"),
+        (F.lit(0.1) + (F.col("p_size") % 5) * F.lit(0.05)).alias("MnO"),
+        F.lit(0.25).alias("NiO"),
+        (F.lit(0.05) + (F.col("p_partkey") % 3) * F.lit(0.05)).alias("CaO"),
+    )
+    return GeoFrame(df, units="wt.%", datatype="oxide", species=OLIVINE_SPECIES)
+
+
+def q_mineral_forsterite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Olivine forsterite + 4-oxygen mineral-formula cations."""
+    from magmapandas_spark.models import minerals
+
+    gf = synthetic_olivine(spark, sf_dir)
+    with_fo = minerals.forsterite(gf)
+    gf2 = GeoFrame(with_fo, units="wt.%", datatype="oxide",
+                   species=OLIVINE_SPECIES)
+    formula = gf2.mineral_formula(O=4)
+    out = formula.df.select(
+        "name",
+        F.round("Fo", 6).alias("Fo"),
+        F.round("Si", 6).alias("Si"),
+        F.round("Mg", 6).alias("Mg"),
+        F.round("Fe", 6).alias("Fe"),
+    )
+    return out.orderBy("name")
+
+
+def _sql_mineral_forsterite() -> str:
+    _, frac = _sql_mole_fraction_terms(OLIVINE_SPECIES)
+    fo = f"({frac['MgO']} / ({frac['FeO']} + {frac['MgO']}))"
+    # cation fractions == oxide mol fractions here (all 1-cation oxides);
+    # oxygen factor: Σ cation_i × (O/cat)_i ; SiO2 → 2 O, others → 1
+    o_ratio = {"SiO2": 2.0, "MgO": 1.0, "FeO": 1.0, "MnO": 1.0, "NiO": 1.0,
+               "CaO": 1.0}
+    mol_terms = [f"({s} / {W(s)!r})" for s in OLIVINE_SPECIES]
+    total_mol = " + ".join(mol_terms)
+    cat = {s: f"(({s} / {W(s)!r}) / ({total_mol}))" for s in OLIVINE_SPECIES}
+    oxy_total = " + ".join(f"({cat[s]} * {o_ratio[s]!r})" for s in OLIVINE_SPECIES)
+    factor = f"(4.0 / ({oxy_total}))"
+    return f"""
+WITH {SQL_OLIVINE_CTE}
+SELECT name,
+  ROUND({fo}, 6) AS Fo,
+  ROUND({cat['SiO2']} * {factor}, 6) AS Si,
+  ROUND({cat['MgO']} * {factor}, 6) AS Mg,
+  ROUND({cat['FeO']} * {factor}, 6) AS Fe
+FROM olivine
+ORDER BY name
+"""
+
+
+# ----------------------------------------------------------------------
+# text analytics / dedup / similarity
+# ----------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token count, stopword ratio, mean
+    token length — narrow, scan-local (no shuffle at all)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    n_stop = F.size(
+        F.filter(tokens, lambda x: x.isin("a", "the", "of", "and"))
+    )
+    mean_len = (F.length("text") - n_tokens + 1) / n_tokens
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            n_stop.alias("n_stop"),
+            F.round(n_stop.cast("double") / n_tokens, 6).alias("stop_ratio"),
+            F.round(mean_len, 6).alias("mean_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id, lang,
+  len(str_split(text, ' ')) AS n_tokens,
+  len(list_filter(str_split(text, ' '), x -> x IN ('a','the','of','and'))) AS n_stop,
+  ROUND(CAST(len(list_filter(str_split(text, ' '), x -> x IN ('a','the','of','and'))) AS DOUBLE)
+        / len(str_split(text, ' ')), 6) AS stop_ratio,
+  ROUND((length(text) - len(str_split(text, ' ')) + 1.0) / len(str_split(text, ' ')), 6) AS mean_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic vs the labeled lang column:
+    confusion counts. (The synthetic corpus shares one vocabulary, so
+    the signal is marker tokens; the query exercises the classification
+    plumbing.)"""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    tokens = F.split(F.col("text"), " ")
+    score = lambda *words: F.size(F.filter(tokens, lambda x: x.isin(*words)))
+    en = score("the", "a", "and", "of")
+    pred = (
+        F.when(en >= 1, F.lit("en")).otherwise(F.lit("other"))
+    )
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+SQL_LANGID = """
+SELECT lang,
+  CASE WHEN len(list_filter(str_split(text, ' '), x -> x IN ('the','a','and','of'))) >= 1
+       THEN 'en' ELSE 'other' END AS pred_lang,
+  COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, pred_lang
+"""
+
+
+def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard similarity for adjacent doc pairs —
+    exercises shingling + set intersection with an O(n) join on the
+    composite (doc_id, shingle) key (no hot-shingle skew)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(
+        F.length("text") >= 5
+    )
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(4))
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 5)").alias("sh"))
+        .distinct()
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+            & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    ).alias("cm")
+    c1 = cnt.alias("c1")
+    c2 = cnt.alias("c2")
+    n_common = F.coalesce(F.col("cm.n_common"), F.lit(0))
+    return (
+        c1.join(c2, F.col("c1.doc_id") + 1 == F.col("c2.doc_id"))
+        .join(common, F.col("c1.doc_id") == F.col("cm.id1"), "left")
+        .select(
+            F.col("c1.doc_id").alias("id1"),
+            (F.col("c1.doc_id") + 1).alias("id2"),
+            n_common.alias("common"),
+            (
+                n_common.cast("double")
+                / (F.col("c1.n") + F.col("c2.n") - n_common)
+            ).alias("jaccard"),
+        )
+        .orderBy("id1")
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS sh
+  FROM documents, UNNEST(range(1, len(text) - 3)) AS t(i)
+  WHERE len(text) >= 5
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id1, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id AND a.sh = b.sh
+  GROUP BY a.doc_id
+)
+SELECT c1.doc_id AS id1, c1.doc_id + 1 AS id2,
+  COALESCE(common.common, 0) AS common,
+  CAST(COALESCE(common.common, 0) AS DOUBLE)
+    / (c1.n + c2.n - COALESCE(common.common, 0)) AS jaccard
+FROM cnt c1
+JOIN cnt c2 ON c1.doc_id + 1 = c2.doc_id
+LEFT JOIN common ON c1.doc_id = common.id1
+ORDER BY id1
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 20 vectors.
+
+    The query side is broadcast; the dot product is an explicitly
+    ordered left fold so Spark and DuckDB produce bit-identical doubles
+    (both engines: 0.0 + Σ left-to-right over float32→double promoted
+    products)."""
+    from magmapandas_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = cosine_topk_bruteforce(
+        queries, emb, id_col="vec_id", vec_col="embedding", k=5
+    )
+    return out.select(
+        "qid", "cid", F.round("cos", 6).alias("cos"), "rn"
+    ).orderBy("qid", "rn")
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+dots AS (
+  SELECT q.vec_id AS qid, e.vec_id AS cid,
+    list_reduce(
+      list_transform(q.embedding, (x, i) ->
+        CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+      (a, b) -> a + b) AS dot,
+    sqrt(list_reduce(
+      list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      (a, b) -> a + b)) AS nq,
+    sqrt(list_reduce(
+      list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      (a, b) -> a + b)) AS nc
+  FROM q, embeddings e
+  WHERE e.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT qid, cid, dot / (nq * nc) AS cos,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (nq * nc) DESC, cid) AS rn
+  FROM dots
+)
+SELECT qid, cid, ROUND(cos, 6) AS cos, rn
+FROM ranked WHERE rn <= 5
+ORDER BY qid, rn
+"""
+
+
+# ----------------------------------------------------------------------
+# registry
+# ----------------------------------------------------------------------
+
+def queries():
+    from magmapandas_spark.operators.dedup import (
+        q_minhash_lsh_candidates,
+        q_simhash_buckets,
+    )
+
+    return {
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_parts_by_revenue": q_top_parts_by_revenue,
+        "customer_order_window": q_customer_order_window,
+        "part_setops": q_part_setops,
+        "events_hourly": q_events_hourly,
+        "redox_chain": q_redox_chain,
+        "density_viscosity": q_density_viscosity,
+        "mineral_forsterite": q_mineral_forsterite,
+        "text_quality": q_text_quality,
+        "langid_heuristic": q_langid_heuristic,
+        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+        "embedding_topk": q_embedding_topk,
+        # non-SQL-expressible (hash-function dependent) → rows-only check
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash_buckets": q_simhash_buckets,
+    }
+
+
+def oracle_sql():
+    return {
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "top_parts_by_revenue": SQL_TOP_PARTS,
+        "customer_order_window": SQL_CUSTOMER_ORDER_WINDOW,
+        "part_setops": SQL_PART_SETOPS,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "redox_chain": _sql_redox_chain(),
+        "density_viscosity": _sql_density_viscosity(),
+        "mineral_forsterite": _sql_mineral_forsterite(),
+        "text_quality": SQL_TEXT_QUALITY,
+        "langid_heuristic": SQL_LANGID,
+        "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+    }
