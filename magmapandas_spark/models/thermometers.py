@@ -380,6 +380,69 @@ def sugawara2000_6a(
     return _finish(melt, "sugawara2000_6a", T_K, offset, out_col)
 
 
+def putirka2007_4(
+    liquid: GeoFrame,
+    olivine: GeoFrame,
+    P_bar=0.0,
+    offset: float = 0.0,
+    on: str = "name",
+    out_col: str = "T_K",
+) -> DataFrame:
+    """Olivine-liquid thermometer, Putirka (2007) eq. 4
+    (``thermometers/ol_melt.py:22-118``).
+
+    The reference's pandas index alignment
+    (``olivine_cations.loc[liquid_cations.index]``) becomes an inner
+    equi-join on the sample key — broadcast-sized in practice."""
+    has_h2o = "H2O" in liquid.species
+    comp = {
+        s: F.coalesce(F.col(s), F.lit(0.0)) for s in liquid.species
+    }
+    for c in ["MgO", "FeO", "Na2O", "K2O", "CaO", "SiO2", "TiO2"]:
+        comp.setdefault(c, F.lit(0.0))
+    H2O = comp["H2O"] if has_h2o else F.lit(0.0)
+    exclude = ("H2O",) if has_h2o else ()
+    mol = _mole_fractions(comp, exclude=exclude)
+    cat = _cation_fractions(comp, exclude=exclude)
+
+    ol_comp = {
+        s: F.coalesce(F.col(f"ol_{s}"), F.lit(0.0)) for s in olivine.species
+    }
+    ol_cat = _cation_fractions(ol_comp)
+
+    def c(d, name):
+        return d.get(name, F.lit(0.0))
+
+    C_NM = _sum(c(cat, n) for n in ("Fe", "Mn", "Mg", "Ca", "Co", "Ni"))
+    NF = F.lit(3.5) * F.log(F.lit(1.0) - c(cat, "Al")) + F.lit(7.0) * F.log(
+        F.lit(1.0) - c(cat, "Ti")
+    )
+    D_Mg = c(ol_cat, "Mg") / c(cat, "Mg")
+    P_GPa = _p_col(P_bar) / F.lit(1e4)
+
+    numerator = (
+        F.lit(15294.6) + F.lit(1318.8) * P_GPa + F.lit(2.4834) * P_GPa * P_GPa
+    )
+    denominator = (
+        F.lit(8.048)
+        + F.lit(2.8532) * F.log(D_Mg)
+        + F.lit(2.097) * F.log(F.lit(1.5) * C_NM)
+        + F.lit(2.575) * F.log(F.lit(3.0) * mol["SiO2"])
+        - F.lit(1.41) * NF
+        + F.lit(0.222) * H2O
+        + F.lit(0.5) * P_GPa
+    )
+    error = 29.0 if has_h2o else 45.0
+    T_K = numerator / denominator + F.lit(273.15) + F.lit(error * offset)
+
+    ol_renamed = olivine.df.select(
+        F.col(on),
+        *[F.col(s).alias(f"ol_{s}") for s in olivine.species],
+    )
+    joined = liquid.df.join(ol_renamed, on=on, how="inner")
+    return joined.withColumn(out_col, T_K)
+
+
 # model registry — the engine's UDF catalog for thermometers
 # (``thermometers/melt.py:619-624``)
 melt_thermometers_dict = {

@@ -50,8 +50,14 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     import magmapandas_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(magmapandas_spark.__file__))
+    # rebuild when any package file is newer than the cached zip
+    newest = 0.0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                newest = max(newest, os.path.getmtime(os.path.join(root, fn)))
     zip_base = os.path.join(
-        tempfile.gettempdir(), "magmapandas_spark_pyfiles"
+        tempfile.gettempdir(), f"magmapandas_spark_pyfiles_{int(newest)}"
     )
     zip_path = zip_base + ".zip"
     if not os.path.exists(zip_path):

@@ -634,6 +634,72 @@ ORDER BY qid, rn
 """
 
 
+def q_shishkina_co2_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shishkina (2014) pure-CO2 saturation pressure — closed-form
+    inversion runs as a pandas UDF batch over the synthetic melt."""
+    from magmapandas_spark.models import volatiles as vol
+
+    gf = synthetic_melt(spark, sf_dir)
+    out = vol.volatile_saturation_pressure(
+        gf, T_K=1473.15, model="shishkina2014", species="co2",
+        out_col="P_sat",
+    )
+    return out.select("name", F.round("P_sat", 4).alias("P_sat")).orderBy(
+        "name"
+    )
+
+
+def _sql_shishkina_co2() -> str:
+    # anhydrous cation fractions from the synthetic melt species
+    anhyd = [s for s in MELT_SPECIES if s not in ("H2O", "CO2")]
+    from magmapandas_spark.chem.elements import (
+        cation_amount,
+        cation_name,
+        calculate_weight,
+    )
+
+    cat_terms = {
+        s: f"(({s} / {calculate_weight(s)!r}) * {cation_amount(s)!r})"
+        for s in anhyd
+    }
+    total = " + ".join(cat_terms.values())
+    cat = {cation_name(s): f"({cat_terms[s]} / ({total}))" for s in anhyd}
+    z = "0.0"
+    g = lambda n: cat.get(n, z)
+    pi_star = (
+        f"(({g('Ca')} + 0.8 * {g('K')} + 0.7 * {g('Na')}"
+        f" + 0.4 * {g('Mg')} + 0.4 * {g('Fe')}) / ({g('Si')} + {g('Al')}))"
+    )
+    A, B, C = 1.150, 6.71, -1.345
+    p_sat = (
+        f"(CASE WHEN CO2 > 0 THEN"
+        f" EXP((LN(CO2 * 10000.0) - {B!r} * {pi_star} - ({C!r})) / {A!r}) * 10.0"
+        f" ELSE 0.0 END)"
+    )
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT name, ROUND({p_sat}, 4) AS P_sat
+FROM melt
+ORDER BY name
+"""
+
+
+def q_volatile_saturation_im(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iacono-Marziano mixed CO2-H2O saturation over the synthetic melt:
+    the reference's per-row multiprocessing showcase (EP3, SURVEY §3)
+    as one vectorized UDF stage. Non-SQL-expressible (implicit
+    root-finding) → rows-only correctness check."""
+    from magmapandas_spark.models import volatiles as vol
+
+    gf = synthetic_melt(spark, sf_dir)
+    out = vol.volatile_saturation_pressure(gf, T_K=1473.15, species="mixed")
+    return out.select(
+        "name",
+        F.round("P_bar_sat", 4).alias("P_bar_sat"),
+        F.round("Xfl", 6).alias("Xfl"),
+    ).orderBy("name")
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -657,7 +723,9 @@ def queries():
         "langid_heuristic": q_langid_heuristic,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "embedding_topk": q_embedding_topk,
-        # non-SQL-expressible (hash-function dependent) → rows-only check
+        "shishkina_co2_saturation": q_shishkina_co2_saturation,
+        # non-SQL-expressible → rows-only checks
+        "volatile_saturation_im": q_volatile_saturation_im,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_buckets": q_simhash_buckets,
     }
@@ -677,4 +745,5 @@ def oracle_sql():
         "langid_heuristic": SQL_LANGID,
         "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD,
         "embedding_topk": SQL_EMBEDDING_TOPK,
+        "shishkina_co2_saturation": _sql_shishkina_co2(),
     }
