@@ -1,0 +1,155 @@
+"""Monte-Carlo error propagation (SURVEY §4.1 'Monte-Carlo loops').
+
+The reference propagates uncertainties by caller-side loops over
+``random_sample`` (``magmaFrame.py:449-472``) and model-error offsets
+drawn via ``get_offset_parameters`` (``Fe_redox/Fe3Fe2_baseclass.py:
+154-156``, unseeded ``np.random``). The Spark-native batch version:
+
+1. replicate rows: ``crossJoin(spark.range(n_iterations))`` — rows
+   scale linearly and shuffle-free;
+2. perturb inputs with seeded ``F.randn`` (deterministic, SURVEY §7
+   risk 7) per species / per model error;
+3. run any operator chain on the replicated GeoFrame;
+4. aggregate per sample: mean / stddev / percentiles in one shuffle.
+
+Model-error curves (1-bar fit ``a·x + b·x² + c^(x+d)``,
+``tools/model_errors.py:6-10`` + ``Fe_redox/Fe3Fe2_errors.py:9-40``)
+are pure expressions; the >1 bar spline tier
+(``Fe3Fe2_baseclass.py:123-145``) evaluates B-splines with a numpy
+De Boor implementation inside a pandas UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from magmapandas_spark.core.geoframe import GeoFrame
+
+# 1-bar fitted error parameters (``Fe_redox/Fe3Fe2_errors.py:9-40``)
+FE3FE2_ERROR_PARAMS_1BAR = {
+    "borisov2018": (0.07881702, 0.02656421, 0.4333133, 3.4452295),
+    "kress_carmichael1991": (7.05463020e-02, 2.43940927e-02,
+                             9.88024806e-01, 2.25645326e02),
+    "jayasuriya2004": (1.38784813e-01, 2.08193376e-02, 9.85875764e-01,
+                       1.86942686e02),
+    "putirka2016_6b": (5.72217982e-02, 5.16056662e-02, 9.85659083e-01,
+                       1.81879745e02),
+    "putirka2016_6c": (-3.34648539e-02, 7.56520883e-02, 9.84864214e-01,
+                       1.55199181e02),
+    "deng2020": (2.07517182e-01, 3.67122574e-03, 9.81786273e-01,
+                 1.96442938e02),
+    "oneill2006": (2.40671679e-01, 1.17056951e-02, 9.86394234e-01,
+                   2.09113418e02),
+    "oneill2018": (1.05928984e-02, 8.16688488e-02, 7.86674390e-01,
+                   1.12117269e01),
+    "armstrong2019": (1.85786883e-01, 3.01012716e-02, 9.80903060e-01,
+                      1.38943588e02),
+    "zhang2017": (1.71420881e-01, 5.50814149e-03, 9.85221818e-01,
+                  2.35216497e02),
+    "hirschmann2022": (0.06558719, 0.02810096, 0.56167845, 4.64421989),
+    "sun2024": (0.05573283, 0.04157452, 0.4727692, 3.60686759),
+}
+
+# validation-dataset Fe3Fe2 limits (``Fe3Fe2_baseclass.py:15-16``)
+VALIDATION_LIMITS_1BAR = (0.0351966873706004, 5.948890681577911)
+
+
+def fe3fe2_error_expr(model: str, Fe3Fe2: Column) -> Column:
+    """1σ error on Fe3Fe2 at 1 bar: a·x + b·x² + c^(x+d)
+    (``tools/model_errors.py:6-10``)."""
+    a, b, c, d = FE3FE2_ERROR_PARAMS_1BAR[model]
+    x = Fe3Fe2
+    return (
+        F.lit(a) * x
+        + F.lit(b) * x * x
+        + F.pow(F.lit(c), x + F.lit(d))
+    )
+
+
+def deboor_splev(x: np.ndarray, t: np.ndarray, c: np.ndarray, k: int):
+    """Evaluate a B-spline (scipy ``splev``-compatible tck) via
+    De Boor's algorithm — pure numpy, vectorized over x."""
+    x = np.asarray(x, dtype=float)
+    n = len(t) - k - 1
+    x_cl = np.clip(x, t[k], t[n])
+    # knot span index
+    idx = np.searchsorted(t, x_cl, side="right") - 1
+    idx = np.clip(idx, k, n - 1)
+    d = np.stack([c[j + idx - k] for j in range(k + 1)], axis=0)
+    for r in range(1, k + 1):
+        for j in range(k, r - 1, -1):
+            left = t[idx + j - k]
+            right = t[idx + j + 1 - r]
+            denom = right - left
+            alpha = np.where(denom > 0, (x_cl - left) / np.where(denom > 0, denom, 1.0), 0.0)
+            d[j] = (1.0 - alpha) * d[j - 1] + alpha * d[j]
+    return d[k]
+
+
+def mc_replicate(
+    df: DataFrame, n_iterations: int, iter_col: str = "mc_iter"
+) -> DataFrame:
+    """Row replication for MC: one extra narrow dimension, no shuffle."""
+    spark = df.sparkSession
+    iters = spark.range(n_iterations).withColumnRenamed("id", iter_col)
+    return df.crossJoin(iters)
+
+
+def mc_perturb(
+    gf: GeoFrame,
+    errors: float | dict[str, float],
+    seed: int = 42,
+) -> GeoFrame:
+    """Gaussian input perturbation clipped at 0
+    (``magmaFrame.py:449-472``) with seeded randn."""
+    return gf.random_sample(errors, seed=seed)
+
+
+def mc_summarize(
+    result: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    percentiles: Sequence[float] = (0.025, 0.5, 0.975),
+) -> DataFrame:
+    """Per-sample summary: mean, stddev, requested percentiles — one
+    shuffle on the sample key (map-side partial aggregation)."""
+    aggs = []
+    for v in value_cols:
+        aggs.append(F.avg(v).alias(f"{v}_mean"))
+        aggs.append(F.stddev(v).alias(f"{v}_std"))
+        for p in percentiles:
+            aggs.append(
+                F.percentile_approx(v, float(p), 10000).alias(
+                    f"{v}_p{str(p).replace('0.', '')}"
+                )
+            )
+    return result.groupBy(*keys).agg(*aggs)
+
+
+def monte_carlo(
+    melt: GeoFrame,
+    computation: Callable[[GeoFrame], DataFrame],
+    errors: float | dict[str, float],
+    n_iterations: int = 100,
+    value_cols: Sequence[str] = ("T_K",),
+    keys: Sequence[str] = ("name",),
+    seed: int = 42,
+    percentiles: Sequence[float] = (0.025, 0.5, 0.975),
+) -> DataFrame:
+    """Full MC pipeline: replicate → perturb → compute → summarize.
+
+    ``computation`` receives the perturbed GeoFrame and returns a
+    DataFrame with ``value_cols`` (e.g. a thermometer or Fe3Fe2
+    chain)."""
+    replicated = mc_replicate(melt.df, n_iterations)
+    gf = GeoFrame(
+        replicated, units=melt.units, datatype=melt.datatype,
+        species=melt.species,
+    )
+    perturbed = mc_perturb(gf, errors, seed=seed)
+    result = computation(perturbed)
+    return mc_summarize(result, keys, value_cols, percentiles)
