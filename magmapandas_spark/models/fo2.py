@@ -203,9 +203,18 @@ def qfm_grid(spark, T_range=(600.0, 2600.0), n_T=201, P_levels=None):
     return spark.createDataFrame(pdf)
 
 
+def fo2_iw(logshift, T_K, P_bar) -> Column:
+    """Exact IW buffer, Hirschmann 2021 (``fO2/IW.py:420-471``) — see
+    :mod:`magmapandas_spark.models.iw`."""
+    from magmapandas_spark.models import iw
+
+    return iw.fo2_iw(logshift, T_K, P_bar)
+
+
 # registry (``fO2/fO2_calculate.py:11-25`` dispatch)
 fO2_buffers = {
     "QFM": fo2_qfm,
+    "IW": fo2_iw,
     "QFM_1bar": lambda logshift, T_K, P_bar=None: fo2_qfm_1bar(logshift, T_K),
     "NNO": fo2_nno,
     "NNO_1bar": lambda logshift, T_K, P_bar=None: fo2_nno_1bar(logshift, T_K),

@@ -37,4 +37,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``magmapandas_spark`` importable on executor Python workers.
+
+    pandas UDFs cloudpickle references to this package; a process whose
+    cwd is not the repo root (or a real cluster) needs the package
+    shipped. ``addPyFile`` with a content-stamped zip works in local and
+    cluster mode alike and is idempotent per session."""
+    from magmapandas_spark.relational.suite import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)

@@ -271,3 +271,33 @@ def test_nbo_t(spark):
     out = minerals.nbo_t(melt).select("name", "NBO_T").toPandas()
     # basalts: NBO/T typically 0.2-1.2
     assert out["NBO_T"].between(0.0, 2.0).all(), out["NBO_T"].describe()
+
+
+def test_iw_golden_curve():
+    """Exact IW (Hirschmann 2021) vs the reference's golden benchmark
+    data (docs/source/notebooks/benchmarks/data/fO2/fO2_IW_Hirschmann.csv,
+    generated from the Hirschmann matlab script)."""
+    from magmapandas_spark.models import iw
+
+    g = pd.read_csv(f"{BENCH_DATA}/fO2/fO2_IW_Hirschmann.csv")
+    out = iw.fo2_iw_np(0.0, g["T_K"].to_numpy(), g["P_bar"].to_numpy())
+    dlog = np.abs(np.log10(out) - np.log10(g["fO2"].to_numpy()))
+    # the reference itself notes a tiny pressure-term G difference vs
+    # the matlab original (fO2/IW.py:166); 0.01 dex across 1-1e5 bar
+    assert dlog.max() < 0.01
+
+
+def test_iw_udf_spark(spark):
+    from magmapandas_spark.models import iw
+
+    pdf = pd.DataFrame({"T_K": [1200.0, 1500.0, 1800.0],
+                        "P_bar": [1.0, 4e3, 1e5]})
+    sdf = spark.createDataFrame(pdf)
+    out = sdf.withColumn(
+        "fO2", fo2.calculate_fO2("T_K", "P_bar", fO2_buffer="IW", dfO2=1.0)
+    ).toPandas()
+    exp = iw.fo2_iw_np(1.0, pdf["T_K"].to_numpy(), pdf["P_bar"].to_numpy())
+    assert np.allclose(out["fO2"].to_numpy(), exp, rtol=1e-10)
+    # IW sits several log units below QFM at the same conditions
+    qfm = eos.fo2_qfm(0.0, pdf["T_K"].to_numpy(), pdf["P_bar"].to_numpy())
+    assert (out["fO2"].to_numpy() < qfm * 10.0).all()
