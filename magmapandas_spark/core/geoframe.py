@@ -410,7 +410,14 @@ class GeoFrame:
     ) -> "GeoFrame":
         exprs = {}
         for i, s in enumerate(self.species):
-            err = errors[s] if isinstance(errors, Mapping) else float(errors)
+            err = (
+                float(errors.get(s, 0.0))
+                if isinstance(errors, Mapping)
+                else float(errors)
+            )
+            if err == 0.0:
+                exprs[s] = F.col(s)
+                continue
             noise = F.randn(seed + i if seed is not None else None)
             exprs[s] = F.greatest(F.lit(0.0), F.col(s) + noise * F.lit(err))
         return self._rebuild(exprs, self.units)

@@ -388,6 +388,57 @@ SATURATION_MODELS = {
 }
 
 
+def _register_allison() -> None:
+    from magmapandas_spark.models import allison
+
+    SATURATION_MODELS["allison2022"] = {
+        "h2o": lambda wt, w, c, T: allison.allison_h2o_saturation_np(
+            wt, w, T
+        ),
+        "co2": lambda wt, w, c, T: allison.allison_co2_saturation_np(
+            wt, c, T
+        ),
+        "mixed": lambda wt, w, c, T: allison.allison_mixed_saturation_np(
+            wt, w, c, T
+        ),
+    }
+
+
+_register_allison()
+
+
+def _im_mixed_solubility(wt, P, T, x):
+    h2o = h2o_solubility_np(wt, P, T, x)
+    wt2 = dict(wt)
+    wt2["H2O"] = h2o
+    return h2o, co2_solubility_np(wt2, P, T, x)
+
+
+def _shishkina_mixed_solubility(wt, P, T, x):
+    return (
+        shishkina_h2o_solubility_np(wt, P, x),
+        shishkina_co2_solubility_np(wt, P, x),
+    )
+
+
+def _allison_mixed_solubility(wt, P, T, x):
+    from magmapandas_spark.models import allison
+
+    return (
+        allison.allison_h2o_solubility_np(P, T, x),
+        allison.allison_co2_solubility_np(wt, P, T, x),
+    )
+
+
+# mixed-fluid solubility per model: fn(wt, P_bar, T_K, x_fluid) ->
+# (H2O wt.%, CO2 wt.%) (``calculate_volatiles.py:38-53`` dispatch)
+SOLUBILITY_MODELS = {
+    "iaconomarziano2012": _im_mixed_solubility,
+    "shishkina2014": _shishkina_mixed_solubility,
+    "allison2022": _allison_mixed_solubility,
+}
+
+
 # ----------------------------------------------------------------------
 # Spark surface
 # ----------------------------------------------------------------------
@@ -500,4 +551,97 @@ def volatile_solubility(
         out.withColumn("H2O_sol", F.col("__sol.H2O_sol"))
         .withColumn("CO2_sol", F.col("__sol.CO2_sol"))
         .drop("__sol")
+    )
+
+
+def co2_h2o_isobars(
+    melt: GeoFrame,
+    T_K: float,
+    isobars=None,
+    isopleths=None,
+    n_points: int = 10,
+    model: str = "iaconomarziano2012",
+) -> DataFrame:
+    """Isobar/isopleth solubility grids (``volatile_solubility/
+    isobars.py:13-141``).
+
+    The reference builds ``itertools.product(composition × P × x_fluid)``
+    and fans rows over a process pool — which is literally a Spark
+    ``crossJoin`` of two grid DataFrames followed by one vectorized
+    solubility UDF stage (SURVEY §2.3). Returns the long-form grid
+    ``(P_bar, x_fluid, kind, H2O_sol, CO2_sol)`` with ``kind`` ∈
+    {isobar, isopleth}; smoothing/plotting interpolation stays
+    driver-side on the collected (tiny) result, as in the reference.
+    """
+    import itertools
+
+    spark = melt.df.sparkSession
+    if isobars is None:
+        isobars = list(np.arange(1e3, 7e3, 1e3))
+    if isopleths is None:
+        isopleths = [round(v, 6) for v in np.arange(0.0, 1.1, 0.1)]
+
+    xfl_steps = [round(v, 6) for v in np.arange(0.0, 1.0 + 1.0 / n_points,
+                                                1.0 / n_points)]
+    p_steps = [
+        round(max(isobars) * i / n_points, 6) for i in range(n_points + 1)
+    ]
+
+    grid_rows = [
+        (float(P), float(x), "isobar")
+        for P, x in itertools.product(isobars, xfl_steps)
+    ] + [
+        (float(P), float(x), "isopleth")
+        for x, P in itertools.product(isopleths, p_steps)
+    ]
+    # internal names avoid collisions with melt columns (P_bar is a
+    # common sample column)
+    grid = spark.createDataFrame(
+        pd.DataFrame(grid_rows, columns=["__iso_P", "__iso_x", "__iso_kind"])
+    )
+
+    sol_fn = SOLUBILITY_MODELS[model]
+    species_cols = list(melt.species)
+    replicated = melt.df.crossJoin(F.broadcast(grid))
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    fields = {s: F.coalesce(F.col(s), F.lit(0.0)) for s in species_cols}
+    fields["__P"] = F.col("__iso_P").cast("double")
+    fields["__x"] = F.col("__iso_x").cast("double")
+    struct = F.struct(*[v.alias(k) for k, v in fields.items()])
+    schema = StructType(
+        [StructField("H2O_sol", DoubleType()),
+         StructField("CO2_sol", DoubleType())]
+    )
+
+    @pandas_udf(schema)
+    def grid_udf(comp: pd.DataFrame) -> pd.DataFrame:
+        wt = {s: comp[s].to_numpy(dtype=float) for s in species_cols}
+        P = comp["__P"].to_numpy(dtype=float)
+        x = comp["__x"].to_numpy(dtype=float)
+        T = np.full_like(P, float(T_K))
+        try:
+            h2o, co2 = sol_fn(wt, P, T, x)
+        except Exception:
+            h2o = np.full_like(P, np.nan)
+            co2 = np.full_like(P, np.nan)
+        return pd.DataFrame({"H2O_sol": h2o, "CO2_sol": co2})
+
+    out = replicated.withColumn("__sol", grid_udf(struct))
+    keep = [
+        c
+        for c in melt.df.columns
+        if c not in species_cols and c not in ("P_bar", "x_fluid", "kind")
+    ]
+    return (
+        out.select(
+            *keep,
+            F.col("__iso_P").alias("P_bar"),
+            F.col("__iso_x").alias("x_fluid"),
+            F.col("__iso_kind").alias("kind"),
+            F.col("__sol.H2O_sol").alias("H2O_sol"),
+            F.col("__sol.CO2_sol").alias("CO2_sol"),
+        )
     )

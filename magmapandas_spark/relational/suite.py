@@ -299,7 +299,7 @@ def _wrap(fn: Callable) -> Callable:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from magmapandas_spark.relational import suite2
+    from magmapandas_spark.relational import suite2, suite3
 
     out = {
         "pricing_summary": q_pricing_summary,
@@ -308,11 +308,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
     }
     out.update(suite2.queries())
+    out.update(suite3.queries())
     return {k: _wrap(v) for k, v in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from magmapandas_spark.relational import suite2
+    from magmapandas_spark.relational import suite2, suite3
 
     out = {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -321,4 +322,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
     }
     out.update(suite2.oracle_sql())
+    out.update(suite3.oracle_sql())
     return out

@@ -1,0 +1,380 @@
+"""Correctness-suite extension 3: sessionization, document
+fingerprinting, embedding near-dup pairs, Allison/isobar volatile
+queries, Monte-Carlo error propagation.
+
+Same contract as :mod:`suite` / :mod:`suite2`: every query returns a
+DataFrame whose columns are aliased identically to its DuckDB oracle;
+big-sum aggregates go through DECIMAL(18,6) casts for
+order-independence; model outputs are ROUNDed on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magmapandas_spark.relational.suite import (
+    SQL_DSUM,
+    _t,
+    dsum,
+    synthetic_melt,
+)
+
+# ----------------------------------------------------------------------
+# sessionization (streaming twin: streams.user_sessions)
+# ----------------------------------------------------------------------
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user via ``F.session_window`` —
+    the batch twin of the streaming sessionization operator
+    (streaming==batch parity is the engine's test strategy, SURVEY
+    §2.9). Epoch-second timestamps so the value hash is tz- and
+    precision-invariant across engines."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        events.select(ts.alias("ts"), "user_id", "value")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# Spark session_window: [first_event, last_event + gap); sessions merge
+# iff the next event starts strictly before the current window end, so
+# a new session begins when the gap is >= 30 min.
+SQL_USER_SESSIONS = f"""
+WITH marked AS (
+  SELECT
+    user_id, ts, value,
+    CASE
+      WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           >= INTERVAL 30 MINUTE THEN 1
+      WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           IS NULL THEN 1
+      ELSE 0
+    END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+  FROM marked
+)
+SELECT
+  CAST(FLOOR(EXTRACT(EPOCH FROM MIN(ts))) AS BIGINT) AS session_start,
+  CAST(FLOOR(EXTRACT(EPOCH FROM MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT)
+    AS session_end,
+  user_id,
+  COUNT(*) AS n_events,
+  {SQL_DSUM.format(x='value')} AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+# ----------------------------------------------------------------------
+# document fingerprinting (rolling shingle hash, winnowing-style)
+# ----------------------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: word 3-gram shingles →
+    md5 rolling window → per-doc minimum hash (bottom-1 sketch) +
+    shingle cardinalities. Engine-portable md5 (not xxhash64) so the
+    DuckDB oracle is exact. Explode → single shuffle on doc_id with
+    map-side partial min."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    shingles = (
+        docs.filter(n >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n - F.lit(3))).alias("i"),
+            words.alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.col("w")[F.col("i")],
+                    F.col("w")[F.col("i") + 1],
+                    F.col("w")[F.col("i") + 2],
+                )
+            ).alias("h"),
+        )
+    )
+    return (
+        shingles.groupBy("doc_id")
+        .agg(
+            F.min("h").alias("fp_min"),
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.countDistinct("h").alias("n_distinct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+WITH words AS (
+  SELECT doc_id, str_split(text, ' ') AS w
+  FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+),
+shingles AS (
+  SELECT doc_id,
+         UNNEST([md5(w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])
+                 for i in generate_series(0, len(w) - 3)]) AS h
+  FROM words
+)
+SELECT doc_id,
+       MIN(h) AS fp_min,
+       COUNT(*) AS n_shingles,
+       COUNT(DISTINCT h) AS n_distinct
+FROM shingles
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# embedding cosine near-duplicates (exact pairs; LSH twin is rows-only)
+# ----------------------------------------------------------------------
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-duplicate pairs above 0.8: the oracle-checked
+    baseline for the LSH-bucketed scale path
+    (operators.similarity.cosine_topk_lsh). Join is on label blocks
+    (embedding clusters share labels in the test data generator — a
+    stand-in for the IVF coarse quantizer), then exact cosine within
+    block; at 100 TB the block key becomes the IVF/LSH bucket."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    # norms are computed ONCE per vector before the join (N values),
+    # not per pair (N² values) — same floating-point arithmetic, so the
+    # oracle hash is unchanged
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.8)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(
+           CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])
+         ) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 4) AS cos_sim
+FROM pairs
+WHERE cos >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+# ----------------------------------------------------------------------
+# volatile models: Allison 2022 + isobar grids (rows-only: implicit
+# root-finding / MRK fugacity is not SQL-expressible)
+# ----------------------------------------------------------------------
+
+def q_allison_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allison (2022) MafiCH mixed-fluid saturation over the synthetic
+    melt — MRK fugacity + carbonate equilibrium, vectorized bisection
+    replacing the reference's per-row 2-D root."""
+    from magmapandas_spark.models import volatiles as vol
+
+    gf = synthetic_melt(spark, sf_dir)
+    out = vol.volatile_saturation_pressure(
+        gf, T_K=1473.15, model="allison2022", species="mixed"
+    )
+    return out.select(
+        "name",
+        F.round("P_bar_sat", 4).alias("P_bar_sat"),
+        F.round("Xfl", 6).alias("Xfl"),
+    ).orderBy("name")
+
+
+def q_isobar_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO2-H2O isobar/isopleth grids for the first synthetic-melt
+    sample: the reference's itertools.product × process pool
+    (``isobars.py:48-85``) as broadcast crossJoin × one UDF stage."""
+    from magmapandas_spark.core.geoframe import GeoFrame
+    from magmapandas_spark.models import volatiles as vol
+
+    gf = synthetic_melt(spark, sf_dir)
+    first = gf.df.orderBy("name").limit(1)
+    gf1 = GeoFrame(first, units=gf.units, datatype=gf.datatype,
+                   species=gf.species)
+    out = vol.co2_h2o_isobars(gf1, T_K=1473.15, n_points=8)
+    return out.select(
+        "name", "P_bar", "x_fluid", "kind",
+        F.round("H2O_sol", 6).alias("H2O_sol"),
+        F.round("CO2_sol", 6).alias("CO2_sol"),
+    ).orderBy("kind", "P_bar", "x_fluid")
+
+
+# ----------------------------------------------------------------------
+# Monte-Carlo error propagation (seeded randn — engine-specific RNG →
+# rows-only check; determinism is asserted in tests instead)
+# ----------------------------------------------------------------------
+
+def q_mc_thermometer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo uncertainty on the default melt thermometer:
+    replicate ×64 (crossJoin range — narrow), perturb with seeded randn,
+    re-run the thermometer, aggregate mean/std/p95 per sample in one
+    shuffle (SURVEY §4.1 'Monte-Carlo loops')."""
+    from magmapandas_spark.models import thermometers as tm
+    from magmapandas_spark.operators import montecarlo as mc
+
+    gf = synthetic_melt(spark, sf_dir)
+    # limit to a stable subset: MC×64 over full lineitem-derived melt is
+    # a bench workload, not a correctness gate
+    sub = gf.df.orderBy("name").limit(200)
+    from magmapandas_spark.core.geoframe import GeoFrame
+
+    gf_sub = GeoFrame(sub, units=gf.units, datatype=gf.datatype,
+                      species=gf.species)
+
+    def compute(g):
+        return tm.putirka2008_15(g, P_bar="P_bar")
+
+    out = mc.monte_carlo(
+        gf_sub,
+        compute,
+        errors={"SiO2": 0.3, "MgO": 0.1, "FeO": 0.15},
+        n_iterations=64,
+        value_cols=("T_K",),
+        keys=("name",),
+        seed=7,
+        percentiles=(0.5,),
+    )
+    return out.select(
+        "name",
+        F.round("T_K_mean", 2).alias("T_K_mean"),
+        F.round("T_K_std", 2).alias("T_K_std"),
+        F.round("T_K_p5", 2).alias("T_K_p5"),
+    ).orderBy("name")
+
+
+def queries():
+    return {
+        "user_sessions": q_user_sessions,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_neardup": q_embedding_neardup,
+        # rows-only
+        "allison_saturation": q_allison_saturation,
+        "isobar_grid": q_isobar_grid,
+        "mc_thermometer": q_mc_thermometer,
+        "running_stddev": q_running_stddev,
+    }
+
+
+def oracle_sql():
+    return {
+        "user_sessions": SQL_USER_SESSIONS,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "running_stddev": SQL_RUNNING_STDDEV,
+    }
+
+
+# ----------------------------------------------------------------------
+# running stddev with outlier rejection (SURVEY §2.5, model_errors)
+# ----------------------------------------------------------------------
+
+def q_running_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running windowed stddev of part size ordered by retail price
+    with 2σ-from-median rejection (``tools/model_errors.py:20-42``) —
+    ordered window + higher-order array expressions, no UDF."""
+    from magmapandas_spark.operators.model_errors import running_stddev
+
+    part = spark.read.parquet(_t(sf_dir, "part")).select(
+        F.col("p_retailprice").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+        F.col("p_partkey").alias("tb"),
+    )
+    out = running_stddev(part, "x", "y", boxsize=30, sigma=2.0,
+                         tiebreak="tb")
+    return out.select(
+        F.round("x", 4).alias("x"), F.round("stddev", 4).alias("stddev")
+    ).orderBy("x")
+
+
+SQL_RUNNING_STDDEV = """
+WITH base AS (
+  SELECT p_retailprice AS x, CAST(p_size AS DOUBLE) AS y, p_partkey AS tb
+  FROM part
+  WHERE p_size IS NOT NULL
+),
+w AS (
+  SELECT x,
+    ROW_NUMBER() OVER (ORDER BY x, tb) AS rn,
+    COUNT(*) OVER () AS n,
+    list(y) OVER (ORDER BY x, tb
+                  ROWS BETWEEN 15 PRECEDING AND 13 FOLLOWING) AS ys
+  FROM base
+),
+f AS (SELECT x, ys FROM w WHERE rn > 15 AND rn <= n - 15),
+calc AS (
+  SELECT x, ys,
+    list_sort(ys)[(len(ys) + 1) // 2] AS med,
+    sqrt(list_sum([v * v for v in ys]) / len(ys)
+         - (list_sum(ys) / len(ys)) ^ 2) AS std_all
+  FROM f
+),
+kept AS (
+  SELECT x, [v for v in ys if abs(v - med) < 2.0 * std_all] AS k
+  FROM calc
+)
+SELECT ROUND(x, 4) AS x,
+       ROUND(sqrt(list_sum([v * v for v in k]) / len(k)
+                  - (list_sum(k) / len(k)) ^ 2), 4) AS stddev
+FROM kept
+ORDER BY x
+"""

@@ -1,0 +1,61 @@
+"""Running-stddev window operator + error-curve fit vs a numpy mirror
+of the reference loop (``tools/model_errors.py:20-42``)."""
+
+import numpy as np
+import pandas as pd
+
+from magmapandas_spark.operators.model_errors import (
+    error_func,
+    fit_error_function,
+    running_stddev,
+)
+
+
+def _reference_running_stddev(y, boxsize=30, sigma=2):
+    fr = boxsize // 2
+
+    def reject(d):
+        return d[np.abs(d - np.median(d)) < sigma * np.std(d)]
+
+    return np.array(
+        [np.std(reject(y[j - fr:j + fr - 1])) for j in range(fr, len(y) - fr)]
+    )
+
+
+def test_running_stddev_matches_reference_loop(spark):
+    rng = np.random.default_rng(3)
+    n = 200
+    x = np.sort(rng.uniform(0, 10, n))
+    y = rng.normal(0, 0.5 + 0.1 * x, n)
+    pdf = pd.DataFrame({"x": x, "y": y, "id": range(n)})
+    out = (
+        running_stddev(spark.createDataFrame(pdf), "x", "y", tiebreak="id")
+        .toPandas()
+        .sort_values("x")
+    )
+    exp = _reference_running_stddev(y)
+    assert len(out) == len(exp)
+    assert np.allclose(out["stddev"].to_numpy(), exp, atol=1e-12)
+
+
+def test_running_stddev_drops_nonfinite(spark):
+    y = np.ones(60)
+    y[5] = np.nan
+    y[10] = np.inf
+    pdf = pd.DataFrame({"x": np.arange(60.0), "y": y, "id": range(60)})
+    out = running_stddev(
+        spark.createDataFrame(pdf), "x", "y", tiebreak="id"
+    ).toPandas()
+    # 58 finite rows -> 58 - 2*15 centers; identical values reject the
+    # entire window (|v - med| < 2*0 is never true) -> NaN, matching
+    # np.std([]) in the reference loop
+    assert len(out) == 58 - 30
+    assert np.isnan(out["stddev"]).all()
+
+
+def test_fit_error_function_recovers_params():
+    x = np.linspace(0.1, 8.0, 120)
+    y = error_func(x, 0.3, 0.02, 0.9, 2.0)
+    p, (lo, hi) = fit_error_function(x, y)
+    assert np.abs(error_func(x, *p) - y).max() < 1e-8
+    assert lo == x.min() and hi == x.max()

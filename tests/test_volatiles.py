@@ -142,3 +142,97 @@ def test_shishkina_udf_spark(spark):
     pdf = out.select("P_sat").toPandas()
     assert np.isfinite(pdf["P_sat"]).all()
     assert (pdf["P_sat"] > 0).all()
+
+
+# ----------------------------------------------------------------------
+# Allison et al. (2022) MafiCH
+# ----------------------------------------------------------------------
+
+ALLISON_WT = {
+    "SiO2": np.array([48.0, 50.0, 52.0]),
+    "TiO2": np.array([1.8, 1.2, 1.0]),
+    "Al2O3": np.array([16.0, 15.0, 14.0]),
+    "FeO": np.array([9.5, 8.5, 8.0]),
+    "MgO": np.array([7.5, 6.5, 5.0]),
+    "CaO": np.array([11.0, 10.0, 9.0]),
+    "Na2O": np.array([2.8, 3.0, 3.4]),
+    "K2O": np.array([0.6, 0.9, 1.4]),
+}
+ALLISON_T = np.array([1473.15, 1448.15, 1423.15])
+
+
+def test_allison_fugacity_monotonic_and_4kb_switch():
+    from magmapandas_spark.models import allison as al
+
+    for sp in ("H2O", "CO2"):
+        P = np.array([500.0, 2000.0, 3999.0, 4001.0, 8000.0, 1.4e4])
+        f = al.hb_fugacity_np(np.full_like(P, 1473.15), P, sp)
+        assert (np.diff(f) > 0).all(), (sp, f)  # increasing in P
+        # continuous at the MRK/Saxena switch (CO2 only branches)
+        assert f[3] / f[2] < 1.01
+
+
+def test_allison_h2o_round_trip():
+    from magmapandas_spark.models import allison as al
+
+    for P0 in (1000.0, 3000.0, 6000.0):
+        P = np.full(3, P0)
+        h2o = al.allison_h2o_solubility_np(P, ALLISON_T, 1.0)
+        assert np.allclose(
+            al.allison_h2o_saturation_np(ALLISON_WT, h2o, ALLISON_T),
+            P, rtol=1e-4,
+        )
+
+
+def test_allison_co2_round_trip():
+    from magmapandas_spark.models import allison as al
+
+    for P0 in (1000.0, 3000.0, 6000.0):
+        P = np.full(3, P0)
+        co2 = al.allison_co2_solubility_np(ALLISON_WT, P, ALLISON_T, 0.0)
+        # ~CO2wt%/120 asymmetry is inherent to the reference's XCO3
+        # inversion (allison2022.py:247 vs :332) — 1% covers < 7 kbar
+        assert np.allclose(
+            al.allison_co2_saturation_np(ALLISON_WT, co2, ALLISON_T),
+            P, rtol=1e-2,
+        )
+
+
+def test_allison_mixed_round_trip():
+    from magmapandas_spark.models import allison as al
+
+    for P0, x0 in ((2000.0, 0.3), (4000.0, 0.6), (7000.0, 0.8)):
+        P = np.full(3, P0)
+        h2o = al.allison_h2o_solubility_np(P, ALLISON_T, x0)
+        co2 = al.allison_co2_solubility_np(ALLISON_WT, P, ALLISON_T, x0)
+        Pb, xb = al.allison_mixed_saturation_np(
+            ALLISON_WT, h2o, co2, ALLISON_T
+        )
+        assert np.allclose(Pb, P, rtol=1e-3)
+        assert np.allclose(xb, x0, atol=1e-3)
+
+
+def test_allison_spark_saturation(spark):
+    pdf = pd.DataFrame(
+        {
+            "name": ["a", "b", "c"],
+            **{k: v for k, v in ALLISON_WT.items()},
+            "H2O": [1.0, 2.0, 0.5],
+            "CO2": [0.05, 0.1, 0.02],
+        }
+    )
+    gf = GeoFrame(
+        spark.createDataFrame(pdf), units="wt.%", datatype="oxide",
+        species=list(ALLISON_WT) + ["H2O", "CO2"],
+    )
+    out = (
+        vol.volatile_saturation_pressure(
+            gf, T_K=1473.15, model="allison2022", species="mixed"
+        )
+        .select("name", "P_bar_sat", "Xfl")
+        .toPandas()
+        .sort_values("name")
+    )
+    assert np.isfinite(out["P_bar_sat"]).all()
+    assert (out["P_bar_sat"] > 0).all()
+    assert out["Xfl"].between(0, 1).all()
