@@ -26,11 +26,16 @@ def main() -> None:
 
     spark = get_spark(app_name="magmapandas-bench")
 
+    # warm the JVM/IO/codegen path once so the first timed query
+    # measures steady-state execution, not classloading
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    warm.groupBy("l_returnflag").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in suite.queries().items():
-        # warm the JVM/IO path once so we measure steady-state plan
-        # execution, not first-touch classloading
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         # noop write materializes the FULL plan (incl. sorts that

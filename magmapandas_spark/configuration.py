@@ -1,0 +1,100 @@
+"""Engine configuration: model selection with validated setters.
+
+Re-expression of the reference's ``configuration`` singleton
+(``src/MagmaPandas/configuration.py:90-196``) for a distributed engine:
+the config lives on the DRIVER and is *snapshotted at query
+construction* — the resolved model name is baked into the generated
+logical plan, never read from executors (SURVEY §7 risk 6). Defaults
+match the reference (``configuration.py:90-97``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+def _check(name: str, value, options) -> None:
+    if value not in options:
+        raise ValueError(
+            f"{name}: {value!r} not in {sorted(options)}"
+        )
+
+
+FO2_BUFFERS = {"QFM", "IW", "NNO", "NNO_1bar", "NNO_frost", "RuRuO2",
+               "IW_campbell", "IW_zhang", "IW_oneill1993_1bar", "FeFeO94",
+               "QFM_1bar"}
+FE3FE2_MODELS = {
+    "fixed", "borisov2018", "kress_carmichael1991", "jayasuriya2004",
+    "putirka2016_6b", "putirka2016_6c", "deng2020", "oneill2006",
+    "oneill2018", "armstrong2019", "zhang2017", "hirschmann2022",
+    "sun2024", "sun2024_deng",
+}
+KD_MODELS = {
+    "fixed", "toplis2005", "blundy2020", "putirka2016_8a",
+    "putirka2016_8b", "putirka2016_8c", "putirka2016_8d", "sun2020",
+    "saper2022",
+}
+MELT_THERMOMETERS = {
+    "putirka2008_13", "putirka2008_14", "putirka2008_15",
+    "putirka2008_16", "putirka2008_22", "sun2020", "shea2022",
+    "sugawara2000_3", "sugawara2000_6a",
+}
+VOLATILE_MODELS = {"iaconomarziano2012", "shishkina2014", "allison2022"}
+VOLATILE_SPECIES = {"h2o", "co2", "mixed"}
+
+
+@dataclass
+class Configuration:
+    """Driver-side model registry selection (defaults =
+    ``configuration.py:90-97``)."""
+
+    fO2_buffer: str = "QFM"
+    dfO2: float = 1.0
+    Kd_model: str = "toplis2005"
+    Fe3Fe2_model: str = "sun2024"
+    melt_thermometer: str = "putirka2008_15"
+    volatile_solubility: str = "iaconomarziano2012"
+    volatile_species: str = "mixed"
+    # engine extras (not in the reference): fixed-model values
+    Kd_fixed_value: float | None = None
+    Fe3Fe2_fixed_value: float | None = None
+
+    def __setattr__(self, name, value):
+        checks = {
+            "fO2_buffer": FO2_BUFFERS,
+            "Kd_model": KD_MODELS,
+            "Fe3Fe2_model": FE3FE2_MODELS,
+            "melt_thermometer": MELT_THERMOMETERS,
+            "volatile_solubility": VOLATILE_MODELS,
+            "volatile_species": VOLATILE_SPECIES,
+        }
+        if name in checks:
+            _check(name, value, checks[name])
+        object.__setattr__(self, name, value)
+
+    def snapshot(self) -> "Configuration":
+        """Immutable-ish copy captured at query-construction time."""
+        return replace(self)
+
+    def reset(self) -> None:
+        for k, v in Configuration().__dict__.items():
+            object.__setattr__(self, k, v)
+
+    def __repr__(self) -> str:  # ``configuration.py:198-236``
+        rows = [
+            ("fO2 buffer", self.fO2_buffer),
+            ("ΔfO2", self.dfO2),
+            ("Kd Fe-Mg ol-melt", self.Kd_model),
+            ("Melt Fe3+/Fe2+", self.Fe3Fe2_model),
+            ("Melt thermometer", self.melt_thermometer),
+            ("Volatile solubility", self.volatile_solubility),
+            ("Volatile species", self.volatile_species),
+        ]
+        pad = 44
+        lines = [" MagmaPandas-Spark configuration ".center(pad, "#")]
+        lines += [f"{k:.<24}{str(v):.>20}" for k, v in rows]
+        return "\n".join(lines)
+
+
+# module-level default, mirroring the reference's import-and-mutate use
+configuration = Configuration()

@@ -144,7 +144,9 @@ def hb_fugacity_np(T_K, P_bar, species: str) -> np.ndarray:
 # Allison 2022 solubility (``allison2022.py``)
 # ----------------------------------------------------------------------
 
-def _bisect(f, lo, hi, iters: int = 80):
+def _bisect(f, lo, hi, iters: int = 48):
+    # 48 halvings of the 1.5e4 bar bracket ≈ 5e-11 bar — beyond any
+    # physical meaning, at 40% the cost of scipy-default-equivalent 80
     f_lo = f(lo)
     for _ in range(iters):
         mid = 0.5 * (lo + hi)

@@ -460,6 +460,17 @@ def volatile_saturation_pressure(
 
     sat_fn = SATURATION_MODELS[model][species]
     species_cols = list(melt.species)
+    # solver stage wants full-core parallelism: parquet scans often
+    # yield far fewer partitions than cores, and per-partition solver
+    # cost dwarfs the round-robin exchange (the reference paid a
+    # process-Pool pickle per ROW here)
+    spark = melt.df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    df = melt.df
+    if df.rdd.getNumPartitions() < n_part:
+        df = df.repartition(n_part)
+    melt = GeoFrame(df, units=melt.units, datatype=melt.datatype,
+                    species=melt.species)
     T = as_col(T_K)
     fields = {s: F.coalesce(F.col(s), F.lit(0.0)) for s in species_cols}
     fields["__T_K"] = T

@@ -88,10 +88,18 @@ def running_stddev(
     sorted_arr = F.array_sort(arr)
     med = F.element_at(sorted_arr, ((F.size(arr) + 1) / 2).cast("int"))
     std_all = _arr_std_pop(arr)
-    kept = F.filter(
-        arr, lambda v: F.abs(v - med) < F.lit(float(sigma)) * std_all
+    # materialize median/std as columns BEFORE the filter lambda:
+    # inlining them into the predicate re-evaluates the full-array
+    # aggregates per element (O(n²) per window, ~30× slower)
+    stage2 = stage.select(
+        F.col(x_col), arr, med.alias("__med"), std_all.alias("__std")
     )
-    return stage.select(
+    kept = F.filter(
+        F.col("__ys"),
+        lambda v: F.abs(v - F.col("__med"))
+        < F.lit(float(sigma)) * F.col("__std"),
+    )
+    return stage2.select(
         F.col(x_col),
         _arr_std_pop(kept).alias(out_col),
     )

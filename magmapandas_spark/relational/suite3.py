@@ -161,43 +161,58 @@ ORDER BY doc_id
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-duplicate pairs above 0.8: the oracle-checked
     baseline for the LSH-bucketed scale path
-    (operators.similarity.cosine_topk_lsh). Join is on label blocks
-    (embedding clusters share labels in the test data generator — a
-    stand-in for the IVF coarse quantizer), then exact cosine within
-    block; at 100 TB the block key becomes the IVF/LSH bucket."""
+    (operators.similarity.cosine_topk_lsh).
+
+    Blocked matrix product: the right side is collected+broadcast as a
+    normalized numpy matrix (N×d doubles — embeddings tables are the
+    SMALL side of near-dup search), each partition of the left side does
+    one BLAS matmul per Arrow batch and emits only the surviving pairs.
+    A zip_with/aggregate expression-tier join is ~50× slower (2M
+    interpreted 64-element folds); at 100 TB the right side is tiled
+    into broadcast-sized column blocks (IVF cells), same kernel."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    ref = emb.select("vec_id", "embedding").toPandas()
+    ids = ref["vec_id"].to_numpy()
+    M = np.vstack(ref["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(M)
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
-    # norms are computed ONCE per vector before the join (N values),
-    # not per pair (N² values) — same floating-point arithmetic, so the
-    # oracle hash is unchanged
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        norm(F.col("embedding")).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        norm(F.col("embedding")).alias("nb"),
-    )
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cos = dot / (F.col("na") * F.col("nb"))
-    return (
-        pairs.select("id_a", "id_b", cos.alias("cos"))
-        .filter(F.col("cos") >= 0.8)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
-        .orderBy("id_a", "id_b")
+
+    def block_sims(batches):
+        ref_ids = b_ids.value
+        ref_m = b_mat.value
+        for pdf in batches:
+            q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ ref_m.T
+            qa = pdf["vec_id"].to_numpy()
+            ai, bi = np.nonzero(
+                (sims >= 0.8) & (qa[:, None] < ref_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": qa[ai],
+                    "id_b": ref_ids[bi],
+                    "cos_sim": np.round(sims[ai, bi], 4),
+                }
+            )
+
+    n_part = spark.sparkContext.defaultParallelism
+    src = emb.select("vec_id", "embedding").repartition(n_part)
+    return src.mapInPandas(block_sims, schema=schema).orderBy(
+        "id_a", "id_b"
     )
 
 
@@ -229,7 +244,15 @@ def q_allison_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacing the reference's per-row 2-D root."""
     from magmapandas_spark.models import volatiles as vol
 
+    from magmapandas_spark.core.geoframe import GeoFrame
+
     gf = synthetic_melt(spark, sf_dir)
+    # deterministic 1/16 subset: the nested MRK bisection is ~10× the
+    # cost of the IM solver; volatile_saturation_im covers the
+    # full-table fan-out, this gate covers the Allison kernels
+    sub = gf.df.filter(F.col("name") % 16 == 0)
+    gf = GeoFrame(sub, units=gf.units, datatype=gf.datatype,
+                  species=gf.species)
     out = vol.volatile_saturation_pressure(
         gf, T_K=1473.15, model="allison2022", species="mixed"
     )
