@@ -522,46 +522,39 @@ def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents")).filter(
         F.length("text") >= 5
     )
-    sh = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - F.lit(4))
-            ).alias("i"),
-            "text",
-        )
-        .select("doc_id", F.expr("substring(text, i, 5)").alias("sh"))
-        .distinct()
+    # per-doc distinct shingle SET as one expression pass (transform
+    # over an index sequence + array_distinct): no explode, no shuffle,
+    # and the set is built once instead of once per downstream use
+    arr = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 4),"
+               " i -> substring(text, i, 5))")
     )
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.doc_id") + 1 == F.col("b.doc_id"))
-            & (F.col("a.sh") == F.col("b.sh")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id1"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    ).alias("cm")
-    c1 = cnt.alias("c1")
-    c2 = cnt.alias("c2")
-    n_common = F.coalesce(F.col("cm.n_common"), F.lit(0))
-    return (
+    sets = docs.select("doc_id", arr.alias("shs"),
+                       F.size(arr).alias("n"))
+    c1 = sets.alias("c1")
+    c2 = sets.alias("c2")
+    # materialize the intersection size ONCE (three inline references
+    # would re-run array_intersect per reference)
+    pairs = (
         c1.join(c2, F.col("c1.doc_id") + 1 == F.col("c2.doc_id"))
-        .join(common, F.col("c1.doc_id") == F.col("cm.id1"), "left")
         .select(
             F.col("c1.doc_id").alias("id1"),
             (F.col("c1.doc_id") + 1).alias("id2"),
-            n_common.alias("common"),
-            (
-                n_common.cast("double")
-                / (F.col("c1.n") + F.col("c2.n") - n_common)
-            ).alias("jaccard"),
+            F.size(
+                F.array_intersect(F.col("c1.shs"), F.col("c2.shs"))
+            ).alias("common"),
+            (F.col("c1.n") + F.col("c2.n")).alias("n_sum"),
         )
-        .orderBy("id1")
     )
+    return pairs.select(
+        "id1",
+        "id2",
+        "common",
+        (
+            F.col("common").cast("double")
+            / (F.col("n_sum") - F.col("common"))
+        ).alias("jaccard"),
+    ).orderBy("id1")
 
 
 SQL_NGRAM_JACCARD = """

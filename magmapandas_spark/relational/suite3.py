@@ -325,6 +325,12 @@ def q_mc_thermometer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("name")
 
 
+def _q_ivf(spark, sf_dir):
+    from magmapandas_spark.operators.similarity import q_ivf_topk
+
+    return q_ivf_topk(spark, sf_dir)
+
+
 def queries():
     return {
         "user_sessions": q_user_sessions,
@@ -335,6 +341,7 @@ def queries():
         "isobar_grid": q_isobar_grid,
         "mc_thermometer": q_mc_thermometer,
         "running_stddev": q_running_stddev,
+        "ivf_topk": _q_ivf,
     }
 
 
