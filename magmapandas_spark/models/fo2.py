@@ -232,3 +232,88 @@ fO2_buffers = {
 def calculate_fO2(T_K, P_bar, fO2_buffer: str = "QFM", dfO2: float = 0.0) -> Column:
     """Dispatcher (``fO2/fO2_calculate.py:11-25``)."""
     return fO2_buffers[fO2_buffer](dfO2, T_K, P_bar)
+
+
+def fo2_grid_column(
+    spark,
+    buffer: str = "QFM",
+    logshift: float = 0.0,
+    T_range=(600.0, 2600.0),
+    n_T: int = 801,
+    P_levels=None,
+):
+    """Grid-interpolated fO2(T,P) — the 100 TB fast path (SURVEY §4.2).
+
+    The exact QFM/IW buffers solve EOS phase-transition / wustite
+    equilibria per distinct (T,P); both are *sample-independent*, so at
+    scale we precompute a (T × P-level) grid ONCE driver-side, broadcast
+    the few-KB table, and each executor batch does O(1) searchsorted +
+    bilinear interpolation (T linear, P in log10) — no root-finding on
+    the hot path at all. Returns a Column factory result usable exactly
+    like :func:`fo2_qfm` / :func:`fo2_iw`.
+
+    Accuracy vs the exact solvers at n_T=801 over 900-1900 K, 1-8e4 bar
+    (asserted in tests): ≤0.02 dex worst case, hit only at phase-
+    transition kinks (quartz Landau / Fe polymorphs); means ~1e-4 dex —
+    well below every model's own 1σ."""
+    from magmapandas_spark.models import iw as iw_mod
+
+    key = (buffer, tuple(T_range), n_T,
+           tuple(P_levels) if P_levels is not None else None)
+    if key in _GRID_CACHE:
+        T_axis, P_axis, grid = _GRID_CACHE[key]
+        return _grid_interp_column_factory(spark, T_axis, P_axis, grid,
+                                           logshift)
+
+    if P_levels is None:
+        # linear spacing: the pressure term of mu_O2 is ~V·P (linear in
+        # P up to slow EOS compression), so linear-P interpolation
+        # converges fast where log-P badly undershoots between levels;
+        # 1-kbar spacing bounds the error at the P-dependent
+        # quartz-coesite transition kink
+        P_levels = list(np.linspace(1.0, 1e5, 101))
+    T_axis = np.linspace(T_range[0], T_range[1], n_T)
+    P_axis = np.asarray(sorted(P_levels), dtype=float)
+
+    fn = {"QFM": eos.fo2_qfm, "IW": iw_mod.fo2_iw_np}[buffer]
+    grid = np.empty((len(P_axis), n_T))
+    for j, P in enumerate(P_axis):
+        grid[j] = np.log10(fn(0.0, T_axis, np.full_like(T_axis, P)))
+    _GRID_CACHE[key] = (T_axis, P_axis, grid)
+    return _grid_interp_column_factory(spark, T_axis, P_axis, grid, logshift)
+
+
+_GRID_CACHE: dict = {}
+
+
+def _grid_interp_column_factory(spark, T_axis, P_axis, grid, logshift):
+    sc = spark.sparkContext
+    b_T = sc.broadcast(T_axis)
+    b_P = sc.broadcast(P_axis)
+    b_grid = sc.broadcast(grid)
+
+    @pandas_udf(DoubleType())
+    def interp_udf(T_K: pd.Series, P_bar: pd.Series) -> pd.Series:
+        Ts = b_T.value
+        Ps = b_P.value
+        G = b_grid.value
+        t = np.clip(T_K.to_numpy(dtype=float), Ts[0], Ts[-1])
+        p = np.clip(P_bar.to_numpy(dtype=float), Ps[0], Ps[-1])
+        ti = np.clip(np.searchsorted(Ts, t) - 1, 0, len(Ts) - 2)
+        pi = np.clip(np.searchsorted(Ps, p) - 1, 0, len(Ps) - 2)
+        wt = (t - Ts[ti]) / (Ts[ti + 1] - Ts[ti])
+        wp = (p - Ps[pi]) / (Ps[pi + 1] - Ps[pi])
+        v = (
+            G[pi, ti] * (1 - wp) * (1 - wt)
+            + G[pi, ti + 1] * (1 - wp) * wt
+            + G[pi + 1, ti] * wp * (1 - wt)
+            + G[pi + 1, ti + 1] * wp * wt
+        )
+        return pd.Series(10.0 ** v)
+
+    def column(T_K, P_bar) -> Column:
+        return interp_udf(as_col(T_K), as_col(P_bar)) * F.pow(
+            F.lit(10.0), F.lit(float(logshift))
+        )
+
+    return column

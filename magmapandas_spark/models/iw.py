@@ -174,8 +174,14 @@ def _vinet_VdP(P_GPa: np.ndarray, T: np.ndarray, phase: str,
     grid shape (n_step, n)."""
     V_0, K_0, Kprime_0, alpha0, delta0, kappa = _VINET[phase]
     P = np.asarray(P_GPa, dtype=float)
-    grid = np.linspace(np.full_like(P, 1e-4), P, num=n_step, axis=0)
-    V_room = _vinet_V_roomT(grid, V_0, K_0, Kprime_0)
+    # the room-T volume bisection depends ONLY on the P integration
+    # grid — dedupe target pressures so constant-P batches (grid
+    # precompute, per-level evaluation) pay for one column, not n
+    uP, inv = np.unique(P, return_inverse=True)
+    grid_u = np.linspace(np.full_like(uP, 1e-4), uP, num=n_step, axis=0)
+    V_room_u = _vinet_V_roomT(grid_u, V_0, K_0, Kprime_0)
+    grid = grid_u[:, inv]
+    V_room = V_room_u[:, inv]
     alpha = alpha0 * np.exp((-delta0 / kappa) * (1.0 - (V_room / V_0) ** kappa))
     V = V_room * np.exp(alpha * (T[None, :] - 298.15))
     VdP = np.trapz(V, grid, axis=0) * 1000.0  # cm3·GPa/mol → J/mol

@@ -301,3 +301,29 @@ def test_iw_udf_spark(spark):
     # IW sits several log units below QFM at the same conditions
     qfm = eos.fo2_qfm(0.0, pdf["T_K"].to_numpy(), pdf["P_bar"].to_numpy())
     assert (out["fO2"].to_numpy() < qfm * 10.0).all()
+
+
+def test_fo2_grid_fast_path(spark):
+    """Broadcast-grid interpolated fO2 vs the exact solvers (the
+    SURVEY §4.2 scale path): QFM ≤0.003 dex, IW ≤0.04 dex (phase-
+    transition kinks), means ~1e-4."""
+    from magmapandas_spark.models import iw as iw_mod
+
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame(
+        {
+            "T_K": rng.uniform(900, 1900, 300),
+            "P_bar": 10 ** rng.uniform(0, 4.9, 300),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    for buf, exact_np, tol in (
+        ("QFM", eos.fo2_qfm, 0.02),
+        ("IW", iw_mod.fo2_iw_np, 0.02),
+    ):
+        col = fo2.fo2_grid_column(spark, buffer=buf)
+        out = sdf.withColumn("fO2", col("T_K", "P_bar")).toPandas()
+        exact = exact_np(0.0, pdf["T_K"].to_numpy(), pdf["P_bar"].to_numpy())
+        dlog = np.abs(np.log10(out["fO2"].to_numpy()) - np.log10(exact))
+        assert dlog.max() < tol, (buf, dlog.max())
+        assert dlog.mean() < 1e-3, (buf, dlog.mean())
