@@ -342,6 +342,7 @@ def queries():
         "mc_thermometer": q_mc_thermometer,
         "running_stddev": q_running_stddev,
         "ivf_topk": _q_ivf,
+        "sliding_value_avg": q_sliding_value_avg,
     }
 
 
@@ -351,6 +352,7 @@ def oracle_sql():
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "running_stddev": SQL_RUNNING_STDDEV,
+        "sliding_value_avg": SQL_SLIDING_VALUE_AVG,
     }
 
 
@@ -407,4 +409,56 @@ SELECT ROUND(x, 4) AS x,
                   - (list_sum(k) / len(k)) ^ 2), 4) AS stddev
 FROM kept
 ORDER BY x
+"""
+
+
+# ----------------------------------------------------------------------
+# sliding windows (streaming twin: streams.sliding_value_avg)
+# ----------------------------------------------------------------------
+
+def q_sliding_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour/1-hour sliding-window mean value per event type via
+    ``F.window`` — the batch twin of the streaming sliding-window
+    operator. Every event lands in exactly two windows; the oracle
+    expands the same membership with UNNEST."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        events.select(ts.alias("ts"), "event_type", "value")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                 "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SQL_SLIDING_VALUE_AVG = """
+WITH expanded AS (
+  SELECT UNNEST([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS ws,
+         event_type, value
+  FROM events
+)
+SELECT CAST(FLOOR(EXTRACT(EPOCH FROM ws)) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS avg_value
+FROM expanded
+GROUP BY ws, event_type
+ORDER BY window_start, event_type
 """
