@@ -343,6 +343,8 @@ def queries():
         "running_stddev": q_running_stddev,
         "ivf_topk": _q_ivf,
         "sliding_value_avg": q_sliding_value_avg,
+        "thermometers_multi": q_thermometers_multi,
+        "fe3fe2_expr_models": q_fe3fe2_expr_models,
     }
 
 
@@ -353,6 +355,8 @@ def oracle_sql():
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "running_stddev": SQL_RUNNING_STDDEV,
         "sliding_value_avg": SQL_SLIDING_VALUE_AVG,
+        "thermometers_multi": _sql_thermometers_multi(),
+        "fe3fe2_expr_models": _sql_fe3fe2_expr_models(),
     }
 
 
@@ -461,4 +465,157 @@ SELECT CAST(FLOOR(EXTRACT(EPOCH FROM ws)) AS BIGINT) AS window_start,
 FROM expanded
 GROUP BY ws, event_type
 ORDER BY window_start, event_type
+"""
+
+
+# ----------------------------------------------------------------------
+# multi-model domain coverage with full SQL oracles
+# ----------------------------------------------------------------------
+
+def q_thermometers_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four expression-tier thermometers as parallel columns of ONE
+    narrow pipeline (putirka13/14, shea2022, sugawara2000_3) — widens
+    line-by-line SURVEY §2.8 oracle coverage beyond the default
+    putirka15 query."""
+    from magmapandas_spark.core.geoframe import GeoFrame
+    from magmapandas_spark.models import thermometers as tm
+
+    gf = synthetic_melt(spark, sf_dir)
+
+    # chain the four models as appended columns of ONE narrow pipeline
+    # (no self-joins: the synthetic `name` key is not unique)
+    def chain(g, fn, out_col, **kw):
+        df = fn(g, out_col=out_col, **kw)
+        return GeoFrame(df, units=g.units, datatype=g.datatype,
+                        species=g.species)
+
+    g = chain(gf, tm.putirka2008_13, "T13")
+    g = chain(g, tm.putirka2008_14, "T14")
+    g = chain(g, tm.shea2022, "Tshea")
+    g = chain(g, tm.sugawara2000_3, "Tsug3", P_bar="P_bar")
+    return g.df.select(
+        "name",
+        F.round("T13", 4).alias("T13"),
+        F.round("T14", 4).alias("T14"),
+        F.round("Tshea", 4).alias("Tshea"),
+        F.round("Tsug3", 4).alias("Tsug3"),
+    ).orderBy("name")
+
+
+def _sql_thermometers_multi() -> str:
+    from magmapandas_spark.relational.suite import (
+        MELT_SPECIES,
+        SQL_MELT_CTE,
+        _sql_mole_fraction_terms,
+    )
+
+    anhyd = [s for s in MELT_SPECIES if s != "H2O"]
+    _, frac_anh = _sql_mole_fraction_terms(anhyd)
+    _, frac_full = _sql_mole_fraction_terms(MELT_SPECIES)
+    mg_no = f"({frac_anh['MgO']} / ({frac_anh['MgO']} + {frac_anh['FeO']}))"
+    t13 = "26.3 * MgO + 1267.55"
+    t14 = (
+        f"754.0 + 190.6 * {mg_no} + 25.52 * MgO + 9.585 * FeO"
+        f" + 14.87 * (Na2O + K2O) - 9.176 * H2O + 273.15"
+    )
+    tshea = "21.2 * MgO + 1290.15"
+    tsug3 = (
+        f"1293.0 + 14.60 * ({frac_anh['MgO']} * 100.0)"
+        f" + 5.5e-3 * P_bar - 5.403 * ({frac_full['H2O']} * 100.0)"
+    )
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT name,
+  ROUND({t13}, 4) AS T13,
+  ROUND({t14}, 4) AS T14,
+  ROUND({tshea}, 4) AS Tshea,
+  ROUND({tsug3}, 4) AS Tsug3
+FROM melt
+ORDER BY name
+"""
+
+
+def q_fe3fe2_expr_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two expression-tier Fe3+/Fe2+ models (borisov2018, oneill2018)
+    under 1-bar QFM fO2, T = 1400 + (name % 200)/2 K — the full redox
+    dispatch chain with an exact SQL oracle (fO2 polynomial + mole /
+    cation fractions are all closed-form)."""
+    from magmapandas_spark.models import fe3fe2 as fe_mod
+    from magmapandas_spark.models import fo2 as fo2_mod
+    from magmapandas_spark.models.common import mole_fraction_exprs
+
+    gf = synthetic_melt(spark, sf_dir)
+    T = F.lit(1400.0) + (F.col("name") % 200).cast("double") / F.lit(2.0)
+    fO2 = fo2_mod.fo2_qfm_1bar(0.0, T)
+    comp = {s: F.coalesce(F.col(s), F.lit(0.0)) for s in gf.species}
+    mol = mole_fraction_exprs(comp)
+    return gf.df.select(
+        "name",
+        F.round(T, 4).alias("T_K"),
+        F.round(
+            fe_mod.fe3fe2_borisov2018(mol, T, fO2), 4
+        ).alias("fe3fe2_borisov"),
+        F.round(
+            fe_mod.fe3fe2_oneill2018(mol, T, fO2), 4
+        ).alias("fe3fe2_oneill"),
+    ).orderBy("name")
+
+
+def _sql_fe3fe2_expr_models() -> str:
+    from magmapandas_spark.chem.elements import (
+        calculate_weight,
+        cation_amount,
+        cation_name,
+    )
+    from magmapandas_spark.relational.suite import (
+        MELT_SPECIES,
+        SQL_MELT_CTE,
+        _sql_mole_fraction_terms,
+    )
+
+    _, mol = _sql_mole_fraction_terms(MELT_SPECIES)
+    cat_terms = {
+        s: f"(({s} / {calculate_weight(s)!r}) * {cation_amount(s)!r})"
+        for s in MELT_SPECIES
+    }
+    cat_total = " + ".join(cat_terms.values())
+    cat = {}
+    for s in MELT_SPECIES:
+        n = cation_name(s)
+        cat.setdefault(n, []).append(cat_terms[s])
+    catf = {
+        n: f"(({' + '.join(parts)}) / ({cat_total}))"
+        for n, parts in cat.items()
+    }
+    R = 8.31446261815324
+    t = "(1400.0 + (name % 200) / 2.0)"
+    mu = (
+        f"(-587474.0 + 1584.427 * {t} - 203.3164 * {t} * LN({t})"
+        f" + 0.092710 * {t} * {t})"
+    )
+    log10_fo2 = f"({mu} / ({R!r} * {t}) / LN(10.0))"
+    z = "0.0"
+    g = lambda d, n: d.get(n, z)
+    borisov = (
+        f"POW(10.0, 0.207 * {log10_fo2} + 4633.3 / {t}"
+        f" - 0.445 * {g(mol,'SiO2')} - 0.900 * {g(mol,'TiO2')}"
+        f" + 1.532 * {g(mol,'MgO')} + 0.314 * {g(mol,'CaO')}"
+        f" + 2.030 * {g(mol,'Na2O')} + 3.355 * {g(mol,'K2O')}"
+        f" - 4.851 * {g(mol,'P2O5')}"
+        f" - 3.081 * {g(mol,'SiO2')} * {g(mol,'Al2O3')}"
+        f" - 4.370 * {g(mol,'SiO2')} * {g(mol,'MgO')} - 1.852)"
+    )
+    oneill = (
+        f"POW(10.0, 0.25 * ({log10_fo2} - (8.58 - 25050.0 / {t}))"
+        f" - 1.36 + 2.4 * {g(catf,'Ca')} + 2.0 * {g(catf,'Na')}"
+        f" + 3.7 * {g(catf,'K')} - 2.4 * {g(catf,'P')})"
+    )
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT name,
+  ROUND({t}, 4) AS T_K,
+  ROUND({borisov}, 4) AS fe3fe2_borisov,
+  ROUND({oneill}, 4) AS fe3fe2_oneill
+FROM melt
+ORDER BY name
 """
