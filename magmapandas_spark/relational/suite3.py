@@ -345,6 +345,8 @@ def queries():
         "sliding_value_avg": q_sliding_value_avg,
         "thermometers_multi": q_thermometers_multi,
         "fe3fe2_expr_models": q_fe3fe2_expr_models,
+        "kd_expr_models": q_kd_expr_models,
+        "olmelt_thermometer": q_olmelt_thermometer,
     }
 
 
@@ -357,6 +359,8 @@ def oracle_sql():
         "sliding_value_avg": SQL_SLIDING_VALUE_AVG,
         "thermometers_multi": _sql_thermometers_multi(),
         "fe3fe2_expr_models": _sql_fe3fe2_expr_models(),
+        "kd_expr_models": _sql_kd_expr_models(),
+        "olmelt_thermometer": _sql_olmelt_thermometer(),
     }
 
 
@@ -617,5 +621,160 @@ SELECT name,
   ROUND({borisov}, 4) AS fe3fe2_borisov,
   ROUND({oneill}, 4) AS fe3fe2_oneill
 FROM melt
+ORDER BY name
+"""
+
+
+def q_kd_expr_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kd(Fe-Mg) olivine-melt expression models putirka2016_8a-8d as
+    parallel columns (``Kd_models.py:422-593``) — inputs are the
+    renormalised wt.% oxides, P from the sample column."""
+    from magmapandas_spark.core.geoframe import GeoFrame
+    from magmapandas_spark.models.kd import calculate_FeMg_Kd
+
+    gf = synthetic_melt(spark, sf_dir)
+
+    g = gf
+    for model in ("putirka2016_8a", "putirka2016_8b", "putirka2016_8c",
+                  "putirka2016_8d"):
+        df = calculate_FeMg_Kd(
+            g, T_K=F.lit(1673.15), P_bar="P_bar", model=model,
+            Fe3Fe2=F.lit(0.2), out_col=f"kd_{model[-2:]}",
+        )
+        g = GeoFrame(df, units=g.units, datatype=g.datatype,
+                     species=g.species)
+    return g.df.select(
+        "name",
+        F.round("kd_8a", 6).alias("kd_8a"),
+        F.round("kd_8b", 6).alias("kd_8b"),
+        F.round("kd_8c", 6).alias("kd_8c"),
+        F.round("kd_8d", 6).alias("kd_8d"),
+    ).orderBy("name")
+
+
+def _sql_kd_expr_models() -> str:
+    from magmapandas_spark.relational.suite import (
+        MELT_SPECIES,
+        SQL_MELT_CTE,
+    )
+
+    total = " + ".join(MELT_SPECIES)
+    w = {s: f"({s} / ({total}) * 100.0)" for s in MELT_SPECIES}
+    alk2 = f"POW({w['Na2O']} + {w['K2O']}, 2.0)"
+    p_gpa = "(P_bar / 1e4)"
+    kd_8b = (
+        f"0.21 + 8e-3 * {p_gpa} + 2.5e-3 * {w['SiO2']}"
+        f" - 3.63e-4 * {alk2}"
+    )
+    kd_8c = f"0.25 + 1.8e-3 * {w['SiO2']} - 3.27e-4 * {alk2}"
+    al_no = f"({w['Al2O3']} / ({w['Al2O3']} + {w['SiO2']}))"
+    kd_8d = (
+        f"0.6 + 1.3e-2 * {p_gpa} + 1.6e-2 * {w['SiO2']}"
+        f" - 1.73e-4 * POW({w['SiO2']}, 2.0) + 1.79e-2 * {w['Al2O3']}"
+        f" - 2.6 * {al_no} + 2.11e-1 * LN({al_no})"
+        f" + 3.19e-5 * POW({w['Na2O']} + {w['K2O']}, 3.0)"
+    )
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT name,
+  ROUND(0.33, 6) AS kd_8a,
+  ROUND({kd_8b}, 6) AS kd_8b,
+  ROUND({kd_8c}, 6) AS kd_8c,
+  ROUND({kd_8d}, 6) AS kd_8d
+FROM melt
+ORDER BY name
+"""
+
+
+def q_olmelt_thermometer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Putirka (2007) eq. 4 olivine-liquid thermometer
+    (``thermometers/ol_melt.py:22-118``): the reference's pandas index
+    alignment as an inner equi-join of the synthetic olivine (from
+    part) with the synthetic melt (from lineitem) on the sample key."""
+    from magmapandas_spark.models.thermometers import putirka2007_4
+    from magmapandas_spark.relational.suite2 import synthetic_olivine
+
+    melt = synthetic_melt(spark, sf_dir)
+    ol = synthetic_olivine(spark, sf_dir)
+    out = putirka2007_4(melt, ol, P_bar="P_bar")
+    return out.select(
+        "name", F.round("T_K", 4).alias("T_K")
+    ).orderBy("name")
+
+
+def _sql_olmelt_thermometer() -> str:
+    from magmapandas_spark.chem.elements import (
+        calculate_weight,
+        cation_amount,
+        cation_name,
+    )
+    from magmapandas_spark.relational.suite import (
+        MELT_SPECIES,
+        SQL_MELT_CTE,
+    )
+    from magmapandas_spark.relational.suite2 import OLIVINE_SPECIES
+
+    def cation_fracs(species, prefix=""):
+        terms = {
+            s: f"(({prefix}{s} / {calculate_weight(s)!r})"
+            f" * {cation_amount(s)!r})"
+            for s in species
+        }
+        total = " + ".join(terms.values())
+        out: dict[str, list] = {}
+        for s in species:
+            out.setdefault(cation_name(s), []).append(terms[s])
+        return {
+            n: f"(({' + '.join(parts)}) / ({total}))"
+            for n, parts in out.items()
+        }
+
+    liq_species = [s for s in MELT_SPECIES if s != "H2O"]
+
+    def mole_fracs(species, prefix=""):
+        terms = [f"({prefix}{s} / {calculate_weight(s)!r})" for s in species]
+        total = " + ".join(terms)
+        return {
+            s: f"(({prefix}{s} / {calculate_weight(s)!r}) / ({total}))"
+            for s in species
+        }
+
+    mol = mole_fracs(liq_species, prefix="melt.")
+    cat = cation_fracs(liq_species, prefix="melt.")
+    ol_cat = cation_fracs(OLIVINE_SPECIES, prefix="ol.")
+
+    z = "0.0"
+    g = lambda d, n: d.get(n, z)
+    c_nm = (
+        f"({g(cat,'Fe')} + {g(cat,'Mn')} + {g(cat,'Mg')} + {g(cat,'Ca')})"
+    )
+    nf = (
+        f"(3.5 * LN(1.0 - {g(cat,'Al')}) + 7.0 * LN(1.0 - {g(cat,'Ti')}))"
+    )
+    d_mg = f"({g(ol_cat,'Mg')} / {g(cat,'Mg')})"
+    p_gpa = "(melt.P_bar / 1e4)"
+    num = f"(15294.6 + 1318.8 * {p_gpa} + 2.4834 * {p_gpa} * {p_gpa})"
+    den = (
+        f"(8.048 + 2.8532 * LN({d_mg}) + 2.097 * LN(1.5 * {c_nm})"
+        f" + 2.575 * LN(3.0 * {mol['SiO2']}) - 1.41 * {nf}"
+        f" + 0.222 * melt.H2O + 0.5 * {p_gpa})"
+    )
+    return f"""
+WITH {SQL_MELT_CTE},
+olivine AS (
+  SELECT
+    p_partkey AS name,
+    39.0 + (p_partkey % 30) * 0.05 AS SiO2,
+    42.0 + (p_size % 20) * 0.25 AS MgO,
+    10.0 + (p_partkey % 80) * 0.1 AS FeO,
+    0.1 + (p_size % 5) * 0.05 AS MnO,
+    0.25 AS NiO,
+    0.05 + (p_partkey % 3) * 0.05 AS CaO
+  FROM part
+)
+SELECT melt.name AS name,
+  ROUND({num} / {den} + 273.15 + 29.0 * 0.0, 4) AS T_K
+FROM melt
+JOIN olivine ol ON melt.name = ol.name
 ORDER BY name
 """
