@@ -347,6 +347,7 @@ def queries():
         "fe3fe2_expr_models": q_fe3fe2_expr_models,
         "kd_expr_models": q_kd_expr_models,
         "olmelt_thermometer": q_olmelt_thermometer,
+        "unit_conversions": q_unit_conversions,
     }
 
 
@@ -361,6 +362,7 @@ def oracle_sql():
         "fe3fe2_expr_models": _sql_fe3fe2_expr_models(),
         "kd_expr_models": _sql_kd_expr_models(),
         "olmelt_thermometer": _sql_olmelt_thermometer(),
+        "unit_conversions": _sql_unit_conversions(),
     }
 
 
@@ -776,5 +778,83 @@ SELECT melt.name AS name,
   ROUND({num} / {den} + 273.15 + 29.0 * 0.0, 4) AS T_K
 FROM melt
 JOIN olivine ol ON melt.name = ol.name
+ORDER BY name
+"""
+
+
+def q_unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoFrame unit-conversion chain (SURVEY §2.7): wt.% → normalised
+    mol fractions (``magmaFrame.py:356-385``), oxide → cation fractions
+    with renaming (``magmaFrame.py:225-264``), wt.% → ppm — all as one
+    narrow expression pipeline, exact SQL oracle."""
+    from magmapandas_spark.core.geoframe import GeoFrame
+
+    gf = synthetic_melt(spark, sf_dir)
+    # single narrow plan (no joins: the synthetic key is non-unique)
+    base = gf.df.select(
+        "name",
+        (F.col("H2O") * F.lit(1e4)).alias("H2O_ppm"),
+        *[F.col(s).alias(f"__w_{s}") for s in gf.species],
+    )
+    # recompute mol/cat fractions inline over the aliased wt columns
+    from magmapandas_spark.chem import elements as chem
+
+    mol_terms = {
+        s: F.col(f"__w_{s}") / F.lit(chem.calculate_weight(s))
+        for s in gf.species
+    }
+    mol_total = None
+    for c in mol_terms.values():
+        mol_total = c if mol_total is None else mol_total + c
+    cat_terms: dict = {}
+    for s in gf.species:
+        n = chem.cation_name(s)
+        e = mol_terms[s] * F.lit(chem.cation_amount(s))
+        cat_terms[n] = cat_terms[n] + e if n in cat_terms else e
+    cat_total = None
+    for c in cat_terms.values():
+        cat_total = c if cat_total is None else cat_total + c
+    return base.select(
+        "name",
+        F.round(mol_terms["SiO2"] / mol_total, 6).alias("mol_SiO2"),
+        F.round(mol_terms["MgO"] / mol_total, 6).alias("mol_MgO"),
+        F.round(cat_terms["Si"] / cat_total, 6).alias("cat_Si"),
+        F.round(cat_terms["Na"] / cat_total, 6).alias("cat_Na"),
+        F.round("H2O_ppm", 4).alias("H2O_ppm"),
+    ).orderBy("name")
+
+
+def _sql_unit_conversions() -> str:
+    from magmapandas_spark.chem.elements import (
+        calculate_weight,
+        cation_amount,
+        cation_name,
+    )
+    from magmapandas_spark.relational.suite import (
+        MELT_SPECIES,
+        SQL_MELT_CTE,
+        _sql_mole_fraction_terms,
+    )
+
+    _, mol = _sql_mole_fraction_terms(MELT_SPECIES)
+    cat_terms: dict = {}
+    for s in MELT_SPECIES:
+        n = cation_name(s)
+        t = f"(({s} / {calculate_weight(s)!r}) * {cation_amount(s)!r})"
+        cat_terms.setdefault(n, []).append(t)
+    cat_total = " + ".join(t for parts in cat_terms.values() for t in parts)
+    cat = {
+        n: f"(({' + '.join(parts)}) / ({cat_total}))"
+        for n, parts in cat_terms.items()
+    }
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT name,
+  ROUND({mol['SiO2']}, 6) AS mol_SiO2,
+  ROUND({mol['MgO']}, 6) AS mol_MgO,
+  ROUND({cat['Si']}, 6) AS cat_Si,
+  ROUND({cat['Na']}, 6) AS cat_Na,
+  ROUND(H2O * 1e4, 4) AS H2O_ppm
+FROM melt
 ORDER BY name
 """
