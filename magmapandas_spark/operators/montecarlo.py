@@ -153,3 +153,46 @@ def monte_carlo(
     perturbed = mc_perturb(gf, errors, seed=seed)
     result = computation(perturbed)
     return mc_summarize(result, keys, value_cols, percentiles)
+
+
+VALIDATION_LIMITS_HIGH_PRESSURE = (0.052631579, 2.160641174)
+
+
+def _load_hp_splines():
+    import json
+    from importlib.resources import files
+
+    path = files("magmapandas_spark.models").joinpath(
+        "data/fe3fe2_error_splines.json"
+    )
+    with path.open() as f:
+        raw = json.load(f)
+    return {
+        m: (np.asarray(d["t"]), np.asarray(d["c"]), int(d["k"]))
+        for m, d in raw.items()
+    }
+
+
+_HP_SPLINES: dict | None = None
+
+
+def fe3fe2_error_np(model: str, Fe3Fe2, P_bar=None) -> np.ndarray:
+    """1σ Fe3Fe2 error — full reference semantics
+    (``Fe_redox/Fe3Fe2_baseclass.py:94-145``): fitted curve at 1 bar,
+    B-spline representation of the >1 bar validation running-σ above
+    (spline params = published fit data, shipped as
+    ``models/data/fe3fe2_error_splines.json``; evaluated with the
+    numpy De Boor kernel — no scipy)."""
+    global _HP_SPLINES
+    x = np.atleast_1d(np.asarray(Fe3Fe2, dtype=float))
+    a, b, c, d = FE3FE2_ERROR_PARAMS_1BAR[model]
+    err = a * x + b * x * x + c ** (x + d)
+    if P_bar is None:
+        return err
+    if _HP_SPLINES is None:
+        _HP_SPLINES = _load_hp_splines()
+    t, coef, k = _HP_SPLINES[model]
+    hp_err = deboor_splev(x, t, coef, k)
+    P = np.broadcast_to(np.atleast_1d(np.asarray(P_bar, dtype=float)),
+                        x.shape)
+    return np.where(P > 1.0, hp_err, err)

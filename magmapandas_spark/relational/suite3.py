@@ -348,6 +348,7 @@ def queries():
         "kd_expr_models": q_kd_expr_models,
         "olmelt_thermometer": q_olmelt_thermometer,
         "unit_conversions": q_unit_conversions,
+        "melt_structure": q_melt_structure,
     }
 
 
@@ -363,6 +364,7 @@ def oracle_sql():
         "kd_expr_models": _sql_kd_expr_models(),
         "olmelt_thermometer": _sql_olmelt_thermometer(),
         "unit_conversions": _sql_unit_conversions(),
+        "melt_structure": _sql_melt_structure(),
     }
 
 
@@ -855,6 +857,68 @@ SELECT name,
   ROUND({cat['Si']}, 6) AS cat_Si,
   ROUND({cat['Na']}, 6) AS cat_Na,
   ROUND(H2O * 1e4, 4) AS H2O_ppm
+FROM melt
+ORDER BY name
+"""
+
+
+def q_melt_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt structural parameters (``core/MagmaFrames/melt.py:113-160``,
+    ``magmaFrame.py:315-338``): tetrahedral cations, oxygen per cation,
+    NBO and NBO/T — pure cation-fraction expressions with an exact SQL
+    oracle."""
+    from magmapandas_spark.models.minerals import (
+        oxygen_per_cation_expr,
+        tetrahedral_cations_expr,
+    )
+
+    gf = synthetic_melt(spark, sf_dir)
+    tet = tetrahedral_cations_expr(gf)
+    oxy = oxygen_per_cation_expr(gf)
+    return gf.df.select(
+        "name",
+        F.round(tet, 6).alias("tetrahedral"),
+        F.round(oxy, 6).alias("o_per_cation"),
+        F.round(F.lit(2.0) * oxy - F.lit(4.0) * tet, 6).alias("NBO"),
+        F.round((F.lit(2.0) * oxy - F.lit(4.0) * tet) / tet, 6).alias(
+            "NBO_T"
+        ),
+    ).orderBy("name")
+
+
+def _sql_melt_structure() -> str:
+    from magmapandas_spark.chem.elements import (
+        calculate_weight,
+        cation_amount,
+        cation_name,
+        oxygen_amount,
+    )
+    from magmapandas_spark.relational.suite import (
+        MELT_SPECIES,
+        SQL_MELT_CTE,
+    )
+
+    cat_terms: dict = {}
+    ratios: dict = {}
+    for s in MELT_SPECIES:
+        n = cation_name(s)
+        t = f"(({s} / {calculate_weight(s)!r}) * {cation_amount(s)!r})"
+        cat_terms.setdefault(n, []).append(t)
+        ratios[n] = oxygen_amount(s) / cation_amount(s)
+    total = " + ".join(t for parts in cat_terms.values() for t in parts)
+    cat = {
+        n: f"(({' + '.join(parts)}) / ({total}))"
+        for n, parts in cat_terms.items()
+    }
+    tet = " + ".join(cat[n] for n in ("Si", "Ti", "Al", "P") if n in cat)
+    oxy = " + ".join(f"({cat[n]} * {ratios[n]!r})" for n in cat)
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT name,
+  ROUND(({tet}), 6) AS tetrahedral,
+  ROUND(({oxy}), 6) AS o_per_cation,
+  ROUND(2.0 * ({oxy}) - 4.0 * ({tet}), 6) AS NBO,
+  ROUND((2.0 * ({oxy}) - 4.0 * ({tet})) / ({tet}), 6) AS NBO_T
 FROM melt
 ORDER BY name
 """

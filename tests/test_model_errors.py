@@ -59,3 +59,35 @@ def test_fit_error_function_recovers_params():
     p, (lo, hi) = fit_error_function(x, y)
     assert np.abs(error_func(x, *p) - y).max() < 1e-8
     assert lo == x.min() and hi == x.max()
+
+
+def test_deboor_splev_reproduces_polynomials():
+    """B-spline evaluation sanity without scipy: constant and linear
+    reproduction (partition of unity / Greville abscissae)."""
+    from magmapandas_spark.operators.montecarlo import deboor_splev
+
+    k = 3
+    t = np.array([0.0, 0, 0, 0, 1, 2, 3, 3, 3, 3])
+    n = len(t) - k - 1
+    x = np.linspace(0, 3, 50)
+    # all-ones coefficients -> constant 1
+    assert np.allclose(deboor_splev(x, t, np.ones(n), k), 1.0, atol=1e-12)
+    # coefficients at Greville abscissae -> identity
+    greville = np.array([t[i + 1:i + k + 1].mean() for i in range(n)])
+    assert np.allclose(deboor_splev(x, t, greville, k), x, atol=1e-12)
+
+
+def test_fe3fe2_error_hp_tier():
+    from magmapandas_spark.operators import montecarlo as mc
+
+    x = np.linspace(0.06, 2.0, 25)
+    for model in mc.FE3FE2_ERROR_PARAMS_1BAR:
+        e1 = mc.fe3fe2_error_np(model, x)
+        assert np.isfinite(e1).all() and (e1 > 0).all(), model
+        ehp = mc.fe3fe2_error_np(model, x, P_bar=np.full_like(x, 5e3))
+        assert np.isfinite(ehp).all(), model
+    # pressure of exactly 1 bar -> 1-bar curve
+    assert np.allclose(
+        mc.fe3fe2_error_np("sun2024", x, P_bar=np.ones_like(x)),
+        mc.fe3fe2_error_np("sun2024", x),
+    )
