@@ -873,9 +873,15 @@ def q_melt_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     gf = synthetic_melt(spark, sf_dir)
-    tet = tetrahedral_cations_expr(gf)
-    oxy = oxygen_per_cation_expr(gf)
-    return gf.df.select(
+    # materialize tet/oxy once — inlining them into 4 output columns
+    # duplicates the deep cation-fraction expression trees ~6×
+    stage = gf.df.select(
+        "name",
+        tetrahedral_cations_expr(gf).alias("__tet"),
+        oxygen_per_cation_expr(gf).alias("__oxy"),
+    )
+    tet, oxy = F.col("__tet"), F.col("__oxy")
+    return stage.select(
         "name",
         F.round(tet, 6).alias("tetrahedral"),
         F.round(oxy, 6).alias("o_per_cation"),
