@@ -84,6 +84,12 @@ class Melt(_Phase):
 
         return calculate_viscosity(self.gf, T_K, **kw)
 
+    def temperature_from_density(self, density, P_bar, **kw) -> DataFrame:
+        """Inverse density thermometer (``rheology/density.py:117-147``)."""
+        from magmapandas_spark.models.rheology import calculate_temperature
+
+        return calculate_temperature(self.gf, density, P_bar, **kw)
+
     def tetrahedral_cations(self, out_col: str = "tetrahedral_cations"):
         """``melt.py:113-131``."""
         from magmapandas_spark.models.minerals import (

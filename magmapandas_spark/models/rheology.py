@@ -112,3 +112,41 @@ def calculate_viscosity(melt: GeoFrame, T_K, out_col: str = "viscosity") -> Data
         )
     )
     return melt.df.withColumn(out_col, F.lit(p["A"]) + B / (T - C))
+
+
+def calculate_temperature(
+    melt: GeoFrame, density, P_bar, out_col: str = "T_K"
+) -> DataFrame:
+    """Inverse of :func:`calculate_density`: melt temperature from
+    density (``rheology/density.py:117-147``).
+
+    The molar volume is linear in T, so the reference's
+    1500 K-anchored rearrangement is closed-form — pure expression:
+    T = 1500 + (V_liquid − V_P − V_ref − ΣX·dVdT·(1500−Tref)) / ΣX·dVdT
+    """
+    rho = as_col(density)
+    P = as_col(P_bar)
+    comp = {s: F.coalesce(F.col(s), F.lit(0.0)) for s in melt.species}
+    for c in DENSITY_COMPONENTS:
+        comp.setdefault(c, F.lit(0.0))
+    mol = mole_fraction_exprs(comp)
+    mass = csum(
+        mol[s] * F.lit(chem.calculate_weight(s)) for s in DENSITY_COMPONENTS
+    )
+    V_liquid = mass * F.lit(1e3) / rho
+    V_P = csum(
+        (P - F.lit(1.0)) * F.lit(DVDP[s]) * mol[s]
+        for s in DENSITY_COMPONENTS
+    )
+    V_ref = csum(
+        F.lit(MOLAR_VOLUMES[s]) * mol[s] for s in DENSITY_COMPONENTS
+    )
+    T_1500 = csum(
+        F.lit((1500.0 - DENSITY_T_REF[s]) * DVDT[s]) * mol[s]
+        for s in DENSITY_COMPONENTS
+    )
+    V_per_degree = csum(
+        F.lit(DVDT[s]) * mol[s] for s in DENSITY_COMPONENTS
+    )
+    T_K = F.lit(1500.0) + (V_liquid - V_P - V_ref - T_1500) / V_per_degree
+    return melt.df.withColumn(out_col, T_K)

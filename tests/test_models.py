@@ -327,3 +327,35 @@ def test_fo2_grid_fast_path(spark):
         dlog = np.abs(np.log10(out["fO2"].to_numpy()) - np.log10(exact))
         assert dlog.max() < tol, (buf, dlog.max())
         assert dlog.mean() < 1e-3, (buf, dlog.mean())
+
+
+def test_density_temperature_round_trip(spark):
+    """calculate_temperature is the exact inverse of calculate_density
+    (``rheology/density.py:117-147``)."""
+    from magmapandas_spark.core.geoframe import GeoFrame
+    from magmapandas_spark.models import rheology
+
+    pdf = pd.DataFrame(
+        {
+            "name": ["a", "b", "c"],
+            "SiO2": [48.0, 52.0, 58.0],
+            "Al2O3": [15.0, 16.0, 17.0],
+            "MgO": [8.0, 6.0, 3.0],
+            "FeO": [10.0, 8.0, 6.0],
+            "CaO": [11.0, 9.0, 7.0],
+            "Na2O": [2.5, 3.0, 3.5],
+            "K2O": [0.5, 1.0, 2.0],
+            "TiO2": [1.5, 1.2, 0.9],
+            "H2O": [1.0, 2.0, 4.0],
+        }
+    )
+    species = [c for c in pdf.columns if c != "name"]
+    gf = GeoFrame(spark.createDataFrame(pdf), units="wt.%",
+                  datatype="oxide", species=species)
+    T0, P0 = 1450.0, 3000.0
+    dens = rheology.calculate_density(gf, F.lit(T0), F.lit(P0))
+    gf2 = GeoFrame(dens, units="wt.%", datatype="oxide", species=species)
+    out = rheology.calculate_temperature(
+        gf2, F.col("density"), F.lit(P0)
+    ).toPandas()
+    assert np.allclose(out["T_K"], T0, atol=1e-8)
