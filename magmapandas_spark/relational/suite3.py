@@ -349,6 +349,7 @@ def queries():
         "olmelt_thermometer": q_olmelt_thermometer,
         "unit_conversions": q_unit_conversions,
         "melt_structure": q_melt_structure,
+        "thermometers_multi2": q_thermometers_multi2,
     }
 
 
@@ -365,6 +366,7 @@ def oracle_sql():
         "olmelt_thermometer": _sql_olmelt_thermometer(),
         "unit_conversions": _sql_unit_conversions(),
         "melt_structure": _sql_melt_structure(),
+        "thermometers_multi2": _sql_thermometers_multi2(),
     }
 
 
@@ -925,6 +927,121 @@ SELECT name,
   ROUND(({oxy}), 6) AS o_per_cation,
   ROUND(2.0 * ({oxy}) - 4.0 * ({tet}), 6) AS NBO,
   ROUND((2.0 * ({oxy}) - 4.0 * ({tet})) / ({tet}), 6) AS NBO_T
+FROM melt
+ORDER BY name
+"""
+
+
+def q_thermometers_multi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining expression-tier melt thermometers (putirka2008_16,
+    putirka2008_22 with Beattie D_Mg, sun2020 on the cation-per-oxygen
+    basis) — completes oracle coverage of the SURVEY §2.8 thermometer
+    table (sugawara2000_6a shares sugawara2000_3's structure)."""
+    from magmapandas_spark.core.geoframe import GeoFrame
+    from magmapandas_spark.models import thermometers as tm
+
+    gf = synthetic_melt(spark, sf_dir)
+
+    def chain(g, fn, out_col, **kw):
+        df = fn(g, out_col=out_col, **kw)
+        return GeoFrame(df, units=g.units, datatype=g.datatype,
+                        species=g.species)
+
+    g = chain(gf, tm.putirka2008_16, "T16", P_bar="P_bar")
+    g = chain(g, tm.putirka2008_22, "T22", P_bar="P_bar")
+    g = chain(g, tm.sun2020, "Tsun", P_bar="P_bar")
+    return g.df.select(
+        "name",
+        F.round("T16", 4).alias("T16"),
+        F.round("T22", 4).alias("T22"),
+        F.round("Tsun", 4).alias("Tsun"),
+    ).orderBy("name")
+
+
+def _sql_thermometers_multi2() -> str:
+    from magmapandas_spark.chem.elements import (
+        calculate_weight,
+        cation_amount,
+        cation_name,
+        oxygen_amount,
+    )
+    from magmapandas_spark.relational.suite import (
+        MELT_SPECIES,
+        SQL_MELT_CTE,
+        _sql_mole_fraction_terms,
+    )
+
+    anhyd = [s for s in MELT_SPECIES if s != "H2O"]
+    _, mol_anh = _sql_mole_fraction_terms(anhyd)
+    p_gpa = "(P_bar / 1e4)"
+
+    t16 = (
+        f"-583.0 + 3141.0 * {mol_anh['SiO2']}"
+        f" + 15779.0 * {mol_anh['Al2O3']} + 1338.6 * {mol_anh['MgO']}"
+        f" - 31440.0 * {mol_anh['SiO2']} * {mol_anh['Al2O3']}"
+        f" + 77.67 * {p_gpa} + 273.15"
+    )
+
+    # cation fractions excluding H2O (CO2 contributes C to the total)
+    cat_terms: dict = {}
+    for s in anhyd:
+        n = cation_name(s)
+        t = f"(({s} / {calculate_weight(s)!r}) * {cation_amount(s)!r})"
+        cat_terms.setdefault(n, []).append(t)
+    total = " + ".join(t for parts in cat_terms.values() for t in parts)
+    cat = {
+        n: f"(({' + '.join(parts)}) / ({total}))"
+        for n, parts in cat_terms.items()
+    }
+    z = "0.0"
+    g = lambda n: cat.get(n, z)
+    # Beattie (1993): (a, b) per cation — Mg (1.0, 0.0), Mn (0.259,
+    # -4.9e-2), Fe (0.299, 2.7e-2); Co/Ni absent from the species set
+    num = f"(0.666 - (-4.9e-2 * {g('Mn')} + 2.7e-2 * {g('Fe')}))"
+    den = f"(1.0 * {g('Mg')} + 0.259 * {g('Mn')} + 0.299 * {g('Fe')})"
+    ln_dmg = f"LN({num} / {den})"
+    c_nm = f"({g('Fe')} + {g('Mn')} + {g('Mg')} + {g('Ca')})"
+    nf = f"(3.5 * LN(1.0 - {g('Al')}) + 7.0 * LN(1.0 - {g('Ti')}))"
+    t22 = (
+        f"(15294.6 + 1318.8 * {p_gpa} + 2.4834 * {p_gpa} * {p_gpa})"
+        f" / (8.048 + 2.8352 * {ln_dmg} + 2.097 * LN(1.5 * {c_nm})"
+        f" + 2.575 * LN(3.0 * {g('Si')}) - 1.41 * {nf}"
+        f" + 0.222 * H2O + 0.5 * {p_gpa}) + 273.15"
+    )
+
+    # sun2020: cation moles per oxygen over the volatile-free oxides
+    # (mole-fraction normalisation cancels in o_moles/total_o)
+    oxides = [s for s in MELT_SPECIES if s not in ("H2O", "CO2")]
+    o_terms = {
+        s: f"(({s} / {calculate_weight(s)!r}) * {oxygen_amount(s)!r})"
+        for s in oxides
+    }
+    o_total = " + ".join(o_terms.values())
+    per_ox = {}
+    for s in oxides:
+        cpo = cation_amount(s) / oxygen_amount(s)
+        from fractions import Fraction as _Fr
+
+        name = f"{cation_name(s)}{_Fr(cpo).limit_denominator()}O"
+        per_ox[name] = f"(({o_terms[s]} / ({o_total})) * {cpo!r})"
+    u = lambda n: per_ox.get(n, z)
+    omega = (
+        f"(2.59 + 3.5 * ({u('Ca1O')} - 2.0 * {u('K2O')})"
+        f" + 4.85 * {u('Ti1/2O')}"
+        f" + 1.4 * ({u('Mg1O')} / ({u('Mg1O')} + {u('Fe1O')}))"
+        f" + 0.5 * {u('Mg1O')} * SQRT(CO2) + 5.7e-2 * H2O)"
+    )
+    tsun = (
+        f"1e4 / ({omega} - 0.34 * SQRT({p_gpa})"
+        f" - 1.26 * LN({u('Mg1O')}))"
+    )
+
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT name,
+  ROUND({t16}, 4) AS T16,
+  ROUND({t22}, 4) AS T22,
+  ROUND({tsun}, 4) AS Tsun
 FROM melt
 ORDER BY name
 """
