@@ -350,6 +350,9 @@ def queries():
         "unit_conversions": q_unit_conversions,
         "melt_structure": q_melt_structure,
         "thermometers_multi2": q_thermometers_multi2,
+        "magnetite_speciation": q_magnetite_speciation,
+        "ilmenite_speciation": q_ilmenite_speciation,
+        "plag_endmembers": q_plag_endmembers,
     }
 
 
@@ -367,6 +370,9 @@ def oracle_sql():
         "unit_conversions": _sql_unit_conversions(),
         "melt_structure": _sql_melt_structure(),
         "thermometers_multi2": _sql_thermometers_multi2(),
+        "magnetite_speciation": _sql_magnetite_speciation(),
+        "ilmenite_speciation": _sql_ilmenite_speciation(),
+        "plag_endmembers": _sql_plag_endmembers(),
     }
 
 
@@ -1043,5 +1049,236 @@ SELECT name,
   ROUND({t22}, 4) AS T22,
   ROUND({tsun}, 4) AS Tsun
 FROM melt
+ORDER BY name
+"""
+
+
+# ----------------------------------------------------------------------
+# Fe-Ti oxide minerals: endmembers + Fe speciation (expr tier)
+# ----------------------------------------------------------------------
+
+MT_SPECIES = ["TiO2", "Al2O3", "MgO", "MnO", "FeO"]
+
+SQL_MT_CTE = """
+mt AS (
+  SELECT
+    s_suppkey AS name,
+    5.0 + (s_suppkey % 15) * 0.5 AS TiO2,
+    1.0 + (s_suppkey % 8) * 0.25 AS Al2O3,
+    0.5 + (s_suppkey % 5) * 0.2 AS MgO,
+    0.3 + (s_suppkey % 4) * 0.1 AS MnO,
+    70.0 + (s_suppkey % 20) * 0.3 AS FeO
+  FROM supplier
+)
+"""
+
+
+def _synthetic_mt(spark: SparkSession, sf_dir: str):
+    from magmapandas_spark.core.geoframe import GeoFrame
+
+    sup = spark.read.parquet(_t(sf_dir, "supplier"))
+    df = sup.select(
+        F.col("s_suppkey").alias("name"),
+        (F.lit(5.0) + (F.col("s_suppkey") % 15) * F.lit(0.5)).alias("TiO2"),
+        (F.lit(1.0) + (F.col("s_suppkey") % 8) * F.lit(0.25)).alias("Al2O3"),
+        (F.lit(0.5) + (F.col("s_suppkey") % 5) * F.lit(0.2)).alias("MgO"),
+        (F.lit(0.3) + (F.col("s_suppkey") % 4) * F.lit(0.1)).alias("MnO"),
+        (F.lit(70.0) + (F.col("s_suppkey") % 20) * F.lit(0.3)).alias("FeO"),
+    )
+    return GeoFrame(df, units="wt.%", datatype="oxide",
+                    species=MT_SPECIES)
+
+
+def _sql_mt_cations(norm_to: float) -> dict:
+    from magmapandas_spark.chem.elements import (
+        calculate_weight,
+        cation_amount,
+        cation_name,
+    )
+
+    terms = {
+        s: f"(({s} / {calculate_weight(s)!r}) * {cation_amount(s)!r})"
+        for s in MT_SPECIES
+    }
+    total = " + ".join(terms.values())
+    return {
+        cation_name(s): f"(({terms[s]} / ({total})) * {norm_to!r})"
+        for s in MT_SPECIES
+    }
+
+
+def q_magnetite_speciation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magnetite-ulvospinel endmembers + Fe3/Fe2 split at 3-cation
+    normalisation, Lindsley/QUILF (``magnetite.py:17-117``)."""
+    from magmapandas_spark.models.minerals import (
+        magnetite_endmembers,
+        magnetite_fe_speciation,
+    )
+
+    gf = _synthetic_mt(spark, sf_dir)
+    em = magnetite_endmembers(gf).select("name", "magnetite", "ulvospinel")
+    sp = magnetite_fe_speciation(gf).select("name", "cat_Fe2", "cat_Fe3")
+    # supplier keys are unique -> the join is safe (1:1)
+    out = em.join(sp, "name")
+    return out.select(
+        "name",
+        F.round("magnetite", 6).alias("magnetite"),
+        F.round("ulvospinel", 6).alias("ulvospinel"),
+        F.round("cat_Fe2", 6).alias("cat_Fe2"),
+        F.round("cat_Fe3", 6).alias("cat_Fe3"),
+    ).orderBy("name")
+
+
+def _sql_magnetite_speciation() -> str:
+    cat = _sql_mt_cations(3.0)
+    g = lambda n: cat.get(n, "0.0")
+    magnetite = (
+        f"((({g('Mg')} + {g('Mn')} + {g('Fe')})"
+        f" - 2.0 * {g('Ti')} - {g('Al')} / 2.0) / 3.0)"
+    )
+    mg_ulv = f"({g('Mg')} / 2.0)"
+    mn_ulv = f"({g('Mn')} / 2.0)"
+    ulv = f"({g('Ti')} - {mn_ulv} - {mg_ulv})"
+    total = f"({magnetite} + {ulv} + {mg_ulv})"
+    ulv_frac = f"(({ulv} + {mg_ulv}) / {total})"
+    fe3 = f"(2.0 * {magnetite})"
+    fe2 = (
+        f"({magnetite} + 2.0 * {g('Ti')} + {g('Al')} / 2.0"
+        f" - {g('Mg')} - {g('Mn')})"
+    )
+    return f"""
+WITH {SQL_MT_CTE}
+SELECT name,
+  ROUND(1.0 - {ulv_frac}, 6) AS magnetite,
+  ROUND({ulv_frac}, 6) AS ulvospinel,
+  ROUND({fe2}, 6) AS cat_Fe2,
+  ROUND({fe3}, 6) AS cat_Fe3
+FROM mt
+ORDER BY name
+"""
+
+
+def q_ilmenite_speciation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ilmenite endmembers (Andersen/QUILF) + Fe3/Fe2 split at 2-cation
+    normalisation (``ilmenite.py:17-97``) on the same synthetic Fe-Ti
+    oxide table."""
+    from magmapandas_spark.models.minerals import (
+        ilmenite_endmembers,
+        ilmenite_fe_speciation,
+    )
+
+    gf = _synthetic_mt(spark, sf_dir)
+    em = ilmenite_endmembers(gf).select(
+        "name", "hematite", "ilmenite", "geikielite", "pyrophanite"
+    )
+    sp = ilmenite_fe_speciation(gf).select("name", "cat_Fe2", "cat_Fe3")
+    out = em.join(sp, "name")  # supplier keys unique -> 1:1
+    return out.select(
+        "name",
+        F.round("hematite", 6).alias("hematite"),
+        F.round("ilmenite", 6).alias("ilmenite"),
+        F.round("geikielite", 6).alias("geikielite"),
+        F.round("pyrophanite", 6).alias("pyrophanite"),
+        F.round("cat_Fe2", 6).alias("cat_Fe2"),
+        F.round("cat_Fe3", 6).alias("cat_Fe3"),
+    ).orderBy("name")
+
+
+def _sql_ilmenite_speciation() -> str:
+    cat = _sql_mt_cations(2.0)
+    g = lambda n: cat.get(n, "0.0")
+    hematite = f"((({g('Fe')} + {g('Mg')} + {g('Mn')}) - {g('Ti')}) / 2.0)"
+    fe2 = f"({g('Ti')} - {g('Mg')} - {g('Mn')})"
+    ilmenite = f"({fe2} + {g('Al')} / 2.0)"
+    total = f"({hematite} + {ilmenite} + {g('Mn')} + {g('Mg')})"
+    fe3 = f"(2.0 * {hematite})"
+    return f"""
+WITH {SQL_MT_CTE}
+SELECT name,
+  ROUND({hematite} / {total}, 6) AS hematite,
+  ROUND({ilmenite} / {total}, 6) AS ilmenite,
+  ROUND({g('Mg')} / {total}, 6) AS geikielite,
+  ROUND({g('Mn')} / {total}, 6) AS pyrophanite,
+  ROUND({fe2}, 6) AS cat_Fe2,
+  ROUND({fe3}, 6) AS cat_Fe3
+FROM mt
+ORDER BY name
+"""
+
+
+PLAG_SPECIES = ["SiO2", "Al2O3", "CaO", "Na2O", "K2O"]
+
+SQL_PLAG_CTE = """
+plag AS (
+  SELECT
+    c_custkey AS name,
+    52.0 + (c_custkey % 12) * 0.5 AS SiO2,
+    26.0 + (c_custkey % 9) * 0.4 AS Al2O3,
+    8.0 + (c_custkey % 11) * 0.5 AS CaO,
+    3.0 + (c_custkey % 6) * 0.4 AS Na2O,
+    0.2 + (c_custkey % 4) * 0.15 AS K2O
+  FROM customer
+)
+"""
+
+
+def q_plag_endmembers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagioclase An/Ab/Or endmembers + anorthite content
+    (``plagioclase.py:28-52``) on a synthetic feldspar table from
+    customer."""
+    from magmapandas_spark.core.geoframe import GeoFrame
+    from magmapandas_spark.models.minerals import (
+        plagioclase_anorthite,
+        plagioclase_endmembers,
+    )
+
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    df = cust.select(
+        F.col("c_custkey").alias("name"),
+        (F.lit(52.0) + (F.col("c_custkey") % 12) * F.lit(0.5)).alias("SiO2"),
+        (F.lit(26.0) + (F.col("c_custkey") % 9) * F.lit(0.4)).alias("Al2O3"),
+        (F.lit(8.0) + (F.col("c_custkey") % 11) * F.lit(0.5)).alias("CaO"),
+        (F.lit(3.0) + (F.col("c_custkey") % 6) * F.lit(0.4)).alias("Na2O"),
+        (F.lit(0.2) + (F.col("c_custkey") % 4) * F.lit(0.15)).alias("K2O"),
+    )
+    gf = GeoFrame(df, units="wt.%", datatype="oxide", species=PLAG_SPECIES)
+    em = plagioclase_endmembers(gf).select(
+        "name", "anorthite", "albite", "orthoclase"
+    )
+    an = plagioclase_anorthite(gf).select("name", "An")
+    out = em.join(an, "name")  # customer keys unique -> 1:1
+    return out.select(
+        "name",
+        F.round("anorthite", 6).alias("anorthite"),
+        F.round("albite", 6).alias("albite"),
+        F.round("orthoclase", 6).alias("orthoclase"),
+        F.round("An", 6).alias("An"),
+    ).orderBy("name")
+
+
+def _sql_plag_endmembers() -> str:
+    from magmapandas_spark.chem.elements import (
+        calculate_weight,
+        cation_amount,
+        cation_name,
+    )
+
+    terms = {
+        s: f"(({s} / {calculate_weight(s)!r}) * {cation_amount(s)!r})"
+        for s in PLAG_SPECIES
+    }
+    total = " + ".join(terms.values())
+    cat = {
+        cation_name(s): f"({terms[s]} / ({total}))" for s in PLAG_SPECIES
+    }
+    tot_cnk = f"({cat['Ca']} + {cat['Na']} + {cat['K']})"
+    return f"""
+WITH {SQL_PLAG_CTE}
+SELECT name,
+  ROUND({cat['Ca']} * 100.0 / {tot_cnk}, 6) AS anorthite,
+  ROUND({cat['Na']} * 100.0 / {tot_cnk}, 6) AS albite,
+  ROUND({cat['K']} * 100.0 / {tot_cnk}, 6) AS orthoclase,
+  ROUND({cat['Ca']} * 100.0 / ({cat['Ca']} + {cat['Na']}), 6) AS An
+FROM plag
 ORDER BY name
 """
