@@ -353,6 +353,7 @@ def queries():
         "magnetite_speciation": q_magnetite_speciation,
         "ilmenite_speciation": q_ilmenite_speciation,
         "plag_endmembers": q_plag_endmembers,
+        "feo_fe2o3_split": q_feo_fe2o3_split,
     }
 
 
@@ -373,6 +374,7 @@ def oracle_sql():
         "magnetite_speciation": _sql_magnetite_speciation(),
         "ilmenite_speciation": _sql_ilmenite_speciation(),
         "plag_endmembers": _sql_plag_endmembers(),
+        "feo_fe2o3_split": _sql_feo_fe2o3_split(),
     }
 
 
@@ -1280,5 +1282,103 @@ SELECT name,
   ROUND({cat['K']} * 100.0 / {tot_cnk}, 6) AS orthoclase,
   ROUND({cat['Ca']} * 100.0 / ({cat['Ca']} + {cat['Na']}), 6) AS An
 FROM plag
+ORDER BY name
+"""
+
+
+def q_feo_fe2o3_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeO/Fe2O3 split from a fixed Fe3+/Fe2+ ratio in mol space, back
+    to renormalised wt.% (``melt.py:225-274``) + observed olivine-melt
+    Kd against the synthetic olivine (``Kd_calculate.py:12-62``)."""
+    from magmapandas_spark.models.kd import observed_FeMg_Kd
+    from magmapandas_spark.models.minerals import forsterite
+    from magmapandas_spark.relational.suite2 import synthetic_olivine
+
+    from magmapandas_spark.core.geoframe import GeoFrame
+
+    gf = synthetic_melt(spark, sf_dir)
+    ol = synthetic_olivine(spark, sf_dir)
+    fo = forsterite(ol).select("name", "Fo")
+
+    # ONE plan: join Fo once (unique part keys — no multiplication),
+    # compute observed Kd on the original wt columns, THEN the Fe split
+    joined = GeoFrame(
+        gf.df.join(F.broadcast(fo), "name"),
+        units=gf.units, datatype=gf.datatype, species=gf.species,
+    )
+    with_kd = observed_FeMg_Kd(
+        joined, F.col("Fo"), T_K=F.lit(1500.0), P_bar=F.lit(1.0),
+        Fe3Fe2=F.lit(0.237),
+    )
+    gf2 = GeoFrame(with_kd, units=joined.units, datatype=joined.datatype,
+                   species=joined.species)
+    split = gf2.FeO_Fe2O3_calc(0.237)  # Kd_observed rides along as extra
+    return split.df.select(
+        "name",
+        F.round("FeO", 6).alias("FeO_wt"),
+        F.round("Fe2O3", 6).alias("Fe2O3_wt"),
+        F.round("Kd_observed", 6).alias("Kd_observed"),
+    ).orderBy("name")
+
+
+def _sql_feo_fe2o3_split() -> str:
+    from magmapandas_spark.chem.elements import calculate_weight
+    from magmapandas_spark.relational.suite import (
+        MELT_SPECIES,
+        SQL_MELT_CTE,
+        _sql_mole_fraction_terms,
+    )
+
+    _, mol = _sql_mole_fraction_terms(MELT_SPECIES)
+    q = "(1.0 / (1.0 + 0.237))"  # Fe2+ fraction, Fe3Fe2 = 0.237
+    # (non-dyadic ratio: avoids exact ROUND ties that half-up vs
+    # half-even tie-breaking would split across engines)
+    out_terms = {}
+    for s in MELT_SPECIES:
+        if s == "FeO":
+            out_terms["FeO"] = f"({mol['FeO']} * {q})"
+        else:
+            out_terms[s] = mol[s]
+    out_terms["Fe2O3"] = f"({mol['FeO']} * (1.0 - {q}) / 2.0)"
+    wt_terms = {
+        s: f"({e} * {calculate_weight(s)!r})" for s, e in out_terms.items()
+    }
+    wt_total = " + ".join(wt_terms.values())
+    feo_wt = f"({wt_terms['FeO']} / ({wt_total}) * 100.0)"
+    fe2o3_wt = f"({wt_terms['Fe2O3']} / ({wt_total}) * 100.0)"
+
+    # mirror minerals.forsterite exactly: mole fractions over the FULL
+    # olivine species set, Fo = MgO / (FeO + MgO) in that order
+    from magmapandas_spark.relational.suite2 import OLIVINE_SPECIES
+
+    ol_terms = {
+        s: f"(ol.ol_{s} / {calculate_weight(s)!r})" for s in OLIVINE_SPECIES
+    }
+    ol_total = " + ".join(ol_terms.values())
+    ol_mol = {s: f"({t} / ({ol_total}))" for s, t in ol_terms.items()}
+    fo = f"({ol_mol['MgO']} / ({ol_mol['FeO']} + {ol_mol['MgO']}))"
+    kd = (
+        f"(({mol['MgO']} / ({mol['FeO']} * {q}))"
+        f" / ({fo} / (1.0 - {fo})))"
+    )
+    return f"""
+WITH {SQL_MELT_CTE},
+olivine AS (
+  SELECT
+    p_partkey AS name,
+    39.0 + (p_partkey % 30) * 0.05 AS ol_SiO2,
+    42.0 + (p_size % 20) * 0.25 AS ol_MgO,
+    10.0 + (p_partkey % 80) * 0.1 AS ol_FeO,
+    0.1 + (p_size % 5) * 0.05 AS ol_MnO,
+    0.25 AS ol_NiO,
+    0.05 + (p_partkey % 3) * 0.05 AS ol_CaO
+  FROM part
+)
+SELECT melt.name AS name,
+  ROUND({feo_wt}, 6) AS FeO_wt,
+  ROUND({fe2o3_wt}, 6) AS Fe2O3_wt,
+  ROUND({kd}, 6) AS Kd_observed
+FROM melt
+JOIN olivine ol ON melt.name = ol.name
 ORDER BY name
 """
