@@ -656,3 +656,39 @@ def co2_h2o_isobars(
             F.col("__sol.CO2_sol").alias("CO2_sol"),
         )
     )
+
+
+def shishkina_co2_saturation_expr(melt: GeoFrame) -> Column:
+    """Expression-tier twin of :func:`shishkina_co2_saturation_np`
+    (closed-form — no UDF, no Arrow exchange, whole-stage codegen;
+    the UDF path stays for the dispatcher but this is what a hot
+    pipeline should call at scale)."""
+    from magmapandas_spark.models.common import cation_fraction_exprs
+
+    comp = {
+        s: F.coalesce(F.col(s), F.lit(0.0))
+        for s in melt.species
+        if s not in ("H2O", "CO2")
+    }
+    mol_terms = {s: c / F.lit(W(s)) for s, c in comp.items()}
+    total = None
+    for c in mol_terms.values():
+        total = c if total is None else total + c
+    mol = {s: t / total for s, t in mol_terms.items()}
+    cat = cation_fraction_exprs(mol)
+    z = F.lit(0.0)
+    g = lambda n: cat.get(n, z)
+    pi_star = (
+        g("Ca")
+        + F.lit(0.8) * g("K")
+        + F.lit(0.7) * g("Na")
+        + F.lit(0.4) * g("Mg")
+        + F.lit(0.4) * g("Fe")
+    ) / (g("Si") + g("Al"))
+    p = SHISHKINA_CO2
+    co2 = F.coalesce(F.col("CO2"), F.lit(0.0))
+    f = F.exp(
+        (F.log(co2 * F.lit(1e4)) - F.lit(p["B"]) * pi_star - F.lit(p["C"]))
+        / F.lit(p["A"])
+    )
+    return F.when(co2 > 0, f * F.lit(10.0)).otherwise(F.lit(0.0))

@@ -629,13 +629,13 @@ ORDER BY qid, rn
 
 def q_shishkina_co2_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shishkina (2014) pure-CO2 saturation pressure — closed-form
-    inversion runs as a pandas UDF batch over the synthetic melt."""
+    inversion as a pure Column expression (no UDF, whole-stage
+    codegen)."""
     from magmapandas_spark.models import volatiles as vol
 
     gf = synthetic_melt(spark, sf_dir)
-    out = vol.volatile_saturation_pressure(
-        gf, T_K=1473.15, model="shishkina2014", species="co2",
-        out_col="P_sat",
+    out = gf.df.withColumn(
+        "P_sat", vol.shishkina_co2_saturation_expr(gf)
     )
     return out.select("name", F.round("P_sat", 4).alias("P_sat")).orderBy(
         "name"
