@@ -354,6 +354,7 @@ def queries():
         "ilmenite_speciation": q_ilmenite_speciation,
         "plag_endmembers": q_plag_endmembers,
         "feo_fe2o3_split": q_feo_fe2o3_split,
+        "calibration_flags": q_calibration_flags,
     }
 
 
@@ -375,6 +376,7 @@ def oracle_sql():
         "ilmenite_speciation": _sql_ilmenite_speciation(),
         "plag_endmembers": _sql_plag_endmembers(),
         "feo_fe2o3_split": _sql_feo_fe2o3_split(),
+        "calibration_flags": _sql_calibration_flags(),
     }
 
 
@@ -1381,4 +1383,64 @@ SELECT melt.name AS name,
 FROM melt
 JOIN olivine ol ON melt.name = ol.name
 ORDER BY name
+"""
+
+
+def q_calibration_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-range + temperature-sanity predicates as queryable
+    flags (``tools/calibration_range.py:10-46``,
+    ``thermometers/validate_temperatures.py:6-21``): the reference
+    eagerly warns; at scale the predicate is a column aggregated
+    without any driver collect."""
+    from magmapandas_spark.models import thermometers as tm
+    from magmapandas_spark.models.thermometers import calibration_flag
+
+    gf = synthetic_melt(spark, sf_dir)
+    flag = calibration_flag(gf, "putirka2008_15")
+    with_t = tm.putirka2008_15(gf, P_bar="P_bar")
+    return (
+        with_t.withColumn("in_range", flag)
+        .withColumn(
+            "t_valid", F.col("T_K").isNotNull() & ~F.isnan("T_K")
+            & (F.col("T_K") >= 0),
+        )
+        .groupBy("in_range", "t_valid")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(
+                F.sum(F.col("T_K").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_T_K"),
+        )
+        .orderBy("in_range", "t_valid")
+    )
+
+
+def _sql_calibration_flags() -> str:
+    from magmapandas_spark.relational.suite import SQL_MELT_CTE
+    from magmapandas_spark.relational.suite2 import _sql_putirka15_raw
+
+    t_k = _sql_putirka15_raw()
+    in_range = (
+        "(SiO2 BETWEEN 31.0 AND 73.64"
+        " AND (Na2O + K2O) BETWEEN 0.0 AND 14.3"
+        " AND H2O BETWEEN 0.0 AND 18.6)"
+    )
+    return f"""
+WITH {SQL_MELT_CTE},
+flagged AS (
+  SELECT {in_range} AS in_range,
+         ({t_k} IS NOT NULL AND NOT isnan({t_k}) AND {t_k} >= 0)
+           AS t_valid,
+         {t_k} AS T_K
+  FROM melt
+)
+SELECT in_range, t_valid,
+  COUNT(*) AS n_samples,
+  ROUND(CAST(SUM(CAST(T_K AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+    AS avg_T_K
+FROM flagged
+GROUP BY in_range, t_valid
+ORDER BY in_range, t_valid
 """
