@@ -637,3 +637,17 @@ def calculate_Fe3Fe2(
         udf = _solver_udf(model, melt.species)
         return melt.df.withColumn(out_col, udf(struct))
     raise ValueError(f"unknown Fe3Fe2 model {model!r}")
+
+
+def register_fe3fe2_model(name: str, expr_builder=None, np_kernel=None):
+    """Extension hook for Fe3+/Fe2+ models (ABC subclassing in the
+    reference, ``Fe_redox/Fe3Fe2_baseclass.py:27``): register either a
+    Column-expression builder ``f(mol, T_K, fO2, P_bar) -> Column``
+    (expression tier) or a numpy kernel
+    ``f(mol_np, T_K, P_bar, fO2) -> ndarray`` (solver tier)."""
+    if expr_builder is None and np_kernel is None:
+        raise ValueError("provide expr_builder or np_kernel")
+    if expr_builder is not None:
+        EXPR_MODELS[name] = expr_builder
+    if np_kernel is not None:
+        _SOLVER_MODELS_NP[name] = np_kernel

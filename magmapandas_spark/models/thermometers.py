@@ -456,3 +456,22 @@ melt_thermometers_dict = {
     "sugawara2000_3": sugawara2000_3,
     "sugawara2000_6a": sugawara2000_6a,
 }
+
+
+def register_thermometer(name: str, fn=None):
+    """Extension hook (``docs/source/extending.rst`` semantics, auto-
+    registration at ``thermometers/melt.py:619-624``): add a melt
+    thermometer ``fn(melt: GeoFrame, **kw) -> DataFrame`` to the
+    catalog. Usable as a decorator::
+
+        @register_thermometer("mymodel2025")
+        def mymodel2025(melt, P_bar=0.0, offset=0.0, out_col="T_K"):
+            ...
+    """
+    def _add(f):
+        melt_thermometers_dict[name] = f
+        return f
+
+    if fn is not None:
+        return _add(fn)
+    return _add

@@ -692,3 +692,16 @@ def shishkina_co2_saturation_expr(melt: GeoFrame) -> Column:
         / F.lit(p["A"])
     )
     return F.when(co2 > 0, f * F.lit(10.0)).otherwise(F.lit(0.0))
+
+
+def register_solubility_model(
+    name: str, saturation: dict, solubility=None
+) -> None:
+    """Extension hook for volatile-solubility models
+    (``volatile_solubility/solubility_baseclass.py:4``): ``saturation``
+    maps species ('h2o'|'co2'|'mixed') to numpy kernels
+    ``f(wt, h2o_obs, co2_obs, T_K)``; optional ``solubility`` is
+    ``f(wt, P, T, x) -> (h2o, co2)``."""
+    SATURATION_MODELS[name] = dict(saturation)
+    if solubility is not None:
+        SOLUBILITY_MODELS[name] = solubility
