@@ -410,14 +410,29 @@ def deng_dVdP(T_K, P_bar, Pbar_min: float = 1.0, Pbar_step: float = 5e2):
     shape = T.shape
     pairs = np.stack([T.ravel(), P.ravel()], axis=1)
     uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
-    out = np.empty(len(uniq))
-    for i, (t, pb) in enumerate(uniq):
-        grid = np.arange(Pbar_min, pb + Pbar_step, Pbar_step)
-        dv = (
-            _deng_volume(np.full_like(grid, t), grid, "Fe3")
-            - _deng_volume(np.full_like(grid, t), grid, "Fe2")
-        ) * 1e-6  # cm3 → m3
-        out[i] = np.trapz(dv, grid * 1e5)  # bar → Pa
+
+    # flatten ALL pairs' pressure grids into one vector so the two
+    # EOS volume bisections run once over everything (a python loop
+    # over pairs costs ~2 ms each — 2000 distinct conditions = 4 s)
+    grids = [
+        np.arange(Pbar_min, pb + Pbar_step, Pbar_step) for _, pb in uniq
+    ]
+    lengths = np.array([len(g) for g in grids])
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    flat_P = np.concatenate(grids)
+    flat_T = np.repeat(uniq[:, 0], lengths)
+    dv = (
+        _deng_volume(flat_T, flat_P, "Fe3")
+        - _deng_volume(flat_T, flat_P, "Fe2")
+    ) * 1e-6  # cm3 → m3
+    x = flat_P * 1e5  # bar → Pa
+    # segmented trapezoid: interval contributions, zeroed across
+    # segment boundaries, summed per segment with reduceat
+    c = 0.5 * (dv[1:] + dv[:-1]) * (x[1:] - x[:-1])
+    c[offsets[1:-1] - 1] = 0.0
+    out = np.add.reduceat(
+        np.concatenate([c, [0.0]]), offsets[:-1]
+    )
     return out[inv].reshape(shape)
 
 

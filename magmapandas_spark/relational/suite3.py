@@ -355,6 +355,8 @@ def queries():
         "plag_endmembers": q_plag_endmembers,
         "feo_fe2o3_split": q_feo_fe2o3_split,
         "calibration_flags": q_calibration_flags,
+        "fe3fe2_deng2020": q_fe3fe2_deng2020,
+        "kd_toplis_iteration": q_kd_toplis_iteration,
     }
 
 
@@ -1444,3 +1446,51 @@ FROM flagged
 GROUP BY in_range, t_valid
 ORDER BY in_range, t_valid
 """
+
+
+# ----------------------------------------------------------------------
+# solver-tier queries (rows-only: per-row fixed points / EOS integrals)
+# ----------------------------------------------------------------------
+
+def _melt_subset(spark, sf_dir, modulus=64):
+    from magmapandas_spark.core.geoframe import GeoFrame
+
+    gf = synthetic_melt(spark, sf_dir)
+    sub = gf.df.filter(F.col("name") % modulus == 0)
+    return GeoFrame(sub, units=gf.units, datatype=gf.datatype,
+                    species=gf.species)
+
+
+def q_fe3fe2_deng2020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deng2020 thermodynamic Fe3+/Fe2+ (BM4-EOS volume solve + ΔV
+    trapezoid integration + per-row fixed point,
+    ``Fe3Fe2_models.py:419-761``) as one Arrow-vectorized UDF stage
+    over a deterministic 1/64 sample subset."""
+    from magmapandas_spark.models import fe3fe2 as fe_mod
+
+    gf = _melt_subset(spark, sf_dir)
+    T = F.lit(1400.0) + (F.col("name") % 200).cast("double") / F.lit(2.0)
+    out = fe_mod.calculate_Fe3Fe2(
+        gf, T_K=T, P_bar="P_bar", model="deng2020", fO2_buffer="QFM",
+        dfO2=1.0,
+    )
+    return out.select(
+        "name", F.round("Fe3Fe2", 6).alias("Fe3Fe2")
+    ).orderBy("name")
+
+
+def q_kd_toplis_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toplis2005 Kd with the forsterite fixed-point iteration
+    (``Kd_models.py:222-268``, ``Kd_iterate.py:103-174``) — per-row
+    convergence masks inside one pandas-UDF batch, never a driver-side
+    multi-job loop (SURVEY §7 risk 5)."""
+    from magmapandas_spark.models.kd import calculate_FeMg_Kd
+
+    gf = _melt_subset(spark, sf_dir)
+    out = calculate_FeMg_Kd(
+        gf, T_K=F.lit(1500.0), P_bar="P_bar", model="toplis2005",
+        Fe3Fe2=F.lit(0.2),
+    )
+    return out.select(
+        "name", F.round("Kd", 6).alias("Kd")
+    ).orderBy("name")
