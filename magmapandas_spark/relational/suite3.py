@@ -357,6 +357,7 @@ def queries():
         "calibration_flags": q_calibration_flags,
         "fe3fe2_deng2020": q_fe3fe2_deng2020,
         "kd_toplis_iteration": q_kd_toplis_iteration,
+        "melt_describe": q_melt_describe,
     }
 
 
@@ -379,6 +380,7 @@ def oracle_sql():
         "plag_endmembers": _sql_plag_endmembers(),
         "feo_fe2o3_split": _sql_feo_fe2o3_split(),
         "calibration_flags": _sql_calibration_flags(),
+        "melt_describe": _sql_melt_describe(),
     }
 
 
@@ -1494,3 +1496,68 @@ def q_kd_toplis_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "name", F.round("Kd", 6).alias("Kd")
     ).orderBy("name")
+
+
+def q_melt_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical descriptive statistics over sample groups (SURVEY §2.4
+    'describe()'): count/mean/min/max/stddev per pressure level —
+    map-side partial aggregation, one shuffle on a 5-value key.
+    Stddev computed as sqrt(E[x²]−E[x]²) through DECIMAL casts so both
+    engines do identical arithmetic."""
+    gf = synthetic_melt(spark, sf_dir)
+
+    def dec_avg(c):
+        return (
+            F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        )
+
+    def dec_avg_sq(c):
+        return (
+            F.sum(
+                (F.col(c).cast("decimal(18,6)")
+                 * F.col(c).cast("decimal(18,6)")).cast("decimal(28,12)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        )
+
+    return (
+        gf.df.groupBy("P_bar")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(dec_avg("SiO2"), 6).alias("mean_SiO2"),
+            F.round(F.min("MgO"), 6).alias("min_MgO"),
+            F.round(F.max("MgO"), 6).alias("max_MgO"),
+            F.round(
+                F.sqrt(dec_avg_sq("H2O") - dec_avg("H2O") * dec_avg("H2O")),
+                6,
+            ).alias("std_H2O"),
+        )
+        .orderBy("P_bar")
+    )
+
+
+def _sql_melt_describe() -> str:
+    from magmapandas_spark.relational.suite import SQL_MELT_CTE
+
+    davg = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+    davg_sq = (
+        "CAST(SUM(CAST(CAST({x} AS DECIMAL(18,6))"
+        " * CAST({x} AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)"
+        " / COUNT(*)"
+    )
+    mean_si = davg.format(x="SiO2")
+    mean_h = davg.format(x="H2O")
+    mean_h_sq = davg_sq.format(x="H2O")
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT P_bar,
+  COUNT(*) AS n,
+  ROUND({mean_si}, 6) AS mean_SiO2,
+  ROUND(MIN(MgO), 6) AS min_MgO,
+  ROUND(MAX(MgO), 6) AS max_MgO,
+  ROUND(SQRT({mean_h_sq} - ({mean_h}) * ({mean_h})), 6) AS std_H2O
+FROM melt
+GROUP BY P_bar
+ORDER BY P_bar
+"""
