@@ -358,6 +358,7 @@ def queries():
         "fe3fe2_deng2020": q_fe3fe2_deng2020,
         "kd_toplis_iteration": q_kd_toplis_iteration,
         "melt_describe": q_melt_describe,
+        "kd_blundy_saper": q_kd_blundy_saper,
     }
 
 
@@ -1561,3 +1562,29 @@ FROM melt
 GROUP BY P_bar
 ORDER BY P_bar
 """
+
+
+def q_kd_blundy_saper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining Kd fixed-point models: blundy2020 (forces
+    borisov2018 Fe3Fe2, ``Kd_models.py:352-362``) and saper2022 (Gibbs
+    + interaction terms, ``Kd_models.py:655-752``), each iterating
+    forsterite to convergence inside one pandas-UDF batch."""
+    from magmapandas_spark.core.geoframe import GeoFrame
+    from magmapandas_spark.models.kd import calculate_FeMg_Kd
+
+    gf = _melt_subset(spark, sf_dir)
+    df = calculate_FeMg_Kd(
+        gf, T_K=F.lit(1500.0), P_bar="P_bar", model="blundy2020",
+        out_col="kd_blundy",
+    )
+    g2 = GeoFrame(df, units=gf.units, datatype=gf.datatype,
+                  species=gf.species)
+    df = calculate_FeMg_Kd(
+        g2, T_K=F.lit(1500.0), P_bar="P_bar", model="saper2022",
+        Fe3Fe2=F.lit(0.2), out_col="kd_saper",
+    )
+    return df.select(
+        "name",
+        F.round("kd_blundy", 6).alias("kd_blundy"),
+        F.round("kd_saper", 6).alias("kd_saper"),
+    ).orderBy("name")
