@@ -359,6 +359,8 @@ def queries():
         "kd_toplis_iteration": q_kd_toplis_iteration,
         "melt_describe": q_melt_describe,
         "kd_blundy_saper": q_kd_blundy_saper,
+        "fe3fe2_expr_models2": q_fe3fe2_expr_models2,
+        "fe3fe2_expr_models3": q_fe3fe2_expr_models3,
     }
 
 
@@ -382,6 +384,8 @@ def oracle_sql():
         "feo_fe2o3_split": _sql_feo_fe2o3_split(),
         "calibration_flags": _sql_calibration_flags(),
         "melt_describe": _sql_melt_describe(),
+        "fe3fe2_expr_models2": _sql_fe3fe2_expr_models2(),
+        "fe3fe2_expr_models3": _sql_fe3fe2_expr_models3(),
     }
 
 
@@ -1588,3 +1592,189 @@ def q_kd_blundy_saper(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("kd_blundy", 6).alias("kd_blundy"),
         F.round("kd_saper", 6).alias("kd_saper"),
     ).orderBy("name")
+
+
+def q_fe3fe2_expr_models2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining purely-linear Fe3+/Fe2+ expression models:
+    kress_carmichael1991 (with P terms), jayasuriya2004, putirka2016_6b
+    — same 1-bar-QFM fO2 chain as fe3fe2_expr_models, exact SQL
+    oracle."""
+    from magmapandas_spark.models import fe3fe2 as fe_mod
+    from magmapandas_spark.models import fo2 as fo2_mod
+    from magmapandas_spark.models.common import mole_fraction_exprs
+
+    gf = synthetic_melt(spark, sf_dir)
+    T = F.lit(1400.0) + (F.col("name") % 200).cast("double") / F.lit(2.0)
+    fO2 = fo2_mod.fo2_qfm_1bar(0.0, T)
+    comp = {s: F.coalesce(F.col(s), F.lit(0.0)) for s in gf.species}
+    mol = mole_fraction_exprs(comp)
+    return gf.df.select(
+        "name",
+        F.round(
+            fe_mod.fe3fe2_kress_carmichael1991(mol, T, fO2, F.col("P_bar")),
+            4,
+        ).alias("fe3fe2_kc"),
+        F.round(
+            fe_mod.fe3fe2_jayasuriya2004(mol, T, fO2), 4
+        ).alias("fe3fe2_jaya"),
+        F.round(
+            fe_mod.fe3fe2_putirka2016_6b(mol, T, fO2), 4
+        ).alias("fe3fe2_p6b"),
+    ).orderBy("name")
+
+
+def _sql_fe3fe2_expr_models2() -> str:
+    from magmapandas_spark.relational.suite import (
+        MELT_SPECIES,
+        SQL_MELT_CTE,
+        _sql_mole_fraction_terms,
+    )
+
+    _, mol = _sql_mole_fraction_terms(MELT_SPECIES)
+    R = 8.31446261815324
+    t = "(1400.0 + (name % 200) / 2.0)"
+    mu = (
+        f"(-587474.0 + 1584.427 * {t} - 203.3164 * {t} * LN({t})"
+        f" + 0.092710 * {t} * {t})"
+    )
+    ln_fo2 = f"({mu} / ({R!r} * {t}))"
+    z = "0.0"
+    g = lambda n: mol.get(n, z)
+
+    # Kress & Carmichael 1991 eq. 7
+    p_pa = "(P_bar * 1e5)"
+    kc_comps = (
+        f"(-2.243 * {g('Al2O3')} + -1.828 * {g('FeO')}"
+        f" + 3.201 * {g('CaO')} + 5.854 * {g('Na2O')}"
+        f" + 6.215 * {g('K2O')})"
+    )
+    kc = (
+        f"(2.0 * EXP(0.196 * {ln_fo2} + 1.1492e4 / {t} + (-6.675)"
+        f" + {kc_comps}"
+        f" + (-3.36) * (1.0 - 1673.0 / {t} - LN({t} / 1673.0))"
+        f" + (-7.01e-7) * {p_pa} / {t}"
+        f" + (-1.54e-10) * (({t} - 1673.0) * {p_pa}) / {t}"
+        f" + 3.85e-17 * {p_pa} * {p_pa} / {t}))"
+    )
+    jaya_comps = (
+        f"(-0.487 * {g('MgO')} + 2.201 * {g('CaO')} + 6.610 * {g('Na2O')}"
+        f" + 8.214 * {g('K2O')} + (-3.781) * {g('Al2O3')}"
+        f" + (-62.79) * {g('P2O5')} + 1.377 * {g('FeO')})"
+    )
+    jaya = (
+        f"(2.0 * EXP(0.1967 * {ln_fo2} + 12420.0 / {t} - 7.054"
+        f" + {jaya_comps}))"
+    )
+    p6b = (
+        f"(2.0 * EXP(-6.53 + 10813.8 / {t} + 0.19 * {ln_fo2}"
+        f" + 12.4 * ({g('Na2O')} + {g('K2O')})"
+        f" - 3.44 * ({g('Al2O3')} / ({g('Al2O3')} + {g('SiO2')}))"
+        f" + 4.15 * {g('CaO')}))"
+    )
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT name,
+  ROUND({kc}, 4) AS fe3fe2_kc,
+  ROUND({jaya}, 4) AS fe3fe2_jaya,
+  ROUND({p6b}, 4) AS fe3fe2_p6b
+FROM melt
+ORDER BY name
+"""
+
+
+def q_fe3fe2_expr_models3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last two oracle-able Fe3+/Fe2+ expression models: zhang2017
+    (pressure-interpolated EOS closed form) and putirka2016_6c (NBO/T
+    with Al(IV) capping — LEAST in both engines)."""
+    from magmapandas_spark.models import fe3fe2 as fe_mod
+    from magmapandas_spark.models import fo2 as fo2_mod
+    from magmapandas_spark.models.common import mole_fraction_exprs
+
+    gf = synthetic_melt(spark, sf_dir)
+    T = F.lit(1400.0) + (F.col("name") % 200).cast("double") / F.lit(2.0)
+    fO2 = fo2_mod.fo2_qfm_1bar(0.0, T)
+    comp = {s: F.coalesce(F.col(s), F.lit(0.0)) for s in gf.species}
+    mol = mole_fraction_exprs(comp)
+    return gf.df.select(
+        "name",
+        F.round(
+            fe_mod.fe3fe2_zhang2017(mol, T, fO2, F.col("P_bar")), 4
+        ).alias("fe3fe2_zhang"),
+        F.round(
+            fe_mod.fe3fe2_putirka2016_6c(mol, T, fO2), 4
+        ).alias("fe3fe2_p6c"),
+    ).orderBy("name")
+
+
+def _sql_fe3fe2_expr_models3() -> str:
+    from magmapandas_spark.chem.elements import (
+        calculate_weight,
+        cation_amount,
+        cation_name,
+    )
+    from magmapandas_spark.relational.suite import (
+        MELT_SPECIES,
+        SQL_MELT_CTE,
+        _sql_mole_fraction_terms,
+    )
+
+    _, mol = _sql_mole_fraction_terms(MELT_SPECIES)
+    R = 8.31446261815324
+    t = "(1400.0 + (name % 200) / 2.0)"
+    mu = (
+        f"(-587474.0 + 1584.427 * {t} - 203.3164 * {t} * LN({t})"
+        f" + 0.092710 * {t} * {t})"
+    )
+    ln_fo2 = f"({mu} / ({R!r} * {t}))"
+    z = "0.0"
+    g = lambda n: mol.get(n, z)
+
+    # zhang2017 eq. 11 ('LC' parameters)
+    p_gpa = "(P_bar * 1e5 / 1e9)"
+    zhang = (
+        f"(EXP({ln_fo2} / 4.0 + (-6.376) + 107257.0 / ({R!r} * {t})"
+        f" - (20170.0 + 4.54 * ({t} - 1673.0)) * ({16.6 / 3.0!r})"
+        f"   * (POW(1.0 + 0.241 * {p_gpa}, 0.75) - 1.0) / ({R!r} * {t})"
+        f" + (15095.0 + 2.92 * ({t} - 1673.0)) * ({4.0 / (3.0 * 8.27e-2)!r})"
+        f"   * (POW(1.0 + 8.27e-2 * {p_gpa}, 0.75) - 1.0) / ({R!r} * {t})))"
+    )
+
+    # putirka2016_6c: cation fractions over the full species set
+    cat_terms: dict = {}
+    for s in MELT_SPECIES:
+        n = cation_name(s)
+        term = f"(({s} / {calculate_weight(s)!r}) * {cation_amount(s)!r})"
+        cat_terms.setdefault(n, []).append(term)
+    total = " + ".join(x for parts in cat_terms.values() for x in parts)
+    cat = {
+        n: f"(({' + '.join(parts)}) / ({total}))"
+        for n, parts in cat_terms.items()
+    }
+    c = lambda n: cat.get(n, z)
+    al_iv = (
+        f"LEAST({c('Al')}, {c('Na')} + {c('K')}"
+        f" + 2.0 * ({c('Ca')} + {c('Mg')}))"
+    )
+    tet = f"({c('Si')} + {c('Ti')} + {al_iv})"
+    O = (
+        f"(2.0 * ({c('Si')} + {c('Ti')})"
+        f" + 1.5 * ({c('Al')} + {c('Cr')})"
+        f" + ({c('Fe')} + {c('Mn')} + {c('Mg')} + {c('Ca')})"
+        f" + 0.5 * ({c('Na')} + {c('K')})"
+        f" + 2.5 * {c('P')})"
+    )
+    nbo_t = f"((2.0 * {O} - 4.0 * {tet}) / {tet})"
+    p6c = (
+        f"(2.0 * EXP(-6.75 + 10634.9 / {t} + 0.195 * {ln_fo2}"
+        f" + 7.9 * ({g('Na2O')} + {g('K2O')}) - 4.6 * {g('MgO')}"
+        f" + 0.54 * ({g('MgO')} / ({g('MgO')} + {g('FeO')}))"
+        f" - 53.4 * {g('P2O5')} + 1.07 * {nbo_t}))"
+    )
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT name,
+  ROUND({zhang}, 4) AS fe3fe2_zhang,
+  ROUND({p6c}, 4) AS fe3fe2_p6c
+FROM melt
+ORDER BY name
+"""
