@@ -361,6 +361,8 @@ def queries():
         "kd_blundy_saper": q_kd_blundy_saper,
         "fe3fe2_expr_models2": q_fe3fe2_expr_models2,
         "fe3fe2_expr_models3": q_fe3fe2_expr_models3,
+        "fe3fe2_hirschmann2022": q_fe3fe2_hirschmann2022,
+        "fe3fe2_solvers2": q_fe3fe2_solvers2,
     }
 
 
@@ -386,6 +388,7 @@ def oracle_sql():
         "melt_describe": _sql_melt_describe(),
         "fe3fe2_expr_models2": _sql_fe3fe2_expr_models2(),
         "fe3fe2_expr_models3": _sql_fe3fe2_expr_models3(),
+        "fe3fe2_hirschmann2022": _sql_fe3fe2_hirschmann2022(),
     }
 
 
@@ -1778,3 +1781,123 @@ SELECT name,
 FROM melt
 ORDER BY name
 """
+
+
+def q_fe3fe2_hirschmann2022(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hirschmann2022 — eq. 21 with the Armstrong closed-form VdP
+    pressure term: the most structured expression-tier redox model,
+    still fully SQL-expressible (SURVEY §2.8)."""
+    from magmapandas_spark.models import fe3fe2 as fe_mod
+    from magmapandas_spark.models import fo2 as fo2_mod
+    from magmapandas_spark.models.common import mole_fraction_exprs
+
+    gf = synthetic_melt(spark, sf_dir)
+    T = F.lit(1400.0) + (F.col("name") % 200).cast("double") / F.lit(2.0)
+    fO2 = fo2_mod.fo2_qfm_1bar(0.0, T)
+    comp = {s: F.coalesce(F.col(s), F.lit(0.0)) for s in gf.species}
+    mol = mole_fraction_exprs(comp)
+    return gf.df.select(
+        "name",
+        F.round(
+            fe_mod.fe3fe2_hirschmann2022(mol, T, fO2, F.col("P_bar")), 4
+        ).alias("fe3fe2_h22"),
+    ).orderBy("name")
+
+
+def _sql_fe3fe2_hirschmann2022() -> str:
+    from magmapandas_spark.chem.elements import (
+        calculate_weight,
+        cation_amount,
+        cation_name,
+    )
+    from magmapandas_spark.relational.suite import (
+        MELT_SPECIES,
+        SQL_MELT_CTE,
+    )
+    import numpy as np
+
+    R = 8.31446261815324
+    LN10 = float(np.log(10.0))
+    t = "(1400.0 + (name % 200) / 2.0)"
+    mu = (
+        f"(-587474.0 + 1584.427 * {t} - 203.3164 * {t} * LN({t})"
+        f" + 0.092710 * {t} * {t})"
+    )
+    log10_fo2 = f"({mu} / ({R!r} * {t}) / {LN10!r})"
+
+    cat_terms: dict = {}
+    for s in MELT_SPECIES:
+        n = cation_name(s)
+        term = f"(({s} / {calculate_weight(s)!r}) * {cation_amount(s)!r})"
+        cat_terms.setdefault(n, []).append(term)
+    total = " + ".join(x for parts in cat_terms.values() for x in parts)
+    cat = {
+        n: f"(({' + '.join(parts)}) / ({total}))"
+        for n, parts in cat_terms.items()
+    }
+    c = lambda n: cat.get(n, "0.0")
+
+    def vdp(phase):
+        K0, Kp = {"Fe2": (37.0, 8.0), "Fe3": (12.6, 1.3)}[phase]
+        Kpp = -Kp / K0
+        a = (1 + Kp) / (1 + Kp + K0 * Kpp)
+        b = Kp / K0 - Kpp / (1 + Kp)
+        cc = (1 + Kp + K0 * Kpp) / (Kp**2 + Kp - K0 * Kpp)
+        v0 = (
+            f"(13650.0 + 2.92 * ({t} - 1673.0))"
+            if phase == "Fe2"
+            else f"(21070.0 + 4.54 * ({t} - 1673.0))"
+        )
+        P = "(P_bar / 1e4)"
+        part_1 = f"({a!r} * (1.0 - POW(1.0 + {b!r} * {P}, {1.0 - cc!r})))"
+        part_2 = f"({b * (cc - 1)!r} * {P})"
+        return f"({P} * {v0} * ({1.0 - a!r} + {part_1} / {part_2}))"
+
+    dvdp = f"({vdp('Fe3')} - {vdp('Fe2')})"
+    comp = (
+        f"((-520.46) * {c('Si')} + (-185.37) * {c('Ti')}"
+        f" + 494.39 * {c('Mg')} + 1838.34 * {c('Ca')}"
+        f" + 2888.48 * {c('Na')} + 3473.68 * {c('K')}"
+        f" + (-4473.6) * {c('P')}"
+        f" + (-1245.09) * {c('Si')} * {c('Al')}"
+        f" + (-1156.86) * {c('Si')} * {c('Mg')})"
+    )
+    h22 = (
+        f"POW(10.0, 0.1917 * {log10_fo2} + (-1.961) + 4158.1 / {t}"
+        f" + ({-33.25 / (R * LN10)!r})"
+        f"   * (1.0 - 1673.15 / {t} - LN({t} / 1673.15))"
+        f" - {dvdp} / ({R!r} * {t} * {LN10!r})"
+        f" + {comp} / {t})"
+    )
+    return f"""
+WITH {SQL_MELT_CTE}
+SELECT name,
+  ROUND({h22}, 4) AS fe3fe2_h22
+FROM melt
+ORDER BY name
+"""
+
+
+def q_fe3fe2_solvers2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining solver-tier Fe3+/Fe2+ models: oneill2006 and
+    armstrong2019 fixed points over the sample subset (rows-only)."""
+    from magmapandas_spark.core.geoframe import GeoFrame
+    from magmapandas_spark.models import fe3fe2 as fe_mod
+
+    gf = _melt_subset(spark, sf_dir)
+    T = F.lit(1400.0) + (F.col("name") % 200).cast("double") / F.lit(2.0)
+    df = fe_mod.calculate_Fe3Fe2(
+        gf, T_K=T, P_bar="P_bar", model="oneill2006",
+        fO2_buffer="QFM_1bar", dfO2=0.0, out_col="fe3fe2_oneill06",
+    )
+    g2 = GeoFrame(df, units=gf.units, datatype=gf.datatype,
+                  species=gf.species)
+    df = fe_mod.calculate_Fe3Fe2(
+        g2, T_K=T, P_bar="P_bar", model="armstrong2019",
+        fO2_buffer="QFM_1bar", dfO2=0.0, out_col="fe3fe2_armstrong",
+    )
+    return df.select(
+        "name",
+        F.round("fe3fe2_oneill06", 6).alias("fe3fe2_oneill06"),
+        F.round("fe3fe2_armstrong", 6).alias("fe3fe2_armstrong"),
+    ).orderBy("name")
