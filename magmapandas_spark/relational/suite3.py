@@ -363,6 +363,7 @@ def queries():
         "fe3fe2_expr_models3": q_fe3fe2_expr_models3,
         "fe3fe2_hirschmann2022": q_fe3fe2_hirschmann2022,
         "fe3fe2_solvers2": q_fe3fe2_solvers2,
+        "sugawara6a_cpx": q_sugawara6a_cpx,
     }
 
 
@@ -389,6 +390,7 @@ def oracle_sql():
         "fe3fe2_expr_models2": _sql_fe3fe2_expr_models2(),
         "fe3fe2_expr_models3": _sql_fe3fe2_expr_models3(),
         "fe3fe2_hirschmann2022": _sql_fe3fe2_hirschmann2022(),
+        "sugawara6a_cpx": _sql_sugawara6a_cpx(),
     }
 
 
@@ -1901,3 +1903,67 @@ def q_fe3fe2_solvers2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("fe3fe2_oneill06", 6).alias("fe3fe2_oneill06"),
         F.round("fe3fe2_armstrong", 6).alias("fe3fe2_armstrong"),
     ).orderBy("name")
+
+
+def q_sugawara6a_cpx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last gate stragglers: sugawara2000_6a melt thermometer
+    (``thermometers/melt.py:570-616``) and clinopyroxene Mg#
+    (``clinopyroxene.py:33-50``, on the Fe-Ti synthetic treated as the
+    generic Mg-Fe phase) — both pure expressions with exact oracles."""
+    from magmapandas_spark.models import thermometers as tm
+    from magmapandas_spark.models.minerals import cpx_mg_no
+
+    gf = synthetic_melt(spark, sf_dir)
+    t6a = tm.sugawara2000_6a(gf, P_bar="P_bar", out_col="T6a")
+    mt = _synthetic_mt(spark, sf_dir)
+    mg = cpx_mg_no(mt).select(
+        F.col("name").alias("mt_name"), F.round("Mg_no", 6).alias("Mg_no")
+    )
+    left = t6a.select(
+        "name", F.round("T6a", 4).alias("T6a"),
+        (F.col("name") % 100 + 1).alias("mt_name"),
+    )
+    # modulo-join onto the (unique-keyed) mineral table: broadcast
+    out = left.join(F.broadcast(mg), "mt_name")
+    return out.select("name", "T6a", "Mg_no").orderBy("name")
+
+
+def _sql_sugawara6a_cpx() -> str:
+    from magmapandas_spark.chem.elements import calculate_weight
+    from magmapandas_spark.relational.suite import (
+        MELT_SPECIES,
+        SQL_MELT_CTE,
+        _sql_mole_fraction_terms,
+    )
+
+    anhyd = [s for s in MELT_SPECIES if s != "H2O"]
+    _, frac_anh = _sql_mole_fraction_terms(anhyd)
+    _, frac_full = _sql_mole_fraction_terms(MELT_SPECIES)
+    t6a = (
+        f"1466.0 - 1.44 * ({frac_anh['SiO2']} * 100.0)"
+        f" - 0.5 * ({frac_anh['FeO']} * 100.0)"
+        f" + 12.32 * ({frac_anh['MgO']} * 100.0)"
+        f" - 3.899 * ({frac_anh['CaO']} * 100.0)"
+        f" + 4.3e-3 * P_bar - 5.403 * ({frac_full['H2O']} * 100.0)"
+    )
+    mt_species = ["TiO2", "Al2O3", "MgO", "MnO", "FeO"]
+    terms = {s: f"(mt.{s} / {calculate_weight(s)!r})" for s in mt_species}
+    tot = " + ".join(terms.values())
+    mol = {s: f"({t} / ({tot}))" for s, t in terms.items()}
+    mg_no = f"({mol['MgO']} / ({mol['FeO']} + {mol['MgO']}))"
+    # compute T6a before the join so melt/mineral oxide columns never
+    # meet in one scope (both tables have Al2O3/MgO/FeO/TiO2)
+    return f"""
+WITH {SQL_MELT_CTE},
+{SQL_MT_CTE.strip().rstrip()},
+melt_t AS (
+  SELECT name, ROUND({t6a}, 4) AS T6a, name % 100 + 1 AS mt_name
+  FROM melt
+)
+SELECT melt_t.name AS name,
+  T6a,
+  ROUND({mg_no}, 6) AS Mg_no
+FROM melt_t
+JOIN mt ON melt_t.mt_name = mt.name
+ORDER BY name
+"""
