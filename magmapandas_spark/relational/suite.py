@@ -238,18 +238,20 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            davg(tokens.cast("double")).alias("avg_tokens"),
+            F.round(davg(tokens.cast("double")), 6).alias("avg_tokens"),
         )
         .orderBy("lang")
     )
 
 
+# DuckDB SUM(INTEGER) yields HUGEINT (renders 19525.0) while Spark SUM(INT)
+# yields BIGINT — cast the oracle side so the value hashes agree.
 SQL_DOC_STATS = f"""
 SELECT
   lang,
   COUNT(*) AS n_docs,
-  SUM(n_chars) AS total_chars,
-  {SQL_DAVG.format(x="CAST(len(str_split(text, ' ')) AS DOUBLE)")} AS avg_tokens
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  ROUND({SQL_DAVG.format(x="CAST(len(str_split(text, ' ')) AS DOUBLE)")}, 6) AS avg_tokens
 FROM documents
 GROUP BY lang
 ORDER BY lang

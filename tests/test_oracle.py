@@ -61,6 +61,13 @@ def test_query_matches_oracle(spark, name):
     )
     for col in a.columns:
         av, bv = a[col], b[col]
+        # the driver hashes rendered values, so int-vs-float column types
+        # (e.g. DuckDB HUGEINT -> float64 vs Spark BIGINT) are a real
+        # mismatch even when values are numerically equal
+        ak, bk = av.dtype.kind, bv.dtype.kind
+        assert ak == bk or {ak, bk} <= {"i", "u"}, (
+            f"{name}.{col}: dtype kind {ak} (spark) vs {bk} (oracle)"
+        )
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(float)
             bv = bv.astype(float)
