@@ -210,7 +210,15 @@ def iterate_kd_np(
     fo_converge=0.001, max_iter=100,
 ):
     """Vectorized forsterite fixed point with per-row convergence masks —
-    exact semantics of ``iterate_Kd_vectorized`` (``Kd_iterate.py:103-174``)."""
+    semantics of ``iterate_Kd_vectorized`` (``Kd_iterate.py:103-174``),
+    same |ΔFo|/Fo ≤ 1e-3 stop rule.
+
+    Converged rows are FROZEN (no further kd/fo updates), so each row's
+    trajectory depends only on its own inputs — results are identical
+    under any Arrow batch / partition split (the reference's
+    whole-array update drifts converged rows by how long the slowest row
+    in the same batch iterates). This also makes the recurrence
+    per-row-expressible as a recursive-CTE oracle."""
     T = np.asarray(T_K, dtype=float)
     fo = np.full_like(T, float(forsterite_init))
     fe2_fetot = 1.0 / (1.0 + Fe3Fe2)
@@ -218,15 +226,15 @@ def iterate_kd_np(
 
     kd = kd_fn(mol, fo, T, P_bar, Fe3Fe2=Fe3Fe2)
     fo_eq = 1.0 / (1.0 + kd * fe2mg)
-    delta = np.abs(fo - fo_eq) / fo
-    active = delta > fo_converge
+    active = np.abs(fo - fo_eq) / fo > fo_converge
     it = 0
     while active.any() and it < max_iter:
-        kd = kd_fn(mol, fo_eq, T, P_bar, Fe3Fe2=Fe3Fe2)
+        kd_new = kd_fn(mol, fo_eq, T, P_bar, Fe3Fe2=Fe3Fe2)
+        fo_eq_new = 1.0 / (1.0 + kd_new * fe2mg)
+        kd = np.where(active, kd_new, kd)
         fo = np.where(active, fo_eq, fo)
-        fo_eq = 1.0 / (1.0 + kd * fe2mg)
-        delta = np.abs(fo - fo_eq) / fo
-        active = delta > fo_converge
+        fo_eq = np.where(active, fo_eq_new, fo_eq)
+        active = active & (np.abs(fo - fo_eq) / fo > fo_converge)
         it += 1
     return kd
 

@@ -680,8 +680,9 @@ ORDER BY name
 def q_volatile_saturation_im(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iacono-Marziano mixed CO2-H2O saturation over the synthetic melt:
     the reference's per-row multiprocessing showcase (EP3, SURVEY §3)
-    as one vectorized UDF stage. Non-SQL-expressible (implicit
-    root-finding) → rows-only correctness check."""
+    as one vectorized UDF stage. Exact DuckDB oracle: the saturation
+    residual is closed-form in P, so the 60-step bisection is a
+    recursive CTE (``solver_oracles.sql_volatile_saturation_im``)."""
     from magmapandas_spark.models import volatiles as vol
 
     gf = synthetic_melt(spark, sf_dir)
@@ -739,4 +740,12 @@ def oracle_sql():
         "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "shishkina_co2_saturation": _sql_shishkina_co2(),
+        "volatile_saturation_im": _sql_volatile_saturation_im(),
     }
+
+
+def _sql_volatile_saturation_im():
+    from magmapandas_spark.relational import solver_oracles as so
+    from magmapandas_spark.relational.suite import SQL_MELT_CTE
+
+    return so.sql_volatile_saturation_im(SQL_MELT_CTE)

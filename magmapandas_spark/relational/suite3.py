@@ -368,7 +368,14 @@ def queries():
 
 
 def oracle_sql():
+    from magmapandas_spark.relational import solver_oracles as so
+    from magmapandas_spark.relational.suite import SQL_MELT_CTE
+
     return {
+        "fe3fe2_solvers2": so.sql_fe3fe2_solvers2(SQL_MELT_CTE),
+        "kd_toplis_iteration": so.sql_kd_toplis(SQL_MELT_CTE),
+        "kd_blundy_saper": so.sql_kd_blundy_saper(SQL_MELT_CTE),
+        "isobar_grid": so.sql_isobar_grid(SQL_MELT_CTE),
         "user_sessions": SQL_USER_SESSIONS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
@@ -1584,7 +1591,7 @@ def q_kd_blundy_saper(spark: SparkSession, sf_dir: str) -> DataFrame:
     gf = _melt_subset(spark, sf_dir)
     df = calculate_FeMg_Kd(
         gf, T_K=F.lit(1500.0), P_bar="P_bar", model="blundy2020",
-        out_col="kd_blundy",
+        fO2_buffer="QFM_1bar", out_col="kd_blundy",
     )
     g2 = GeoFrame(df, units=gf.units, datatype=gf.datatype,
                   species=gf.species)
