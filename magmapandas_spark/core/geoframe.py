@@ -23,7 +23,7 @@ Design:
 from __future__ import annotations
 
 from functools import reduce
-from typing import Iterable, Mapping
+from typing import Iterable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -37,6 +37,30 @@ def _sum(cols: Iterable[Column]) -> Column:
     if not cols:
         return F.lit(0.0)
     return reduce(lambda a, b: a + b, cols)
+
+
+# 2^48 and 2π as exact double literals shared with the SQL oracles
+_TWO48 = 281474976710656.0
+_TWO_PI = 6.283185307179586
+
+
+def _hash_gauss(key: Column, tag: str) -> Column:
+    """Deterministic standard-normal draw from an md5 counter:
+    u1, u2 from the top 48 bits of md5(key:tag:a / :b), then Box-Muller
+    z = sqrt(-2 ln u1)·cos(2π u2). Engine-portable (md5 + libm only)."""
+    def _u(suffix: str) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", key, F.lit(tag), F.lit(suffix))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("bigint")
+        return h.cast("double")
+
+    u1 = (_u("a") + F.lit(1.0)) / F.lit(_TWO48)
+    u2 = _u("b") / F.lit(_TWO48)
+    return F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(_TWO_PI) * u2)
 
 
 class GeoFrame:
@@ -406,9 +430,27 @@ class GeoFrame:
     # Monte-Carlo input resampling (``magmaFrame.py:449-472``)
     # ------------------------------------------------------------------
     def random_sample(
-        self, errors: float | Mapping[str, float], seed: int | None = None
+        self,
+        errors: float | Mapping[str, float],
+        seed: int | None = None,
+        hash_cols: Sequence[str] | None = None,
     ) -> "GeoFrame":
+        """Gaussian perturbation clipped at 0 (``magmaFrame.py:449-472``).
+
+        Two noise sources:
+        - default: seeded ``F.randn`` — fast, but Spark seeds its RNG
+          per partition, so draws change with partitioning;
+        - ``hash_cols``: md5-keyed Box-Muller on (hash_cols, species,
+          seed) — a counter-based RNG in the Philox spirit. Draws are a
+          pure function of row identity: identical under any partition /
+          AQE split (the scale-safe choice) and reproducible in any
+          engine with md5 (exact-oracle-checkable)."""
         exprs = {}
+        key = None
+        if hash_cols is not None:
+            key = F.concat_ws(
+                ":", *[F.col(c).cast("string") for c in hash_cols]
+            )
         for i, s in enumerate(self.species):
             err = (
                 float(errors.get(s, 0.0))
@@ -418,7 +460,10 @@ class GeoFrame:
             if err == 0.0:
                 exprs[s] = F.col(s)
                 continue
-            noise = F.randn(seed + i if seed is not None else None)
+            if key is not None:
+                noise = _hash_gauss(key, f"{s}:{seed if seed else 0}")
+            else:
+                noise = F.randn(seed + i if seed is not None else None)
             exprs[s] = F.greatest(F.lit(0.0), F.col(s) + noise * F.lit(err))
         return self._rebuild(exprs, self.units)
 

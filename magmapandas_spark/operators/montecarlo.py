@@ -103,10 +103,13 @@ def mc_perturb(
     gf: GeoFrame,
     errors: float | dict[str, float],
     seed: int = 42,
+    hash_cols: Sequence[str] | None = None,
 ) -> GeoFrame:
     """Gaussian input perturbation clipped at 0
-    (``magmaFrame.py:449-472``) with seeded randn."""
-    return gf.random_sample(errors, seed=seed)
+    (``magmaFrame.py:449-472``). With ``hash_cols`` the draws come from
+    the md5 counter RNG — partition-independent and oracle-checkable;
+    otherwise seeded ``F.randn``."""
+    return gf.random_sample(errors, seed=seed, hash_cols=hash_cols)
 
 
 def mc_summarize(
@@ -114,19 +117,26 @@ def mc_summarize(
     keys: Sequence[str],
     value_cols: Sequence[str],
     percentiles: Sequence[float] = (0.025, 0.5, 0.975),
+    exact_percentiles: bool = False,
 ) -> DataFrame:
     """Per-sample summary: mean, stddev, requested percentiles — one
-    shuffle on the sample key (map-side partial aggregation)."""
+    shuffle on the sample key (map-side partial aggregation).
+
+    ``exact_percentiles`` switches approx_percentile (the 100 TB
+    default: bounded-memory sketch) to the exact interpolated
+    percentile (deterministic; what the oracle computes)."""
     aggs = []
     for v in value_cols:
         aggs.append(F.avg(v).alias(f"{v}_mean"))
         aggs.append(F.stddev(v).alias(f"{v}_std"))
         for p in percentiles:
-            aggs.append(
-                F.percentile_approx(v, float(p), 10000).alias(
-                    f"{v}_p{str(p).replace('0.', '')}"
+            alias = f"{v}_p{str(p).replace('0.', '')}"
+            if exact_percentiles:
+                aggs.append(F.percentile(v, float(p)).alias(alias))
+            else:
+                aggs.append(
+                    F.percentile_approx(v, float(p), 10000).alias(alias)
                 )
-            )
     return result.groupBy(*keys).agg(*aggs)
 
 
@@ -139,20 +149,26 @@ def monte_carlo(
     keys: Sequence[str] = ("name",),
     seed: int = 42,
     percentiles: Sequence[float] = (0.025, 0.5, 0.975),
+    hash_noise: bool = False,
+    exact_percentiles: bool = False,
 ) -> DataFrame:
     """Full MC pipeline: replicate → perturb → compute → summarize.
 
     ``computation`` receives the perturbed GeoFrame and returns a
     DataFrame with ``value_cols`` (e.g. a thermometer or Fe3Fe2
-    chain)."""
+    chain). ``hash_noise`` keys the Gaussian draws on
+    (keys, iteration, species) via the md5 counter RNG — deterministic
+    under repartitioning and reproducible by the DuckDB oracle."""
     replicated = mc_replicate(melt.df, n_iterations)
     gf = GeoFrame(
         replicated, units=melt.units, datatype=melt.datatype,
         species=melt.species,
     )
-    perturbed = mc_perturb(gf, errors, seed=seed)
+    hash_cols = (*keys, "mc_iter") if hash_noise else None
+    perturbed = mc_perturb(gf, errors, seed=seed, hash_cols=hash_cols)
     result = computation(perturbed)
-    return mc_summarize(result, keys, value_cols, percentiles)
+    return mc_summarize(result, keys, value_cols, percentiles,
+                        exact_percentiles=exact_percentiles)
 
 
 VALIDATION_LIMITS_HIGH_PRESSURE = (0.052631579, 2.160641174)

@@ -14,7 +14,12 @@ correctness gate *exact* cross-engine oracles for:
   (60-step bisection on the closed-form partial-pressure residual,
   ``models/volatiles.py:235-273``);
 - ``isobar_grid`` — dissolved-H2O inner bisection + closed-form CO2
-  (``models/volatiles.py:88-153``).
+  (``models/volatiles.py:88-153``);
+- ``mc_thermometer`` — md5-counter Box-Muller draws (bit-identical to
+  ``core.geoframe._hash_gauss``) + the putirka15 closed form;
+- ``fe3fe2_deng2020`` — BM4 volume bisections over the per-row
+  pressure grid, trapezoid ΔV·dP, then the outer fixed point
+  (``models/fe3fe2.py:378-547``).
 
 Bisection is self-correcting: a 1-ulp libm difference between numpy and
 DuckDB can flip one sign test, but the bracket still contains a point
@@ -122,7 +127,7 @@ def _split_cats(x: str) -> dict[str, str]:
     e_fe3 = f"(m_FeO * (1.0 - {fe2f}))"
     tot = f"(rest + {e_fe} + {e_fe3})"
     e = _e_terms()
-    cats = {c: f"({e[c]} / {tot})" for c in ("Mg", "Ca", "Na", "K", "Al", "P")}
+    cats = {c: f"({e[c]} / {tot})" for c in e if c != "Fe"}
     cats["Fe"] = f"({e_fe} / {tot})"
     cats["Fe3"] = f"({e_fe3} / {tot})"
     return cats
@@ -588,4 +593,237 @@ SELECT (SELECT name FROM samp) AS name,
   ROUND(CASE WHEN valid_c THEN {co3} / 1e4 ELSE 0.0 END, 6) AS CO2_sol
 FROM fin
 ORDER BY kind, P_bar, x_fluid
+"""
+
+# ----------------------------------------------------------------------
+# Monte-Carlo thermometer (md5 counter RNG — engine-portable draws)
+# ----------------------------------------------------------------------
+
+_TWO48 = 281474976710656.0
+_TWO_PI = 6.283185307179586
+MC_ERRORS = {"SiO2": 0.3, "MgO": 0.1, "FeO": 0.15}
+MC_SEED = 7
+MC_ITERS = 64
+
+
+def _sql_hash_gauss(key: str, tag: str) -> str:
+    """DuckDB twin of ``core.geoframe._hash_gauss``: md5 of
+    ``key || ':tag:a' / ':b'`` → top-48-bit uniforms → Box-Muller."""
+    def u(suffix: str) -> str:
+        return (
+            f"CAST(CAST('0x' || substring(md5({key} || ':{tag}:{suffix}'),"
+            f" 1, 12) AS BIGINT) AS DOUBLE)"
+        )
+
+    u1 = f"(({u('a')} + 1.0) / {_TWO48!r})"
+    u2 = f"({u('b')} / {_TWO48!r})"
+    return f"(SQRT(-2.0 * LN({u1})) * COS({_TWO_PI!r} * {u2}))"
+
+
+def sql_mc_thermometer(melt_cte: str) -> str:
+    """MC putirka2008_15: 64 replicates with md5-keyed Gaussian
+    perturbation of SiO2/MgO/FeO (clip 0), thermometer closed form,
+    mean / sample-stddev / exact median per name."""
+    key = "(CAST(name AS VARCHAR) || ':' || CAST(mc_iter AS VARCHAR))"
+    pert_cols = []
+    for s in MELT_SPECIES:
+        if s in MC_ERRORS:
+            z = _sql_hash_gauss(key, f"{s}:{MC_SEED}")
+            pert_cols.append(
+                f"GREATEST(0.0, {s} + {z} * {MC_ERRORS[s]!r}) AS {s}"
+            )
+        else:
+            pert_cols.append(s)
+    pert_list = ",\n    ".join(pert_cols)
+
+    # putirka2008_15 closed form over the perturbed columns — the same
+    # construction as the (oracle-green) thermometer_putirka2008_15 SQL
+    anhyd = [s for s in MELT_SPECIES if s != "H2O"]
+    terms = [f"({s} / {W(s)!r})" for s in anhyd]
+    total = " + ".join(terms)
+    frac = {s: f"(({s} / {W(s)!r}) / ({total}))" for s in anhyd}
+    mg_no = f"({frac['MgO']} / ({frac['MgO']} + {frac['FeO']}))"
+    t_k = (
+        f"815.3 + 265.5 * {mg_no} + 15.37 * MgO + 8.61 * FeO"
+        f" + 6.646 * (Na2O + K2O) + 39.16 * (P_bar / 10000.0)"
+        f" - 12.83 * H2O + 273.15"
+    )
+    return f"""
+WITH {melt_cte},
+sub AS (SELECT * FROM melt WHERE name % 256 = 0),
+rep AS (SELECT sub.*, r.mc_iter FROM sub CROSS JOIN range({MC_ITERS}) r(mc_iter)),
+pert AS (
+  SELECT name, mc_iter, P_bar,
+    {pert_list}
+  FROM rep
+),
+tk AS (SELECT name, ({t_k}) AS T_K FROM pert)
+SELECT name,
+  ROUND(AVG(T_K), 2) AS T_K_mean,
+  ROUND(STDDEV_SAMP(T_K), 2) AS T_K_std,
+  ROUND(QUANTILE_CONT(T_K, 0.5), 2) AS T_K_p5
+FROM tk
+GROUP BY name
+ORDER BY name
+"""
+
+# ----------------------------------------------------------------------
+# deng2020: BM4 volume bisection × pressure grid → trapezoid ΔV·dP →
+# outer fixed point
+# ----------------------------------------------------------------------
+
+_DENG_GIBBS = dict(a=-331035.9211346371, b=-190.3795512883899,
+                   c=14.785873706952849, d=-0.0016487959655627517,
+                   e=9348044.389346942, f=10773.299613088355)
+_DENG_MARGULES = {"Mg": 68629.0, "Si": 4601.0, "Al": 40923.0,
+                  "Ca": -58109.0, "K": -59584.0}
+_DENG_FE_MARGULES = -14210.0
+_DENG_EOS = {
+    "Fe2": dict(V_0=1180.114014, K_0=26.94713861, Kprime_0=2.802531871,
+                Kprime_prime_0=0.012313472,
+                tp=dict(a=35.79397483, b=71.10313668, c=36.59545225)),
+    "Fe3": dict(V_0=1204.763652, K_0=23.19530062, Kprime_0=3.216089358,
+                Kprime_prime_0=0.009340183,
+                tp=dict(a=34.52616394, b=68.64429623, c=35.27069116)),
+}
+_AVOGADRO = 6.02214076e23
+
+
+def _bm4_residual(phase: str, v: str) -> str:
+    """BM4 + thermal-pressure residual f(v) at (t, gp)
+    (``models/fe3fe2.py:388-393``, ``models/eos.py:268-277``)."""
+    p = _DENG_EOS[phase]
+    V0, K0, Kp, Kpp = p["V_0"], p["K_0"], p["Kprime_0"], p["Kprime_prime_0"]
+    tp = p["tp"]
+    part3 = (1.0 / 24.0) * (9 * Kp**2 - 63 * Kp + 9 * K0 * Kpp + 143)
+    x = f"({V0!r} / {v})"
+    x23 = f"(POW({x}, {2.0 / 3.0!r}) - 1.0)"
+    bm = (
+        f"((1.5 * {K0!r} * (POW({x}, {7.0 / 3.0!r})"
+        f" - POW({x}, {5.0 / 3.0!r})))"
+        f" * ((1.0 + {0.75 * (Kp - 4.0)!r} * {x23})"
+        f" + {part3!r} * {x23} * {x23}))"
+    )
+    vr = f"({v} / {V0!r})"
+    coeff = (
+        f"(({tp['a']!r} - {tp['b']!r} * {vr}"
+        f" + {tp['c']!r} * {vr} * {vr}) / 1000.0)"
+    )
+    return f"({bm} + {coeff} * (t - 3000.0) - gp / 1e4)"
+
+
+def _bisect2_cte(name: str, base: str, consts: list[str]) -> str:
+    """Two simultaneous 80-step bisections (Fe2 + Fe3 volumes) per grid
+    row — one recursion, no join."""
+    cols = ", ".join(consts)
+    inits = {}
+    for ph in ("Fe2", "Fe3"):
+        V0 = _DENG_EOS[ph]["V_0"]
+        inits[ph] = (repr(V0 * 0.2), repr(V0 * 1.6))
+    f2 = lambda v: _bm4_residual("Fe2", v)
+    f3 = lambda v: _bm4_residual("Fe3", v)
+    return f"""
+{name} AS (
+  SELECT name, uid, {cols}, 0 AS it,
+         CAST({inits['Fe2'][0]} AS DOUBLE) AS lo2,
+         CAST({inits['Fe2'][1]} AS DOUBLE) AS hi2,
+         ({f2(inits['Fe2'][0])}) AS flo2,
+         CAST({inits['Fe3'][0]} AS DOUBLE) AS lo3,
+         CAST({inits['Fe3'][1]} AS DOUBLE) AS hi3,
+         ({f3(inits['Fe3'][0])}) AS flo3
+  FROM {base}
+  UNION ALL
+  SELECT name, uid, {cols}, it + 1,
+         CASE WHEN SIGN(fm2) = SIGN(flo2) THEN m2 ELSE lo2 END,
+         CASE WHEN SIGN(fm2) = SIGN(flo2) THEN hi2 ELSE m2 END,
+         CASE WHEN SIGN(fm2) = SIGN(flo2) THEN fm2 ELSE flo2 END,
+         CASE WHEN SIGN(fm3) = SIGN(flo3) THEN m3 ELSE lo3 END,
+         CASE WHEN SIGN(fm3) = SIGN(flo3) THEN hi3 ELSE m3 END,
+         CASE WHEN SIGN(fm3) = SIGN(flo3) THEN fm3 ELSE flo3 END
+  FROM (
+    SELECT *, ({f2('m2')}) AS fm2, ({f3('m3')}) AS fm3 FROM (
+      SELECT *, 0.5 * (lo2 + hi2) AS m2, 0.5 * (lo3 + hi3) AS m3
+      FROM {name} WHERE it < 80
+    )
+  )
+)"""
+
+
+def _g_deng(x: str) -> str:
+    """Deng et al. (2020) eq. 3 map (``models/fe3fe2.py:534-544``)."""
+    c = _split_cats(x)
+    marg = " + ".join(
+        f"{coef!r} * {c[n]}" for n, coef in _DENG_MARGULES.items()
+    )
+    act = (
+        f"((({marg}) + ({c['Fe']} - {c['Fe3']}) * ({_DENG_FE_MARGULES!r}))"
+        f" / ({R!r} * t))"
+    )
+    return f"EXP(-(gd) / ({R!r} * t) - {act} + lnfo2 / 4.0)"
+
+
+def sql_fe3fe2_deng2020(melt_cte: str) -> str:
+    g = _DENG_GIBBS
+    mu = (
+        "(-587474.0 + 1584.427 * t - 203.3164 * t * LN(t)"
+        " + 0.092710 * t * t)"
+    )
+    lnfo2 = f"LN(EXP({mu} / ({R!r} * t)) * POW(10.0, 1.0))"
+    gibbs0 = (
+        f"({g['a']!r} + {g['b']!r} * t + {g['c']!r} * t * LN(t)"
+        f" + {g['d']!r} * (t * t) + {g['e']!r} / t"
+        f" + {g['f']!r} * SQRT(t))"
+    )
+    # cm3/mol-Fe per solved volume; ΔV in m3; x in Pa
+    vconv = f"/ 2.0 * {_AVOGADRO!r} * 1e-24"
+    cat_cols = [f"m_{s}" for s in MELT_SPECIES if s != "FeO"]
+    bd_consts = ["t", "m_FeO", "rest", "lnfo2", "gd"] + cat_cols
+    h_deng = lambda x: f"({_g_deng(x)} - {x})"
+    return f"""
+WITH RECURSIVE {melt_cte},
+sub AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY name ORDER BY SiO2, Al2O3, TiO2, MgO, FeO, CaO, Na2O, K2O, H2O, CO2, P_bar) AS uid FROM melt WHERE name % 64 = 0),
+mf AS (
+  SELECT name, uid, P_bar, {T_EXPR} AS t,
+    {_mol_cols()}
+  FROM sub
+),
+gr AS (
+  SELECT name, uid, t, CAST(gpi AS DOUBLE) AS gp
+  FROM (
+    SELECT name, uid, t,
+           UNNEST(range(1, CAST(P_bar AS BIGINT) + 500, 500)) AS gpi
+    FROM mf
+  )
+),
+{_bisect2_cte('vb', 'gr', ['t', 'gp'])},
+dv AS (
+  SELECT name, uid, gp,
+    ((0.5 * (lo3 + hi3) {vconv}) - (0.5 * (lo2 + hi2) {vconv})) * 1e-6
+      AS dvol
+  FROM vb WHERE it = 80
+),
+trap AS (
+  SELECT name, uid,
+    SUM(0.5 * (dvol + prev_dvol) * (gp * 1e5 - prev_gp * 1e5)) AS dvdp
+  FROM (
+    SELECT name, uid, gp, dvol,
+      LAG(dvol) OVER (PARTITION BY name, uid ORDER BY gp) AS prev_dvol,
+      LAG(gp) OVER (PARTITION BY name, uid ORDER BY gp) AS prev_gp
+    FROM dv
+  )
+  WHERE prev_gp IS NOT NULL
+  GROUP BY name, uid
+),
+cn AS (
+  SELECT mf.name AS name, mf.uid AS uid, t, m_FeO,
+    {_rest_expr()} AS rest,
+    {lnfo2} AS lnfo2,
+    ({gibbs0} + trap.dvdp) AS gd,
+    {', '.join('m_' + s for s in MELT_SPECIES if s != 'FeO')}
+  FROM mf JOIN trap USING (name, uid)
+),
+{_bisect_cte('bd', 'cn', bd_consts, h_deng, '1e-8', '100.0', 80)}
+SELECT name, ROUND(0.5 * (lo + hi), 6) AS Fe3Fe2
+FROM {_final('bd', 80)}
+ORDER BY name
 """

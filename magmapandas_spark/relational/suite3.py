@@ -289,16 +289,19 @@ def q_isobar_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mc_thermometer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monte-Carlo uncertainty on the default melt thermometer:
-    replicate ×64 (crossJoin range — narrow), perturb with seeded randn,
-    re-run the thermometer, aggregate mean/std/p95 per sample in one
-    shuffle (SURVEY §4.1 'Monte-Carlo loops')."""
+    replicate ×64 (crossJoin range — narrow), perturb with the md5
+    counter RNG (draws keyed on (name, iteration, species) — identical
+    under any partitioning, unlike per-partition-seeded randn), re-run
+    the thermometer, aggregate mean/std/median per sample in one
+    shuffle (SURVEY §4.1 'Monte-Carlo loops'). Exact DuckDB oracle:
+    the same md5 Box-Muller draws + the putirka15 closed form."""
     from magmapandas_spark.models import thermometers as tm
     from magmapandas_spark.operators import montecarlo as mc
 
     gf = synthetic_melt(spark, sf_dir)
-    # limit to a stable subset: MC×64 over full lineitem-derived melt is
-    # a bench workload, not a correctness gate
-    sub = gf.df.orderBy("name").limit(200)
+    # deterministic 1/256 subset: MC×64 over full lineitem-derived melt
+    # is a bench workload, not a correctness gate
+    sub = gf.df.filter(F.col("name") % 256 == 0)
     from magmapandas_spark.core.geoframe import GeoFrame
 
     gf_sub = GeoFrame(sub, units=gf.units, datatype=gf.datatype,
@@ -316,6 +319,8 @@ def q_mc_thermometer(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=("name",),
         seed=7,
         percentiles=(0.5,),
+        hash_noise=True,
+        exact_percentiles=True,
     )
     return out.select(
         "name",
@@ -376,6 +381,8 @@ def oracle_sql():
         "kd_toplis_iteration": so.sql_kd_toplis(SQL_MELT_CTE),
         "kd_blundy_saper": so.sql_kd_blundy_saper(SQL_MELT_CTE),
         "isobar_grid": so.sql_isobar_grid(SQL_MELT_CTE),
+        "mc_thermometer": so.sql_mc_thermometer(SQL_MELT_CTE),
+        "fe3fe2_deng2020": so.sql_fe3fe2_deng2020(SQL_MELT_CTE),
         "user_sessions": SQL_USER_SESSIONS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
@@ -1484,13 +1491,15 @@ def q_fe3fe2_deng2020(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deng2020 thermodynamic Fe3+/Fe2+ (BM4-EOS volume solve + ΔV
     trapezoid integration + per-row fixed point,
     ``Fe3Fe2_models.py:419-761``) as one Arrow-vectorized UDF stage
-    over a deterministic 1/64 sample subset."""
+    over a deterministic 1/64 sample subset. 1-bar QFM buffer so the
+    exact recursive-CTE oracle covers the whole deng chain (the exact
+    QFM(T,P) EOS path is golden-tested separately)."""
     from magmapandas_spark.models import fe3fe2 as fe_mod
 
     gf = _melt_subset(spark, sf_dir)
     T = F.lit(1400.0) + (F.col("name") % 200).cast("double") / F.lit(2.0)
     out = fe_mod.calculate_Fe3Fe2(
-        gf, T_K=T, P_bar="P_bar", model="deng2020", fO2_buffer="QFM",
+        gf, T_K=T, P_bar="P_bar", model="deng2020", fO2_buffer="QFM_1bar",
         dfO2=1.0,
     )
     return out.select(
