@@ -159,61 +159,17 @@ ORDER BY doc_id
 # ----------------------------------------------------------------------
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-duplicate pairs above 0.8: the oracle-checked
-    baseline for the LSH-bucketed scale path
-    (operators.similarity.cosine_topk_lsh).
-
-    Blocked matrix product: the right side is collected+broadcast as a
-    normalized numpy matrix (N×d doubles — embeddings tables are the
-    SMALL side of near-dup search), each partition of the left side does
-    one BLAS matmul per Arrow batch and emits only the surviving pairs.
-    A zip_with/aggregate expression-tier join is ~50× slower (2M
-    interpreted 64-element folds); at 100 TB the right side is tiled
-    into broadcast-sized column blocks (IVF cells), same kernel."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    """Exact cosine near-duplicate pairs above 0.45 (the synthetic
+    embeddings are near-orthogonal, so 0.45 is the regime with real
+    pairs to verify): the oracle-checked baseline for the LSH-bucketed
+    scale path (operators.similarity.cosine_topk_lsh)."""
+    from magmapandas_spark.operators.similarity import all_pairs_cosine
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    ref = emb.select("vec_id", "embedding").toPandas()
-    ids = ref["vec_id"].to_numpy()
-    M = np.vstack(ref["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(M)
-
-    schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("cos_sim", T.DoubleType()),
-        ]
-    )
-
-    def block_sims(batches):
-        ref_ids = b_ids.value
-        ref_m = b_mat.value
-        for pdf in batches:
-            q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ ref_m.T
-            qa = pdf["vec_id"].to_numpy()
-            ai, bi = np.nonzero(
-                (sims >= 0.8) & (qa[:, None] < ref_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": qa[ai],
-                    "id_b": ref_ids[bi],
-                    "cos_sim": np.round(sims[ai, bi], 4),
-                }
-            )
-
-    n_part = spark.sparkContext.defaultParallelism
-    src = emb.select("vec_id", "embedding").repartition(n_part)
-    return src.mapInPandas(block_sims, schema=schema).orderBy(
-        "id_a", "id_b"
-    )
+    out = all_pairs_cosine(emb, threshold=0.45, n_blocks=4)
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
 
 
 SQL_EMBEDDING_NEARDUP = """
@@ -228,7 +184,7 @@ WITH pairs AS (
 )
 SELECT id_a, id_b, ROUND(cos, 4) AS cos_sim
 FROM pairs
-WHERE cos >= 0.8
+WHERE cos >= 0.45
 ORDER BY id_a, id_b
 """
 

@@ -30,3 +30,35 @@ def test_ivf_recall_vs_bruteforce(spark):
     ).toPandas()
     f1 = full[full.rn == 1].set_index("qid")["cid"]
     assert (f1 == br1).all()
+
+
+def test_all_pairs_cosine_matches_bruteforce(spark):
+    """Blocked all-pairs must find every pair regardless of which hash
+    blocks the two members land in (regression: cross-block pairs with
+    descending ids were dropped by an upper-triangle mask)."""
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 8)
+    # plant near-duplicate pairs with both id orderings across blocks
+    vecs[41] = vecs[3] + 0.01 * rng.randn(8)
+    vecs[7] = vecs[55] + 0.01 * rng.randn(8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    got = (
+        sim.all_pairs_cosine(df, threshold=0.9, n_blocks=4)
+        .select("id_a", "id_b")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    M = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = M @ M.T
+    exp = sorted(
+        (i, j)
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if sims[i, j] >= 0.9
+    )
+    assert [(r.id_a, r.id_b) for r in got.itertuples()] == exp
+    assert (3, 41) in exp and (7, 55) in exp
