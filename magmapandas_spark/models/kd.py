@@ -275,6 +275,34 @@ Kd_models = ["fixed", "toplis2005", "blundy2020", "putirka2016_8a",
              "putirka2016_8b", "putirka2016_8c", "putirka2016_8d",
              "sun2020", "saper2022"]
 
+# extension registry (``Kd/Kd_baseclass.py:6``; reference registry at
+# ``Kd/Ol_melt/FeMg/Kd_models.py:755-759``): expression tier
+_KD_EXPR_REGISTRY: dict = {}
+
+
+def register_kd_model(name: str, expr_builder=None, np_kernel=None) -> None:
+    """Extension hook for olivine-melt Fe-Mg Kd models — the engine
+    twin of subclassing ``Kd_model`` in the reference
+    (``Kd/Kd_baseclass.py:6``, extending.rst). Register either:
+
+    - ``expr_builder(wt, mol, T_K, P_bar, Fe3Fe2) -> Column`` —
+      expression tier (wt = renormalised wt.% columns, mol = oxide mole
+      fractions); or
+    - ``np_kernel(mol, forsterite, T_K, P_bar, Fe3Fe2=...) -> ndarray``
+      — solver tier, iterated through the forsterite fixed point
+      exactly like toplis2005/blundy2020/saper2022.
+
+    Registered names dispatch through :func:`calculate_FeMg_Kd` and
+    appear in ``Kd_models``."""
+    if expr_builder is None and np_kernel is None:
+        raise ValueError("provide expr_builder or np_kernel")
+    if expr_builder is not None:
+        _KD_EXPR_REGISTRY[name] = expr_builder
+    if np_kernel is not None:
+        _KD_SOLVER_NP[name] = np_kernel
+    if name not in Kd_models:
+        Kd_models.append(name)
+
 
 def calculate_FeMg_Kd(
     melt: GeoFrame,
@@ -330,6 +358,9 @@ def calculate_FeMg_Kd(
         return melt.df.withColumn(out_col, kd_putirka2016_8d(wt, P_bar=P))
     if model == "sun2020":
         return melt.df.withColumn(out_col, kd_sun2020(mol, wt, Fe3Fe2))
+    if model in _KD_EXPR_REGISTRY:
+        expr = _KD_EXPR_REGISTRY[model](wt, mol, T, P, Fe3Fe2)
+        return melt.df.withColumn(out_col, expr)
     if model in _KD_SOLVER_NP:
         fields = {s: mol[s] for s in melt.species}
         fields["__T_K"] = T

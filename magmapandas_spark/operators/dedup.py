@@ -133,20 +133,55 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs: same ``prefix_bits`` bucket + Hamming ≤ k inside
-    the bucket (bit_count(xor))."""
+    """Near-dup pairs with Hamming ≤ ``max_hamming`` — block-permuted
+    bucket tables (Manku et al. 2007, public simhash dedup literature).
+
+    The 64-bit fingerprint splits into ``n_tables`` disjoint blocks;
+    each block is one bucket table. By pigeonhole, two fingerprints
+    differing in ≤ n_tables−1 bits agree on at least one whole block, so
+    with the default 4×16-bit tables recall is COMPLETE for
+    max_hamming ≤ 3 (a single prefix table misses any pair whose
+    differing bits fall inside the prefix). Cost: n_tables bucket
+    equi-joins' worth of rows in ONE join (explode + join on
+    (table, block value)), still no cross product."""
+    if max_hamming > n_tables - 1:
+        import warnings
+
+        warnings.warn(
+            f"recall is complete only for max_hamming <= {n_tables - 1};"
+            f" raise n_tables for larger radii"
+        )
     fp = simhash(docs, id_col, text_col)
-    bucketed = fp.withColumn(
-        "bucket", F.shiftright(F.col("simhash"), 64 - prefix_bits)
+    width = 64 // n_tables
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.shiftright(F.col("simhash"), t * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("tb")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .withColumn(
@@ -161,6 +196,7 @@ def simhash_near_dups(
             F.col(f"b.{id_col}").alias("id2"),
             "hamming",
         )
+        .distinct()  # a pair can match in several tables
     )
 
 

@@ -677,6 +677,50 @@ ORDER BY name
 """
 
 
+def q_customer_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (SURVEY §2.3): per nation, customers
+    with ≥1 order vs customers with none. Both joins broadcast the
+    distinct-key side at this scale; at 100 TB they become shuffled
+    hash semi-joins — either way no data from the probe side is
+    duplicated (semi/anti never multiply rows)."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    with_o = cust.join(orders, cond, "left_semi")
+    without_o = cust.join(orders, cond, "left_anti")
+    a = with_o.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_with_orders")
+    )
+    b = without_o.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_without_orders")
+    )
+    return (
+        a.join(b, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias(
+                "n_without_orders"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_CUSTOMER_SEMI_ANTI = """
+SELECT c_nationkey,
+  COUNT(*) FILTER (WHERE EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    AS n_with_orders,
+  COUNT(*) FILTER (WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    AS n_without_orders
+FROM customer c
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def q_volatile_saturation_im(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iacono-Marziano mixed CO2-H2O saturation over the synthetic melt:
     the reference's per-row multiprocessing showcase (EP3, SURVEY §3)
@@ -718,6 +762,7 @@ def queries():
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "embedding_topk": q_embedding_topk,
         "shishkina_co2_saturation": q_shishkina_co2_saturation,
+        "customer_semi_anti": q_customer_semi_anti,
         # non-SQL-expressible → rows-only checks
         "volatile_saturation_im": q_volatile_saturation_im,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -740,6 +785,7 @@ def oracle_sql():
         "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "shishkina_co2_saturation": _sql_shishkina_co2(),
+        "customer_semi_anti": SQL_CUSTOMER_SEMI_ANTI,
         "volatile_saturation_im": _sql_volatile_saturation_im(),
     }
 

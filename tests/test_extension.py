@@ -71,3 +71,49 @@ def test_register_solubility_model(spark):
     ).toPandas()
     assert np.allclose(out["P_bar_sat"], 150.0)
     del vol.SATURATION_MODELS["toy_sol"]
+
+
+def test_register_kd_expr_model(spark):
+    from magmapandas_spark.models import kd
+
+    def si_scaled(wt, mol, T_K, P_bar, Fe3Fe2):
+        return F.lit(0.3) + mol["SiO2"] * F.lit(0.01)
+
+    kd.register_kd_model("toy_kd_expr", expr_builder=si_scaled)
+    try:
+        gf = _gf(spark)
+        out = kd.calculate_FeMg_Kd(
+            gf, T_K=F.lit(1500.0), P_bar=F.lit(1.0),
+            model="toy_kd_expr", Fe3Fe2=F.lit(0.2), out_col="Kd",
+        ).toPandas()
+        assert "toy_kd_expr" in kd.Kd_models
+        assert (out["Kd"] > 0.3).all() and (out["Kd"] < 0.32).all()
+    finally:
+        del kd._KD_EXPR_REGISTRY["toy_kd_expr"]
+        kd.Kd_models.remove("toy_kd_expr")
+
+
+def test_register_kd_solver_model(spark):
+    """A registered numpy kernel runs through the same forsterite
+    fixed point as the built-in solver models."""
+    import numpy as np
+
+    from magmapandas_spark.models import kd
+
+    def toy_kernel(mol, forsterite, T_K, P_bar, Fe3Fe2=None, **_):
+        return 0.3 + 0.05 * (1.0 - 2.0 * forsterite)
+
+    kd.register_kd_model("toy_kd_solver", np_kernel=toy_kernel)
+    try:
+        gf = _gf(spark)
+        out = kd.calculate_FeMg_Kd(
+            gf, T_K=F.lit(1500.0), P_bar=F.lit(1.0),
+            model="toy_kd_solver", Fe3Fe2=F.lit(0.2), out_col="Kd",
+        ).toPandas()
+        k = out["Kd"].to_numpy()
+        # converged fixed point: kd == kernel at equilibrium forsterite
+        assert np.isfinite(k).all()
+        assert ((k > 0.25) & (k < 0.35)).all()
+    finally:
+        del kd._KD_SOLVER_NP["toy_kd_solver"]
+        kd.Kd_models.remove("toy_kd_solver")
