@@ -90,6 +90,80 @@ def deboor_splev(x: np.ndarray, t: np.ndarray, c: np.ndarray, k: int):
     return d[k]
 
 
+def bspline_basis(
+    x: np.ndarray, t: np.ndarray, k: int
+) -> np.ndarray:
+    """B-spline design matrix N[i, j] = B_j(x_i) for the knot vector
+    ``t`` — built column-by-column with the De Boor evaluator (one-hot
+    coefficient vectors), so basis and evaluation are definitionally
+    consistent."""
+    n = len(t) - k - 1
+    cols = []
+    for j in range(n):
+        e = np.zeros(n)
+        e[j] = 1.0
+        cols.append(deboor_splev(x, t, e, k))
+    return np.stack(cols, axis=1)
+
+
+def calculate_spline_parameters(
+    x, y, k: int = 3, n_knots: int = 8, smoothing: float = 0.0
+):
+    """Fit a smoothing B-spline — the pure-numpy stand-in for the
+    reference's scipy ``splrep`` (``tools/model_errors.py:58-68``;
+    scipy is absent in this environment).
+
+    Least-squares regression spline on quantile-placed interior knots
+    with an Eilers-Marx P-spline second-difference penalty
+    (``smoothing`` ≥ 0); returns a ``(t, c, k)`` triple evaluable by
+    :func:`deboor_splev` — the same representation as the shipped
+    published error splines.
+
+    This runs driver-side on AGGREGATED data by design: error curves
+    are fitted to running-stddev output (thousands of points at most),
+    never to raw samples — the heavy reduction happens in Spark first."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    order = np.argsort(x, kind="stable")
+    x, y = x[order], y[order]
+    xmin, xmax = float(x[0]), float(x[-1])
+    interior = np.unique(
+        np.quantile(x, np.linspace(0.0, 1.0, n_knots + 2)[1:-1])
+    )
+    interior = interior[(interior > xmin) & (interior < xmax)]
+    t = np.concatenate(
+        [[xmin] * (k + 1), interior, [xmax] * (k + 1)]
+    )
+    N = bspline_basis(x, t, k)
+    n = N.shape[1]
+    A = N.T @ N
+    rhs = N.T @ y
+    if smoothing > 0.0 and n > 2:
+        D = np.diff(np.eye(n), n=2, axis=0)
+        A = A + smoothing * (D.T @ D)
+    # tiny ridge keeps the normal equations solvable when a basis
+    # function covers no data points
+    A = A + 1e-12 * np.eye(n)
+    c = np.linalg.solve(A, rhs)
+    return t, c, k
+
+
+def fit_error_spline(
+    df: DataFrame, x_col: str, y_col: str, k: int = 3,
+    n_knots: int = 8, smoothing: float = 0.0,
+):
+    """Spark surface for fitting a model-error spline: collect the
+    (small, already-aggregated) running-σ table and fit
+    :func:`calculate_spline_parameters`. The returned ``(t, c, k)``
+    plugs into :func:`fe3fe2_error_np` / :func:`deboor_splev` exactly
+    like the shipped published splines."""
+    pdf = df.select(x_col, y_col).dropna().toPandas()
+    return calculate_spline_parameters(
+        pdf[x_col].to_numpy(), pdf[y_col].to_numpy(),
+        k=k, n_knots=n_knots, smoothing=smoothing,
+    )
+
+
 def mc_replicate(
     df: DataFrame, n_iterations: int, iter_col: str = "mc_iter"
 ) -> DataFrame:

@@ -99,11 +99,26 @@ MELT_SPECIES = [
 ]
 
 
+_melt_cache: dict[tuple[int, str], object] = {}
+
+
 def synthetic_melt(spark: SparkSession, sf_dir: str) -> GeoFrame:
     """Deterministic basaltic-range compositions derived from lineitem.
 
     Pure integer-modulo / fixed-point arithmetic so DuckDB reproduces the
-    values bit-for-bit (see ``SQL_MELT_CTE``)."""
+    values bit-for-bit (see ``SQL_MELT_CTE``).
+
+    The derived table is persisted once per (session, sf_dir): ~30 gate
+    queries all start from this same projection, and re-deriving it per
+    query re-pays the lineitem scan each time. This is a shared-input
+    cache, not a result cache — values are identical with or without
+    it."""
+    key = (id(spark), sf_dir)
+    cached = _melt_cache.get(key)
+    if cached is not None:
+        return GeoFrame(
+            cached[1], units="wt.%", datatype="oxide", species=MELT_SPECIES
+        )
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     df = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("name"),
@@ -121,6 +136,9 @@ def synthetic_melt(spark: SparkSession, sf_dir: str) -> GeoFrame:
         (F.lit(0.1) + (F.col("l_suppkey") % 5) * F.lit(0.1)).alias("CO2"),
         (F.lit(1000.0) + (F.col("l_orderkey") % 5) * F.lit(1000.0)).alias("P_bar"),
     )
+    df = df.persist()
+    # hold the session ref too so a GC'd session can't recycle the id
+    _melt_cache[key] = (spark, df)
     return GeoFrame(df, units="wt.%", datatype="oxide", species=MELT_SPECIES)
 
 

@@ -91,3 +91,74 @@ def test_fe3fe2_error_hp_tier():
         mc.fe3fe2_error_np("sun2024", x, P_bar=np.ones_like(x)),
         mc.fe3fe2_error_np("sun2024", x),
     )
+
+
+def test_spline_fit_roundtrip_published_knots():
+    """Fit -> eval must reproduce each shipped published error spline
+    (the reference's splrep path, ``tools/model_errors.py:58-68``)."""
+    import numpy as np
+
+    from magmapandas_spark.operators import montecarlo as mc
+
+    splines = mc._load_hp_splines()
+    for model, (t, c, k) in list(splines.items())[:4]:
+        xs = np.linspace(t[k], t[-k - 1], 400)
+        ys = mc.deboor_splev(xs, t, c, k)
+        t2, c2, k2 = mc.calculate_spline_parameters(
+            xs, ys, k=3, n_knots=12, smoothing=0.0
+        )
+        ys2 = mc.deboor_splev(xs, t2, c2, k2)
+        scale = np.maximum(np.abs(ys), 1e-3)
+        assert np.max(np.abs(ys2 - ys) / scale) < 0.02, model
+
+
+def test_spline_fit_interpolates_smooth_curve():
+    import numpy as np
+
+    from magmapandas_spark.operators import montecarlo as mc
+
+    rng = np.random.RandomState(0)
+    x = np.sort(rng.uniform(0.0, 6.0, 500))
+    y = np.sin(x) + 0.5 * x
+    t, c, k = mc.calculate_spline_parameters(x, y, n_knots=10)
+    yhat = mc.deboor_splev(x, t, c, k)
+    assert np.max(np.abs(yhat - y)) < 5e-3
+
+    # smoothing damps noise: penalized fit is closer to the true curve
+    noisy = y + rng.normal(0.0, 0.15, len(x))
+    t0, c0, k0 = mc.calculate_spline_parameters(
+        x, noisy, n_knots=30, smoothing=0.0
+    )
+    ts, cs, ks = mc.calculate_spline_parameters(
+        x, noisy, n_knots=30, smoothing=50.0
+    )
+    err0 = np.mean((mc.deboor_splev(x, t0, c0, k0) - y) ** 2)
+    errs = np.mean((mc.deboor_splev(x, ts, cs, ks) - y) ** 2)
+    assert errs < err0
+
+
+def test_fit_error_spline_from_running_stddev(spark):
+    """End-to-end: running-σ output -> driver-side spline fit -> De Boor
+    evaluation (the 'new model error curve' workflow)."""
+    import numpy as np
+    import pandas as pd
+
+    from magmapandas_spark.operators import montecarlo as mc
+    from magmapandas_spark.operators.model_errors import running_stddev
+
+    rng = np.random.RandomState(1)
+    n = 600
+    x = np.sort(rng.uniform(0.0, 4.0, n))
+    y = rng.normal(0.0, 0.1 + 0.2 * x)
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": x, "y": y, "tb": np.arange(n)})
+    )
+    rs = running_stddev(df, "x", "y", boxsize=40, sigma=3.0, tiebreak="tb")
+    t, c, k = mc.fit_error_spline(
+        rs, "x", "stddev", n_knots=6, smoothing=1.0
+    )
+    xs = np.linspace(0.3, 3.7, 50)
+    fitted = mc.deboor_splev(xs, t, c, k)
+    true = 0.1 + 0.2 * xs
+    assert np.all(fitted > 0)
+    assert np.mean(np.abs(fitted - true) / true) < 0.35
