@@ -177,13 +177,11 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin of the streaming tumbling-window query. Timestamp parts
     extracted as ints under an explicit UTC session to stay
     tz-invariant across engines."""
+    from magmapandas_spark.streaming.streams import read_events_batch
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark won't read as a
-    # timestamp — read the raw int64 nanos and convert (exact integer
-    # division to µs)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(_t(sf_dir, "events"))
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    events = read_events_batch(spark, sf_dir)
+    ts = F.col("ts")
     return (
         events.groupBy(
             F.dayofmonth(ts).alias("day"),

@@ -30,10 +30,11 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming==batch parity is the engine's test strategy, SURVEY
     §2.9). Epoch-second timestamps so the value hash is tz- and
     precision-invariant across engines."""
+    from magmapandas_spark.streaming.streams import read_events_batch
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(_t(sf_dir, "events"))
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    events = read_events_batch(spark, sf_dir)
+    ts = F.col("ts")
     return (
         events.select(ts.alias("ts"), "user_id", "value")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -429,10 +430,11 @@ def q_sliding_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.window`` — the batch twin of the streaming sliding-window
     operator. Every event lands in exactly two windows; the oracle
     expands the same membership with UNNEST."""
+    from magmapandas_spark.streaming.streams import read_events_batch
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(_t(sf_dir, "events"))
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    events = read_events_batch(spark, sf_dir)
+    ts = F.col("ts")
     return (
         events.select(ts.alias("ts"), "event_type", "value")
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),

@@ -17,27 +17,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (parquet TIMESTAMP(NANOS))
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_is_int64(sf_dir: str) -> bool:
+    """Inspect the parquet footer: the driver has shipped ``events.ts``
+    both as int64 nanos (TIMESTAMP(NANOS), which Spark only reads via
+    the nanosAsLong legacy flag) and as timestamp[us]. Driver-side
+    metadata peek, no data read."""
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(f"{sf_dir}/events.parquet").field("ts")
+    return str(field.type) in ("int64", "timestamp[ns]")
+
+
+def _events_schema(ts_int64: bool) -> T.StructType:
+    ts_type = T.LongType() if ts_int64 else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _normalize_ts(df: DataFrame, ts_int64: bool) -> DataFrame:
+    if ts_int64:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp[us] without UTC adjustment reads as TIMESTAMP_NTZ; cast
+    # to session-tz TIMESTAMP (callers pin the session to UTC) so
+    # window/session_window/unix_timestamp behave identically either way
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos → timestamp).
+    """File-source stream over the events parquet (→ UTC timestamp).
 
     The file stream source needs a directory; stage a symlink dir under
     /tmp (testdata itself is read-only)."""
     import hashlib
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_int64 = _events_ts_is_int64(sf_dir)
+    if ts_int64:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     stage = os.path.join(
         "/tmp",
@@ -47,14 +71,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(_events_schema(ts_int64)).parquet(stage)
+    return _normalize_ts(raw, ts_int64)
 
 
 def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_int64 = _events_ts_is_int64(sf_dir)
+    if ts_int64:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(raw, ts_int64)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
