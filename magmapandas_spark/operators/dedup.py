@@ -7,16 +7,36 @@ surface; first-class for a 100 TB training-data pipeline).
 - SimHash: 64-bit signed-projection fingerprint + prefix buckets +
   in-bucket Hamming filter.
 
-These depend on Spark's xxhash64 (engine-specific), so their
-correctness gate is the rows-only check; the arithmetic-hash-free
-Jaccard twin (suite2.q_ngram_jaccard_adjacent) carries the DuckDB
-oracle.
+Two hash strategies:
+
+- ``xxhash64`` (default): Spark's JVM-intrinsic 64-bit hash — the
+  production scale path (fastest, but engine-specific, so queries built
+  on it are rows-only at the correctness gate).
+- ``md5``: cross-engine-reproducible hashing. md5 is bit-identical in
+  Spark and DuckDB; 60-bit integers are extracted from the hex digest
+  (15 hex chars parse exactly into a signed 64-bit in both engines).
+  MinHash derives its n hash family from ONE md5 per shingle via
+  Kirsch–Mitzenmacher double hashing h_i = (h1 + i*h2) mod (2^31-1)
+  (public bloom-filter/minhash construction), so the md5 path costs one
+  digest per shingle — cheaper than n seeded xxhash64 calls — and the
+  whole pipeline has an exact DuckDB SQL twin.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31 - 1: double-hash modulus small enough that
+#: (h1 % P) + 31 * (h2 % P) can never overflow int64 in either engine
+#: (DuckDB errors on BIGINT overflow; Spark would wrap silently).
+_KM_PRIME = 2_147_483_647
+
+
+def _md5_60(col: Column, offset: int = 1) -> Column:
+    """Exact 60-bit integer from an md5 hex substring — the same
+    expression DuckDB evaluates as ('0x' || substr(md5(x), o, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), offset, 15), 16, 10).cast("long")
 
 
 def shingle_df(
@@ -42,10 +62,25 @@ def shingle_df(
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 32
+    shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 32,
+    hash_strategy: str = "xxhash64",
 ) -> DataFrame:
-    """n seeded xxhash64 minima per doc — one aggregation, map-side
-    partial min, single shuffle on doc id."""
+    """n minhash minima per doc — one aggregation, map-side partial
+    min, single shuffle on doc id.
+
+    ``xxhash64``: n seeded hashes per shingle (prod default).
+    ``md5``: one md5 per shingle, n Kirsch–Mitzenmacher combinations —
+    exactly reproducible in DuckDB SQL."""
+    if hash_strategy == "md5":
+        h1 = (_md5_60(F.col("sh"), 1) % _KM_PRIME).alias("h1")
+        h2 = (_md5_60(F.col("sh"), 17) % _KM_PRIME).alias("h2")
+        hashed = shingles.select(id_col, h1, h2)
+        aggs = [
+            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % _KM_PRIME)
+            .alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+        return hashed.groupBy(id_col).agg(*aggs)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
         for i in range(n_hashes)
@@ -60,20 +95,28 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     shingle: int = 5,
+    hash_strategy: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band bucket.
 
-    rows = bands per doc; join key = (band, band signature hash) —
-    uniformly distributed, skew-safe. Returns distinct (id1 < id2)."""
+    rows = bands per doc; join key = (band, band signature) —
+    uniformly distributed, skew-safe. Returns distinct (id1 < id2).
+    With ``hash_strategy="md5"`` band signatures are the concatenated
+    minhash values (string key) so the DuckDB oracle matches exactly."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(
-        shingle_df(docs, id_col, text_col, shingle), id_col, n_hashes
+        shingle_df(docs, id_col, text_col, shingle), id_col, n_hashes,
+        hash_strategy,
     )
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_strategy == "md5":
+            sig: Column = F.concat_ws(",", *[c.cast("string") for c in cols])
+        else:
+            sig = F.xxhash64(*cols).cast("string")
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+            F.struct(F.lit(b).alias("band"), sig.alias("sig"))
         )
     exploded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
@@ -97,18 +140,25 @@ def minhash_lsh_candidates(
 
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    bits: int = 64,
+    bits: int = 64, hash_strategy: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per-token xxhash64, each
-    bit votes ±1, fingerprint = sign vector. Pure aggregation — scales
-    as one shuffle on doc id."""
+    """SimHash over whitespace tokens: per-token hash, each bit votes
+    ±1, fingerprint = sign vector. Pure aggregation — scales as one
+    shuffle on doc id.
+
+    ``xxhash64``: 64-bit prod default. ``md5``: 60-bit cross-engine
+    fingerprint (callers should pass bits=60) with an exact DuckDB twin."""
+    if hash_strategy == "md5":
+        h = _md5_60(F.col("tok"))
+    else:
+        h = F.xxhash64(F.col("tok"))
     tokens = (
         docs.select(
             F.col(id_col),
             F.explode(F.split(F.col(text_col), " ")).alias("tok"),
         )
         .filter(F.length("tok") > 0)
-        .withColumn("h", F.xxhash64(F.col("tok")))
+        .withColumn("h", h)
     )
     # vote per bit: sum over tokens of (bit set ? +1 : -1)
     votes = [
@@ -134,6 +184,8 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     n_tables: int = 4,
+    bits: int = 64,
+    hash_strategy: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming ≤ ``max_hamming`` — block-permuted
     bucket tables (Manku et al. 2007, public simhash dedup literature).
@@ -153,8 +205,8 @@ def simhash_near_dups(
             f"recall is complete only for max_hamming <= {n_tables - 1};"
             f" raise n_tables for larger radii"
         )
-    fp = simhash(docs, id_col, text_col)
-    width = 64 // n_tables
+    fp = simhash(docs, id_col, text_col, bits, hash_strategy)
+    width = bits // n_tables
     mask = (1 << width) - 1
     blocks = F.array(
         *[
@@ -200,13 +252,107 @@ def simhash_near_dups(
     )
 
 
-# ---- suite entries (rows-only correctness: engine-specific hashes) ----
+# ---- suite entries (md5 strategy: exact DuckDB oracles) ----
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_candidates(docs).orderBy("id1", "id2")
+    return minhash_lsh_candidates(docs, hash_strategy="md5").orderBy(
+        "id1", "id2"
+    )
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dups(docs).orderBy("id1", "id2")
+    return simhash_near_dups(docs, bits=60, hash_strategy="md5").orderBy(
+        "id1", "id2"
+    )
+
+
+def sql_minhash_lsh_candidates(
+    n_hashes: int = 32, bands: int = 8, shingle: int = 5
+) -> str:
+    """DuckDB twin of q_minhash_lsh_candidates (md5 strategy)."""
+    p = _KM_PRIME
+    rows = n_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN((h1 + {i} * h2) % {p}) AS mh_{i}" for i in range(n_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"mh_{b * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), {shingle}) AS sh
+  FROM documents, UNNEST(range(1, len(text) - {shingle - 2})) AS t(i)
+  WHERE len(text) >= {shingle}
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(sh), 1, 15))::BIGINT % {p} AS h1,
+         ('0x' || substr(md5(sh), 17, 15))::BIGINT % {p} AS h2
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM bands a
+JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY id1, id2
+"""
+
+
+def sql_simhash_buckets(
+    bits: int = 60, n_tables: int = 4, max_hamming: int = 3
+) -> str:
+    """DuckDB twin of q_simhash_buckets (md5 strategy, 60-bit)."""
+    width = bits // n_tables
+    mask = (1 << width) - 1
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(bits)
+    )
+    # Spark folds v_0 into the MSB: bit position of v_i is bits-1-i
+    fp_terms = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN {1 << (bits - 1 - i)} ELSE 0 END)"
+        for i in range(bits)
+    )
+    tables = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {t} AS tbl,"
+        f" (simhash >> {t * width}) & {mask} AS bucket FROM fp"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE len(t.tok) > 0
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp_terms} AS simhash FROM votes),
+buckets AS ({tables})
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM buckets a
+JOIN buckets b
+  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id1, id2
+"""

@@ -761,15 +761,22 @@ def queries():
         "embedding_topk": q_embedding_topk,
         "shishkina_co2_saturation": q_shishkina_co2_saturation,
         "customer_semi_anti": q_customer_semi_anti,
-        # non-SQL-expressible → rows-only checks
         "volatile_saturation_im": q_volatile_saturation_im,
+        # md5 hash strategy → exact cross-engine oracles
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_buckets": q_simhash_buckets,
     }
 
 
 def oracle_sql():
+    from magmapandas_spark.operators.dedup import (
+        sql_minhash_lsh_candidates,
+        sql_simhash_buckets,
+    )
+
     return {
+        "minhash_lsh_candidates": sql_minhash_lsh_candidates(),
+        "simhash_buckets": sql_simhash_buckets(),
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
         "top_parts_by_revenue": SQL_TOP_PARTS,
         "customer_order_window": SQL_CUSTOMER_ORDER_WINDOW,
