@@ -741,12 +741,18 @@ def q_volatile_saturation_im(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 def queries():
+    from magmapandas_spark.operators.asof import (
+        q_asof_purchase_view,
+        q_range_join_clicks,
+    )
     from magmapandas_spark.operators.dedup import (
         q_minhash_lsh_candidates,
         q_simhash_buckets,
     )
 
     return {
+        "asof_purchase_view": q_asof_purchase_view,
+        "range_join_clicks": q_range_join_clicks,
         "revenue_by_nation": q_revenue_by_nation,
         "top_parts_by_revenue": q_top_parts_by_revenue,
         "customer_order_window": q_customer_order_window,
@@ -769,12 +775,18 @@ def queries():
 
 
 def oracle_sql():
+    from magmapandas_spark.operators.asof import (
+        SQL_ASOF_PURCHASE_VIEW,
+        sql_range_join_clicks,
+    )
     from magmapandas_spark.operators.dedup import (
         sql_minhash_lsh_candidates,
         sql_simhash_buckets,
     )
 
     return {
+        "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
+        "range_join_clicks": sql_range_join_clicks(),
         "minhash_lsh_candidates": sql_minhash_lsh_candidates(),
         "simhash_buckets": sql_simhash_buckets(),
         "revenue_by_nation": SQL_REVENUE_BY_NATION,

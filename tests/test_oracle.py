@@ -74,7 +74,11 @@ def test_query_matches_oracle(spark, name):
             both_nan = av.isna() & bv.isna()
             eq = (av == bv) | both_nan
         else:
-            eq = av.astype(object).eq(bv.astype(object))
+            # both-null counts as equal (NaT/None render identically in
+            # the driver's value hash, but NaT != NaT under .eq)
+            eq = av.astype(object).eq(bv.astype(object)) | (
+                av.isna() & bv.isna()
+            )
         if not eq.all():
             bad = np.where(~eq)[0][:5]
             raise AssertionError(
