@@ -359,6 +359,164 @@ def ivf_topk(
     )
 
 
+# ----------------------------------------------------------------------
+# Seeded-codebook IVF: same probe/rescore machinery, deterministic
+# expression-tier quantizer → exact cross-engine oracle
+# ----------------------------------------------------------------------
+
+def ivf_seeded(
+    corpus: DataFrame,
+    seed_ids: list[int],
+    query_pred,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN with a *seeded* codebook: the centroids are the corpus
+    rows in ``seed_ids`` and assignment is argmax-cosine — pure Column
+    expressions end to end, so the whole pipeline (quantize → probe →
+    exact rescore → top-k) is bit-reproducible in any engine with IEEE
+    arithmetic. This is the correctness twin of the KMeans index
+    (``ivf_index``/``ivf_topk``): same probed-search plan, different
+    codebook. Seeding by sampled rows instead of Lloyd iterations is a
+    standard ANN bootstrap; quality is lower than a fitted codebook but
+    the *search* machinery exercised is identical.
+
+    Assignment is a crossJoin against the broadcast seed set (|seeds|
+    rows) + per-row argmax — a narrow O(N·|seeds|) pass; the argmax
+    window shuffles (id, cos) pairs only. Probing and rescoring reuse
+    the equi-join-on-cell shape of :func:`ivf_topk`."""
+    seeds = corpus.filter(F.col(id_col).isin(seed_ids)).select(
+        F.col(id_col).alias("seed_id"), F.col(vec_col).alias("svec")
+    )
+
+    def argmax_cells(df, idname, vecname, n_keep):
+        scored = df.crossJoin(F.broadcast(seeds)).select(
+            F.col(idname),
+            F.col(vecname),
+            F.col("seed_id"),
+            (
+                _dot(F.col(vecname), F.col("svec"))
+                / (_norm(F.col(vecname)) * _norm(F.col("svec")))
+            ).alias("scos"),
+        )
+        w = Window.partitionBy(idname).orderBy(
+            F.col("scos").desc(), F.col("seed_id")
+        )
+        return (
+            scored.withColumn("srn", F.row_number().over(w))
+            .filter(F.col("srn") <= n_keep)
+            .select(idname, vecname, F.col("seed_id").alias("cell"))
+        )
+
+    assigned = argmax_cells(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")),
+        "cid", "cvec", 1,
+    )
+    probes = argmax_cells(
+        corpus.filter(query_pred).select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        ),
+        "qid", "qvec", n_probe,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, on="cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+_IVF_SEED_IDS = [100, 101, 102, 103, 104, 105, 106, 107]
+
+
+def q_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_seeded(
+        emb, _IVF_SEED_IDS, F.col("vec_id") < 20, k=5, n_probe=4
+    )
+    return out.select(
+        "qid", "cid", F.round("cos", 4).alias("cos")
+    ).orderBy("qid", "rn")
+
+
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    """Left-associated fold matching Spark's F.aggregate order exactly
+    (including the 0.0 seed, so a leading -0.0 product cannot flip the
+    sign of an all-zero sum)."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _sql_cos(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"({_sql_dot(a, b, dim)} / "
+        f"(SQRT({_sql_dot(a, a, dim)}) * SQRT({_sql_dot(b, b, dim)})))"
+    )
+
+
+def sql_ivf_topk_seeded(
+    dim: int = 64, k: int = 5, n_probe: int = 4
+) -> str:
+    ids = ", ".join(str(i) for i in _IVF_SEED_IDS)
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS svec
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+assigned AS (
+  SELECT cid, cvec, seed_id AS cell FROM (
+    SELECT e.vec_id AS cid, e.embedding AS cvec, s.seed_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 's.svec', dim)} DESC,
+                      s.seed_id
+           ) AS srn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE srn = 1
+),
+probes AS (
+  SELECT qid, qvec, seed_id AS cell FROM (
+    SELECT e.vec_id AS qid, e.embedding AS qvec, s.seed_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 's.svec', dim)} DESC,
+                      s.seed_id
+           ) AS srn
+    FROM embeddings e CROSS JOIN seeds s
+    WHERE e.vec_id < 20
+  ) WHERE srn <= {n_probe}
+),
+cand AS (
+  SELECT p.qid, a.cid,
+         {_sql_cos('p.qvec', 'a.cvec', dim)} AS cos
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE p.qid <> a.cid
+)
+SELECT qid, cid, ROUND(cos, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+  FROM cand
+) WHERE rn <= {k}
+ORDER BY qid, rn
+"""
+
+
 # index cache keyed by (session id, sf_dir): queries reuse the fitted
 # quantizer + persisted assignment instead of rebuilding per invocation
 _IVF_CACHE: dict[tuple[int, str], tuple[DataFrame, list]] = {}

@@ -293,6 +293,12 @@ def _q_ivf(spark, sf_dir):
     return q_ivf_topk(spark, sf_dir)
 
 
+def _q_ivf_seeded(spark, sf_dir):
+    from magmapandas_spark.operators.similarity import q_ivf_topk_seeded
+
+    return q_ivf_topk_seeded(spark, sf_dir)
+
+
 def queries():
     return {
         "user_sessions": q_user_sessions,
@@ -304,6 +310,7 @@ def queries():
         "mc_thermometer": q_mc_thermometer,
         "running_stddev": q_running_stddev,
         "ivf_topk": _q_ivf,
+        "ivf_topk_seeded": _q_ivf_seeded,
         "sliding_value_avg": q_sliding_value_avg,
         "thermometers_multi": q_thermometers_multi,
         "fe3fe2_expr_models": q_fe3fe2_expr_models,
@@ -333,7 +340,10 @@ def oracle_sql():
     from magmapandas_spark.relational import solver_oracles as so
     from magmapandas_spark.relational.suite import SQL_MELT_CTE
 
+    from magmapandas_spark.operators.similarity import sql_ivf_topk_seeded
+
     return {
+        "ivf_topk_seeded": sql_ivf_topk_seeded(),
         "fe3fe2_solvers2": so.sql_fe3fe2_solvers2(SQL_MELT_CTE),
         "kd_toplis_iteration": so.sql_kd_toplis(SQL_MELT_CTE),
         "kd_blundy_saper": so.sql_kd_blundy_saper(SQL_MELT_CTE),
