@@ -596,6 +596,353 @@ ORDER BY kind, P_bar, x_fluid
 """
 
 # ----------------------------------------------------------------------
+# Allison (2022) mixed-fluid saturation: MRK fugacity + nested bisection
+# ----------------------------------------------------------------------
+
+_TH = 1.0 / 3.0
+_ALLISON_T = 1473.15
+_ALLISON_FW = 36.594
+
+
+def _allison_consts() -> dict:
+    """Python-side constants of the Allison kernels at the gate's fixed
+    T = 1473.15 K. The MRK temperature terms (``models/allison.py:86-103``)
+    and the boundary fugacities are evaluated with the ENGINE'S OWN numpy
+    kernels, so the literals embedded in the SQL are bit-identical to
+    what every Spark task computes."""
+    import numpy as np
+
+    from magmapandas_spark.models import allison as al
+
+    T = _ALLISON_T
+    Rg = 82.05736
+    RXT = Rg * T
+    RT = Rg * T**1.5 * 1e-6
+    T_C = T - 273.15
+    am_co2 = 73.03 - 0.0714 * T_C + 2.157e-05 * T_C**2
+    am_h2o = 115.98 - 0.0016295 * T - 1.4984e-05 * T**2
+    a2b_co2 = am_co2 / (29.7 * RT)
+    a2b_h2o = am_h2o / (14.5 * RT)
+    a2b_co2 = 0.001 if a2b_co2 < 1e-10 else a2b_co2
+    a2b_h2o = 0.001 if a2b_h2o < 1e-10 else a2b_h2o
+    TR = T / 304.2
+    PC = 73.9
+    sxA = 2.0614 - 2.2351 / TR**2 - 0.39411 * np.log(TR)
+    sxB = (0.055125 / TR + 0.039344 / TR**2) / PC
+    sxC = (-1.8935e-06 / TR - 1.1092e-05 / TR**2 - 2.1892e-05 / TR**3) / (
+        2 * PC**2
+    )
+    sxD = (5.0527e-11 / TR - 6.3033e-21 / TR**3) / (3 * PC**3)
+    return dict(
+        RXT=RXT,
+        a2b_co2=float(a2b_co2),
+        a2b_h2o=float(a2b_h2o),
+        sxA=float(sxA),
+        sxB=float(sxB),
+        sxC=float(sxC),
+        sxD=float(sxD),
+        rk4000=float(
+            al._rkcalc(np.array([T]), np.array([4000.0]), "CO2")[0]
+        ),
+        fug_co2_lo=float(al.hb_fugacity_np(T, 1e-10, "CO2")[0]),
+        fug_h2o_lo=float(al.hb_fugacity_np(T, 1e-10, "H2O")[0]),
+        fug_co2_10=float(al.hb_fugacity_np(T, 10.0, "CO2")[0]),
+        fug_h2o_10=float(al.hb_fugacity_np(T, 10.0, "H2O")[0]),
+        RaT=(R * 10.0) * T,
+    )
+
+
+def _nest(base: str, stages: list[list[tuple[str, str]]]) -> str:
+    """Chain of SELECT * + computed columns — the SQL mirror of numpy's
+    sequential intermediate arrays, keeping every subexpression evaluated
+    exactly once (and the generated text linear in kernel size)."""
+    sql = base
+    for st in stages:
+        cols = ", ".join(f"({e}) AS {n}" for n, e in st)
+        sql = f"SELECT *, {cols} FROM ({sql})"
+    return sql
+
+
+def _fug_stages(pcol: str, species: str, s: str, C: dict):
+    """Stages computing ``fug_<s>`` = Holloway&Blank fugacity of
+    ``species`` at probe column ``pcol`` (``models/allison.py:41-140``),
+    with every operation in numpy's evaluation order."""
+    a2b = C[f"a2b_{species}"]
+    bsum = {"co2": 29.7, "h2o": 14.5}[species]
+    st: list[list[tuple[str, str]]] = []
+    st.append([(f"ps_{s}", f"GREATEST({pcol}, 1e-50)")])
+    st.append(
+        [(f"bp_{s}", f"(ps_{s} / 1.013 * {bsum!r} / {C['RXT']!r})")]
+    )
+    st.append([
+        (f"rr_{s}", f"(-{a2b!r} * bp_{s} * bp_{s})"),
+        (f"qq_{s}", f"(bp_{s} * ({a2b!r} - bp_{s} - 1.0))"),
+    ])
+    st.append([
+        (f"xn_{s}", f"(qq_{s} * {_TH!r} + rr_{s} - 0.074074)"),
+        (f"xm_{s}", f"(qq_{s} - {_TH!r})"),
+    ])
+    st.append([
+        (f"xnn_{s}", f"(xn_{s} * xn_{s} / 4.0)"),
+        (f"xmm_{s}", f"(xm_{s} * xm_{s} * xm_{s} / 27.0)"),
+    ])
+    st.append([(f"arg_{s}", f"(xnn_{s} + xmm_{s})")])
+    cp0 = f"SQRT(GREATEST(-xnn_{s} / xmm_{s}, 0.0))"
+    st.append([
+        (f"cp_{s}",
+         f"(CASE WHEN xn_{s} > 0.0 THEN -{cp0} ELSE {cp0} END)"),
+    ])
+    st.append([
+        (f"phi_{s}",
+         f"(ATAN(SQRT(GREATEST(1.0 - cp_{s} * cp_{s}, 0.0)) / cp_{s})"
+         f" * {_TH!r})"),
+    ])
+    st.append([
+        (f"z_{s}",
+         f"(CASE WHEN arg_{s} > 0.0 THEN"
+         f" CBRT(-xn_{s} / 2.0 + SQRT(arg_{s}))"
+         f" + CBRT(-xn_{s} / 2.0 - SQRT(arg_{s})) + {_TH!r}"
+         f" WHEN arg_{s} < 0.0 THEN"
+         f" GREATEST(COS(phi_{s}), COS(phi_{s} + 2.0944),"
+         f" COS(phi_{s} + 4.18879))"
+         f" * (2.0 * SQRT(-xm_{s} * {_TH!r})) + {_TH!r}"
+         f" ELSE 1.0 END)"),
+    ])
+    st.append([
+        (f"fp_{s}",
+         f"(z_{s} - 1.0 - LN(GREATEST(z_{s} - bp_{s}, 1e-6))"
+         f" - {a2b!r} * LN(1.0 + bp_{s} / z_{s}))"),
+    ])
+    st.append([
+        (f"rk_{s}",
+         f"((CASE WHEN arg_{s} = 0.0 THEN 1.0"
+         f" WHEN fp_{s} < -37.0 OR fp_{s} > 37.0 THEN 1e-6"
+         f" ELSE fp_{s} END) + LN(ps_{s}))"),
+    ])
+    if species == "co2":
+        sax = (
+            f"({C['sxA']!r} * LN(ps_{s} / 4000.0)"
+            f" + {C['sxB']!r} * (ps_{s} - 4000.0)"
+            f" + {C['sxC']!r} * (ps_{s} * ps_{s} - 16000000.0)"
+            f" + {C['sxD']!r} * (ps_{s} * ps_{s} * ps_{s}"
+            f" - 64000000000.0))"
+        )
+        fug = (
+            f"(CASE WHEN ps_{s} > 4000.0 THEN"
+            f" EXP({C['rk4000']!r} + {sax}) ELSE EXP(rk_{s}) END)"
+        )
+    else:
+        fug = f"EXP(rk_{s})"
+    st.append([(f"fug_{s}", fug)])
+    return st
+
+
+def _allison_cat_stages():
+    """Stages computing dv / lnk0 from melt wt.% columns — the rounded
+    cation fractions of ``models/allison.py:159-205`` with python sum
+    order (= left-associated SQL chains)."""
+    oxides = ["SiO2", "TiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O"]
+    ncat = {"SiO2": 1.0, "TiO2": 1.0, "Al2O3": 2.0, "FeO": 1.0,
+            "MgO": 1.0, "CaO": 1.0, "Na2O": 2.0, "K2O": 2.0}
+    cn = {"SiO2": "Si", "TiO2": "Ti", "Al2O3": "Al", "FeO": "Fe",
+          "MgO": "Mg", "CaO": "Ca", "Na2O": "Na", "K2O": "K"}
+    mol = {s: f"({s} / {W(s)!r})" for s in oxides}
+    tot = "(" + " + ".join(mol[s] for s in oxides) + ")"
+    st: list[list[tuple[str, str]]] = []
+    st.append([
+        (f"e_{cn[s]}", f"(({mol[s]} / {tot}) * {ncat[s]!r})")
+        for s in oxides
+    ])
+    st.append([
+        ("et", "(" + " + ".join(f"e_{cn[s]}" for s in oxides) + ")")
+    ])
+    st.append([
+        (f"c_{cn[s]}", f"ROUND(e_{cn[s]} / et, 3)") for s in oxides
+    ])
+    st.append([("nak", "(c_Na / (c_Na + c_K))")])
+    st.append([
+        ("dv",
+         "(-3350.65 + 2625.385 * c_Ti + 3105.426 * c_Al"
+         " + 47.0037 * nak + 3375.552 * (c_Si + c_Na)"
+         " + 3795.115 * c_K + 3628.018 * c_Fe"
+         " + 3323.32 * (c_Mg + c_Ca))"),
+        ("lnk0",
+         "(-128.365 + 122.644 * (c_Fe + c_Na + c_Ca)"
+         " + 92.263 * (c_Ti + c_Al) + 114.098 * c_Si"
+         " + 111.549 * c_Mg + 138.855 * c_K + 2.239 * nak)"),
+    ])
+    return st
+
+
+def _staged_bisect(name, base, consts, species, flo_init, residual, C,
+                   iters=48):
+    """``allison._bisect`` mirror with a staged fugacity evaluation per
+    step; f(lo) is computed ONCE (its sign never updates — the
+    reference's loop keeps the original f_lo)."""
+    cols = ", ".join(consts)
+    inner = _nest(
+        f"SELECT *, 0.5 * (lo + hi) AS pb FROM {name} WHERE it < {iters}",
+        _fug_stages("pb", species, "x", C)
+        + [[("fmid", residual(f"fug_x"))]],
+    )
+    return f"""
+{name} AS (
+  SELECT name, {cols}, 0 AS it,
+         CAST(1e-10 AS DOUBLE) AS lo, CAST(15000.0 AS DOUBLE) AS hi,
+         SIGN({flo_init}) AS sf
+  FROM {base}
+  UNION ALL
+  SELECT name, {cols}, it + 1,
+         CASE WHEN SIGN(fmid) = sf THEN pb ELSE lo END,
+         CASE WHEN SIGN(fmid) = sf THEN hi ELSE pb END,
+         sf
+  FROM ({inner})
+)"""
+
+
+def sql_allison_saturation(melt_cte: str) -> str:
+    """Allison (2022) mixed CO2-H2O saturation
+    (``models/allison.py:298-338``): pure-species pressures via staged
+    48-step bisections, then the nested solve — an outer bisection in P
+    whose residual contains an inner fugacity-inversion bisection —
+    flattened into ONE recursive state machine (49 micro-steps per outer
+    round: 48 inner halvings + a finalize that updates the outer bracket
+    and seeds the next inner solve)."""
+    C = _allison_consts()
+    FW = _ALLISON_FW
+    RaT = C["RaT"]
+    r44 = 1.0 / 44.01
+
+    ksol = (
+        lambda p: f"(EXP(lnk0) * EXP(-dv * ({p} - 1000.0) / {RaT!r}))"
+    )
+    # pure-CO2 saturation residual (``allison.py:276-279``)
+    res_c = lambda fug: f"(kfr / {fug} - {ksol('pb')})"
+    # pure-H2O saturation residual (``allison.py:254-255``)
+    res_h = lambda fug: f"(fh2o_pure - {fug})"
+    flo_c = (
+        f"(kfr / {C['fug_co2_lo']!r} - {ksol('1e-10')})"
+    )
+    flo_h = f"(fh2o_pure - {C['fug_h2o_lo']!r})"
+
+    # ---- mixed state machine ----
+    # finalize-phase solubility at inner root (= imid) and carried fc
+    co2s = (
+        f"(CASE WHEN xc >= 1.0 THEN 0.0 ELSE"
+        f" 44.01 * xco3 / (44.01 * xco3 + (1.0 - xco3) * {FW!r}) * 100.0"
+        f" END)"
+    )
+    step_stages = [
+        [("imid", "0.5 * (ilo + ihi)"), ("inn", "(iit < 48)")],
+        [("kf2", f"({ksol('imid')} * fc)")],
+        [("xco3", "(kf2 / (1.0 - kf2))")],
+        [("fres", f"({co2s} - c_safe)")],
+        [
+            ("osf2",
+             "(CASE WHEN inn THEN osf WHEN oit = -1 THEN SIGN(fres)"
+             " ELSE osf END)"),
+            ("olo2",
+             "(CASE WHEN inn OR oit = -1 THEN olo"
+             " WHEN SIGN(fres) = osf THEN mid ELSE olo END)"),
+            ("ohi2",
+             "(CASE WHEN inn OR oit = -1 THEN ohi"
+             " WHEN SIGN(fres) = osf THEN ohi ELSE mid END)"),
+        ],
+        [("mid2", "(CASE WHEN inn THEN mid ELSE 0.5 * (olo2 + ohi2) END)")],
+        [
+            ("pc_in", "(CASE WHEN inn THEN imid ELSE mid2 END)"),
+            ("ph_in", "(CASE WHEN inn THEN 1.0 ELSE mid2 END)"),
+        ],
+    ]
+    step_stages += _fug_stages("pc_in", "co2", "c", C)
+    step_stages += _fug_stages("ph_in", "h2o", "h", C)
+    step_stages += [
+        [("xnew",
+          "(CASE WHEN inn THEN xc"
+          " ELSE LEAST(1.0, GREATEST(0.0, tgt / fug_h)) END)")],
+        [("fcnew",
+          "(CASE WHEN inn THEN fc ELSE fug_c * (1.0 - xnew) END)")],
+    ]
+    mixed_inner = _nest("SELECT * FROM mx WHERE oit < 48", step_stages)
+    consts = "uid, dv, lnk0, c_safe, tgt"
+    mixed = f"""
+mx AS (
+  SELECT name, {consts}, -1 AS oit, 0 AS iit,
+         CAST(10.0 AS DOUBLE) AS olo, CAST(15000.0 AS DOUBLE) AS ohi,
+         CAST(NULL AS DOUBLE) AS osf,
+         CAST(10.0 AS DOUBLE) AS mid,
+         x0 AS xc, {C['fug_co2_10']!r} * (1.0 - x0) AS fc,
+         CAST(1e-10 AS DOUBLE) AS ilo, CAST(15000.0 AS DOUBLE) AS ihi,
+         SIGN({C['fug_co2_10']!r} * (1.0 - x0) - {C['fug_co2_lo']!r})
+           AS isf
+  FROM (SELECT *,
+          LEAST(1.0, GREATEST(0.0, tgt / {C['fug_h2o_10']!r})) AS x0
+        FROM cn)
+  UNION ALL
+  SELECT name, {consts},
+         CASE WHEN inn THEN oit ELSE oit + 1 END,
+         CASE WHEN inn THEN iit + 1 ELSE 0 END,
+         olo2, ohi2, osf2, mid2, xnew, fcnew,
+         CASE WHEN inn THEN
+           (CASE WHEN SIGN(fc - fug_c) = isf THEN imid ELSE ilo END)
+           ELSE CAST(1e-10 AS DOUBLE) END,
+         CASE WHEN inn THEN
+           (CASE WHEN SIGN(fc - fug_c) = isf THEN ihi ELSE imid END)
+           ELSE CAST(15000.0 AS DOUBLE) END,
+         CASE WHEN inn THEN isf
+           ELSE SIGN(fcnew - {C['fug_co2_lo']!r}) END
+  FROM ({mixed_inner})
+)"""
+
+    base = _nest(
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY name ORDER BY SiO2,"
+        " Al2O3, TiO2, MgO, FeO, CaO, Na2O, K2O, H2O, CO2, P_bar) AS uid"
+        " FROM melt WHERE name % 64 = 0",
+        _allison_cat_stages()
+        + [[
+            ("c_safe", "(CASE WHEN CO2 > 0.0 THEN CO2 ELSE 1e-6 END)"),
+            ("h_safe", "(CASE WHEN H2O > 0.0 THEN H2O ELSE 1e-6 END)"),
+        ]]
+        + [[
+            ("xco3s",
+             f"((c_safe * {r44!r})"
+             f" / ({100.0 / FW!r} - (c_safe / {FW!r})))"),
+            ("fh2o_pure", "(104.98 * POW(H2O, 1.83) / 1.0)"),
+            ("tgt", "(104.98 * POW(h_safe, 1.83))"),
+        ]]
+        + [[("kfr", "(xco3s / (1.0 + xco3s))")]],
+    )
+    return f"""
+WITH RECURSIVE {melt_cte},
+cn AS ({base}),
+{_staged_bisect('bh', 'cn', ['uid', 'H2O', 'CO2', 'fh2o_pure'], 'h2o',
+                flo_h, res_h, C)},
+{_staged_bisect('bc', 'cn', ['uid', 'kfr', 'dv', 'lnk0'], 'co2', flo_c,
+                res_c, C)},
+{mixed}
+SELECT mx.name AS name,
+  ROUND(CASE WHEN mx.co2_obs <= 0.0 THEN ph
+             WHEN mx.h2o_obs <= 0.0 THEN pc
+             WHEN mx.xc <= 0.0 THEN pc
+             WHEN mx.xc >= 1.0 THEN ph
+             ELSE mx.mid END, 4) AS P_bar_sat,
+  ROUND(CASE WHEN mx.co2_obs <= 0.0 THEN 1.0
+             WHEN mx.h2o_obs <= 0.0 THEN 0.0
+             ELSE mx.xc END, 6) AS Xfl
+FROM (
+  SELECT m.*, c.H2O AS h2o_obs, c.CO2 AS co2_obs
+  FROM mx m JOIN cn c USING (name, uid) WHERE m.oit = 48
+) mx
+JOIN (SELECT name, uid,
+        CASE WHEN H2O <= 0.0 THEN 0.0 ELSE 0.5 * (lo + hi) END AS ph
+      FROM bh WHERE it = 48) bh USING (name, uid)
+JOIN (SELECT name, uid, 0.5 * (lo + hi) AS pc
+      FROM bc WHERE it = 48) bc USING (name, uid)
+ORDER BY name
+"""
+
+
+# ----------------------------------------------------------------------
 # Monte-Carlo thermometer (md5 counter RNG — engine-portable draws)
 # ----------------------------------------------------------------------
 

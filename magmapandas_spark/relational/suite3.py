@@ -204,10 +204,11 @@ def q_allison_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magmapandas_spark.core.geoframe import GeoFrame
 
     gf = synthetic_melt(spark, sf_dir)
-    # deterministic 1/16 subset: the nested MRK bisection is ~10× the
+    # deterministic 1/64 subset: the nested MRK bisection is ~10× the
     # cost of the IM solver; volatile_saturation_im covers the
-    # full-table fan-out, this gate covers the Allison kernels
-    sub = gf.df.filter(F.col("name") % 16 == 0)
+    # full-table fan-out, this gate covers the Allison kernels (and the
+    # recursive-CTE oracle replays every bisection step per row)
+    sub = gf.df.filter(F.col("name") % 64 == 0)
     gf = GeoFrame(sub, units=gf.units, datatype=gf.datatype,
                   species=gf.species)
     out = vol.volatile_saturation_pressure(
@@ -344,6 +345,7 @@ def oracle_sql():
 
     return {
         "ivf_topk_seeded": sql_ivf_topk_seeded(),
+        "allison_saturation": so.sql_allison_saturation(SQL_MELT_CTE),
         "fe3fe2_solvers2": so.sql_fe3fe2_solvers2(SQL_MELT_CTE),
         "kd_toplis_iteration": so.sql_kd_toplis(SQL_MELT_CTE),
         "kd_blundy_saper": so.sql_kd_blundy_saper(SQL_MELT_CTE),
