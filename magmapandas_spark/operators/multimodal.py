@@ -104,6 +104,75 @@ def extract_features(
     return media.mapInPandas(fn, schema=_FEATURES_SCHEMA)
 
 
+# ---- suite entries ----------------------------------------------------
+# The synthetic payload is pure arithmetic (byte j of media i is
+# (i*7+j) % 256), so DuckDB can regenerate it and the gate compares the
+# REAL mapInPandas decode path against an exact oracle. Outputs are
+# integer-only (argmax bucket, byte counts, frame timestamps) so no
+# float32 rounding enters the hash.
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(synthetic_media(spark, 64))
+    top = F.array_position(
+        F.col("feature"), F.array_max("feature")
+    ) - F.lit(1)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        top.cast("int").alias("top_bucket"),
+    ).orderBy("media_id")
+
+
+SQL_MEDIA_FEATURES = f"""
+WITH m AS (
+  SELECT i AS media_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+         128 + (i % 64) AS n_bytes
+  FROM range(64) t(i)
+),
+b AS (
+  SELECT media_id, kind, n_bytes,
+         (media_id * 7 + j.j) % {FEATURE_DIM} AS bucket
+  FROM m, LATERAL (SELECT UNNEST(range(n_bytes)) AS j) j
+),
+h AS (
+  SELECT media_id, kind, n_bytes, bucket, COUNT(*) AS c
+  FROM b GROUP BY 1, 2, 3, 4
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY media_id ORDER BY c DESC, bucket) AS rn
+  FROM h
+)
+SELECT media_id, kind, n_bytes, CAST(bucket AS INT) AS top_bucket
+FROM r WHERE rn = 1
+ORDER BY media_id
+"""
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_video_frames(synthetic_media(spark, 64), every_ms=1000)
+    return frames.select(
+        "media_id",
+        "frame_ts_ms",
+        F.length("payload").cast("long").alias("n_bytes"),
+    ).orderBy("media_id", "frame_ts_ms")
+
+
+SQL_VIDEO_FRAMES = """
+WITH m AS (
+  SELECT i AS media_id, 1000 + i * 10 AS duration_ms,
+         128 + (i % 64) AS n_bytes
+  FROM range(64) t(i) WHERE i % 3 = 2
+)
+SELECT media_id, CAST(f.f AS BIGINT) AS frame_ts_ms, n_bytes
+FROM m, LATERAL (SELECT UNNEST(range(0, duration_ms, 1000)) AS f) f
+ORDER BY media_id, frame_ts_ms
+"""
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stub: real decode unavailable — metadata transformation is
     real (target dims recorded), payload passes through."""

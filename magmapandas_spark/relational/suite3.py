@@ -300,6 +300,18 @@ def _q_ivf_seeded(spark, sf_dir):
     return q_ivf_topk_seeded(spark, sf_dir)
 
 
+def _q_media_features(spark, sf_dir):
+    from magmapandas_spark.operators.multimodal import q_media_features
+
+    return q_media_features(spark, sf_dir)
+
+
+def _q_video_frames(spark, sf_dir):
+    from magmapandas_spark.operators.multimodal import q_video_frames
+
+    return q_video_frames(spark, sf_dir)
+
+
 def queries():
     return {
         "user_sessions": q_user_sessions,
@@ -312,6 +324,8 @@ def queries():
         "running_stddev": q_running_stddev,
         "ivf_topk": _q_ivf,
         "ivf_topk_seeded": _q_ivf_seeded,
+        "media_features": _q_media_features,
+        "video_frames": _q_video_frames,
         "sliding_value_avg": q_sliding_value_avg,
         "thermometers_multi": q_thermometers_multi,
         "fe3fe2_expr_models": q_fe3fe2_expr_models,
@@ -343,8 +357,15 @@ def oracle_sql():
 
     from magmapandas_spark.operators.similarity import sql_ivf_topk_seeded
 
+    from magmapandas_spark.operators.multimodal import (
+        SQL_MEDIA_FEATURES,
+        SQL_VIDEO_FRAMES,
+    )
+
     return {
         "ivf_topk_seeded": sql_ivf_topk_seeded(),
+        "media_features": SQL_MEDIA_FEATURES,
+        "video_frames": SQL_VIDEO_FRAMES,
         "allison_saturation": so.sql_allison_saturation(SQL_MELT_CTE),
         "fe3fe2_solvers2": so.sql_fe3fe2_solvers2(SQL_MELT_CTE),
         "kd_toplis_iteration": so.sql_kd_toplis(SQL_MELT_CTE),
