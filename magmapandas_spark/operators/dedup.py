@@ -43,21 +43,22 @@ def shingle_df(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 5,
 ) -> DataFrame:
-    """Distinct character n-gram shingles per document (narrow +
-    per-doc distinct)."""
+    """Distinct character n-gram shingles per document.
+
+    The distinct shingle SET is built scan-locally as one array
+    expression (``array_distinct`` over ``transform``), so the explode
+    emits only (id, n-char shingle) rows — never the full text — and no
+    global ``distinct()`` shuffle is needed (shingles are already
+    de-duplicated within their doc, the only scope that matters)."""
+    arr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> substring({text_col}, i, {n}))"
+        )
+    )
     return (
         docs.filter(F.length(text_col) >= n)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.lit(1), F.length(text_col) - F.lit(n - 1))
-            ).alias("i"),
-            F.col(text_col),
-        )
-        .select(
-            F.col(id_col), F.expr(f"substring({text_col}, i, {n})").alias("sh")
-        )
-        .distinct()
+        .select(F.col(id_col), F.explode(arr).alias("sh"))
     )
 
 

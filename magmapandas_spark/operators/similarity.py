@@ -517,6 +517,105 @@ ORDER BY qid, rn
 """
 
 
+# gate parameters for the LSH ANN query: small enough that the DuckDB
+# twin's unrolled signature expressions stay tractable, large enough to
+# exercise multi-table bucket union + rescore
+_LSH_DIM = 64
+_LSH_PLANES = 8
+_LSH_TABLES = 2
+_LSH_SEED = 7
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN gate query: 20 query vectors against
+    the full embeddings corpus, 2 tables x 8 planes (seed 7),
+    union-of-bucket candidates, exact cosine rescore, top-5.
+
+    The hyperplanes are seeded literals, so the identical pipeline is
+    expressible in the DuckDB oracle (:func:`sql_lsh_topk`): signature
+    bits come from sign tests on the same left-associated double fold,
+    hence are bit-identical across engines, and the rescore reuses the
+    proven ``_sql_cos`` fold."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk_lsh(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        dim=_LSH_DIM,
+        n_planes=_LSH_PLANES,
+        n_tables=_LSH_TABLES,
+        seed=_LSH_SEED,
+    )
+    return out.select(
+        "qid", "cid", F.round("cos", 4).alias("cos")
+    ).orderBy("qid", "rn")
+
+
+def _sql_sig(vec: str, table: int, dim: int, n_planes: int, seed: int) -> str:
+    """SQL twin of ``cosine_topk_lsh``'s per-table signature: each bit is
+    the sign test of the same 0.0-seeded left fold; the packed integer
+    accumulates ``sig*2 + bit`` exactly like the Column expression."""
+    planes = _hyperplanes(dim, n_planes, seed + table)
+    bits = []
+    for plane in planes:
+        terms = " + ".join(
+            f"CAST({vec}[{i}] AS DOUBLE) * CAST({plane[i - 1]!r} AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+        bits.append(f"(CASE WHEN (0.0 + {terms}) >= 0 THEN 1 ELSE 0 END)")
+    weighted = " + ".join(
+        f"{b} * {1 << (len(bits) - 1 - j)}" for j, b in enumerate(bits)
+    )
+    return f"({weighted})"
+
+
+def sql_lsh_topk(
+    dim: int = _LSH_DIM,
+    n_planes: int = _LSH_PLANES,
+    n_tables: int = _LSH_TABLES,
+    seed: int = _LSH_SEED,
+    k: int = 5,
+) -> str:
+    sig_cols = ",\n    ".join(
+        f"{_sql_sig('embedding', t, dim, n_planes, seed)} AS sig{t}"
+        for t in range(n_tables)
+    )
+    buckets = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, sig{t} AS sig FROM sigs"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id,
+    {sig_cols}
+  FROM embeddings
+),
+buckets AS (
+{buckets}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.sig = c.sig
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.qid, cand.cid,
+         {_sql_cos('qe.embedding', 'ce.embedding', dim)} AS cos
+  FROM cand
+  JOIN embeddings qe ON cand.qid = qe.vec_id
+  JOIN embeddings ce ON cand.cid = ce.vec_id
+)
+SELECT qid, cid, ROUND(cos, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+  FROM scored
+) WHERE rn <= {k}
+ORDER BY qid, rn
+"""
+
+
 # index cache keyed by (session id, sf_dir): queries reuse the fitted
 # quantizer + persisted assignment instead of rebuilding per invocation
 _IVF_CACHE: dict[tuple[int, str], tuple[DataFrame, list]] = {}

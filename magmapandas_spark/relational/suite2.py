@@ -482,6 +482,85 @@ ORDER BY doc_id
 """
 
 
+# BPE-ish pretokenizer (GPT-2-pattern subset): apostrophe suffix |
+# word | digit run | punctuation run | residual space run. Restricted
+# to syntax shared by Java regex (Spark) and RE2 (DuckDB) — no
+# lookaround, no backrefs — with identical leftmost-first alternation,
+# so match counts are exact cross-engine.
+_BPE_RE = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9']+| +"
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways per document — whitespace split and a
+    BPE-ish pretokenizer regex (the standard LLM-pipeline size signal) —
+    plus chars-per-BPE-token. Narrow, scan-local, regexp_count stays in
+    whole-stage codegen (no UDF)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    n_ws = F.size(F.split(F.col("text"), " "))
+    n_bpe = F.regexp_count(F.col("text"), F.lit(_BPE_RE))
+    return (
+        docs.select(
+            "doc_id",
+            n_ws.alias("n_ws_tokens"),
+            n_bpe.alias("n_bpe_tokens"),
+            F.when(
+                n_bpe > 0,
+                F.round(F.length("text").cast("double") / n_bpe, 6),
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+  len(str_split(text, ' ')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe_tokens,
+  CASE WHEN len(regexp_extract_all(text, '{_BPE_RE_SQL}')) > 0
+       THEN ROUND(CAST(length(text) AS DOUBLE)
+                  / len(regexp_extract_all(text, '{_BPE_RE_SQL}')), 6)
+  END AS chars_per_token
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP(status, priority): detail,
+    subtotal and grand-total rows from ONE Expand + hash-aggregate pass
+    (a single shuffle on the expanded grouping keys). Rolled-up keys are
+    COALESCEd to a sentinel on both engines so the value hash is
+    null-free and sort-stable."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+SQL_ORDER_ROLLUP = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       {SQL_DSUM.format(x="o_totalprice")} AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
 def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language-ID heuristic vs the labeled lang column:
     confusion counts. (The synthetic corpus shares one vocabulary, so
@@ -762,6 +841,8 @@ def queries():
         "density_viscosity": q_density_viscosity,
         "mineral_forsterite": q_mineral_forsterite,
         "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "order_rollup": q_order_rollup,
         "langid_heuristic": q_langid_heuristic,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "embedding_topk": q_embedding_topk,
@@ -798,6 +879,8 @@ def oracle_sql():
         "density_viscosity": _sql_density_viscosity(),
         "mineral_forsterite": _sql_mineral_forsterite(),
         "text_quality": SQL_TEXT_QUALITY,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "order_rollup": SQL_ORDER_ROLLUP,
         "langid_heuristic": SQL_LANGID,
         "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD,
         "embedding_topk": SQL_EMBEDDING_TOPK,

@@ -98,39 +98,32 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: word 3-gram shingles →
     md5 rolling window → per-doc minimum hash (bottom-1 sketch) +
     shingle cardinalities. Engine-portable md5 (not xxhash64) so the
-    DuckDB oracle is exact. Explode → single shuffle on doc_id with
-    map-side partial min."""
+    DuckDB oracle is exact.
+
+    Fully scan-local: the hash array is built in ONE projection
+    (materialized before the aggregates so Spark's no-CSE-across-lambdas
+    limitation can't triple the md5 work) and min/size/distinct are
+    array expressions — no explode, no shuffle, no per-shingle row
+    blow-up. At 100 TB every doc is one row in, one row out."""
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
-    n = F.size(words)
-    shingles = (
-        docs.filter(n >= 3)
+    staged = (
+        docs.filter(F.size(words) >= 3)
+        .select("doc_id", words.alias("w"))
         .select(
             "doc_id",
-            F.explode(F.sequence(F.lit(0), n - F.lit(3))).alias("i"),
-            words.alias("w"),
-        )
-        .select(
-            "doc_id",
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.col("w")[F.col("i")],
-                    F.col("w")[F.col("i") + 1],
-                    F.col("w")[F.col("i") + 2],
-                )
-            ).alias("h"),
+            F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2])))"
+            ).alias("hs"),
         )
     )
-    return (
-        shingles.groupBy("doc_id")
-        .agg(
-            F.min("h").alias("fp_min"),
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.countDistinct("h").alias("n_distinct"),
-        )
-        .orderBy("doc_id")
-    )
+    return staged.select(
+        "doc_id",
+        F.array_min("hs").alias("fp_min"),
+        F.size("hs").alias("n_shingles"),
+        F.size(F.array_distinct("hs")).alias("n_distinct"),
+    ).orderBy("doc_id")
 
 
 SQL_DOC_FINGERPRINT = """
@@ -300,6 +293,12 @@ def _q_ivf_seeded(spark, sf_dir):
     return q_ivf_topk_seeded(spark, sf_dir)
 
 
+def _q_lsh_topk(spark, sf_dir):
+    from magmapandas_spark.operators.similarity import q_lsh_topk
+
+    return q_lsh_topk(spark, sf_dir)
+
+
 def _q_media_features(spark, sf_dir):
     from magmapandas_spark.operators.multimodal import q_media_features
 
@@ -324,6 +323,7 @@ def queries():
         "running_stddev": q_running_stddev,
         "ivf_topk": _q_ivf,
         "ivf_topk_seeded": _q_ivf_seeded,
+        "lsh_topk": _q_lsh_topk,
         "media_features": _q_media_features,
         "video_frames": _q_video_frames,
         "sliding_value_avg": q_sliding_value_avg,
@@ -355,7 +355,10 @@ def oracle_sql():
     from magmapandas_spark.relational import solver_oracles as so
     from magmapandas_spark.relational.suite import SQL_MELT_CTE
 
-    from magmapandas_spark.operators.similarity import sql_ivf_topk_seeded
+    from magmapandas_spark.operators.similarity import (
+        sql_ivf_topk_seeded,
+        sql_lsh_topk,
+    )
 
     from magmapandas_spark.operators.multimodal import (
         SQL_MEDIA_FEATURES,
@@ -364,6 +367,7 @@ def oracle_sql():
 
     return {
         "ivf_topk_seeded": sql_ivf_topk_seeded(),
+        "lsh_topk": sql_lsh_topk(),
         "media_features": SQL_MEDIA_FEATURES,
         "video_frames": SQL_VIDEO_FRAMES,
         "allison_saturation": so.sql_allison_saturation(SQL_MELT_CTE),
