@@ -663,19 +663,29 @@ def shishkina_co2_saturation_expr(melt: GeoFrame) -> Column:
     (closed-form — no UDF, no Arrow exchange, whole-stage codegen;
     the UDF path stays for the dispatcher but this is what a hot
     pipeline should call at scale)."""
-    from magmapandas_spark.models.common import cation_fraction_exprs
+    from magmapandas_spark.chem.elements import cation_amount, cation_name
 
+    # Cation fractions straight from wt.%: the intermediate mole-
+    # fraction normalisation cancels algebraically (cat_i = w_i / Σw
+    # whether or not the mole terms were pre-normalised), and skipping
+    # it keeps the expression tree one division level deep instead of
+    # inlining the 10-term mole total inside every fraction — the
+    # nested form blew past JIT method limits and ran interpreted.
+    # This is also exactly the (single-level) shape the DuckDB oracle
+    # computes.
     comp = {
         s: F.coalesce(F.col(s), F.lit(0.0))
         for s in melt.species
         if s not in ("H2O", "CO2")
     }
-    mol_terms = {s: c / F.lit(W(s)) for s, c in comp.items()}
+    w_terms = {
+        cation_name(s): c / F.lit(W(s)) * F.lit(float(cation_amount(s)))
+        for s, c in comp.items()
+    }
     total = None
-    for c in mol_terms.values():
+    for c in w_terms.values():
         total = c if total is None else total + c
-    mol = {s: t / total for s, t in mol_terms.items()}
-    cat = cation_fraction_exprs(mol)
+    cat = {n: t / total for n, t in w_terms.items()}
     z = F.lit(0.0)
     g = lambda n: cat.get(n, z)
     pi_star = (

@@ -119,9 +119,19 @@ def minhash_lsh_candidates(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), sig.alias("sig"))
         )
-    exploded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # pre-partition on the join key: the whole shingle→minhash→band
+    # pipeline materializes into ONE shuffle that both self-join sides
+    # read (instead of being evaluated twice), and the bucket join
+    # needs no further exchange
+    exploded = (
+        sigs.select(
+            F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
+        )
+        .select(
+            id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+        .repartition("band", "sig")
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -220,13 +230,19 @@ def simhash_near_dups(
             for t in range(n_tables)
         ]
     )
-    bucketed = fp.select(
-        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("tb")
-    ).select(
-        id_col,
-        "simhash",
-        F.col("tb.tbl").alias("tbl"),
-        F.col("tb.bucket").alias("bucket"),
+    # one shared exchange on the join key (see minhash_lsh_candidates):
+    # the fingerprint pipeline runs once, both self-join sides read it
+    bucketed = (
+        fp.select(
+            F.col(id_col), F.col("simhash"), F.explode(blocks).alias("tb")
+        )
+        .select(
+            id_col,
+            "simhash",
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+        .repartition("tbl", "bucket")
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")

@@ -527,6 +527,38 @@ ORDER BY doc_id
 """
 
 
+def q_pricing_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per return flag: Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the linear-interpolation
+    definition, so values match exactly. Single shuffle on a
+    3-value key; at scale the exact percentile's per-group sort is the
+    cost — the approx_percentile/t-digest path is the 100 TB variant
+    (engine-specific sketch, hence not oracle-checked)."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("disc_p25"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_PRICING_QUANTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       ROUND(quantile_cont(l_discount, 0.25), 6) AS disc_p25,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP(status, priority): detail,
     subtotal and grand-total rows from ONE Expand + hash-aggregate pass
@@ -606,8 +638,12 @@ def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(sequence(1, length(text) - 4),"
                " i -> substring(text, i, 5))")
     )
+    # route BOTH join sides through one hash exchange: the (interpreted,
+    # HOF-heavy) shingle build is materialized into a single shuffle and
+    # read twice, instead of being re-evaluated per side and again by
+    # the orderBy's range-sampling pass
     sets = docs.select("doc_id", arr.alias("shs"),
-                       F.size(arr).alias("n"))
+                       F.size(arr).alias("n")).repartition("doc_id")
     c1 = sets.alias("c1")
     c2 = sets.alias("c2")
     # materialize the intersection size ONCE (three inline references
@@ -843,6 +879,7 @@ def queries():
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "order_rollup": q_order_rollup,
+        "pricing_quantiles": q_pricing_quantiles,
         "langid_heuristic": q_langid_heuristic,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "embedding_topk": q_embedding_topk,
@@ -881,6 +918,7 @@ def oracle_sql():
         "text_quality": SQL_TEXT_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "order_rollup": SQL_ORDER_ROLLUP,
+        "pricing_quantiles": SQL_PRICING_QUANTILES,
         "langid_heuristic": SQL_LANGID,
         "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD,
         "embedding_topk": SQL_EMBEDDING_TOPK,
