@@ -85,6 +85,19 @@ def davg(col: F.Column) -> F.Column:
     return (F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)))
 
 
+def heavy_sorted(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic orderBy for solver/UDF-tier results: hash-
+    repartition on the sort key first, so the expensive upstream stage
+    (Arrow-vectorized bisection, fixed-point kernels) materializes into
+    ONE shuffle that the range-sort's sampling pass and the final sort
+    job both read — Spark reuses shuffle stages across jobs. Without
+    this, ``orderBy`` alone re-executes the whole solver a second time
+    for range-boundary sampling (Python eval nodes don't expose output
+    ordering, so the pre-sorted input cache can't elide the sort
+    either). Values are unchanged; only the plan shape is."""
+    return df.repartition(*[F.col(c) for c in cols]).orderBy(*cols)
+
+
 SQL_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
 SQL_DAVG = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
 

@@ -20,6 +20,7 @@ from magmapandas_spark.relational.suite import (
     _t,
     davg,
     dsum,
+    heavy_sorted,
     synthetic_melt,
 )
 
@@ -844,11 +845,14 @@ def q_volatile_saturation_im(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gf = synthetic_melt(spark, sf_dir)
     out = vol.volatile_saturation_pressure(gf, T_K=1473.15, species="mixed")
-    return out.select(
+    return heavy_sorted(
+        out.select(
+            "name",
+            F.round("P_bar_sat", 4).alias("P_bar_sat"),
+            F.round("Xfl", 6).alias("Xfl"),
+        ),
         "name",
-        F.round("P_bar_sat", 4).alias("P_bar_sat"),
-        F.round("Xfl", 6).alias("Xfl"),
-    ).orderBy("name")
+    )
 
 
 # ----------------------------------------------------------------------

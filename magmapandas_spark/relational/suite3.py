@@ -17,6 +17,7 @@ from magmapandas_spark.relational.suite import (
     SQL_DSUM,
     _t,
     dsum,
+    heavy_sorted,
     synthetic_melt,
 )
 
@@ -207,11 +208,14 @@ def q_allison_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = vol.volatile_saturation_pressure(
         gf, T_K=1473.15, model="allison2022", species="mixed"
     )
-    return out.select(
+    return heavy_sorted(
+        out.select(
+            "name",
+            F.round("P_bar_sat", 4).alias("P_bar_sat"),
+            F.round("Xfl", 6).alias("Xfl"),
+        ),
         "name",
-        F.round("P_bar_sat", 4).alias("P_bar_sat"),
-        F.round("Xfl", 6).alias("Xfl"),
-    ).orderBy("name")
+    )
 
 
 def q_isobar_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1497,9 +1501,9 @@ def q_fe3fe2_deng2020(spark: SparkSession, sf_dir: str) -> DataFrame:
         gf, T_K=T, P_bar="P_bar", model="deng2020", fO2_buffer="QFM_1bar",
         dfO2=1.0,
     )
-    return out.select(
-        "name", F.round("Fe3Fe2", 6).alias("Fe3Fe2")
-    ).orderBy("name")
+    return heavy_sorted(
+        out.select("name", F.round("Fe3Fe2", 6).alias("Fe3Fe2")), "name"
+    )
 
 
 def q_kd_toplis_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1514,9 +1518,9 @@ def q_kd_toplis_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         gf, T_K=F.lit(1500.0), P_bar="P_bar", model="toplis2005",
         Fe3Fe2=F.lit(0.2),
     )
-    return out.select(
-        "name", F.round("Kd", 6).alias("Kd")
-    ).orderBy("name")
+    return heavy_sorted(
+        out.select("name", F.round("Kd", 6).alias("Kd")), "name"
+    )
 
 
 def q_melt_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1603,11 +1607,14 @@ def q_kd_blundy_saper(spark: SparkSession, sf_dir: str) -> DataFrame:
         g2, T_K=F.lit(1500.0), P_bar="P_bar", model="saper2022",
         Fe3Fe2=F.lit(0.2), out_col="kd_saper",
     )
-    return df.select(
+    return heavy_sorted(
+        df.select(
+            "name",
+            F.round("kd_blundy", 6).alias("kd_blundy"),
+            F.round("kd_saper", 6).alias("kd_saper"),
+        ),
         "name",
-        F.round("kd_blundy", 6).alias("kd_blundy"),
-        F.round("kd_saper", 6).alias("kd_saper"),
-    ).orderBy("name")
+    )
 
 
 def q_fe3fe2_expr_models2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1909,11 +1916,14 @@ def q_fe3fe2_solvers2(spark: SparkSession, sf_dir: str) -> DataFrame:
         g2, T_K=T, P_bar="P_bar", model="armstrong2019",
         fO2_buffer="QFM_1bar", dfO2=0.0, out_col="fe3fe2_armstrong",
     )
-    return df.select(
+    return heavy_sorted(
+        df.select(
+            "name",
+            F.round("fe3fe2_oneill06", 6).alias("fe3fe2_oneill06"),
+            F.round("fe3fe2_armstrong", 6).alias("fe3fe2_armstrong"),
+        ),
         "name",
-        F.round("fe3fe2_oneill06", 6).alias("fe3fe2_oneill06"),
-        F.round("fe3fe2_armstrong", 6).alias("fe3fe2_armstrong"),
-    ).orderBy("name")
+    )
 
 
 def q_sugawara6a_cpx(spark: SparkSession, sf_dir: str) -> DataFrame:
