@@ -255,29 +255,77 @@ def ivf_index(
     partition prunes.
 
     Returns ``(assigned_df, centroids)``; ``centroids`` is a plain
-    ``list[list[float]]`` for broadcasting to the query side."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    ``list[list[float]]`` for broadcasting to the query side.
 
-    feat = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(
-            F.col(vec_col).cast("array<double>")
-        ).alias("__fv"),
-    )
-    fit_src = feat
+    The fit set is BOUNDED (``max_fit_rows``) by design, so the Lloyd
+    iterations run driver-side in numpy on one bounded ``toPandas`` —
+    at 100k × 64 dims that is ~50 MB of driver memory, constant in
+    corpus size. A distributed fit (e.g. Spark ML KMeans) pays ~20
+    scheduler round-trips for data this small and is only warranted
+    when the fit set itself can't be sampled down. Assignment of the
+    full corpus stays distributed: one Arrow pass, Euclidean argmin
+    against broadcast centroids."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    fit_src = corpus
     if fit_sample is not None:
-        fit_src = feat.sample(fraction=fit_sample, seed=seed)
-    fit_src = fit_src.limit(max_fit_rows)
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="__fv", predictionCol="cell"
-    ).fit(fit_src)
-    assigned = model.transform(feat).select(id_col, vec_col, "cell")
+        fit_src = corpus.sample(fraction=fit_sample, seed=seed)
+    sample = fit_src.select(vec_col).limit(max_fit_rows).toPandas()
+    X = np.vstack(sample[vec_col].to_numpy()).astype(float)
+    cent = _lloyd_fit(X, n_cells, seed)
+
+    spark = corpus.sparkSession
+    b_cent = spark.sparkContext.broadcast(cent)
+
+    @pandas_udf(T.IntegerType())
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        C = b_cent.value
+        V = np.vstack(vecs.to_numpy()).astype(float)
+        d = (
+            (V * V).sum(axis=1, keepdims=True)
+            + (C * C).sum(axis=1)[None, :]
+            - 2.0 * V @ C.T
+        )
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), assign_cell(F.col(vec_col)).alias("cell")
+    )
     if persist:
         assigned = assigned.persist()
-    centroids = [c.tolist() for c in model.clusterCenters()]
-    return assigned, centroids
+    return assigned, [c.tolist() for c in cent]
+
+
+def _lloyd_fit(
+    X: "np.ndarray", k: int, seed: int, iters: int = 20
+) -> "np.ndarray":
+    """Seeded k-means++ init + Lloyd iterations, all via the
+    |x−c|² = |x|² + |c|² − 2x·c expansion (no n×k×d broadcast)."""
+    rng = np.random.RandomState(seed)
+    n = X.shape[0]
+    k = min(k, n)
+    x2 = (X * X).sum(axis=1)
+    centers = [X[rng.randint(n)]]
+    for _ in range(1, k):
+        C = np.asarray(centers)
+        d2 = np.maximum(
+            x2[:, None] + (C * C).sum(axis=1)[None, :] - 2.0 * X @ C.T, 0.0
+        ).min(axis=1)
+        tot = d2.sum()
+        if tot <= 0:
+            centers.append(X[rng.randint(n)])
+            continue
+        centers.append(X[rng.choice(n, p=d2 / tot)])
+    C = np.asarray(centers, dtype=float)
+    for _ in range(iters):
+        d = x2[:, None] + (C * C).sum(axis=1)[None, :] - 2.0 * X @ C.T
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
 
 
 def write_ivf_index(
@@ -447,9 +495,12 @@ def q_ivf_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_seeded(
         emb, _IVF_SEED_IDS, F.col("vec_id") < 20, k=5, n_probe=4
     )
-    return out.select(
-        "qid", "cid", F.round("cos", 4).alias("cos")
-    ).orderBy("qid", "rn")
+    from magmapandas_spark.relational.suite import heavy_sorted
+
+    return heavy_sorted(
+        out.select("qid", "rn", "cid", F.round("cos", 4).alias("cos")),
+        "qid", "rn",
+    ).drop("rn")
 
 
 def _sql_dot(a: str, b: str, dim: int = 64) -> str:
@@ -548,9 +599,12 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=_LSH_TABLES,
         seed=_LSH_SEED,
     )
-    return out.select(
-        "qid", "cid", F.round("cos", 4).alias("cos")
-    ).orderBy("qid", "rn")
+    from magmapandas_spark.relational.suite import heavy_sorted
+
+    return heavy_sorted(
+        out.select("qid", "rn", "cid", F.round("cos", 4).alias("cos")),
+        "qid", "rn",
+    ).drop("rn")
 
 
 def _sql_sig(vec: str, table: int, dim: int, n_planes: int, seed: int) -> str:
@@ -638,6 +692,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = _IVF_CACHE[key]
     queries = emb.filter(F.col("vec_id") < 20)
     out = ivf_topk(queries, assigned, centroids, k=5, n_probe=4)
-    return out.select("qid", "cid", F.round("cos", 4).alias("cos")).orderBy(
-        "qid", "rn"
-    )
+    from magmapandas_spark.relational.suite import heavy_sorted
+
+    return heavy_sorted(
+        out.select("qid", "rn", "cid", F.round("cos", 4).alias("cos")),
+        "qid", "rn",
+    ).drop("rn")
