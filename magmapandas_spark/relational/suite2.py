@@ -528,6 +528,40 @@ ORDER BY doc_id
 """
 
 
+# TPC-H Q17-shaped: one SQL text for BOTH engines. The correlated
+# scalar subquery is what's under test on the Spark side — Catalyst
+# decorrelates it into an aggregate-then-join (one shuffle on partkey +
+# broadcast of the small part side) instead of a per-row re-scan.
+# Threshold arithmetic is exact cross-engine: integer-valued doubles
+# sum exactly below 2^53, so AVG and 0.2*AVG are bit-identical.
+SQL_BELOW_AVG_REVENUE = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS below_thresh_revenue,
+       COUNT(*) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < (
+  SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = p_partkey
+)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q_below_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern (small-quantity revenue below 20% of the
+    per-part average) via a correlated scalar subquery — the identical
+    SQL string is the DuckDB oracle, so this gate row checks Catalyst's
+    subquery decorrelation end to end."""
+    spark.read.parquet(_t(sf_dir, "lineitem")).createOrReplaceTempView(
+        "lineitem"
+    )
+    spark.read.parquet(_t(sf_dir, "part")).createOrReplaceTempView("part")
+    return spark.sql(SQL_BELOW_AVG_REVENUE)
+
+
 def q_pricing_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per return flag: Spark's ``percentile`` and
     DuckDB's ``quantile_cont`` share the linear-interpolation
@@ -884,6 +918,7 @@ def queries():
         "token_counts": q_token_counts,
         "order_rollup": q_order_rollup,
         "pricing_quantiles": q_pricing_quantiles,
+        "below_avg_revenue": q_below_avg_revenue,
         "langid_heuristic": q_langid_heuristic,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "embedding_topk": q_embedding_topk,
@@ -923,6 +958,7 @@ def oracle_sql():
         "token_counts": SQL_TOKEN_COUNTS,
         "order_rollup": SQL_ORDER_ROLLUP,
         "pricing_quantiles": SQL_PRICING_QUANTILES,
+        "below_avg_revenue": SQL_BELOW_AVG_REVENUE,
         "langid_heuristic": SQL_LANGID,
         "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD,
         "embedding_topk": SQL_EMBEDDING_TOPK,
