@@ -173,6 +173,125 @@ ORDER BY media_id, frame_ts_ms
 """
 
 
+_AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("chunk_start_ms", T.LongType()),
+        T.StructField("chunk_end_ms", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def chunk_audio(media: DataFrame, chunk_ms: int = 500) -> DataFrame:
+    """Fixed-window audio chunking + per-chunk RMS via ``mapInPandas``.
+
+    Unlike the stubbed image/video codecs, the signal path here is a
+    REAL decode: payloads are treated as 8-bit signed PCM (int8
+    reinterpretation is the actual wire format for 8-bit audio), so
+    per-chunk RMS is genuine DSP, not a placeholder. Chunk byte
+    boundaries are pure integer arithmetic
+    (``floor(k·n/n_chunks)``), exactly reproducible in SQL. One narrow
+    Arrow stage, no shuffle — payload bytes never leave the executor."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k.name: [] for k in _AUDIO_CHUNK_SCHEMA.fields
+            }
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                pcm = np.frombuffer(payload, dtype=np.int8).astype(
+                    np.float64
+                )
+                n = len(pcm)
+                n_chunks = max(1, -(-int(dur) // chunk_ms))
+                bounds = (np.arange(n_chunks + 1) * n) // n_chunks
+                for k in range(n_chunks):
+                    lo, hi = int(bounds[k]), int(bounds[k + 1])
+                    seg = pcm[lo:hi]
+                    rms = (
+                        float(np.sqrt(np.mean(seg * seg)))
+                        if hi > lo
+                        else 0.0
+                    )
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(k)
+                    out["chunk_start_ms"].append(k * chunk_ms)
+                    out["chunk_end_ms"].append(
+                        min((k + 1) * chunk_ms, int(dur))
+                    )
+                    out["n_samples"].append(hi - lo)
+                    out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        fn, schema=_AUDIO_CHUNK_SCHEMA
+    )
+
+
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_audio(synthetic_media(spark, 64), chunk_ms=500)
+    return chunks.select(
+        "media_id",
+        "chunk_idx",
+        "chunk_start_ms",
+        "chunk_end_ms",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("media_id", "chunk_idx")
+
+
+# int8 reinterpretation of byte b: b - 256 if b >= 128 else b. RMS over
+# the chunk's byte span [k*n//nc, (k+1)*n//nc) — integer boundaries
+# identical to the numpy kernel; AVG of integer-valued doubles then one
+# SQRT is bit-stable cross-engine (exact sum < 2^53).
+SQL_AUDIO_CHUNKS = """
+WITH m AS (
+  SELECT i AS media_id, 1000 + i * 10 AS duration_ms,
+         128 + (i % 64) AS n_bytes
+  FROM range(64) t(i) WHERE i % 3 = 1
+),
+c AS (
+  SELECT media_id, duration_ms, n_bytes,
+         CAST(CEIL(CAST(duration_ms AS DOUBLE) / 500) AS BIGINT) AS nc
+  FROM m
+),
+k AS (
+  SELECT media_id, duration_ms, n_bytes, nc, CAST(kk.kk AS BIGINT) AS k
+  FROM c, LATERAL (SELECT UNNEST(range(nc)) AS kk) kk
+),
+seg AS (
+  SELECT media_id, duration_ms, nc, k,
+         (k * n_bytes) // nc AS lo,
+         ((k + 1) * n_bytes) // nc AS hi
+  FROM k
+),
+s AS (
+  SELECT seg.media_id, seg.k, seg.lo, seg.hi, seg.duration_ms,
+         ((seg.media_id * 7 + j.j) % 256) AS b
+  FROM seg, LATERAL (SELECT UNNEST(range(seg.lo, seg.hi)) AS j) j
+),
+v AS (
+  SELECT media_id, k, lo, hi, duration_ms,
+         CASE WHEN b >= 128 THEN b - 256 ELSE b END AS pcm
+  FROM s
+)
+SELECT media_id,
+       CAST(k AS INT) AS chunk_idx,
+       k * 500 AS chunk_start_ms,
+       LEAST((k + 1) * 500, duration_ms) AS chunk_end_ms,
+       hi - lo AS n_samples,
+       ROUND(SQRT(AVG(CAST(pcm * pcm AS DOUBLE))), 6) AS rms
+FROM v
+GROUP BY media_id, k, lo, hi, duration_ms
+ORDER BY media_id, chunk_idx
+"""
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stub: real decode unavailable — metadata transformation is
     real (target dims recorded), payload passes through."""

@@ -309,6 +309,12 @@ def _q_media_features(spark, sf_dir):
     return q_media_features(spark, sf_dir)
 
 
+def _q_audio_chunks(spark, sf_dir):
+    from magmapandas_spark.operators.multimodal import q_audio_chunks
+
+    return q_audio_chunks(spark, sf_dir)
+
+
 def _q_video_frames(spark, sf_dir):
     from magmapandas_spark.operators.multimodal import q_video_frames
 
@@ -330,6 +336,7 @@ def queries():
         "lsh_topk": _q_lsh_topk,
         "media_features": _q_media_features,
         "video_frames": _q_video_frames,
+        "audio_chunks": _q_audio_chunks,
         "sliding_value_avg": q_sliding_value_avg,
         "thermometers_multi": q_thermometers_multi,
         "fe3fe2_expr_models": q_fe3fe2_expr_models,
@@ -365,6 +372,7 @@ def oracle_sql():
     )
 
     from magmapandas_spark.operators.multimodal import (
+        SQL_AUDIO_CHUNKS,
         SQL_MEDIA_FEATURES,
         SQL_VIDEO_FRAMES,
     )
@@ -374,6 +382,7 @@ def oracle_sql():
         "lsh_topk": sql_lsh_topk(),
         "media_features": SQL_MEDIA_FEATURES,
         "video_frames": SQL_VIDEO_FRAMES,
+        "audio_chunks": SQL_AUDIO_CHUNKS,
         "allison_saturation": so.sql_allison_saturation(SQL_MELT_CTE),
         "fe3fe2_solvers2": so.sql_fe3fe2_solvers2(SQL_MELT_CTE),
         "kd_toplis_iteration": so.sql_kd_toplis(SQL_MELT_CTE),
