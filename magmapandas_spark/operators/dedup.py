@@ -269,6 +269,114 @@ def simhash_near_dups(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 50,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the dedup
+    *clustering* step that turns near-duplicate candidate pairs into
+    groups (keep one doc per cluster at 100 TB).
+
+    Min-label propagation with pointer jumping (path halving): each
+    round every node (a) adopts the minimum label among itself and its
+    neighbours, then (b) adopts its label's label. Step (b) is the
+    doubling trick — without it, a path component of length L needs L
+    rounds; with it, convergence is O(log L) (near-dup corpora chain
+    adjacent docs into exactly such paths). Each round is two joins +
+    one aggregation, all shuffling on node id; the symmetrized edge
+    list is partitioned once and reused across rounds. The driver loop
+    only monitors convergence (one count per round) — all data movement
+    stays on executors, the standard shape for iterative graph
+    algorithms on Spark (GraphX/Pregel does the same).
+
+    ``n_partitions`` sizes the loop's shuffles — size it to the edge
+    count (a 4k-edge candidate graph doesn't want 64-task stages; a
+    100 TB one does). Defaults to the session's shuffle partitions.
+
+    Returns (node, cluster_id) where cluster_id is the component's
+    minimum node id."""
+    npart = n_partitions or int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    # both orientations from ONE evaluation of the (possibly expensive)
+    # pair pipeline: explode, don't union two copies of the subtree
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id1).alias("node"), F.col(id2).alias("nb")
+                    ),
+                    F.struct(
+                        F.col(id2).alias("node"), F.col(id1).alias("nb")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.nb")
+        .repartition(npart, "nb")
+        .persist()
+    )
+    labels = (
+        sym.select("node").distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    prev_sum = None
+    for _ in range(max_iter):
+        nb_labels = sym.join(
+            labels.select(F.col("node").alias("nb"), "label"), on="nb"
+        )
+        neigh = nb_labels.groupBy("node").agg(F.min("label").alias("nl"))
+        stepped = labels.join(neigh, on="node", how="left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label of my label (labels are node ids, so the
+        # lookup is a self-join); halves remaining path length per round
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("node").alias("label"),
+                    F.col("label").alias("ll"),
+                ).alias("t"),
+                on="label",
+                how="left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("ll"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # localCheckpoint truncates lineage: without it every round's
+        # plan nests the previous round's, and driver-side analysis
+        # grows quadratically with iterations (on a multi-node cluster
+        # use checkpoint() with a reliable dir for fault tolerance)
+        new_labels = jumped.repartition(npart, "node").localCheckpoint(
+            eager=True
+        )
+        # labels only ever decrease, so Σlabel is strictly monotone and
+        # fixpoint ⟺ unchanged sum — one cheap agg instead of an
+        # old-vs-new join per round
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if prev_sum is not None and new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
 # ---- suite entries (md5 strategy: exact DuckDB oracles) ----
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,10 +393,14 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_minhash_lsh_candidates(
-    n_hashes: int = 32, bands: int = 8, shingle: int = 5
+def _minhash_pair_ctes(
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    where_extra: str = "",
 ) -> str:
-    """DuckDB twin of q_minhash_lsh_candidates (md5 strategy)."""
+    """Shared WITH-body for the minhash pipeline: shingles → md5 double
+    hash → KM signatures → band buckets → distinct candidate pairs."""
     p = _KM_PRIME
     rows = n_hashes // bands
     mins = ",\n         ".join(
@@ -303,11 +415,10 @@ def sql_minhash_lsh_candidates(
         )
         for b in range(bands)
     )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), {shingle}) AS sh
   FROM documents, UNNEST(range(1, len(text) - {shingle - 2})) AS t(i)
-  WHERE len(text) >= {shingle}
+  WHERE len(text) >= {shingle}{where_extra}
 ),
 h AS (
   SELECT doc_id,
@@ -320,12 +431,73 @@ sigs AS (
          {mins}
   FROM h GROUP BY doc_id
 ),
-bands AS ({band_selects})
-SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-FROM bands a
-JOIN bands b
-  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+bands AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a
+  JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
+
+def sql_minhash_lsh_candidates(
+    n_hashes: int = 32, bands: int = 8, shingle: int = 5
+) -> str:
+    """DuckDB twin of q_minhash_lsh_candidates (md5 strategy)."""
+    return f"""
+WITH {_minhash_pair_ctes(n_hashes, bands, shingle)}
+SELECT id1, id2 FROM pairs
 ORDER BY id1, id2
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: minhash-LSH candidate pairs → connected
+    components → (doc_id, cluster_id = min doc id of the component).
+    The oracle replays the same pair pipeline and labels components by
+    recursive-CTE transitive closure — exact, because min-label CC is
+    deterministic regardless of iteration order.
+
+    Gate-bounded to the first 500 docs (the full sf0.01 corpus; a
+    deterministic slice at larger SFs, like allison_saturation's melt
+    subset): CC wall-time scales with component *diameter* — the
+    synthetic corpus chains adjacent near-dups into long paths — and
+    the iteration machinery is what's under test, not the slice
+    width."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    pairs = minhash_lsh_candidates(docs, hash_strategy="md5")
+    cc = connected_components(pairs, n_partitions=8)
+    return cc.select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")
+
+
+def sql_dedup_clusters(
+    n_hashes: int = 32, bands: int = 8, shingle: int = 5
+) -> str:
+    """Transitive-closure twin of q_dedup_clusters: reach(node,lbl)
+    saturates over the symmetrized pair list (UNION dedup terminates
+    the recursion), then each node takes its minimum reachable id."""
+    ctes = _minhash_pair_ctes(
+        n_hashes, bands, shingle, where_extra=" AND doc_id < 500"
+    )
+    return f"""
+WITH RECURSIVE {ctes},
+sym AS (
+  SELECT id1 AS node, id2 AS nb FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT node, node FROM sym
+  UNION
+  SELECT s.node, r.lbl FROM sym s JOIN reach r ON s.nb = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY node
+ORDER BY doc_id
 """
 
 

@@ -979,11 +979,13 @@ def queries():
         q_range_join_clicks,
     )
     from magmapandas_spark.operators.dedup import (
+        q_dedup_clusters,
         q_minhash_lsh_candidates,
         q_simhash_buckets,
     )
 
     return {
+        "dedup_clusters": q_dedup_clusters,
         "asof_purchase_view": q_asof_purchase_view,
         "range_join_clicks": q_range_join_clicks,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1019,11 +1021,13 @@ def oracle_sql():
         sql_range_join_clicks,
     )
     from magmapandas_spark.operators.dedup import (
+        sql_dedup_clusters,
         sql_minhash_lsh_candidates,
         sql_simhash_buckets,
     )
 
     return {
+        "dedup_clusters": sql_dedup_clusters(),
         "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
         "range_join_clicks": sql_range_join_clicks(),
         "minhash_lsh_candidates": sql_minhash_lsh_candidates(),

@@ -68,3 +68,17 @@ def test_minhash_lsh_recall_on_planted_dupes(spark):
     # bucketing must prune across the two unrelated families: no
     # candidate should span group A (shared base) and group B
     assert not any(a < 40 <= b for a, b in pairs)
+
+
+def test_connected_components_known_graph(spark):
+    from magmapandas_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11}, {20} absent (no edges)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id1", "id2"]
+    )
+    out = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
