@@ -353,6 +353,7 @@ def queries():
         "fe3fe2_deng2020": q_fe3fe2_deng2020,
         "kd_toplis_iteration": q_kd_toplis_iteration,
         "melt_describe": q_melt_describe,
+        "fo2_buffers": q_fo2_buffers,
         "kd_blundy_saper": q_kd_blundy_saper,
         "fe3fe2_expr_models2": q_fe3fe2_expr_models2,
         "fe3fe2_expr_models3": q_fe3fe2_expr_models3,
@@ -390,6 +391,7 @@ def oracle_sql():
         "isobar_grid": so.sql_isobar_grid(SQL_MELT_CTE),
         "mc_thermometer": so.sql_mc_thermometer(SQL_MELT_CTE),
         "fe3fe2_deng2020": so.sql_fe3fe2_deng2020(SQL_MELT_CTE),
+        "fo2_buffers": _sql_fo2_buffers(),
         "user_sessions": SQL_USER_SESSIONS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
@@ -1530,6 +1532,114 @@ def q_kd_toplis_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_sorted(
         out.select("name", F.round("Kd", 6).alias("Kd")), "name"
     )
+
+
+def q_fo2_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All eight closed-form fO2 buffer parameterizations over the melt
+    (T,P) grid in one projection — NNO (Campbell 2009, O'Neill &
+    Pownceby 1993, Frost 1991), Ru-RuO2 (Armstrong 2019), IW (Campbell
+    2009, Fe-FeO0.94 O'Neill-Huebner, Zhang 2017 blend, O'Neill 1993
+    piecewise). Output as ROUND(log10 fO2, 6): the buffers span ~30
+    orders of magnitude, so the hash compares log-space values. These
+    were golden-tested only until now; this row gives them exact
+    cross-engine oracles."""
+    from magmapandas_spark.models import fo2 as fo2_mod
+
+    gf = synthetic_melt(spark, sf_dir)
+    T = F.lit(1400.0) + (F.col("name") % 200).cast("double") / F.lit(2.0)
+    P = F.col("P_bar")
+    out = {
+        "nno": fo2_mod.fo2_nno(0.0, T, P),
+        "nno_1bar": fo2_mod.fo2_nno_1bar(0.0, T),
+        "nno_frost": fo2_mod.fo2_nno_frost(0.0, T, P),
+        "ruruo2": fo2_mod.fo2_ruruo2(0.0, T, P),
+        "iw_campbell": fo2_mod.fo2_iw_campbell(0.0, T, P),
+        "iw_fefeo94": fo2_mod.fo2_fefeo94_oneill_huebner(0.0, T, P),
+        "iw_zhang": fo2_mod.fo2_iw_zhang(0.0, T, P),
+        "iw_oneill93": fo2_mod.fo2_iw_oneill1993(T),
+    }
+    return gf.df.select(
+        "name",
+        *[F.round(F.log10(c), 6).alias(n) for n, c in out.items()],
+    ).orderBy("name")
+
+
+def _sql_fo2_buffers() -> str:
+    from magmapandas_spark.models.fo2 import LN10, R
+
+    t = "(1400.0 + (name % 200) / 2.0)"
+    pg = "(P_bar / 10000.0)"       # GPa-ish scaling used by nno/ruruo2
+    pm = "(P_bar * 0.0001)"        # the *1e-4 variant (iw buffers)
+    off = ""  # logshift 0 → multiplier 10^0 == 1.0, identity in IEEE
+    nno = (
+        f"POWER(10.0, (8.699 + 0.01642*{pg} - 0.0003*POWER({pg},2)"
+        f" + 2.7e-06*POWER({pg},3) - 1e-08*POWER({pg},4))"
+        f" + (-24205.0 + 444.73*{pg} - 0.5929*POWER({pg},2)"
+        f" + 0.00153*POWER({pg},3)) / {t}){off}"
+    )
+    nno_1bar = (
+        f"EXP((-478967.0 + 248.514*{t} - 9.7961*LN({t}))"
+        f" / ({R!r} * {t})){off}"
+    )
+    nno_frost = (
+        f"POWER(10.0, -24930.0/{t} + 9.36 + 0.046*(P_bar - 1)/{t}){off}"
+    )
+    ruruo2 = (
+        f"POWER(10.0, (7.782 - 0.00996*{pg} + 0.001932*POWER({pg},2)"
+        f" - 3.76e-05*POWER({pg},3))"
+        f" + (-13763.0 + 592.0*{pg} - 3.955*POWER({pg},2)) / {t}"
+        f" + (-1050000.0 - 4622.0*{pg}) / POWER({t},2)){off}"
+    )
+    iw_campbell = (
+        f"POWER(10.0, (6.54106 + 0.00123*{pm})"
+        f" + (-28164.0 + 546.32*{pm} - 1.1341*POWER({pm},2)"
+        f" + 0.00193*POWER({pm},3)) / {t}){off}"
+    )
+    iw_fefeo94 = (
+        f"POWER(10.0, (-28777.89/{t} + 14.0572)"
+        f" + (-2.039*(LN({t})/{LN10!r})"
+        f" + 550.0*({pm} - 0.0001)/{t})){off}"
+    )
+    w = "(0.2 * P_bar / 10000.0)"
+    iw_zhang = (
+        f"CASE WHEN P_bar < 50000.0 THEN POWER(10.0,"
+        f" (LN({iw_fefeo94})/{LN10!r}) * (1.0 - {w})"
+        f" + {w} * (LN({iw_campbell})/{LN10!r}))"
+        f" ELSE {iw_campbell} END"
+    )
+    mu_low = (
+        f"(-605568.0 + 1366.42*{t} - 182.7955*LN({t})*{t}"
+        f" + 0.10359*POWER({t},2))"
+    )
+    mu_mid = f"(-519113.0 + 59.129*{t} + 8.9276*LN({t})*{t})"
+    mu_high = f"(-550915.0 + 269.106*{t} - 16.9484*LN({t})*{t})"
+    iw_oneill93 = (
+        f"EXP((CASE WHEN {t} < 1042.0 THEN {mu_low}"
+        f" WHEN {t} <= 1184.0 THEN {mu_mid}"
+        f" ELSE {mu_high} END) / ({R!r} * {t})){off}"
+    )
+    from magmapandas_spark.relational.suite import SQL_MELT_CTE
+
+    cols = {
+        "nno": nno,
+        "nno_1bar": nno_1bar,
+        "nno_frost": nno_frost,
+        "ruruo2": ruruo2,
+        "iw_campbell": iw_campbell,
+        "iw_fefeo94": iw_fefeo94,
+        "iw_zhang": iw_zhang,
+        "iw_oneill93": iw_oneill93,
+    }
+    sel = ",\n  ".join(
+        f"ROUND(LOG10({e}), 6) AS {n}" for n, e in cols.items()
+    )
+    return f"""
+WITH {SQL_MELT_CTE.strip()}
+SELECT name,
+  {sel}
+FROM melt
+ORDER BY name
+"""
 
 
 def q_melt_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
