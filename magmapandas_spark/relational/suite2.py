@@ -708,6 +708,54 @@ ORDER BY status, priority
 """
 
 
+# URL/email patterns in the Java-regex/RE2 common subset (no
+# lookaround); Spark regexp_replace is global by default, DuckDB needs
+# the explicit 'g' option.
+_URL_RE = "https?://[^ ]+"
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping for a training corpus: count + remove URLs
+    and e-mail addresses, collapse whitespace runs, report cleaned
+    length. Pure regexp expressions — narrow, codegen, no UDF."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _URL_RE, " "),
+                _EMAIL_RE,
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(_URL_RE)).alias("n_urls"),
+            F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+            F.length(cleaned).alias("clean_len"),
+            F.length("text").alias("raw_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_CLEAN = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+  len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+  length(trim(regexp_replace(regexp_replace(regexp_replace(
+    text, '{_URL_RE}', ' ', 'g'), '{_EMAIL_RE}', ' ', 'g'),
+    ' +', ' ', 'g'))) AS clean_len,
+  length(text) AS raw_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language-ID heuristic vs the labeled lang column:
     confusion counts. (The synthetic corpus shares one vocabulary, so
@@ -998,6 +1046,7 @@ def queries():
         "mineral_forsterite": q_mineral_forsterite,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
+        "text_clean": q_text_clean,
         "order_rollup": q_order_rollup,
         "pricing_quantiles": q_pricing_quantiles,
         "below_avg_revenue": q_below_avg_revenue,
@@ -1042,6 +1091,7 @@ def oracle_sql():
         "mineral_forsterite": _sql_mineral_forsterite(),
         "text_quality": SQL_TEXT_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
+        "text_clean": SQL_TEXT_CLEAN,
         "order_rollup": SQL_ORDER_ROLLUP,
         "pricing_quantiles": SQL_PRICING_QUANTILES,
         "below_avg_revenue": SQL_BELOW_AVG_REVENUE,
