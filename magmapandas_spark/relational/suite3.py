@@ -54,6 +54,48 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative value over event time — the batch twin of the
+    streaming ``applyInPandasWithState`` running-totals operator
+    (streams.py), expressed as a frame-bounded window. Both engines add
+    in the identical (ts, event_id) order, so the float accumulation is
+    bit-deterministic."""
+    from pyspark.sql import Window
+
+    from magmapandas_spark.streaming.streams import read_events_batch
+
+    events = read_events_batch(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.round(F.sum("value").over(w), 6).alias("running_value"),
+            F.count(F.lit(1)).over(w).alias("n_so_far"),
+        )
+        .orderBy("user_id", "ts_s", "event_id")
+    )
+
+
+SQL_RUNNING_TOTALS = """
+SELECT user_id, event_id,
+  CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+  ROUND(SUM(value) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value,
+  COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+FROM events
+ORDER BY user_id, ts_s, event_id
+"""
+
+
 # Spark session_window: [first_event, last_event + gap); sessions merge
 # iff the next event starts strictly before the current window end, so
 # a new session begins when the gap is >= 30 min.
@@ -324,6 +366,7 @@ def _q_video_frames(spark, sf_dir):
 def queries():
     return {
         "user_sessions": q_user_sessions,
+        "running_totals": q_running_totals,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_neardup": q_embedding_neardup,
         # rows-only
@@ -393,6 +436,7 @@ def oracle_sql():
         "fe3fe2_deng2020": so.sql_fe3fe2_deng2020(SQL_MELT_CTE),
         "fo2_buffers": _sql_fo2_buffers(),
         "user_sessions": SQL_USER_SESSIONS,
+        "running_totals": SQL_RUNNING_TOTALS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "running_stddev": SQL_RUNNING_STDDEV,
