@@ -1174,3 +1174,234 @@ SELECT name, ROUND(0.5 * (lo + hi), 6) AS Fe3Fe2
 FROM {_final('bd', 80)}
 ORDER BY name
 """
+
+
+# ----------------------------------------------------------------------
+# qfm_exact: full QFM fO2(T,P) with Tait EOS + Landau + phase
+# transitions (``models/eos.py:49-261``; reference ``fO2/QFM.py``).
+# T-independent Tait/Landau constants are computed HERE with the same
+# numpy expressions the kernel uses, then inlined as literals; the
+# three transition-pressure solves (quartz→coesite, coesite→stishovite,
+# fayalite→ringwoodite) are 80-step bisection recursive CTEs over the
+# DISTINCT temperatures; the piecewise VdP assembly is closed-form.
+# ----------------------------------------------------------------------
+
+import numpy as _np
+
+from magmapandas_spark.models import eos as _eos
+
+R_EOS = _eos.R
+
+
+def _tait_consts(phase: str) -> dict[str, float]:
+    p = _eos.EOS_PARAMS[phase]
+    s, v0, n, a0, K0, dKdP, dKdP2 = (
+        p["s"], p["v0"], p["n"], p["a0"], p["K0"], p["dKdP"], p["dKdP2"]
+    )
+    theta = 10636.0 / (s / n + 6.44)
+    u0 = theta / 298.15
+    xi0 = u0**2 * _np.exp(u0) / (_np.exp(u0) - 1) ** 2.0
+    a = (1.0 + dKdP) / (1.0 + dKdP + K0 * dKdP2)
+    b = dKdP / K0 - dKdP2 / (1.0 + dKdP)
+    c = (1.0 + dKdP + K0 * dKdP2) / (dKdP**2.0 + dKdP - K0 * dKdP2)
+    return dict(
+        theta=float(theta),
+        pref=float(a0 * K0 * theta / xi0),
+        inv_eu0=float(1 / (_np.exp(u0) - 1.0)),
+        a=float(a),
+        one_minus_a=float(1 - a),
+        b=float(b),
+        one_minus_c=float(1 - c),
+        bc1=float(b * (c - 1)),
+        v0=float(v0),
+    )
+
+
+def _sql_tait(phase: str, p: str, t: str) -> str:
+    c = _tait_consts(phase)
+    pth = (
+        f"({c['pref']!r} * (1.0 / (EXP({c['theta']!r} / {t}) - 1.0)"
+        f" - {c['inv_eu0']!r}))"
+    )
+    x1 = f"(1.0 - {c['b']!r} * {pth})"
+    x2 = f"(1.0 + {c['b']!r} * ({p} - {pth}))"
+    part1 = f"(SIGN({x1}) * POWER(ABS({x1}), {c['one_minus_c']!r}))"
+    part2 = f"(SIGN({x2}) * POWER(ABS({x2}), {c['one_minus_c']!r}))"
+    part3 = f"({c['bc1']!r} * {p})"
+    vdp = (
+        f"(({p} * {c['v0']!r}) * ({c['one_minus_a']!r}"
+        f" + ({c['a']!r} * ({part1} - {part2})) / {part3}))"
+    )
+    return f"(CASE WHEN {p} = 0.0 THEN 0.0 ELSE {vdp} END)"
+
+
+def _sql_landau(phase: str, p: str, t: str, vmax: float | None = None) -> str:
+    prm = _eos.EOS_PARAMS[phase]
+    if vmax is None:
+        vmax = prm["vmax"]
+    smax, tc0 = prm["smax"], prm["Tc0"]
+    q20 = float(_np.sqrt(1 - 298.15 / tc0))
+    q20_3 = float(_np.float64(q20) ** 3)
+    tc = f"({tc0!r} + ({p} * {vmax!r}) / {smax!r})"
+    q2 = (
+        f"(CASE WHEN {t} > {tc} THEN 0.0"
+        f" ELSE SQRT(GREATEST(({tc} - {t}) / {tc0!r}, 0.0)) END)"
+    )
+    return (
+        f"(({smax!r} * (({tc0!r} * ({q20!r}"
+        f" + (POWER({q2}, 3) - {q20_3!r}) / 3))"
+        f" - {tc} * {q2} - {t} * ({q20!r} - {q2})))"
+        f" + ({p} * {vmax!r}) * {q20!r})"
+    )
+
+
+def _sql_landau_pd(phase: str, p: str, t: str) -> str:
+    """landau_P_dependent: landau(p) − landau(0, vmax=0)."""
+    return (
+        f"({_sql_landau(phase, p, t)}"
+        f" - {_sql_landau(phase, '0.0', t, vmax=0.0)})"
+    )
+
+
+def _sql_enthalpy(phase: str, t: str) -> str:
+    prm = _eos.EOS_PARAMS[phase]
+    a, b, c, d = prm["cp_a"], prm["cp_b"], prm["cp_c"], prm["cp_d"]
+    T = 298.15
+    ref = float(a * T + 0.5 * b * T**2.0 - c / T + 2 * d * _np.sqrt(T))
+    return (
+        f"(({a!r} * {t} + {float(0.5 * b)!r} * POWER({t}, 2.0)"
+        f" - {c!r} / {t} + {float(2 * d)!r} * SQRT({t})) - {ref!r})"
+    )
+
+
+def _sql_entropy(phase: str, t: str) -> str:
+    prm = _eos.EOS_PARAMS[phase]
+    a, b, c, d = prm["cp_a"], prm["cp_b"], prm["cp_c"], prm["cp_d"]
+    T = 298.15
+    ref = float(
+        a * _np.log(T) + b * T - c / 2 * T**-2.0 - 2 * d * T ** (-0.5)
+    )
+    return (
+        f"(({a!r} * LN({t}) + {b!r} * {t}"
+        f" - {float(c / 2)!r} * POWER({t}, -2.0)"
+        f" - {float(2 * d)!r} * POWER({t}, -0.5)) - {ref!r})"
+    )
+
+
+def _sql_gibbs(phase: str, p: str, t: str) -> str:
+    prm = _eos.EOS_PARAMS[phase]
+    h = prm["h"]
+    sk = float(prm["s"] / 1e3)
+    g = (
+        f"(({h!r} + {_sql_enthalpy(phase, t)})"
+        f" - {t} * ({sk!r} + {_sql_entropy(phase, t)}))"
+    )
+    g = f"({g} + {_sql_tait(phase, p, t)})"
+    if phase in ("quartz", "magnetite"):
+        g = f"({g} + {_sql_landau(phase, p, t)})"
+    return g
+
+
+def _bisect_t(name: str, h, lo: str, hi: str, iters: int = 80) -> str:
+    """Bisection CTE keyed by distinct temperature ``t`` (mirror of
+    ``_bisect_cte`` / ``eos.bisect_vectorized``)."""
+    return f"""
+{name} AS (
+  SELECT t, 0 AS it, CAST({lo} AS DOUBLE) AS lo, CAST({hi} AS DOUBLE) AS hi,
+         ({h(lo)}) AS flo
+  FROM tvals
+  UNION ALL
+  SELECT t, it + 1,
+         CASE WHEN SIGN(fmid) = SIGN(flo) THEN mid ELSE lo END,
+         CASE WHEN SIGN(fmid) = SIGN(flo) THEN hi ELSE mid END,
+         CASE WHEN SIGN(fmid) = SIGN(flo) THEN fmid ELSE flo END
+  FROM (
+    SELECT *, ({h('mid')}) AS fmid FROM (
+      SELECT *, 0.5 * (lo + hi) AS mid FROM {name} WHERE it < {iters}
+    )
+  )
+)"""
+
+
+QFM_GRID_P_BAR = [1000.0, 5000.0, 20000.0, 40000.0, 80000.0, 120000.0]
+
+
+def sql_qfm_exact(melt_cte: str, iters: int = 80) -> str:
+    def dg(ph1, ph2):
+        return lambda x: (
+            f"({_sql_gibbs(ph1, x, 't')} - {_sql_gibbs(ph2, x, 't')})"
+        )
+
+    bis_qc = _bisect_t("bqc", dg("quartz", "coesite"), "0.001", "150.0", iters)
+    bis_cs = _bisect_t(
+        "bcs", dg("coesite", "stishovite"), "0.001", "400.0", iters
+    )
+    bis_fr = _bisect_t(
+        "bfr", dg("fayalite", "ringwoodite"), "0.001", "400.0", iters
+    )
+    plist = ", ".join(repr(p) for p in QFM_GRID_P_BAR)
+
+    t = "t"
+    vq = (
+        f"(({_sql_tait('quartz', 'LEAST(p, p_qc)', t)}"
+        f" + {_sql_landau_pd('quartz', 'LEAST(p, p_qc)', t)})"
+        f" + CASE WHEN p > p_qc THEN"
+        f" ({_sql_tait('coesite', 'LEAST(p, p_cs)', t)}"
+        f" - {_sql_tait('coesite', 'p_qc', t)}) ELSE 0.0 END"
+        f" + CASE WHEN p > p_cs THEN"
+        f" ({_sql_tait('stishovite', 'p', t)}"
+        f" - {_sql_tait('stishovite', 'p_cs', t)}) ELSE 0.0 END)"
+    )
+    vm = _sql_tait("magnetite", "p", t)
+    vf = (
+        f"({_sql_tait('fayalite', 'LEAST(p, p_fr)', t)}"
+        f" + CASE WHEN p > p_fr THEN"
+        f" ({_sql_tait('ringwoodite', 'p', t)}"
+        f" - {_sql_tait('ringwoodite', 'p_fr', t)}) ELSE 0.0 END)"
+    )
+    vq1 = (
+        f"({_sql_tait('quartz', '0.001', t)}"
+        f" + {_sql_landau_pd('quartz', '0.001', t)})"
+    )
+    vm1 = _sql_tait("magnetite", "0.001", t)
+    vf1 = _sql_tait("fayalite", "0.001", t)
+    mu_1bar_poly = (
+        f"(-587474 + 1584.427 * {t} - 203.3164 * {t} * LN({t})"
+        f" + 0.092710 * POWER({t}, 2))"
+    )
+    muo2 = (
+        f"({mu_1bar_poly} + ((1000.0 * (3 * vq + 2 * vm - 3 * vf))"
+        f" - (1000.0 * (3 * {vq1} + 2 * {vm1} - 3 * {vf1}))))"
+    )
+    return f"""
+WITH RECURSIVE {melt_cte.strip()},
+tvals AS (SELECT DISTINCT {T_EXPR} AS t FROM melt),
+{bis_qc.strip()},
+{bis_cs.strip()},
+{bis_fr.strip()},
+trans AS (
+  SELECT q.t,
+         0.5 * (q.lo + q.hi) AS p_qc,
+         0.5 * (c.lo + c.hi) AS p_cs,
+         0.5 * (f.lo + f.hi) AS p_fr
+  FROM (SELECT * FROM bqc WHERE it = {iters}) q
+  JOIN (SELECT * FROM bcs WHERE it = {iters}) c ON q.t = c.t
+  JOIN (SELECT * FROM bfr WHERE it = {iters}) f ON q.t = f.t
+),
+grid AS (
+  SELECT t, u.pb AS P_bar, u.pb / 1000.0 AS p
+  FROM tvals, UNNEST([{plist}]) AS u(pb)
+),
+j AS (
+  SELECT grid.t, grid.P_bar, grid.p, p_qc, p_cs, p_fr
+  FROM grid JOIN trans ON grid.t = trans.t
+),
+v AS (
+  SELECT t, P_bar, {vq} AS vq, {vm} AS vm, {vf} AS vf
+  FROM j
+)
+SELECT t, P_bar,
+       ROUND(LOG10(EXP({muo2} / ({R_EOS!r} * t))), 6) AS log_qfm
+FROM v
+ORDER BY t, P_bar
+"""

@@ -397,6 +397,7 @@ def queries():
         "kd_toplis_iteration": q_kd_toplis_iteration,
         "melt_describe": q_melt_describe,
         "fo2_buffers": q_fo2_buffers,
+        "qfm_exact": q_qfm_exact,
         "kd_blundy_saper": q_kd_blundy_saper,
         "fe3fe2_expr_models2": q_fe3fe2_expr_models2,
         "fe3fe2_expr_models3": q_fe3fe2_expr_models3,
@@ -435,6 +436,7 @@ def oracle_sql():
         "mc_thermometer": so.sql_mc_thermometer(SQL_MELT_CTE),
         "fe3fe2_deng2020": so.sql_fe3fe2_deng2020(SQL_MELT_CTE),
         "fo2_buffers": _sql_fo2_buffers(),
+        "qfm_exact": so.sql_qfm_exact(SQL_MELT_CTE),
         "user_sessions": SQL_USER_SESSIONS,
         "running_totals": SQL_RUNNING_TOTALS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
@@ -1684,6 +1686,44 @@ SELECT name,
 FROM melt
 ORDER BY name
 """
+
+
+def q_qfm_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QFM fO2(T,P) — Tait EOS + Landau transitions + the three
+    phase-transition pressure solves (quartz→coesite→stishovite,
+    fayalite→ringwoodite), the reference's heaviest fO2 path
+    (``fO2/QFM.py:187-239``), previously golden-tested only.
+
+    The (T,P) gate grid extends to 120 kbar so every piecewise branch
+    (coesite, stishovite and ringwoodite segments) is actually
+    exercised — melt pressures alone (≤5 kbar) never cross a
+    transition. The oracle replays the identical 80-step bisections as
+    recursive CTEs over the distinct temperatures with all
+    T-independent EOS constants inlined as numpy-computed literals."""
+    from magmapandas_spark.models import fo2 as fo2_mod
+    from magmapandas_spark.relational.solver_oracles import QFM_GRID_P_BAR
+
+    gf = synthetic_melt(spark, sf_dir)
+    tvals = gf.df.select(
+        (
+            F.lit(1400.0) + (F.col("name") % 200).cast("double") / F.lit(2.0)
+        ).alias("t")
+    ).distinct()
+    grid = tvals.select(
+        "t",
+        F.explode(
+            F.array(*[F.lit(p) for p in QFM_GRID_P_BAR])
+        ).alias("P_bar"),
+    )
+    fo2col = fo2_mod.fo2_qfm(0.0, F.col("t"), F.col("P_bar"))
+    from magmapandas_spark.relational.suite import heavy_sorted
+
+    return heavy_sorted(
+        grid.select(
+            "t", "P_bar", F.round(F.log10(fo2col), 6).alias("log_qfm")
+        ),
+        "t", "P_bar",
+    )
 
 
 def q_melt_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
