@@ -1405,3 +1405,278 @@ SELECT t, P_bar,
 FROM v
 ORDER BY t, P_bar
 """
+
+
+# ----------------------------------------------------------------------
+# iw_exact: Hirschmann (2021) Iron-Wustite buffer (``models/iw.py``).
+# Same literal-inlining strategy as qfm_exact; three solver layers:
+# (1) Vinet room-T volume inversions — 60-step bisections over the
+#     shared 100-point integration grid (depends on grid pressure only,
+#     so ONE bisection CTE per phase serves every (T,P) row);
+# (2) the V·dP trapezoid — LAG/LEAD pairing + grouped sum, matching the
+#     deng2020 oracle's proven pattern;
+# (3) the wustite FeO1.5-fraction solve — 80-step bisection per (T,P)
+#     row with the reference's fixed-left-endpoint sign test and its
+#     non-bracketed→1e-6 fallback.
+# ----------------------------------------------------------------------
+
+from magmapandas_spark.models import iw as _iw
+
+R_IW = _iw.R
+
+IW_GRID_P_BAR = [1.0, 10000.0, 50000.0, 100000.0, 300000.0, 600000.0]
+
+
+def _sql_g0poly(t: str, prm) -> str:
+    a, b, c, d, e, f, g, h, i = prm
+    return (
+        f"({a!r} + {b!r} * {t} + {c!r} * {t} * LN({t}) + {d!r} * LN({t})"
+        f" + {e!r} * POWER({t}, 2) + {f!r} * POWER({t}, 3) + {g!r} / {t}"
+        f" + {h!r} * POWER({t}, 7) + {i!r} * POWER({t}, -9.0))"
+    )
+
+
+def _sql_g0(phase: str, t: str) -> str:
+    low, high = _iw._G0[phase]
+    base = (
+        f"(CASE WHEN {t} > 1811.0 THEN {_sql_g0poly(t, high)}"
+        f" ELSE {_sql_g0poly(t, low)} END)"
+    )
+    if phase == "O2":
+        return (
+            f"(CASE WHEN {t} < 1000.0 THEN {_sql_g0poly(t, _iw._O2_LOW_T)}"
+            f" ELSE {base} END)"
+        )
+    return base
+
+
+def _sql_gmag(t: str) -> str:
+    Tc, P_factor, beta, A = 1043.0, 0.4, 2.22, 1.55828482
+    inv_a = float(1.0 / A)
+    tau = f"({t} / {Tc!r})"
+    below = (
+        f"(1.0 - {inv_a!r} * ((79.0 / {tau}) / {float(140.0 * P_factor)!r}"
+        f" + {float(474.0 / 497.0)!r} * ({float(1.0 / P_factor)!r} - 1.0)"
+        f" * (POWER({tau}, 3) / 6.0 + POWER({tau}, 9) / 135.0"
+        f" + POWER({tau}, 15) / 600.0)))"
+    )
+    above = (
+        f"({float(-1.0 / A)!r} * (POWER({tau}, -5) / 10.0"
+        f" + POWER({tau}, -15) / 315.0 + {float(1.0 / 1500.0)!r}))"
+    )
+    import numpy as __np
+
+    lnb = float(__np.log(beta + 1.0))
+    return (
+        f"((CASE WHEN {t} < {Tc!r} THEN {below} ELSE {above} END)"
+        f" * (({R_IW!r} * {t}) * {lnb!r}))"
+    )
+
+
+def _vinet_f(V: str, V0: float, K0: float, Kp: float) -> str:
+    """Vinet P(V) − gp: the room-T inversion residual."""
+    x = f"POWER({V} / {V0!r}, {float(1.0 / 3.0)!r})"
+    return (
+        f"(({float(3.0 * K0)!r} * POWER({x}, -2) * (1.0 - {x})"
+        f" * EXP({float(1.5 * (Kp - 1.0))!r} * (1.0 - {x}))) - gp)"
+    )
+
+
+def _sql_vinet_cte(name: str, phase: str, iters: int = 60) -> str:
+    V0, K0, Kp = _iw._VINET[phase][:3]
+    f_mid = _vinet_f("mid", V0, K0, Kp)
+    return f"""
+{name} AS (
+  SELECT Pg, k, gp, 0 AS it,
+         CAST({float(0.2 * V0)!r} AS DOUBLE) AS lo,
+         CAST({float(V0 * 1.001)!r} AS DOUBLE) AS hi
+  FROM vgrid
+  UNION ALL
+  SELECT Pg, k, gp, it + 1,
+         CASE WHEN fmid < 0 THEN lo ELSE mid END,
+         CASE WHEN fmid < 0 THEN mid ELSE hi END
+  FROM (
+    SELECT *, ({f_mid}) AS fmid FROM (
+      SELECT *, 0.5 * (lo + hi) AS mid FROM {name} WHERE it < {iters}
+    )
+  )
+)"""
+
+
+_IW_PHASES = [
+    ("feo", "FeO"),
+    ("feo15", "FeO1.5"),
+    ("fcc", "Fe_fcc"),
+    ("bcca", "Fe_bcc-alpha"),
+    ("hcp", "Fe_HCP"),
+    ("bccd", "Fe_bcc-delta"),
+    ("liq", "Fe_liquid"),
+]
+
+
+def _sql_vinet_integrand(phase: str, vr: str, t: str) -> str:
+    """V(T, gp) from the room-T volume: thermal expansion factor."""
+    V0, K0, Kp, alpha0, delta0, kappa = _iw._VINET[phase]
+    alpha = (
+        f"({alpha0!r} * EXP({float(-delta0 / kappa)!r}"
+        f" * (1.0 - POWER({vr} / {V0!r}, {kappa!r}))))"
+    )
+    return f"({vr} * EXP({alpha} * ({t} - 298.15)))"
+
+
+def _gamma_feo_sql(x: str) -> str:
+    q00, q10 = _iw._Q00, _iw._Q10
+    return f"(({q00!r} + {float(2.0 * q10)!r} * (1.0 - {x})) * POWER({x}, 2))"
+
+
+def _gamma_feo15_sql(x: str) -> str:
+    q00, q10 = _iw._Q00, _iw._Q10
+    return (
+        f"(POWER(1.0 - {x}, 2) * ({float(q00 + q10)!r}"
+        f" - {float(2.0 * q10)!r} * {x}))"
+    )
+
+
+def _wustite_f(x: str) -> str:
+    """Objective of the FeO1.5-fraction solve (``iw.py:203-216``)."""
+    return (
+        f"((0.5 * dgw + ({R_IW!r} * t)"
+        f" * LN(POWER(1.0 - {x}, 1.5) / {x})"
+        f" + 1.5 * {_gamma_feo_sql(x)}) - {_gamma_feo15_sql(x)})"
+    )
+
+
+def sql_iw_exact(melt_cte: str, n_step: int = 100, iters: int = 80) -> str:
+    plist = ", ".join(repr(p) for p in IW_GRID_P_BAR)
+    vinet_ctes = ",\n".join(
+        _sql_vinet_cte(f"vr_{short}", phase).strip()
+        for short, phase in _IW_PHASES
+    )
+    vr_joins = "\n  ".join(
+        f"JOIN (SELECT Pg, k, gp, 0.5 * (lo + hi) AS vroom FROM vr_{short}"
+        f" WHERE it = 60) {short} ON vgrid.Pg = {short}.Pg"
+        f" AND vgrid.k = {short}.k"
+        for short, _ in _IW_PHASES
+    )
+    integrands = ",\n    ".join(
+        f"{_sql_vinet_integrand(phase, f'{short}.vroom', 'r.t')} AS v_{short}"
+        for short, phase in _IW_PHASES
+    )
+    trap_cols = ",\n    ".join(
+        f"SUM((d * (v_{short} + nv_{short})) / 2.0) * 1000.0 AS vdp_{short}"
+        for short, _ in _IW_PHASES
+    )
+    lead_cols = ",\n    ".join(
+        f"LEAD(v_{short}) OVER w AS nv_{short}" for short, _ in _IW_PHASES
+    )
+    g0 = {short: _sql_g0(phase, "t") for short, phase in _IW_PHASES}
+    g0["o2"] = _sql_g0("O2", "t")
+    gb = {
+        short: (
+            f"({g0[short]}"
+            + (f" + {_sql_gmag('t')}" if short == "bcca" else "")
+            + f" + CASE WHEN P_bar > 1.0 THEN"
+            + f" (CASE WHEN Pg <= 1e-4 THEN 0.0 ELSE vdp_{short} END)"
+            + " ELSE 0.0 END)"
+        )
+        for short, _ in _IW_PHASES
+    }
+    gfe = (
+        f"LEAST({gb['fcc']}, {gb['bcca']}, {gb['hcp']},"
+        f" {gb['bccd']}, {gb['liq']})"
+    )
+    fallback_x = repr(1e-6)
+    f_lo = _wustite_f(fallback_x)
+    f_mid = _wustite_f("mid")
+    lohi = float(1.0 - 1e-6)
+    gamma_term = (
+        f"(((dgf + ({R_IW!r} * t) * LN(x / (1.0 - x)))"
+        f" + {_gamma_feo15_sql('x')}) - {_gamma_feo_sql('x')})"
+    )
+    vdps = ", ".join(
+        f"trap.vdp_{short} AS vdp_{short}" for short, _ in _IW_PHASES
+    )
+    return f"""
+WITH RECURSIVE {melt_cte.strip()},
+tvals AS (SELECT DISTINCT {T_EXPR} AS t FROM melt),
+plevels AS (SELECT DISTINCT u.pb / 10000.0 AS Pg FROM UNNEST([{plist}]) u(pb)),
+vgrid AS (
+  SELECT Pg, CAST(kk.k AS BIGINT) AS k,
+         CASE WHEN kk.k = {n_step - 1} THEN Pg
+              ELSE (kk.k * ((Pg - 1e-4) / {float(n_step - 1)!r})) + 1e-4
+         END AS gp
+  FROM plevels, UNNEST(range({n_step})) kk(k)
+),
+{vinet_ctes},
+vrooms AS (
+  SELECT vgrid.Pg, vgrid.k, vgrid.gp,
+         {", ".join(f"{short}.vroom AS vroom_{short}" for short, _ in _IW_PHASES)}
+  FROM vgrid
+  {vr_joins}
+),
+rows_tp AS (
+  SELECT t, u.pb AS P_bar, u.pb / 10000.0 AS Pg
+  FROM tvals, UNNEST([{plist}]) u(pb)
+),
+vint AS (
+  SELECT r.t, r.P_bar, v.k, v.gp,
+    {", ".join(f"{_sql_vinet_integrand(phase, f'v.vroom_{short}', 'r.t')} AS v_{short}" for short, phase in _IW_PHASES)}
+  FROM rows_tp r JOIN vrooms v ON r.Pg = v.Pg
+),
+paired AS (
+  SELECT *, LEAD(gp) OVER w - gp AS d,
+    {lead_cols}
+  FROM vint
+  WINDOW w AS (PARTITION BY t, P_bar ORDER BY k)
+),
+trap AS (
+  SELECT t, P_bar,
+    {trap_cols}
+  FROM paired WHERE d IS NOT NULL
+  GROUP BY t, P_bar
+),
+gibbs AS (
+  SELECT t, P_bar, Pg,
+         {gfe} AS gfe,
+         {gb['feo']} AS g_feo,
+         {gb['feo15']} AS g_feo15,
+         {g0['o2']} AS g_o2
+  FROM (
+    SELECT r.t AS t, r.P_bar AS P_bar, r.Pg AS Pg,
+           {vdps}
+    FROM rows_tp r JOIN trap ON r.t = trap.t AND r.P_bar = trap.P_bar
+  )
+),
+dg AS (
+  SELECT t, P_bar,
+         ((g_feo15 - g_feo) - g_o2 / 4.0) AS dgf,
+         (((3.0 * g_feo) - (2.0 * g_feo15)) - gfe) AS dgw
+  FROM gibbs
+),
+wb AS (
+  SELECT t, P_bar, dgf, dgw, 0 AS it,
+         CAST(1e-6 AS DOUBLE) AS lo, CAST({lohi!r} AS DOUBLE) AS hi,
+         ({f_lo}) AS flo
+  FROM dg
+  UNION ALL
+  SELECT t, P_bar, dgf, dgw, it + 1,
+         CASE WHEN SIGN(fmid) = SIGN(flo) THEN mid ELSE lo END,
+         CASE WHEN SIGN(fmid) = SIGN(flo) THEN hi ELSE mid END,
+         flo
+  FROM (
+    SELECT *, ({f_mid}) AS fmid FROM (
+      SELECT *, 0.5 * (lo + hi) AS mid FROM wb WHERE it < {iters}
+    )
+  )
+),
+xsol AS (
+  SELECT t, P_bar, dgf, dgw,
+         CASE WHEN SIGN(flo) < 0 THEN 1e-6 ELSE 0.5 * (lo + hi) END AS x
+  FROM wb WHERE it = {iters}
+)
+SELECT t, P_bar,
+       ROUND(LOG10(EXP((4.0 * {gamma_term}) / ({R_IW!r} * t))), 6)
+         AS log_iw
+FROM xsol
+ORDER BY t, P_bar
+"""

@@ -398,6 +398,7 @@ def queries():
         "melt_describe": q_melt_describe,
         "fo2_buffers": q_fo2_buffers,
         "qfm_exact": q_qfm_exact,
+        "iw_exact": q_iw_exact,
         "kd_blundy_saper": q_kd_blundy_saper,
         "fe3fe2_expr_models2": q_fe3fe2_expr_models2,
         "fe3fe2_expr_models3": q_fe3fe2_expr_models3,
@@ -437,6 +438,7 @@ def oracle_sql():
         "fe3fe2_deng2020": so.sql_fe3fe2_deng2020(SQL_MELT_CTE),
         "fo2_buffers": _sql_fo2_buffers(),
         "qfm_exact": so.sql_qfm_exact(SQL_MELT_CTE),
+        "iw_exact": so.sql_iw_exact(SQL_MELT_CTE),
         "user_sessions": SQL_USER_SESSIONS,
         "running_totals": SQL_RUNNING_TOTALS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
@@ -1721,6 +1723,39 @@ def q_qfm_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_sorted(
         grid.select(
             "t", "P_bar", F.round(F.log10(fo2col), 6).alias("log_qfm")
+        ),
+        "t", "P_bar",
+    )
+
+
+def q_iw_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Iron-Wustite fO2(T,P), Hirschmann 2021 — Gibbs polynomials
+    with range switching, bcc-alpha magnetic correction, Vinet V·dP by
+    100-point trapezoid over bisected room-T volumes, min-G Fe-polymorph
+    selection, and the wustite solid-solution solve. The grid spans
+    1 bar – 60 GPa so the unpressurized branch, every Fe polymorph and
+    the deep-mantle path all execute. Previously golden-tested only;
+    the oracle replays all three solver layers in SQL."""
+    from magmapandas_spark.models import iw as iw_mod
+    from magmapandas_spark.relational.solver_oracles import IW_GRID_P_BAR
+    from magmapandas_spark.relational.suite import heavy_sorted
+
+    gf = synthetic_melt(spark, sf_dir)
+    tvals = gf.df.select(
+        (
+            F.lit(1400.0) + (F.col("name") % 200).cast("double") / F.lit(2.0)
+        ).alias("t")
+    ).distinct()
+    grid = tvals.select(
+        "t",
+        F.explode(
+            F.array(*[F.lit(p) for p in IW_GRID_P_BAR])
+        ).alias("P_bar"),
+    )
+    fo2col = iw_mod.fo2_iw(0.0, F.col("t"), F.col("P_bar"))
+    return heavy_sorted(
+        grid.select(
+            "t", "P_bar", F.round(F.log10(fo2col), 6).alias("log_iw")
         ),
         "t", "P_bar",
     )
