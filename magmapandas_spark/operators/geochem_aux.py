@@ -85,3 +85,85 @@ def reservoir_normalize(
             for e in elements
         }
     )
+
+
+# ---- suite entries ----------------------------------------------------
+
+_TRACE_SYNTH = ["La", "Ce", "Nd", "Yb"]
+
+
+def q_chondrite_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chondrite-normalized trace elements (spider-diagram input,
+    ``geoplot/trace_elements.py:79-121``): synthetic ppm columns derived
+    from lineitem keys, divided by the McDonough & Sun (1995) C1
+    literals. Narrow, zero-shuffle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("name"),
+        (
+            F.lit(1.0) + (F.col("l_partkey") % 50).cast("double") * F.lit(0.1)
+        ).alias("La"),
+        (
+            F.lit(2.0) + (F.col("l_suppkey") % 40).cast("double") * F.lit(0.15)
+        ).alias("Ce"),
+        (
+            F.lit(0.5) + (F.col("l_orderkey") % 30).cast("double") * F.lit(0.05)
+        ).alias("Nd"),
+        (
+            F.lit(0.1) + (F.col("l_partkey") % 20).cast("double") * F.lit(0.02)
+        ).alias("Yb"),
+    )
+    out = reservoir_normalize(base, elements=_TRACE_SYNTH)
+    return out.select(
+        "name",
+        *[
+            F.round(F.col(f"{e}_N"), 6).alias(f"{e}_N")
+            for e in _TRACE_SYNTH
+        ],
+    ).orderBy("name")
+
+
+def sql_chondrite_normalize() -> str:
+    synth = {
+        "La": "(1.0 + (l_partkey % 50) * 0.1)",
+        "Ce": "(2.0 + (l_suppkey % 40) * 0.15)",
+        "Nd": "(0.5 + (l_orderkey % 30) * 0.05)",
+        "Yb": "(0.1 + (l_partkey % 20) * 0.02)",
+    }
+    cols = ",\n  ".join(
+        f"ROUND({synth[e]} / {float(C1_CHONDRITE[e])!r}, 6) AS {e}_N"
+        for e in _TRACE_SYNTH
+    )
+    return f"""
+SELECT l_orderkey * 10 + l_linenumber AS name,
+  {cols}
+FROM lineitem
+ORDER BY name
+"""
+
+
+def q_rhodes_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rhodes-diagram equilibrium isopleths (``geoplot/rhodes.py:5-19``):
+    broadcast crossJoin of Kd levels x mg# range + one expression."""
+    out = rhodes_isopleth_grid(spark)
+    return out.select(
+        F.round("mg_no_melt", 6).alias("mg_no_melt"),
+        "Kd",
+        F.round("forsterite", 6).alias("forsterite"),
+    ).orderBy("mg_no_melt", "Kd")
+
+
+def sql_rhodes_grid() -> str:
+    kds = ", ".join(repr(v) for v in (0.1, 0.2, 0.3, 0.4))
+    return f"""
+WITH mg AS (
+  SELECT 0.2 + CAST(i.i AS DOUBLE) * 0.01 AS mg_no_melt
+  FROM UNNEST(range(80)) i(i)
+),
+kd AS (SELECT u.kd AS Kd FROM UNNEST([{kds}]) u(kd))
+SELECT ROUND(mg_no_melt, 6) AS mg_no_melt, Kd,
+       ROUND(100.0 / (1.0 + Kd * ((1.0 - mg_no_melt) / mg_no_melt)), 6)
+         AS forsterite
+FROM mg, kd
+ORDER BY mg_no_melt, Kd
+"""

@@ -1031,9 +1031,15 @@ def queries():
         q_minhash_lsh_candidates,
         q_simhash_buckets,
     )
+    from magmapandas_spark.operators.geochem_aux import (
+        q_chondrite_normalize,
+        q_rhodes_grid,
+    )
 
     return {
         "dedup_clusters": q_dedup_clusters,
+        "chondrite_normalize": q_chondrite_normalize,
+        "rhodes_grid": q_rhodes_grid,
         "asof_purchase_view": q_asof_purchase_view,
         "range_join_clicks": q_range_join_clicks,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1074,9 +1080,15 @@ def oracle_sql():
         sql_minhash_lsh_candidates,
         sql_simhash_buckets,
     )
+    from magmapandas_spark.operators.geochem_aux import (
+        sql_chondrite_normalize,
+        sql_rhodes_grid,
+    )
 
     return {
         "dedup_clusters": sql_dedup_clusters(),
+        "chondrite_normalize": sql_chondrite_normalize(),
+        "rhodes_grid": sql_rhodes_grid(),
         "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
         "range_join_clicks": sql_range_join_clicks(),
         "minhash_lsh_candidates": sql_minhash_lsh_candidates(),
