@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -286,3 +287,70 @@ def fe3fe2_error_np(model: str, Fe3Fe2, P_bar=None) -> np.ndarray:
     P = np.broadcast_to(np.atleast_1d(np.asarray(P_bar, dtype=float)),
                         x.shape)
     return np.where(P > 1.0, hp_err, err)
+
+
+def fe3fe2_error_column(model: str, Fe3Fe2, P_bar) -> "Column":
+    """Arrow-vectorized 1σ Fe3Fe2 error column — full reference
+    semantics (fitted curve at 1 bar, published HP spline above; see
+    :func:`fe3fe2_error_np`)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _err(x: pd.Series, p: pd.Series) -> pd.Series:
+        return pd.Series(
+            fe3fe2_error_np(
+                model, x.to_numpy(dtype=float), p.to_numpy(dtype=float)
+            )
+        )
+
+    return _err(Fe3Fe2, P_bar)
+
+
+def _sql_deboor(tk, c, k: int, idx: int, x: str) -> str:
+    """Unrolled De Boor triangle for one knot span — mirrors
+    :func:`deboor_splev` with all knots/coefficients as literals."""
+    d = {j: repr(float(c[j + idx - k])) for j in range(k + 1)}
+    for r in range(1, k + 1):
+        for j in range(k, r - 1, -1):
+            left = float(tk[idx + j - k])
+            right = float(tk[idx + j + 1 - r])
+            denom = right - left
+            if denom > 0:
+                alpha = f"(({x} - {left!r}) / {denom!r})"
+            else:
+                alpha = "0.0"
+            d[j] = f"((1.0 - {alpha}) * {d[j - 1]} + {alpha} * {d[j]})"
+    return d[k]
+
+
+def sql_fe3fe2_error(model: str, x: str, p: str) -> str:
+    """SQL twin of :func:`fe3fe2_error_np`: 1-bar fitted curve, De Boor
+    spline above 1 bar (span CASE + clip mirroring searchsorted)."""
+    global _HP_SPLINES
+    if _HP_SPLINES is None:
+        _HP_SPLINES = _load_hp_splines()
+    a, b, c, d0 = FE3FE2_ERROR_PARAMS_1BAR[model]
+    curve = (
+        f"(({a!r} * {x} + ({b!r} * {x}) * {x})"
+        f" + POWER({c!r}, {x} + {d0!r}))"
+    )
+    tk, coef, k = _HP_SPLINES[model]
+    n = len(tk) - k - 1
+    xcl = (
+        f"LEAST(GREATEST({x}, {float(tk[k])!r}), {float(tk[n])!r})"
+    )
+    spans = list(range(k, n))
+    if len(spans) == 1:
+        spline = _sql_deboor(tk, coef, k, spans[0], xcl)
+    else:
+        cases = " ".join(
+            f"WHEN {xcl} < {float(tk[i + 1])!r} THEN"
+            f" {_sql_deboor(tk, coef, k, i, xcl)}"
+            for i in spans[:-1]
+        )
+        spline = (
+            f"(CASE {cases} ELSE"
+            f" {_sql_deboor(tk, coef, k, spans[-1], xcl)} END)"
+        )
+    return f"(CASE WHEN {p} > 1.0 THEN {spline} ELSE {curve} END)"

@@ -399,6 +399,7 @@ def queries():
         "fo2_buffers": q_fo2_buffers,
         "qfm_exact": q_qfm_exact,
         "iw_exact": q_iw_exact,
+        "fe3fe2_errors": q_fe3fe2_errors,
         "kd_blundy_saper": q_kd_blundy_saper,
         "fe3fe2_expr_models2": q_fe3fe2_expr_models2,
         "fe3fe2_expr_models3": q_fe3fe2_expr_models3,
@@ -439,6 +440,7 @@ def oracle_sql():
         "fo2_buffers": _sql_fo2_buffers(),
         "qfm_exact": so.sql_qfm_exact(SQL_MELT_CTE),
         "iw_exact": so.sql_iw_exact(SQL_MELT_CTE),
+        "fe3fe2_errors": _sql_fe3fe2_errors(),
         "user_sessions": SQL_USER_SESSIONS,
         "running_totals": SQL_RUNNING_TOTALS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
@@ -1759,6 +1761,55 @@ def q_iw_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "t", "P_bar",
     )
+
+
+_ERR_MODELS = ["borisov2018", "oneill2018", "hirschmann2022", "deng2020"]
+
+
+def q_fe3fe2_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-error surface (``Fe3Fe2_baseclass.py:94-145``): the fitted
+    1-bar curve a·x + b·x² + c^(x+d) below 1 bar and the published
+    high-pressure error B-splines above, evaluated with the engine's
+    numpy De Boor kernel inside one Arrow stage. x sweeps past both
+    spline boundaries so the clip path executes; P alternates 1 bar /
+    melt pressure so both regimes of the selector run. The oracle
+    unrolls the De Boor triangle per knot span with literal
+    knots/coefficients — previously golden-tested only."""
+    from magmapandas_spark.operators.montecarlo import fe3fe2_error_column
+    from magmapandas_spark.relational.suite import heavy_sorted
+
+    gf = synthetic_melt(spark, sf_dir)
+    x = F.lit(0.05) + (F.col("name") % 440).cast("double") * F.lit(0.005)
+    p = F.when((F.col("name") % 3) == 0, F.lit(1.0)).otherwise(
+        F.col("P_bar")
+    )
+    base = gf.df.select("name", x.alias("x"), p.alias("p"))
+    cols = [
+        F.round(
+            fe3fe2_error_column(m, F.col("x"), F.col("p")), 6
+        ).alias(f"err_{m}")
+        for m in _ERR_MODELS
+    ]
+    return heavy_sorted(base.select("name", *cols), "name")
+
+
+def _sql_fe3fe2_errors() -> str:
+    from magmapandas_spark.operators.montecarlo import sql_fe3fe2_error
+    from magmapandas_spark.relational.suite import SQL_MELT_CTE
+
+    x = "(0.05 + (name % 440) * 0.005)"
+    p = "(CASE WHEN name % 3 = 0 THEN 1.0 ELSE P_bar END)"
+    cols = ",\n  ".join(
+        f"ROUND({sql_fe3fe2_error(m, x, p)}, 6) AS err_{m}"
+        for m in _ERR_MODELS
+    )
+    return f"""
+WITH {SQL_MELT_CTE.strip()}
+SELECT name,
+  {cols}
+FROM melt
+ORDER BY name
+"""
 
 
 def q_melt_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
