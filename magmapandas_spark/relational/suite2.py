@@ -528,6 +528,45 @@ ORDER BY doc_id
 """
 
 
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` payload per
+    event and aggregate the extracted field per event type. JSON-path
+    extraction is expression-tier in both engines (Spark
+    ``get_json_object`` / DuckDB ``json_extract_string``); the parse
+    happens at the scan, so only (type, k) pairs reach the shuffle."""
+    from magmapandas_spark.streaming.streams import read_events_batch
+
+    events = read_events_batch(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count_distinct(F.col("k")).alias("k_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS k_sum,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+    AS k_distinct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-order counts over 8 deliberately hot keys via
     value-hash salting (``operators.skew.salted_count_distinct``):
@@ -1057,6 +1096,7 @@ def queries():
         "pricing_quantiles": q_pricing_quantiles,
         "below_avg_revenue": q_below_avg_revenue,
         "skew_distinct": q_skew_distinct,
+        "events_json": q_events_json,
         "salted_join_revenue": q_salted_join_revenue,
         "langid_heuristic": q_langid_heuristic,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
@@ -1108,6 +1148,7 @@ def oracle_sql():
         "pricing_quantiles": SQL_PRICING_QUANTILES,
         "below_avg_revenue": SQL_BELOW_AVG_REVENUE,
         "skew_distinct": SQL_SKEW_DISTINCT,
+        "events_json": SQL_EVENTS_JSON,
         "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
         "langid_heuristic": SQL_LANGID,
         "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD,
