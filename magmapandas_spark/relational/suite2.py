@@ -528,6 +528,76 @@ ORDER BY doc_id
 """
 
 
+def q_pricing_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregation per return flag: variance, skewness
+    and excess kurtosis derived from DECIMAL-exact power sums (Σx..Σx⁴
+    of l_quantity). Built-in skewness/kurtosis differ between engines
+    (sample vs population corrections), so the moments are computed
+    from the same order-independent sums with one shared formula —
+    map-side partial aggregation still applies (sums are algebraic)."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    x = F.col("l_quantity")
+
+    def psum(expr):
+        return F.sum(expr.cast("decimal(28,6)")).cast("double")
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        psum(x).alias("s1"),
+        psum(x * x).alias("s2"),
+        psum(x * x * x).alias("s3"),
+        psum(x * x * x * x).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ["n", "s1", "s2", "s3", "s4"])
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - F.lit(3.0) * m * (s2 / n) + F.lit(2.0) * m * m * m
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * m * (s3 / n)
+        + F.lit(6.0) * m * m * (s2 / n)
+        - F.lit(3.0) * m * m * m * m
+    )
+    return agg.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(m, 6).alias("mean"),
+        F.round(m2, 6).alias("variance"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")
+
+
+_PSUM = "CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
+
+SQL_PRICING_MOMENTS = f"""
+WITH a AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    {_PSUM.format(x="l_quantity")} AS s1,
+    {_PSUM.format(x="l_quantity * l_quantity")} AS s2,
+    {_PSUM.format(x="l_quantity * l_quantity * l_quantity")} AS s3,
+    {_PSUM.format(x="l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  CAST(n AS BIGINT) AS n,
+  ROUND(s1 / n, 6) AS mean,
+  ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS variance,
+  ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+         + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+        / POWER(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+  ROUND((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+         + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+         - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+        - 3.0, 6) AS kurtosis_excess
+FROM a
+ORDER BY l_returnflag
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the JSON ``props`` payload per
     event and aggregate the extracted field per event type. JSON-path
@@ -1097,6 +1167,7 @@ def queries():
         "below_avg_revenue": q_below_avg_revenue,
         "skew_distinct": q_skew_distinct,
         "events_json": q_events_json,
+        "pricing_moments": q_pricing_moments,
         "salted_join_revenue": q_salted_join_revenue,
         "langid_heuristic": q_langid_heuristic,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
@@ -1149,6 +1220,7 @@ def oracle_sql():
         "below_avg_revenue": SQL_BELOW_AVG_REVENUE,
         "skew_distinct": SQL_SKEW_DISTINCT,
         "events_json": SQL_EVENTS_JSON,
+        "pricing_moments": SQL_PRICING_MOMENTS,
         "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
         "langid_heuristic": SQL_LANGID,
         "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD,
