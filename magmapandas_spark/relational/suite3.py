@@ -25,6 +25,45 @@ from magmapandas_spark.relational.suite import (
 # sessionization (streaming twin: streams.user_sessions)
 # ----------------------------------------------------------------------
 
+def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-based per-user deltas: value change and seconds elapsed
+    since each user's previous event. Covers offset window functions
+    (the suite otherwise exercises rank, sliding frames and cumulative
+    frames); one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    from magmapandas_spark.streaming.streams import read_events_batch
+
+    events = read_events_batch(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    prev_ts = F.lag("ts").over(w)
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.round((F.col("value") - prev_v), 6).alias("value_delta"),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+            ).alias("gap_s"),
+        )
+        .filter(F.col("value_delta").isNotNull())
+        .orderBy("user_id", "event_id")
+    )
+
+
+SQL_EVENT_DELTAS = """
+SELECT user_id, event_id,
+  ROUND(value - LAG(value) OVER w, 6) AS value_delta,
+  CAST(FLOOR(epoch(ts)) AS BIGINT)
+    - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY value_delta IS NOT NULL
+ORDER BY user_id, event_id
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows per user via ``F.session_window`` —
     the batch twin of the streaming sessionization operator
@@ -367,6 +406,7 @@ def queries():
     return {
         "user_sessions": q_user_sessions,
         "running_totals": q_running_totals,
+        "event_deltas": q_event_deltas,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_neardup": q_embedding_neardup,
         # rows-only
@@ -443,6 +483,7 @@ def oracle_sql():
         "fe3fe2_errors": _sql_fe3fe2_errors(),
         "user_sessions": SQL_USER_SESSIONS,
         "running_totals": SQL_RUNNING_TOTALS,
+        "event_deltas": SQL_EVENT_DELTAS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "running_stddev": SQL_RUNNING_STDDEV,
