@@ -751,6 +751,90 @@ def q_below_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_BELOW_AVG_REVENUE)
 
 
+def q_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all four grouping sets from one Expand +
+    hash-aggregate pass — completes the grouping-set trio beside
+    ROLLUP (order_rollup) and plain GROUP BY."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+SQL_ORDER_CUBE = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       {SQL_DSUM.format(x="o_totalprice")} AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def q_customer_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — NTILE quartiles and PERCENT_RANK
+    over per-customer order totals, then quartile-level aggregates.
+    Covers the remaining window-function class (the suite already
+    exercises rank, offset, sliding and cumulative frames)."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice")).alias("cust_total")
+    )
+    w = Window.orderBy("cust_total", "o_custkey")
+    tiled = per_cust.select(
+        "o_custkey",
+        "cust_total",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+    return (
+        tiled.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("cust_total")).alias("quartile_total"),
+            F.round(F.min("pr"), 6).alias("pr_min"),
+            F.round(F.max("pr"), 6).alias("pr_max"),
+        )
+        .orderBy("quartile")
+    )
+
+
+SQL_CUSTOMER_NTILES = f"""
+WITH per_cust AS (
+  SELECT o_custkey, {SQL_DSUM.format(x="o_totalprice")} AS cust_total
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, cust_total,
+         NTILE(4) OVER w AS quartile,
+         ROUND(PERCENT_RANK() OVER w, 6) AS pr
+  FROM per_cust
+  WINDOW w AS (ORDER BY cust_total, o_custkey)
+)
+SELECT quartile, COUNT(*) AS n,
+       {SQL_DSUM.format(x="cust_total")} AS quartile_total,
+       ROUND(MIN(pr), 6) AS pr_min,
+       ROUND(MAX(pr), 6) AS pr_max
+FROM tiled
+GROUP BY quartile
+ORDER BY quartile
+"""
+
+
 def q_pricing_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per return flag: Spark's ``percentile`` and
     DuckDB's ``quantile_cont`` share the linear-interpolation
@@ -1168,6 +1252,8 @@ def queries():
         "skew_distinct": q_skew_distinct,
         "events_json": q_events_json,
         "pricing_moments": q_pricing_moments,
+        "order_cube": q_order_cube,
+        "customer_ntiles": q_customer_ntiles,
         "salted_join_revenue": q_salted_join_revenue,
         "langid_heuristic": q_langid_heuristic,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
@@ -1221,6 +1307,8 @@ def oracle_sql():
         "skew_distinct": SQL_SKEW_DISTINCT,
         "events_json": SQL_EVENTS_JSON,
         "pricing_moments": SQL_PRICING_MOMENTS,
+        "order_cube": SQL_ORDER_CUBE,
+        "customer_ntiles": SQL_CUSTOMER_NTILES,
         "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
         "langid_heuristic": SQL_LANGID,
         "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD,
