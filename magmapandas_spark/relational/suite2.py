@@ -783,6 +783,43 @@ ORDER BY status, priority
 """
 
 
+_PIVOT_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def q_order_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order revenue by status × priority, priorities as columns
+    (explicit value list so the plan needs no distinct-values pre-scan;
+    Spark compiles pivot to CASE-filtered aggregates — the oracle spells
+    out the same CASE sums)."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PIVOT_PRIORITIES)
+        .agg(dsum(F.col("o_totalprice")))
+        .orderBy("o_orderstatus")
+    )
+    renames = {p: f"rev_{p[0]}" for p in _PIVOT_PRIORITIES}
+    return out.select(
+        "o_orderstatus",
+        *[F.col(f"`{p}`").alias(renames[p]) for p in _PIVOT_PRIORITIES],
+    )
+
+
+SQL_ORDER_PIVOT = f"""
+SELECT o_orderstatus,
+  {", ".join(
+    "CAST(SUM(CASE WHEN o_orderpriority = '%s' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_%s"
+    % (p, p[0])
+    for p in _PIVOT_PRIORITIES
+  )}
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def q_customer_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — NTILE quartiles and PERCENT_RANK
     over per-customer order totals, then quartile-level aggregates.
@@ -1254,6 +1291,7 @@ def queries():
         "pricing_moments": q_pricing_moments,
         "order_cube": q_order_cube,
         "customer_ntiles": q_customer_ntiles,
+        "order_pivot": q_order_pivot,
         "salted_join_revenue": q_salted_join_revenue,
         "langid_heuristic": q_langid_heuristic,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
@@ -1309,6 +1347,7 @@ def oracle_sql():
         "pricing_moments": SQL_PRICING_MOMENTS,
         "order_cube": SQL_ORDER_CUBE,
         "customer_ntiles": SQL_CUSTOMER_NTILES,
+        "order_pivot": SQL_ORDER_PIVOT,
         "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
         "langid_heuristic": SQL_LANGID,
         "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD,
