@@ -466,9 +466,11 @@ def volatile_saturation_pressure(
     # process-Pool pickle per ROW here)
     spark = melt.df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
-    df = melt.df
-    if df.rdd.getNumPartitions() < n_part:
-        df = df.repartition(n_part)
+    # unconditional round-robin fan-out: per-partition solver cost
+    # dwarfs the exchange at any scale, and probing the current
+    # partition count via df.rdd would force a plan→RDD conversion
+    # (serializes the analyzed plan) just to maybe skip a cheap shuffle
+    df = melt.df.repartition(n_part)
     melt = GeoFrame(df, units=melt.units, datatype=melt.datatype,
                     species=melt.species)
     T = as_col(T_K)
@@ -678,10 +680,14 @@ def shishkina_co2_saturation_expr(melt: GeoFrame) -> Column:
         for s in melt.species
         if s not in ("H2O", "CO2")
     }
-    w_terms = {
-        cation_name(s): c / F.lit(W(s)) * F.lit(float(cation_amount(s)))
-        for s, c in comp.items()
-    }
+    # accumulate, don't overwrite: two oxides of the same cation
+    # (e.g. FeO + Fe2O3) must SUM their cation contributions, matching
+    # the reference's moles-per-cation accumulation semantics
+    w_terms: dict[str, Column] = {}
+    for s, c in comp.items():
+        term = c / F.lit(W(s)) * F.lit(float(cation_amount(s)))
+        n = cation_name(s)
+        w_terms[n] = term if n not in w_terms else w_terms[n] + term
     total = None
     for c in w_terms.values():
         total = c if total is None else total + c

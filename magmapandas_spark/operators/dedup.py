@@ -102,8 +102,9 @@ def minhash_lsh_candidates(
 
     rows = bands per doc; join key = (band, band signature) —
     uniformly distributed, skew-safe. Returns distinct (id1 < id2).
-    With ``hash_strategy="md5"`` band signatures are the concatenated
-    minhash values (string key) so the DuckDB oracle matches exactly."""
+    With ``hash_strategy="md5"`` the band signature is
+    ``substr(md5(concat_ws(minhashes)), 1, 16)`` — fixed-width and
+    evaluable verbatim in DuckDB, so the oracle matches exactly."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(
         shingle_df(docs, id_col, text_col, shingle), id_col, n_hashes,
@@ -113,7 +114,15 @@ def minhash_lsh_candidates(
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         if hash_strategy == "md5":
-            sig: Column = F.concat_ws(",", *[c.cast("string") for c in cols])
+            # hash the concatenation back to a fixed 16-char key: the
+            # raw "a,b,c,d" string (~80 bytes of decimal bigints) was
+            # the band join key AND the repartition key — shuffling it
+            # cost +31% at sf0.1; md5+substr is portable to DuckDB
+            # verbatim and shrinks shuffle bytes ~5×
+            sig: Column = F.substring(
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])),
+                1, 16,
+            )
         else:
             sig = F.xxhash64(*cols).cast("string")
         band_cols.append(
@@ -327,6 +336,7 @@ def connected_components(
     )
     labels.count()
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nb_labels = sym.join(
             labels.select(F.col("node").alias("nb"), "label"), on="nb"
@@ -366,14 +376,31 @@ def connected_components(
         )
         # labels only ever decrease, so Σlabel is strictly monotone and
         # fixpoint ⟺ unchanged sum — one cheap agg instead of an
-        # old-vs-new join per round
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        # old-vs-new join per round. Sum in decimal(38,0): a bigint sum
+        # wraps silently in non-ANSI Spark at web-corpus node-id scale,
+        # which would make the equality probe unsound exactly where it
+        # matters.
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if prev_sum is not None and new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     sym.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation did not reach a "
+            f"fixpoint within max_iter={max_iter} rounds; returned "
+            f"cluster ids may still be split. Raise max_iter (rounds "
+            f"needed ~ log2 of the largest component's diameter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
@@ -407,9 +434,10 @@ def _minhash_pair_ctes(
         f"MIN((h1 + {i} * h2) % {p}) AS mh_{i}" for i in range(n_hashes)
     )
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs".format(
+        "SELECT doc_id, {b} AS band, substr(md5({cat}), 1, 16) AS sig "
+        "FROM sigs".format(
             b=b,
-            sig=" || ',' || ".join(
+            cat=" || ',' || ".join(
                 f"mh_{b * rows + r}::VARCHAR" for r in range(rows)
             ),
         )

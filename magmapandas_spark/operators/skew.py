@@ -40,12 +40,29 @@ def salted_join(
     when it fits — salting is for the region where neither broadcast
     nor AQE splitting applies (e.g. ``how='left'`` with a hot key on
     the preserved side)."""
-    if how in ("right", "rightouter", "full", "fullouter"):
+    # Normalize Spark's join-type aliases ("left_outer", "LeftOuter",
+    # "outer", ...) before the safety check — an allowlist, so any
+    # alias we haven't reasoned about is rejected rather than silently
+    # producing n_salt-duplicated unmatched right rows.
+    norm = how.lower().replace("_", "")
+    supported = {
+        "inner": "inner",
+        "left": "left",
+        "leftouter": "left",
+        "cross": "inner",
+        "semi": "semi",
+        "leftsemi": "semi",
+        "anti": "anti",
+        "leftanti": "anti",
+    }
+    if norm not in supported:
         raise ValueError(
-            "salted_join replicates the right side; right/full outer "
-            "joins would duplicate unmatched right rows. Swap the "
-            "sides instead."
+            "salted_join replicates the right side; join type "
+            f"{how!r} would duplicate unmatched right rows (or is "
+            "unknown). Supported: inner/left/semi/anti — swap the "
+            "sides for right/full outer."
         )
+    how = supported[norm]
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt)
     ).alias("__salt")

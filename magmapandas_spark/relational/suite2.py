@@ -146,30 +146,42 @@ ORDER BY o_custkey, rn
 
 
 def q_part_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations: brands sold in large sizes EXCEPT brands sold to
-    returned lineitems; plus intersect count."""
+    """Set operations: large-size parts EXCEPT those with a high-quantity
+    returned lineitem; the INTERSECT leg exercises both set operators.
+
+    Granularity note: at brand level the difference is empty at every SF
+    (all 25 brands have returned rows — a vacuously-green gate), so the
+    sets live at part granularity with the returned side restricted to
+    ``l_quantity >= 45``: non-empty and non-trivial at sf0.01 (125 of
+    440 large parts) and sf0.1 (1346 of 4335)."""
     part = spark.read.parquet(_t(sf_dir, "part"))
     lineitem = spark.read.parquet(_t(sf_dir, "lineitem"))
     returned_parts = (
-        lineitem.filter(F.col("l_returnflag") == "R")
+        lineitem.filter(
+            (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45)
+        )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .select("p_brand")
+        .select("p_partkey", "p_brand")
         .distinct()
     )
-    large = part.filter(F.col("p_size") >= 40).select("p_brand").distinct()
+    large = (
+        part.filter(F.col("p_size") >= 40)
+        .select("p_partkey", "p_brand")
+        .distinct()
+    )
     return large.exceptAll(
         large.intersect(returned_parts)
-    ).orderBy("p_brand")
+    ).orderBy("p_partkey")
 
 
 SQL_PART_SETOPS = """
-(SELECT DISTINCT p_brand FROM part WHERE p_size >= 40)
+(SELECT DISTINCT p_partkey, p_brand FROM part WHERE p_size >= 40)
 EXCEPT
-((SELECT DISTINCT p_brand FROM part WHERE p_size >= 40)
+((SELECT DISTINCT p_partkey, p_brand FROM part WHERE p_size >= 40)
  INTERSECT
- (SELECT DISTINCT p_brand FROM part JOIN lineitem ON l_partkey = p_partkey
-  WHERE l_returnflag = 'R'))
-ORDER BY p_brand
+ (SELECT DISTINCT p_partkey, p_brand FROM part JOIN lineitem ON l_partkey = p_partkey
+  WHERE l_returnflag = 'R' AND l_quantity >= 45))
+ORDER BY p_partkey
 """
 
 
