@@ -670,31 +670,223 @@ ORDER BY qid, rn
 """
 
 
-# index cache keyed by (session id, sf_dir): queries reuse the fitted
-# quantizer + persisted assignment instead of rebuilding per invocation
-_IVF_CACHE: dict[tuple[int, str], tuple[DataFrame, list]] = {}
+# ----------------------------------------------------------------------
+# Fitted-codebook IVF gate query with an EXACT oracle
+# ----------------------------------------------------------------------
+# The production path above (ivf_index/ivf_topk) assigns cells inside a
+# numpy pandas-UDF — BLAS summation order is engine-private, so it can
+# only ever be a rows-only gate. For the correctness gate the fit is
+# made a *pure function of the data*: a deterministic fit sample
+# (ORDER BY vec_id LIMIT n — a top-k, not a full sort, at scale), a
+# seeded driver-side Lloyd, and then **expression-tier** assignment /
+# probing over the fitted centroids as literals: every distance is the
+# same 0.0-seeded left fold in Spark and DuckDB, so the whole
+# quantize → probe → rescore → top-k pipeline is bit-reproducible —
+# the same literal-inlining trick as the LSH hyperplanes and the HP
+# spline knots.
+
+_IVF_GATE_CELLS = 8
+_IVF_GATE_SEED = 42
+_IVF_GATE_FIT_ROWS = 4096
+
+
+def ivf_fit_centroids(
+    sf_dir: str,
+    n_cells: int = _IVF_GATE_CELLS,
+    seed: int = _IVF_GATE_SEED,
+    max_fit_rows: int = _IVF_GATE_FIT_ROWS,
+) -> list[list[float]]:
+    """Deterministic KMeans codebook for the gate: fit rows are the
+    first ``max_fit_rows`` vectors by ``vec_id`` (duckdb read — no
+    SparkSession needed, so ``oracle_sql()`` can call this too), Lloyd
+    is seeded numpy. Cached: the Spark query and its oracle both see
+    the identical centroid floats."""
+    key = (sf_dir, n_cells, seed, max_fit_rows)
+    if key not in _IVF_FIT_CACHE:
+        import duckdb
+
+        con = duckdb.connect()
+        sample = con.execute(
+            f"SELECT embedding FROM read_parquet("
+            f"'{sf_dir}/embeddings.parquet') "
+            f"ORDER BY vec_id LIMIT {max_fit_rows}"
+        ).fetchdf()
+        con.close()
+        X = np.vstack(sample["embedding"].to_numpy()).astype(float)
+        cent = _lloyd_fit(X, n_cells, seed)
+        _IVF_FIT_CACHE[key] = [[float(v) for v in c] for c in cent]
+    return _IVF_FIT_CACHE[key]
+
+
+_IVF_FIT_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def _dist2(a, b):
+    """Squared Euclidean distance as an explicitly ordered left fold
+    (ascending index, 0.0 seed) — the assignment metric of the KMeans
+    quantizer, reproducible verbatim in SQL."""
+    sq = F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_topk_fitted(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    query_pred,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probed IVF search against a fitted codebook, expression tier.
+
+    Same plan shape as :func:`ivf_seeded` (broadcast codebook
+    crossJoin → per-row arg-best window → equi-join on cell → exact
+    cosine rescore → top-k window), but cells come from the *fitted*
+    Lloyd centroids and both assignment and probing use Euclidean
+    argmin — the KMeans metric. n_cells literal 64-d folds per row run
+    inside whole-stage codegen; no Arrow exchange anywhere."""
+    spark = corpus.sparkSession
+    seeds = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(centroids)],
+        "cell int, svec array<double>",
+    )
+
+    def argmin_cells(df, idname, vecname, n_keep):
+        scored = df.crossJoin(F.broadcast(seeds)).select(
+            F.col(idname),
+            F.col(vecname),
+            F.col("cell"),
+            _dist2(F.col(vecname), F.col("svec")).alias("sd"),
+        )
+        w = Window.partitionBy(idname).orderBy(
+            F.col("sd").asc(), F.col("cell")
+        )
+        return (
+            scored.withColumn("srn", F.row_number().over(w))
+            .filter(F.col("srn") <= n_keep)
+            .select(idname, vecname, "cell")
+        )
+
+    assigned = argmin_cells(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")),
+        "cid", "cvec", 1,
+    )
+    probes = argmin_cells(
+        corpus.filter(query_pred).select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        ),
+        "qid", "qvec", n_probe,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, on="cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over the embeddings table: 20 query vectors, 8 cells,
-    4 probes — rows-only gate (KMeans assignment is engine-specific);
-    recall vs brute force is asserted in tests.
-
-    Index lifecycle is the scale shape: quantizer fit on a corpus
-    sample, assignment persisted and cached across query invocations —
-    queries only probe."""
+    """IVF ANN over the embeddings table: 20 query vectors, 8 fitted
+    cells, 4 probes — EXACT gate since round 3: deterministic fit
+    sample → cached Lloyd centroids → expression-tier probed search
+    (see the module comment above; oracle = :func:`sql_ivf_topk`).
+    Recall vs brute force of the production pandas-UDF path is
+    asserted separately in tests."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    key = (id(spark), sf_dir)
-    if key not in _IVF_CACHE:
-        _IVF_CACHE[key] = ivf_index(
-            emb, n_cells=8, seed=42, fit_sample=0.5, persist=True
-        )
-    assigned, centroids = _IVF_CACHE[key]
-    queries = emb.filter(F.col("vec_id") < 20)
-    out = ivf_topk(queries, assigned, centroids, k=5, n_probe=4)
+    centroids = ivf_fit_centroids(sf_dir)
+    out = ivf_topk_fitted(
+        emb, centroids, F.col("vec_id") < 20, k=5, n_probe=4
+    )
     from magmapandas_spark.relational.suite import heavy_sorted
 
     return heavy_sorted(
         out.select("qid", "rn", "cid", F.round("cos", 4).alias("cos")),
         "qid", "rn",
     ).drop("rn")
+
+
+def _sql_dist2_lit(vec: str, cent: list[float]) -> str:
+    """SQL twin of ``_dist2`` against a literal centroid: identical
+    term order and association, centroid components as exact reprs."""
+    terms = " + ".join(
+        f"(CAST({vec}[{i}] AS DOUBLE) - CAST({cent[i - 1]!r} AS DOUBLE))"
+        f" * (CAST({vec}[{i}] AS DOUBLE) - CAST({cent[i - 1]!r} AS DOUBLE))"
+        for i in range(1, len(cent) + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def sql_ivf_topk(
+    sf_dir: str | None = None,
+    dim: int = 64,
+    k: int = 5,
+    n_probe: int = 4,
+) -> str:
+    """DuckDB twin of :func:`q_ivf_topk`. The centroids are inlined as
+    literals from the SAME cached deterministic fit the Spark query
+    uses; assignment/probing replay the Euclidean-argmin windows and
+    the rescore reuses the proven ``_sql_cos`` fold. ``sf_dir``
+    defaults to ``$SPARK_GRAFT_SF_DIR`` (the sweep override) and then
+    the driver's sf0.01 gate directory."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+    centroids = ivf_fit_centroids(sf_dir)
+    dist_cases = {
+        j: _sql_dist2_lit("e.embedding", c) for j, c in enumerate(centroids)
+    }
+    seed_rows = " UNION ALL ".join(
+        f"SELECT e.vec_id, {j} AS cell, {d} AS sd FROM embeddings e"
+        for j, d in dist_cases.items()
+    )
+    return f"""
+WITH dists AS ({seed_rows}),
+assigned AS (
+  SELECT vec_id AS cid, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sd ASC, cell) AS srn
+    FROM dists
+  ) WHERE srn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sd ASC, cell) AS srn
+    FROM dists WHERE vec_id < 20
+  ) WHERE srn <= {n_probe}
+),
+cand AS (
+  SELECT p.qid, a.cid,
+         {_sql_cos('qe.embedding', 'ce.embedding', dim)} AS cos
+  FROM probes p
+  JOIN assigned a ON p.cell = a.cell AND p.qid <> a.cid
+  JOIN embeddings qe ON p.qid = qe.vec_id
+  JOIN embeddings ce ON a.cid = ce.vec_id
+)
+SELECT qid, cid, ROUND(cos, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+  FROM cand
+) WHERE rn <= {k}
+ORDER BY qid, rn
+"""

@@ -454,6 +454,7 @@ def oracle_sql():
     from magmapandas_spark.relational.suite import SQL_MELT_CTE
 
     from magmapandas_spark.operators.similarity import (
+        sql_ivf_topk,
         sql_ivf_topk_seeded,
         sql_lsh_topk,
     )
@@ -465,6 +466,7 @@ def oracle_sql():
     )
 
     return {
+        "ivf_topk": sql_ivf_topk(),
         "ivf_topk_seeded": sql_ivf_topk_seeded(),
         "lsh_topk": sql_lsh_topk(),
         "media_features": SQL_MEDIA_FEATURES,
