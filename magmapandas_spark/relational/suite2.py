@@ -1275,12 +1275,16 @@ def queries():
     )
     from magmapandas_spark.operators.geochem_aux import (
         q_chondrite_normalize,
+        q_reservoir_normalize,
         q_rhodes_grid,
+        q_tas_classification,
     )
 
     return {
         "dedup_clusters": q_dedup_clusters,
         "chondrite_normalize": q_chondrite_normalize,
+        "reservoir_normalize": q_reservoir_normalize,
+        "tas_classification": q_tas_classification,
         "rhodes_grid": q_rhodes_grid,
         "asof_purchase_view": q_asof_purchase_view,
         "range_join_clicks": q_range_join_clicks,
@@ -1329,12 +1333,16 @@ def oracle_sql():
     )
     from magmapandas_spark.operators.geochem_aux import (
         sql_chondrite_normalize,
+        sql_reservoir_normalize,
         sql_rhodes_grid,
+        sql_tas_classification,
     )
 
     return {
         "dedup_clusters": sql_dedup_clusters(),
         "chondrite_normalize": sql_chondrite_normalize(),
+        "reservoir_normalize": sql_reservoir_normalize(),
+        "tas_classification": sql_tas_classification(),
         "rhodes_grid": sql_rhodes_grid(),
         "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
         "range_join_clicks": sql_range_join_clicks(),
