@@ -1,12 +1,21 @@
 """Multimodal (image/audio/video) column operators — Spark plumbing for
 binary payload columns with typed metadata (beyond-reference surface).
 
-Decode/feature-extraction libraries are not available in this
-container, so the decode kernels are STUBBED behind
+Compressed-codec libraries (PIL/ffmpeg) are not available in this
+container, so JPEG/PNG/MP4 kernels stay STUBBED behind
 ``decoder="fake"`` (deterministic synthetic features) or raise
-``NotImplementedError`` for real codecs. The Spark-side contract —
-schema, Arrow batch shape, ``mapInPandas`` partitioning — is real and
-tested; swapping in a real decoder is a pure kernel change.
+``NotImplementedError``. Two signal paths are REAL decodes of real
+wire formats that need no codec library:
+
+- audio: 8-bit signed PCM reinterpretation + per-chunk RMS
+  (:func:`chunk_audio`);
+- images: PPM (P6) binary — magic/dimension/maxval header parse with
+  comment handling + raster decode, pure numpy
+  (:func:`decode_ppm` / :func:`decode_images`).
+
+The Spark-side contract — schema, Arrow batch shape, ``mapInPandas``
+partitioning — is identical for stubbed and real kernels; swapping a
+codec in is a pure kernel change.
 """
 
 from __future__ import annotations
@@ -82,9 +91,11 @@ def extract_features(
     binary payloads (payload bytes never leave the executor)."""
     if decoder != "fake":
         raise NotImplementedError(
-            "real image/audio codecs are not available in this "
+            "compressed codecs (JPEG/PNG/MP4) are not available in this "
             "environment; use decoder='fake' (deterministic synthetic "
-            "features) — the Spark plumbing is identical"
+            "features), decode_images() for real PPM rasters, or "
+            "chunk_audio() for real 8-bit PCM — the Spark plumbing is "
+            "identical"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -321,3 +332,133 @@ def sample_video_frames(
         ).alias("frame_ts_ms"),
         "payload",
     )
+
+
+# ----------------------------------------------------------------------
+# Real image decode: PPM (P6) — header parse + raster, pure numpy
+# ----------------------------------------------------------------------
+
+def ppm_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 raster as binary PPM (P6), fixed
+    3-digit dimension fields (the format allows any decimal width;
+    fixing it keeps synthetic payload offsets arithmetic)."""
+    h, w, _ = pixels.shape
+    header = f"P6\n{w:03d} {h:03d}\n255\n".encode("ascii")
+    return header + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode binary PPM (P6): returns (width, height, (h, w, 3) uint8
+    raster). A real parser — magic check, '#' comment skipping,
+    whitespace-separated header integers, maxval validation — not a
+    fixed-offset slice, so it accepts any conforming P6 writer."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval {maxval})")
+    pos += 1  # single whitespace after maxval per spec
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                           offset=pos)
+    return w, h, raster.reshape(h, w, 3)
+
+
+_IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Decode PPM image payloads and emit per-channel statistics —
+    dimensions come from the HEADER (a decode), not the metadata
+    columns. Channel sums are exact integers, so the gate hash has no
+    float in it. One narrow Arrow stage, payloads never leave the
+    executor."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in _IMAGE_DECODE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(w * h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        fn, schema=_IMAGE_DECODE_SCHEMA
+    )
+
+
+def synthetic_ppm_media(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Image-only media table whose payloads are REAL binary PPM files:
+    pixel byte j of image i is (i*7 + j) % 256 (regenerable in SQL),
+    wrapped in a conforming P6 header."""
+    rows = []
+    for i in range(n):
+        w, h = 64 + (i % 32), 48 + (i % 24)
+        j = np.arange(w * h * 3, dtype=np.int64)
+        px = ((i * 7 + j) % 256).astype(np.uint8).reshape(h, w, 3)
+        rows.append(
+            (i, "image", ppm_encode(px), "image/x-portable-pixmap",
+             w, h, 0)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for the real PPM decode path: header-parsed dims +
+    exact per-channel integer sums over 48 synthetic images."""
+    out = decode_images(synthetic_ppm_media(spark, 48))
+    return out.orderBy("media_id")
+
+
+# channel c of pixel-byte j ⇔ j % 3 = c; byte value (i*7 + j) % 256.
+SQL_IMAGE_DECODE = """
+WITH m AS (
+  SELECT i AS media_id, 64 + (i % 32) AS w, 48 + (i % 24) AS h
+  FROM range(48) t(i)
+),
+px AS (
+  SELECT media_id, w, h, j.j AS j,
+         (media_id * 7 + j.j) % 256 AS b
+  FROM m, LATERAL (SELECT UNNEST(range(w * h * 3)) AS j) j
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       SUM(CASE WHEN j % 3 = 0 THEN b ELSE 0 END)::BIGINT AS sum_r,
+       SUM(CASE WHEN j % 3 = 1 THEN b ELSE 0 END)::BIGINT AS sum_g,
+       SUM(CASE WHEN j % 3 = 2 THEN b ELSE 0 END)::BIGINT AS sum_b
+FROM px
+GROUP BY media_id, w, h
+ORDER BY media_id
+"""

@@ -402,6 +402,12 @@ def _q_video_frames(spark, sf_dir):
     return q_video_frames(spark, sf_dir)
 
 
+def _q_image_decode(spark, sf_dir):
+    from magmapandas_spark.operators.multimodal import q_image_decode
+
+    return q_image_decode(spark, sf_dir)
+
+
 def queries():
     return {
         "user_sessions": q_user_sessions,
@@ -418,6 +424,7 @@ def queries():
         "ivf_topk_seeded": _q_ivf_seeded,
         "lsh_topk": _q_lsh_topk,
         "media_features": _q_media_features,
+        "image_decode": _q_image_decode,
         "video_frames": _q_video_frames,
         "audio_chunks": _q_audio_chunks,
         "sliding_value_avg": q_sliding_value_avg,
@@ -461,6 +468,7 @@ def oracle_sql():
 
     from magmapandas_spark.operators.multimodal import (
         SQL_AUDIO_CHUNKS,
+        SQL_IMAGE_DECODE,
         SQL_MEDIA_FEATURES,
         SQL_VIDEO_FRAMES,
     )
@@ -470,6 +478,7 @@ def oracle_sql():
         "ivf_topk_seeded": sql_ivf_topk_seeded(),
         "lsh_topk": sql_lsh_topk(),
         "media_features": SQL_MEDIA_FEATURES,
+        "image_decode": SQL_IMAGE_DECODE,
         "video_frames": SQL_VIDEO_FRAMES,
         "audio_chunks": SQL_AUDIO_CHUNKS,
         "allison_saturation": so.sql_allison_saturation(SQL_MELT_CTE),
