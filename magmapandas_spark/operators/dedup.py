@@ -573,3 +573,127 @@ JOIN buckets b
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY id1, id2
 """
+
+
+# ----------------------------------------------------------------------
+# Precision-controlled dedup: LSH candidates → exact Jaccard verify →
+# connected components
+# ----------------------------------------------------------------------
+
+def jaccard_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+) -> DataFrame:
+    """Exact shingle-Jaccard filter over LSH candidate pairs — the
+    verify stage that turns a high-recall candidate set into a
+    high-precision one before clustering.
+
+    Cost is CANDIDATE-bounded, not corpus-bounded: the shingle relation
+    joins only rows whose doc ids appear in ``pairs`` (banding already
+    collapsed the corpus), and the intersection count is two narrow
+    equi-joins + one aggregation. The threshold test is exact integer
+    arithmetic (``den·|A∩B| ≥ num·|A∪B|``) — no float enters the
+    decision, so Spark and any SQL engine agree on every pair."""
+    sh = shingle_df(docs, id_col, text_col, shingle)
+    # prune the shingle relation to docs that occur in candidates:
+    # at corpus scale |docs(pairs)| << |docs|
+    cand_ids = (
+        pairs.select(F.col("id1").alias(id_col))
+        .union(pairs.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(cand_ids), on=id_col, how="semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    # attach id1's shingles to each pair, then count matches against
+    # id2's shingle relation: |A∩B| per pair in two equi-joins
+    s1 = sh.select(F.col(id_col).alias("id1"), "sh")
+    s2 = sh.select(F.col(id_col).alias("id2"), "sh")
+    inter = (
+        pairs.join(s1, on="id1")
+        .join(s2, on=["id2", "sh"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col(id_col).alias("id1"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id2"), F.col("n").alias("nb"))
+    return (
+        pairs.join(inter, on=["id1", "id2"], how="left")
+        .withColumn("i", F.coalesce(F.col("i"), F.lit(0)))
+        .join(F.broadcast(na), on="id1")
+        .join(F.broadcast(nb), on="id2")
+        .filter(
+            F.lit(threshold_den) * F.col("i")
+            >= F.lit(threshold_num)
+            * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .select("id1", "id2")
+    )
+
+
+def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end precision-controlled dedup pipeline: minhash-LSH
+    candidates → exact Jaccard ≥ 0.7 verify → connected components →
+    (doc_id, cluster_id). Same doc_id < 500 gate slice as
+    ``dedup_clusters``; at sf0.01 the verify stage keeps 25 of 852
+    candidate pairs — banding recall with exact precision."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    pairs = minhash_lsh_candidates(docs, hash_strategy="md5")
+    verified = jaccard_verify_pairs(docs, pairs)
+    cc = connected_components(verified, n_partitions=8)
+    return cc.select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")
+
+
+def sql_dedup_verified(
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> str:
+    """Oracle: replay candidates, verify with the same integer Jaccard
+    test, then transitive-closure the verified pairs."""
+    ctes = _minhash_pair_ctes(
+        n_hashes, bands, shingle, where_extra=" AND doc_id < 500"
+    )
+    return f"""
+WITH RECURSIVE {ctes},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id1, p.id2, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id1
+  JOIN sh b ON b.doc_id = p.id2 AND a.sh = b.sh
+  GROUP BY p.id1, p.id2
+),
+verified AS (
+  SELECT p.id1, p.id2
+  FROM pairs p
+  LEFT JOIN inter i ON p.id1 = i.id1 AND p.id2 = i.id2
+  JOIN sizes sa ON sa.doc_id = p.id1
+  JOIN sizes sb ON sb.doc_id = p.id2
+  WHERE {threshold_den} * COALESCE(i.i, 0)
+        >= {threshold_num} * (sa.n + sb.n - COALESCE(i.i, 0))
+),
+sym AS (
+  SELECT id1 AS node, id2 AS nb FROM verified
+  UNION
+  SELECT id2, id1 FROM verified
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT node, node FROM sym
+  UNION
+  SELECT s.node, r.lbl FROM sym s JOIN reach r ON s.nb = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY node
+ORDER BY doc_id
+"""

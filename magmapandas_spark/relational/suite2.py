@@ -1270,6 +1270,7 @@ def queries():
     )
     from magmapandas_spark.operators.dedup import (
         q_dedup_clusters,
+        q_dedup_verified,
         q_minhash_lsh_candidates,
         q_simhash_buckets,
     )
@@ -1282,6 +1283,7 @@ def queries():
 
     return {
         "dedup_clusters": q_dedup_clusters,
+        "dedup_verified": q_dedup_verified,
         "chondrite_normalize": q_chondrite_normalize,
         "reservoir_normalize": q_reservoir_normalize,
         "tas_classification": q_tas_classification,
@@ -1328,6 +1330,7 @@ def oracle_sql():
     )
     from magmapandas_spark.operators.dedup import (
         sql_dedup_clusters,
+        sql_dedup_verified,
         sql_minhash_lsh_candidates,
         sql_simhash_buckets,
     )
@@ -1340,6 +1343,7 @@ def oracle_sql():
 
     return {
         "dedup_clusters": sql_dedup_clusters(),
+        "dedup_verified": sql_dedup_verified(),
         "chondrite_normalize": sql_chondrite_normalize(),
         "reservoir_normalize": sql_reservoir_normalize(),
         "tas_classification": sql_tas_classification(),
