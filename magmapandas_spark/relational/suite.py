@@ -340,6 +340,78 @@ def _wrap(fn: Callable) -> Callable:
     return wrapped
 
 
+# The correctness driver hash-verifies only the FIRST 50 entries of
+# queries(). Registry order is therefore part of the gate contract:
+# this list front-loads (a) queries that have never had a
+# driver-verified green row (the whole geochem model tier, multimodal),
+# (b) queries whose code changed this round, and (c) the
+# highest-value already-verified representatives of each operator
+# class. Everything after slot 50 stays covered by tests/test_oracle.py
+# (the identical check, run in CI/pytest).
+_GATE_ORDER = [
+    # new this round — first green row needed
+    "tas_classification",
+    "reservoir_normalize",
+    "dedup_verified",
+    "image_decode",
+    "ivf_topk",
+    # never driver-verified (past the r2 cap)
+    "qfm_exact",
+    "iw_exact",
+    "fe3fe2_errors",
+    "fo2_buffers",
+    "fe3fe2_expr_models",
+    "fe3fe2_expr_models2",
+    "fe3fe2_expr_models3",
+    "fe3fe2_hirschmann2022",
+    "fe3fe2_solvers2",
+    "fe3fe2_deng2020",
+    "kd_expr_models",
+    "kd_blundy_saper",
+    "kd_toplis_iteration",
+    "thermometers_multi",
+    "thermometers_multi2",
+    "sugawara6a_cpx",
+    "olmelt_thermometer",
+    "unit_conversions",
+    "melt_structure",
+    "melt_describe",
+    "magnetite_speciation",
+    "ilmenite_speciation",
+    "plag_endmembers",
+    "feo_fe2o3_split",
+    "calibration_flags",
+    "sliding_value_avg",
+    "media_features",
+    "video_frames",
+    "audio_chunks",
+    # changed this round — re-verify
+    "part_setops",
+    "minhash_lsh_candidates",
+    "dedup_clusters",
+    "volatile_saturation_im",
+    "allison_saturation",
+    "shishkina_co2_saturation",
+    "isobar_grid",
+    # high-value verified representatives per operator class
+    "pricing_summary",
+    "thermometer_putirka2008_15",
+    "redox_chain",
+    "mc_thermometer",
+    "embedding_neardup",
+    "simhash_buckets",
+    "skew_distinct",
+    "salted_join_revenue",
+    "asof_purchase_view",
+]
+
+
+def _gate_sorted(out: dict) -> dict:
+    front = {k: out[k] for k in _GATE_ORDER if k in out}
+    rest = {k: v for k, v in out.items() if k not in front}
+    return {**front, **rest}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from magmapandas_spark.relational import suite2, suite3
 
@@ -351,7 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(suite2.queries())
     out.update(suite3.queries())
-    return {k: _wrap(v) for k, v in out.items()}
+    return {k: _wrap(v) for k, v in _gate_sorted(out).items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -365,4 +437,4 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(suite2.oracle_sql())
     out.update(suite3.oracle_sql())
-    return out
+    return _gate_sorted(out)
