@@ -32,6 +32,14 @@ def main() -> None:
     warm.groupBy("l_returnflag").count().write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the Python/Arrow worker pool too — otherwise the first
+    # pandas-UDF query in the run is charged ~1 worker spawn per core
+    def _identity(it):
+        yield from it
+
+    spark.range(256).repartition(32).mapInPandas(
+        _identity, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

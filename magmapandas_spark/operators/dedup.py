@@ -278,12 +278,38 @@ def simhash_near_dups(
     )
 
 
+def _union_find_labels(edges: list) -> dict:
+    """Driver-side union-find with path compression; component label =
+    minimum node id (identical to min-label propagation's fixpoint)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller: roots stay the
+            # component minimum, so find() IS the cluster label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {n: find(n) for n in {x for e in edges for x in e}}
+
+
 def connected_components(
     pairs: DataFrame,
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 50,
     n_partitions: int | None = None,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list — the dedup
     *clustering* step that turns near-duplicate candidate pairs into
@@ -305,8 +331,29 @@ def connected_components(
     count (a 4k-edge candidate graph doesn't want 64-task stages; a
     100 TB one does). Defaults to the session's shuffle partitions.
 
+    ``driver_threshold``: candidate graphs are usually *small* even
+    when the corpus is not (banding bounds pair volume), and the
+    iterative path pays ~0.5 s of scheduler latency per round. When the
+    edge list fits under the threshold (100k edges ≈ 2 MB — a bounded,
+    corpus-size-independent driver materialization, same class as the
+    IVF fit sample), a driver union-find computes the identical
+    min-label fixpoint in one pass. Larger graphs fall through to the
+    distributed loop. Set ``driver_threshold=0`` to force the
+    distributed path.
+
     Returns (node, cluster_id) where cluster_id is the component's
     minimum node id."""
+    if driver_threshold:
+        probe = pairs.select(id1, id2).limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            labels_map = _union_find_labels(
+                [(r[0], r[1]) for r in probe]
+            )
+            node_type = dict(pairs.select(id1, id2).dtypes)[id1]
+            return pairs.sparkSession.createDataFrame(
+                sorted(labels_map.items()),
+                f"node {node_type}, cluster_id {node_type}",
+            )
     npart = n_partitions or int(
         pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -370,9 +417,11 @@ def connected_components(
         # localCheckpoint truncates lineage: without it every round's
         # plan nests the previous round's, and driver-side analysis
         # grows quadratically with iterations (on a multi-node cluster
-        # use checkpoint() with a reliable dir for fault tolerance)
+        # use checkpoint() with a reliable dir for fault tolerance).
+        # Lazy here — the convergence agg below is the materializing
+        # action, so each round runs ONE job, not two.
         new_labels = jumped.repartition(npart, "node").localCheckpoint(
-            eager=True
+            eager=False
         )
         # labels only ever decrease, so Σlabel is strictly monotone and
         # fixpoint ⟺ unchanged sum — one cheap agg instead of an
@@ -496,7 +545,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 500
     )
     pairs = minhash_lsh_candidates(docs, hash_strategy="md5")
-    cc = connected_components(pairs, n_partitions=8)
+    # n_partitions sized to the gate slice's edge count (hundreds of
+    # pairs): 2-task iterative stages instead of 8 — at corpus scale
+    # size this to the candidate-graph width instead
+    cc = connected_components(pairs, n_partitions=2)
     return cc.select(
         F.col("node").alias("doc_id"), "cluster_id"
     ).orderBy("doc_id")
@@ -599,6 +651,12 @@ def jaccard_verify_pairs(
     equi-joins + one aggregation. The threshold test is exact integer
     arithmetic (``den·|A∩B| ≥ num·|A∪B|``) — no float enters the
     decision, so Spark and any SQL engine agree on every pair."""
+    # pairs is referenced three times below (candidate-id pruning, the
+    # intersection join, and the final threshold join); without a
+    # persist each reference re-executes the entire upstream
+    # shingle→minhash→banding pipeline. The candidate set is
+    # banding-bounded (<< corpus), so caching it is cheap at any scale.
+    pairs = pairs.persist()
     sh = shingle_df(docs, id_col, text_col, shingle)
     # prune the shingle relation to docs that occur in candidates:
     # at corpus scale |docs(pairs)| << |docs|
@@ -607,7 +665,9 @@ def jaccard_verify_pairs(
         .union(pairs.select(F.col("id2").alias(id_col)))
         .distinct()
     )
-    sh = sh.join(F.broadcast(cand_ids), on=id_col, how="semi")
+    # the pruned shingle relation feeds sizes + both sides of the
+    # intersection join — persist it once too (candidate-bounded)
+    sh = sh.join(F.broadcast(cand_ids), on=id_col, how="semi").persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     # attach id1's shingles to each pair, then count matches against
     # id2's shingle relation: |A∩B| per pair in two equi-joins
@@ -646,7 +706,7 @@ def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = minhash_lsh_candidates(docs, hash_strategy="md5")
     verified = jaccard_verify_pairs(docs, pairs)
-    cc = connected_components(verified, n_partitions=8)
+    cc = connected_components(verified, n_partitions=2)
     return cc.select(
         F.col("node").alias("doc_id"), "cluster_id"
     ).orderBy("doc_id")

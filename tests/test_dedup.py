@@ -77,8 +77,14 @@ def test_connected_components_known_graph(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], ["id1", "id2"]
     )
-    out = {
-        (r["node"], r["cluster_id"])
-        for r in connected_components(pairs).collect()
-    }
-    assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    expected = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    # driver union-find fast path AND the distributed iterative path
+    # (forced via driver_threshold=0) must agree exactly
+    for thresh in (100_000, 0):
+        out = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(
+                pairs, driver_threshold=thresh
+            ).collect()
+        }
+        assert out == expected, f"threshold={thresh}"
