@@ -1,0 +1,182 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+vocabulary statistics, benchmark decontamination, deterministic
+stratified sampling, and sequence packing.
+
+All four are expression-tier (no Python at execution time) and are
+designed for the 100 TB posture:
+
+- tokenization / n-gram extraction is scan-local (narrow);
+- the decontamination join broadcasts the (small) benchmark side;
+- sampling is a scan-local filter on a deterministic hash — no shuffle
+  at all, so it parallelizes embarrassingly and prunes at the source;
+- sequence packing needs a global prefix sum, which is computed as the
+  classic two-phase distributed scan (per-block partial sums + a tiny
+  block-offset table broadcast back) instead of a single-partition
+  window that would serialize the corpus through one task.
+
+No counterpart in the reference (MagmaPandas is a geochemistry
+library); these extend the engine toward the training-data use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from magmapandas_spark.operators.dedup import _md5_60
+
+#: word tokenizer shared by every curation operator — lowercase, split
+#: on non-alphanumeric runs, drop empties. The same expression is
+#: evaluable verbatim in DuckDB as
+#: ``list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')``.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def word_tokens(text_col: str = "text") -> Column:
+    """Array of lowercase word tokens (empties removed)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+
+
+def word_ngrams(tokens_col: str, n: int) -> Column:
+    """Distinct space-joined word n-grams from a token-array column.
+
+    Built array-locally (transform over an index sequence) — the
+    explode downstream emits only (id, n-gram) rows, never the full
+    token array."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size({tokens_col}) - {n - 1}),"
+            f" i -> array_join(slice({tokens_col}, i, {n}), ' '))"
+        )
+    )
+
+
+def sample_hash(key_col: Column, salt: str = "strat") -> Column:
+    """Deterministic uniform bucket in [0, 1000) from a salted md5 —
+    bit-identical in any engine with md5 (DuckDB:
+    ``('0x' || substr(md5('strat:' || key), 1, 15))::BIGINT % 1000``)."""
+    return (
+        _md5_60(F.concat(F.lit(salt + ":"), key_col.cast("string"))) % 1000
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates_permille: dict[str, int],
+    default_permille: int,
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its salted
+    key-hash bucket falls below the stratum's rate (in permille).
+
+    Scan-local filter — no shuffle, no RNG state, reproducible across
+    engines, partitionings and reruns; changing one stratum's rate
+    never changes which rows of another stratum are kept (per-key
+    hashing, not per-partition counters)."""
+    rate = F.lit(default_permille)
+    for value, permille in sorted(rates_permille.items()):
+        rate = F.when(
+            F.col(stratum_col) == value, F.lit(permille)
+        ).otherwise(rate)
+    return df.filter(sample_hash(F.col(key_col), salt) < rate)
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: (corpus doc, benchmark doc) pairs
+    sharing at least one word n-gram, with the count of shared
+    distinct n-grams.
+
+    The benchmark side is tiny by construction (eval sets are MBs even
+    when the corpus is 100 TB), so its exploded n-gram relation is
+    broadcast; the corpus side streams through the hash join with no
+    shuffle of corpus data. Output is candidate contamination —
+    downstream either drops the corpus doc or routes it to review."""
+    toks = word_tokens(text_col)
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        t = df.select(F.col(id_col).alias(out_id), toks.alias("t"))
+        return t.filter(F.size("t") >= n).select(
+            out_id, F.explode(word_ngrams("t", n)).alias("g")
+        )
+
+    cg = grams(corpus, "corpus_id")
+    bg = grams(bench, "bench_id")
+    return (
+        cg.join(F.broadcast(bg), on="g")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+def pack_offsets(
+    df: DataFrame,
+    token_col: str,
+    order_col: str = "doc_id",
+    block: int = 64,
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign each document its byte-stream position for concat-and-chunk
+    sequence packing: documents are concatenated in ``order_col`` order
+    and the stream is cut into fixed ``budget``-token context windows.
+
+    The global prefix sum is a two-phase distributed scan:
+
+    1. within-block running sums (window partitioned by
+       ``order_col // block`` — parallel, bounded partitions);
+    2. block totals aggregated into a tiny table, prefix-summed with a
+       single-partition window over #blocks rows (thousands, not
+       billions), and broadcast-joined back.
+
+    No corpus-sized data ever passes through a single partition — the
+    pattern a naive ``SUM() OVER (ORDER BY id)`` window would force.
+
+    Emits start offset, first/last window (``bin``) ids and the number
+    of windows the document spans."""
+    blk = (F.col(order_col) / block).cast("long").alias("blk")
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = df.select(
+        F.col(order_col), F.col(token_col).alias("n_tok"), blk
+    ).withColumn(
+        "local_start", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0))
+    )
+    totals = local.groupBy("blk").agg(F.sum("n_tok").alias("blk_tok"))
+    w_blk = (
+        Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "blk",
+        F.coalesce(F.sum("blk_tok").over(w_blk), F.lit(0)).alias(
+            "blk_start"
+        ),
+    )
+    start = (F.col("blk_start") + F.col("local_start")).alias("start")
+    out = local.join(F.broadcast(offsets), on="blk").select(
+        order_col, "n_tok", start
+    )
+    # integer `div`, not float division + cast: exact at any stream
+    # length (a double loses token-offset precision past 2^53)
+    return out.select(
+        order_col,
+        "n_tok",
+        "start",
+        F.expr(f"start div {budget}").alias("bin_first"),
+        F.expr(
+            f"(start + greatest(n_tok, 1) - 1) div {budget}"
+        ).alias("bin_last"),
+    )

@@ -350,6 +350,10 @@ def _wrap(fn: Callable) -> Callable:
 # (the identical check, run in CI/pytest).
 _GATE_ORDER = [
     # new this round — first green row needed
+    "vocab_topk",
+    "ngram_contamination",
+    "stratified_sample",
+    "sequence_packing",
     "tas_classification",
     "reservoir_normalize",
     "dedup_verified",
@@ -413,7 +417,7 @@ def _gate_sorted(out: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from magmapandas_spark.relational import suite2, suite3
+    from magmapandas_spark.relational import suite2, suite3, suite4
 
     out = {
         "pricing_summary": q_pricing_summary,
@@ -423,11 +427,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(suite2.queries())
     out.update(suite3.queries())
+    out.update(suite4.queries())
     return {k: _wrap(v) for k, v in _gate_sorted(out).items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from magmapandas_spark.relational import suite2, suite3
+    from magmapandas_spark.relational import suite2, suite3, suite4
 
     out = {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -437,4 +442,5 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(suite2.oracle_sql())
     out.update(suite3.oracle_sql())
+    out.update(suite4.oracle_sql())
     return _gate_sorted(out)

@@ -1,0 +1,207 @@
+"""Correctness-suite part 4 (round 3): corpus-curation operators —
+vocabulary statistics, benchmark decontamination, deterministic
+stratified sampling, sequence packing.
+
+Same cross-engine determinism rules as :mod:`suite`: integer-only
+decision arithmetic, md5-based portable hashing, explicit tie-breaks
+on every ORDER BY that feeds a LIMIT."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magmapandas_spark.operators.curation import (
+    contamination_pairs,
+    pack_offsets,
+    sample_hash,
+    stratified_sample,
+    word_tokens,
+)
+from magmapandas_spark.relational.suite import _t
+
+# DuckDB twin of curation.word_tokens
+_SQL_TOKS = (
+    "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency table, top 100 — the tokenizer-
+    training / frequency-filter primitive. Classic word-count shape:
+    scan-local tokenize + explode, ONE shuffle into a hash aggregate
+    with map-side partial aggregation, TakeOrdered top-k (no global
+    sort). Ties broken on the token so the LIMIT boundary is
+    deterministic."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(word_tokens()).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(100)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+)
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM tok
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 100
+"""
+
+
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing a 5-word-gram
+    with the held-out set (doc_id % 11 = 0 plays the benchmark here).
+    The benchmark n-gram relation is broadcast; corpus data never
+    shuffles. Word soup in the synthetic corpus means only true
+    near-duplicates collide — exactly the leak the operator exists to
+    catch."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    return contamination_pairs(corpus, bench, n=5).orderBy(
+        "corpus_id", "bench_id"
+    )
+
+
+SQL_NGRAM_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)
+  WHERE len(t) >= 5
+)
+SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+       COUNT(*) AS n_common
+FROM sh c
+JOIN sh b ON c.g = b.g
+WHERE b.doc_id % 11 = 0 AND c.doc_id % 11 <> 0
+GROUP BY c.doc_id, b.doc_id
+ORDER BY corpus_id, bench_id
+"""
+
+
+_RATES = {"en": 250}
+_DEFAULT_RATE = 500
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep 25% of English docs
+    and 50% of every other language, decided per-doc by a salted md5
+    bucket — a scan-local filter (zero shuffle, zero RNG state) that
+    any engine reproduces bit-for-bit. The shape that downsamples a
+    100 TB common-crawl slice at the scan."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = stratified_sample(
+        docs, "lang", _RATES, _DEFAULT_RATE, key_col="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        sample_hash(F.col("doc_id")).alias("bucket"),
+    ).orderBy("doc_id")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source, bucket
+FROM h
+WHERE bucket < CASE WHEN lang = 'en' THEN {_RATES['en']}
+               ELSE {_DEFAULT_RATE} END
+ORDER BY doc_id
+"""
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 2048-token context
+    windows: per-doc stream offsets via a two-phase distributed prefix
+    sum (per-block windows + broadcast block offsets — no
+    single-partition corpus window), then per-window occupancy stats.
+    All integer arithmetic — the gate hash is exact by construction."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.size(word_tokens()).alias("n_tok")
+    )
+    packed = pack_offsets(toks, "n_tok", budget=2048)
+    return (
+        packed.groupBy(F.col("bin_first").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("stream_tokens"),
+            F.sum(
+                F.when(F.col("bin_last") > F.col("bin_first"), 1).otherwise(0)
+            ).alias("n_spanning"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH toks AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS n_tok FROM documents
+),
+off AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start
+  FROM toks
+),
+b AS (
+  SELECT doc_id, n_tok,
+         start // 2048 AS bin_first,
+         (start + GREATEST(n_tok, 1) - 1) // 2048 AS bin_last
+  FROM off
+)
+SELECT bin_first AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS stream_tokens,
+       CAST(SUM(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_spanning,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM b
+GROUP BY bin_first
+ORDER BY bin_id
+"""
+
+
+def queries():
+    return {
+        "vocab_topk": q_vocab_topk,
+        "ngram_contamination": q_ngram_contamination,
+        "stratified_sample": q_stratified_sample,
+        "sequence_packing": q_sequence_packing,
+    }
+
+
+def oracle_sql():
+    return {
+        "vocab_topk": SQL_VOCAB_TOPK,
+        "ngram_contamination": SQL_NGRAM_CONTAMINATION,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "sequence_packing": SQL_SEQUENCE_PACKING,
+    }

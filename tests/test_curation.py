@@ -1,0 +1,103 @@
+"""Unit tests for the corpus-curation operators (vocab / contamination /
+stratified sampling / sequence packing)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from magmapandas_spark.operators.curation import (
+    contamination_pairs,
+    pack_offsets,
+    stratified_sample,
+    word_tokens,
+)
+
+
+def test_stratified_sample_deterministic_and_stable(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    a = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", {"en": 250}, 500).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", {"en": 250}, 500).collect()
+    }
+    assert a == b, "sampling must be reproducible"
+    en = sum(1 for i in a if i % 2 == 0)
+    de = len(a) - en
+    # 1000 docs per stratum at 25% / 50%: expect ~250 / ~500 (±20%)
+    assert 200 <= en <= 300, en
+    assert 400 <= de <= 600, de
+    # changing one stratum's rate must not change which OTHER rows kept
+    c = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", {"en": 100}, 500).collect()
+    }
+    assert {i for i in a if i % 2 == 1} == {i for i in c if i % 2 == 1}
+    # the lowered-rate stratum keeps a strict subset
+    assert {i for i in c if i % 2 == 0} <= {i for i in a if i % 2 == 0}
+
+
+def test_pack_offsets_contiguous_and_matches_naive(spark):
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 10) for i in range(500)],
+        "doc_id long, n long",
+    )
+    out = (
+        pack_offsets(docs, "n", block=64, budget=100)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # two-phase distributed scan == naive exclusive prefix sum
+    naive = (
+        docs.withColumn(
+            "start",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("doc_id").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["start"] for r in out] == [r["start"] for r in naive]
+    # contiguity: next start = start + n, bins consistent
+    for prev, cur in zip(out, out[1:]):
+        assert cur["start"] == prev["start"] + prev["n_tok"]
+    for r in out:
+        assert r["bin_first"] == r["start"] // 100
+        assert r["bin_last"] == (r["start"] + max(r["n_tok"], 1) - 1) // 100
+        assert r["bin_last"] >= r["bin_first"]
+
+
+def test_contamination_detects_planted_leak(spark):
+    bench = spark.createDataFrame(
+        [(1000, "the secret eval answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "clean document with no overlap at all here"),
+            (2, "prefix words the secret eval answer is forty two"
+                " then suffix"),
+            (3, "another clean one with different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_pairs(corpus, bench, n=5).collect()
+    assert {(r["corpus_id"], r["bench_id"]) for r in out} == {(2, 1000)}
+    # doc 2 copies a 7-token span -> 3 shared distinct 5-grams
+    assert out[0]["n_common"] == 3
+
+
+def test_word_tokens_lowercase_and_filters_empties(spark):
+    df = spark.createDataFrame([("  Hello, WORLD!! 42 ",)], "text string")
+    toks = df.select(word_tokens().alias("t")).collect()[0]["t"]
+    assert toks == ["hello", "world", "42"]
