@@ -45,13 +45,18 @@ def word_ngrams(tokens_col: str, n: int) -> Column:
 
     Built array-locally (transform over an index sequence) — the
     explode downstream emits only (id, n-gram) rows, never the full
-    token array."""
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, size({tokens_col}) - {n - 1}),"
-            f" i -> array_join(slice({tokens_col}, i, {n}), ' '))"
-        )
-    )
+    token array. Inputs shorter than ``n`` tokens yield an empty array
+    (``sequence(1, 0)`` would otherwise descend through 0 and
+    ``slice(..., 0, n)`` raise INVALID_PARAMETER_VALUE.START)."""
+    return F.when(
+        F.size(F.col(tokens_col)) >= n,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size({tokens_col}) - {n - 1}),"
+                f" i -> array_join(slice({tokens_col}, i, {n}), ' '))"
+            )
+        ),
+    ).otherwise(F.expr("array()"))
 
 
 def sample_hash(key_col: Column, salt: str = "strat") -> Column:
@@ -102,10 +107,15 @@ def contamination_pairs(
     broadcast; the corpus side streams through the hash join with no
     shuffle of corpus data. Output is candidate contamination —
     downstream either drops the corpus doc or routes it to review."""
+    from magmapandas_spark.operators.dedup import fan_out
+
     toks = word_tokens(text_col)
 
     def grams(df: DataFrame, out_id: str) -> DataFrame:
-        t = df.select(F.col(id_col).alias(out_id), toks.alias("t"))
+        # fan_out before the n-gram explode: tokenization + shingling
+        # amplify inside the scan stage, which caps parallelism at the
+        # scan's task count (1 for a single-row-group file)
+        t = fan_out(df).select(F.col(id_col).alias(out_id), toks.alias("t"))
         return t.filter(F.size("t") >= n).select(
             out_id, F.explode(word_ngrams("t", n)).alias("g")
         )
@@ -143,7 +153,10 @@ def pack_offsets(
 
     Emits start offset, first/last window (``bin``) ids and the number
     of windows the document spans."""
-    blk = (F.col(order_col) / block).cast("long").alias("blk")
+    # integer `div` keeps the block id exact for order_col past 2^53
+    # (float division + cast would round there), matching the bin
+    # columns' integer-div discipline below
+    blk = F.expr(f"{order_col} div {block}").alias("blk")
     w_in = (
         Window.partitionBy("blk")
         .orderBy(order_col)

@@ -33,6 +33,29 @@ from pyspark.sql import functions as F
 _KM_PRIME = 2_147_483_647
 
 
+def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the plan's current parallelism is
+    below the session's shuffle-partition setting.
+
+    Amplifying operators (shingle/token explode: 5k docs → 1M shingles)
+    run INSIDE the scan stage, so their parallelism is capped by the
+    scan's task count. That's ideal when the scan is wide (a 100 TB
+    table has millions of row-group splits) but serializes the whole
+    pipeline onto a handful of cores when the input is a single small
+    file (parquet cannot split below a row group) or a heavily filtered
+    slice. Repartitioning HERE moves the bytes *before* amplification —
+    the raw text, not the exploded shingles — so the shuffle is cheap
+    at any scale and a no-op (skipped entirely) when the scan is
+    already wide."""
+    spark = df.sparkSession
+    target = min_parallelism or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _md5_60(col: Column, offset: int = 1) -> Column:
     """Exact 60-bit integer from an md5 hex substring — the same
     expression DuckDB evaluates as ('0x' || substr(md5(x), o, 15))::BIGINT."""
@@ -57,7 +80,7 @@ def shingle_df(
         )
     )
     return (
-        docs.filter(F.length(text_col) >= n)
+        fan_out(docs.filter(F.length(text_col) >= n))
         .select(F.col(id_col), F.explode(arr).alias("sh"))
     )
 
@@ -73,9 +96,19 @@ def minhash_signatures(
     ``md5``: one md5 per shingle, n Kirsch–Mitzenmacher combinations —
     exactly reproducible in DuckDB SQL."""
     if hash_strategy == "md5":
-        h1 = (_md5_60(F.col("sh"), 1) % _KM_PRIME).alias("h1")
-        h2 = (_md5_60(F.col("sh"), 17) % _KM_PRIME).alias("h2")
-        hashed = shingles.select(id_col, h1, h2)
+        # ONE md5 digest per shingle, explicitly shared (not left to
+        # expression CSE): h1/h2 are two 15-hex-char slices of the same
+        # 32-char digest, and the n KM combinations are integer ops on
+        # the two projected columns — the digest is never recomputed
+        # per aggregate expression.
+        digest = F.md5(F.col("sh")).alias("m")
+        hashed = shingles.select(id_col, digest).select(
+            id_col,
+            (F.conv(F.substring("m", 1, 15), 16, 10).cast("long")
+             % _KM_PRIME).alias("h1"),
+            (F.conv(F.substring("m", 17, 15), 16, 10).cast("long")
+             % _KM_PRIME).alias("h2"),
+        )
         aggs = [
             F.min((F.col("h1") + F.lit(i) * F.col("h2")) % _KM_PRIME)
             .alias(f"mh_{i}")
@@ -128,10 +161,18 @@ def minhash_lsh_candidates(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), sig.alias("sig"))
         )
-    # pre-partition on the join key: the whole shingle→minhash→band
-    # pipeline materializes into ONE shuffle that both self-join sides
-    # read (instead of being evaluated twice), and the bucket join
-    # needs no further exchange
+    # Materialize the band relation ONCE before the self-join.
+    # A bare repartition is not enough: AQE turns the self-join into a
+    # BroadcastHashJoin whose build side is a *separate*
+    # BroadcastExchange subtree, ReuseExchange doesn't fire across the
+    # Exchange/BroadcastExchange shape difference, and the entire
+    # shingle→minhash→band pipeline runs twice (measured 2× scan+agg in
+    # the physical plan). The relation is bands×|docs| fixed-width rows
+    # (~30 B each — the signature table, orders of magnitude below the
+    # text it summarizes), so checkpoint storage is the same class as
+    # the shuffle files the repartition already wrote. localCheckpoint
+    # (not persist) so the blocks are released by the ContextCleaner
+    # when the plan is GC'd — no caller-owned cache cleanup.
     exploded = (
         sigs.select(
             F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
@@ -140,6 +181,7 @@ def minhash_lsh_candidates(
             id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
         )
         .repartition("band", "sig")
+        .localCheckpoint(eager=True)
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -173,7 +215,8 @@ def simhash(
     else:
         h = F.xxhash64(F.col("tok"))
     tokens = (
-        docs.select(
+        fan_out(docs)
+        .select(
             F.col(id_col),
             F.explode(F.split(F.col(text_col), " ")).alias("tok"),
         )
@@ -349,7 +392,25 @@ def connected_components(
             labels_map = _union_find_labels(
                 [(r[0], r[1]) for r in probe]
             )
-            node_type = dict(pairs.select(id1, id2).dtypes)[id1]
+            # widest of the two endpoint dtypes: labels sourced from
+            # id2 values must not be narrowed to id1's type (e.g. an
+            # int/bigint pair list)
+            dtypes = dict(pairs.select(id1, id2).dtypes)
+            t1, t2 = dtypes[id1], dtypes[id2]
+            rank = {
+                "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+                "decimal(38,0)": 4,
+            }
+            if t1 == t2:
+                node_type = t1
+            elif t1 in rank and t2 in rank:
+                node_type = max(t1, t2, key=rank.__getitem__)
+            else:
+                raise TypeError(
+                    f"connected_components: incompatible id dtypes "
+                    f"{t1!r} vs {t2!r} — cast both endpoints to a "
+                    f"common type first"
+                )
             return pairs.sparkSession.createDataFrame(
                 sorted(labels_map.items()),
                 f"node {node_type}, cluster_id {node_type}",
@@ -462,6 +523,19 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup path under the bench clock: xxhash64
+    (JVM-intrinsic, n seeded hashes) instead of the md5 oracle family.
+    Engine-specific hashing → no SQL oracle (rows-only at the gate);
+    the md5 twin ``minhash_lsh_candidates`` carries correctness. Exists
+    so the headline number records what a real 100 TB run would pay,
+    not the cross-engine-portability tax."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_candidates(docs, hash_strategy="xxhash64").orderBy(
+        "id1", "id2"
+    )
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_near_dups(docs, bits=60, hash_strategy="md5").orderBy(
@@ -549,6 +623,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs): 2-task iterative stages instead of 8 — at corpus scale
     # size this to the candidate-graph width instead
     cc = connected_components(pairs, n_partitions=2)
+    return cc.select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")
+
+
+def q_dedup_clusters_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_clusters`` with ``driver_threshold=0``: forces the
+    distributed min-label + pointer-jumping loop — the code path that
+    actually runs at 100 TB, where the candidate graph exceeds the
+    bounded driver union-find. Identical fixpoint, identical oracle;
+    exists so the bench RECORDS the loop's wall time instead of only
+    exercising it in unit tests (the driver fast path shadows it at
+    gate scale)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    pairs = minhash_lsh_candidates(docs, hash_strategy="md5")
+    cc = connected_components(pairs, n_partitions=2, driver_threshold=0)
     return cc.select(
         F.col("node").alias("doc_id"), "cluster_id"
     ).orderBy("doc_id")
@@ -681,7 +775,7 @@ def jaccard_verify_pairs(
     )
     na = sizes.select(F.col(id_col).alias("id1"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id2"), F.col("n").alias("nb"))
-    return (
+    out = (
         pairs.join(inter, on=["id1", "id2"], how="left")
         .withColumn("i", F.coalesce(F.col("i"), F.lit(0)))
         .join(F.broadcast(na), on="id1")
@@ -693,6 +787,14 @@ def jaccard_verify_pairs(
         )
         .select("id1", "id2")
     )
+    # materialize the (verified ⊆ candidates, so bounded) result and
+    # sever its lineage from the two cached relations, then release
+    # them — repeated calls in a long-lived session must not
+    # accumulate cached pair/shingle tables until LRU pressure
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    sh.unpersist()
+    return out
 
 
 def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,7 +123,11 @@ def q_chondrite_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``geoplot/trace_elements.py:79-121``): synthetic ppm columns derived
     from lineitem keys, divided by the McDonough & Sun (1995) C1
     literals. Narrow, zero-shuffle."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from magmapandas_spark.operators.dedup import fan_out
+
+    # fan_out: single-row-group test file → 1-task scan; spread before
+    # the projection + range sort
+    li = fan_out(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     base = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("name"),
         (
@@ -448,7 +452,9 @@ def q_reservoir_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-reservoir spider normalization: the synthetic trace columns
     against primitive mantle AND N-MORB in one projection (C1 is the
     separate ``chondrite_normalize`` query). Pure literal division."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from magmapandas_spark.operators.dedup import fan_out
+
+    li = fan_out(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     base = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("name"),
         (

@@ -152,13 +152,31 @@ def calculate_spline_parameters(
 def fit_error_spline(
     df: DataFrame, x_col: str, y_col: str, k: int = 3,
     n_knots: int = 8, smoothing: float = 0.0,
+    max_fit_rows: int = 100_000,
 ):
     """Spark surface for fitting a model-error spline: collect the
     (small, already-aggregated) running-σ table and fit
     :func:`calculate_spline_parameters`. The returned ``(t, c, k)``
     plugs into :func:`fe3fe2_error_np` / :func:`deboor_splev` exactly
-    like the shipped published splines."""
-    pdf = df.select(x_col, y_col).dropna().toPandas()
+    like the shipped published splines.
+
+    The input is expected to be a pre-aggregated error table (running-σ
+    output — thousands of points). ``max_fit_rows`` enforces that
+    contract: pointing this at an unaggregated corpus-scale frame
+    raises instead of OOMing the driver (same bounded-collect
+    discipline as the IVF fit sample, similarity.py)."""
+    pdf = (
+        df.select(x_col, y_col).dropna()
+        .limit(max_fit_rows + 1).toPandas()
+    )
+    if len(pdf) > max_fit_rows:
+        raise ValueError(
+            f"fit_error_spline: input has more than "
+            f"max_fit_rows={max_fit_rows} rows — error-curve fits run "
+            f"driver-side on AGGREGATED data (e.g. running_stddev "
+            f"output). Aggregate first, or raise max_fit_rows "
+            f"explicitly if the table is genuinely this large."
+        )
     return calculate_spline_parameters(
         pdf[x_col].to_numpy(), pdf[y_col].to_numpy(),
         k=k, n_knots=n_knots, smoothing=smoothing,

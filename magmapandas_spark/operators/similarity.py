@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from magmapandas_spark.operators.dedup import fan_out
+
 
 def _norm(vec_col):
     sq = F.transform(
@@ -43,7 +45,9 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
+    # fan_out: |Q|·dim multiply-adds per corpus row run inside the
+    # corpus scan stage — spread them when the scan itself is narrow
+    c = fan_out(corpus).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -113,6 +117,9 @@ def cosine_topk_lsh(
         return sig
 
     def with_buckets(df, idname):
+        # fan_out: n_tables × n_planes × dim multiply-adds per row run
+        # inside the scan stage — spread before signing
+        df = fan_out(df)
         rows = []
         for t in range(n_tables):
             rows.append(

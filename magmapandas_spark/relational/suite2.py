@@ -1033,8 +1033,14 @@ def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-5-gram Jaccard similarity for adjacent doc pairs —
     exercises shingling + set intersection with an O(n) join on the
     composite (doc_id, shingle) key (no hot-shingle skew)."""
-    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(
-        F.length("text") >= 5
+    from magmapandas_spark.operators.dedup import fan_out
+
+    # fan_out: the HOF-heavy shingle build runs in the scan stage —
+    # spread it when the scan is a single small file
+    docs = fan_out(
+        spark.read.parquet(_t(sf_dir, "documents")).filter(
+            F.length("text") >= 5
+        )
     )
     # per-doc distinct shingle SET as one expression pass (transform
     # over an index sequence + array_distinct): no explode, no shuffle,
@@ -1270,8 +1276,10 @@ def queries():
     )
     from magmapandas_spark.operators.dedup import (
         q_dedup_clusters,
+        q_dedup_clusters_distributed,
         q_dedup_verified,
         q_minhash_lsh_candidates,
+        q_minhash_lsh_xxhash,
         q_simhash_buckets,
     )
     from magmapandas_spark.operators.geochem_aux import (
@@ -1283,6 +1291,7 @@ def queries():
 
     return {
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "dedup_verified": q_dedup_verified,
         "chondrite_normalize": q_chondrite_normalize,
         "reservoir_normalize": q_reservoir_normalize,
@@ -1319,6 +1328,9 @@ def queries():
         "volatile_saturation_im": q_volatile_saturation_im,
         # md5 hash strategy → exact cross-engine oracles
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        # xxhash64 production path: perf probe (engine-specific hash →
+        # rows-only at the gate; the md5 twin is the correctness vehicle)
+        "minhash_lsh_xxhash": q_minhash_lsh_xxhash,
         "simhash_buckets": q_simhash_buckets,
     }
 
@@ -1343,6 +1355,7 @@ def oracle_sql():
 
     return {
         "dedup_clusters": sql_dedup_clusters(),
+        "dedup_clusters_distributed": sql_dedup_clusters(),
         "dedup_verified": sql_dedup_verified(),
         "chondrite_normalize": sql_chondrite_normalize(),
         "reservoir_normalize": sql_reservoir_normalize(),

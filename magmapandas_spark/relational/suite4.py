@@ -18,6 +18,7 @@ from magmapandas_spark.operators.curation import (
     stratified_sample,
     word_tokens,
 )
+from magmapandas_spark.operators.dedup import fan_out
 from magmapandas_spark.relational.suite import _t
 
 # DuckDB twin of curation.word_tokens
@@ -34,7 +35,10 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partial aggregation, TakeOrdered top-k (no global
     sort). Ties broken on the token so the LIMIT boundary is
     deterministic."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    # fan_out: the tokenize-explode amplifies ~200× and runs inside the
+    # scan stage — parallelism would be capped at the (single-row-group)
+    # file's task count without it
+    docs = fan_out(spark.read.parquet(_t(sf_dir, "documents")))
     tok = docs.select(
         "doc_id", F.explode(word_tokens()).alias("token")
     )
@@ -139,7 +143,9 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (per-block windows + broadcast block offsets — no
     single-partition corpus window), then per-window occupancy stats.
     All integer arithmetic — the gate hash is exact by construction."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    # fan_out: tokenization of every doc's full text runs in the scan
+    # stage — spread it before the (cheap) downstream prefix scan
+    docs = fan_out(spark.read.parquet(_t(sf_dir, "documents")))
     toks = docs.select(
         "doc_id", F.size(word_tokens()).alias("n_tok")
     )

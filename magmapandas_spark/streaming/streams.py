@@ -115,8 +115,17 @@ def sliding_value_avg(events: DataFrame, window: str = "2 hours",
         src = events.withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.avg("value").alias("avg_value"),
-             F.count(F.lit(1)).alias("n_events"))
+        # decimal sum / count, not F.avg: the streaming state store
+        # merges partial aggregates in arrival order, so a double sum
+        # would differ from the batch twin in the last ulp — the
+        # decimal path is order-independent and exactly equal
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type", "avg_value", "n_events",

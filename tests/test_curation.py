@@ -101,3 +101,22 @@ def test_word_tokens_lowercase_and_filters_empties(spark):
     df = spark.createDataFrame([("  Hello, WORLD!! 42 ",)], "text string")
     toks = df.select(word_tokens().alias("t")).collect()[0]["t"]
     assert toks == ["hello", "world", "42"]
+
+def test_word_ngrams_short_input_yields_empty(spark):
+    """Inputs with fewer than n tokens produce an empty n-gram array
+    instead of raising INVALID_PARAMETER_VALUE.START (unguarded-callers
+    footgun fixed in round 4)."""
+    import pandas as pd
+
+    from magmapandas_spark.operators.curation import word_ngrams, word_tokens
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["one two", "", "a b c d e", "x"]})
+    )
+    out = (
+        df.select(word_tokens("text").alias("t"))
+        .select(word_ngrams("t", 5).alias("g"))
+        .collect()
+    )
+    sizes = [len(r["g"]) for r in out]
+    assert sizes == [0, 0, 1, 0]

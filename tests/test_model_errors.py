@@ -162,3 +162,19 @@ def test_fit_error_spline_from_running_stddev(spark):
     true = 0.1 + 0.2 * xs
     assert np.all(fitted > 0)
     assert np.mean(np.abs(fitted - true) / true) < 0.35
+
+def test_fit_error_spline_rejects_unaggregated_input(spark):
+    """max_fit_rows guard: pointing the driver-side fit at a large
+    (unaggregated) frame raises instead of collecting it."""
+    import pytest as _pytest
+
+    from magmapandas_spark.operators import montecarlo as mc
+
+    big = spark.range(0, 500).selectExpr(
+        "cast(id as double) as x", "cast(id as double) * 0.1 as y"
+    )
+    with _pytest.raises(ValueError, match="max_fit_rows"):
+        mc.fit_error_spline(big, "x", "y", max_fit_rows=100)
+    # explicit opt-in still works
+    t, c, k = mc.fit_error_spline(big, "x", "y", max_fit_rows=1000)
+    assert len(t) > 0 and k == 3

@@ -13,7 +13,10 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.01"
+# Override with SPARK_GRAFT_SF_DIR (same knob bench.py honors) to run
+# the identical exact-equality sweep at another scale factor, e.g.
+#   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 pytest tests/test_oracle.py
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
