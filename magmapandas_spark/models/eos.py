@@ -88,8 +88,40 @@ def landau(phase: str, pkbar, T_K, vmax=None):
     )
 
 
-def landau_P_dependent(phase: str, pkbar, T_K):
-    """``EOSs/tools.py:69-99`` (anenberg formulation)."""
+def landau_holland(phase: str, pkbar, T_K, vmax=None):
+    """Landau excess Gibbs energy, Holland & Powell (1998) formulation
+    (reference ``EOSs/tools.py:102-164``).
+
+    Differs from the Anenberg form in carrying an explicit excess-volume
+    VdP term built from a temperature-corrected bulk modulus
+    (K = K0·(1 − 1.5e-4·(T−298))) instead of folding the volume of
+    disorder into the critical-temperature shift alone.
+    """
+    p = EOS_PARAMS[phase]
+    if vmax is None:
+        vmax = p["vmax"]
+    smax, tc0, a0, K0 = p["smax"], p["Tc0"], p["a0"], p["K0"]
+    t = np.asarray(T_K, dtype=float)
+    pk = np.asarray(pkbar, dtype=float)
+    tc = tc0 + vmax * pk / smax
+    Q2_0 = np.sqrt(1 - 298.15 / tc0)
+    Q2 = np.where(t > tc, 0.0, np.sqrt(np.clip((tc - t) / tc0, 0.0, None)))
+    K = K0 * (1 - 1.5e-4 * (t - 298))
+    h = smax * tc0 * (Q2_0 - Q2_0**3 / 3)
+    s = smax * Q2_0
+    vt = vmax * Q2_0 * (1 + a0 * (t - 298)) - 20 * a0 * (np.sqrt(t) - np.sqrt(298))
+    vtdP = vt * K / 3 * ((1 + 4 * pk / K) ** 0.75 - 1)
+    delta_G_landau = smax * ((t - tc0) * Q2 + (tc * Q2**3) / 3)
+    return h - t * s + vtdP + delta_G_landau
+
+
+def landau_P_dependent(phase: str, pkbar, T_K, formulation: str = "anenberg"):
+    """``EOSs/tools.py:69-99``; ``formulation="holland"`` selects the
+    Holland (1998) form (reference switch at ``tools.py:92-99``)."""
+    if formulation == "holland":
+        return landau_holland(phase, pkbar, T_K) - landau_holland(
+            phase, 0.0, T_K, vmax=0.0
+        )
     return landau(phase, pkbar, T_K) - landau(phase, 0.0, T_K, vmax=0.0)
 
 

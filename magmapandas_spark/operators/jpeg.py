@@ -1,0 +1,713 @@
+"""Pure-numpy baseline-sequential JPEG codec (ITU-T T.81) — the real
+compressed-codec decode path for the multimodal tier.
+
+No codec library exists in this container, so both directions are
+implemented from the public JPEG standard:
+
+- :func:`jpeg_decode` — full baseline decode: marker parse (SOI / APP /
+  DQT / SOF0 / DHT / SOS / EOI), canonical Huffman table construction
+  from the file's own DHT segments, entropy decode with 0xFF00
+  byte-unstuffing, DC DPCM, AC run-length (ZRL / EOB), dequantize,
+  inverse zigzag, separable orthonormal IDCT, chroma upsampling for
+  arbitrary baseline sampling factors (4:4:4 and 4:2:0 are exercised),
+  JFIF YCbCr→RGB.
+- :func:`jpeg_encode_rgb` — forward path (level shift, YCbCr, DCT,
+  quantize, zigzag, DPCM + run-length Huffman, byte stuffing) used by
+  round-trip tests.
+- :func:`jpeg_encode_from_coeffs` — writes a conforming JPEG stream
+  directly from chosen *quantized coefficient* blocks. The entropy
+  layer is lossless, so a decoder must recover those integers exactly
+  — this is what makes an exact (DuckDB-reproducible) oracle possible
+  for a lossy format: the gate compares integer coefficient statistics,
+  while the float IDCT/pixel path is covered by unit tests against an
+  independent naive cosine-sum IDCT.
+
+Quant + Huffman tables are the public Annex-K defaults; correctness
+does not hinge on the transcription because the encoder embeds its
+tables in DQT/DHT and the decoder trusts only the file.
+
+Scale posture: decode runs inside ``mapInPandas`` — one narrow Arrow
+stage, payload bytes never leave the executor, no shuffle. At 100 TB
+the plan is scan → decode → (aggregate | feature-project), identical
+to the PPM path (multimodal.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K defaults)
+# ---------------------------------------------------------------------
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+
+def _make_zigzag() -> np.ndarray:
+    """Zigzag scan order: flat 8×8 index for each of the 64 positions."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(r * 8 + c for r, c in diag)
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _make_zigzag()          # zigzag pos -> flat index
+UNZIGZAG = np.argsort(ZIGZAG)    # flat index -> zigzag pos
+
+# (bits[1..16], values) per table — Annex K
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for a canonical Huffman spec."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for a canonical Huffman spec."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+# orthonormal 8-point DCT matrix M[u, x] = a(u)/2 * cos((2x+1)uπ/16)
+_x = np.arange(8)
+_DCT_M = np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16) / 2.0
+_DCT_M[0, :] *= 1.0 / np.sqrt(2.0)
+
+
+def idct_2d(block: np.ndarray) -> np.ndarray:
+    """Separable 2-D inverse DCT of one 8×8 coefficient block."""
+    return _DCT_M.T @ block @ _DCT_M
+
+
+def dct_2d(block: np.ndarray) -> np.ndarray:
+    """Separable 2-D forward DCT of one 8×8 spatial block."""
+    return _DCT_M @ block @ _DCT_M.T
+
+
+# ---------------------------------------------------------------------
+# Bit I/O with JPEG byte stuffing
+# ---------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                # a real marker inside the scan (e.g. EOI reached by
+                # over-read) — feed 0 bits, don't consume the marker
+                self.pos -= 1
+                b = 0
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` raw bits to a signed value."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# ---------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _headers(w: int, h: int, sampling: str) -> bytes:
+    """SOI..SOS headers for a 3-component baseline frame."""
+    hy, vy = (2, 2) if sampling == "420" else (1, 1)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in ((0, QUANT_LUMA), (1, QUANT_CHROMA)):
+        out += _seg(0xDB, bytes([tq]) + bytes(
+            int(q.reshape(-1)[ZIGZAG[k]]) for k in range(64)
+        ))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([3])
+    sof += bytes([1, (hy << 4) | vy, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += _seg(0xC0, bytes(sof))
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return bytes(out)
+
+
+def _encode_block(
+    bw: _BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Huffman-encode one block of 64 quantized coeffs in zigzag order.
+    Returns the new DC predictor."""
+    dc = int(zz[0])
+    diff = dc - pred
+    size = _category(diff)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k] != 0:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def jpeg_encode_from_coeffs(
+    coeffs: list[np.ndarray], w: int, h: int, sampling: str = "444"
+) -> bytes:
+    """Write a baseline JPEG directly from per-component QUANTIZED
+    coefficient blocks.
+
+    ``coeffs`` is ``[Y, Cb, Cr]``; each an ``(n_blocks, 8, 8)`` int
+    array in natural (row/col) order, blocks in scan order (for 4:2:0
+    the Y component's scan order is MCU-major: the 4 Y blocks of MCU 0,
+    then MCU 1, …). Dims must be MCU-aligned (×8 for 4:4:4, ×16 for
+    4:2:0)."""
+    mcu = 16 if sampling == "420" else 8
+    if w % mcu or h % mcu:
+        raise ValueError(f"dims must be multiples of {mcu} for {sampling}")
+    n_mcu = (w // mcu) * (h // mcu)
+    y_per_mcu = 4 if sampling == "420" else 1
+    dc_y = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_y = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    iy = ic = 0
+    for _ in range(n_mcu):
+        for _ in range(y_per_mcu):
+            zz = np.asarray(coeffs[0][iy], dtype=np.int64).reshape(-1)[ZIGZAG]
+            preds[0] = _encode_block(bw, zz, preds[0], dc_y, ac_y)
+            iy += 1
+        for comp in (1, 2):
+            zz = np.asarray(coeffs[comp][ic], dtype=np.int64).reshape(-1)[ZIGZAG]
+            preds[comp] = _encode_block(bw, zz, preds[comp], dc_c, ac_c)
+        ic += 1
+    return _headers(w, h, sampling) + bw.flush() + b"\xff\xd9"
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    px = px.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def jpeg_encode_rgb(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 raster as baseline 4:4:4 JPEG with the
+    Annex-K tables (forward DCT + quantize). Dims must be ×8."""
+    h, w, _ = pixels.shape
+    ycc = _rgb_to_ycbcr(pixels) - 128.0
+    comps = []
+    for c, q in ((0, QUANT_LUMA), (1, QUANT_CHROMA), (2, QUANT_CHROMA)):
+        plane = ycc[..., c]
+        blocks = []
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = dct_2d(plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8])
+                blocks.append(np.round(blk / q).astype(np.int64))
+        comps.append(np.stack(blocks))
+    return jpeg_encode_from_coeffs(comps, w, h, "444")
+
+
+# ---------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------
+
+class JpegImage:
+    """Parsed + entropy-decoded JPEG (coefficients stage)."""
+
+    def __init__(self) -> None:
+        self.width = 0
+        self.height = 0
+        self.sampling = ""
+        self.quant: dict[int, np.ndarray] = {}       # tq -> (8,8) natural order
+        # per component: (id, h, v, tq); scan tables (td, ta)
+        self.components: list[dict] = []
+        # per component: (n_blocks, 8, 8) QUANTIZED coeffs, scan order
+        self.coeffs: list[np.ndarray] = []
+
+
+def jpeg_decode_coeffs(payload: bytes) -> JpegImage:
+    """Parse markers and entropy-decode to quantized coefficients.
+    Exact-integer stage: the inverse of the encoder's lossless layer."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    img = JpegImage()
+    huff: dict[tuple[int, int], dict] = {}
+    pos = 2
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        length = int.from_bytes(payload[pos:pos + 2], "big")
+        body = payload[pos + 2:pos + length]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not baseline")
+                zz = np.frombuffer(body[p + 1:p + 65], dtype=np.uint8)
+                nat = np.zeros(64, dtype=np.int32)
+                nat[ZIGZAG] = zz
+                img.quant[tq] = nat.reshape(8, 8)
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            img.height = int.from_bytes(body[1:3], "big")
+            img.width = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                img.components.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17:p + 17 + nv])
+                huff[(cls, tid)] = _decode_map(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_tables = {}
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tables[cid] = (tt >> 4, tt & 0xF)
+            pos += length
+            _decode_scan(img, huff, scan_tables, payload, pos)
+            return img
+        pos += length
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(img, huff, scan_tables, payload, pos) -> None:
+    hmax = max(c["h"] for c in img.components)
+    vmax = max(c["v"] for c in img.components)
+    img.sampling = "420" if (hmax, vmax) == (2, 2) else "444"
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-img.width // mcu_w)
+    mcus_y = -(-img.height // mcu_h)
+    br = _BitReader(payload, pos)
+    preds = [0] * len(img.components)
+    blocks: list[list[np.ndarray]] = [[] for _ in img.components]
+    for _ in range(mcus_x * mcus_y):
+        for ci, comp in enumerate(img.components):
+            td, ta = scan_tables[comp["id"]]
+            dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+            for _ in range(comp["h"] * comp["v"]):
+                zz = np.zeros(64, dtype=np.int64)
+                size = br.read_symbol(dc_tab)
+                diff = _extend(br.read_bits(size), size)
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = br.read_symbol(ac_tab)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(br.read_bits(size), size)
+                    k += 1
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = zz
+                blocks[ci].append(nat.reshape(8, 8))
+    img.coeffs = [np.stack(b) for b in blocks]
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Full baseline decode → (width, height, (h, w, 3) uint8 RGB)."""
+    img = jpeg_decode_coeffs(payload)
+    hmax = max(c["h"] for c in img.components)
+    vmax = max(c["v"] for c in img.components)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-img.width // mcu_w)
+    mcus_y = -(-img.height // mcu_h)
+    planes = []
+    for ci, comp in enumerate(img.components):
+        ch, cv = comp["h"], comp["v"]
+        q = img.quant[comp["tq"]].astype(np.float64)
+        pw, ph = mcus_x * ch * 8, mcus_y * cv * 8
+        plane = np.zeros((ph, pw), dtype=np.float64)
+        bi = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for sy in range(cv):
+                    for sx in range(ch):
+                        blk = idct_2d(img.coeffs[ci][bi] * q) + 128.0
+                        y0 = (my * cv + sy) * 8
+                        x0 = (mx * ch + sx) * 8
+                        plane[y0:y0 + 8, x0:x0 + 8] = blk
+                        bi += 1
+        # upsample to full MCU-grid resolution
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0),
+                          hmax // ch, axis=1)
+        planes.append(plane[: img.height, : img.width])
+    rgb = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+    return img.width, img.height, rgb
+
+
+# ---------------------------------------------------------------------
+# Synthetic coefficient generator + Spark operators
+# ---------------------------------------------------------------------
+
+# Quantized-coefficient formula shared (by construction) with the SQL
+# oracle: for image i, component c, block b (scan order), zigzag pos k:
+#   k = 0      : ((i*5 + c*11 + b*3) % 41) - 20
+#   1 <= k <= 9: ((i + c*7 + b*5 + k*13) % 19) - 9
+#   k > 9      : 0
+
+def _coef_formula(i: int, c: int, b: np.ndarray, k: np.ndarray) -> np.ndarray:
+    dc = (i * 5 + c * 11 + b * 3) % 41 - 20
+    ac = (i + c * 7 + b * 5 + k * 13) % 19 - 9
+    return np.where(k == 0, dc, np.where(k <= 9, ac, 0))
+
+
+def synthetic_jpeg_dims(i: int) -> tuple[int, int, str]:
+    if i % 2 == 0:
+        return 8 * (4 + i % 5), 8 * (3 + i % 4), "444"
+    return 16 * (2 + i % 3), 16 * (1 + i % 2), "420"
+
+
+def make_synthetic_jpeg(i: int) -> bytes:
+    """One formula-driven JPEG: real file, chosen quantized coeffs."""
+    w, h, sampling = synthetic_jpeg_dims(i)
+    nb_y = (w // 8) * (h // 8)
+    nb_c = nb_y if sampling == "444" else (w // 16) * (h // 16)
+    comps = []
+    for c, nb in ((0, nb_y), (1, nb_c), (2, nb_c)):
+        b = np.repeat(np.arange(nb), 64)
+        k = np.tile(np.arange(64), nb)
+        zzvals = _coef_formula(i, c, b, k).reshape(nb, 64)
+        nat = np.zeros((nb, 64), dtype=np.int64)
+        nat[:, ZIGZAG] = zzvals  # formula is in zigzag position
+        comps.append(nat.reshape(nb, 8, 8))
+    return jpeg_encode_from_coeffs(comps, w, h, sampling)
+
+
+MEDIA_JPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synthetic_jpeg_media(spark: SparkSession, n: int = 32) -> DataFrame:
+    rows = [(i, make_synthetic_jpeg(i)) for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_JPEG_SCHEMA)
+
+
+_JPEG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("sum_dc", T.LongType()),
+        T.StructField("sum_abs_ac", T.LongType()),
+        T.StructField("nnz_ac", T.LongType()),
+        T.StructField("sum_rgb", T.LongType()),
+    ]
+)
+
+
+def decode_jpegs(media: DataFrame) -> DataFrame:
+    """Decode real JPEG payloads inside ``mapInPandas``; emit exact
+    integer coefficient statistics (marker parse + Huffman + DPCM +
+    zigzag proven against an arithmetic oracle) plus the decoded-pixel
+    RGB sum (full IDCT + color-convert path; exercised here, verified
+    in unit tests against an independent naive IDCT)."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _JPEG_DECODE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = jpeg_decode_coeffs(bytes(payload))
+                sum_dc = sum_abs = nnz = nb = 0
+                for comp in img.coeffs:
+                    nb += comp.shape[0]
+                    flat = comp.reshape(comp.shape[0], 64)
+                    dc = flat[:, 0]
+                    ac = flat[:, 1:]
+                    sum_dc += int(dc.sum())
+                    sum_abs += int(np.abs(ac).sum())
+                    nnz += int((ac != 0).sum())
+                _, _, rgb = jpeg_decode(bytes(payload))
+                out["media_id"].append(mid)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["n_blocks"].append(nb)
+                out["sum_dc"].append(sum_dc)
+                out["sum_abs_ac"].append(sum_abs)
+                out["nnz_ac"].append(nnz)
+                out["sum_rgb"].append(int(rgb.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema=_JPEG_DECODE_SCHEMA)
+
+
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: decode 32 real baseline JPEGs (mixed 4:4:4 / 4:2:0)
+    and compare exact integer coefficient statistics. ``sum_rgb`` (the
+    float IDCT path) is intentionally NOT in the oracle projection —
+    see q_jpeg_decode's suite registration."""
+    out = decode_jpegs(synthetic_jpeg_media(spark, 32))
+    return out.select(
+        "media_id", "width", "height", "n_blocks",
+        "sum_dc", "sum_abs_ac", "nnz_ac",
+    ).orderBy("media_id")
+
+
+# Oracle: replays the dims + coefficient formula arithmetically.
+# n_blocks/sum_dc/sum_abs_ac/nnz_ac are over all 3 components; AC stats
+# count zigzag positions 1..9 (others are zero by construction).
+SQL_JPEG_DECODE = """
+WITH img AS (
+  SELECT i AS media_id,
+         CASE WHEN i % 2 = 0 THEN 8 * (4 + i % 5)
+              ELSE 16 * (2 + i % 3) END AS w,
+         CASE WHEN i % 2 = 0 THEN 8 * (3 + i % 4)
+              ELSE 16 * (1 + i % 2) END AS h,
+         i % 2 = 0 AS full_res
+  FROM range(32) t(i)
+),
+comp AS (
+  SELECT media_id, w, h, c.c AS c,
+         CASE WHEN c.c = 0 OR full_res THEN (w // 8) * (h // 8)
+              ELSE (w // 16) * (h // 16) END AS nb
+  FROM img, (SELECT UNNEST([0, 1, 2]) AS c) c
+),
+blk AS (
+  SELECT media_id, w, h, c, nb, b.b AS b
+  FROM comp, LATERAL (SELECT UNNEST(range(nb)) AS b) b
+),
+nbagg AS (
+  SELECT media_id, w, h, SUM(nb) AS n_blocks
+  FROM comp GROUP BY media_id, w, h
+),
+dc AS (
+  SELECT media_id,
+         SUM((media_id * 5 + c * 11 + b * 3) % 41 - 20) AS sum_dc
+  FROM blk
+  GROUP BY media_id
+),
+ac AS (
+  SELECT media_id,
+         SUM(ABS((media_id + c * 7 + b * 5 + k.k * 13) % 19 - 9))
+           AS sum_abs_ac,
+         SUM(CASE WHEN (media_id + c * 7 + b * 5 + k.k * 13) % 19 - 9
+                  <> 0 THEN 1 ELSE 0 END) AS nnz_ac
+  FROM blk, LATERAL (SELECT UNNEST(range(1, 10)) AS k) k
+  GROUP BY media_id
+)
+SELECT nbagg.media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(sum_dc AS BIGINT) AS sum_dc,
+       CAST(sum_abs_ac AS BIGINT) AS sum_abs_ac,
+       CAST(nnz_ac AS BIGINT) AS nnz_ac
+FROM nbagg
+JOIN dc ON nbagg.media_id = dc.media_id
+JOIN ac ON nbagg.media_id = ac.media_id
+ORDER BY nbagg.media_id
+"""

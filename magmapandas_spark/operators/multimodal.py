@@ -1,17 +1,20 @@
 """Multimodal (image/audio/video) column operators — Spark plumbing for
 binary payload columns with typed metadata (beyond-reference surface).
 
-Compressed-codec libraries (PIL/ffmpeg) are not available in this
-container, so JPEG/PNG/MP4 kernels stay STUBBED behind
-``decoder="fake"`` (deterministic synthetic features) or raise
-``NotImplementedError``. Two signal paths are REAL decodes of real
-wire formats that need no codec library:
+Codec libraries (PIL/ffmpeg) are not available in this container, so
+the PNG/MP4 kernels stay STUBBED behind ``decoder="fake"``
+(deterministic synthetic features) or raise ``NotImplementedError``.
+Three signal paths are REAL decodes of real wire formats, implemented
+from the public specs with no codec library:
 
+- images, compressed: baseline-sequential JPEG (marker parse, Huffman,
+  DPCM, dequant, IDCT, 4:2:0 upsampling, YCbCr→RGB) — pure numpy,
+  :mod:`magmapandas_spark.operators.jpeg`;
+- images, raw: PPM (P6) binary — magic/dimension/maxval header parse
+  with comment handling + raster decode
+  (:func:`decode_ppm` / :func:`decode_images`);
 - audio: 8-bit signed PCM reinterpretation + per-chunk RMS
-  (:func:`chunk_audio`);
-- images: PPM (P6) binary — magic/dimension/maxval header parse with
-  comment handling + raster decode, pure numpy
-  (:func:`decode_ppm` / :func:`decode_images`).
+  (:func:`chunk_audio`).
 
 The Spark-side contract — schema, Arrow batch shape, ``mapInPandas``
 partitioning — is identical for stubbed and real kernels; swapping a
@@ -83,26 +86,63 @@ def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (hist / norm if norm > 0 else hist).astype(np.float32)
 
 
+def _jpeg_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL decode + featurize: baseline-JPEG decode (pure-numpy codec,
+    :mod:`magmapandas_spark.operators.jpeg`) then a luma histogram over
+    the decoded raster, L2-normalised."""
+    from magmapandas_spark.operators.jpeg import jpeg_decode
+
+    _, _, rgb = jpeg_decode(bytes(payload))
+    luma = (
+        0.299 * rgb[..., 0].astype(np.float64)
+        + 0.587 * rgb[..., 1]
+        + 0.114 * rgb[..., 2]
+    ).astype(np.int64)
+    hist = np.bincount(
+        np.clip(luma, 0, 255).reshape(-1) * dim // 256, minlength=dim
+    ).astype(np.float64)
+    norm = np.linalg.norm(hist)
+    return (hist / norm if norm > 0 else hist).astype(np.float32)
+
+
+def _ppm_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL decode + featurize for PPM (P6) payloads."""
+    _, _, px = decode_ppm(bytes(payload))
+    hist = np.bincount(
+        px.reshape(-1).astype(np.int64) * dim // 256, minlength=dim
+    ).astype(np.float64)
+    norm = np.linalg.norm(hist)
+    return (hist / norm if norm > 0 else hist).astype(np.float32)
+
+
+_DECODERS = {
+    "fake": _fake_decode_features,
+    "jpeg": _jpeg_decode_features,
+    "ppm": _ppm_decode_features,
+}
+
+
 def extract_features(
     media: DataFrame, decoder: str = "fake", batch_size_hint: int = 256
 ) -> DataFrame:
     """Decode + featurize via ``mapInPandas`` — Arrow-batched, one
     narrow stage, no shuffle; the pattern that scales to 100 TB of
-    binary payloads (payload bytes never leave the executor)."""
-    if decoder != "fake":
+    binary payloads (payload bytes never leave the executor).
+
+    ``decoder``: ``"jpeg"`` (real baseline-JPEG decode, pure numpy),
+    ``"ppm"`` (real P6 decode), or ``"fake"`` (deterministic synthetic
+    features for wire formats with no in-container codec — PNG/MP4)."""
+    kernel = _DECODERS.get(decoder)
+    if kernel is None:
         raise NotImplementedError(
-            "compressed codecs (JPEG/PNG/MP4) are not available in this "
-            "environment; use decoder='fake' (deterministic synthetic "
-            "features), decode_images() for real PPM rasters, or "
-            "chunk_audio() for real 8-bit PCM — the Spark plumbing is "
-            "identical"
+            f"decoder {decoder!r} not available: PNG/MP4 codecs do not "
+            "exist in this environment; available decoders are "
+            f"{sorted(_DECODERS)} — the Spark plumbing is identical"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_decode_features(p).tolist() for p in pdf["payload"]
-            ]
+            feats = [kernel(p).tolist() for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

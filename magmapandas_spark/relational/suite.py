@@ -345,72 +345,70 @@ def _wrap(fn: Callable) -> Callable:
 
 
 # The correctness driver hash-verifies only the FIRST 50 entries of
-# queries(). Registry order is therefore part of the gate contract:
-# this list front-loads (a) queries that have never had a
-# driver-verified green row (the whole geochem model tier, multimodal),
-# (b) queries whose code changed this round, and (c) the
-# highest-value already-verified representatives of each operator
-# class. Everything after slot 50 stays covered by tests/test_oracle.py
-# (the identical check, run in CI/pytest).
+# queries(). Registry order is therefore part of the gate contract.
+# Round-4 rotation — exactly 50 entries: (a) queries new this round
+# (the real-JPEG decode gate, the distributed-CC bench twin, the
+# xxhash64 production dedup probe), (b) every query that sat past the
+# round-3 window (so each gets a fresh driver-green row), then (c) the
+# queries whose code changed this round (eos.py Landau edit → the
+# QFM/IW exact paths; multimodal extract_features refactor; the round-3
+# fan_out/dedup/curation/streaming fixes). Everything after slot 50
+# stays covered by tests/test_oracle.py (the identical check, run in
+# CI/pytest).
 _GATE_ORDER = [
     # new this round — first green row needed
-    "vocab_topk",
-    "ngram_contamination",
-    "stratified_sample",
-    "sequence_packing",
-    "tas_classification",
-    "reservoir_normalize",
-    "dedup_verified",
-    "image_decode",
-    "ivf_topk",
-    # never driver-verified (past the r2 cap)
-    "qfm_exact",
-    "iw_exact",
-    "fe3fe2_errors",
-    "fo2_buffers",
-    "fe3fe2_expr_models",
-    "fe3fe2_expr_models2",
-    "fe3fe2_expr_models3",
-    "fe3fe2_hirschmann2022",
-    "fe3fe2_solvers2",
-    "fe3fe2_deng2020",
-    "kd_expr_models",
-    "kd_blundy_saper",
-    "kd_toplis_iteration",
-    "thermometers_multi",
-    "thermometers_multi2",
-    "sugawara6a_cpx",
-    "olmelt_thermometer",
-    "unit_conversions",
-    "melt_structure",
-    "melt_describe",
-    "magnetite_speciation",
-    "ilmenite_speciation",
-    "plag_endmembers",
-    "feo_fe2o3_split",
-    "calibration_flags",
-    "sliding_value_avg",
-    "media_features",
-    "video_frames",
-    "audio_chunks",
-    # changed this round — re-verify
-    "part_setops",
-    "minhash_lsh_candidates",
-    "dedup_clusters",
-    "volatile_saturation_im",
-    "allison_saturation",
-    "shishkina_co2_saturation",
-    "isobar_grid",
-    # high-value verified representatives per operator class
-    "pricing_summary",
-    "thermometer_putirka2008_15",
-    "redox_chain",
-    "mc_thermometer",
-    "embedding_neardup",
+    "jpeg_decode",
+    "dedup_clusters_distributed",
+    "minhash_lsh_xxhash",  # rows-only perf probe (md5 twin is the oracle)
+    # past the round-3 window — re-verify under the driver
     "simhash_buckets",
     "skew_distinct",
     "salted_join_revenue",
     "asof_purchase_view",
+    "doc_stats",
+    "dedup_exact",
+    "chondrite_normalize",
+    "rhodes_grid",
+    "range_join_clicks",
+    "revenue_by_nation",
+    "top_parts_by_revenue",
+    "customer_order_window",
+    "events_hourly",
+    "density_viscosity",
+    "mineral_forsterite",
+    "text_quality",
+    "token_counts",
+    "text_clean",
+    "order_rollup",
+    "pricing_quantiles",
+    "below_avg_revenue",
+    "events_json",
+    "pricing_moments",
+    "order_cube",
+    "customer_ntiles",
+    "order_pivot",
+    "langid_heuristic",
+    "ngram_jaccard_adjacent",
+    "embedding_topk",
+    "customer_semi_anti",
+    "user_sessions",
+    "running_totals",
+    "event_deltas",
+    "doc_fingerprint",
+    "running_stddev",
+    "ivf_topk_seeded",
+    "lsh_topk",
+    # changed this round — re-verify
+    "qfm_exact",
+    "iw_exact",
+    "fe3fe2_errors",
+    "media_features",
+    "sliding_value_avg",
+    "minhash_lsh_candidates",
+    "dedup_clusters",
+    "dedup_verified",
+    "vocab_topk",
+    "sequence_packing",
 ]
 
 

@@ -408,6 +408,12 @@ def _q_image_decode(spark, sf_dir):
     return q_image_decode(spark, sf_dir)
 
 
+def _q_jpeg_decode(spark, sf_dir):
+    from magmapandas_spark.operators.jpeg import q_jpeg_decode
+
+    return q_jpeg_decode(spark, sf_dir)
+
+
 def queries():
     return {
         "user_sessions": q_user_sessions,
@@ -425,6 +431,7 @@ def queries():
         "lsh_topk": _q_lsh_topk,
         "media_features": _q_media_features,
         "image_decode": _q_image_decode,
+        "jpeg_decode": _q_jpeg_decode,
         "video_frames": _q_video_frames,
         "audio_chunks": _q_audio_chunks,
         "sliding_value_avg": q_sliding_value_avg,
@@ -473,7 +480,10 @@ def oracle_sql():
         SQL_VIDEO_FRAMES,
     )
 
+    from magmapandas_spark.operators.jpeg import SQL_JPEG_DECODE
+
     return {
+        "jpeg_decode": SQL_JPEG_DECODE,
         "ivf_topk": sql_ivf_topk(),
         "ivf_topk_seeded": sql_ivf_topk_seeded(),
         "lsh_topk": sql_lsh_topk(),
