@@ -2,14 +2,16 @@
 binary payload columns with typed metadata (beyond-reference surface).
 
 Codec libraries (PIL/ffmpeg) are not available in this container, so
-the PNG/MP4 kernels stay STUBBED behind ``decoder="fake"``
-(deterministic synthetic features) or raise ``NotImplementedError``.
-Three signal paths are REAL decodes of real wire formats, implemented
-from the public specs with no codec library:
+only the VIDEO (MP4/H.264) kernel stays STUBBED behind
+``decoder="fake"`` (deterministic synthetic features) or raises
+``NotImplementedError``. Four signal paths are REAL decodes of real
+wire formats, implemented from the public specs with no codec library:
 
-- images, compressed: baseline-sequential JPEG (marker parse, Huffman,
+- images, lossy: baseline-sequential JPEG (marker parse, Huffman,
   DPCM, dequant, IDCT, 4:2:0 upsampling, YCbCr→RGB) — pure numpy,
   :mod:`magmapandas_spark.operators.jpeg`;
+- images, lossless: PNG — chunk/CRC-32 parse, stdlib-zlib inflate,
+  all five scanline filters (:mod:`magmapandas_spark.operators.png`);
 - images, raw: PPM (P6) binary — magic/dimension/maxval header parse
   with comment handling + raster decode
   (:func:`decode_ppm` / :func:`decode_images`);
@@ -115,9 +117,24 @@ def _ppm_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (hist / norm if norm > 0 else hist).astype(np.float32)
 
 
+def _png_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL decode + featurize: PNG decode (stdlib-zlib inflate +
+    scanline unfilter, :mod:`magmapandas_spark.operators.png`) then a
+    byte histogram over the decoded raster, L2-normalised."""
+    from magmapandas_spark.operators.png import png_decode
+
+    _, _, px = png_decode(bytes(payload))
+    hist = np.bincount(
+        px.reshape(-1).astype(np.int64) * dim // 256, minlength=dim
+    ).astype(np.float64)
+    norm = np.linalg.norm(hist)
+    return (hist / norm if norm > 0 else hist).astype(np.float32)
+
+
 _DECODERS = {
     "fake": _fake_decode_features,
     "jpeg": _jpeg_decode_features,
+    "png": _png_decode_features,
     "ppm": _ppm_decode_features,
 }
 
@@ -130,14 +147,16 @@ def extract_features(
     binary payloads (payload bytes never leave the executor).
 
     ``decoder``: ``"jpeg"`` (real baseline-JPEG decode, pure numpy),
-    ``"ppm"`` (real P6 decode), or ``"fake"`` (deterministic synthetic
-    features for wire formats with no in-container codec — PNG/MP4)."""
+    ``"png"`` (real inflate + unfilter decode), ``"ppm"`` (real P6
+    decode), or ``"fake"`` (deterministic synthetic features for wire
+    formats with no in-container codec — MP4/H.264 video)."""
     kernel = _DECODERS.get(decoder)
     if kernel is None:
         raise NotImplementedError(
-            f"decoder {decoder!r} not available: PNG/MP4 codecs do not "
-            "exist in this environment; available decoders are "
-            f"{sorted(_DECODERS)} — the Spark plumbing is identical"
+            f"decoder {decoder!r} not available: video codecs (MP4/"
+            "H.264) do not exist in this environment; available "
+            f"decoders are {sorted(_DECODERS)} — the Spark plumbing "
+            "is identical"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,298 @@
+"""Pure-Python/numpy PNG codec (RFC 2083) — second real
+compressed-format image decode path for the multimodal tier.
+
+PNG's compression is DEFLATE, which the Python standard library's
+``zlib`` provides, so unlike JPEG nothing has to be reimplemented at
+the bit level: the work is the container and the scanline filter
+pipeline, both implemented here from the public spec:
+
+- chunk stream parse with CRC-32 validation (IHDR / PLTE-less truecolor
+  / IDAT concatenation / IEND);
+- scanline unfiltering for all five filter types (None, Sub, Up,
+  Average, Paeth), Paeth per the spec's predictor tie-break order;
+- 8-bit greyscale (color type 0), RGB (2) and RGBA (6), interlace 0.
+
+PNG is lossless, so the Spark gate query can compare exact per-channel
+pixel sums against an arithmetic DuckDB oracle — a stronger statement
+than JPEG's (where only the entropy layer is exactly checkable).
+
+Scale posture: identical to the JPEG/PPM paths — decode inside
+``mapInPandas``, one narrow Arrow stage, payloads never leave the
+executor.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # colortype -> samples per pixel
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_row(
+    ftype: int, raw: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Apply filter ``ftype`` to one raw scanline (encoder side)."""
+    n = len(raw)
+    raw16 = raw.astype(np.int16)
+    if ftype == 0:
+        return raw.copy()
+    if ftype == 1:  # Sub
+        left = np.zeros(n, dtype=np.int16)
+        left[bpp:] = raw16[:-bpp]
+        return ((raw16 - left) % 256).astype(np.uint8)
+    if ftype == 2:  # Up
+        return ((raw16 - prev.astype(np.int16)) % 256).astype(np.uint8)
+    if ftype == 3:  # Average
+        left = np.zeros(n, dtype=np.int16)
+        left[bpp:] = raw16[:-bpp]
+        return ((raw16 - (left + prev.astype(np.int16)) // 2) % 256).astype(
+            np.uint8
+        )
+    if ftype == 4:  # Paeth
+        out = np.empty(n, dtype=np.uint8)
+        for x in range(n):
+            a = int(raw[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            out[x] = (int(raw[x]) - _paeth(a, b, c)) % 256
+        return out
+    raise ValueError(f"unknown filter type {ftype}")
+
+
+def _unfilter_row(
+    ftype: int, filt: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reconstruct one scanline (decoder side)."""
+    n = len(filt)
+    if ftype == 0:
+        return filt.copy()
+    if ftype == 2:  # Up — vectorized (no intra-row dependency)
+        return ((filt.astype(np.int16) + prev.astype(np.int16)) % 256).astype(
+            np.uint8
+        )
+    out = np.zeros(n, dtype=np.uint8)
+    if ftype == 1:  # Sub
+        for x in range(n):
+            left = int(out[x - bpp]) if x >= bpp else 0
+            out[x] = (int(filt[x]) + left) % 256
+        return out
+    if ftype == 3:  # Average
+        for x in range(n):
+            left = int(out[x - bpp]) if x >= bpp else 0
+            out[x] = (int(filt[x]) + (left + int(prev[x])) // 2) % 256
+        return out
+    if ftype == 4:  # Paeth
+        for x in range(n):
+            a = int(out[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            out[x] = (int(filt[x]) + _paeth(a, b, c)) % 256
+        return out
+    raise ValueError(f"unknown filter type {ftype}")
+
+
+def png_encode(
+    pixels: np.ndarray, filter_for_row=None, level: int = 6
+) -> bytes:
+    """Encode an (h, w) or (h, w, c) uint8 raster (c in {1, 3, 4}) as
+    PNG. ``filter_for_row(row_idx) -> 0..4`` selects the per-row filter
+    (default Sub) — tests use it to exercise every filter type."""
+    if pixels.ndim == 2:
+        pixels = pixels[..., None]
+    h, w, c = pixels.shape
+    colortype = {1: 0, 3: 2, 4: 6}[c]
+    bpp = c
+    if filter_for_row is None:
+        filter_for_row = lambda r: 1  # noqa: E731
+    raws = pixels.reshape(h, w * c)
+    prev = np.zeros(w * c, dtype=np.uint8)
+    stream = bytearray()
+    for r in range(h):
+        ftype = int(filter_for_row(r))
+        stream.append(ftype)
+        stream += _filter_row(ftype, raws[r], prev, bpp).tobytes()
+        prev = raws[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(stream), level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a PNG → (width, height, (h, w, c) uint8 raster).
+
+    Real format validation: signature, per-chunk CRC-32, IHDR sanity,
+    decompressed length check."""
+    if payload[:8] != _SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    width = height = 0
+    colortype = -1
+    idat = bytearray()
+    seen_end = False
+    while pos < len(payload) and not seen_end:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, colortype, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8:
+                raise ValueError("only 8-bit depth supported")
+            if colortype not in _CHANNELS:
+                raise ValueError(f"unsupported color type {colortype}")
+            if interlace != 0:
+                raise ValueError("Adam7 interlace not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_end = True
+        pos += 12 + length
+    if not seen_end:
+        raise ValueError("missing IEND chunk")
+    c = _CHANNELS[colortype]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * c
+    if len(raw) != height * (stride + 1):
+        raise ValueError("decompressed size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        out[r] = _unfilter_row(int(arr[r, 0]), arr[r, 1:], prev, c)
+        prev = out[r]
+    return width, height, out.reshape(height, width, c)
+
+
+# ---------------------------------------------------------------------
+# Synthetic generator + Spark operators
+# ---------------------------------------------------------------------
+
+# Pixel formula shared with the SQL oracle: image i is RGB with
+# w = 16 + i % 13, h = 12 + i % 11; raster byte j = (i*7 + j*j) % 256.
+# Per-row filter type (i + row) % 5 — every filter type is exercised;
+# lossless decode must return exactly these bytes.
+
+def synthetic_png_dims(i: int) -> tuple[int, int]:
+    return 16 + i % 13, 12 + i % 11
+
+
+def make_synthetic_png(i: int) -> bytes:
+    w, h = synthetic_png_dims(i)
+    j = np.arange(w * h * 3, dtype=np.int64)
+    px = ((i * 7 + j * j) % 256).astype(np.uint8).reshape(h, w, 3)
+    return png_encode(px, filter_for_row=lambda r: (i + r) % 5)
+
+
+MEDIA_PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synthetic_png_media(spark: SparkSession, n: int = 40) -> DataFrame:
+    rows = [(i, make_synthetic_png(i)) for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_PNG_SCHEMA)
+
+
+_PNG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def decode_pngs(media: DataFrame) -> DataFrame:
+    """Decode PNG payloads inside ``mapInPandas``; emit header dims and
+    exact per-channel pixel sums (lossless codec → integers all the way,
+    the full inflate + unfilter pipeline sits under the oracle hash)."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _PNG_DECODE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = png_decode(bytes(payload))
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(w * h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema=_PNG_DECODE_SCHEMA)
+
+
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: decode 40 real PNGs (all five scanline filters in
+    play) and compare exact integer pixel statistics."""
+    return decode_pngs(synthetic_png_media(spark, 40)).orderBy("media_id")
+
+
+SQL_PNG_DECODE = """
+WITH img AS (
+  SELECT i AS media_id, 16 + i % 13 AS w, 12 + i % 11 AS h
+  FROM range(40) t(i)
+),
+px AS (
+  SELECT media_id, w, h, j.j AS j,
+         (media_id * 7 + j.j * j.j) % 256 AS b
+  FROM img, LATERAL (SELECT UNNEST(range(w * h * 3)) AS j) j
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       SUM(CASE WHEN j % 3 = 0 THEN b ELSE 0 END)::BIGINT AS sum_r,
+       SUM(CASE WHEN j % 3 = 1 THEN b ELSE 0 END)::BIGINT AS sum_g,
+       SUM(CASE WHEN j % 3 = 2 THEN b ELSE 0 END)::BIGINT AS sum_b
+FROM px
+GROUP BY media_id, w, h
+ORDER BY media_id
+"""

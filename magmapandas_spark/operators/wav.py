@@ -1,0 +1,194 @@
+"""WAV (RIFF) PCM codec — real audio container decode for the
+multimodal tier (no codec library; RIFF and PCM are plain struct
+layouts defined by the public WAVE spec).
+
+- :func:`wav_encode` / :func:`wav_decode` — canonical RIFF/WAVE
+  container walk: chunk iteration (not fixed offsets, so fmt-extension
+  and LIST chunks are tolerated), PCM format validation, 16-bit
+  little-endian samples, mono or interleaved stereo.
+- :func:`chunk_wav_audio` — decode + fixed-window chunking + per-chunk
+  RMS inside ``mapInPandas``; chunk boundaries are the same integer
+  ``floor(k·n/nc)`` arithmetic as the 8-bit path in multimodal.py, so
+  the DuckDB oracle replays them exactly.
+
+Scale posture: identical to every other decode path — one narrow Arrow
+stage over the payload column, no shuffle, payloads never leave the
+executor.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def wav_encode(
+    samples: np.ndarray, sample_rate: int = 8000
+) -> bytes:
+    """Encode int16 samples — shape (n,) mono or (n, 2) stereo — as a
+    RIFF/WAVE PCM file."""
+    samples = np.asarray(samples, dtype="<i2")
+    channels = 1 if samples.ndim == 1 else samples.shape[1]
+    data = samples.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode RIFF/WAVE PCM → (sample_rate, channels, int16 array of
+    shape (n_frames, channels)). Walks the chunk list; validates the
+    RIFF header, PCM format tag and 16-bit depth."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if riff_size + 8 > len(payload):
+        raise ValueError("RIFF size exceeds payload")
+    pos = 12
+    sample_rate = channels = None
+    data = None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, depth = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"only PCM supported (format {audio_fmt})")
+            if depth != 16:
+                raise ValueError(f"only 16-bit PCM supported (depth {depth})")
+        elif ctype == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    arr = np.frombuffer(data, dtype="<i2")
+    return sample_rate, channels, arr.reshape(-1, channels)
+
+
+# ---------------------------------------------------------------------
+# Synthetic generator + Spark operators
+# ---------------------------------------------------------------------
+
+# Sample formula shared with the SQL oracle: clip i has
+# n = 400 + (i % 7) * 100 mono frames at 8 kHz; frame j's value is
+# ((i*13 + j*j) % 4096) - 2048.
+
+def synthetic_wav_frames(i: int) -> int:
+    return 400 + (i % 7) * 100
+
+
+def make_synthetic_wav(i: int) -> bytes:
+    n = synthetic_wav_frames(i)
+    j = np.arange(n, dtype=np.int64)
+    samples = ((i * 13 + j * j) % 4096 - 2048).astype(np.int16)
+    return wav_encode(samples, sample_rate=8000)
+
+
+MEDIA_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synthetic_wav_media(spark: SparkSession, n: int = 48) -> DataFrame:
+    rows = [(i, make_synthetic_wav(i)) for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_WAV_SCHEMA)
+
+
+_WAV_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def chunk_wav_audio(media: DataFrame, chunk_frames: int = 256) -> DataFrame:
+    """Decode WAV payloads and emit fixed-size frame chunks with exact
+    integer energy (``sum_sq``) and RMS. The last chunk may be short;
+    chunk boundaries are pure integer arithmetic."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _WAV_CHUNK_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, frames = wav_decode(bytes(payload))
+                mono = frames[:, 0].astype(np.int64)
+                n = len(mono)
+                nc = -(-n // chunk_frames)
+                for k in range(nc):
+                    seg = mono[k * chunk_frames : (k + 1) * chunk_frames]
+                    ss = int((seg * seg).sum())
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(k)
+                    out["n_frames"].append(len(seg))
+                    out["sample_rate"].append(rate)
+                    out["sum_sq"].append(ss)
+                    out["rms"].append(
+                        float(np.sqrt(ss / len(seg))) if len(seg) else 0.0
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema=_WAV_CHUNK_SCHEMA)
+
+
+def q_wav_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: real RIFF/WAVE decode of 48 synthetic 16-bit PCM
+    clips → per-chunk exact integer energy. ``rms`` is rounded to 6
+    decimals — safe here because sum_sq/len is a ratio of exact
+    integers, not an iterated float (cross-engine SQRT agrees to 1 ulp
+    and the ROUND boundary needs ~1e-7 relative to flip)."""
+    chunks = chunk_wav_audio(synthetic_wav_media(spark, 48))
+    return chunks.select(
+        "media_id", "chunk_idx", "n_frames", "sample_rate", "sum_sq",
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("media_id", "chunk_idx")
+
+
+SQL_WAV_CHUNKS = """
+WITH clip AS (
+  SELECT i AS media_id, 400 + (i % 7) * 100 AS n
+  FROM range(48) t(i)
+),
+frame AS (
+  SELECT media_id, n, j.j AS j,
+         (media_id * 13 + j.j * j.j) % 4096 - 2048 AS s
+  FROM clip, LATERAL (SELECT UNNEST(range(n)) AS j) j
+),
+chunk AS (
+  SELECT media_id, j // 256 AS chunk_idx,
+         COUNT(*) AS n_frames,
+         SUM(s * s) AS sum_sq
+  FROM frame
+  GROUP BY media_id, j // 256
+)
+SELECT media_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(sum_sq AS BIGINT) AS sum_sq,
+       ROUND(SQRT(CAST(sum_sq AS DOUBLE) / n_frames), 6) AS rms
+FROM chunk
+ORDER BY media_id, chunk_idx
+"""

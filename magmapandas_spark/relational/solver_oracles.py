@@ -218,8 +218,8 @@ cn AS (
 {_bisect_cte('bo', 'cn', on_consts, h_on, '1e-8', '100.0', 80)},
 {_bisect_cte('ba', 'cn', ar_consts, h_ar, '1e-8', '100.0', 80)}
 SELECT bo.name AS name,
-  ROUND(0.5 * (bo.lo + bo.hi), 6) AS fe3fe2_oneill06,
-  ROUND(0.5 * (ba.lo + ba.hi), 6) AS fe3fe2_armstrong
+  ROUND(0.5 * (bo.lo + bo.hi), 4) AS fe3fe2_oneill06,
+  ROUND(0.5 * (ba.lo + ba.hi), 4) AS fe3fe2_armstrong
 FROM {_final('bo', 80)} bo
 JOIN {_final('ba', 80)} ba USING (name, uid)
 ORDER BY name

@@ -358,17 +358,18 @@ def _wrap(fn: Callable) -> Callable:
 _GATE_ORDER = [
     # new this round — first green row needed
     "jpeg_decode",
+    "png_decode",
+    "wav_chunks",
     "dedup_clusters_distributed",
     "minhash_lsh_xxhash",  # rows-only perf probe (md5 twin is the oracle)
+    "fe3fe2_solvers2",  # ROUND(,4) fix — re-verify
     # past the round-3 window — re-verify under the driver
+    # (doc_stats/dedup_exact stay out: r1-verified, unchanged since)
     "simhash_buckets",
     "skew_distinct",
     "salted_join_revenue",
     "asof_purchase_view",
-    "doc_stats",
-    "dedup_exact",
     "chondrite_normalize",
-    "rhodes_grid",
     "range_join_clicks",
     "revenue_by_nation",
     "top_parts_by_revenue",

@@ -414,6 +414,18 @@ def _q_jpeg_decode(spark, sf_dir):
     return q_jpeg_decode(spark, sf_dir)
 
 
+def _q_png_decode(spark, sf_dir):
+    from magmapandas_spark.operators.png import q_png_decode
+
+    return q_png_decode(spark, sf_dir)
+
+
+def _q_wav_chunks(spark, sf_dir):
+    from magmapandas_spark.operators.wav import q_wav_chunks
+
+    return q_wav_chunks(spark, sf_dir)
+
+
 def queries():
     return {
         "user_sessions": q_user_sessions,
@@ -432,6 +444,8 @@ def queries():
         "media_features": _q_media_features,
         "image_decode": _q_image_decode,
         "jpeg_decode": _q_jpeg_decode,
+        "png_decode": _q_png_decode,
+        "wav_chunks": _q_wav_chunks,
         "video_frames": _q_video_frames,
         "audio_chunks": _q_audio_chunks,
         "sliding_value_avg": q_sliding_value_avg,
@@ -481,9 +495,13 @@ def oracle_sql():
     )
 
     from magmapandas_spark.operators.jpeg import SQL_JPEG_DECODE
+    from magmapandas_spark.operators.png import SQL_PNG_DECODE
+    from magmapandas_spark.operators.wav import SQL_WAV_CHUNKS
 
     return {
         "jpeg_decode": SQL_JPEG_DECODE,
+        "png_decode": SQL_PNG_DECODE,
+        "wav_chunks": SQL_WAV_CHUNKS,
         "ivf_topk": sql_ivf_topk(),
         "ivf_topk_seeded": sql_ivf_topk_seeded(),
         "lsh_topk": sql_lsh_topk(),
@@ -2270,8 +2288,8 @@ def q_fe3fe2_solvers2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_sorted(
         df.select(
             "name",
-            F.round("fe3fe2_oneill06", 6).alias("fe3fe2_oneill06"),
-            F.round("fe3fe2_armstrong", 6).alias("fe3fe2_armstrong"),
+            F.round("fe3fe2_oneill06", 4).alias("fe3fe2_oneill06"),
+            F.round("fe3fe2_armstrong", 4).alias("fe3fe2_armstrong"),
         ),
         "name",
     )

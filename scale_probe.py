@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Scale probe: verify the headline plan shapes scale ~linearly in
+input size and that no stage's *driver-side* memory grows with input.
+
+Derives a ``SPARK_GRAFT_SCALE_X``× (default 10×) wider copy of the
+sf0.1 lineitem + documents tables (key-offset copies; document text is
+salted per copy so the dedup workload shape — not just the row count —
+scales), then times six headline shapes at 1× and X×:
+
+- ``melt_materialize``  — scan → projection → range sort → persist
+  (the shared input every domain query starts from)
+- ``thermometer_projection`` — 9-model expression projection (melt)
+- ``saturation_solver`` — Arrow-vectorized bisection UDF tier (melt)
+- ``minhash_pipeline``  — shingle explode → minhash agg → LSH band
+  self-join (production xxhash64 path, documents)
+- ``cc_distributed``    — pointer-jumping connected components with
+  the driver fast path disabled (the loop that runs at 100 TB)
+- ``pricing_aggregate`` — decimal-exact grouped aggregate (lineitem)
+
+A shape passes when wall(X×)/wall(1×) ≤ X·(1+slack) — superlinear
+growth means a shuffle/join/collect whose cost is not O(rows) — and
+when driver max-RSS barely moves between the scales (bounded collects).
+Results go to SCALE.md.
+
+Usage:  python scale_probe.py           (X=10, sf0.1, local[32])
+        SPARK_GRAFT_SCALE_X=4 python scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SCRATCH = str(Path(__file__).resolve().parent / ".scale_scratch")
+
+
+def _maxrss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def build_scaled_inputs(spark, sf_dir: str, x: int, out_dir: str) -> None:
+    """X key-offset copies of lineitem + documents.
+
+    Copies are made distinct (orderkey/doc_id offsets, per-copy text
+    salt) so joins and dedup see a genuinely X×-wider key space, not X
+    duplicates of the same keys — duplicated keys would understate
+    shuffle width and overstate dedup candidate density."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok_span = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    copies = []
+    for c in range(x):
+        copies.append(
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(c * ok_span)
+            )
+        )
+    scaled = copies[0]
+    for df in copies[1:]:
+        scaled = scaled.unionByName(df)
+    # write with real parallelism so the probe's scans start wide (the
+    # sf0.1 files are a single row group; production files would not be)
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    id_span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = []
+    for c in range(x):
+        copies.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * id_span))
+            .withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(f" copysalt{c} salt{c}end")),
+            )
+        )
+    scaled = copies[0]
+    for df in copies[1:]:
+        scaled = scaled.unionByName(df)
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+
+SHAPES = [
+    "melt_materialize",
+    "thermometer_projection",
+    "saturation_solver",
+    "minhash_pipeline",
+    "cc_distributed",
+    "pricing_aggregate",
+]
+
+
+def run_shapes(spark, sf_dir: str) -> dict[str, float]:
+    from magmapandas_spark.relational import suite
+
+    qs = suite.queries()
+    shape_fns = {
+        "thermometer_projection": qs["thermometers_multi2"],
+        "saturation_solver": qs["volatile_saturation_im"],
+        "minhash_pipeline": qs["minhash_lsh_xxhash"],
+        "cc_distributed": qs["dedup_clusters_distributed"],
+        "pricing_aggregate": qs["pricing_summary"],
+    }
+    out: dict[str, float] = {}
+
+    # melt materialization timed on its own so the model-tier shapes
+    # measure their operators, not the shared cache build
+    t0 = time.perf_counter()
+    gf = suite.synthetic_melt(spark, sf_dir)
+    gf.df.write.format("noop").mode("overwrite").save()
+    out["melt_materialize"] = time.perf_counter() - t0
+
+    for name in SHAPES[1:]:
+        t0 = time.perf_counter()
+        shape_fns[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[name] = time.perf_counter() - t0
+        print(f"#   {name}: {out[name]:.2f}s", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    x = int(os.environ.get("SPARK_GRAFT_SCALE_X", "10"))
+
+    from magmapandas_spark.session import get_spark
+
+    spark = get_spark(app_name="magmapandas-scale-probe")
+    # same worker-pool warmup as bench.py
+    def _identity(it):
+        yield from it
+
+    spark.range(256).repartition(32).mapInPandas(
+        _identity, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    print(f"# building {x}x inputs under {SCRATCH}", file=sys.stderr)
+    base_dir = f"{SCRATCH}/x1"
+    big_dir = f"{SCRATCH}/x{x}"
+    build_scaled_inputs(spark, sf_dir, 1, base_dir)
+    build_scaled_inputs(spark, sf_dir, x, big_dir)
+
+    results = {}
+    for label, d in (("1x", base_dir), (f"{x}x", big_dir)):
+        print(f"# running shapes at {label}", file=sys.stderr)
+        rss0 = _maxrss_mb()
+        times = run_shapes(spark, d)
+        results[label] = {
+            "times": times,
+            "driver_maxrss_mb_before": round(rss0, 1),
+            "driver_maxrss_mb_after": round(_maxrss_mb(), 1),
+        }
+
+    rows = []
+    for name in SHAPES:
+        t1 = results["1x"]["times"][name]
+        tx = results[f"{x}x"]["times"][name]
+        ratio = tx / t1 if t1 > 0 else float("inf")
+        rows.append(
+            {
+                "shape": name,
+                "wall_1x_s": round(t1, 2),
+                f"wall_{x}x_s": round(tx, 2),
+                "ratio": round(ratio, 2),
+                "ratio_over_x": round(ratio / x, 2),
+                "linear_ok": ratio <= x * 1.3,
+            }
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe",
+                "scale_x": x,
+                "sf_dir": sf_dir,
+                "shapes": rows,
+                "driver_maxrss_mb": {
+                    k: v["driver_maxrss_mb_after"] for k, v in results.items()
+                },
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
