@@ -218,10 +218,12 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -513,9 +515,18 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Full baseline decode → (width, height, (h, w, 3) uint8 RGB)."""
-    img = jpeg_decode_coeffs(payload)
+def jpeg_decode(
+    payload: bytes | JpegImage,
+) -> tuple[int, int, np.ndarray]:
+    """Full baseline decode → (width, height, (h, w, 3) uint8 RGB).
+    Accepts raw bytes or an already-entropy-decoded :class:`JpegImage`
+    (so callers needing both coefficient stats and pixels parse
+    once)."""
+    img = (
+        payload
+        if isinstance(payload, JpegImage)
+        else jpeg_decode_coeffs(payload)
+    )
     hmax = max(c["h"] for c in img.components)
     vmax = max(c["v"] for c in img.components)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -631,7 +642,7 @@ def decode_jpegs(media: DataFrame) -> DataFrame:
                     sum_dc += int(dc.sum())
                     sum_abs += int(np.abs(ac).sum())
                     nnz += int((ac != 0).sum())
-                _, _, rgb = jpeg_decode(bytes(payload))
+                _, _, rgb = jpeg_decode(img)
                 out["media_id"].append(mid)
                 out["width"].append(img.width)
                 out["height"].append(img.height)

@@ -1,0 +1,268 @@
+"""ISO BMFF (MP4) container parsing — the real layer of the video
+path (beyond-reference surface).
+
+Codec-level frame decode (H.264/H.265) is genuinely infeasible without
+a codec library and stays stubbed in multimodal.py; the CONTAINER,
+however, is a plain big-endian box grammar defined by the public
+ISO/IEC 14496-12 spec, and everything a pipeline planner needs —
+duration, timescale, track inventory, payload extents — lives there.
+This module implements it in both directions:
+
+- :func:`mp4_encode` — writes a conforming minimal file: ``ftyp``,
+  ``moov`` ( ``mvhd`` + per-track ``trak``/``tkhd``/``mdia``/``mdhd``/
+  ``hdlr`` ), ``mdat``.
+- :func:`mp4_parse` — recursive box walk (size/type headers, container
+  boxes descended, unknown boxes skipped by size — the property that
+  makes the format extensible), version-0 full-box field extraction,
+  handler-type inventory, mdat extent + exact byte sum.
+
+``sample_video_frames_mp4`` upgrades the frame-sampling operator: the
+frame timestamp grid now comes from the FILE's mvhd duration/timescale
+(a real decode), not from a trusted metadata column; the frame *image*
+decode remains the honest stub.
+
+Scale posture: identical to every decode path — one narrow
+``mapInPandas`` stage, payloads never leave the executor.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _full_box(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+_HANDLERS = {"video": b"vide", "audio": b"soun"}
+
+
+def mp4_encode(
+    duration_ms: int,
+    tracks: list[str],
+    mdat: bytes,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal conforming ISO BMFF file with the given movie duration,
+    track handler kinds (``"video"``/``"audio"``) and media payload."""
+    duration = duration_ms * timescale // 1000
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate, volume
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", len(tracks) + 1),  # next_track_ID
+    )
+    traks = b""
+    for tid, kind in enumerate(tracks, start=1):
+        tkhd = _full_box(
+            b"tkhd", 0, 7,
+            struct.pack(">IIIII", 0, 0, tid, 0, duration) + b"\x00" * 60,
+        )
+        mdhd = _full_box(
+            b"mdhd", 0, 0,
+            struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+        )
+        hdlr = _full_box(
+            b"hdlr", 0, 0,
+            b"\x00" * 4 + _HANDLERS[kind] + b"\x00" * 12 + b"\x00",
+        )
+        traks += _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr))
+    moov = _box(b"moov", mvhd + traks)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov + _box(b"mdat", mdat)
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body_off = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+            body_off = 8
+        else:
+            body_off = 8
+        if size < body_off or pos + size > end:
+            raise ValueError(f"malformed box {btype!r} at {pos}")
+        yield btype, pos + body_off, pos + size
+        pos += size
+
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def mp4_parse(payload: bytes) -> dict:
+    """Parse an ISO BMFF stream → movie metadata dict with keys
+    ``brand, timescale, duration_ms, n_tracks, track_kinds (sorted),
+    mdat_bytes, mdat_sum``."""
+    out = {
+        "brand": None, "timescale": None, "duration_ms": None,
+        "n_tracks": 0, "track_kinds": [], "mdat_bytes": 0, "mdat_sum": 0,
+    }
+    saw_ftyp = False
+
+    def walk(start: int, end: int) -> None:
+        nonlocal saw_ftyp
+        for btype, b0, b1 in _walk_boxes(payload, start, end):
+            if btype == b"ftyp":
+                saw_ftyp = True
+                out["brand"] = payload[b0 : b0 + 4].decode("ascii")
+            elif btype == b"mvhd":
+                version = payload[b0]
+                if version != 0:
+                    raise ValueError("only version-0 mvhd supported")
+                _, _, ts, dur = struct.unpack(
+                    ">IIII", payload[b0 + 4 : b0 + 20]
+                )
+                out["timescale"] = ts
+                out["duration_ms"] = dur * 1000 // ts
+            elif btype == b"trak":
+                out["n_tracks"] += 1
+                walk(b0, b1)
+            elif btype == b"hdlr":
+                out["track_kinds"].append(
+                    payload[b0 + 8 : b0 + 12].decode("ascii")
+                )
+            elif btype == b"mdat":
+                body = np.frombuffer(payload[b0:b1], dtype=np.uint8)
+                out["mdat_bytes"] += len(body)
+                out["mdat_sum"] += int(body.sum(dtype=np.int64))
+            elif btype in _CONTAINERS:
+                walk(b0, b1)
+
+    walk(0, len(payload))
+    if not saw_ftyp:
+        raise ValueError("not an ISO BMFF stream (missing ftyp)")
+    out["track_kinds"] = sorted(out["track_kinds"])
+    return out
+
+
+# ---------------------------------------------------------------------
+# Synthetic generator + Spark operators
+# ---------------------------------------------------------------------
+
+# Formula shared with the SQL oracle: clip i has
+#   duration_ms = 1000 + i * 37
+#   tracks      = video (+ audio when i % 2 = 1)
+#   mdat        = 64 + i * 3 bytes, byte j = (i * 11 + j * 7) % 256
+
+def make_synthetic_mp4(i: int) -> bytes:
+    n = 64 + i * 3
+    j = np.arange(n, dtype=np.int64)
+    mdat = ((i * 11 + j * 7) % 256).astype(np.uint8).tobytes()
+    tracks = ["video"] + (["audio"] if i % 2 else [])
+    return mp4_encode(1000 + i * 37, tracks, mdat)
+
+
+MEDIA_MP4_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synthetic_mp4_media(spark: SparkSession, n: int = 40) -> DataFrame:
+    rows = [(i, make_synthetic_mp4(i)) for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_MP4_SCHEMA)
+
+
+_MP4_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("track_kinds", T.StringType()),
+        T.StructField("mdat_bytes", T.LongType()),
+        T.StructField("mdat_sum", T.LongType()),
+    ]
+)
+
+
+def parse_mp4_metadata(media: DataFrame) -> DataFrame:
+    """Container-metadata extraction inside ``mapInPandas``: the real
+    decode layer of the video path (frame decode stays stubbed)."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _MP4_META_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                m = mp4_parse(bytes(payload))
+                out["media_id"].append(mid)
+                out["brand"].append(m["brand"])
+                out["duration_ms"].append(m["duration_ms"])
+                out["n_tracks"].append(m["n_tracks"])
+                out["track_kinds"].append(",".join(m["track_kinds"]))
+                out["mdat_bytes"].append(m["mdat_bytes"])
+                out["mdat_sum"].append(m["mdat_sum"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema=_MP4_META_SCHEMA)
+
+
+def sample_video_frames_mp4(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Frame-timestamp sampling where the grid comes from the FILE's
+    mvhd duration (real container decode) instead of a metadata
+    column. Frame image decode remains the honest stub."""
+    meta = parse_mp4_metadata(media)
+    return meta.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("duration_ms") - 1, F.lit(int(every_ms))
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: parse 40 real ISO BMFF files (nested box walk,
+    version-0 full boxes, handler inventory, exact mdat byte sum)."""
+    return parse_mp4_metadata(synthetic_mp4_media(spark, 40)).orderBy(
+        "media_id"
+    )
+
+
+SQL_MP4_METADATA = """
+WITH clip AS (
+  SELECT i AS media_id, 1000 + i * 37 AS duration_ms,
+         CASE WHEN i % 2 = 1 THEN 2 ELSE 1 END AS n_tracks,
+         CASE WHEN i % 2 = 1 THEN 'soun,vide' ELSE 'vide' END
+           AS track_kinds,
+         64 + i * 3 AS n
+  FROM range(40) t(i)
+),
+b AS (
+  SELECT media_id, SUM((media_id * 11 + j.j * 7) % 256) AS mdat_sum
+  FROM clip, LATERAL (SELECT UNNEST(range(n)) AS j) j
+  GROUP BY media_id
+)
+SELECT clip.media_id,
+       'isom' AS brand,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(n_tracks AS INT) AS n_tracks,
+       track_kinds,
+       CAST(n AS BIGINT) AS mdat_bytes,
+       CAST(mdat_sum AS BIGINT) AS mdat_sum
+FROM clip JOIN b ON clip.media_id = b.media_id
+ORDER BY clip.media_id
+"""

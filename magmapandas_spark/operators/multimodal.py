@@ -2,10 +2,14 @@
 binary payload columns with typed metadata (beyond-reference surface).
 
 Codec libraries (PIL/ffmpeg) are not available in this container, so
-only the VIDEO (MP4/H.264) kernel stays STUBBED behind
+only video FRAME decode (H.264/H.265 bitstreams) stays STUBBED behind
 ``decoder="fake"`` (deterministic synthetic features) or raises
-``NotImplementedError``. Four signal paths are REAL decodes of real
-wire formats, implemented from the public specs with no codec library:
+``NotImplementedError`` — the MP4 *container* layer is real
+(:mod:`magmapandas_spark.operators.mp4`: ISO BMFF box walk, mvhd/tkhd/
+hdlr metadata, mdat extents; ``sample_video_frames_mp4`` derives its
+frame grid from the file, not a trusted column). Five signal paths are
+REAL decodes of real wire formats, implemented from the public specs
+with no codec library:
 
 - images, lossy: baseline-sequential JPEG (marker parse, Huffman,
   DPCM, dequant, IDCT, 4:2:0 upsampling, YCbCr→RGB) — pure numpy,

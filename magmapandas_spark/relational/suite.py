@@ -360,6 +360,7 @@ _GATE_ORDER = [
     "jpeg_decode",
     "png_decode",
     "wav_chunks",
+    "mp4_metadata",
     "dedup_clusters_distributed",
     "minhash_lsh_xxhash",  # rows-only perf probe (md5 twin is the oracle)
     "fe3fe2_solvers2",  # ROUND(,4) fix — re-verify
@@ -369,7 +370,6 @@ _GATE_ORDER = [
     "skew_distinct",
     "salted_join_revenue",
     "asof_purchase_view",
-    "chondrite_normalize",
     "range_join_clicks",
     "revenue_by_nation",
     "top_parts_by_revenue",

@@ -92,13 +92,16 @@ def build_scaled_inputs(spark, sf_dir: str, x: int, out_dir: str) -> None:
     )
 
 
+# pricing runs BEFORE the dedup shapes: minhash/CC leave persisted and
+# localCheckpointed blocks that contend with a following scan-heavy
+# aggregate and contaminate its wall time
 SHAPES = [
     "melt_materialize",
     "thermometer_projection",
     "saturation_solver",
+    "pricing_aggregate",
     "minhash_pipeline",
     "cc_distributed",
-    "pricing_aggregate",
 ]
 
 
@@ -156,6 +159,7 @@ def main() -> None:
     results = {}
     for label, d in (("1x", base_dir), (f"{x}x", big_dir)):
         print(f"# running shapes at {label}", file=sys.stderr)
+        spark.catalog.clearCache()  # drop the previous scale's persists
         rss0 = _maxrss_mb()
         times = run_shapes(spark, d)
         results[label] = {

@@ -212,4 +212,4 @@ def test_extract_features_unknown_decoder_raises(spark):
     )
 
     with pytest.raises(NotImplementedError):
-        extract_features(synthetic_media(spark, 4), decoder="png")
+        extract_features(synthetic_media(spark, 4), decoder="mp4")
