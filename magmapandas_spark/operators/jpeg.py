@@ -604,7 +604,9 @@ MEDIA_JPEG_SCHEMA = T.StructType(
 
 def synthetic_jpeg_media(spark: SparkSession, n: int = 32) -> DataFrame:
     rows = [(i, make_synthetic_jpeg(i)) for i in range(n)]
-    return spark.createDataFrame(rows, MEDIA_JPEG_SCHEMA)
+    # few fat partitions: 32 one-row Arrow tasks would pay ~30 worker
+    # round-trips to decode ~1 KB each (decode cost is ~2 ms/image)
+    return spark.createDataFrame(rows, MEDIA_JPEG_SCHEMA).coalesce(4)
 
 
 _JPEG_DECODE_SCHEMA = T.StructType(

@@ -180,7 +180,7 @@ MEDIA_MP4_SCHEMA = T.StructType(
 
 def synthetic_mp4_media(spark: SparkSession, n: int = 40) -> DataFrame:
     rows = [(i, make_synthetic_mp4(i)) for i in range(n)]
-    return spark.createDataFrame(rows, MEDIA_MP4_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_MP4_SCHEMA).coalesce(4)
 
 
 _MP4_META_SCHEMA = T.StructType(

@@ -80,7 +80,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 1000 + i * 10,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -493,7 +493,7 @@ def synthetic_ppm_media(spark: SparkSession, n: int = 48) -> DataFrame:
             (i, "image", ppm_encode(px), "image/x-portable-pixmap",
              w, h, 0)
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -230,7 +230,7 @@ MEDIA_PNG_SCHEMA = T.StructType(
 
 def synthetic_png_media(spark: SparkSession, n: int = 40) -> DataFrame:
     rows = [(i, make_synthetic_png(i)) for i in range(n)]
-    return spark.createDataFrame(rows, MEDIA_PNG_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_PNG_SCHEMA).coalesce(4)
 
 
 _PNG_DECODE_SCHEMA = T.StructType(

@@ -109,7 +109,7 @@ MEDIA_WAV_SCHEMA = T.StructType(
 
 def synthetic_wav_media(spark: SparkSession, n: int = 48) -> DataFrame:
     rows = [(i, make_synthetic_wav(i)) for i in range(n)]
-    return spark.createDataFrame(rows, MEDIA_WAV_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_WAV_SCHEMA).coalesce(4)
 
 
 _WAV_CHUNK_SCHEMA = T.StructType(
