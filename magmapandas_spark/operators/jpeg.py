@@ -663,11 +663,16 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and compare exact integer coefficient statistics. ``sum_rgb`` (the
     float IDCT path) is intentionally NOT in the oracle projection —
     see q_jpeg_decode's suite registration."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
     out = decode_jpegs(synthetic_jpeg_media(spark, 32))
-    return out.select(
-        "media_id", "width", "height", "n_blocks",
-        "sum_dc", "sum_abs_ac", "nnz_ac",
-    ).orderBy("media_id")
+    return tiny_sorted(
+        out.select(
+            "media_id", "width", "height", "n_blocks",
+            "sum_dc", "sum_abs_ac", "nnz_ac",
+        ),
+        "media_id",
+    )
 
 
 # Oracle: replays the dims + coefficient formula arithmetically.

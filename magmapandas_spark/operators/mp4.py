@@ -237,8 +237,10 @@ def sample_video_frames_mp4(
 def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: parse 40 real ISO BMFF files (nested box walk,
     version-0 full boxes, handler inventory, exact mdat byte sum)."""
-    return parse_mp4_metadata(synthetic_mp4_media(spark, 40)).orderBy(
-        "media_id"
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        parse_mp4_metadata(synthetic_mp4_media(spark, 40)), "media_id"
     )
 
 

@@ -61,6 +61,18 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
+def tiny_sorted(df, *cols):
+    """Deterministic total order for SMALL (≤ a few thousand rows)
+    UDF-tier outputs: single-partition sort instead of ``orderBy``.
+    A global ``orderBy`` range-partitions, and its boundary-sampling
+    pass re-executes the upstream subtree — for a mapInPandas decode
+    stage that means every payload is decoded TWICE (measured 1.8 s →
+    3.5 s on the PNG gate). One partition needs no boundaries; the
+    decode runs once. Not for corpus-scale outputs — this is the
+    small-output twin of suite.heavy_sorted."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic fake media table for exercising the pipeline."""
     rows = []
@@ -190,12 +202,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = F.array_position(
         F.col("feature"), F.array_max("feature")
     ) - F.lit(1)
-    return feats.select(
+    return tiny_sorted(
+        feats.select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            top.cast("int").alias("top_bucket"),
+        ),
         "media_id",
-        "kind",
-        "n_bytes",
-        top.cast("int").alias("top_bucket"),
-    ).orderBy("media_id")
+    )
 
 
 SQL_MEDIA_FEATURES = f"""
@@ -228,11 +243,14 @@ ORDER BY media_id
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_video_frames(synthetic_media(spark, 64), every_ms=1000)
-    return frames.select(
-        "media_id",
-        "frame_ts_ms",
-        F.length("payload").cast("long").alias("n_bytes"),
-    ).orderBy("media_id", "frame_ts_ms")
+    return tiny_sorted(
+        frames.select(
+            "media_id",
+            "frame_ts_ms",
+            F.length("payload").cast("long").alias("n_bytes"),
+        ),
+        "media_id", "frame_ts_ms",
+    )
 
 
 SQL_VIDEO_FRAMES = """
@@ -309,14 +327,17 @@ def chunk_audio(media: DataFrame, chunk_ms: int = 500) -> DataFrame:
 
 def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_audio(synthetic_media(spark, 64), chunk_ms=500)
-    return chunks.select(
-        "media_id",
-        "chunk_idx",
-        "chunk_start_ms",
-        "chunk_end_ms",
-        "n_samples",
-        F.round("rms", 6).alias("rms"),
-    ).orderBy("media_id", "chunk_idx")
+    return tiny_sorted(
+        chunks.select(
+            "media_id",
+            "chunk_idx",
+            "chunk_start_ms",
+            "chunk_end_ms",
+            "n_samples",
+            F.round("rms", 6).alias("rms"),
+        ),
+        "media_id", "chunk_idx",
+    )
 
 
 # int8 reinterpretation of byte b: b - 256 if b >= 128 else b. RMS over
@@ -500,7 +521,7 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query for the real PPM decode path: header-parsed dims +
     exact per-channel integer sums over 48 synthetic images."""
     out = decode_images(synthetic_ppm_media(spark, 48))
-    return out.orderBy("media_id")
+    return tiny_sorted(out, "media_id")
 
 
 # channel c of pixel-byte j ⇔ j % 3 = c; byte value (i*7 + j) % 256.

@@ -272,7 +272,10 @@ def decode_pngs(media: DataFrame) -> DataFrame:
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: decode 40 real PNGs (all five scanline filters in
     play) and compare exact integer pixel statistics."""
-    return decode_pngs(synthetic_png_media(spark, 40)).orderBy("media_id")
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(decode_pngs(synthetic_png_media(spark, 40)),
+                       "media_id")
 
 
 SQL_PNG_DECODE = """

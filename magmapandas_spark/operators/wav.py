@@ -159,11 +159,16 @@ def q_wav_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals — safe here because sum_sq/len is a ratio of exact
     integers, not an iterated float (cross-engine SQRT agrees to 1 ulp
     and the ROUND boundary needs ~1e-7 relative to flip)."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
     chunks = chunk_wav_audio(synthetic_wav_media(spark, 48))
-    return chunks.select(
-        "media_id", "chunk_idx", "n_frames", "sample_rate", "sum_sq",
-        F.round("rms", 6).alias("rms"),
-    ).orderBy("media_id", "chunk_idx")
+    return tiny_sorted(
+        chunks.select(
+            "media_id", "chunk_idx", "n_frames", "sample_rate", "sum_sq",
+            F.round("rms", 6).alias("rms"),
+        ),
+        "media_id", "chunk_idx",
+    )
 
 
 SQL_WAV_CHUNKS = """
