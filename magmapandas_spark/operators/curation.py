@@ -193,3 +193,149 @@ def pack_offsets(
             f"(start + greatest(n_tok, 1) - 1) div {budget}"
         ).alias("bin_last"),
     )
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1
+    published corpus filters, adapted to newline-free word streams):
+
+    - ``dup_word_frac``  — fraction of token occurrences that repeat an
+      earlier token (1 − distinct/total);
+    - ``top2gram_frac``  — coverage of the single most frequent word
+      bigram (degenerate boilerplate pushes this up);
+    - ``max_word_run``   — longest run of the same token repeated
+      consecutively ("foo foo foo" degeneration);
+    - ``repetitive``     — the composite flag a pipeline would filter
+      on.
+
+    100 TB posture: ENTIRELY scan-local — every signal is an array
+    expression over the doc's own token array (docs are bounded; the
+    per-doc O(distinct·total) bigram count is ~10³ ops for web pages),
+    so the operator is a narrow projection with NO shuffle: it
+    parallelizes embarrassingly and composes with the stratified-
+    sampling filter at the source. The fold for ``max_word_run`` is a
+    single left-to-right ``aggregate`` with a (prev, run, best) struct
+    accumulator.
+    """
+    toks = word_tokens(text_col)
+    d = docs.select(F.col(id_col), toks.alias("t"))
+    n = F.size("t")
+    nd = F.size(F.array_distinct("t"))
+    # sequence(1, 0) DESCENDS (same footgun word_ngrams guards): a
+    # single-token doc must yield an empty bigram array, not t[1]
+    grams = F.expr(
+        "if(size(t) >= 2,"
+        " transform(sequence(1, size(t) - 1),"
+        "   i -> concat(t[i-1], ' ', t[i])),"
+        " array())"
+    )
+    d = d.withColumn("g", grams)
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct("g"),
+            lambda gg: F.size(F.filter("g", lambda x: x == gg)),
+        )
+    )
+    run_best = F.expr(
+        "aggregate(t, struct('' as prev, 0 as run, 0 as best),"
+        " (acc, x) -> struct(x as prev,"
+        "   if(x = acc.prev, acc.run + 1, 1) as run,"
+        "   greatest(acc.best, if(x = acc.prev, acc.run + 1, 1)) as best),"
+        " acc -> acc.best)"
+    )
+    out = d.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        nd.alias("n_distinct"),
+        F.round(
+            F.lit(1.0)
+            - nd.cast("double") / F.greatest(n, F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+        F.coalesce(top2, F.lit(0)).alias("top2_count"),
+        F.round(
+            F.coalesce(top2, F.lit(0)).cast("double")
+            / F.greatest(n - 1, F.lit(1)).cast("double"),
+            6,
+        ).alias("top2gram_frac"),
+        run_best.alias("max_word_run"),
+    )
+    # the coverage threshold alone over-fires on short docs (a unique
+    # bigram in a 5-word doc already covers 25%) — require the top
+    # bigram to actually repeat
+    return out.withColumn(
+        "repetitive",
+        (F.col("max_word_run") >= 3)
+        | ((F.col("top2_count") >= 3) & (F.col("top2gram_frac") > 0.08))
+        | (F.col("dup_word_frac") > 0.9),
+    )
+
+
+# Oracle notes: dup/top2 fractions are ratios of exact integers rounded
+# once (safe); max_word_run is computed INDEPENDENTLY via gaps-and-
+# islands over positional tokens (different algorithm, same value) —
+# the Spark side folds an array, the oracle groups consecutive islands.
+SQL_REPETITION_SCORES = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t, len(t) AS n_words,
+         len(list_distinct(t)) AS n_distinct,
+         list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i + 1]) AS g
+  FROM tok
+),
+top2 AS (
+  SELECT doc_id,
+         COALESCE(list_max(list_transform(list_distinct(g),
+                  gg -> len(list_filter(g, x -> x = gg)))), 0)
+           AS top2_count
+  FROM base
+),
+pos AS (
+  SELECT doc_id, u.w AS w, u.p AS p
+  FROM tok, LATERAL (
+    SELECT UNNEST(t) AS w, UNNEST(range(len(t))) AS p
+  ) u
+),
+isl AS (
+  SELECT doc_id, w,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY p)
+           AS grp
+  FROM pos
+),
+runs AS (
+  SELECT doc_id, MAX(cnt) AS max_word_run
+  FROM (
+    SELECT doc_id, w, grp, COUNT(*) AS cnt
+    FROM isl GROUP BY doc_id, w, grp
+  ) GROUP BY doc_id
+),
+joined AS (
+  SELECT b.doc_id,
+         CAST(b.n_words AS INT) AS n_words,
+         CAST(b.n_distinct AS INT) AS n_distinct,
+         ROUND(1.0 - CAST(b.n_distinct AS DOUBLE)
+               / GREATEST(b.n_words, 1), 6)
+           AS dup_word_frac,
+         CAST(t2.top2_count AS INT) AS top2_count,
+         ROUND(CAST(t2.top2_count AS DOUBLE)
+               / GREATEST(b.n_words - 1, 1), 6) AS top2gram_frac,
+         CAST(COALESCE(r.max_word_run, 0) AS INT) AS max_word_run
+  FROM base b
+  JOIN top2 t2 ON b.doc_id = t2.doc_id
+  LEFT JOIN runs r ON b.doc_id = r.doc_id
+)
+SELECT *,
+       (max_word_run >= 3
+        OR (top2_count >= 3 AND top2gram_frac > 0.08)
+        OR dup_word_frac > 0.9) AS repetitive
+FROM joined
+ORDER BY doc_id
+"""

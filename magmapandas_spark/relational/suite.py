@@ -361,6 +361,7 @@ _GATE_ORDER = [
     "png_decode",
     "wav_chunks",
     "mp4_metadata",
+    "repetition_scores",
     "dedup_clusters_distributed",
     "minhash_lsh_xxhash",  # rows-only perf probe (md5 twin is the oracle)
     "fe3fe2_solvers2",  # ROUND(,4) fix — re-verify
@@ -370,7 +371,6 @@ _GATE_ORDER = [
     "skew_distinct",
     "salted_join_revenue",
     "asof_purchase_view",
-    "range_join_clicks",
     "revenue_by_nation",
     "top_parts_by_revenue",
     "customer_order_window",

@@ -195,12 +195,24 @@ ORDER BY bin_id
 """
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filters (duplicate-word
+    fraction, top-bigram coverage, longest same-word run) — entirely
+    scan-local array expressions, zero shuffle; the oracle computes
+    max_word_run with an independent gaps-and-islands formulation."""
+    from magmapandas_spark.operators.curation import repetition_scores
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return repetition_scores(docs).orderBy("doc_id")
+
+
 def queries():
     return {
         "vocab_topk": q_vocab_topk,
         "ngram_contamination": q_ngram_contamination,
         "stratified_sample": q_stratified_sample,
         "sequence_packing": q_sequence_packing,
+        "repetition_scores": q_repetition_scores,
     }
 
 
@@ -210,4 +222,8 @@ def oracle_sql():
         "ngram_contamination": SQL_NGRAM_CONTAMINATION,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "sequence_packing": SQL_SEQUENCE_PACKING,
+        "repetition_scores": __import__(
+            "magmapandas_spark.operators.curation",
+            fromlist=["SQL_REPETITION_SCORES"],
+        ).SQL_REPETITION_SCORES,
     }

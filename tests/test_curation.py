@@ -120,3 +120,43 @@ def test_word_ngrams_short_input_yields_empty(spark):
     )
     sizes = [len(r["g"]) for r in out]
     assert sizes == [0, 0, 1, 0]
+
+
+def test_repetition_scores_planted(spark):
+    from magmapandas_spark.operators.curation import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            # longest run 4 ("spam"), highly duplicated
+            (1, "spam spam spam spam eggs"),
+            # clean text: all distinct words, no runs
+            (2, "alpha beta gamma delta epsilon"),
+            # boilerplate bigram: "click here" appears 3 of 5 bigrams
+            (3, "click here click here click here"),
+            # single word
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_scores(docs).collect()
+    }
+    assert out[1]["max_word_run"] == 4
+    assert out[1]["n_words"] == 5 and out[1]["n_distinct"] == 2
+    assert out[1]["repetitive"]
+
+    assert out[2]["max_word_run"] == 1
+    assert out[2]["dup_word_frac"] == 0.0
+    assert not out[2]["repetitive"]
+
+    # "click here click here click here": bigrams = [click here,
+    # here click, click here, here click, click here] -> top2 = 3/5
+    assert out[3]["top2_count"] == 3
+    assert out[3]["top2gram_frac"] == 0.6
+    assert out[3]["repetitive"]
+
+    assert out[4]["n_words"] == 1
+    assert out[4]["top2_count"] == 0
+    assert out[4]["max_word_run"] == 1
+    assert not out[4]["repetitive"]
