@@ -339,3 +339,97 @@ SELECT *,
 FROM joined
 ORDER BY doc_id
 """
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Unigram language-model quality score — the classic perplexity
+    filter (CCNet/KenLM-style, reduced to its unigram core so the
+    whole computation is relational and exactly oracle-checkable).
+
+    Train pass: corpus token counts (one shuffle), keep the top
+    ``vocab_size`` tokens with a deterministic count-desc/token-asc
+    tie-break. Score pass: every doc token is scored under the add-1
+    smoothed MLE ``p(w) = (c(w)+1) / (N+V+1)`` (out-of-vocabulary
+    tokens get c = 0) and docs report mean negative log10 probability
+    — high ``avg_nll`` = far from the corpus distribution =
+    gibberish/outlier candidate.
+
+    100 TB posture: the LM is the TINY side (vocab_size rows) and is
+    broadcast; the corpus side explodes tokens scan-locally, joins
+    with no shuffle, and aggregates back per doc on the same key the
+    explode preserved. Two shuffles total (train counts, per-doc agg)
+    regardless of corpus width; N and V ride a 1-row cross join, not a
+    driver collect."""
+    toks = docs.select(F.col(id_col), word_tokens(text_col).alias("t"))
+    tok = toks.select(id_col, F.explode("t").alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.orderBy(F.desc("c"), "w").limit(vocab_size)
+    totals = counts.agg(
+        F.sum("c").alias("N"),
+        F.least(F.count(F.lit(1)), F.lit(vocab_size)).alias("V"),
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), on="w", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                -F.log10(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("N") + F.col("V") + 1).cast("double")
+                )
+            ).alias("nll"),
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").alias("oov_count"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+        .orderBy(id_col)
+    )
+
+
+SQL_LM_QUALITY = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+),
+vocab AS (
+  SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 1000
+),
+totals AS (
+  SELECT SUM(c) AS N, LEAST(COUNT(*), 1000) AS V FROM counts
+),
+scored AS (
+  SELECT tok.doc_id,
+         -LOG10(CAST(COALESCE(vocab.c, 0) + 1 AS DOUBLE)
+                / CAST(totals.N + totals.V + 1 AS DOUBLE)) AS nll,
+         CASE WHEN vocab.c IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok
+  LEFT JOIN vocab ON tok.w = vocab.w
+  CROSS JOIN totals
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS oov_count,
+       ROUND(AVG(nll), 6) AS avg_nll
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""

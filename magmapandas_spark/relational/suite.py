@@ -362,6 +362,7 @@ _GATE_ORDER = [
     "wav_chunks",
     "mp4_metadata",
     "repetition_scores",
+    "lm_quality",
     "dedup_clusters_distributed",
     "minhash_lsh_xxhash",  # rows-only perf probe (md5 twin is the oracle)
     "fe3fe2_solvers2",  # ROUND(,4) fix — re-verify
@@ -374,7 +375,6 @@ _GATE_ORDER = [
     "revenue_by_nation",
     "top_parts_by_revenue",
     "customer_order_window",
-    "events_hourly",
     "density_viscosity",
     "mineral_forsterite",
     "text_quality",

@@ -206,6 +206,16 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(docs).orderBy("doc_id")
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality filter: broadcast top-1000 vocab,
+    add-1 smoothed mean negative log-prob per doc (CCNet/KenLM-style
+    reduced to its relational core)."""
+    from magmapandas_spark.operators.curation import lm_quality_score
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return lm_quality_score(docs)
+
+
 def queries():
     return {
         "vocab_topk": q_vocab_topk,
@@ -213,6 +223,7 @@ def queries():
         "stratified_sample": q_stratified_sample,
         "sequence_packing": q_sequence_packing,
         "repetition_scores": q_repetition_scores,
+        "lm_quality": q_lm_quality,
     }
 
 
@@ -226,4 +237,8 @@ def oracle_sql():
             "magmapandas_spark.operators.curation",
             fromlist=["SQL_REPETITION_SCORES"],
         ).SQL_REPETITION_SCORES,
+        "lm_quality": __import__(
+            "magmapandas_spark.operators.curation",
+            fromlist=["SQL_LM_QUALITY"],
+        ).SQL_LM_QUALITY,
     }

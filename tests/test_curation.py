@@ -160,3 +160,32 @@ def test_repetition_scores_planted(spark):
     assert out[4]["top2_count"] == 0
     assert out[4]["max_word_run"] == 1
     assert not out[4]["repetitive"]
+
+
+def test_lm_quality_oov_path(spark):
+    """vocab_size smaller than the corpus vocabulary: OOV tokens score
+    as count 0 (add-1 floor) and are counted."""
+    import math
+
+    from magmapandas_spark.operators.curation import lm_quality_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb bb cc"),   # cc is OOV under vocab_size=2
+            (2, "zz"),                  # fully OOV
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_quality_score(
+        docs, vocab_size=2).collect()}
+    # corpus: aa=3 bb=2 cc=1 zz=1 -> N=7; distinct=4 -> V=min(4,2)=2
+    # vocab (count desc, token asc) = {aa:3, bb:2}
+    denom = 7 + 2 + 1
+    p_aa, p_bb, p_oov = 4 / denom, 3 / denom, 1 / denom
+    exp1 = -(3 * math.log10(p_aa) + 2 * math.log10(p_bb)
+             + math.log10(p_oov)) / 6
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["oov_count"] == 1
+    assert abs(out[1]["avg_nll"] - exp1) < 1e-6
+    assert out[2]["oov_count"] == 1
+    assert abs(out[2]["avg_nll"] - (-math.log10(p_oov))) < 1e-6
