@@ -1,0 +1,111 @@
+"""Property-based round-trip tests for the pure-Python codecs.
+
+These are pure-kernel tests (no Spark): hypothesis drives arbitrary
+inputs through encode→decode and demands bit-exact recovery — the
+invariant every lossless layer must satisfy regardless of content.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from magmapandas_spark.operators.jpeg import (
+    ZIGZAG,
+    jpeg_decode_coeffs,
+    jpeg_encode_from_coeffs,
+)
+from magmapandas_spark.operators.mp4 import mp4_encode, mp4_parse
+from magmapandas_spark.operators.png import png_decode, png_encode
+from magmapandas_spark.operators.wav import wav_decode, wav_encode
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    c=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    base_filter=st.integers(0, 4),
+)
+def test_png_roundtrip_property(w, h, c, seed, base_filter):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
+    data = png_encode(
+        px, filter_for_row=lambda r: (base_filter + r) % 5
+    )
+    w2, h2, out = png_decode(data)
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    stereo=st.booleans(),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, stereo, rate, seed):
+    rng = np.random.default_rng(seed)
+    shape = (n, 2) if stereo else (n,)
+    samples = rng.integers(-32768, 32768, shape).astype(np.int16)
+    r, c, out = wav_decode(wav_encode(samples, rate))
+    assert r == rate
+    assert c == (2 if stereo else 1)
+    flat = out if stereo else out[:, 0]
+    assert np.array_equal(flat, samples)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    nb=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+    sampling=st.sampled_from(["444", "420"]),
+)
+def test_jpeg_entropy_roundtrip_property(nb, seed, sampling):
+    """Arbitrary sparse quantized blocks survive Huffman + DPCM +
+    zigzag + byte stuffing bit-exactly (the lossless layer)."""
+    rng = np.random.default_rng(seed)
+    if sampling == "420":
+        w, h = 16 * nb, 16
+        nb_y, nb_c = 4 * nb, nb
+    else:
+        w, h = 8 * nb, 8
+        nb_y = nb_c = nb
+    comps = []
+    for n_blocks in (nb_y, nb_c, nb_c):
+        zz = np.zeros((n_blocks, 64), dtype=np.int64)
+        for b in range(n_blocks):
+            k = rng.integers(0, 12)
+            pos = rng.choice(np.arange(1, 64), size=k, replace=False)
+            zz[b, pos] = rng.integers(-255, 256, size=k)
+            zz[b, 0] = rng.integers(-500, 501)
+        nat = np.zeros((n_blocks, 64), dtype=np.int64)
+        nat[:, ZIGZAG] = zz
+        comps.append(nat.reshape(n_blocks, 8, 8))
+    data = jpeg_encode_from_coeffs(comps, w, h, sampling)
+    img = jpeg_decode_coeffs(data)
+    for c in range(3):
+        assert np.array_equal(img.coeffs[c], comps[c])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    duration=st.integers(1, 10_000_000),
+    n_video=st.integers(1, 3),
+    n_audio=st.integers(0, 3),
+    payload=st.binary(min_size=0, max_size=4096),
+)
+def test_mp4_roundtrip_property(duration, n_video, n_audio, payload):
+    tracks = ["video"] * n_video + ["audio"] * n_audio
+    data = mp4_encode(duration, tracks, payload)
+    m = mp4_parse(data)
+    assert abs(m["duration_ms"] - duration) <= 1
+    assert m["n_tracks"] == len(tracks)
+    assert m["track_kinds"] == sorted(
+        ["vide"] * n_video + ["soun"] * n_audio
+    )
+    assert m["mdat_bytes"] == len(payload)
+    assert m["mdat_sum"] == int(
+        np.frombuffer(payload, dtype=np.uint8).sum(dtype=np.int64)
+    ) if payload else m["mdat_sum"] == 0
