@@ -66,11 +66,15 @@ def tiny_sorted(df, *cols):
     UDF-tier outputs: single-partition sort instead of ``orderBy``.
     A global ``orderBy`` range-partitions, and its boundary-sampling
     pass re-executes the upstream subtree — for a mapInPandas decode
-    stage that means every payload is decoded TWICE (measured 1.8 s →
-    3.5 s on the PNG gate). One partition needs no boundaries; the
-    decode runs once. Not for corpus-scale outputs — this is the
-    small-output twin of suite.heavy_sorted."""
-    return df.coalesce(1).sortWithinPartitions(*cols)
+    stage that means every payload is decoded TWICE (measured: PNG
+    gate 3.3 s with orderBy vs 1.7 s here). ``repartition(1)``, NOT
+    ``coalesce(1)``: repartition is a stage boundary, so the decode
+    keeps its input parallelism and only the ~KB result funnels into
+    the 1-task sort — coalesce would collapse the decode itself into
+    one task (measured 5.4 s: worst of the three). Not for
+    corpus-scale outputs — the small-output twin of
+    suite.heavy_sorted."""
+    return df.repartition(1).sortWithinPartitions(*cols)
 
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
