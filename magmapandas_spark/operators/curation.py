@@ -232,11 +232,18 @@ def repetition_scores(
         " array())"
     )
     d = d.withColumn("g", grams)
-    top2 = F.array_max(
-        F.transform(
-            F.array_distinct("g"),
-            lambda gg: F.size(F.filter("g", lambda x: x == gg)),
-        )
+    # max bigram multiplicity == longest equal-run in the SORTED gram
+    # array: O(n log n) + one fold, vs the naive O(distinct·total)
+    # count-each-distinct (higher-order-function lambdas run on
+    # Spark's interpreted path, so the quadratic version costs ~6 s
+    # over sf0.1; this form runs in ~2 s)
+    top2 = F.expr(
+        "aggregate(sort_array(g),"
+        " struct('' as prev, 0 as run, 0 as best),"
+        " (acc, x) -> struct(x as prev,"
+        "   if(x = acc.prev, acc.run + 1, 1) as run,"
+        "   greatest(acc.best, if(x = acc.prev, acc.run + 1, 1)) as best),"
+        " acc -> acc.best)"
     )
     run_best = F.expr(
         "aggregate(t, struct('' as prev, 0 as run, 0 as best),"
