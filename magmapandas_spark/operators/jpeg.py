@@ -622,40 +622,56 @@ _JPEG_DECODE_SCHEMA = T.StructType(
     ]
 )
 
+_JPEG_PERMISSIVE_SCHEMA = T.StructType(
+    _JPEG_DECODE_SCHEMA.fields + [T.StructField("error", T.StringType())]
+)
 
-def decode_jpegs(media: DataFrame) -> DataFrame:
+
+def decode_jpegs(media: DataFrame, permissive: bool = False) -> DataFrame:
     """Decode real JPEG payloads inside ``mapInPandas``; emit exact
     integer coefficient statistics (marker parse + Huffman + DPCM +
     zigzag proven against an arithmetic oracle) plus the decoded-pixel
     RGB sum (full IDCT + color-convert path; exercised here, verified
-    in unit tests against an independent naive IDCT)."""
+    in unit tests against an independent naive IDCT).
+
+    ``permissive=True`` adds an ``error`` column and quarantines corrupt
+    payloads as rows (null stats + message) instead of failing the
+    task — the posture a 100 TB run needs, where one truncated file
+    must not kill a stage (strict mode stays the gate default so
+    correctness tests never silently skip a payload)."""
+    schema = _JPEG_PERMISSIVE_SCHEMA if permissive else _JPEG_DECODE_SCHEMA
 
     def fn(batches):
         for pdf in batches:
-            out = {f.name: [] for f in _JPEG_DECODE_SCHEMA.fields}
+            out = {f.name: [] for f in schema.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = jpeg_decode_coeffs(bytes(payload))
-                sum_dc = sum_abs = nnz = nb = 0
-                for comp in img.coeffs:
-                    nb += comp.shape[0]
-                    flat = comp.reshape(comp.shape[0], 64)
-                    dc = flat[:, 0]
-                    ac = flat[:, 1:]
-                    sum_dc += int(dc.sum())
-                    sum_abs += int(np.abs(ac).sum())
-                    nnz += int((ac != 0).sum())
-                _, _, rgb = jpeg_decode(img)
+                try:
+                    img = jpeg_decode_coeffs(bytes(payload))
+                    sum_dc = sum_abs = nnz = nb = 0
+                    for comp in img.coeffs:
+                        nb += comp.shape[0]
+                        flat = comp.reshape(comp.shape[0], 64)
+                        sum_dc += int(flat[:, 0].sum())
+                        sum_abs += int(np.abs(flat[:, 1:]).sum())
+                        nnz += int((flat[:, 1:] != 0).sum())
+                    _, _, rgb = jpeg_decode(img)
+                    row = (img.width, img.height, nb, sum_dc, sum_abs,
+                           nnz, int(rgb.sum(dtype=np.int64)), None)
+                except Exception as exc:  # noqa: BLE001
+                    if not permissive:
+                        raise
+                    row = (None, None, None, None, None, None, None,
+                           f"{type(exc).__name__}: {exc}")
                 out["media_id"].append(mid)
-                out["width"].append(img.width)
-                out["height"].append(img.height)
-                out["n_blocks"].append(nb)
-                out["sum_dc"].append(sum_dc)
-                out["sum_abs_ac"].append(sum_abs)
-                out["nnz_ac"].append(nnz)
-                out["sum_rgb"].append(int(rgb.sum(dtype=np.int64)))
+                for name, val in zip(
+                    ["width", "height", "n_blocks", "sum_dc",
+                     "sum_abs_ac", "nnz_ac", "sum_rgb", "error"], row
+                ):
+                    if name in out:
+                        out[name].append(val)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(fn, schema=_JPEG_DECODE_SCHEMA)
+    return media.mapInPandas(fn, schema=schema)
 
 
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

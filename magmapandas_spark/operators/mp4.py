@@ -196,25 +196,43 @@ _MP4_META_SCHEMA = T.StructType(
 )
 
 
-def parse_mp4_metadata(media: DataFrame) -> DataFrame:
+_MP4_PERMISSIVE_SCHEMA = T.StructType(
+    _MP4_META_SCHEMA.fields + [T.StructField("error", T.StringType())]
+)
+
+
+def parse_mp4_metadata(media: DataFrame, permissive: bool = False) -> DataFrame:
     """Container-metadata extraction inside ``mapInPandas``: the real
-    decode layer of the video path (frame decode stays stubbed)."""
+    decode layer of the video path (frame decode stays stubbed).
+
+    ``permissive=True`` quarantines malformed streams as ``error`` rows
+    instead of failing the task; strict stays the gate default."""
+    schema = _MP4_PERMISSIVE_SCHEMA if permissive else _MP4_META_SCHEMA
 
     def fn(batches):
         for pdf in batches:
-            out = {f.name: [] for f in _MP4_META_SCHEMA.fields}
+            out = {f.name: [] for f in schema.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                m = mp4_parse(bytes(payload))
+                try:
+                    m = mp4_parse(bytes(payload))
+                    row = (m["brand"], m["duration_ms"], m["n_tracks"],
+                           ",".join(m["track_kinds"]), m["mdat_bytes"],
+                           m["mdat_sum"], None)
+                except Exception as exc:  # noqa: BLE001
+                    if not permissive:
+                        raise
+                    row = (None, None, None, None, None, None,
+                           f"{type(exc).__name__}: {exc}")
                 out["media_id"].append(mid)
-                out["brand"].append(m["brand"])
-                out["duration_ms"].append(m["duration_ms"])
-                out["n_tracks"].append(m["n_tracks"])
-                out["track_kinds"].append(",".join(m["track_kinds"]))
-                out["mdat_bytes"].append(m["mdat_bytes"])
-                out["mdat_sum"].append(m["mdat_sum"])
+                for name, val in zip(
+                    ["brand", "duration_ms", "n_tracks", "track_kinds",
+                     "mdat_bytes", "mdat_sum", "error"], row
+                ):
+                    if name in out:
+                        out[name].append(val)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(fn, schema=_MP4_META_SCHEMA)
+    return media.mapInPandas(fn, schema=schema)
 
 
 def sample_video_frames_mp4(

@@ -246,27 +246,45 @@ _PNG_DECODE_SCHEMA = T.StructType(
 )
 
 
-def decode_pngs(media: DataFrame) -> DataFrame:
+_PNG_PERMISSIVE_SCHEMA = T.StructType(
+    _PNG_DECODE_SCHEMA.fields + [T.StructField("error", T.StringType())]
+)
+
+
+def decode_pngs(media: DataFrame, permissive: bool = False) -> DataFrame:
     """Decode PNG payloads inside ``mapInPandas``; emit header dims and
     exact per-channel pixel sums (lossless codec → integers all the way,
-    the full inflate + unfilter pipeline sits under the oracle hash)."""
+    the full inflate + unfilter pipeline sits under the oracle hash).
+
+    ``permissive=True`` quarantines corrupt payloads (CRC mismatches,
+    truncated streams) as ``error`` rows instead of failing the task —
+    see decode_jpegs for the rationale; strict stays the gate default."""
+    schema = _PNG_PERMISSIVE_SCHEMA if permissive else _PNG_DECODE_SCHEMA
 
     def fn(batches):
         for pdf in batches:
-            out = {f.name: [] for f in _PNG_DECODE_SCHEMA.fields}
+            out = {f.name: [] for f in schema.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, px = png_decode(bytes(payload))
-                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                try:
+                    w, h, px = png_decode(bytes(payload))
+                    sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    row = (w, h, w * h, int(sums[0]), int(sums[1]),
+                           int(sums[2]), None)
+                except Exception as exc:  # noqa: BLE001
+                    if not permissive:
+                        raise
+                    row = (None, None, None, None, None, None,
+                           f"{type(exc).__name__}: {exc}")
                 out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_px"].append(w * h)
-                out["sum_r"].append(int(sums[0]))
-                out["sum_g"].append(int(sums[1]))
-                out["sum_b"].append(int(sums[2]))
+                for name, val in zip(
+                    ["width", "height", "n_px", "sum_r", "sum_g",
+                     "sum_b", "error"], row
+                ):
+                    if name in out:
+                        out[name].append(val)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(fn, schema=_PNG_DECODE_SCHEMA)
+    return media.mapInPandas(fn, schema=schema)
 
 
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

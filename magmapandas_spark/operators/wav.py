@@ -124,16 +124,38 @@ _WAV_CHUNK_SCHEMA = T.StructType(
 )
 
 
-def chunk_wav_audio(media: DataFrame, chunk_frames: int = 256) -> DataFrame:
+_WAV_PERMISSIVE_SCHEMA = T.StructType(
+    _WAV_CHUNK_SCHEMA.fields + [T.StructField("error", T.StringType())]
+)
+
+
+def chunk_wav_audio(
+    media: DataFrame, chunk_frames: int = 256, permissive: bool = False
+) -> DataFrame:
     """Decode WAV payloads and emit fixed-size frame chunks with exact
     integer energy (``sum_sq``) and RMS. The last chunk may be short;
-    chunk boundaries are pure integer arithmetic."""
+    chunk boundaries are pure integer arithmetic.
+
+    ``permissive=True`` quarantines undecodable payloads as one
+    ``error`` row each (chunk_idx null) instead of failing the task;
+    strict stays the gate default."""
+    schema = _WAV_PERMISSIVE_SCHEMA if permissive else _WAV_CHUNK_SCHEMA
 
     def fn(batches):
         for pdf in batches:
-            out = {f.name: [] for f in _WAV_CHUNK_SCHEMA.fields}
+            out = {f.name: [] for f in schema.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, ch, frames = wav_decode(bytes(payload))
+                try:
+                    rate, ch, frames = wav_decode(bytes(payload))
+                except Exception as exc:  # noqa: BLE001
+                    if not permissive:
+                        raise
+                    out["media_id"].append(mid)
+                    for k in ("chunk_idx", "n_frames", "sample_rate",
+                              "sum_sq", "rms"):
+                        out[k].append(None)
+                    out["error"].append(f"{type(exc).__name__}: {exc}")
+                    continue
                 mono = frames[:, 0].astype(np.int64)
                 n = len(mono)
                 nc = -(-n // chunk_frames)
@@ -148,9 +170,11 @@ def chunk_wav_audio(media: DataFrame, chunk_frames: int = 256) -> DataFrame:
                     out["rms"].append(
                         float(np.sqrt(ss / len(seg))) if len(seg) else 0.0
                     )
+                    if permissive:
+                        out["error"].append(None)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(fn, schema=_WAV_CHUNK_SCHEMA)
+    return media.mapInPandas(fn, schema=schema)
 
 
 def q_wav_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
