@@ -122,7 +122,7 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def band_table(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -131,13 +131,11 @@ def minhash_lsh_candidates(
     shingle: int = 5,
     hash_strategy: str = "xxhash64",
 ) -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band bucket.
-
-    rows = bands per doc; join key = (band, band signature) —
-    uniformly distributed, skew-safe. Returns distinct (id1 < id2).
-    With ``hash_strategy="md5"`` the band signature is
-    ``substr(md5(concat_ws(minhashes)), 1, 16)`` — fixed-width and
-    evaluable verbatim in DuckDB, so the oracle matches exactly."""
+    """(id, band, sig) LSH band relation — the unit both the batch
+    self-join (``minhash_lsh_candidates``) and the persisted index
+    (``write_lsh_index`` / ``incremental_lsh_candidates``) are built
+    from. ``bands`` rows per doc, fixed-width signature join key,
+    uniformly distributed (skew-safe)."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(
         shingle_df(docs, id_col, text_col, shingle), id_col, n_hashes,
@@ -161,6 +159,90 @@ def minhash_lsh_candidates(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), sig.alias("sig"))
         )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
+    ).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def write_lsh_index(
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    hash_strategy: str = "xxhash64",
+    n_buckets: int = 32,
+) -> None:
+    """Persist the corpus band relation as a table BUCKETED on the LSH
+    join key (band, sig) — the incremental-ingestion dedup shape: the
+    indexed corpus is written once, and every new batch probes it with
+    an equi-join in which ONLY the (small) new side shuffles; the
+    stored side reads its buckets with no exchange. At 100 TB the
+    index is bands×N fixed-width rows (~30 B each) and appending a
+    deduped batch's own bands keeps it current."""
+    (
+        band_table(docs, id_col, text_col, n_hashes, bands, shingle,
+                   hash_strategy)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band", "sig")
+        .sortBy("band", "sig")
+        .saveAsTable(table, format="parquet")
+    )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    index_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """Candidate pairs between a NEW batch and the indexed corpus:
+    returns distinct (new_id, old_id). The batch side is bands×|batch|
+    rows; the index side is read bucketed on the join key — the plan
+    shuffles only the batch. Parameters must match the index's
+    (enforce at the pipeline level; signatures built with different
+    n_hashes/bands never collide correctly)."""
+    spark = new_docs.sparkSession
+    probe = band_table(
+        new_docs, id_col, text_col, n_hashes, bands, shingle,
+        hash_strategy,
+    ).withColumnRenamed(id_col, "new_id")
+    index = spark.table(index_table).withColumnRenamed(id_col, "old_id")
+    return (
+        probe.join(index, on=["band", "sig"])
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band bucket.
+
+    rows = bands per doc; join key = (band, band signature) —
+    uniformly distributed, skew-safe. Returns distinct (id1 < id2).
+    With ``hash_strategy="md5"`` the band signature is
+    ``substr(md5(concat_ws(minhashes)), 1, 16)`` — fixed-width and
+    evaluable verbatim in DuckDB, so the oracle matches exactly."""
+    exploded = band_table(
+        docs, id_col, text_col, n_hashes, bands, shingle, hash_strategy
+    )
     # Materialize the band relation ONCE before the self-join.
     # A bare repartition is not enough: AQE turns the self-join into a
     # BroadcastHashJoin whose build side is a *separate*
@@ -174,14 +256,7 @@ def minhash_lsh_candidates(
     # (not persist) so the blocks are released by the ContextCleaner
     # when the plan is GC'd — no caller-owned cache cleanup.
     exploded = (
-        sigs.select(
-            F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
-        )
-        .select(
-            id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-        )
-        .repartition("band", "sig")
-        .localCheckpoint(eager=True)
+        exploded.repartition("band", "sig").localCheckpoint(eager=True)
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
