@@ -225,3 +225,75 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     )
     q.awaitTermination(timeout_s)
     return stream_df.sparkSession.table(name)
+
+
+def streaming_dedup_ingest(
+    doc_stream: DataFrame,
+    index_table: str,
+    accepted_path: str,
+    checkpoint_dir: str,
+    hash_strategy: str = "xxhash64",
+    timeout_s: int = 120,
+):
+    """Streaming corpus ingestion with cross-batch dedup against a
+    persisted LSH index — the production loop:
+
+    per micro-batch (``foreachBatch``):
+      1. probe the index (:func:`incremental_lsh_candidates`): docs
+         sharing an LSH band bucket with an already-accepted doc are
+         DUPLICATE candidates and are dropped;
+      2. batch-internal self-dedup (:func:`minhash_lsh_candidates`,
+         keep the min doc_id per candidate pair);
+      3. append survivors to ``accepted_path`` (parquet) and their
+         band rows to the index, so batch N+1 dedups against
+         everything batch N accepted.
+
+    Accept-set semantics (deterministic GIVEN the batch sequence): a
+    doc is dropped iff it shares a band bucket with an
+    earlier-ACCEPTED doc, or with a lower-id doc in its own batch
+    (whether or not that doc itself survives). Batch boundaries can
+    therefore shift which member of a duplicate cluster is kept — the
+    cluster is still reduced to one representative either way, which
+    is the dedup contract. foreachBatch is the canonical
+    Structured-Streaming shape for stream→batch-relational joins like
+    this (stream-static joins can't see same-run appends; re-reading
+    the index per batch can).
+
+    Returns the finished StreamingQuery (already awaited)."""
+    from magmapandas_spark.operators.dedup import (
+        band_table,
+        incremental_lsh_candidates,
+        minhash_lsh_candidates,
+    )
+    from pyspark.sql import functions as F
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # 1. cross-batch: drop anything colliding with the index
+        dup_new = incremental_lsh_candidates(
+            batch_df, index_table, hash_strategy=hash_strategy
+        ).select(F.col("new_id").alias("doc_id")).distinct()
+        fresh = batch_df.join(dup_new, on="doc_id", how="anti")
+        fresh = fresh.localCheckpoint(eager=True)
+        # 2. within-batch: keep the min id of each candidate pair
+        pairs = minhash_lsh_candidates(fresh, hash_strategy=hash_strategy)
+        losers = pairs.select(F.col("id2").alias("doc_id")).distinct()
+        keep = fresh.join(losers, on="doc_id", how="anti")
+        keep = keep.localCheckpoint(eager=True)
+        # 3. append survivors + their bands
+        keep.write.mode("append").parquet(accepted_path)
+        band_table(keep, hash_strategy=hash_strategy).write.mode(
+            "append"
+        ).insertInto(index_table)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
