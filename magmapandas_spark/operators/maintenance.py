@@ -1,0 +1,138 @@
+"""Table-maintenance operators: small-file compaction and Z-order
+clustering (beyond-reference surface; the operational half of running
+a 100 TB parquet lake).
+
+- :func:`compact_parquet` — the small-files problem: streaming /
+  per-batch appends leave thousands of KB-sized files whose per-file
+  open/footer cost dominates scans. Rewrite to ~target-sized files,
+  atomically (write to a side directory, then swap).
+- :func:`zorder_by` / :func:`write_zordered` — multi-column data
+  skipping: interleave the bits of the (rank-normalized) cluster
+  columns and range-sort on the interleaved value, so every output
+  file covers a narrow range of EVERY cluster column and min/max
+  row-group pruning works for predicates on any of them — a linear
+  sort gives that only for the leading column. The z-value is a pure
+  Column expression (no UDF).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    min_files: int = 1,
+) -> dict:
+    """Rewrite a parquet directory to ~``target_file_mb`` files.
+
+    File count = clamp(ceil(input_bytes / target), min_files, ∞) —
+    sized from the ACTUAL on-disk bytes, not row counts, so heavily
+    compressed tables don't explode into tiny files. The rewrite is
+    a write-to-side-dir + atomic directory swap (rename), so a reader
+    never sees a half-written table; the old directory is removed
+    after the swap. Returns {files_before, files_after, bytes}.
+
+    On a real lake this is the nightly OPTIMIZE job; the same sizing
+    arithmetic holds at any scale because it derives from bytes."""
+    files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(min_files, -(-total_bytes // (target_file_mb << 20)))
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    n_after = sum(
+        1
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    )
+    return {
+        "files_before": len(files),
+        "files_after": n_after,
+        "bytes": int(total_bytes),
+    }
+
+
+def _interleave_bits(cols: list[Column], bits: int) -> Column:
+    """Morton/Z value: interleave ``bits`` bits of each (already
+    0..2^bits-1 ranged) column — pure integer Column arithmetic."""
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    one = F.lit(1).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(one)
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def zvalue(
+    df: DataFrame, cols: list[str], bits: int = 12
+) -> DataFrame:
+    """Add a ``__z`` column: Morton code of the rank-normalized
+    cluster columns.
+
+    Each column is rank-normalized into 2^bits buckets via ``ntile``
+    (quantile-uniform, so skewed distributions still interleave
+    fairly), then bits are interleaved. ``bits``×len(cols) must stay
+    ≤ 63.
+
+    The rank pass here uses per-column ``ntile`` windows over the full
+    frame — deterministic, which the tests want; at warehouse scale
+    replace it with approx-quantile cutpoints broadcast as a literal
+    CASE (same z-semantics, no global window)."""
+    if bits * len(cols) > 63:
+        raise ValueError("bits × len(cols) must fit a signed 64-bit value")
+    from pyspark.sql import Window
+
+    ranked = df
+    rank_cols = []
+    for c in cols:
+        rc = f"__zr_{c}"
+        ranked = ranked.withColumn(
+            rc,
+            F.ntile(1 << bits).over(Window.orderBy(F.col(c))) - 1,
+        )
+        rank_cols.append(rc)
+    z = _interleave_bits([F.col(rc) for rc in rank_cols], bits)
+    return ranked.withColumn("__z", z).drop(*rank_cols)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 12,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by Z-order
+    on ``cols``: range-partition on the z-value (each output file gets
+    a contiguous z-range), sort within, drop the helper. Every file
+    then covers a narrow range of EVERY cluster column, so parquet
+    min/max pruning serves predicates on any of them — a linear sort
+    gives that only for its leading column."""
+    (
+        zvalue(df, cols, bits)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
