@@ -55,17 +55,47 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "suite_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # The complete per-query map, for humans/the judge
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"), "w"
+    ) as fh:
+        json.dump(full, fh)
+
+    # The driver captures only the LAST ~2000 characters of output and
+    # parses the JSON line from that window (BENCH_r02/r03 recorded
+    # `parsed: None` with the front of a ~3 KB JSON line sliced off).
+    # Emit a final line guaranteed to fit: slowest queries first, the
+    # rest folded into queries_omitted / omitted_total_s.
+    budget = 1800
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    included: dict[str, float] = {}
+    for name, secs in slowest:
+        trial = dict(full)
+        trial["queries"] = {**included, name: round(secs, 2)}
+        trial["queries_omitted"] = len(timings) - len(trial["queries"])
+        trial["omitted_total_s"] = round(
+            sum(v for k, v in timings.items() if k not in trial["queries"]),
+            2,
         )
+        if len(json.dumps(trial)) > budget:
+            break
+        included[name] = round(secs, 2)
+    out = dict(full)
+    out["queries"] = included
+    out["queries_omitted"] = len(timings) - len(included)
+    out["omitted_total_s"] = round(
+        sum(v for k, v in timings.items() if k not in included), 2
     )
+    print(json.dumps(out), flush=True)
     spark.stop()
 
 
