@@ -6,7 +6,7 @@ a 100 TB parquet lake).
   per-batch appends leave thousands of KB-sized files whose per-file
   open/footer cost dominates scans. Rewrite to ~target-sized files,
   atomically (write to a side directory, then swap).
-- :func:`zorder_by` / :func:`write_zordered` — multi-column data
+- :func:`zvalue` / :func:`write_zordered` — multi-column data
   skipping: interleave the bits of the (rank-normalized) cluster
   columns and range-sort on the interleaved value, so every output
   file covers a narrow range of EVERY cluster column and min/max
