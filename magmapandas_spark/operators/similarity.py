@@ -118,38 +118,61 @@ def cosine_topk_lsh(
 
     def with_buckets(df, idname):
         # fan_out: n_tables × n_planes × dim multiply-adds per row run
-        # inside the scan stage — spread before signing
+        # inside the scan stage — spread before signing. ONE select with
+        # all table signatures + explode, NOT a union of per-table
+        # selects: a union re-evaluates the scan/fan_out subtree once
+        # per table (n_tables corpus scans), the explode shares one.
         df = fan_out(df)
-        rows = []
-        for t in range(n_tables):
-            rows.append(
-                df.select(
-                    F.col(id_col).alias(idname),
-                    F.col(vec_col).alias(f"{idname[0]}vec"),
+        sigs = F.array(
+            *[
+                F.struct(
                     F.lit(t).alias("tbl"),
                     signature(F.col(vec_col), t).alias("sig"),
                 )
-            )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"{idname[0]}vec"),
+            F.explode(sigs).alias("ts"),
+        ).select(
+            idname,
+            f"{idname[0]}vec",
+            F.col("ts.tbl").alias("tbl"),
+            F.col("ts.sig").alias("sig"),
+        )
 
     qb = with_buckets(queries, "qid")
     cb = with_buckets(corpus, "cid")
+    # distinct on the ID pair only — a pair found in several tables
+    # must rescore once, but deduplicating (qid, cid, qvec, cvec) would
+    # shuffle the embedding arrays as part of the key (~30× wider rows
+    # at web scale); vectors are joined back after the narrow distinct
     candidates = (
-        qb.join(cb, on=["tbl", "sig"])
+        qb.select("qid", "tbl", "sig")
+        .join(cb.select("cid", "tbl", "sig"), on=["tbl", "sig"])
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "qvec", "cid", "cvec")
+        .select("qid", "cid")
         .distinct()
     )
-    scored = candidates.select(
-        "qid",
-        "cid",
-        (
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
-        ).alias("cos"),
+    qvecs = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        candidates.join(F.broadcast(qvecs), on="qid")
+        .join(cvecs, on="cid")
+        .select(
+            "qid",
+            "cid",
+            (
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(
