@@ -208,17 +208,22 @@ def all_pairs_cosine(
     ).withColumn(
         "blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int")
     )
-    grid = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "bi int, bj int",
+    # ONE broadcast equi-join on blk, not a union of two joins over
+    # the same scan (the union evaluated the corpus scan twice). The
+    # expansion table enumerates, per block b, every (bi, bj, side)
+    # group membership: b as the left side of pairs (b, j≥b) and as
+    # the right side of pairs (i≤b, b) — n_blocks·(n_blocks+1) rows,
+    # trivially broadcastable.
+    expansion = spark.createDataFrame(
+        [(b, b, j, 0) for b in range(n_blocks)
+         for j in range(b, n_blocks)]
+        + [(b, i, b, 1) for b in range(n_blocks)
+           for i in range(0, b + 1)],
+        "blk int, bi int, bj int, side int",
     )
-    side_a = e.join(F.broadcast(grid), e.blk == grid.bi).select(
-        "bi", "bj", "vid", "vec", F.lit(0).alias("side")
+    both = e.join(F.broadcast(expansion), on="blk").select(
+        "bi", "bj", "vid", "vec", "side"
     )
-    side_b = e.join(F.broadcast(grid), e.blk == grid.bj).select(
-        "bi", "bj", "vid", "vec", F.lit(1).alias("side")
-    )
-    both = side_a.unionByName(side_b)
 
     schema = T.StructType(
         [
