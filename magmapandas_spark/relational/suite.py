@@ -361,6 +361,7 @@ _GATE_ORDER = [
     "png_decode",
     "wav_chunks",
     "mp4_metadata",
+    "html_extract",
     "repetition_scores",
     "lm_quality",
     "dedup_clusters_distributed",
@@ -375,7 +376,6 @@ _GATE_ORDER = [
     "revenue_by_nation",
     "top_parts_by_revenue",
     "customer_order_window",
-    "density_viscosity",
     "mineral_forsterite",
     "text_quality",
     "token_counts",

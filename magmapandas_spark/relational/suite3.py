@@ -432,6 +432,12 @@ def _q_mp4_metadata(spark, sf_dir):
     return q_mp4_metadata(spark, sf_dir)
 
 
+def _q_html_extract(spark, sf_dir):
+    from magmapandas_spark.operators.html import q_html_extract
+
+    return q_html_extract(spark, sf_dir)
+
+
 def queries():
     return {
         "user_sessions": q_user_sessions,
@@ -453,6 +459,7 @@ def queries():
         "png_decode": _q_png_decode,
         "wav_chunks": _q_wav_chunks,
         "mp4_metadata": _q_mp4_metadata,
+        "html_extract": _q_html_extract,
         "video_frames": _q_video_frames,
         "audio_chunks": _q_audio_chunks,
         "sliding_value_avg": q_sliding_value_avg,
@@ -505,12 +512,14 @@ def oracle_sql():
     from magmapandas_spark.operators.png import SQL_PNG_DECODE
     from magmapandas_spark.operators.wav import SQL_WAV_CHUNKS
     from magmapandas_spark.operators.mp4 import SQL_MP4_METADATA
+    from magmapandas_spark.operators.html import SQL_HTML_EXTRACT
 
     return {
         "jpeg_decode": SQL_JPEG_DECODE,
         "png_decode": SQL_PNG_DECODE,
         "wav_chunks": SQL_WAV_CHUNKS,
         "mp4_metadata": SQL_MP4_METADATA,
+        "html_extract": SQL_HTML_EXTRACT,
         "ivf_topk": sql_ivf_topk(),
         "ivf_topk_seeded": sql_ivf_topk_seeded(),
         "lsh_topk": sql_lsh_topk(),
