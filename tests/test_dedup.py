@@ -88,3 +88,18 @@ def test_connected_components_known_graph(spark):
             ).collect()
         }
         assert out == expected, f"threshold={thresh}"
+
+
+def test_fan_out_widens_narrow_inputs_only(spark):
+    from magmapandas_spark.operators.dedup import fan_out
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = fan_out(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    # values unchanged
+    assert widened.count() == 1000
+
+    wide = spark.range(1000).repartition(target + 4)
+    assert fan_out(wide) is wide  # no-op: already at/above target
