@@ -550,3 +550,142 @@ FROM px
 GROUP BY media_id, w, h
 ORDER BY media_id
 """
+
+
+# ----------------------------------------------------------------------
+# Format sniffing + dispatch: a real media column is heterogeneous and
+# unlabeled — route each payload by magic bytes, not by a trusted
+# metadata column.
+# ----------------------------------------------------------------------
+
+def sniff_media_format(payload: bytes) -> str:
+    """Container format from magic bytes (the only trustworthy label):
+    jpeg / png / ppm / wav / mp4 / unknown."""
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+_SNIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_any(media: DataFrame) -> DataFrame:
+    """Sniff + dispatch each payload to its format's real decoder
+    (JPEG/PNG/PPM/WAV/MP4); emit (fmt, ok, error). Permissive by
+    nature — an unknown or corrupt payload is a row, not a task
+    failure. One narrow Arrow stage."""
+    from magmapandas_spark.operators.jpeg import jpeg_decode
+    from magmapandas_spark.operators.mp4 import mp4_parse
+    from magmapandas_spark.operators.png import png_decode
+    from magmapandas_spark.operators.wav import wav_decode
+
+    decoders = {
+        "jpeg": jpeg_decode,
+        "png": png_decode,
+        "ppm": decode_ppm,
+        "wav": wav_decode,
+        "mp4": mp4_parse,
+    }
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _SNIFF_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                fmt = sniff_media_format(payload)
+                ok, err = False, None
+                dec = decoders.get(fmt)
+                if dec is None:
+                    err = "unknown format"
+                else:
+                    try:
+                        dec(payload)
+                        ok = True
+                    except Exception as exc:  # noqa: BLE001
+                        err = f"{type(exc).__name__}: {exc}"
+                out["media_id"].append(mid)
+                out["fmt"].append(fmt)
+                out["ok"].append(ok)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        fn, schema=_SNIFF_SCHEMA
+    )
+
+
+def synthetic_mixed_media(spark: SparkSession) -> DataFrame:
+    """One unlabeled table mixing every synthetic format family:
+    ids 0-31 jpeg, 100-139 png, 200-247 ppm, 300-347 wav, 400-439 mp4,
+    900-904 unknown garbage."""
+    import numpy as np
+
+    from magmapandas_spark.operators.jpeg import make_synthetic_jpeg
+    from magmapandas_spark.operators.mp4 import make_synthetic_mp4
+    from magmapandas_spark.operators.png import make_synthetic_png
+    from magmapandas_spark.operators.wav import make_synthetic_wav
+
+    rows = []
+    rows += [(i, make_synthetic_jpeg(i)) for i in range(32)]
+    rows += [(100 + i, make_synthetic_png(i)) for i in range(40)]
+    for i in range(48):
+        w, h = 64 + (i % 32), 48 + (i % 24)
+        j = np.arange(w * h * 3, dtype=np.int64)
+        px = ((i * 7 + j) % 256).astype(np.uint8).reshape(h, w, 3)
+        rows.append((200 + i, ppm_encode(px)))
+    rows += [(300 + i, make_synthetic_wav(i)) for i in range(48)]
+    rows += [(400 + i, make_synthetic_mp4(i)) for i in range(40)]
+    rows += [(900 + i, bytes([i]) * 16) for i in range(5)]
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(4)
+
+
+def q_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: sniff + fully decode a mixed unlabeled media table;
+    per detected format report count, id checksum, and decode-success
+    count — all integers, reconstructed arithmetically by the oracle
+    from the id-range construction."""
+    out = decode_any(synthetic_mixed_media(spark))
+    return (
+        out.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("media_id").alias("id_sum"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        )
+        .orderBy("fmt")
+    )
+
+
+SQL_MEDIA_INVENTORY = """
+WITH fam AS (
+  SELECT 'jpeg' AS fmt, 0 AS base, 32 AS n, 32 AS n_ok
+  UNION ALL SELECT 'png', 100, 40, 40
+  UNION ALL SELECT 'ppm', 200, 48, 48
+  UNION ALL SELECT 'wav', 300, 48, 48
+  UNION ALL SELECT 'mp4', 400, 40, 40
+  UNION ALL SELECT 'unknown', 900, 5, 0
+)
+SELECT fmt,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * base + n * (n - 1) / 2 AS BIGINT) AS id_sum,
+       CAST(n_ok AS BIGINT) AS n_ok
+FROM fam
+ORDER BY fmt
+"""

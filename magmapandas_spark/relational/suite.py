@@ -362,6 +362,7 @@ _GATE_ORDER = [
     "wav_chunks",
     "mp4_metadata",
     "html_extract",
+    "media_inventory",
     "repetition_scores",
     "lm_quality",
     "dedup_clusters_distributed",
@@ -376,7 +377,6 @@ _GATE_ORDER = [
     "revenue_by_nation",
     "top_parts_by_revenue",
     "customer_order_window",
-    "mineral_forsterite",
     "text_quality",
     "token_counts",
     "text_clean",

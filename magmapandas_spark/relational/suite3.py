@@ -438,6 +438,12 @@ def _q_html_extract(spark, sf_dir):
     return q_html_extract(spark, sf_dir)
 
 
+def _q_media_inventory(spark, sf_dir):
+    from magmapandas_spark.operators.multimodal import q_media_inventory
+
+    return q_media_inventory(spark, sf_dir)
+
+
 def queries():
     return {
         "user_sessions": q_user_sessions,
@@ -460,6 +466,7 @@ def queries():
         "wav_chunks": _q_wav_chunks,
         "mp4_metadata": _q_mp4_metadata,
         "html_extract": _q_html_extract,
+        "media_inventory": _q_media_inventory,
         "video_frames": _q_video_frames,
         "audio_chunks": _q_audio_chunks,
         "sliding_value_avg": q_sliding_value_avg,
@@ -502,6 +509,7 @@ def oracle_sql():
     )
 
     from magmapandas_spark.operators.multimodal import (
+        SQL_MEDIA_INVENTORY,
         SQL_AUDIO_CHUNKS,
         SQL_IMAGE_DECODE,
         SQL_MEDIA_FEATURES,
@@ -520,6 +528,7 @@ def oracle_sql():
         "wav_chunks": SQL_WAV_CHUNKS,
         "mp4_metadata": SQL_MP4_METADATA,
         "html_extract": SQL_HTML_EXTRACT,
+        "media_inventory": SQL_MEDIA_INVENTORY,
         "ivf_topk": sql_ivf_topk(),
         "ivf_topk_seeded": sql_ivf_topk_seeded(),
         "lsh_topk": sql_lsh_topk(),

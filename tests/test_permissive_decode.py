@@ -90,3 +90,31 @@ def test_permissive_error_rate_aggregation(spark):
         (F.count(F.col("error")) / F.count(F.lit(1))).alias("err_rate")
     ).collect()[0]["err_rate"]
     assert abs(rate - 2 / 8) < 1e-9
+
+
+def test_decode_any_routes_and_quarantines(spark):
+    """Mixed unlabeled payloads route by magic bytes; corrupt members
+    of a known format fail ok=False without killing the task."""
+    from magmapandas_spark.operators.jpeg import make_synthetic_jpeg
+    from magmapandas_spark.operators.multimodal import decode_any
+    from magmapandas_spark.operators.png import make_synthetic_png
+
+    corrupt_png = bytearray(make_synthetic_png(0))
+    corrupt_png[40] ^= 0xFF
+    rows = [
+        (0, make_synthetic_jpeg(0)),
+        (1, bytes(corrupt_png)),       # sniffs as png, fails CRC
+        (2, b"\x00garbage\x00"),       # unknown
+        (3, make_synthetic_png(3)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in decode_any(
+            spark.createDataFrame(rows, "media_id long, payload binary")
+        ).collect()
+    }
+    assert out[0]["fmt"] == "jpeg" and out[0]["ok"]
+    assert out[1]["fmt"] == "png" and not out[1]["ok"]
+    assert "CRC" in out[1]["error"]
+    assert out[2]["fmt"] == "unknown" and not out[2]["ok"]
+    assert out[3]["fmt"] == "png" and out[3]["ok"]
