@@ -440,3 +440,48 @@ FROM scored
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def chunk_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap: int = 40,
+) -> DataFrame:
+    """Sliding-window text chunking — the RAG / context-window
+    primitive: fixed-width character windows with ``overlap`` chars of
+    context carried between consecutive chunks.
+
+    Stride = chunk_chars − overlap; chunk k covers
+    [k·stride, k·stride + chunk_chars); the final window is short
+    rather than re-aligned (deterministic, and downstream tokenizers
+    own token-boundary concerns — see pack_offsets for the cross-doc
+    token-budget variant).
+
+    100 TB posture: entirely scan-local (one transform + explode per
+    doc, no shuffle) — chunking composes with source-side sampling and
+    quality filters at zero extra cost."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    # n_chunks = max(ceil((len - overlap) / stride), 1); chunk k =
+    # substring(text, k*stride + 1, chunk_chars) — all spliced literals
+    # are ints, so no injection surface
+    expr = (
+        f"transform(sequence(0, greatest(cast(ceil((length({text_col})"
+        f" - {overlap}) / {stride}) as long), 1) - 1), k -> "
+        f"struct(k as chunk_idx, k * {stride} as start, "
+        f"substring({text_col}, cast(k * {stride} + 1 as int), "
+        f"{chunk_chars}) as chunk))"
+    )
+    out = docs.select(
+        F.col(id_col), F.explode(F.expr(expr)).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.start").cast("long").alias("start"),
+        F.col("c.chunk").alias("chunk"),
+        F.length("c.chunk").cast("int").alias("chunk_len"),
+    )
+    return out

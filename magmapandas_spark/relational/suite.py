@@ -363,6 +363,7 @@ _GATE_ORDER = [
     "mp4_metadata",
     "html_extract",
     "media_inventory",
+    "text_chunks",
     "repetition_scores",
     "lm_quality",
     "dedup_clusters_distributed",
@@ -377,7 +378,6 @@ _GATE_ORDER = [
     "revenue_by_nation",
     "top_parts_by_revenue",
     "customer_order_window",
-    "text_quality",
     "token_counts",
     "text_clean",
     "order_rollup",

@@ -216,6 +216,34 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality_score(docs)
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunking: 200-char windows, 40-char overlap,
+    scan-local (no shuffle before the final sort)."""
+    from magmapandas_spark.operators.curation import chunk_text
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return chunk_text(docs).orderBy("doc_id", "chunk_idx")
+
+
+SQL_TEXT_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, text,
+         GREATEST(CAST(CEIL((LENGTH(text) - 40) / 160.0) AS BIGINT), 1)
+           AS nc
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(k.k AS INT) AS chunk_idx,
+         CAST(k.k * 160 AS BIGINT) AS start,
+         substring(text, CAST(k.k * 160 + 1 AS INT), 200) AS chunk
+  FROM d, LATERAL (SELECT UNNEST(range(nc)) AS k) k
+)
+SELECT doc_id, chunk_idx, start, chunk,
+       CAST(LENGTH(chunk) AS INT) AS chunk_len
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
 def queries():
     return {
         "vocab_topk": q_vocab_topk,
@@ -224,6 +252,7 @@ def queries():
         "sequence_packing": q_sequence_packing,
         "repetition_scores": q_repetition_scores,
         "lm_quality": q_lm_quality,
+        "text_chunks": q_text_chunks,
     }
 
 
@@ -241,4 +270,5 @@ def oracle_sql():
             "magmapandas_spark.operators.curation",
             fromlist=["SQL_LM_QUALITY"],
         ).SQL_LM_QUALITY,
+        "text_chunks": SQL_TEXT_CHUNKS,
     }

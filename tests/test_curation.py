@@ -189,3 +189,43 @@ def test_lm_quality_oov_path(spark):
     assert abs(out[1]["avg_nll"] - exp1) < 1e-6
     assert out[2]["oov_count"] == 1
     assert abs(out[2]["avg_nll"] - (-math.log10(p_oov))) < 1e-6
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    from magmapandas_spark.operators.curation import chunk_text
+
+    long_text = "".join(chr(97 + (i % 26)) for i in range(500))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "tiny"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_text(docs, chunk_chars=200, overlap=40).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 500 chars, stride 160 -> ceil(460/160)=3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert len(c1) == 3
+    assert [r["start"] for r in c1] == [0, 160, 320]
+    assert c1[0]["chunk"] == long_text[:200]
+    assert c1[1]["chunk"] == long_text[160:360]
+    assert c1[2]["chunk"] == long_text[320:500]
+    assert c1[2]["chunk_len"] == 180
+    # consecutive chunks share exactly `overlap` chars
+    assert c1[0]["chunk"][-40:] == c1[1]["chunk"][:40]
+    # short and empty docs still emit one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk"] == "tiny"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk"] == ""
+    # full coverage: concatenating de-overlapped chunks rebuilds doc 1
+    rebuilt = c1[0]["chunk"] + "".join(r["chunk"][40:] for r in c1[1:])
+    assert rebuilt == long_text
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from magmapandas_spark.operators.curation import chunk_text
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_text(docs, chunk_chars=100, overlap=100)
