@@ -229,3 +229,22 @@ def test_chunk_text_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_text(docs, chunk_chars=100, overlap=100)
+
+
+def test_chunk_text_multibyte_codepoints(spark):
+    """length/substring are codepoint-based in Spark SQL: multibyte
+    text chunks on characters, not bytes."""
+    from magmapandas_spark.operators.curation import chunk_text
+
+    text = "αβγδε" * 20  # 100 codepoints, 200 utf-8 bytes
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        chunk_text(docs, chunk_chars=40, overlap=10).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 30 -> ceil(90/30) = 3 chunks over 100 codepoints
+    assert len(out) == 3
+    assert out[0]["chunk"] == text[:40]
+    assert out[1]["chunk"] == text[30:70]
+    assert out[2]["chunk"] == text[60:100]
+    assert out[2]["chunk_len"] == 40
