@@ -401,7 +401,15 @@ def lm_quality_score(
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("oov").alias("oov_count"),
-            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            # Deterministic mean: sum per-token nll as decimal (exact,
+            # order-independent) then divide — Spark's partition-order
+            # double summation vs DuckDB's sequential sum can differ in
+            # the last ulp and flip ROUND(..., 6) at a boundary.
+            F.round(
+                F.sum(F.col("nll").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
         )
         .orderBy(id_col)
     )
@@ -435,7 +443,8 @@ scored AS (
 SELECT doc_id,
        COUNT(*) AS n_tokens,
        CAST(SUM(oov) AS BIGINT) AS oov_count,
-       ROUND(AVG(nll), 6) AS avg_nll
+       ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_nll
 FROM scored
 GROUP BY doc_id
 ORDER BY doc_id

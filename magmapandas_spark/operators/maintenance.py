@@ -36,9 +36,13 @@ def compact_parquet(
     File count = clamp(ceil(input_bytes / target), min_files, ∞) —
     sized from the ACTUAL on-disk bytes, not row counts, so heavily
     compressed tables don't explode into tiny files. The rewrite is
-    a write-to-side-dir + atomic directory swap (rename), so a reader
-    never sees a half-written table; the old directory is removed
-    after the swap. Returns {files_before, files_after, bytes}.
+    write-to-side-dir + two directory renames: a reader never sees
+    half-written data, but the swap is NOT atomic — between the two
+    renames there is a brief window where the table path does not
+    exist and a concurrent open fails (retryable). A truly atomic
+    cutover needs a manifest/symlink flip or a table format (Delta/
+    Iceberg); out of scope here. The old directory is removed after
+    the swap. Returns {files_before, files_after, bytes}.
 
     On a real lake this is the nightly OPTIMIZE job; the same sizing
     arithmetic holds at any scale because it derives from bytes."""

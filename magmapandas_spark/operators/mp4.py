@@ -242,13 +242,17 @@ def sample_video_frames_mp4(
     mvhd duration (real container decode) instead of a metadata
     column. Frame image decode remains the honest stub."""
     meta = parse_mp4_metadata(media)
+    # A valid container may carry mvhd duration 0 (fragmented MP4);
+    # sequence(0, -1, step) throws, so guard to an empty grid instead
+    # of killing the stage.
+    grid = F.when(
+        F.col("duration_ms") > 0,
+        F.sequence(
+            F.lit(0), F.col("duration_ms") - 1, F.lit(int(every_ms))
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     return meta.select(
-        "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.col("duration_ms") - 1, F.lit(int(every_ms))
-            )
-        ).alias("frame_ts_ms"),
+        "media_id", F.explode(grid).alias("frame_ts_ms")
     )
 
 

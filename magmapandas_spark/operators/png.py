@@ -267,9 +267,18 @@ def decode_pngs(media: DataFrame, permissive: bool = False) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     w, h, px = png_decode(bytes(payload))
-                    sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
-                    row = (w, h, w * h, int(sums[0]), int(sums[1]),
-                           int(sums[2]), None)
+                    # Per-channel sums keyed off the decoded raster's
+                    # actual channel count: grayscale replicates into
+                    # r=g=b, RGBA drops alpha — never reshape(-1, 3),
+                    # which silently mixes channels for 4-channel
+                    # payloads whose byte count divides by 3.
+                    c = px.shape[2]
+                    ch = px.reshape(-1, c).sum(axis=0, dtype=np.int64)
+                    if c == 1:
+                        r = g = b = int(ch[0])
+                    else:  # c in (3, 4); alpha (ch[3]) intentionally dropped
+                        r, g, b = int(ch[0]), int(ch[1]), int(ch[2])
+                    row = (w, h, w * h, r, g, b, None)
                 except Exception as exc:  # noqa: BLE001
                     if not permissive:
                         raise

@@ -156,11 +156,16 @@ def chunk_wav_audio(
                         out[k].append(None)
                     out["error"].append(f"{type(exc).__name__}: {exc}")
                     continue
-                mono = frames[:, 0].astype(np.int64)
-                n = len(mono)
+                # Energy aggregates over ALL channels (a chunk's sum_sq
+                # is the clip's energy, not one channel's): for mono
+                # this is bit-identical to the old left-channel math;
+                # for stereo the RMS divides by frames*channels so the
+                # label stays honest.
+                samples = frames.astype(np.int64)
+                n = len(samples)
                 nc = -(-n // chunk_frames)
                 for k in range(nc):
-                    seg = mono[k * chunk_frames : (k + 1) * chunk_frames]
+                    seg = samples[k * chunk_frames : (k + 1) * chunk_frames]
                     ss = int((seg * seg).sum())
                     out["media_id"].append(mid)
                     out["chunk_idx"].append(k)
@@ -168,7 +173,7 @@ def chunk_wav_audio(
                     out["sample_rate"].append(rate)
                     out["sum_sq"].append(ss)
                     out["rms"].append(
-                        float(np.sqrt(ss / len(seg))) if len(seg) else 0.0
+                        float(np.sqrt(ss / seg.size)) if seg.size else 0.0
                     )
                     if permissive:
                         out["error"].append(None)

@@ -106,3 +106,19 @@ def test_sample_video_frames_mp4_spark(spark):
     # clip i: duration 1000+37i -> ceil(d/500) frame timestamps
     exp = sum(-(-(1000 + 37 * i) // 500) for i in range(4))
     assert len(frames) == exp
+
+
+def test_sample_video_frames_zero_duration(spark):
+    """Advice fix: a valid container with mvhd duration 0 (fragmented
+    MP4 shape) yields zero frame rows instead of a runtime error from
+    sequence(0, -1, step)."""
+    from magmapandas_spark.operators.mp4 import MEDIA_MP4_SCHEMA
+
+    rows = [
+        (0, mp4_encode(0, ["video"], b"x")),
+        (1, mp4_encode(2500, ["video"], b"y")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_MP4_SCHEMA)
+    out = sample_video_frames_mp4(media, every_ms=1000).toPandas()
+    assert set(out["media_id"]) == {1}
+    assert sorted(out["frame_ts_ms"]) == [0, 1000, 2000]

@@ -131,3 +131,27 @@ def test_extract_features_png_decoder(spark):
         v = np.array(f)
         assert v.shape == (16,)
         assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_decode_pngs_grayscale_and_rgba_channels(spark):
+    """Advice fix: sums must key off the decoded raster's channel
+    count — grayscale replicates into r=g=b, RGBA drops alpha."""
+    import pandas as pd
+
+    from magmapandas_spark.operators.png import MEDIA_PNG_SCHEMA
+
+    gray = np.arange(48, dtype=np.uint8).reshape(6, 8)  # sum 1128
+    rgba = np.arange(36, dtype=np.uint8).reshape(3, 3, 4)
+    rows = [(0, png_encode(gray)), (1, png_encode(rgba))]
+    media = spark.createDataFrame(rows, MEDIA_PNG_SCHEMA)
+    out = (
+        decode_pngs(media).orderBy("media_id").toPandas().set_index("media_id")
+    )
+    g = int(gray.astype(np.int64).sum())
+    assert (out.loc[0, ["sum_r", "sum_g", "sum_b"]] == [g, g, g]).all()
+    ch = rgba.reshape(-1, 4).astype(np.int64).sum(axis=0)
+    assert (
+        out.loc[1, ["sum_r", "sum_g", "sum_b"]]
+        == [int(ch[0]), int(ch[1]), int(ch[2])]
+    ).all()
+    assert out.loc[1, "sum_r"] == 144  # the advice's reproduced case

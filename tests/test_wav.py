@@ -100,3 +100,23 @@ def test_chunk_wav_audio_spark(spark):
     assert len(out) == exp_chunks
     assert (out["sample_rate"] == 8000).all()
     assert (out["sum_sq"] >= 0).all()
+
+
+def test_chunk_wav_audio_stereo_energy(spark):
+    """Advice fix: stereo chunks aggregate energy across BOTH
+    channels (per-chunk sum_sq is the clip's energy, rms divides by
+    frames x channels)."""
+    import numpy as np
+
+    from magmapandas_spark.operators.wav import MEDIA_WAV_SCHEMA
+
+    left = np.array([3, -4, 5, 0], dtype=np.int16)
+    right = np.array([1, 2, -2, 6], dtype=np.int16)
+    payload = wav_encode(np.stack([left, right], axis=1))
+    media = spark.createDataFrame([(0, payload)], MEDIA_WAV_SCHEMA)
+    out = chunk_wav_audio(media, chunk_frames=4).toPandas()
+    assert len(out) == 1
+    expect = int((left.astype(np.int64) ** 2).sum()
+                 + (right.astype(np.int64) ** 2).sum())
+    assert out.loc[0, "sum_sq"] == expect
+    assert abs(out.loc[0, "rms"] - float(np.sqrt(expect / 8))) < 1e-12
