@@ -969,3 +969,97 @@ SELECT node AS doc_id, MIN(lbl) AS cluster_id
 FROM reach GROUP BY node
 ORDER BY doc_id
 """
+
+
+# ----------------------------------------------------------------------
+# Keep-policy: one representative per near-duplicate cluster
+# ----------------------------------------------------------------------
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup KEEP policy — the step after clustering: per cluster keep
+    the highest-``quality_col`` doc (ties → lowest id; fully
+    deterministic), report the rest as drop count.
+
+    Shape: clusters ⋈ quality (narrow), one window partitioned by
+    cluster_id — both shuffle on cluster id only, rows are (id, int)
+    pairs regardless of corpus width. Docs in no cluster never enter
+    (they are kept implicitly — composition with the corpus is an
+    anti-join on the cluster relation, not this operator's job).
+
+    Returns (cluster_id, kept_doc, kept_quality, n_docs)."""
+    from pyspark.sql import Window
+
+    j = clusters.join(
+        docs.select(id_col, quality_col), on=id_col, how="inner"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), id_col
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col(id_col))).alias("kept_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col(quality_col))).alias(
+            "kept_quality"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the full dedup KEEP pipeline — LSH candidates →
+    connected components → best-doc-per-cluster (quality = n_chars,
+    tie-break min doc id). Composes three already-verified stages into
+    the decision a real pipeline ships: which doc survives."""
+    pairs = _gate_pairs(spark, sf_dir)
+    cc = connected_components(pairs, n_partitions=2).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    return keep_best_per_cluster(cc, docs).orderBy("cluster_id")
+
+
+def sql_dedup_keep_best(
+    n_hashes: int = 32, bands: int = 8, shingle: int = 5
+) -> str:
+    """Oracle: the cluster CTE of sql_dedup_clusters + the identical
+    keep-policy window."""
+    ctes = _minhash_pair_ctes(
+        n_hashes, bands, shingle, where_extra=" AND doc_id < 500"
+    )
+    return f"""
+WITH RECURSIVE {ctes},
+sym AS (
+  SELECT id1 AS node, id2 AS nb FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT node, node FROM sym
+  UNION
+  SELECT s.node, r.lbl FROM sym s JOIN reach r ON s.nb = r.node
+),
+cc AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id
+  FROM reach GROUP BY node
+),
+ranked AS (
+  SELECT cc.cluster_id, cc.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+  FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+)
+SELECT cluster_id,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+       MAX(CASE WHEN rn = 1 THEN n_chars END) AS kept_quality,
+       COUNT(*) AS n_docs
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""

@@ -356,60 +356,60 @@ def _wrap(fn: Callable) -> Callable:
 # stays covered by tests/test_oracle.py (the identical check, run in
 # CI/pytest).
 _GATE_ORDER = [
-    # new this round — first green row needed
-    "jpeg_decode",
-    "png_decode",
-    "wav_chunks",
-    "mp4_metadata",
-    "html_extract",
-    "media_inventory",
-    "text_chunks",
-    "repetition_scores",
-    "lm_quality",
-    "dedup_clusters_distributed",
-    "minhash_lsh_xxhash",  # rows-only perf probe (md5 twin is the oracle)
-    "fe3fe2_solvers2",  # ROUND(,4) fix — re-verify
-    # past the round-3 window — re-verify under the driver
-    # (doc_stats/dedup_exact stay out: r1-verified, unchanged since)
-    "simhash_buckets",
-    "skew_distinct",
-    "salted_join_revenue",
-    "asof_purchase_view",
-    "revenue_by_nation",
-    "top_parts_by_revenue",
-    "customer_order_window",
-    "token_counts",
-    "text_clean",
-    "order_rollup",
-    "pricing_quantiles",
-    "below_avg_revenue",
-    "events_json",
-    "pricing_moments",
-    "order_cube",
-    "customer_ntiles",
-    "order_pivot",
-    "langid_heuristic",
-    "ngram_jaccard_adjacent",
-    "embedding_topk",
-    "customer_semi_anti",
-    "user_sessions",
-    "running_totals",
-    "event_deltas",
-    "doc_fingerprint",
-    "running_stddev",
-    "ivf_topk_seeded",
-    "lsh_topk",
+    # new this round (round 5) — first green row needed
+    "pii_scan",
+    "url_canonical",
+    "bloom_decontaminate",
+    "bpe_tokens",
+    "tfidf_search",
+    "warc_records",
+    "dedup_keep_best",
     # changed this round — re-verify
-    "qfm_exact",
-    "iw_exact",
-    "fe3fe2_errors",
-    "media_features",
-    "sliding_value_avg",
-    "minhash_lsh_candidates",
-    "dedup_clusters",
-    "dedup_verified",
-    "vocab_topk",
-    "sequence_packing",
+    "lm_quality",      # decimal-sum avg_nll
+    "wav_chunks",      # all-channel energy (mono output unchanged)
+    "png_decode",      # channel-aware sums (RGB output unchanged)
+    # no driver-green row in r3 or r4 — rotate back into the window
+    "doc_stats",
+    "dedup_exact",
+    "chondrite_normalize",
+    "rhodes_grid",
+    "range_join_clicks",
+    "events_hourly",
+    "density_viscosity",
+    "mineral_forsterite",
+    "text_quality",
+    "pricing_summary",
+    "thermometer_putirka2008_15",
+    # verified in r3 but rotated out of the r4 window — re-verify
+    "reservoir_normalize",
+    "tas_classification",
+    "part_setops",
+    "redox_chain",
+    "shishkina_co2_saturation",
+    "volatile_saturation_im",
+    "embedding_neardup",
+    "allison_saturation",
+    "isobar_grid",
+    "mc_thermometer",
+    "ivf_topk",
+    "image_decode",
+    "video_frames",
+    "audio_chunks",
+    "thermometers_multi",
+    "fe3fe2_expr_models",
+    "kd_expr_models",
+    "olmelt_thermometer",
+    "unit_conversions",
+    "melt_structure",
+    "thermometers_multi2",
+    "magnetite_speciation",
+    "ilmenite_speciation",
+    "plag_endmembers",
+    "feo_fe2o3_split",
+    "calibration_flags",
+    "fe3fe2_deng2020",
+    "kd_toplis_iteration",
+    "melt_describe",
 ]
 
 
@@ -420,7 +420,7 @@ def _gate_sorted(out: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from magmapandas_spark.relational import suite2, suite3, suite4
+    from magmapandas_spark.relational import suite2, suite3, suite4, suite5
 
     out = {
         "pricing_summary": q_pricing_summary,
@@ -431,11 +431,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(suite2.queries())
     out.update(suite3.queries())
     out.update(suite4.queries())
+    out.update(suite5.queries())
     return {k: _wrap(v) for k, v in _gate_sorted(out).items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from magmapandas_spark.relational import suite2, suite3, suite4
+    from magmapandas_spark.relational import suite2, suite3, suite4, suite5
 
     out = {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -446,4 +447,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(suite2.oracle_sql())
     out.update(suite3.oracle_sql())
     out.update(suite4.oracle_sql())
+    out.update(suite5.oracle_sql())
     return _gate_sorted(out)

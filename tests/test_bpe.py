@@ -1,0 +1,69 @@
+"""BPE trainer determinism + application semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from magmapandas_spark.operators.bpe import (
+    DEFAULT_MERGES,
+    apply_bpe,
+    bpe_symbols,
+    learn_bpe_merges,
+)
+
+
+def test_learn_deterministic_and_greedy(spark):
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lowest"), (1, "new newer newest")],
+        "doc_id long, text string",
+    )
+    m1 = learn_bpe_merges(docs, n_merges=5)
+    m2 = learn_bpe_merges(docs, n_merges=5)
+    assert m1 == m2
+    # 'l o' and 'o w' / 'lo w' dominate: first merge must involve the
+    # most frequent adjacent pair ('l','o') or ('o','w') — count 5 each,
+    # lexicographic tie-break picks ('l','o')
+    assert m1[0] == ("l", "o")
+    assert m1[1] == ("lo", "w")
+
+
+def test_apply_bpe_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "low low"), (1, "")], "doc_id long, text string"
+    )
+    merges = [("l", "o"), ("lo", "w")]
+    out = apply_bpe(docs, merges).orderBy("doc_id").toPandas()
+    # "low low" -> symbols 'l o w | l o w' -> 'lo w | lo w' -> 'low | low'
+    assert out.loc[0, "n_words"] == 2
+    assert out.loc[0, "n_symbols"] == 6
+    assert out.loc[0, "n_bpe_tokens"] == 2
+
+
+def test_merge_respects_word_boundary(spark):
+    # pair ('a','b') must not merge across the word separator in
+    # "...a b..." formed by adjacent words ending in a / starting in b
+    docs = spark.createDataFrame(
+        [(0, "ba ab")], "doc_id long, text string"
+    )
+    out = apply_bpe(docs, [("a", "b")]).collect()[0]
+    # 'b a | a b' -> only the in-word 'a b' merges -> 'b a | ab'
+    assert out["n_bpe_tokens"] == 3
+
+
+def test_illegal_merge_symbols_rejected(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="illegal merge"):
+        apply_bpe(docs, [("a", "|")])
+
+
+def test_default_merges_wellformed():
+    for a, b in DEFAULT_MERGES:
+        assert a and b and "|" not in a + b and " " not in a + b
+
+
+def test_symbols_shape(spark):
+    row = (
+        spark.createDataFrame([(0, "Key agg")], "doc_id long, text string")
+        .select(bpe_symbols().alias("s"))
+        .collect()[0]
+    )
+    assert row["s"] == "k e y | a g g"

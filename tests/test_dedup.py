@@ -103,3 +103,27 @@ def test_fan_out_widens_narrow_inputs_only(spark):
 
     wide = spark.range(1000).repartition(target + 4)
     assert fan_out(wide) is wide  # no-op: already at/above target
+
+
+def test_keep_best_per_cluster(spark):
+    from magmapandas_spark.operators.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (9, 5)],
+        "doc_id long, n_chars int",
+    )
+    out = (
+        keep_best_per_cluster(clusters, docs)
+        .orderBy("cluster_id")
+        .toPandas()
+        .set_index("cluster_id")
+    )
+    # quality tie 30/30 between docs 2 and 3 -> min doc_id wins
+    assert out.loc[1, "kept_doc"] == 2
+    assert out.loc[1, "n_docs"] == 3
+    assert out.loc[7, "kept_doc"] == 7
+    assert out.loc[7, "kept_quality"] == 5

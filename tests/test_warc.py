@@ -1,0 +1,71 @@
+"""WARC codec tests: round trip, length-delimited payloads with
+embedded CRLFs, malformed-input rejection, permissive quarantine."""
+
+import numpy as np
+import pytest
+
+from magmapandas_spark.operators.warc import (
+    MEDIA_WARC_SCHEMA,
+    make_synthetic_warc,
+    parse_warc_records,
+    synthetic_warc_dims,
+    synthetic_warc_media,
+    warc_encode_record,
+    warc_parse,
+)
+
+
+def test_roundtrip_single_record():
+    body = b"hello \r\n\r\n world"  # embedded separators must not split
+    data = warc_encode_record("response", "http://x/y", body, "id-1")
+    recs = warc_parse(data)
+    assert len(recs) == 1
+    assert recs[0]["warc_type"] == "response"
+    assert recs[0]["target_uri"] == "http://x/y"
+    assert recs[0]["content_length"] == len(body)
+    assert recs[0]["payload"] == body
+
+
+def test_multi_record_and_formula():
+    for i in (0, 3, 7):
+        recs = warc_parse(make_synthetic_warc(i))
+        assert len(recs) == synthetic_warc_dims(i)
+        for r, rec in enumerate(recs):
+            ln = 20 + (i * 7 + r) % 50
+            j = np.arange(ln, dtype=np.int64)
+            exp = ((i * 31 + r * 17 + j * j) % 256).astype(np.uint8)
+            assert rec["payload"] == exp.tobytes()
+
+
+def test_rejects_bad_version():
+    with pytest.raises(ValueError, match="version"):
+        warc_parse(b"HTTP/1.1 200\r\n\r\n")
+
+
+def test_rejects_missing_content_length():
+    data = b"WARC/1.0\r\nWARC-Type: x\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        warc_parse(data)
+
+
+def test_rejects_truncated_payload():
+    data = b"WARC/1.0\r\nContent-Length: 100\r\n\r\nshort"
+    with pytest.raises(ValueError, match="past end"):
+        warc_parse(data)
+
+
+def test_rejects_missing_separator():
+    data = b"WARC/1.0\r\nContent-Length: 2\r\n\r\nab"
+    with pytest.raises(ValueError, match="separator"):
+        warc_parse(data)
+
+
+def test_spark_parse_and_permissive(spark):
+    out = parse_warc_records(synthetic_warc_media(spark, 8)).toPandas()
+    assert len(out) == sum(synthetic_warc_dims(i) for i in range(8))
+    rows = [(0, make_synthetic_warc(0)), (1, b"garbage")]
+    media = spark.createDataFrame(rows, MEDIA_WARC_SCHEMA)
+    perm = parse_warc_records(media, permissive=True).toPandas()
+    bad = perm[perm["error"].notna()]
+    assert set(bad["file_id"]) == {1}
+    assert len(perm[perm["error"].isna()]) == synthetic_warc_dims(0)
