@@ -100,30 +100,33 @@ def bloom_flag_docs(
     ``k`` positions are all set in the benchmark filter.
 
     Plan shape: benchmark → positions (tiny, broadcast); corpus →
-    (id, ngram, position) explode → broadcast LEFT SEMI per position →
-    count hits per (id, ngram) == k → count flagged n-grams per doc.
-    The corpus side shuffles only (id, ngram-hash-sized) rows for the
-    final per-doc count; document text never moves.
+    (id, p_0..p_{k-1}) one row per n-gram → k CHAINED broadcast
+    left-semi joins (one per probe position) → per-doc count. The
+    chain is the Bloom AND: an n-gram survives only if every p_j is
+    in the set, and each semi join short-circuits the misses before
+    the next probe — no explode, no (id, ngram-string) shuffle; the
+    only corpus-side shuffle is the final per-doc count of (id) rows.
 
     Returns (id, n_flagged) for flagged docs only."""
     positions = bench_bit_positions(
         bench, id_col, text_col, n, m_bits, k
     )
     cng = _ngram_relation(corpus, id_col, text_col, n)
-    probes = cng.select(
-        id_col, "ng",
-        F.explode(
-            F.array(*[_position(F.col("ng"), j, m_bits) for j in range(k)])
-        ).alias("p"),
+    survivors = cng.select(
+        id_col,
+        *[
+            _position(F.col("ng"), j, m_bits).alias(f"p{j}")
+            for j in range(k)
+        ],
     )
-    hits = probes.join(F.broadcast(positions), on="p", how="left_semi")
-    flagged_ngrams = (
-        hits.groupBy(id_col, "ng")
-        .agg(F.count(F.lit(1)).alias("nhit"))
-        .filter(F.col("nhit") == k)
-    )
+    for j in range(k):
+        survivors = survivors.join(
+            F.broadcast(positions.withColumnRenamed("p", f"p{j}")),
+            on=f"p{j}",
+            how="left_semi",
+        )
     return (
-        flagged_ngrams.groupBy(id_col)
+        survivors.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_flagged"))
     )
 
