@@ -494,3 +494,101 @@ def chunk_text(
         F.length("c.chunk").cast("int").alias("chunk_len"),
     )
     return out
+
+
+def mixture_schedule(
+    docs: DataFrame,
+    weights: dict[str, int],
+    stratum_col: str = "lang",
+    size_col: str = "n_chars",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture scheduling — compute, then APPLY, the per-stratum
+    keep rates that hit a target mixture (Pile/Dolma-style domain
+    weighting) without upsampling any stratum.
+
+    The schedule: find the binding stratum (the one whose token supply
+    runs out first relative to its weight, i.e. min tokens_s/w_s with
+    a deterministic stratum-name tie-break), size every other stratum
+    off it — ``rate_permille_s = min(1000, (1000 · T* · w_s) div
+    (w* · tokens_s))`` — and keep docs via the same salted-hash
+    permille filter as :func:`stratified_sample`, so the kept set is
+    scan-local-deterministic and stable under rate changes to other
+    strata.
+
+    All decision arithmetic is INTEGER (ratios ordered by a scaled
+    integer quotient, rates by bigint multiply-then-div), so any
+    engine agrees on every rate and every kept doc. The bigint
+    products hold to ~1e15 tokens per stratum; past that, pre-scale
+    ``tokens`` to token-millions before the formula (quotients at
+    permille precision are unaffected) or lift the products to
+    decimal(38,0).
+
+    Strata absent from ``weights`` get weight 0 → rate 0 → dropped.
+
+    Returns one row per stratum:
+    (stratum, weight, tokens, rate_permille, n_kept, kept_tokens)."""
+    w_expr = F.lit(0)
+    for value, wt in sorted(weights.items()):
+        if wt < 0:
+            raise ValueError(f"negative weight for {value!r}")
+        w_expr = F.when(
+            F.col(stratum_col) == value, F.lit(wt)
+        ).otherwise(w_expr)
+    sizes = docs.groupBy(stratum_col).agg(
+        F.sum(F.col(size_col).cast("bigint")).alias("tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).withColumn("w", w_expr)
+    # binding stratum: min scaled quotient (tokens*1e6 div w), name
+    # tie-break — consistent cross-engine because both order the same
+    # integers
+    ref = (
+        sizes.filter(F.col("w") > 0)
+        .select(
+            F.col("tokens").alias("ref_tokens"),
+            F.col("w").alias("ref_w"),
+            F.expr("(tokens * 1000000) div w").alias("q"),
+            F.col(stratum_col).alias("ref_stratum"),
+        )
+        .orderBy("q", "ref_stratum")
+        .limit(1)
+    )
+    rates = sizes.crossJoin(F.broadcast(ref)).select(
+        stratum_col,
+        "w",
+        "tokens",
+        F.when(F.col("w") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(1000),
+                F.expr(
+                    "(1000 * ref_tokens * w) div (ref_w * tokens)"
+                ),
+            )
+        )
+        .alias("rate_permille"),
+    )
+    kept = (
+        docs.join(
+            F.broadcast(rates.select(stratum_col, "rate_permille")),
+            on=stratum_col,
+        )
+        .filter(sample_hash(F.col(key_col), salt) < F.col("rate_permille"))
+        .groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col(size_col).cast("bigint")).alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, on=stratum_col, how="left")
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            F.col("w").alias("weight"),
+            "tokens",
+            "rate_permille",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+    )

@@ -1063,3 +1063,86 @@ FROM ranked
 GROUP BY cluster_id
 ORDER BY cluster_id
 """
+
+
+# ----------------------------------------------------------------------
+# MinHash similarity ESTIMATION (the estimator the LSH thresholds are
+# derived from, surfaced as a value)
+# ----------------------------------------------------------------------
+
+def minhash_jaccard_estimate(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle: int = 5,
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """Per-pair Jaccard ESTIMATE from minhash signature agreement —
+    E[agree/n] = J(A,B), the identity LSH banding is built on. The
+    cheap middle ground between raw candidates (no score) and
+    ``jaccard_verify_pairs`` (exact but re-joins the shingle relation):
+    signatures are n ints per doc, so the estimate costs two
+    candidate-bounded equi-joins on doc id and ZERO text/shingle
+    access — at 100 TB this scores a billion candidate pairs without
+    touching the corpus again.
+
+    Returns (id1, id2, n_agree, est_jaccard)."""
+    sigs = minhash_signatures(
+        shingle_df(docs, id_col, text_col, shingle),
+        id_col, n_hashes, hash_strategy,
+    )
+    a = sigs.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)],
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)],
+    )
+    joined = pairs.join(a, "id1").join(b, "id2")
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return joined.select(
+        "id1", "id2",
+        agree.alias("n_agree"),
+        F.round(agree / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
+    )
+
+
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: signature-agreement Jaccard estimates for the gate
+    candidate pairs (md5 strategy → exact oracle)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    pairs = _gate_pairs(spark, sf_dir)
+    return minhash_jaccard_estimate(
+        docs, pairs, hash_strategy="md5"
+    ).orderBy("id1", "id2")
+
+
+def sql_minhash_jaccard_est(
+    n_hashes: int = 32, bands: int = 8, shingle: int = 5
+) -> str:
+    """Oracle: the pair/signature CTEs + the identical agreement sum."""
+    ctes = _minhash_pair_ctes(
+        n_hashes, bands, shingle, where_extra=" AND doc_id < 500"
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH {ctes}
+SELECT p.id1, p.id2,
+       {agree} AS n_agree,
+       ROUND(({agree}) / {float(n_hashes)}, 6) AS est_jaccard
+FROM pairs p
+JOIN sigs a ON p.id1 = a.doc_id
+JOIN sigs b ON p.id2 = b.doc_id
+ORDER BY p.id1, p.id2
+"""

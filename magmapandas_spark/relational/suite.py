@@ -364,6 +364,10 @@ _GATE_ORDER = [
     "tfidf_search",
     "warc_records",
     "dedup_keep_best",
+    "kmv_distinct",
+    "minhash_jaccard_est",
+    "host_quota",
+    "mixture_schedule",
     # changed this round — re-verify
     "lm_quality",      # decimal-sum avg_nll
     "wav_chunks",      # all-channel energy (mono output unchanged)
@@ -406,10 +410,6 @@ _GATE_ORDER = [
     "ilmenite_speciation",
     "plag_endmembers",
     "feo_fe2o3_split",
-    "calibration_flags",
-    "fe3fe2_deng2020",
-    "kd_toplis_iteration",
-    "melt_describe",
 ]
 
 

@@ -23,13 +23,82 @@ from magmapandas_spark.operators.tfidf import (
     SQL_TFIDF_SEARCH,
     q_tfidf_search,
 )
+from pyspark.sql import DataFrame, SparkSession
+
+from magmapandas_spark.operators.dedup import (
+    q_minhash_jaccard_est,
+    sql_minhash_jaccard_est,
+)
+from magmapandas_spark.operators.sketches import (
+    SQL_KMV_DISTINCT,
+    q_kmv_distinct,
+)
 from magmapandas_spark.operators.warc import SQL_WARC_RECORDS, q_warc_records
 from magmapandas_spark.operators.webcorpus import (
+    SQL_HOST_QUOTA,
     SQL_PII_SCAN,
     SQL_URL_CANONICAL,
+    q_host_quota,
     q_pii_scan,
     q_url_canonical,
 )
+
+#: Target mixture for the gate's domain-weighting query: English 40%,
+#: every other language 15%.
+_MIX_WEIGHTS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+
+
+def q_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture scheduling over the documents table: per-lang
+    keep rates toward a 40/15/15/15/15 target (no upsampling), plus
+    the deterministically kept doc/token counts those rates produce."""
+    from magmapandas_spark.operators.curation import mixture_schedule
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_schedule(docs, _MIX_WEIGHTS).orderBy("stratum")
+
+
+_SQL_MIX_W = (
+    "CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15 WHEN 'es' THEN 15 "
+    "WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 ELSE 0 END"
+)
+
+SQL_MIXTURE_SCHEDULE = f"""
+WITH sizes AS (
+  SELECT lang, SUM(CAST(n_chars AS BIGINT)) AS tokens,
+         {_SQL_MIX_W} AS w
+  FROM documents GROUP BY lang
+),
+ref AS (
+  SELECT tokens AS ref_tokens, w AS ref_w
+  FROM sizes WHERE w > 0
+  ORDER BY (tokens * 1000000) // w, lang LIMIT 1
+),
+rates AS (
+  SELECT lang, w, tokens,
+         CASE WHEN w = 0 THEN 0
+              ELSE LEAST(1000,
+                (1000 * ref_tokens * w) // (ref_w * tokens)) END
+           AS rate_permille
+  FROM sizes, ref
+),
+kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept,
+         SUM(CAST(d.n_chars AS BIGINT)) AS kept_tokens
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+          ::BIGINT % 1000 < r.rate_permille
+  GROUP BY d.lang
+)
+SELECT r.lang AS stratum,
+       r.w AS weight,
+       r.tokens,
+       r.rate_permille,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+ORDER BY stratum
+"""
 
 
 def queries():
@@ -41,6 +110,10 @@ def queries():
         "tfidf_search": q_tfidf_search,
         "warc_records": q_warc_records,
         "dedup_keep_best": q_dedup_keep_best,
+        "kmv_distinct": q_kmv_distinct,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "host_quota": q_host_quota,
+        "mixture_schedule": q_mixture_schedule,
     }
 
 
@@ -53,4 +126,8 @@ def oracle_sql():
         "tfidf_search": SQL_TFIDF_SEARCH,
         "warc_records": SQL_WARC_RECORDS,
         "dedup_keep_best": sql_dedup_keep_best(),
+        "kmv_distinct": SQL_KMV_DISTINCT,
+        "minhash_jaccard_est": sql_minhash_jaccard_est(),
+        "host_quota": SQL_HOST_QUOTA,
+        "mixture_schedule": SQL_MIXTURE_SCHEDULE,
     }

@@ -248,3 +248,42 @@ def test_chunk_text_multibyte_codepoints(spark):
     assert out[1]["chunk"] == text[30:70]
     assert out[2]["chunk"] == text[60:100]
     assert out[2]["chunk_len"] == 40
+
+
+def test_mixture_schedule_semantics(spark):
+    from magmapandas_spark.operators.curation import mixture_schedule
+
+    rows = (
+        [(i, "en", 100) for i in range(40)]
+        + [(100 + i, "de", 100) for i in range(10)]
+        + [(200 + i, "xx", 100) for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars int")
+    out = (
+        mixture_schedule(docs, {"en": 50, "de": 50})
+        .orderBy("stratum")
+        .toPandas()
+        .set_index("stratum")
+    )
+    # de is binding (1000 tokens / weight 50 < 4000/50): rate 1000
+    assert out.loc["de", "rate_permille"] == 1000
+    assert out.loc["de", "n_kept"] == 10  # full stratum kept
+    # en sized to de's supply: (1000*1000*50) div (50*4000) = 250
+    assert out.loc["en", "rate_permille"] == 250
+    # unweighted stratum dropped entirely
+    assert out.loc["xx", "rate_permille"] == 0
+    assert out.loc["xx", "n_kept"] == 0
+    # kept counts are the deterministic hash filter's output
+    assert 0 < out.loc["en", "n_kept"] < 40
+
+
+def test_mixture_schedule_rejects_negative_weight(spark):
+    from magmapandas_spark.operators.curation import mixture_schedule
+
+    docs = spark.createDataFrame(
+        [(0, "en", 10)], "doc_id long, lang string, n_chars int"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="negative weight"):
+        mixture_schedule(docs, {"en": -1})

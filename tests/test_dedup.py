@@ -127,3 +127,33 @@ def test_keep_best_per_cluster(spark):
     assert out.loc[1, "n_docs"] == 3
     assert out.loc[7, "kept_doc"] == 7
     assert out.loc[7, "kept_quality"] == 5
+
+
+def test_minhash_jaccard_estimate_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "completely different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id1 long, id2 long"
+    )
+    out = (
+        minhash_jaccard_estimate(docs, pairs)
+        .orderBy("id1", "id2")
+        .toPandas()
+    )
+    # identical docs -> identical signatures -> estimate exactly 1
+    assert out.loc[0, "n_agree"] == 32
+    assert out.loc[0, "est_jaccard"] == 1.0
+    # disjoint shingle sets -> estimate near 0
+    assert out.loc[1, "est_jaccard"] < 0.2

@@ -1,0 +1,46 @@
+"""KMV sketch semantics: exact below k, estimator accuracy above k,
+mergeability-by-construction (order statistics of a deterministic
+hash)."""
+
+import pytest
+
+from magmapandas_spark.operators.sketches import kmv_distinct
+
+
+def test_exact_branch_below_k(spark):
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)], "g string, v long"
+    )
+    out = kmv_distinct(df, "g", "v", k=64).toPandas()
+    assert out.loc[0, "n_exact"] == 7
+    assert out.loc[0, "kmv_estimate"] == 7.0
+    assert out.loc[0, "rel_error"] == 0.0
+
+
+def test_estimator_branch_accuracy(spark):
+    n = 5000
+    df = spark.createDataFrame(
+        [("a", i) for i in range(n)], "g string, v long"
+    )
+    out = kmv_distinct(df, "g", "v", k=256).toPandas()
+    assert out.loc[0, "n_exact"] == n
+    # KMV with k=256 has ~1/sqrt(k-2) ≈ 6% std error; 25% is a very
+    # safe determinism-insensitive bound
+    assert abs(out.loc[0, "kmv_estimate"] - n) / n < 0.25
+
+
+def test_estimate_is_subset_stable(spark):
+    # the bottom-k set of a subset is a superset-prefix: estimates for
+    # the same group/values must be identical across partitionings
+    rows = [("a", i * 17 % 1000) for i in range(3000)]
+    df1 = spark.createDataFrame(rows, "g string, v long").repartition(2)
+    df2 = spark.createDataFrame(rows, "g string, v long").repartition(13)
+    e1 = kmv_distinct(df1, "g", "v").toPandas()
+    e2 = kmv_distinct(df2, "g", "v").toPandas()
+    assert e1.equals(e2)
+
+
+def test_k_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(df, "g", "v", k=1)

@@ -81,3 +81,13 @@ def test_canonicalize_urls_hosts_and_domains(spark):
     assert (out["domain"] == "site" + (out["doc_id"] % 50).astype(str)
             + ".com").all()
     assert not out["canonical_url"].str.contains("utm_|#|:443|:80").any()
+
+
+def test_host_quota_keeps_lowest_ids(spark):
+    from magmapandas_spark.operators.webcorpus import enforce_host_quota
+
+    rows = [(i, f"h{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = enforce_host_quota(df, quota=3).toPandas()
+    kept = out.groupby("host")["doc_id"].apply(sorted).to_dict()
+    assert kept == {"h0": [0, 2, 4], "h1": [1, 3, 5]}
