@@ -1146,3 +1146,90 @@ JOIN sigs a ON p.id1 = a.doc_id
 JOIN sigs b ON p.id2 = b.doc_id
 ORDER BY p.id1, p.id2
 """
+
+
+# ----------------------------------------------------------------------
+# Exact-substring duplication (the ExactSubstr shape: docs sharing a
+# verbatim k-char run)
+# ----------------------------------------------------------------------
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing at least one VERBATIM ``k``-character
+    substring, with the count of shared distinct k-grams — the
+    exact-substring dedup signal (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", reduced from
+    suffix-array form to its k-gram-join core, which is the shape that
+    distributes).
+
+    Plan: distinct k-grams per doc built array-locally (shingle_df),
+    immediately hashed to a 60-bit integer so the shuffle/join key is
+    8 bytes instead of k chars, grouped to duplicated grams only
+    (``count ≥ 2`` prunes the unique mass — at 100 TB that is ~all of
+    it) and self-joined within groups. The hash is md5-derived, so the
+    DuckDB oracle replays every step; a 60-bit collision can
+    over-count a pair (~1e-18 per gram pair) — compose with
+    jaccard_verify_pairs when the decision needs to be exact.
+
+    Returns (id1, id2, n_shared)."""
+    sh = shingle_df(docs, id_col, text_col, n=k)
+    hashed = sh.select(
+        F.col(id_col), _md5_60(F.col("sh")).alias("h")
+    )
+    # duplicated grams only, THEN the in-group pair join; checkpoint —
+    # the relation feeds both sides of the self-join and AQE defeats
+    # ReuseExchange on self-joins (same failure mode as the LSH band
+    # join)
+    dup = (
+        hashed.join(
+            hashed.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("h"),
+            on="h",
+            how="left_semi",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = dup.select(F.col("h"), F.col(id_col).alias("id1"))
+    b = dup.select(F.col("h"), F.col(id_col).alias("id2"))
+    return (
+        a.join(b, on="h")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def q_exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: verbatim 50-char-run duplication over the gate doc
+    slice."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    return exact_substring_pairs(docs, k=50).orderBy("id1", "id2")
+
+
+def sql_exact_substring_dups(k: int = 50) -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), {k}) AS sh
+  FROM documents, UNNEST(range(1, len(text) - {k - 2})) AS t(i)
+  WHERE len(text) >= {k} AND doc_id < 500
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh
+),
+dup AS (
+  SELECT doc_id, h FROM hashed
+  WHERE h IN (SELECT h FROM hashed GROUP BY h HAVING COUNT(*) >= 2)
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+FROM dup a JOIN dup b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY id1, id2
+"""

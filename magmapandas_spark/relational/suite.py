@@ -368,6 +368,8 @@ _GATE_ORDER = [
     "minhash_jaccard_est",
     "host_quota",
     "mixture_schedule",
+    "quality_ensemble",
+    "exact_substring_dups",
     # changed this round — re-verify
     "lm_quality",      # decimal-sum avg_nll
     "wav_chunks",      # all-channel energy (mono output unchanged)
@@ -408,8 +410,6 @@ _GATE_ORDER = [
     "thermometers_multi2",
     "magnetite_speciation",
     "ilmenite_speciation",
-    "plag_endmembers",
-    "feo_fe2o3_split",
 ]
 
 

@@ -65,7 +65,7 @@ _SQL_MIX_W = (
 
 SQL_MIXTURE_SCHEDULE = f"""
 WITH sizes AS (
-  SELECT lang, SUM(CAST(n_chars AS BIGINT)) AS tokens,
+  SELECT lang, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS tokens,
          {_SQL_MIX_W} AS w
   FROM documents GROUP BY lang
 ),
@@ -84,7 +84,7 @@ rates AS (
 ),
 kept AS (
   SELECT d.lang, COUNT(*) AS n_kept,
-         SUM(CAST(d.n_chars AS BIGINT)) AS kept_tokens
+         CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS kept_tokens
   FROM documents d JOIN rates r ON d.lang = r.lang
   WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
           ::BIGINT % 1000 < r.rate_permille
@@ -101,6 +101,59 @@ ORDER BY stratum
 """
 
 
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ENSEMBLE — the composed keep/drop verdict a real
+    pipeline ships: Gopher repetition flags ⋈ unigram-LM perplexity ⋈
+    length/OOV heuristics, one boolean per doc. Thresholds are
+    literals; the OOV test is integer arithmetic (oov·5 ≤ n_tokens)
+    and the avg_nll test compares the decimal-summed rounded value, so
+    the verdict is engine-independent. Both signal pipelines are
+    scan-local; the ensemble adds one join on doc_id."""
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.curation import (
+        lm_quality_score,
+        repetition_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = repetition_scores(docs).select(
+        "doc_id", "repetitive", "max_word_run"
+    )
+    lm = lm_quality_score(docs).select(
+        "doc_id", "n_tokens", "oov_count", "avg_nll"
+    )
+    j = rep.join(lm, on="doc_id")
+    keep = (
+        (~F.col("repetitive"))
+        & (F.col("avg_nll") <= 1.478)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("oov_count") * 5 <= F.col("n_tokens"))
+    )
+    return j.select(
+        "doc_id", "repetitive", "max_word_run", "n_tokens",
+        "oov_count", "avg_nll", keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _sql_quality_ensemble() -> str:
+    from magmapandas_spark.operators.curation import (
+        SQL_LM_QUALITY,
+        SQL_REPETITION_SCORES,
+    )
+
+    return f"""
+SELECT r.doc_id, r.repetitive, r.max_word_run, q.n_tokens,
+       q.oov_count, q.avg_nll,
+       ((NOT r.repetitive) AND q.avg_nll <= 1.478
+        AND q.n_tokens >= 20
+        AND q.oov_count * 5 <= q.n_tokens) AS keep
+FROM ({SQL_REPETITION_SCORES}) r
+JOIN ({SQL_LM_QUALITY}) q ON r.doc_id = q.doc_id
+ORDER BY r.doc_id
+"""
+
+
 def queries():
     return {
         "pii_scan": q_pii_scan,
@@ -114,6 +167,10 @@ def queries():
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "host_quota": q_host_quota,
         "mixture_schedule": q_mixture_schedule,
+        "quality_ensemble": q_quality_ensemble,
+        "exact_substring_dups": __import__(
+            "magmapandas_spark.operators.dedup", fromlist=["x"]
+        ).q_exact_substring_dups,
     }
 
 
@@ -130,4 +187,8 @@ def oracle_sql():
         "minhash_jaccard_est": sql_minhash_jaccard_est(),
         "host_quota": SQL_HOST_QUOTA,
         "mixture_schedule": SQL_MIXTURE_SCHEDULE,
+        "quality_ensemble": _sql_quality_ensemble(),
+        "exact_substring_dups": __import__(
+            "magmapandas_spark.operators.dedup", fromlist=["x"]
+        ).sql_exact_substring_dups(),
     }

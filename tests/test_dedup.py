@@ -157,3 +157,20 @@ def test_minhash_jaccard_estimate_bounds(spark):
     assert out.loc[0, "est_jaccard"] == 1.0
     # disjoint shingle sets -> estimate near 0
     assert out.loc[1, "est_jaccard"] < 0.2
+
+
+def test_exact_substring_pairs(spark):
+    from magmapandas_spark.operators.dedup import exact_substring_pairs
+
+    shared = "X" * 30 + "abcdefghij" * 2  # 50-char shared run
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " tail-a"),
+            (2, "other start " + shared + " tail-b"),
+            (3, "no overlap with anything else at all " + "Y" * 60),
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_substring_pairs(docs, k=50).toPandas()
+    assert set(zip(out["id1"], out["id2"])) == {(1, 2)}
+    assert out.loc[0, "n_shared"] >= 1
