@@ -297,3 +297,58 @@ def streaming_dedup_ingest(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+# ---------------------------------------------------------------------
+# Streaming corpus scrubbing (round 5): the web-corpus hygiene tier is
+# expression-only, so it applies to a document STREAM unchanged — the
+# ingest-time shape (scrub pages as they land, not in a nightly batch).
+# ---------------------------------------------------------------------
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (symlink-staged
+    like read_events_stream — testdata is read-only)."""
+    import hashlib
+    import os
+
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    stage = os.path.join(
+        "/tmp",
+        f"docs_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return spark.readStream.schema(_DOCS_SCHEMA).parquet(stage)
+
+
+def scrub_documents(docs: DataFrame) -> DataFrame:
+    """Streaming-safe corpus scrub: PII inventory + redaction plus the
+    scan-local quality signals (token count, langid-independent length
+    sanity). Stateless projection — no watermark, no state store; at
+    ingest scale this is the map stage every arriving page flows
+    through before it ever lands in the lake."""
+    from magmapandas_spark.operators.curation import word_tokens
+    from magmapandas_spark.operators.webcorpus import scan_pii
+
+    pii = scan_pii(docs)
+    toks = docs.select(
+        "doc_id", "lang", F.size(word_tokens("text")).alias("n_words"),
+        F.length("text").alias("len_chars"),
+    )
+    return pii.join(toks, on="doc_id").select(
+        "doc_id", "lang", "n_words", "len_chars",
+        "n_emails", "n_phones", "n_ipv4", "redacted",
+    )

@@ -149,3 +149,16 @@ def test_running_user_totals_foreachbatch_exact(spark, batch_events):
         (merged["total_value_got"] - merged["total_value_exp"]).abs()
         < 1e-9
     ).all()
+
+
+def test_scrub_documents_stream_matches_batch(spark):
+    """Round-5 streaming twin: the PII/quality scrub projection over a
+    document stream equals the batch scrub exactly (stateless map —
+    micro-batch boundaries cannot perturb it)."""
+    stream_docs = streams.read_documents_stream(spark, SF_DIR)
+    got = run_foreach_batch_parquet(
+        streams.scrub_documents(stream_docs), "append", spark, "append"
+    ).drop(columns=["__batch_id"], errors="ignore")
+    batch_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exp = streams.scrub_documents(batch_docs).toPandas()
+    pd.testing.assert_frame_equal(normalize(got), normalize(exp))
