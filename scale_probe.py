@@ -100,6 +100,8 @@ SHAPES = [
     "thermometer_projection",
     "saturation_solver",
     "pricing_aggregate",
+    "bpe_encode",
+    "bloom_decontaminate",
     "minhash_pipeline",
     "cc_distributed",
 ]
@@ -115,6 +117,12 @@ def run_shapes(spark, sf_dir: str) -> dict[str, float]:
         "minhash_pipeline": qs["minhash_lsh_xxhash"],
         "cc_distributed": qs["dedup_clusters_distributed"],
         "pricing_aggregate": qs["pricing_summary"],
+        # round-5 shapes: the whole-stage-codegen replace/regex chain
+        # (pure scan-local — the null hypothesis for linear scaling)
+        # and the broadcast-semi-join Bloom probe whose corpus side
+        # must never shuffle
+        "bpe_encode": qs["bpe_tokens"],
+        "bloom_decontaminate": qs["bloom_decontaminate"],
     }
     out: dict[str, float] = {}
 
