@@ -925,3 +925,241 @@ SELECT qid, cid, ROUND(cos, 4) AS cos FROM (
 ) WHERE rn <= {k}
 ORDER BY qid, rn
 """
+
+
+# ----------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-vector ANN standard at
+# 100 TB scale (Jégou et al. 2011): vectors are split into M subspaces,
+# each quantized to a small per-subspace codebook, and distances are
+# approximated from the M codes via asymmetric distance computation
+# (ADC). Storage per vector drops from d floats to M small ints — the
+# property that lets a billion-vector index fit in memory.
+#
+# Two forms, same discipline as IVF:
+# - pq_seeded: codebook = corpus rows (literal seed ids), encode and
+#   ADC are pure Column expressions with fixed-order left folds → the
+#   whole pipeline has an exact DuckDB twin (gate vehicle);
+# - pq_encode_arrow: the production encode — one mapInPandas pass with
+#   the codebook broadcast as numpy, O(N·M·ksub) vectorized argmin,
+#   unit-tested to agree exactly with the relational encode.
+# ----------------------------------------------------------------------
+
+def _subdist(a, b, m: int, dsub: int = 8):
+    """Squared L2 over subspace m (dims m·dsub+1..(m+1)·dsub, 1-based
+    slice) — 0.0-seeded left fold, bit-matching the SQL twin."""
+    sa = F.slice(a, m * dsub + 1, dsub)
+    sb = F.slice(b, m * dsub + 1, dsub)
+    d = F.zip_with(
+        sa, sb,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_seeded(
+    corpus: DataFrame,
+    seed_ids: list[int],
+    query_pred,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 8,
+    dsub: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """PQ ANN with a seeded codebook (centroids = the corpus rows in
+    ``seed_ids``, shared across subspaces — the sampled-rows bootstrap;
+    a Lloyd-fitted codebook improves recall but exercises identical
+    search machinery).
+
+    Encode: one crossJoin against the broadcast seed set, exploded over
+    subspaces, argmin-window per (vector, subspace) → M codes per
+    vector, pivoted to columns. ADC: queries cross the (tiny-per-row)
+    code relation; the approximate distance is a FIXED-ORDER sum of M
+    subspace lookups, so no float ever sums in partition order.
+
+    Returns (qid, cid, adc, rn ≤ k)."""
+    seeds = corpus.filter(F.col(id_col).isin(seed_ids)).select(
+        F.col(id_col).alias("seed_id"), F.col(vec_col).alias("svec")
+    )
+    base = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    long = (
+        base.crossJoin(F.broadcast(seeds))
+        .select(
+            "cid", "seed_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        _subdist(
+                            F.col("cvec"), F.col("svec"), m, dsub
+                        ).alias("sd"),
+                    )
+                    for m in range(n_sub)
+                ])
+            ).alias("e"),
+        )
+        .select("cid", "seed_id", F.col("e.m").alias("m"),
+                F.col("e.sd").alias("sd"))
+    )
+    w = Window.partitionBy("cid", "m").orderBy("sd", "seed_id")
+    codes = (
+        long.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("cid")
+        .agg(*[
+            F.max(F.when(F.col("m") == m, F.col("seed_id"))).alias(
+                f"c{m}"
+            )
+            for m in range(n_sub)
+        ])
+    )
+    for m in range(n_sub):
+        codes = codes.join(
+            F.broadcast(
+                seeds.select(
+                    F.col("seed_id").alias(f"c{m}"),
+                    F.col("svec").alias(f"s{m}"),
+                )
+            ),
+            on=f"c{m}",
+        )
+    q = corpus.filter(query_pred).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    adc = _subdist(F.col("qvec"), F.col("s0"), 0, dsub)
+    for m in range(1, n_sub):
+        adc = adc + _subdist(F.col("qvec"), F.col(f"s{m}"), m, dsub)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", adc.alias("adc"))
+    )
+    wk = Window.partitionBy("qid").orderBy("adc", "cid")
+    return scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= k
+    )
+
+
+def pq_encode_arrow(
+    corpus: DataFrame,
+    codebook,  # numpy (ksub, d) — sub-sliced per subspace
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 8,
+    dsub: int = 8,
+) -> DataFrame:
+    """Production PQ encode: one Arrow pass, vectorized argmin against
+    the broadcast codebook — the O(N·ksub·d) shape that encodes a
+    100 TB corpus scan-locally (codes are M small ints per vector; at
+    ksub ≤ 256 that is M bytes). Ties broken toward the lowest
+    codebook row, matching the relational encode exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cb = np.asarray(codebook, dtype=np.float64)
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType())]
+        + [T.StructField(f"c{m}", T.IntegerType()) for m in range(n_sub)]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out = {id_col: pdf[id_col].to_numpy()}
+            for m in range(n_sub):
+                sl = slice(m * dsub, (m + 1) * dsub)
+                # (N, ksub) squared distances in subspace m
+                diff = vecs[:, None, sl] - cb[None, :, sl]
+                d2 = (diff * diff).sum(axis=2)
+                out[f"c{m}"] = d2.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+
+
+_PQ_SEED_IDS = [200 + 7 * i for i in range(16)]
+
+
+def q_pq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: PQ/ADC top-5 for the first 20 query vectors, seeded
+    16-row codebook — encode, code pivot and the asymmetric distance
+    all under the hash."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pq_seeded(emb, _PQ_SEED_IDS, F.col("vec_id") < 20, k=5)
+    from magmapandas_spark.relational.suite import heavy_sorted
+
+    return heavy_sorted(
+        out.select("qid", "rn", "cid", F.round("adc", 4).alias("adc")),
+        "qid", "rn",
+    ).drop("rn")
+
+
+def _sql_subdist(a: str, b: str, m: int, dsub: int = 8) -> str:
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(m * dsub + 1, (m + 1) * dsub + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def sql_pq_topk_seeded(
+    n_sub: int = 8, dsub: int = 8, k: int = 5
+) -> str:
+    ids = ", ".join(str(i) for i in _PQ_SEED_IDS)
+    code_blocks = " UNION ALL ".join(
+        f"""SELECT cid, {m} AS m, seed_id FROM (
+      SELECT e.vec_id AS cid, s.seed_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_subdist('e.embedding', 's.svec', m, dsub)},
+                        s.seed_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN seeds s
+    ) WHERE rn = 1"""
+        for m in range(n_sub)
+    )
+    piv = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN seed_id END) AS c{m}"
+        for m in range(n_sub)
+    )
+    joins = " ".join(
+        f"JOIN seeds s{m} ON cp.c{m} = s{m}.seed_id"
+        for m in range(n_sub)
+    )
+    adc = " + ".join(
+        _sql_subdist("q.qvec", f"s{m}.svec", m, dsub)
+        for m in range(n_sub)
+    )
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS svec
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+codes AS ({code_blocks}),
+cp AS (SELECT cid, {piv} FROM codes GROUP BY cid),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id < 20
+),
+scored AS (
+  SELECT q.qid, cp.cid, ({adc}) AS adc
+  FROM q CROSS JOIN cp {joins}
+  WHERE q.qid <> cp.cid
+),
+ranked AS (
+  SELECT qid, cid, adc,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
+  FROM scored
+)
+SELECT qid, cid, ROUND(adc, 4) AS adc
+FROM ranked WHERE rn <= {k}
+ORDER BY qid, rn
+"""

@@ -370,6 +370,7 @@ _GATE_ORDER = [
     "mixture_schedule",
     "quality_ensemble",
     "exact_substring_dups",
+    "pq_topk_seeded",
     # changed this round — re-verify
     "lm_quality",      # decimal-sum avg_nll
     "wav_chunks",      # all-channel energy (mono output unchanged)
@@ -409,7 +410,6 @@ _GATE_ORDER = [
     "melt_structure",
     "thermometers_multi2",
     "magnetite_speciation",
-    "ilmenite_speciation",
 ]
 
 

@@ -168,6 +168,9 @@ def queries():
         "host_quota": q_host_quota,
         "mixture_schedule": q_mixture_schedule,
         "quality_ensemble": q_quality_ensemble,
+        "pq_topk_seeded": __import__(
+            "magmapandas_spark.operators.similarity", fromlist=["x"]
+        ).q_pq_topk_seeded,
         "exact_substring_dups": __import__(
             "magmapandas_spark.operators.dedup", fromlist=["x"]
         ).q_exact_substring_dups,
@@ -188,6 +191,9 @@ def oracle_sql():
         "host_quota": SQL_HOST_QUOTA,
         "mixture_schedule": SQL_MIXTURE_SCHEDULE,
         "quality_ensemble": _sql_quality_ensemble(),
+        "pq_topk_seeded": __import__(
+            "magmapandas_spark.operators.similarity", fromlist=["x"]
+        ).sql_pq_topk_seeded(),
         "exact_substring_dups": __import__(
             "magmapandas_spark.operators.dedup", fromlist=["x"]
         ).sql_exact_substring_dups(),

@@ -105,3 +105,48 @@ def test_write_ivf_index_bucketed_probe(spark):
         assert "Bucketed: true" in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+
+
+def test_pq_encode_arrow_matches_reference(spark):
+    """Arrow PQ encode == an independent pure-python argmin (ties to
+    the lowest codebook row, the relational encode's tie-break)."""
+    import numpy as np
+
+    from magmapandas_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    seeds = (
+        emb.filter(F.col("vec_id").isin(sim._PQ_SEED_IDS))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cb = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seeds]
+    )
+    sample = emb.filter(F.col("vec_id") < 50)
+    got = (
+        sim.pq_encode_arrow(sample, cb)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in sample.collect()}
+    for _, row in got.iterrows():
+        v = rows[row["vec_id"]]
+        for m in range(8):
+            sl = slice(m * 8, (m + 1) * 8)
+            d2 = ((v[sl] - cb[:, sl]) ** 2).sum(axis=1)
+            assert row[f"c{m}"] == int(d2.argmin())
+
+
+def test_pq_seeded_topk_is_deterministic(spark):
+    from magmapandas_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.01"
+    a = sim.q_pq_topk_seeded(spark, sf).toPandas()
+    b = sim.q_pq_topk_seeded(spark, sf).toPandas()
+    assert a.equals(b)
+    assert (a.groupby("qid").size() == 5).all()
