@@ -50,7 +50,14 @@ def kmv_distinct(
     Returns (group, n_exact, kmv_estimate, rel_error)."""
     if k < 2:
         raise ValueError("k must be ≥ 2")
-    d = df.select(group_col, value_col).distinct()
+    # NULL values are excluded (standard distinct-count semantics) —
+    # also removes a cross-engine hazard: a null hash would sort first
+    # in Spark's window but last in DuckDB's
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(group_col, value_col)
+        .distinct()
+    )
     h = (
         _md5_60(F.col(value_col).cast("string")).cast("double") / _H_SCALE
     )

@@ -235,3 +235,95 @@ FROM b
 GROUP BY file_id, rec_idx, content_length
 ORDER BY file_id, rec_idx
 """
+
+
+# ---------------------------------------------------------------------
+# Gzipped WARC — the actual Common Crawl wire format (warc.gz: each
+# file a gzip stream; decompression is stdlib zlib, the same "real
+# codec via stdlib" posture as PNG's DEFLATE)
+# ---------------------------------------------------------------------
+
+def gzip_payload(data: bytes, level: int = 6) -> bytes:
+    """Deterministic gzip member (mtime=0, no name — reproducible
+    bytes for the fixture; decode accepts any conforming member)."""
+    import zlib
+
+    co = zlib.compressobj(level, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return co.compress(data) + co.flush()
+
+
+def gunzip_payload(data: bytes) -> bytes:
+    import zlib
+
+    return zlib.decompress(data, 16 + zlib.MAX_WBITS)
+
+
+def make_synthetic_warc_gz(i: int) -> bytes:
+    return gzip_payload(make_synthetic_warc(i))
+
+
+def synthetic_warc_gz_media(spark: SparkSession, n: int = 40) -> DataFrame:
+    rows = [(i, make_synthetic_warc_gz(i)) for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_WARC_SCHEMA).coalesce(4)
+
+
+def parse_warc_gz_records(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """Decompress-then-parse: gunzip each file payload inside the same
+    mapInPandas stage, then the length-delimited record walk. One
+    narrow Arrow pass; compressed bytes never leave the executor and
+    the decompressed stream never leaves the batch."""
+    schema = _WARC_PERMISSIVE_SCHEMA if permissive else _WARC_RECORD_SCHEMA
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for fid, payload in zip(pdf["file_id"], pdf["payload"]):
+                try:
+                    recs = warc_parse(gunzip_payload(bytes(payload)))
+                except Exception as exc:  # noqa: BLE001
+                    if not permissive:
+                        raise
+                    out["file_id"].append(fid)
+                    for k in ("rec_idx", "warc_type", "target_uri",
+                              "content_length", "payload_sum"):
+                        out[k].append(None)
+                    out["error"].append(f"{type(exc).__name__}: {exc}")
+                    continue
+                for idx, rec in enumerate(recs):
+                    out["file_id"].append(fid)
+                    out["rec_idx"].append(idx)
+                    out["warc_type"].append(rec["warc_type"])
+                    out["target_uri"].append(rec["target_uri"])
+                    out["content_length"].append(rec["content_length"])
+                    out["payload_sum"].append(
+                        int(
+                            np.frombuffer(
+                                rec["payload"], dtype=np.uint8
+                            ).sum(dtype=np.int64)
+                        )
+                    )
+                    if permissive:
+                        out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema=schema)
+
+
+def q_warc_gz_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the Common Crawl wire shape — 40 warc.gz files
+    gunzipped (stdlib zlib, gzip wrapper validated) then record-parsed.
+    gzip is lossless, so the oracle is IDENTICAL to the uncompressed
+    twin: same arithmetic formula, and a decode bug anywhere in the
+    gzip→WARC chain breaks the hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        parse_warc_gz_records(synthetic_warc_gz_media(spark, 40)),
+        "file_id", "rec_idx",
+    )
+
+
+#: lossless → same oracle as the uncompressed gate
+SQL_WARC_GZ_RECORDS = SQL_WARC_RECORDS

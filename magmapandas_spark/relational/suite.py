@@ -363,6 +363,7 @@ _GATE_ORDER = [
     "bpe_tokens",
     "tfidf_search",
     "warc_records",
+    "warc_gz_records",
     "dedup_keep_best",
     "kmv_distinct",
     "minhash_jaccard_est",
@@ -402,7 +403,6 @@ _GATE_ORDER = [
     "image_decode",
     "video_frames",
     "audio_chunks",
-    "thermometers_multi",
     "fe3fe2_expr_models",
     "kd_expr_models",
     "olmelt_thermometer",

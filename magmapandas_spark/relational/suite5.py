@@ -33,7 +33,12 @@ from magmapandas_spark.operators.sketches import (
     SQL_KMV_DISTINCT,
     q_kmv_distinct,
 )
-from magmapandas_spark.operators.warc import SQL_WARC_RECORDS, q_warc_records
+from magmapandas_spark.operators.warc import (
+    SQL_WARC_GZ_RECORDS,
+    SQL_WARC_RECORDS,
+    q_warc_gz_records,
+    q_warc_records,
+)
 from magmapandas_spark.operators.webcorpus import (
     SQL_HOST_QUOTA,
     SQL_PII_SCAN,
@@ -162,6 +167,7 @@ def queries():
         "bpe_tokens": q_bpe_tokens,
         "tfidf_search": q_tfidf_search,
         "warc_records": q_warc_records,
+        "warc_gz_records": q_warc_gz_records,
         "dedup_keep_best": q_dedup_keep_best,
         "kmv_distinct": q_kmv_distinct,
         "minhash_jaccard_est": q_minhash_jaccard_est,
@@ -185,6 +191,7 @@ def oracle_sql():
         "bpe_tokens": SQL_BPE_TOKENS,
         "tfidf_search": SQL_TFIDF_SEARCH,
         "warc_records": SQL_WARC_RECORDS,
+        "warc_gz_records": SQL_WARC_GZ_RECORDS,
         "dedup_keep_best": sql_dedup_keep_best(),
         "kmv_distinct": SQL_KMV_DISTINCT,
         "minhash_jaccard_est": sql_minhash_jaccard_est(),

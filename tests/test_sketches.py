@@ -44,3 +44,11 @@ def test_k_validation(spark):
     df = spark.createDataFrame([("a", 1)], "g string, v long")
     with pytest.raises(ValueError, match="k must be"):
         kmv_distinct(df, "g", "v", k=1)
+
+
+def test_null_values_excluded(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2)], "g string, v long"
+    )
+    out = kmv_distinct(df, "g", "v").toPandas()
+    assert out.loc[0, "n_exact"] == 2

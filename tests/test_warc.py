@@ -69,3 +69,43 @@ def test_spark_parse_and_permissive(spark):
     bad = perm[perm["error"].notna()]
     assert set(bad["file_id"]) == {1}
     assert len(perm[perm["error"].isna()]) == synthetic_warc_dims(0)
+
+
+def test_gzip_roundtrip_and_spark_parse(spark):
+    from magmapandas_spark.operators.warc import (
+        gunzip_payload,
+        gzip_payload,
+        make_synthetic_warc_gz,
+        parse_warc_records,
+        parse_warc_gz_records,
+        synthetic_warc_gz_media,
+        synthetic_warc_media,
+    )
+
+    raw = make_synthetic_warc(5)
+    assert gunzip_payload(gzip_payload(raw)) == raw
+    assert gunzip_payload(make_synthetic_warc_gz(5)) == raw
+    a = (
+        parse_warc_gz_records(synthetic_warc_gz_media(spark, 10))
+        .orderBy("file_id", "rec_idx")
+        .toPandas()
+    )
+    b = (
+        parse_warc_records(synthetic_warc_media(spark, 10))
+        .orderBy("file_id", "rec_idx")
+        .toPandas()
+    )
+    assert a.equals(b)
+
+
+def test_gz_permissive_quarantines_bad_gzip(spark):
+    from magmapandas_spark.operators.warc import (
+        MEDIA_WARC_SCHEMA,
+        make_synthetic_warc_gz,
+        parse_warc_gz_records,
+    )
+
+    rows = [(0, make_synthetic_warc_gz(0)), (1, b"not gzip at all")]
+    media = spark.createDataFrame(rows, MEDIA_WARC_SCHEMA)
+    out = parse_warc_gz_records(media, permissive=True).toPandas()
+    assert set(out[out["error"].notna()]["file_id"]) == {1}

@@ -91,3 +91,14 @@ def test_host_quota_keeps_lowest_ids(spark):
     out = enforce_host_quota(df, quota=3).toPandas()
     kept = out.groupby("host")["doc_id"].apply(sorted).to_dict()
     assert kept == {"h0": [0, 2, 4], "h1": [1, 3, 5]}
+
+
+def test_scan_pii_null_text_propagates(spark):
+    """NULL text propagates to null counts/redaction (documented
+    contract; the SQL twin behaves identically by construction)."""
+    df = spark.createDataFrame(
+        [(0, None), (1, "a@b.io")], "doc_id long, text string"
+    )
+    out = scan_pii(df).orderBy("doc_id").toPandas()
+    assert pd.isna(out.loc[0, "n_emails"]) and pd.isna(out.loc[0, "redacted"])
+    assert out.loc[1, "n_emails"] == 1
