@@ -368,6 +368,7 @@ _GATE_ORDER = [
     "kmv_distinct",
     "minhash_jaccard_est",
     "host_quota",
+    "robots_filter",
     "mixture_schedule",
     "quality_ensemble",
     "exact_substring_dups",
@@ -404,7 +405,6 @@ _GATE_ORDER = [
     "video_frames",
     "audio_chunks",
     "fe3fe2_expr_models",
-    "kd_expr_models",
     "olmelt_thermometer",
     "unit_conversions",
     "melt_structure",

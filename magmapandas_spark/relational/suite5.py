@@ -42,9 +42,11 @@ from magmapandas_spark.operators.warc import (
 from magmapandas_spark.operators.webcorpus import (
     SQL_HOST_QUOTA,
     SQL_PII_SCAN,
+    SQL_ROBOTS_FILTER,
     SQL_URL_CANONICAL,
     q_host_quota,
     q_pii_scan,
+    q_robots_filter,
     q_url_canonical,
 )
 
@@ -172,6 +174,7 @@ def queries():
         "kmv_distinct": q_kmv_distinct,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "host_quota": q_host_quota,
+        "robots_filter": q_robots_filter,
         "mixture_schedule": q_mixture_schedule,
         "quality_ensemble": q_quality_ensemble,
         "pq_topk_seeded": __import__(
@@ -196,6 +199,7 @@ def oracle_sql():
         "kmv_distinct": SQL_KMV_DISTINCT,
         "minhash_jaccard_est": sql_minhash_jaccard_est(),
         "host_quota": SQL_HOST_QUOTA,
+        "robots_filter": SQL_ROBOTS_FILTER,
         "mixture_schedule": SQL_MIXTURE_SCHEDULE,
         "quality_ensemble": _sql_quality_ensemble(),
         "pq_topk_seeded": __import__(

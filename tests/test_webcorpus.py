@@ -102,3 +102,36 @@ def test_scan_pii_null_text_propagates(spark):
     out = scan_pii(df).orderBy("doc_id").toPandas()
     assert pd.isna(out.loc[0, "n_emails"]) and pd.isna(out.loc[0, "redacted"])
     assert out.loc[1, "n_emails"] == 1
+
+
+def test_robots_filter_rfc_precedence(spark):
+    from magmapandas_spark.operators.webcorpus import robots_filter
+
+    urls = spark.createDataFrame(
+        [
+            (0, "h", "/a/b/c"),     # matched by /a (deny) and /a/b (allow)
+            (1, "h", "/a/x"),       # only /a -> deny
+            (2, "h", "/free"),      # no rule -> allowed
+            (3, "h", "/t"),         # equal-length tie: allow wins
+        ],
+        "doc_id long, host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h", "/a", False),
+            ("h", "/a/b", True),
+            ("h", "/t", False),
+            ("h", "/t", True),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    out = (
+        robots_filter(urls, rules)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "allowed"] and out.loc[0, "rule_prefix"] == "/a/b"
+    assert not out.loc[1, "allowed"]
+    assert out.loc[2, "allowed"] and out.loc[2, "rule_prefix"] == ""
+    assert out.loc[3, "allowed"]  # allow beats disallow at same length
