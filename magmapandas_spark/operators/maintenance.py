@@ -140,3 +140,112 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Lakehouse MERGE semantics without a table format: apply a CDC
+    batch to a base relation — matched keys take the update's row,
+    unmatched update keys insert, and (optionally) updates flagged in
+    ``delete_col`` delete their key.
+
+    Plan shape: ONE left-anti join of the base against the update key
+    set plus a union. The update side is the broadcast side by nature
+    (a CDC batch is MBs against a 100 TB base), so base rows stream
+    through the anti join with no shuffle and the merge costs one scan
+    of each side. This is exactly the copy-on-write MERGE a
+    Delta/Iceberg engine plans when every base file is touched;
+    partition-pruned variants follow by filtering ``base`` first.
+
+    Returns the merged relation (not written — compose with
+    compact_parquet's swap for the read-modify-write cycle)."""
+    upd_keys = updates.select(key_col).distinct()
+    kept = base.join(F.broadcast(upd_keys), on=key_col, how="left_anti")
+    live = (
+        updates.filter(~F.col(delete_col)).drop(delete_col)
+        if delete_col
+        else updates
+    )
+    return kept.unionByName(live)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: apply a formula-derived CDC batch to ``orders``
+    (keys %13==0 update with a price bump, %26==0 delete, plus 50
+    brand-new keys) and aggregate the merged table per status —
+    decimal-exact sums so the full merge result is under the hash."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("_delete", F.col("o_orderkey") % 26 == 0)
+    )
+    inserts = spark.range(50).select(
+        (F.col("id") + 900_000_000).alias("o_orderkey"),
+        F.lit(1).cast("long").alias("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("id").cast("double") * 10.0 + 5.0).alias("o_totalprice"),
+        F.lit("1998-01-01 00:00:00").cast("timestamp").alias(
+            "o_orderdate"
+        ),
+        F.lit("3-MEDIUM").alias("o_orderpriority"),
+        F.lit(False).alias("_delete"),
+    )
+    cdc = updates.unionByName(inserts)
+    merged = merge_upsert(orders, cdc, "o_orderkey", delete_col="_delete")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+         o_orderpriority,
+         (o_orderkey % 26 = 0) AS _delete
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+ins AS (
+  SELECT i + 900000000 AS o_orderkey, CAST(1 AS BIGINT) AS o_custkey,
+         'N' AS o_orderstatus,
+         CAST(i AS DOUBLE) * 10.0 + 5.0 AS o_totalprice,
+         TIMESTAMP '1998-01-01 00:00:00' AS o_orderdate,
+         '3-MEDIUM' AS o_orderpriority,
+         FALSE AS _delete
+  FROM range(50) t(i)
+),
+cdc AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+merged AS (
+  SELECT o_orderstatus, o_totalprice, o_orderkey FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM cdc)
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice, o_orderkey FROM cdc
+  WHERE NOT _delete
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

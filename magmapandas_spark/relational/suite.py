@@ -369,6 +369,7 @@ _GATE_ORDER = [
     "minhash_jaccard_est",
     "host_quota",
     "robots_filter",
+    "merge_upsert",
     "mixture_schedule",
     "quality_ensemble",
     "exact_substring_dups",
@@ -406,7 +407,6 @@ _GATE_ORDER = [
     "audio_chunks",
     "fe3fe2_expr_models",
     "olmelt_thermometer",
-    "unit_conversions",
     "melt_structure",
     "thermometers_multi2",
     "magnetite_speciation",

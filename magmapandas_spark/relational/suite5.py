@@ -175,6 +175,9 @@ def queries():
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "host_quota": q_host_quota,
         "robots_filter": q_robots_filter,
+        "merge_upsert": __import__(
+            "magmapandas_spark.operators.maintenance", fromlist=["x"]
+        ).q_merge_upsert,
         "mixture_schedule": q_mixture_schedule,
         "quality_ensemble": q_quality_ensemble,
         "pq_topk_seeded": __import__(
@@ -200,6 +203,9 @@ def oracle_sql():
         "minhash_jaccard_est": sql_minhash_jaccard_est(),
         "host_quota": SQL_HOST_QUOTA,
         "robots_filter": SQL_ROBOTS_FILTER,
+        "merge_upsert": __import__(
+            "magmapandas_spark.operators.maintenance", fromlist=["x"]
+        ).SQL_MERGE_UPSERT,
         "mixture_schedule": SQL_MIXTURE_SCHEDULE,
         "quality_ensemble": _sql_quality_ensemble(),
         "pq_topk_seeded": __import__(

@@ -130,3 +130,31 @@ def test_zorder_improves_second_column_pruning(spark, workdir):
     assert lin_frac <= 0.2
     assert z_frac >= 0.5
     assert z_frac > lin_frac
+
+
+def test_merge_upsert_semantics(spark):
+    from magmapandas_spark.operators.maintenance import merge_upsert
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    cdc = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (4, "d", False)],
+        "k long, v string, _delete boolean",
+    )
+    out = (
+        merge_upsert(base, cdc, "k", delete_col="_delete")
+        .orderBy("k")
+        .toPandas()
+    )
+    assert list(zip(out["k"], out["v"])) == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_merge_upsert_no_delete_col(spark):
+    from magmapandas_spark.operators.maintenance import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    cdc = spark.createDataFrame([(1, "A")], "k long, v string")
+    out = merge_upsert(base, cdc, "k").toPandas()
+    assert list(zip(out["k"], out["v"])) == [(1, "A")]
