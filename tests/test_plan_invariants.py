@@ -1,0 +1,139 @@
+"""Executable plan invariants — the PLANS.md claims as assertions.
+
+These parse `explain()` output of real suite queries, so a regression
+that silently changes a plan shape (a lost broadcast, a filter that
+stops reaching the scan, an accidental cartesian product) fails CI
+instead of surviving until someone re-reads the plan by hand.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+# -- filter pushdown reaches the parquet scan -------------------------
+
+def test_doc_slice_filter_pushed_to_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    plan = plan_of(docs.select("doc_id"))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,500)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(docs.select("doc_id", "lang"))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    assert "text" not in m.group(1), m.group(1)
+    assert "doc_id" in m.group(1) and "lang" in m.group(1)
+
+
+# -- no cartesian products outside the deliberate allowlist ----------
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "bloom_decontaminate",
+        "revenue_by_nation",
+        "dedup_keep_best",
+        "merge_upsert",
+        "host_quota",
+        "ngram_contamination",
+    ],
+)
+def test_no_cartesian_product(spark, qname):
+    from magmapandas_spark.relational import suite
+
+    df = suite.queries()[qname](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, qname
+    assert "BroadcastNestedLoopJoin" not in plan, qname
+
+
+@pytest.mark.parametrize("qname", ["tfidf_search", "quality_ensemble"])
+def test_only_deliberate_one_row_cross(spark, qname):
+    """These queries carry ONE BroadcastNestedLoopJoin by design: the
+    1-row corpus-stats relation (N / N+V) crossed onto the scored
+    rows — bounded by construction (PLANS.md invariant's allowlist).
+    Anything beyond that single bounded cross is a regression."""
+    from magmapandas_spark.relational import suite
+
+    df = suite.queries()[qname](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, qname
+    assert plan.count("BroadcastNestedLoopJoin") <= (
+        1 if qname == "tfidf_search" else 2  # ensemble joins two signals
+    ), qname
+
+
+# -- broadcasts materialize where the docstrings claim them ----------
+
+@pytest.mark.parametrize(
+    "qname",
+    ["bloom_decontaminate", "tfidf_search", "ngram_contamination",
+     "merge_upsert"],
+)
+def test_small_side_is_broadcast(spark, qname):
+    from magmapandas_spark.relational import suite
+
+    df = suite.queries()[qname](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan, qname
+    # and the corpus side must not hash-shuffle INTO those joins: every
+    # join in the plan is broadcast-shaped, not SortMergeJoin
+    if qname in ("bloom_decontaminate", "ngram_contamination"):
+        assert "SortMergeJoin" not in plan, qname
+
+
+# -- scan-local projections stay in one codegen span -----------------
+
+@pytest.mark.parametrize("qname", ["bpe_tokens", "pii_scan"])
+def test_projection_chains_are_codegen(spark, qname):
+    from magmapandas_spark.relational import suite
+
+    df = suite.queries()[qname](spark, SF)
+    df.collect()  # finalize THIS query execution's adaptive plan
+    plan = plan_of(df)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the final plan
+    assert re.search(r"\*\(\d+\) Project", plan), qname
+    # pure expression tier: no Python eval nodes, and the operator
+    # itself must not hash-shuffle
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, qname
+    assert plan.count("Exchange hashpartitioning") == 0, qname
+
+
+# -- codecs run as exactly one Arrow stage ---------------------------
+
+@pytest.mark.parametrize("qname", ["warc_records", "warc_gz_records",
+                                   "png_decode", "wav_chunks"])
+def test_codec_is_single_arrow_stage(spark, qname):
+    from magmapandas_spark.relational import suite
+
+    df = suite.queries()[qname](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("MapInPandas") == 1, qname
+
+
+# -- the driver-status rule: merge keeps base un-shuffled ------------
+
+def test_merge_upsert_base_side_streams(spark):
+    from magmapandas_spark.operators.maintenance import merge_upsert
+
+    base = spark.read.parquet(f"{SF}/orders.parquet")
+    cdc = base.limit(10).withColumn("_delete", F.lit(False))
+    plan = plan_of(merge_upsert(base, cdc, "o_orderkey", "_delete"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
