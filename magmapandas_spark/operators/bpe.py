@@ -120,7 +120,9 @@ def apply_bpe(
     """Encode each doc with the merge table; emit token statistics.
 
     One projection: N chained constant ``replace`` calls inside the
-    scan stage (whole-stage codegen keeps them JVM-side). Returns
+    scan stage — all JVM-side (the higher-order token filters evaluate
+    as interpreted Catalyst expressions outside whole-stage codegen,
+    the chained replaces inline; zero Python either way). Returns
     (id, n_words, n_symbols, n_bpe_tokens) — n_symbols is the
     pre-merge character count, so n_symbols/n_bpe_tokens is the
     tokenizer's compression ratio."""

@@ -100,19 +100,34 @@ def test_small_side_is_broadcast(spark, qname):
 
 # -- scan-local projections stay in one codegen span -----------------
 
-@pytest.mark.parametrize("qname", ["bpe_tokens", "pii_scan"])
-def test_projection_chains_are_codegen(spark, qname):
+def test_pii_projection_is_codegen(spark):
     from magmapandas_spark.relational import suite
 
-    df = suite.queries()[qname](spark, SF)
+    df = suite.queries()["pii_scan"](spark, SF)
     df.collect()  # finalize THIS query execution's adaptive plan
     plan = plan_of(df)
     # '*(n)' prefixes mark WholeStageCodegen spans in the final plan
-    assert re.search(r"\*\(\d+\) Project", plan), qname
+    assert re.search(r"\*\(\d+\) Project", plan)
     # pure expression tier: no Python eval nodes, and the operator
     # itself must not hash-shuffle
-    assert "EvalPython" not in plan and "MapInPandas" not in plan, qname
-    assert plan.count("Exchange hashpartitioning") == 0, qname
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_bpe_stays_jvm_side_no_shuffle(spark):
+    """The BPE merge chain uses higher-order functions (filter /
+    transform lambdas), which Spark evaluates as JVM interpreted
+    expressions OUTSIDE whole-stage codegen — still vectorized-scan,
+    still zero Python, but the honest claim is 'JVM expression tier',
+    not 'codegen span'. The operator itself must not hash-shuffle
+    (only the final orderBy's range exchange appears)."""
+    from magmapandas_spark.relational import suite
+
+    df = suite.queries()["bpe_tokens"](spark, SF)
+    df.collect()
+    plan = plan_of(df)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
 
 
 # -- codecs run as exactly one Arrow stage ---------------------------
