@@ -370,6 +370,7 @@ _GATE_ORDER = [
     "host_quota",
     "robots_filter",
     "merge_upsert",
+    "pagerank",
     "mixture_schedule",
     "quality_ensemble",
     "exact_substring_dups",
@@ -399,7 +400,6 @@ _GATE_ORDER = [
     "volatile_saturation_im",
     "embedding_neardup",
     "allison_saturation",
-    "isobar_grid",
     "mc_thermometer",
     "ivf_topk",
     "image_decode",

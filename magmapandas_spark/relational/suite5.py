@@ -178,6 +178,9 @@ def queries():
         "merge_upsert": __import__(
             "magmapandas_spark.operators.maintenance", fromlist=["x"]
         ).q_merge_upsert,
+        "pagerank": __import__(
+            "magmapandas_spark.operators.graph", fromlist=["x"]
+        ).q_pagerank,
         "mixture_schedule": q_mixture_schedule,
         "quality_ensemble": q_quality_ensemble,
         "pq_topk_seeded": __import__(
@@ -206,6 +209,9 @@ def oracle_sql():
         "merge_upsert": __import__(
             "magmapandas_spark.operators.maintenance", fromlist=["x"]
         ).SQL_MERGE_UPSERT,
+        "pagerank": __import__(
+            "magmapandas_spark.operators.graph", fromlist=["x"]
+        ).sql_pagerank(),
         "mixture_schedule": SQL_MIXTURE_SCHEDULE,
         "quality_ensemble": _sql_quality_ensemble(),
         "pq_topk_seeded": __import__(

@@ -1,0 +1,43 @@
+"""Integer PageRank: mass conservation, determinism, dangling
+semantics, and ranking sanity."""
+
+import pytest
+
+from magmapandas_spark.operators.graph import (
+    SCALE,
+    pagerank,
+    synthetic_link_graph,
+)
+
+
+def test_mass_bounded_and_deterministic(spark):
+    edges = synthetic_link_graph(spark)
+    a = pagerank(edges, iterations=5).orderBy("node").toPandas()
+    b = pagerank(edges, iterations=5).orderBy("node").toPandas()
+    assert a.equals(b)
+    # total mass ≤ S and within truncation slack of S (no dangling
+    # nodes in this graph; each round loses < 3 units per node)
+    tot = int(a["rank"].sum())
+    assert tot <= SCALE
+    assert SCALE - tot < 500 * 3 * 5 + 500
+
+
+def test_hub_outranks_orphan(spark):
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1), (5, 6), (6, 5)],
+        "src long, dst long",
+    )
+    pr = pagerank(edges, iterations=10).toPandas().set_index("node")
+    # node 0 receives 4 in-links — must outrank the 2-cycle nodes
+    assert pr.loc[0, "rank"] > pr.loc[5, "rank"]
+    assert pr.loc[0, "rank"] > pr.loc[6, "rank"]
+
+
+def test_dangling_node_keeps_teleport_only(spark):
+    # 0 -> 1; 1 has no out-links (dangling): after round 1, node 1's
+    # inflow comes only from 0's damped rank; node 0 gets teleport only
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    pr = pagerank(edges, iterations=1).toPandas().set_index("node")
+    teleport = (15 * SCALE) // (100 * 2)
+    assert pr.loc[0, "rank"] == teleport
+    assert pr.loc[1, "rank"] == teleport + (85 * (SCALE // 2)) // 100
