@@ -109,3 +109,45 @@ def test_mp4_roundtrip_property(duration, n_video, n_audio, payload):
     assert m["mdat_sum"] == int(
         np.frombuffer(payload, dtype=np.uint8).sum(dtype=np.int64)
     ) if payload else m["mdat_sum"] == 0
+
+
+# ---- round-5 kernels ----
+
+from magmapandas_spark.operators.warc import (  # noqa: E402
+    gunzip_payload,
+    gzip_payload,
+    warc_encode_record,
+    warc_parse,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bodies=st.lists(st.binary(min_size=0, max_size=200), min_size=1,
+                    max_size=6),
+    uri_n=st.integers(0, 999),
+)
+def test_warc_roundtrip_property(bodies, uri_n):
+    """Arbitrary payload bytes (CRLFs, WARC/ magic, anything) survive
+    encode→parse bit-exact — length-delimited framing must not care."""
+    blob = b"".join(
+        warc_encode_record(
+            "response" if i % 2 == 0 else "request",
+            f"http://h{uri_n}.example/p{i}",
+            body,
+            f"{i:04d}",
+        )
+        for i, body in enumerate(bodies)
+    )
+    recs = warc_parse(blob)
+    assert len(recs) == len(bodies)
+    for rec, body in zip(recs, bodies):
+        assert rec["payload"] == body
+        assert rec["content_length"] == len(body)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=5000),
+       level=st.integers(1, 9))
+def test_gzip_roundtrip_property(data, level):
+    assert gunzip_payload(gzip_payload(data, level)) == data
