@@ -67,3 +67,53 @@ def test_symbols_shape(spark):
         .collect()[0]
     )
     assert row["s"] == "k e y | a g g"
+
+
+def _list_bpe_token_count(text: str, merges) -> int:
+    """Independent reference: sequence-based leftmost-first merge
+    replay per word (the classic BPE formulation) — validates that the
+    replace-chain encoding computes the same thing."""
+    import re as _re
+
+    total = 0
+    for w in _re.split(r"[^a-z0-9]+", text.lower()):
+        if not w:
+            continue
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += len(syms)
+    return total
+
+
+def test_replace_chain_matches_list_formulation(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["low", "lower", "lowest", "newer", "wide", "widest",
+             "a", "ab", "abc", "banana", "bandana"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = learn_bpe_merges(docs, n_merges=12)
+    got = (
+        apply_bpe(docs, merges)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for i, text in rows:
+        expect = _list_bpe_token_count(text, merges)
+        if text.strip() == "":
+            continue  # empty-doc sentinel (split('') artifact, pinned elsewhere)
+        assert got.loc[i, "n_bpe_tokens"] == expect, (i, text)
