@@ -133,8 +133,13 @@ def synthetic_link_graph(spark: SparkSession) -> DataFrame:
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: 10 integer-PageRank iterations over the synthetic
     500-node link graph — iteration 10's exact bigint ranks are under
-    the hash (every engine must reproduce the whole trajectory)."""
-    pr = pagerank(synthetic_link_graph(spark), iterations=10)
+    the hash (every engine must reproduce the whole trajectory).
+    ``n_partitions=2`` sizes the loop's per-round shuffles to the
+    1500-edge gate graph (the dedup-cluster gates' convention); at
+    crawl scale size it to the edge-relation width instead."""
+    pr = pagerank(
+        synthetic_link_graph(spark), iterations=10, n_partitions=2
+    )
     return pr.orderBy("node").coalesce(1)
 
 
