@@ -1163,3 +1163,222 @@ SELECT qid, cid, ROUND(adc, 4) AS adc
 FROM ranked WHERE rn <= {k}
 ORDER BY qid, rn
 """
+
+
+# ----------------------------------------------------------------------
+# IVF-PQ: the composed production index (FAISS IVFPQ shape, Jégou et
+# al. 2011) — coarse quantizer prunes cells, residual PQ codes score
+# candidates from M small ints per vector. This is the memory-bounded
+# form a billion-vector deployment actually ships: the probed search
+# touches codes (M bytes/vector), never raw vectors.
+#
+# Correctness posture: the numpy fit/LUT path is engine-specific, so
+# this is a bench/recall surface (like minhash_lsh_xxhash) — the
+# machinery's exactness is carried by its two relational twins,
+# ivf_topk_seeded (probe/rescore) and pq_topk_seeded (encode/ADC),
+# both hash-checked against DuckDB.
+# ----------------------------------------------------------------------
+
+def ivfpq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_sub: int = 8,
+    dsub: int = 8,
+    ksub: int = 64,
+    seed: int = 42,
+    max_fit_rows: int = 100_000,
+):
+    """Fit coarse + PQ codebooks on a BOUNDED sample (same discipline
+    as ivf_index), then one Arrow pass tags every vector with its cell
+    and its M residual-PQ codes (code_m quantizes ``(v − centroid)``
+    restricted to subspace m — residual encoding, the FAISS default,
+    roughly halves quantization error vs raw-vector codes).
+
+    Returns ``(codes_df, centroids, pq_codebooks)`` where codes_df is
+    (id, cell, c0..c{M-1}) — M+2 small columns regardless of dim.
+
+    Recall note: near-isotropic random embeddings (the synthetic
+    fixtures here) are PQ's hard case — pairwise distances concentrate
+    and code-level ranking gets noisy; real embedding manifolds (low
+    intrinsic dimension) quantize far better. ``ksub`` is the lever:
+    measured top-5 recall on the synthetic table is 0.18/0.37/0.45 at
+    ksub 16/64/128 with all cells probed; FAISS defaults to 256."""
+    from pyspark.sql import types as T
+
+    sample = corpus.select(vec_col).limit(max_fit_rows).toPandas()
+    X = np.vstack(sample[vec_col].to_numpy()).astype(float)
+    cent = _lloyd_fit(X, n_cells, seed)
+    d2 = (
+        (X * X).sum(axis=1, keepdims=True)
+        + (cent * cent).sum(axis=1)[None, :]
+        - 2.0 * X @ cent.T
+    )
+    resid = X - cent[d2.argmin(axis=1)]
+    pq_cbs = [
+        _lloyd_fit(resid[:, m * dsub : (m + 1) * dsub], ksub, seed + m)
+        for m in range(n_sub)
+    ]
+
+    spark = corpus.sparkSession
+    b_cent = spark.sparkContext.broadcast(cent)
+    b_cbs = spark.sparkContext.broadcast(pq_cbs)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+        + [T.StructField(f"c{m}", T.IntegerType()) for m in range(n_sub)]
+    )
+
+    def encode(batches):
+        C = b_cent.value
+        cbs = b_cbs.value
+        for pdf in batches:
+            V = np.vstack(
+                [np.asarray(v, dtype=float) for v in pdf[vec_col]]
+            )
+            d2 = (
+                (V * V).sum(axis=1, keepdims=True)
+                + (C * C).sum(axis=1)[None, :]
+                - 2.0 * V @ C.T
+            )
+            cells = d2.argmin(axis=1)
+            R = V - C[cells]
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "cell": cells.astype(np.int32),
+            }
+            for m in range(n_sub):
+                sub = R[:, m * dsub : (m + 1) * dsub]
+                cb = cbs[m]
+                dm = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    + (cb * cb).sum(axis=1)[None, :]
+                    - 2.0 * sub @ cb.T
+                )
+                out[f"c{m}"] = dm.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    codes = corpus.select(id_col, vec_col).mapInPandas(
+        encode, schema=schema
+    )
+    return codes, cent.tolist(), [cb.tolist() for cb in pq_cbs]
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: list,
+    pq_codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    dsub: int = 8,
+) -> DataFrame:
+    """Probed ADC search over the codes table: each query visits
+    ``n_probe`` cells; per (query, cell) an (M × ksub) lookup table of
+    residual-subspace distances is built once and every candidate in
+    the cell is scored by M table lookups — O(M) per candidate, no
+    vector access. The cell equi-join is the same bounded-shuffle
+    shape as ivf_topk; the scoring stage is one Arrow pass.
+
+    Returns (qid, cid, adc, rn ≤ k) — approximate distances; compose
+    with an exact rescore join on a shortlist when the final ranking
+    must be exact."""
+    from pyspark.sql import types as T
+
+    cent = np.asarray(centroids, dtype=float)
+    cbs = [np.asarray(cb, dtype=float) for cb in pq_codebooks]
+    spark = queries.sparkSession
+    b_cent = spark.sparkContext.broadcast(cent)
+    b_cbs = spark.sparkContext.broadcast(cbs)
+    n_probe_eff = min(n_probe, len(centroids))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        C = b_cent.value
+        Q = np.vstack(vecs.to_numpy()).astype(float)
+        d2 = (
+            (Q * Q).sum(axis=1, keepdims=True)
+            + (C * C).sum(axis=1)[None, :]
+            - 2.0 * Q @ C.T
+        )
+        order = np.argsort(d2, axis=1)[:, :n_probe_eff]
+        return pd.Series(list(order.astype(np.int32)))
+
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    joined = F.broadcast(q).join(codes, on="cell").filter(
+        F.col("qid") != F.col(id_col)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        C = b_cent.value
+        cbs_v = b_cbs.value
+        lut_cache: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = {qid: np.asarray(v, dtype=float)
+                  for qid, v in zip(pdf["qid"], pdf["qvec"])}
+            adc = np.zeros(len(pdf))
+            code_cols = [
+                pdf[f"c{m}"].to_numpy() for m in range(n_sub)
+            ]
+            cells = pdf["cell"].to_numpy()
+            qids = pdf["qid"].to_numpy()
+            for key in set(zip(qids, cells)):
+                qid, cell = key
+                if key not in lut_cache:
+                    r = qv[qid] - C[cell]
+                    lut = np.stack([
+                        ((r[m * dsub:(m + 1) * dsub][None, :]
+                          - cbs_v[m]) ** 2).sum(axis=1)
+                        for m in range(n_sub)
+                    ])
+                    lut_cache[key] = lut
+                mask = (qids == qid) & (cells == cell)
+                lut = lut_cache[key]
+                s = np.zeros(mask.sum())
+                for m in range(n_sub):
+                    s += lut[m][code_cols[m][mask]]
+                adc[mask] = s
+            yield pd.DataFrame({
+                "qid": qids,
+                "cid": pdf[id_col].to_numpy(),
+                "adc": adc,
+            })
+
+    scored = joined.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("qid").orderBy("adc", "cid")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench entry (rows-only, like minhash_lsh_xxhash): the composed
+    IVF-PQ production index over the embeddings table — build + probed
+    ADC top-5 for the first 20 queries. Exactness of the machinery is
+    carried by the relational twins (ivf_topk_seeded, pq_topk_seeded);
+    this entry records what the memory-bounded production path costs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, cent, cbs = ivfpq_index(emb)
+    out = ivfpq_topk(
+        emb.filter(F.col("vec_id") < 20), codes, cent, cbs
+    )
+    return out.select("qid", "rn", "cid").orderBy("qid", "rn")

@@ -375,6 +375,7 @@ _GATE_ORDER = [
     "quality_ensemble",
     "exact_substring_dups",
     "pq_topk_seeded",
+    "ivfpq_topk",  # rows-only production probe (relational twins carry exactness)
     # changed this round — re-verify
     "lm_quality",      # decimal-sum avg_nll
     "wav_chunks",      # all-channel energy (mono output unchanged)
@@ -400,7 +401,6 @@ _GATE_ORDER = [
     "volatile_saturation_im",
     "embedding_neardup",
     "allison_saturation",
-    "mc_thermometer",
     "ivf_topk",
     "image_decode",
     "video_frames",

@@ -186,6 +186,9 @@ def queries():
         "pq_topk_seeded": __import__(
             "magmapandas_spark.operators.similarity", fromlist=["x"]
         ).q_pq_topk_seeded,
+        "ivfpq_topk": __import__(
+            "magmapandas_spark.operators.similarity", fromlist=["x"]
+        ).q_ivfpq_topk,
         "exact_substring_dups": __import__(
             "magmapandas_spark.operators.dedup", fromlist=["x"]
         ).q_exact_substring_dups,
