@@ -364,6 +364,7 @@ _GATE_ORDER = [
     "tfidf_search",
     "warc_records",
     "warc_gz_records",
+    "gif_decode",
     "dedup_keep_best",
     "kmv_distinct",
     "minhash_jaccard_est",
@@ -401,7 +402,6 @@ _GATE_ORDER = [
     "volatile_saturation_im",
     "embedding_neardup",
     "allison_saturation",
-    "ivf_topk",
     "image_decode",
     "video_frames",
     "audio_chunks",

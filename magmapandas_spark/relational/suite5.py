@@ -167,6 +167,9 @@ def queries():
         "url_canonical": q_url_canonical,
         "bloom_decontaminate": q_bloom_decontaminate,
         "bpe_tokens": q_bpe_tokens,
+        "gif_decode": __import__(
+            "magmapandas_spark.operators.gif", fromlist=["x"]
+        ).q_gif_decode,
         "tfidf_search": q_tfidf_search,
         "warc_records": q_warc_records,
         "warc_gz_records": q_warc_gz_records,
@@ -201,6 +204,9 @@ def oracle_sql():
         "url_canonical": SQL_URL_CANONICAL,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "bpe_tokens": SQL_BPE_TOKENS,
+        "gif_decode": __import__(
+            "magmapandas_spark.operators.gif", fromlist=["x"]
+        ).SQL_GIF_DECODE,
         "tfidf_search": SQL_TFIDF_SEARCH,
         "warc_records": SQL_WARC_RECORDS,
         "warc_gz_records": SQL_WARC_GZ_RECORDS,
