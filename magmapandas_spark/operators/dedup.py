@@ -1233,3 +1233,117 @@ FROM dup a JOIN dup b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 ORDER BY id1, id2
 """
+
+
+# ----------------------------------------------------------------------
+# Pair overlap SCORING: exact Jaccard + containment per candidate pair
+# ----------------------------------------------------------------------
+
+def pair_overlap_scores(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+) -> DataFrame:
+    """Exact overlap SCORES for candidate pairs: shingle intersection,
+    set sizes, Jaccard AND containment ``max(|A∩B|/|A|, |A∩B|/|B|)``.
+
+    Containment is the asymmetric signal Jaccard misses: a short doc
+    fully quoted inside a long one has low Jaccard (the union is
+    dominated by the long doc) but containment ≈ 1 — the
+    doc-inside-doc case a real dedup policy routes differently
+    (drop the contained copy, keep both near-equals, etc.).
+
+    Same candidate-bounded plan as jaccard_verify_pairs; ratios are a
+    single integer division each (rounded at 6), so both engines agree
+    bit-for-bit."""
+    pairs = pairs.persist()
+    sh = shingle_df(docs, id_col, text_col, shingle)
+    cand_ids = (
+        pairs.select(F.col("id1").alias(id_col))
+        .union(pairs.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(cand_ids), on=id_col, how="semi").persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col(id_col).alias("id1"), "sh")
+    s2 = sh.select(F.col(id_col).alias("id2"), "sh")
+    inter = (
+        pairs.join(s1, on="id1")
+        .join(s2, on=["id2", "sh"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col(id_col).alias("id1"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id2"), F.col("n").alias("nb"))
+    out = (
+        pairs.join(inter, on=["id1", "id2"], how="left")
+        .withColumn("i", F.coalesce(F.col("i"), F.lit(0)))
+        .join(F.broadcast(na), on="id1")
+        .join(F.broadcast(nb), on="id2")
+        .select(
+            "id1", "id2",
+            F.col("i").alias("n_inter"),
+            "na", "nb",
+            F.round(
+                F.col("i")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.greatest(
+                    F.col("i") / F.col("na").cast("double"),
+                    F.col("i") / F.col("nb").cast("double"),
+                ),
+                6,
+            ).alias("containment"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    sh.unpersist()
+    return out
+
+
+def q_pair_overlap_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: exact Jaccard + containment for every gate
+    candidate pair."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    pairs = _gate_pairs(spark, sf_dir)
+    return pair_overlap_scores(docs, pairs).orderBy("id1", "id2")
+
+
+def sql_pair_overlap_scores(
+    n_hashes: int = 32, bands: int = 8, shingle: int = 5
+) -> str:
+    ctes = _minhash_pair_ctes(
+        n_hashes, bands, shingle, where_extra=" AND doc_id < 500"
+    )
+    return f"""
+WITH {ctes},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id1, p.id2, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id1
+  JOIN sh b ON b.doc_id = p.id2 AND a.sh = b.sh
+  GROUP BY p.id1, p.id2
+)
+SELECT p.id1, p.id2,
+       COALESCE(i.i, 0) AS n_inter,
+       sa.n AS na, sb.n AS nb,
+       ROUND(COALESCE(i.i, 0)
+             / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6)
+         AS jaccard,
+       ROUND(GREATEST(COALESCE(i.i, 0) / CAST(sa.n AS DOUBLE),
+                      COALESCE(i.i, 0) / CAST(sb.n AS DOUBLE)), 6)
+         AS containment
+FROM pairs p
+LEFT JOIN inter i ON p.id1 = i.id1 AND p.id2 = i.id2
+JOIN sizes sa ON sa.doc_id = p.id1
+JOIN sizes sb ON sb.doc_id = p.id2
+ORDER BY p.id1, p.id2
+"""

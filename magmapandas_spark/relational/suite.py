@@ -375,6 +375,7 @@ _GATE_ORDER = [
     "mixture_schedule",
     "quality_ensemble",
     "exact_substring_dups",
+    "pair_overlap_scores",
     "pq_topk_seeded",
     "ivfpq_topk",  # rows-only production probe (relational twins carry exactness)
     # changed this round — re-verify
@@ -402,7 +403,6 @@ _GATE_ORDER = [
     "volatile_saturation_im",
     "embedding_neardup",
     "allison_saturation",
-    "image_decode",
     "video_frames",
     "audio_chunks",
     "fe3fe2_expr_models",

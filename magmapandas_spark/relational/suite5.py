@@ -195,6 +195,9 @@ def queries():
         "exact_substring_dups": __import__(
             "magmapandas_spark.operators.dedup", fromlist=["x"]
         ).q_exact_substring_dups,
+        "pair_overlap_scores": __import__(
+            "magmapandas_spark.operators.dedup", fromlist=["x"]
+        ).q_pair_overlap_scores,
     }
 
 
@@ -229,4 +232,7 @@ def oracle_sql():
         "exact_substring_dups": __import__(
             "magmapandas_spark.operators.dedup", fromlist=["x"]
         ).sql_exact_substring_dups(),
+        "pair_overlap_scores": __import__(
+            "magmapandas_spark.operators.dedup", fromlist=["x"]
+        ).sql_pair_overlap_scores(),
     }

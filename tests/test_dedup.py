@@ -174,3 +174,19 @@ def test_exact_substring_pairs(spark):
     out = exact_substring_pairs(docs, k=50).toPandas()
     assert set(zip(out["id1"], out["id2"])) == {(1, 2)}
     assert out.loc[0, "n_shared"] >= 1
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    """The asymmetric case Jaccard misses: a short doc fully quoted in
+    a long one -> low Jaccard, containment == 1."""
+    from magmapandas_spark.operators.dedup import pair_overlap_scores
+
+    short = "alpha beta gamma delta epsilon"
+    long = ("completely different opening material here " * 5) + short
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    out = pair_overlap_scores(docs, pairs).toPandas()
+    assert out.loc[0, "containment"] == 1.0
+    assert out.loc[0, "jaccard"] < 0.5
