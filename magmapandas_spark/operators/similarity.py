@@ -1005,27 +1005,33 @@ def pq_seeded(
                 F.col("e.sd").alias("sd"))
     )
     w = Window.partitionBy("cid", "m").orderBy("sd", "seed_id")
-    codes = (
+    # ONE broadcast join attaches the winning centroid vector while the
+    # relation is still long-form, then a single pivot aggregation
+    # produces both the code columns and the centroid-vector columns —
+    # exactly one non-null (m == j) row per group feeds each
+    # first(when(...)), so the ignorenulls-first is deterministic.
+    # (Previously: pivot first, then 8 sequential broadcast joins — 8
+    # extra plan stages for the same result.)
+    winners = (
         long.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .groupBy("cid")
-        .agg(*[
+        .join(F.broadcast(seeds), on="seed_id")
+    )
+    codes = winners.groupBy("cid").agg(
+        *[
             F.max(F.when(F.col("m") == m, F.col("seed_id"))).alias(
                 f"c{m}"
             )
             for m in range(n_sub)
-        ])
+        ],
+        *[
+            F.first(
+                F.when(F.col("m") == m, F.col("svec")),
+                ignorenulls=True,
+            ).alias(f"s{m}")
+            for m in range(n_sub)
+        ],
     )
-    for m in range(n_sub):
-        codes = codes.join(
-            F.broadcast(
-                seeds.select(
-                    F.col("seed_id").alias(f"c{m}"),
-                    F.col("svec").alias(f"s{m}"),
-                )
-            ),
-            on=f"c{m}",
-        )
     q = corpus.filter(query_pred).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
