@@ -12,11 +12,13 @@ Two halves, mirroring how real pipelines use a tokenizer:
   from the count-desc / pair-lexicographic tie-break.
 - :func:`apply_bpe` — application as a PURE EXPRESSION CHAIN: the
   merge table is a constant artifact, each merge is one
-  ``replace(sym_string, 'a b', 'ab')``, and both engines scan
+  ``replace(sym_string, '#a# #b#', '#ab#')`` over sentinel-wrapped
+  symbols (see :func:`bpe_symbols` — the wrap is what guarantees a
+  pattern only ever matches whole symbols), and both engines scan
   left-to-right non-overlapping, so the whole encode is scan-local,
   shuffle-free, and exactly reproducible in DuckDB SQL. Words are
-  '|'-separated before char-spacing; merges never contain '|', so no
-  merge can cross a word boundary.
+  '|'-separated; merges are [a-z0-9]-only, so no merge can cross a
+  word boundary or collide with the sentinels.
 
 The gate query applies :data:`DEFAULT_MERGES` — a 30-merge table
 learned once (offline, with this module's trainer, count-desc /
@@ -35,6 +37,10 @@ from pyspark.sql import functions as F
 
 from magmapandas_spark.operators.curation import word_tokens
 from magmapandas_spark.operators.dedup import fan_out
+
+#: merge symbols must stay inside the token alphabet so the '#'
+#: sentinel can never collide with symbol content
+_SYM_OK = re.compile(r"[a-z0-9]+")
 
 #: Learned once from the synthetic-corpus vocabulary (sf0.01 sample,
 #: 30 steps) — regenerate with ``learn_bpe_merges`` if the corpus
@@ -64,8 +70,14 @@ def learn_bpe_merges(
     sequential and its input is a word-frequency table, which is tiny
     relative to any corpus. Deterministic: ties broken by pair
     lexicographic order."""
+    # limit() on an unordered frame takes whichever rows the
+    # first-completing tasks supply — NOT reproducible across runs or
+    # partitionings. Order by a text hash first: deterministic sample
+    # for the same corpus, regardless of layout (the sort is bounded
+    # by the one-time trainer job, not a per-query cost).
     sample = (
         docs.select(F.lower(F.col(text_col)).alias("t"))
+        .orderBy(F.md5(F.col("t")), F.col("t"))
         .limit(max_fit_rows)
         .collect()
     )
@@ -105,10 +117,19 @@ def learn_bpe_merges(
 
 
 def bpe_symbols(text_col: str = "text") -> Column:
-    """Lowercased words joined by '|' then char-spaced: the initial
-    symbol string ('k e y | a g g ...') the merge chain rewrites."""
+    """Lowercased words joined by '|' then per-char SENTINEL-WRAPPED
+    symbols: ``'key|agg'`` → ``'#k# #e# #y# #|# #a# #g# #g#'``.
+
+    The '#' wrap is what makes the literal replace chain sound: a
+    merge rewrites ``'#a# #b#'`` → ``'#ab#'``, and a pattern can only
+    match WHOLE symbols — without the wrap, merge (c,o) on symbols
+    ``[c, ow]`` ('c ow') would literally match 'c o' inside the
+    adjacent symbol and produce 'cow', diverging from BPE semantics
+    whenever a merge's left part is a suffix (or right part a prefix)
+    of a neighboring multi-char symbol. '#' cannot occur inside a
+    symbol (tokens are [a-z0-9], enforced on merges too)."""
     joined = F.array_join(word_tokens(text_col), "|")
-    return F.trim(F.regexp_replace(joined, "(.)", "$1 "))
+    return F.trim(F.regexp_replace(joined, "(.)", "#$1# "))
 
 
 def apply_bpe(
@@ -128,14 +149,14 @@ def apply_bpe(
     tokenizer's compression ratio."""
     merges = DEFAULT_MERGES if merges is None else merges
     for a, b in merges:
-        if "|" in a or "|" in b or " " in a or " " in b:
+        if not _SYM_OK.fullmatch(a) or not _SYM_OK.fullmatch(b):
             raise ValueError(f"illegal merge symbol pair: {(a, b)!r}")
     sym = bpe_symbols(text_col)
     for a, b in merges:
-        sym = F.replace(sym, F.lit(f"{a} {b}"), F.lit(a + b))
+        sym = F.replace(sym, F.lit(f"#{a}# #{b}#"), F.lit(f"#{a}{b}#"))
     toks = word_tokens(text_col)
     bpe_count = F.size(
-        F.filter(F.split(sym, " "), lambda x: x != F.lit("|"))
+        F.filter(F.split(sym, " "), lambda x: x != F.lit("#|#"))
     )
     return docs.select(
         F.col(id_col),
@@ -153,13 +174,14 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_merge_chain() -> str:
-    """Nested DuckDB replace() chain identical to apply_bpe's."""
+    """Nested DuckDB replace() chain identical to apply_bpe's
+    (sentinel-wrapped symbols — see bpe_symbols)."""
     expr = (
         "trim(regexp_replace(array_to_string(toks, '|'),"
-        " '(.)', '\\1 ', 'g'))"
+        " '(.)', '#\\1# ', 'g'))"
     )
     for a, b in DEFAULT_MERGES:
-        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+        expr = f"replace({expr}, '#{a}# #{b}#', '#{a}{b}#')"
     return expr
 
 
@@ -174,7 +196,7 @@ SELECT doc_id,
        CAST(len(toks) AS INT) AS n_words,
        CAST(length(array_to_string(toks, '')) AS INT) AS n_symbols,
        CAST(len(list_filter(str_split({_sql_merge_chain()}, ' '),
-                            x -> x <> '|')) AS INT) AS n_bpe_tokens
+                            x -> x <> '#|#')) AS INT) AS n_bpe_tokens
 FROM tok
 ORDER BY doc_id
 """

@@ -166,7 +166,12 @@ def merge_upsert(
     upd_keys = updates.select(key_col).distinct()
     kept = base.join(F.broadcast(upd_keys), on=key_col, how="left_anti")
     live = (
-        updates.filter(~F.col(delete_col)).drop(delete_col)
+        # NULL delete flag = not-deleted (Debezium-style feeds leave
+        # the flag nullable); a bare ~NULL filter would drop the row
+        # AFTER its key was anti-joined out of base — a silent delete.
+        updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
         if delete_col
         else updates
     )

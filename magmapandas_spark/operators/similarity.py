@@ -306,7 +306,18 @@ def ivf_index(
     fit_src = corpus
     if fit_sample is not None:
         fit_src = corpus.sample(fraction=fit_sample, seed=seed)
-    sample = fit_src.select(vec_col).limit(max_fit_rows).toPandas()
+    # deterministic sample: bare limit() on an unordered frame takes
+    # whichever rows the first-completing tasks supply — the fitted
+    # centroids (and every downstream cell assignment) would differ
+    # run to run. orderBy(id).limit plans as TakeOrdered (per-task
+    # top-K + driver merge), bounded and layout-independent.
+    sample = (
+        fit_src.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_fit_rows)
+        .select(vec_col)
+        .toPandas()
+    )
     X = np.vstack(sample[vec_col].to_numpy()).astype(float)
     cent = _lloyd_fit(X, n_cells, seed)
 
@@ -1213,7 +1224,15 @@ def ivfpq_index(
     ksub 16/64/128 with all cells probed; FAISS defaults to 256."""
     from pyspark.sql import types as T
 
-    sample = corpus.select(vec_col).limit(max_fit_rows).toPandas()
+    # deterministic bounded sample (see ivf_index): TakeOrdered on the
+    # id, not a layout-dependent bare limit()
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_fit_rows)
+        .select(vec_col)
+        .toPandas()
+    )
     X = np.vstack(sample[vec_col].to_numpy()).astype(float)
     cent = _lloyd_fit(X, n_cells, seed)
     d2 = (

@@ -25,6 +25,8 @@ an index — the standard posture is file-per-task, and crawl files are
 
 from __future__ import annotations
 
+from typing import Callable
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -157,11 +159,16 @@ _WARC_PERMISSIVE_SCHEMA = T.StructType(
 
 
 def parse_warc_records(
-    media: DataFrame, permissive: bool = False
+    media: DataFrame,
+    permissive: bool = False,
+    transform: Callable[[bytes], bytes] | None = None,
 ) -> DataFrame:
     """Explode WARC files into per-record rows inside ``mapInPandas``.
     ``permissive=True`` quarantines unparseable FILES as one error row
-    (rec_idx null) instead of failing the task."""
+    (rec_idx null) instead of failing the task. ``transform`` is an
+    optional per-file payload pre-step (the .gz variant passes
+    gunzip_payload) — it runs inside the same try, so a corrupt
+    compressed member quarantines like a corrupt record walk."""
     schema = _WARC_PERMISSIVE_SCHEMA if permissive else _WARC_RECORD_SCHEMA
 
     def fn(batches):
@@ -169,7 +176,10 @@ def parse_warc_records(
             out = {f.name: [] for f in schema.fields}
             for fid, payload in zip(pdf["file_id"], pdf["payload"]):
                 try:
-                    recs = warc_parse(bytes(payload))
+                    raw = bytes(payload)
+                    if transform is not None:
+                        raw = transform(raw)
+                    recs = warc_parse(raw)
                 except Exception as exc:  # noqa: BLE001
                     if not permissive:
                         raise
@@ -270,45 +280,13 @@ def synthetic_warc_gz_media(spark: SparkSession, n: int = 40) -> DataFrame:
 def parse_warc_gz_records(
     media: DataFrame, permissive: bool = False
 ) -> DataFrame:
-    """Decompress-then-parse: gunzip each file payload inside the same
-    mapInPandas stage, then the length-delimited record walk. One
-    narrow Arrow pass; compressed bytes never leave the executor and
-    the decompressed stream never leaves the batch."""
-    schema = _WARC_PERMISSIVE_SCHEMA if permissive else _WARC_RECORD_SCHEMA
-
-    def fn(batches):
-        for pdf in batches:
-            out = {f.name: [] for f in schema.fields}
-            for fid, payload in zip(pdf["file_id"], pdf["payload"]):
-                try:
-                    recs = warc_parse(gunzip_payload(bytes(payload)))
-                except Exception as exc:  # noqa: BLE001
-                    if not permissive:
-                        raise
-                    out["file_id"].append(fid)
-                    for k in ("rec_idx", "warc_type", "target_uri",
-                              "content_length", "payload_sum"):
-                        out[k].append(None)
-                    out["error"].append(f"{type(exc).__name__}: {exc}")
-                    continue
-                for idx, rec in enumerate(recs):
-                    out["file_id"].append(fid)
-                    out["rec_idx"].append(idx)
-                    out["warc_type"].append(rec["warc_type"])
-                    out["target_uri"].append(rec["target_uri"])
-                    out["content_length"].append(rec["content_length"])
-                    out["payload_sum"].append(
-                        int(
-                            np.frombuffer(
-                                rec["payload"], dtype=np.uint8
-                            ).sum(dtype=np.int64)
-                        )
-                    )
-                    if permissive:
-                        out["error"].append(None)
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(fn, schema=schema)
+    """Decompress-then-parse: :func:`parse_warc_records` with a
+    gunzip pre-step inside the same mapInPandas stage. One narrow
+    Arrow pass; compressed bytes never leave the executor and the
+    decompressed stream never leaves the batch."""
+    return parse_warc_records(
+        media, permissive=permissive, transform=gunzip_payload
+    )
 
 
 def q_warc_gz_records(spark: SparkSession, sf_dir: str) -> DataFrame:

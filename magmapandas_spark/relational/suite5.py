@@ -15,9 +15,24 @@ from magmapandas_spark.operators.bloom import (
     q_bloom_decontaminate,
 )
 from magmapandas_spark.operators.bpe import SQL_BPE_TOKENS, q_bpe_tokens
+from magmapandas_spark.operators.gif import SQL_GIF_DECODE, q_gif_decode
+from magmapandas_spark.operators.graph import q_pagerank, sql_pagerank
+from magmapandas_spark.operators.maintenance import (
+    SQL_MERGE_UPSERT,
+    q_merge_upsert,
+)
+from magmapandas_spark.operators.similarity import (
+    q_ivfpq_topk,
+    q_pq_topk_seeded,
+    sql_pq_topk_seeded,
+)
 from magmapandas_spark.operators.dedup import (
     q_dedup_keep_best,
+    q_exact_substring_dups,
+    q_pair_overlap_scores,
     sql_dedup_keep_best,
+    sql_exact_substring_dups,
+    sql_pair_overlap_scores,
 )
 from magmapandas_spark.operators.tfidf import (
     SQL_TFIDF_SEARCH,
@@ -167,9 +182,7 @@ def queries():
         "url_canonical": q_url_canonical,
         "bloom_decontaminate": q_bloom_decontaminate,
         "bpe_tokens": q_bpe_tokens,
-        "gif_decode": __import__(
-            "magmapandas_spark.operators.gif", fromlist=["x"]
-        ).q_gif_decode,
+        "gif_decode": q_gif_decode,
         "tfidf_search": q_tfidf_search,
         "warc_records": q_warc_records,
         "warc_gz_records": q_warc_gz_records,
@@ -178,26 +191,14 @@ def queries():
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "host_quota": q_host_quota,
         "robots_filter": q_robots_filter,
-        "merge_upsert": __import__(
-            "magmapandas_spark.operators.maintenance", fromlist=["x"]
-        ).q_merge_upsert,
-        "pagerank": __import__(
-            "magmapandas_spark.operators.graph", fromlist=["x"]
-        ).q_pagerank,
+        "merge_upsert": q_merge_upsert,
+        "pagerank": q_pagerank,
         "mixture_schedule": q_mixture_schedule,
         "quality_ensemble": q_quality_ensemble,
-        "pq_topk_seeded": __import__(
-            "magmapandas_spark.operators.similarity", fromlist=["x"]
-        ).q_pq_topk_seeded,
-        "ivfpq_topk": __import__(
-            "magmapandas_spark.operators.similarity", fromlist=["x"]
-        ).q_ivfpq_topk,
-        "exact_substring_dups": __import__(
-            "magmapandas_spark.operators.dedup", fromlist=["x"]
-        ).q_exact_substring_dups,
-        "pair_overlap_scores": __import__(
-            "magmapandas_spark.operators.dedup", fromlist=["x"]
-        ).q_pair_overlap_scores,
+        "pq_topk_seeded": q_pq_topk_seeded,
+        "ivfpq_topk": q_ivfpq_topk,
+        "exact_substring_dups": q_exact_substring_dups,
+        "pair_overlap_scores": q_pair_overlap_scores,
     }
 
 
@@ -207,9 +208,7 @@ def oracle_sql():
         "url_canonical": SQL_URL_CANONICAL,
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "bpe_tokens": SQL_BPE_TOKENS,
-        "gif_decode": __import__(
-            "magmapandas_spark.operators.gif", fromlist=["x"]
-        ).SQL_GIF_DECODE,
+        "gif_decode": SQL_GIF_DECODE,
         "tfidf_search": SQL_TFIDF_SEARCH,
         "warc_records": SQL_WARC_RECORDS,
         "warc_gz_records": SQL_WARC_GZ_RECORDS,
@@ -218,21 +217,11 @@ def oracle_sql():
         "minhash_jaccard_est": sql_minhash_jaccard_est(),
         "host_quota": SQL_HOST_QUOTA,
         "robots_filter": SQL_ROBOTS_FILTER,
-        "merge_upsert": __import__(
-            "magmapandas_spark.operators.maintenance", fromlist=["x"]
-        ).SQL_MERGE_UPSERT,
-        "pagerank": __import__(
-            "magmapandas_spark.operators.graph", fromlist=["x"]
-        ).sql_pagerank(),
+        "merge_upsert": SQL_MERGE_UPSERT,
+        "pagerank": sql_pagerank(),
         "mixture_schedule": SQL_MIXTURE_SCHEDULE,
         "quality_ensemble": _sql_quality_ensemble(),
-        "pq_topk_seeded": __import__(
-            "magmapandas_spark.operators.similarity", fromlist=["x"]
-        ).sql_pq_topk_seeded(),
-        "exact_substring_dups": __import__(
-            "magmapandas_spark.operators.dedup", fromlist=["x"]
-        ).sql_exact_substring_dups(),
-        "pair_overlap_scores": __import__(
-            "magmapandas_spark.operators.dedup", fromlist=["x"]
-        ).sql_pair_overlap_scores(),
+        "pq_topk_seeded": sql_pq_topk_seeded(),
+        "exact_substring_dups": sql_exact_substring_dups(),
+        "pair_overlap_scores": sql_pair_overlap_scores(),
     }

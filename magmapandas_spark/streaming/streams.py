@@ -51,26 +51,42 @@ def _normalize_ts(df: DataFrame, ts_int64: bool) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (→ UTC timestamp).
-
-    The file stream source needs a directory; stage a symlink dir under
-    /tmp (testdata itself is read-only)."""
+def _stage_symlink(src: str, prefix: str) -> str:
+    """Stage a read-only parquet file behind a /tmp symlink directory
+    (the file stream source needs a directory it could watch for new
+    files; testdata itself is read-only). Idempotent and safe against
+    stale links: ``lexists`` sees a broken symlink (``exists`` would
+    not, and the re-``symlink`` would raise FileExistsError forever),
+    and a lost creation race with a concurrent session is fine as long
+    as the winner linked the same target."""
     import hashlib
     import os
 
+    src = os.path.abspath(src)
+    stage = os.path.join(
+        "/tmp", f"{prefix}_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(src))
+    if os.path.lexists(link) and (
+        not os.path.exists(link) or os.path.realpath(link) != src
+    ):
+        os.remove(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass
+    return stage
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (→ UTC timestamp),
+    symlink-staged under /tmp (see :func:`_stage_symlink`)."""
     ts_int64 = _events_ts_is_int64(sf_dir)
     if ts_int64:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
-    stage = os.path.join(
-        "/tmp",
-        f"events_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}",
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stage = _stage_symlink(f"{sf_dir}/events.parquet", "events_stream")
     raw = spark.readStream.schema(_events_schema(ts_int64)).parquet(stage)
     return _normalize_ts(raw, ts_int64)
 
@@ -318,19 +334,9 @@ _DOCS_SCHEMA = T.StructType(
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (symlink-staged
-    like read_events_stream — testdata is read-only)."""
-    import hashlib
-    import os
-
-    src = os.path.abspath(f"{sf_dir}/documents.parquet")
-    stage = os.path.join(
-        "/tmp",
-        f"docs_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}",
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    under /tmp via the shared :func:`_stage_symlink` — testdata is
+    read-only)."""
+    stage = _stage_symlink(f"{sf_dir}/documents.parquet", "docs_stream")
     return spark.readStream.schema(_DOCS_SCHEMA).parquet(stage)
 
 
@@ -341,14 +347,17 @@ def scrub_documents(docs: DataFrame) -> DataFrame:
     ingest scale this is the map stage every arriving page flows
     through before it ever lands in the lake."""
     from magmapandas_spark.operators.curation import word_tokens
-    from magmapandas_spark.operators.webcorpus import scan_pii
+    from magmapandas_spark.operators.webcorpus import pii_exprs
 
-    pii = scan_pii(docs)
-    toks = docs.select(
-        "doc_id", "lang", F.size(word_tokens("text")).alias("n_words"),
+    # ONE projection, no self-join: joining two projections of the
+    # same stream would plan a StreamingSymmetricHashJoin that (with
+    # no watermark) buffers every row of both sides in the state
+    # store forever. All eight outputs are scan-local expressions
+    # over a single row.
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(word_tokens("text")).alias("n_words"),
         F.length("text").alias("len_chars"),
-    )
-    return pii.join(toks, on="doc_id").select(
-        "doc_id", "lang", "n_words", "len_chars",
-        "n_emails", "n_phones", "n_ipv4", "redacted",
+        *pii_exprs("text"),
     )

@@ -51,8 +51,9 @@ def test_merge_respects_word_boundary(spark):
 
 def test_illegal_merge_symbols_rejected(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
-    with pytest.raises(ValueError, match="illegal merge"):
-        apply_bpe(docs, [("a", "|")])
+    for bad in [("a", "|"), ("a", "#"), ("a b", "c"), ("", "a")]:
+        with pytest.raises(ValueError, match="illegal merge"):
+            apply_bpe(docs, [bad])
 
 
 def test_default_merges_wellformed():
@@ -66,7 +67,7 @@ def test_symbols_shape(spark):
         .select(bpe_symbols().alias("s"))
         .collect()[0]
     )
-    assert row["s"] == "k e y | a g g"
+    assert row["s"] == "#k# #e# #y# #|# #a# #g# #g#"
 
 
 def _list_bpe_token_count(text: str, merges) -> int:
@@ -98,8 +99,13 @@ def test_replace_chain_matches_list_formulation(spark):
     import random
 
     rng = random.Random(7)
+    # includes the boundary-bleed words ("cow": merge (c,o) must NOT
+    # fire across the (c)(ow) symbol boundary; "coward", "jow") the
+    # round-5 review caught — the sentinel wrap is what makes these
+    # pass
     vocab = ["low", "lower", "lowest", "newer", "wide", "widest",
-             "a", "ab", "abc", "banana", "bandana"]
+             "a", "ab", "abc", "banana", "bandana", "cow", "coward",
+             "jow", "merow"]
     rows = [
         (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
         for i in range(40)

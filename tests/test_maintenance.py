@@ -151,6 +151,24 @@ def test_merge_upsert_semantics(spark):
     assert list(zip(out["k"], out["v"])) == [(1, "a"), (2, "B"), (4, "d")]
 
 
+def test_merge_upsert_null_delete_flag_is_upsert(spark):
+    """A NULL delete flag (nullable CDC feeds) must mean not-deleted:
+    the update row survives, instead of the key silently vanishing
+    (anti-joined out of base, then dropped by a ~NULL filter)."""
+    from magmapandas_spark.operators.maintenance import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    cdc = spark.createDataFrame(
+        [(1, "A", None)], "k long, v string, _delete boolean"
+    )
+    out = (
+        merge_upsert(base, cdc, "k", delete_col="_delete")
+        .orderBy("k")
+        .toPandas()
+    )
+    assert list(zip(out["k"], out["v"])) == [(1, "A"), (2, "b")]
+
+
 def test_merge_upsert_no_delete_col(spark):
     from magmapandas_spark.operators.maintenance import merge_upsert
 

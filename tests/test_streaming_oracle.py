@@ -162,3 +162,19 @@ def test_scrub_documents_stream_matches_batch(spark):
     batch_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     exp = streams.scrub_documents(batch_docs).toPandas()
     pd.testing.assert_frame_equal(normalize(got), normalize(exp))
+
+
+def test_scrub_documents_is_stateless(spark):
+    """The scrub must stay a single projection: a self-join of two
+    stream projections would plan a StreamingSymmetricHashJoin that
+    (with no watermark) buffers every input row in the state store
+    forever. Guard the plan, not just the results."""
+    plan = (
+        streams.scrub_documents(
+            streams.read_documents_stream(spark, SF_DIR)
+        )
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "Join" not in plan
