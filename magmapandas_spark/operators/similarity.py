@@ -939,6 +939,175 @@ ORDER BY qid, rn
 
 
 # ----------------------------------------------------------------------
+# SemDeDup — semantic deduplication via cluster-then-compare (Abbas et
+# al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication"): k-means-cluster the embeddings, compare
+# pairs ONLY within a cluster, and keep one representative per
+# near-duplicate relation. Clustering is what makes semantic dedup
+# scale — O(N²/k) within-cell pairs instead of N² (at 100 TB the cells
+# come from write_ivf_index's bucketBy layout, so the self-join is
+# co-located and shuffle-free).
+# ----------------------------------------------------------------------
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector SemDeDup verdict against a fitted coarse codebook.
+
+    Assignment reuses the IVF expression tier (broadcast-centroid
+    crossJoin → Euclidean argmin window); the within-cell self-join
+    compares each pair once (``id_a < id_b``) with the fixed-order
+    cosine fold, so the ≥-threshold decision is bit-identical in the
+    SQL twin. Keep policy is the deterministic dominated-by-smaller-id
+    rule (drop a vector iff SOME smaller-id vector in its cell is
+    ≥ threshold similar) — pair-local, one aggregation, no iterative
+    transitive closure (chains route through connected_components when
+    cluster-exact grouping is needed).
+
+    Returns (vec_id, cell, n_dup_neighbors, keep) for every corpus
+    vector."""
+    spark = corpus.sparkSession
+    seeds = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(centroids)],
+        "cell int, svec array<double>",
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).crossJoin(F.broadcast(seeds)).select(
+        "vid", "v", "cell", _dist2(F.col("v"), F.col("svec")).alias("sd")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("sd").asc(), F.col("cell"))
+    # assigned feeds three consumers (both self-join sides + the
+    # output); persist so the argmin assignment computes once. The
+    # norm is a per-VECTOR quantity — fold it here (N folds), not
+    # inside the pair comparison (N²/k folds); same IEEE value either
+    # way, so the SQL twin's inline sqrt(dot(b,b)) still matches.
+    assigned = (
+        scored.withColumn("srn", F.row_number().over(w))
+        .filter(F.col("srn") == 1)
+        .select("vid", "v", "cell", _norm(F.col("v")).alias("nrm"))
+        .persist()
+    )
+    a = assigned.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cell",
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb_n"), "cell",
+    )
+    # broadcast the build side: `cell` has only n_cells distinct
+    # values, so a shuffled join would put ALL pairs on n_cells tasks
+    # (worst-case skew). Broadcasting keeps the probe side's
+    # partitioning — every task compares its own rows against the
+    # (bounded) build side. At corpus scales past broadcast limits,
+    # write_ivf_index's bucketBy(cell) layout makes this same join
+    # co-located instead.
+    pairs = (
+        a.join(F.broadcast(b), on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb_n"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+    nbrs = pairs.select(
+        F.col("id_a").alias("vid"), F.col("id_b").alias("nb")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("vid"), F.col("id_a").alias("nb"))
+    )
+    stats = nbrs.groupBy("vid").agg(
+        F.count(F.lit(1)).alias("n_dup_neighbors"),
+        F.max(F.col("nb") < F.col("vid")).alias("dominated"),
+    )
+    return assigned.join(stats, on="vid", how="left").select(
+        F.col("vid").alias(id_col),
+        "cell",
+        F.coalesce("n_dup_neighbors", F.lit(0)).cast("long").alias(
+            "n_dup_neighbors"
+        ),
+        (~F.coalesce("dominated", F.lit(False))).alias("keep"),
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: SemDeDup over the embeddings table — 8 fitted
+    cells (the cached deterministic Lloyd codebook the IVF gates
+    share), cosine ≥ 0.45 within-cell pairs, dominated-by-smaller-id
+    keep rule. Cell assignment, neighbor counts, and every keep/drop
+    verdict sit under the hash."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = ivf_fit_centroids(sf_dir)
+    return semdedup(emb, centroids).orderBy("vec_id")
+
+
+def sql_semdedup(
+    sf_dir: str | None = None,
+    dim: int = 64,
+    threshold: float = 0.45,
+) -> str:
+    """DuckDB twin of :func:`q_semdedup`: same literal centroids from
+    the cached fit, same argmin window, same fixed-order cosine fold,
+    same ≥-threshold and dominance aggregation."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+    centroids = ivf_fit_centroids(sf_dir)
+    dist_rows = " UNION ALL ".join(
+        f"SELECT e.vec_id, {j} AS cell, "
+        f"{_sql_dist2_lit('e.embedding', c)} AS sd FROM embeddings e"
+        for j, c in enumerate(centroids)
+    )
+    return f"""
+WITH dists AS ({dist_rows}),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sd ASC, cell) AS srn
+    FROM dists
+  ) WHERE srn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_sql_cos('ea.embedding', 'eb.embedding', dim)} AS cos
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON a.vec_id = ea.vec_id
+  JOIN embeddings eb ON b.vec_id = eb.vec_id
+),
+dup AS (SELECT id_a, id_b FROM pairs WHERE cos >= {threshold!r}),
+nbrs AS (
+  SELECT id_a AS vid, id_b AS nb FROM dup
+  UNION ALL
+  SELECT id_b AS vid, id_a AS nb FROM dup
+),
+stats AS (
+  SELECT vid, COUNT(*) AS n_dup_neighbors,
+         MAX(CASE WHEN nb < vid THEN 1 ELSE 0 END) = 1 AS dominated
+  FROM nbrs GROUP BY vid
+)
+SELECT a.vec_id, a.cell,
+       COALESCE(s.n_dup_neighbors, 0) AS n_dup_neighbors,
+       NOT COALESCE(s.dominated, FALSE) AS keep
+FROM assigned a LEFT JOIN stats s ON a.vec_id = s.vid
+ORDER BY a.vec_id
+"""
+
+
+# ----------------------------------------------------------------------
 # Product quantization (PQ) — the compressed-vector ANN standard at
 # 100 TB scale (Jégou et al. 2011): vectors are split into M subspaces,
 # each quantized to a small per-subspace codebook, and distances are

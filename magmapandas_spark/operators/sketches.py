@@ -123,3 +123,159 @@ SELECT event_type,
 FROM agg
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog — deterministic, integer-exact register arithmetic
+# ---------------------------------------------------------------------
+
+#: register-count exponent: m = 2^8 = 256 registers, ±1.04/√m ≈ 6.5%
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+#: md5-hash width 60 bits → 52 bits left for the rho pattern
+_HLL_WBITS = 60 - _HLL_P
+#: alpha_m · m² · 2^52 — the estimator numerator as ONE Python float
+#: literal inlined verbatim on both engines, so E = C / S_int is a
+#: single identical IEEE division
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_C = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_WBITS)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate beside the exact
+    count — the engine's own deterministic twin of
+    ``approx_count_distinct`` (whose HLL++ register layout is
+    engine-private and so can never sit under a cross-engine hash).
+
+    Determinism design (Flajolet et al. 2007, exact-arithmetic
+    variant): md5-60 hash → top 8 bits pick the register, rho = count
+    of leading zeros in the remaining 52 bits + 1 (via
+    ``length(bin(w))`` — identical in Spark and DuckDB). The harmonic
+    sum Σ 2^-M[j] is computed SCALED BY 2^52 so every term
+    ``2^(52 - M)`` is an exact BIGINT (M ≤ 53 → terms 2^-1·2^52 …
+    2^0·2^52; absent registers contribute 2^52 each) — an
+    order-independent integer sum where the textbook float sum would
+    be partition-order-dependent (61-bit dynamic range > a double's 53
+    bits). The only float ops are the final C/S division and the
+    small-range ``m·ln(m/zeros)`` correction, single identical IEEE
+    expressions on identical integers.
+
+    Scale posture: unlike KMV's distinct+window, HLL needs NO distinct
+    shuffle — max(rho) is idempotent under duplicates, so the register
+    table builds with map-side partial max into ≤ m rows per group.
+    The register relation is mergeable (elementwise max), the property
+    that makes the sketch work at 100 TB.
+
+    Returns (group, n_exact, hll_estimate, rel_error); the exact
+    branch exists for the gate's comparison and would be dropped at
+    scale."""
+    vals = df.filter(F.col(value_col).isNotNull())
+    h = _md5_60(F.col(value_col).cast("string"))
+    w = h % F.lit(1 << _HLL_WBITS).cast("long")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        vals.select(
+            group_col,
+            F.shiftrightunsigned(h, _HLL_WBITS).alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy(group_col, "idx")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    s = regs.groupBy(group_col).agg(
+        # python shiftleft() wants a literal int shift; the SQL form
+        # takes an expression
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS} - m_reg)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    s_int = F.col("s_present") + (
+        F.lit(_HLL_M) - F.col("n_regs")
+    ) * F.lit(1 << _HLL_WBITS).cast("long")
+    zeros = F.lit(_HLL_M) - F.col("n_regs")
+    e_raw = F.lit(_HLL_C) / s_int.cast("double")
+    est = F.when(
+        (zeros > 0) & (e_raw <= F.lit(2.5 * _HLL_M)),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(e_raw)
+    sketch = s.select(group_col, est.alias("est"))
+    exact = vals.groupBy(group_col).agg(
+        F.countDistinct(value_col).alias("n_exact")
+    )
+    return exact.join(sketch, on=group_col).select(
+        group_col,
+        "n_exact",
+        F.round("est", 4).alias("hll_estimate"),
+        F.round(
+            (F.col("est") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_error"),
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: HLL (m=256) distinct-user estimate per event type
+    vs exact — registers, estimator, and small-range correction all
+    under the hash, beside the KMV gate so both classic sketches are
+    verified."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_distinct(events, "event_type", "user_id").orderBy(
+        "event_type"
+    )
+
+
+SQL_HLL_DISTINCT = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+b AS (
+  SELECT event_type, h >> {_HLL_WBITS} AS idx,
+         h % {1 << _HLL_WBITS} AS w
+  FROM h
+),
+r AS (
+  SELECT event_type, idx,
+         MAX(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(w)) END) AS m_reg
+  FROM b GROUP BY event_type, idx
+),
+s AS (
+  SELECT event_type,
+         SUM((1::BIGINT << ({_HLL_WBITS} - m_reg)))::BIGINT AS s_present,
+         COUNT(*) AS n_regs
+  FROM r GROUP BY event_type
+),
+e AS (
+  SELECT event_type,
+         CAST({_HLL_C!r} AS DOUBLE)
+           / CAST(s_present + ({_HLL_M} - n_regs)
+                  * {1 << _HLL_WBITS} AS DOUBLE) AS e_raw,
+         {_HLL_M} - n_regs AS zeros
+  FROM s
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN zeros > 0 AND e_raw <= {2.5 * _HLL_M!r}
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros)
+              ELSE e_raw END AS est
+  FROM e
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT ex.event_type, ex.n_exact,
+       ROUND(est.est, 4) AS hll_estimate,
+       ROUND((est.est - ex.n_exact) / ex.n_exact, 6) AS rel_error
+FROM ex JOIN est ON ex.event_type = est.event_type
+ORDER BY ex.event_type
+"""

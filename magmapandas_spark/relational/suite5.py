@@ -24,7 +24,9 @@ from magmapandas_spark.operators.maintenance import (
 from magmapandas_spark.operators.similarity import (
     q_ivfpq_topk,
     q_pq_topk_seeded,
+    q_semdedup,
     sql_pq_topk_seeded,
+    sql_semdedup,
 )
 from magmapandas_spark.operators.dedup import (
     q_dedup_keep_best,
@@ -45,7 +47,9 @@ from magmapandas_spark.operators.dedup import (
     sql_minhash_jaccard_est,
 )
 from magmapandas_spark.operators.sketches import (
+    SQL_HLL_DISTINCT,
     SQL_KMV_DISTINCT,
+    q_hll_distinct,
     q_kmv_distinct,
 )
 from magmapandas_spark.operators.warc import (
@@ -188,6 +192,7 @@ def queries():
         "warc_gz_records": q_warc_gz_records,
         "dedup_keep_best": q_dedup_keep_best,
         "kmv_distinct": q_kmv_distinct,
+        "hll_distinct": q_hll_distinct,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "host_quota": q_host_quota,
         "robots_filter": q_robots_filter,
@@ -197,6 +202,7 @@ def queries():
         "quality_ensemble": q_quality_ensemble,
         "pq_topk_seeded": q_pq_topk_seeded,
         "ivfpq_topk": q_ivfpq_topk,
+        "semdedup": q_semdedup,
         "exact_substring_dups": q_exact_substring_dups,
         "pair_overlap_scores": q_pair_overlap_scores,
     }
@@ -214,6 +220,7 @@ def oracle_sql():
         "warc_gz_records": SQL_WARC_GZ_RECORDS,
         "dedup_keep_best": sql_dedup_keep_best(),
         "kmv_distinct": SQL_KMV_DISTINCT,
+        "hll_distinct": SQL_HLL_DISTINCT,
         "minhash_jaccard_est": sql_minhash_jaccard_est(),
         "host_quota": SQL_HOST_QUOTA,
         "robots_filter": SQL_ROBOTS_FILTER,
@@ -222,6 +229,7 @@ def oracle_sql():
         "mixture_schedule": SQL_MIXTURE_SCHEDULE,
         "quality_ensemble": _sql_quality_ensemble(),
         "pq_topk_seeded": sql_pq_topk_seeded(),
+        "semdedup": sql_semdedup(),
         "exact_substring_dups": sql_exact_substring_dups(),
         "pair_overlap_scores": sql_pair_overlap_scores(),
     }

@@ -198,3 +198,53 @@ def test_ivfpq_codes_are_compact(spark):
         f"c{m}" for m in range(8)
     ]
     assert len(cent) == 16 and len(cbs) == 8 and len(cbs[0]) == 64
+
+
+# ---------------------- SemDeDup ------------------------------------
+
+def test_semdedup_keep_semantics(spark):
+    """Hand-built geometry: three near-identical vectors (ids 0,1,7)
+    plus isolated ones. Smallest id in the dup relation keeps; every
+    dominated vector drops; isolated vectors keep with 0 neighbors."""
+    import numpy as np
+
+    from magmapandas_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8).tolist()
+    far = [-v for v in base]
+    rows = [
+        (0, base),
+        (1, [v * 1.01 for v in base]),        # near-dup of 0
+        (7, [v * 0.99 for v in base]),        # near-dup of 0 and 1
+        (3, far),                             # isolated (cos = -1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [base, far]
+    out = (
+        semdedup(df, cents, threshold=0.9)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0, "keep"]) and out.loc[0, "n_dup_neighbors"] == 2
+    assert not bool(out.loc[1, "keep"])
+    assert not bool(out.loc[7, "keep"])
+    assert bool(out.loc[3, "keep"]) and out.loc[3, "n_dup_neighbors"] == 0
+
+
+def test_semdedup_cross_cell_pairs_uncompared(spark):
+    """The cluster bound is the whole point: vectors in different
+    cells are never compared, even if similar — verifies the pair
+    search really is cell-local (the O(N²/k) claim)."""
+    from magmapandas_spark.operators.similarity import semdedup
+
+    # two identical vectors but centroids chosen so they land in
+    # different cells (each exactly on one centroid)
+    va = [1.0, 0.0]
+    rows = [(0, va), (1, [0.9, 0.1])]
+    cents = [[1.0, 0.0], [0.9, 0.1]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, cents, threshold=0.5).toPandas()
+    assert (out["n_dup_neighbors"] == 0).all()
+    assert out["keep"].all()

@@ -52,3 +52,55 @@ def test_null_values_excluded(spark):
     )
     out = kmv_distinct(df, "g", "v").toPandas()
     assert out.loc[0, "n_exact"] == 2
+
+
+# ------------------------- HLL --------------------------------------
+
+def test_hll_estimator_accuracy(spark):
+    from magmapandas_spark.operators.sketches import hll_distinct
+
+    n = 5000
+    df = spark.createDataFrame(
+        [("a", i) for i in range(n)], "g string, v long"
+    )
+    out = hll_distinct(df, "g", "v").toPandas()
+    assert out.loc[0, "n_exact"] == n
+    # m=256 → ~6.5% std error; 25% is a safe bound
+    assert abs(out.loc[0, "hll_estimate"] - n) / n < 0.25
+
+
+def test_hll_duplicate_insensitive(spark):
+    """max(rho) is idempotent: duplicating every value must not move
+    the estimate at all (the property that lets the register table
+    build without a distinct shuffle)."""
+    from magmapandas_spark.operators.sketches import hll_distinct
+
+    base = [("a", i) for i in range(1000)]
+    once = spark.createDataFrame(base, "g string, v long")
+    thrice = spark.createDataFrame(base * 3, "g string, v long")
+    e1 = hll_distinct(once, "g", "v").toPandas().loc[0, "hll_estimate"]
+    e3 = hll_distinct(thrice, "g", "v").toPandas().loc[0, "hll_estimate"]
+    assert e1 == e3
+
+
+def test_hll_small_range_correction(spark):
+    """Tiny cardinalities fall in the linear-counting branch and stay
+    close to exact (m·ln(m/zeros) with most registers empty)."""
+    from magmapandas_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("a", i % 5) for i in range(50)], "g string, v long"
+    )
+    out = hll_distinct(df, "g", "v").toPandas()
+    assert out.loc[0, "n_exact"] == 5
+    assert abs(out.loc[0, "hll_estimate"] - 5) < 1.0
+
+
+def test_hll_nulls_excluded(spark):
+    from magmapandas_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None)], "g string, v long"
+    )
+    out = hll_distinct(df, "g", "v").toPandas()
+    assert out.loc[0, "n_exact"] == 2
