@@ -279,3 +279,130 @@ SELECT ex.event_type, ex.n_exact,
 FROM ex JOIN est ON ex.event_type = est.event_type
 ORDER BY ex.event_type
 """
+
+
+# ---------------------------------------------------------------------
+# Count-min sketch — deterministic heavy-hitter frequency estimation
+# ---------------------------------------------------------------------
+
+#: depth (independent hash rows) × width (buckets per row). Width is
+#: sized to the GATE's 31-token synthetic vocabulary so collisions —
+#: the phenomenon the sketch bounds — actually occur and the
+#: overestimate column is non-vacuous; production would size w ≫
+#: vocabulary of heavy hitters (w = ⌈e/ε⌉).
+_CMS_D = 4
+_CMS_W = 8
+
+
+def cms_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 30,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream, reported for the ``top_k`` exact heavy hitters so
+    the gate verifies estimate AND guaranteed-overestimate property.
+
+    The sketch is d×w integer counters: every token occurrence
+    increments one counter per hash row; estimate = min over the d
+    counters. All arithmetic is integer (portable md5 bucket hashes,
+    exact sums) — there is nothing to drift cross-engine.
+
+    Scale posture: the counter table is d·w rows TOTAL regardless of
+    corpus size (the point of the sketch), built with one map-side-
+    combined agg from the token-frequency relation and broadcast back
+    for the min-lookup. Counter relations merge by elementwise sum, so
+    per-partition sketches compose — the 100 TB deployment keeps one
+    d×w array per executor and merges at the end."""
+    from magmapandas_spark.operators.curation import word_tokens
+    from magmapandas_spark.operators.dedup import fan_out
+
+    tok = fan_out(docs).select(
+        F.explode(word_tokens(text_col)).alias("token")
+    )
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    # (token, row, bucket) — one row per hash row; persisted because
+    # it feeds both the counter build and the estimate lookup
+    pairs = tf.select(
+        "token",
+        "tf",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            _md5_60(
+                                F.concat(
+                                    F.lit(f"cms{r}:"), F.col("token")
+                                )
+                            )
+                            % _CMS_W
+                        ).alias("b"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "tf", "rb.r", "rb.b").persist()
+    counters = pairs.groupBy("r", "b").agg(F.sum("tf").alias("c"))
+    est = (
+        pairs.join(F.broadcast(counters), on=["r", "b"])
+        .groupBy("token", "tf")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        est.orderBy(F.desc("tf"), "token")
+        .limit(top_k)
+        .select(
+            "token",
+            "tf",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("tf")).alias("overestimate"),
+        )
+    )
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: count-min estimates for the 30 most frequent corpus
+    tokens — every counter collision (overestimate) is deterministic,
+    so the sketch itself sits under the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cms_token_counts(docs).orderBy(F.desc("tf"), "token")
+
+
+#: DuckDB twin of curation.word_tokens (same as suite4's)
+_SQL_CMS_TOKS = (
+    "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+SQL_CMS_TOPK = f"""
+WITH tok AS (
+  SELECT unnest({_SQL_CMS_TOKS}) AS token FROM documents
+),
+tf AS (
+  SELECT token, COUNT(*) AS tf FROM tok GROUP BY token
+),
+pairs AS (
+  SELECT token, tf, r.r AS r,
+         ('0x' || substr(md5('cms' || r.r || ':' || token), 1, 15))
+           ::BIGINT % {_CMS_W} AS b
+  FROM tf, (SELECT UNNEST(range({_CMS_D})) AS r) r
+),
+counters AS (
+  SELECT r, b, SUM(tf) AS c FROM pairs GROUP BY r, b
+),
+est AS (
+  SELECT p.token, p.tf, MIN(c.c) AS cms_estimate
+  FROM pairs p JOIN counters c ON p.r = c.r AND p.b = c.b
+  GROUP BY p.token, p.tf
+)
+SELECT token,
+       CAST(tf AS BIGINT) AS tf,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - tf AS BIGINT) AS overestimate
+FROM est
+ORDER BY tf DESC, token
+LIMIT 30
+"""

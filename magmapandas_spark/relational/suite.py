@@ -359,6 +359,8 @@ _GATE_ORDER = [
     # new this round (round 5) — first green row needed
     "hll_distinct",
     "semdedup",
+    "cms_topk",
+    "gap_fill",
     "pii_scan",
     "url_canonical",
     "bloom_decontaminate",
@@ -408,11 +410,10 @@ _GATE_ORDER = [
     "video_frames",
     "audio_chunks",
     "fe3fe2_expr_models",
-    "olmelt_thermometer",
-    "melt_structure",
-    # (thermometers_multi2 / magnetite_speciation rotated out to make
-    # room for the two round-5 late additions — both have r3 driver
-    # green rows and stay under tests/test_oracle.py's identical check)
+    # (thermometers_multi2 / magnetite_speciation / olmelt_thermometer /
+    # melt_structure rotated out to make room for the four round-5 late
+    # additions — all have r3 driver green rows and stay under
+    # tests/test_oracle.py's identical check)
 ]
 
 

@@ -47,10 +47,16 @@ from magmapandas_spark.operators.dedup import (
     sql_minhash_jaccard_est,
 )
 from magmapandas_spark.operators.sketches import (
+    SQL_CMS_TOPK,
     SQL_HLL_DISTINCT,
     SQL_KMV_DISTINCT,
+    q_cms_topk,
     q_hll_distinct,
     q_kmv_distinct,
+)
+from magmapandas_spark.operators.timeseries import (
+    SQL_GAP_FILL,
+    q_gap_fill,
 )
 from magmapandas_spark.operators.warc import (
     SQL_WARC_GZ_RECORDS,
@@ -193,6 +199,8 @@ def queries():
         "dedup_keep_best": q_dedup_keep_best,
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
+        "cms_topk": q_cms_topk,
+        "gap_fill": q_gap_fill,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "host_quota": q_host_quota,
         "robots_filter": q_robots_filter,
@@ -221,6 +229,8 @@ def oracle_sql():
         "dedup_keep_best": sql_dedup_keep_best(),
         "kmv_distinct": SQL_KMV_DISTINCT,
         "hll_distinct": SQL_HLL_DISTINCT,
+        "cms_topk": SQL_CMS_TOPK,
+        "gap_fill": SQL_GAP_FILL,
         "minhash_jaccard_est": sql_minhash_jaccard_est(),
         "host_quota": SQL_HOST_QUOTA,
         "robots_filter": SQL_ROBOTS_FILTER,

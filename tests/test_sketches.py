@@ -104,3 +104,31 @@ def test_hll_nulls_excluded(spark):
     )
     out = hll_distinct(df, "g", "v").toPandas()
     assert out.loc[0, "n_exact"] == 2
+
+
+# ------------------------- CMS --------------------------------------
+
+def test_cms_never_underestimates(spark):
+    """The count-min guarantee: estimate >= true count, always."""
+    from magmapandas_spark.operators.sketches import cms_token_counts
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 17} tok{i % 5} alpha beta") for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = cms_token_counts(docs, top_k=100).toPandas()
+    assert (out["overestimate"] >= 0).all()
+    assert (out["cms_estimate"] >= out["tf"]).all()
+
+
+def test_cms_exact_when_alone_in_buckets(spark):
+    """A single token can't collide with anything: all 4 counters hold
+    only its own count, so the estimate is exact."""
+    from magmapandas_spark.operators.sketches import cms_token_counts
+
+    docs = spark.createDataFrame(
+        [(0, "solo solo solo")], "doc_id long, text string"
+    )
+    out = cms_token_counts(docs).toPandas()
+    assert len(out) == 1
+    assert out.loc[0, "tf"] == 3 and out.loc[0, "cms_estimate"] == 3

@@ -1,0 +1,39 @@
+"""Gap-fill semantics: observed hours keep their decimal-exact sums,
+gaps interpolate linearly between the surrounding observations, span
+edges are observed by construction."""
+
+import datetime as dt
+
+from magmapandas_spark.operators.timeseries import gap_fill
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_gap_fill_interpolates_linearly(spark):
+    rows = [
+        (1, _ts(0), 10.0),
+        (1, _ts(0, 30), 2.0),   # hour 0 sum = 12
+        (1, _ts(3), 24.0),      # hours 1,2 are gaps
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = (
+        gap_fill(df)
+        .orderBy("hour_id")
+        .toPandas()
+    )
+    assert list(out["value"]) == [12.0, 16.0, 20.0, 24.0]
+    assert list(out["filled"]) == [False, True, True, False]
+
+
+def test_gap_fill_span_is_per_entity(spark):
+    rows = [
+        (1, _ts(0), 1.0), (1, _ts(2), 3.0),
+        (2, _ts(5), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = gap_fill(df).toPandas()
+    assert len(out[out["user_id"] == 1]) == 3   # hours 0..2
+    assert len(out[out["user_id"] == 2]) == 1   # single observed hour
+    assert not out[out["user_id"] == 2]["filled"].iloc[0]
