@@ -102,6 +102,7 @@ SHAPES = [
     "pricing_aggregate",
     "bpe_encode",
     "bloom_decontaminate",
+    "cms_sketch",
     "minhash_pipeline",
     "cc_distributed",
 ]
@@ -123,6 +124,10 @@ def run_shapes(spark, sf_dir: str) -> dict[str, float]:
         # must never shuffle
         "bpe_encode": qs["bpe_tokens"],
         "bloom_decontaminate": qs["bloom_decontaminate"],
+        # round-5 close: the count-min build - its counter table is
+        # d*w rows regardless of input, so its wall should scale with
+        # the token scan alone
+        "cms_sketch": qs["cms_topk"],
     }
     out: dict[str, float] = {}
 
