@@ -1,0 +1,203 @@
+"""Histogram quantile estimation (beyond-reference surface): the
+mergeable, bounded-memory percentile path that replaces exact order
+statistics at scale.
+
+Exact percentiles need a global sort (or a full multiset per group);
+an equi-width histogram needs ONE shuffle carrying ≤ B integer
+counters per group, merges by elementwise addition across partitions /
+days / tables, and answers any quantile afterwards by within-bin
+linear interpolation. That trade (bounded state, rank error ≤ one bin
+width) is what ``approx_percentile`` implements engine-privately; this
+module is the deterministic twin whose every output sits under a
+cross-engine hash.
+
+Determinism: bin assignment, cumulative counts, and rank targets are
+integer arithmetic; the only float ops (bin edge, within-bin
+interpolation) are single fixed-order IEEE chains over exact inputs —
+identical bit-for-bit in DuckDB, so NO final rounding (see
+operators/timeseries.py for why rounding would ADD divergence on tidy
+decimal inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: equi-width bin count: rank error ≤ N/B per bin at uniform fill
+_N_BINS = 1000
+_QUANTILES = [0.5, 0.9, 0.99]
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float] | None = None,
+    n_bins: int = _N_BINS,
+    compare_exact: bool = True,
+) -> DataFrame:
+    """Per-group quantile estimates from a B-bin equi-width histogram,
+    beside the exact order statistic (rank ``ceil(q·N)``) so the gate
+    hashes estimator AND ground truth.
+
+    Plan: one agg for (min, max, N) per group (broadcast back), one
+    shuffle building the ≤ B-row-per-group histogram with map-side
+    combine, a cumulative window over bins, and a bin-probe per
+    quantile. The exact branch sorts per group — the cost the
+    histogram exists to avoid — and is dropped at scale
+    (``compare_exact=False``)."""
+    qs = _QUANTILES if quantiles is None else quantiles
+    spark = df.sparkSession
+    src = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("x")
+    ).filter(F.col("x").isNotNull())
+    stats = src.groupBy("g").agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = src.join(F.broadcast(stats), on="g").select(
+        "g",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("mn"))
+                    * F.lit(float(n_bins))
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("g", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    probes = (
+        cum.join(F.broadcast(stats), on="g")
+        .crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "rank_q",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("q") * F.col("n")).cast("long"),
+            ),
+        )
+        .filter(
+            (F.col("cum") >= F.col("rank_q"))
+            & (F.col("cum_prev") < F.col("rank_q"))
+        )
+        .select(
+            "g",
+            "q",
+            (
+                F.col("mn")
+                + F.col("bin").cast("double")
+                * (F.col("mx") - F.col("mn"))
+                / F.lit(float(n_bins))
+                + (
+                    (F.col("rank_q") - F.col("cum_prev")).cast("double")
+                    / F.col("cnt").cast("double")
+                )
+                * (F.col("mx") - F.col("mn"))
+                / F.lit(float(n_bins))
+            ).alias("est"),
+            "rank_q",
+        )
+    )
+    if not compare_exact:
+        return probes.select(
+            F.col("g").alias(group_col), "q", F.col("est").alias("value")
+        )
+    rw = Window.partitionBy("g").orderBy("x")
+    ranked = src.withColumn("r", F.row_number().over(rw)).select(
+        F.col("g").alias("rg"), "x", "r"
+    )
+    exact = probes.join(
+        ranked,
+        (F.col("g") == F.col("rg")) & (F.col("rank_q") == F.col("r")),
+    ).select(
+        F.col("g").alias(group_col),
+        "q",
+        F.col("est"),
+        F.col("x").alias("exact"),
+        (F.col("est") - F.col("x")).alias("err"),
+    )
+    return exact
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: 1000-bin histogram p50/p90/p99 of l_extendedprice
+    per return flag, beside the exact ``ceil(q·N)``-th order statistic
+    — the estimator, the ground truth, and the per-quantile error all
+    under the hash."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return histogram_quantiles(
+        li, "l_returnflag", "l_extendedprice"
+    ).orderBy("l_returnflag", "q")
+
+
+SQL_HISTOGRAM_QUANTILES = f"""
+WITH src AS (
+  SELECT l_returnflag AS g, l_extendedprice AS x
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+stats AS (
+  SELECT g, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n
+  FROM src GROUP BY g
+),
+binned AS (
+  SELECT src.g,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE LEAST(
+                CAST(floor((src.x - s.mn) * {float(_N_BINS)!r}
+                           / (s.mx - s.mn)) AS BIGINT),
+                {_N_BINS - 1}) END AS bin
+  FROM src JOIN stats s ON src.g = s.g
+),
+hist AS (
+  SELECT g, bin, COUNT(*) AS cnt FROM binned GROUP BY g, bin
+),
+cum AS (
+  SELECT g, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+  FROM hist
+),
+probes AS (
+  SELECT c.g, q.q,
+         s.mn + CAST(c.bin AS DOUBLE) * (s.mx - s.mn)
+              / {float(_N_BINS)!r}
+              + (CAST(GREATEST(1, CAST(ceil(q.q * s.n) AS BIGINT))
+                      - (c.cum - c.cnt) AS DOUBLE)
+                 / CAST(c.cnt AS DOUBLE))
+              * (s.mx - s.mn) / {float(_N_BINS)!r} AS est,
+         GREATEST(1, CAST(ceil(q.q * s.n) AS BIGINT)) AS rank_q
+  FROM cum c
+  JOIN stats s ON c.g = s.g
+  CROSS JOIN (SELECT UNNEST({_QUANTILES!r}) AS q) q
+  WHERE c.cum >= GREATEST(1, CAST(ceil(q.q * s.n) AS BIGINT))
+    AND c.cum - c.cnt < GREATEST(1, CAST(ceil(q.q * s.n) AS BIGINT))
+),
+ranked AS (
+  SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS r
+  FROM src
+)
+SELECT p.g AS l_returnflag, p.q, p.est, r.x AS exact,
+       p.est - r.x AS err
+FROM probes p JOIN ranked r ON p.g = r.g AND p.rank_q = r.r
+ORDER BY l_returnflag, q
+"""

@@ -361,6 +361,7 @@ _GATE_ORDER = [
     "semdedup",
     "cms_topk",
     "gap_fill",
+    "histogram_quantiles",
     "pii_scan",
     "url_canonical",
     "bloom_decontaminate",
@@ -409,11 +410,10 @@ _GATE_ORDER = [
     "allison_saturation",
     "video_frames",
     "audio_chunks",
-    "fe3fe2_expr_models",
     # (thermometers_multi2 / magnetite_speciation / olmelt_thermometer /
-    # melt_structure rotated out to make room for the four round-5 late
-    # additions — all have r3 driver green rows and stay under
-    # tests/test_oracle.py's identical check)
+    # melt_structure / fe3fe2_expr_models rotated out to make room for
+    # the five round-5 late additions — all have r3 driver green rows
+    # and stay under tests/test_oracle.py's identical check)
 ]
 
 

@@ -54,6 +54,10 @@ from magmapandas_spark.operators.sketches import (
     q_hll_distinct,
     q_kmv_distinct,
 )
+from magmapandas_spark.operators.quantiles import (
+    SQL_HISTOGRAM_QUANTILES,
+    q_histogram_quantiles,
+)
 from magmapandas_spark.operators.timeseries import (
     SQL_GAP_FILL,
     q_gap_fill,
@@ -201,6 +205,7 @@ def queries():
         "hll_distinct": q_hll_distinct,
         "cms_topk": q_cms_topk,
         "gap_fill": q_gap_fill,
+        "histogram_quantiles": q_histogram_quantiles,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "host_quota": q_host_quota,
         "robots_filter": q_robots_filter,
@@ -231,6 +236,7 @@ def oracle_sql():
         "hll_distinct": SQL_HLL_DISTINCT,
         "cms_topk": SQL_CMS_TOPK,
         "gap_fill": SQL_GAP_FILL,
+        "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
         "minhash_jaccard_est": sql_minhash_jaccard_est(),
         "host_quota": SQL_HOST_QUOTA,
         "robots_filter": SQL_ROBOTS_FILTER,
