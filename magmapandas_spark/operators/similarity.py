@@ -1030,7 +1030,7 @@ def semdedup(
         F.count(F.lit(1)).alias("n_dup_neighbors"),
         F.max(F.col("nb") < F.col("vid")).alias("dominated"),
     )
-    return assigned.join(stats, on="vid", how="left").select(
+    out = assigned.join(stats, on="vid", how="left").select(
         F.col("vid").alias(id_col),
         "cell",
         F.coalesce("n_dup_neighbors", F.lit(0)).cast("long").alias(
@@ -1038,6 +1038,13 @@ def semdedup(
         ),
         (~F.coalesce("dominated", F.lit(False))).alias("keep"),
     )
+    # materialize the (narrow, vector-free) verdict relation, sever
+    # lineage, release the assignment cache — the dedup.py
+    # convention: repeated calls in a long-lived session must not
+    # accumulate cached tables until LRU pressure
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return out
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -134,11 +134,17 @@ _HLL_P = 8
 _HLL_M = 1 << _HLL_P
 #: md5-hash width 60 bits → 52 bits left for the rho pattern
 _HLL_WBITS = 60 - _HLL_P
-#: alpha_m · m² · 2^52 — the estimator numerator as ONE Python float
+#: harmonic-sum scale exponent: rho (and so a register M) ranges up to
+#: WBITS + 1 = 53 (the all-low-bits-zero hash), so terms are
+#: 2^(53 - M) ∈ [2^0, 2^52] — scaling by 2^52 instead would make the
+#: M = 53 term 2^-1: a negative shift that Spark silently wraps to
+#: Long.MIN_VALUE and DuckDB rejects outright
+_HLL_SCALE = _HLL_WBITS + 1
+#: alpha_m · m² · 2^53 — the estimator numerator as ONE Python float
 #: literal inlined verbatim on both engines, so E = C / S_int is a
 #: single identical IEEE division
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
-_HLL_C = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_WBITS)
+_HLL_C = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_SCALE)
 
 
 def hll_distinct(
@@ -155,9 +161,9 @@ def hll_distinct(
     variant): md5-60 hash → top 8 bits pick the register, rho = count
     of leading zeros in the remaining 52 bits + 1 (via
     ``length(bin(w))`` — identical in Spark and DuckDB). The harmonic
-    sum Σ 2^-M[j] is computed SCALED BY 2^52 so every term
-    ``2^(52 - M)`` is an exact BIGINT (M ≤ 53 → terms 2^-1·2^52 …
-    2^0·2^52; absent registers contribute 2^52 each) — an
+    sum Σ 2^-M[j] is computed SCALED BY 2^53 so every term
+    ``2^(53 - M)`` is an exact BIGINT (M ≤ 53 → terms 2^0 … 2^52;
+    absent registers contribute 2^53 each) — an
     order-independent integer sum where the textbook float sum would
     be partition-order-dependent (61-bit dynamic range > a double's 53
     bits). The only float ops are the final C/S division and the
@@ -192,13 +198,13 @@ def hll_distinct(
         # python shiftleft() wants a literal int shift; the SQL form
         # takes an expression
         F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS} - m_reg)")
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - m_reg)")
         ).alias("s_present"),
         F.count(F.lit(1)).alias("n_regs"),
     )
     s_int = F.col("s_present") + (
         F.lit(_HLL_M) - F.col("n_regs")
-    ) * F.lit(1 << _HLL_WBITS).cast("long")
+    ) * F.lit(1 << _HLL_SCALE).cast("long")
     zeros = F.lit(_HLL_M) - F.col("n_regs")
     e_raw = F.lit(_HLL_C) / s_int.cast("double")
     est = F.when(
@@ -250,7 +256,7 @@ r AS (
 ),
 s AS (
   SELECT event_type,
-         SUM((1::BIGINT << ({_HLL_WBITS} - m_reg)))::BIGINT AS s_present,
+         SUM((1::BIGINT << ({_HLL_SCALE} - m_reg)))::BIGINT AS s_present,
          COUNT(*) AS n_regs
   FROM r GROUP BY event_type
 ),
@@ -258,7 +264,7 @@ e AS (
   SELECT event_type,
          CAST({_HLL_C!r} AS DOUBLE)
            / CAST(s_present + ({_HLL_M} - n_regs)
-                  * {1 << _HLL_WBITS} AS DOUBLE) AS e_raw,
+                  * {1 << _HLL_SCALE} AS DOUBLE) AS e_raw,
          {_HLL_M} - n_regs AS zeros
   FROM s
 ),
@@ -317,50 +323,64 @@ def cms_token_counts(
     from magmapandas_spark.operators.curation import word_tokens
     from magmapandas_spark.operators.dedup import fan_out
 
+    def bucket_pairs(df):
+        """(token, tf) → one (token, tf, r, b) row per hash row."""
+        return df.select(
+            "token",
+            "tf",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (
+                                _md5_60(
+                                    F.concat(
+                                        F.lit(f"cms{r}:"), F.col("token")
+                                    )
+                                )
+                                % _CMS_W
+                            ).alias("b"),
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("rb"),
+        ).select("token", "tf", "rb.r", "rb.b")
+
     tok = fan_out(docs).select(
         F.explode(word_tokens(text_col)).alias("token")
     )
-    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    # (token, row, bucket) — one row per hash row; persisted because
-    # it feeds both the counter build and the estimate lookup
-    pairs = tf.select(
-        "token",
-        "tf",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        (
-                            _md5_60(
-                                F.concat(
-                                    F.lit(f"cms{r}:"), F.col("token")
-                                )
-                            )
-                            % _CMS_W
-                        ).alias("b"),
-                    )
-                    for r in range(_CMS_D)
-                ]
-            )
-        ).alias("rb"),
-    ).select("token", "tf", "rb.r", "rb.b").persist()
-    counters = pairs.groupBy("r", "b").agg(F.sum("tf").alias("c"))
+    # tf feeds both the counter build (all tokens) and the top-k
+    # selection; persist so the tokenize+agg runs once
+    tf = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
+    counters = bucket_pairs(tf).groupBy("r", "b").agg(
+        F.sum("tf").alias("c")
+    )
+    # the min-lookup only needs the top_k heavy hitters — probing the
+    # counters with the WHOLE vocabulary would do |V|/top_k times more
+    # join+agg work to keep top_k rows
+    top = tf.orderBy(F.desc("tf"), "token").limit(top_k)
     est = (
-        pairs.join(F.broadcast(counters), on=["r", "b"])
+        bucket_pairs(top)
+        .join(F.broadcast(counters), on=["r", "b"])
         .groupBy("token", "tf")
         .agg(F.min("c").alias("cms_estimate"))
     )
-    return (
-        est.orderBy(F.desc("tf"), "token")
-        .limit(top_k)
-        .select(
-            "token",
-            "tf",
-            "cms_estimate",
-            (F.col("cms_estimate") - F.col("tf")).alias("overestimate"),
-        )
+    out = est.orderBy(F.desc("tf"), "token").select(
+        "token",
+        "tf",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("tf")).alias("overestimate"),
     )
+    # materialize the (top_k-bounded) result, sever lineage, release
+    # the cache — the dedup.py convention: repeated calls in a
+    # long-lived session must not accumulate cached tables
+    out = out.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
 
 
 def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,13 +38,19 @@ def gap_fill(
     [first, last] hour span: ``hour_id`` (epoch hours, BIGINT),
     ``value`` (observed hourly decimal-exact sum, or the linear
     interpolation between the surrounding observed hours), and
-    ``filled`` (True where interpolated). Span edges are observed by
-    construction, so every gap has both neighbors."""
+    ``filled`` (True where interpolated). NULL values are dropped
+    BEFORE bucketing (the kmv/hll convention) — otherwise an hour
+    whose events all carry NULL would enter the span as a NULL
+    "observation": at a span edge the interpolation then has no
+    neighbor and emits NULL rows, breaking the every-gap-has-both-
+    neighbors contract. Span edges are observed by construction, so
+    every gap interpolates."""
     hour = F.floor(
         F.unix_timestamp(F.col(ts_col)) / F.lit(3600)
     ).cast("long")
     hourly = (
-        events.select(
+        events.filter(F.col(value_col).isNotNull())
+        .select(
             F.col(entity_col).alias("ent"), hour.alias("hour_id"),
             F.col(value_col),
         )
@@ -116,7 +122,7 @@ WITH hourly AS (
   SELECT user_id AS ent,
          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
          {SQL_DSUM.format(x='value')} AS v
-  FROM events WHERE user_id < 40
+  FROM events WHERE user_id < 40 AND value IS NOT NULL
   GROUP BY 1, 2
 ),
 grid AS (

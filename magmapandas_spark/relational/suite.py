@@ -345,15 +345,17 @@ def _wrap(fn: Callable) -> Callable:
 
 
 # The correctness driver hash-verifies only the FIRST 50 entries of
-# queries(). Registry order is therefore part of the gate contract.
-# Round-4 rotation — exactly 50 entries: (a) queries new this round
-# (the real-JPEG decode gate, the distributed-CC bench twin, the
-# xxhash64 production dedup probe), (b) every query that sat past the
-# round-3 window (so each gets a fresh driver-green row), then (c) the
-# queries whose code changed this round (eos.py Landau edit → the
-# QFM/IW exact paths; multimodal extract_features refactor; the round-3
-# fan_out/dedup/curation/streaming fixes). Everything after slot 50
-# stays covered by tests/test_oracle.py (the identical check, run in
+# queries(). Registry order is therefore part of the gate contract
+# (size/resolvability pinned by tests/test_registry.py).
+# Round-5 rotation — exactly 50 entries: (a) queries new this round
+# (the sketch tier hll/cms/histogram, semdedup, gap_fill, then the
+# web-corpus/retrieval/maintenance wave: pii/url/bloom/bpe/tfidf/
+# warc/gif/keep-best/kmv/jaccard-est/quota/robots/merge/pagerank/
+# mixture/ensemble/substring/containment/pq/ivfpq), (b) queries whose
+# code changed this round (lm_quality decimal sum, wav all-channel
+# energy, png channel-aware sums), then (c) queries with no recent
+# driver-green row, rotated back in. Everything after slot 50 stays
+# covered by tests/test_oracle.py (the identical check, run in
 # CI/pytest).
 _GATE_ORDER = [
     # new this round (round 5) — first green row needed

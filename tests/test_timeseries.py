@@ -37,3 +37,22 @@ def test_gap_fill_span_is_per_entity(spark):
     assert len(out[out["user_id"] == 1]) == 3   # hours 0..2
     assert len(out[out["user_id"] == 2]) == 1   # single observed hour
     assert not out[out["user_id"] == 2]["filled"].iloc[0]
+
+
+def test_gap_fill_null_values_are_not_observations(spark):
+    """An hour whose only events carry NULL values must be a GAP (or
+    outside the span), never a NULL 'observation' — a NULL at a span
+    edge would leave interpolation without a neighbor and emit NULL
+    rows into the regularized series."""
+    rows = [
+        (1, _ts(0), None),     # NULL at would-be span edge
+        (1, _ts(1), 10.0),
+        (1, _ts(2), None),     # interior all-NULL hour
+        (1, _ts(3), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = gap_fill(df).orderBy("hour_id").toPandas()
+    # span starts at the first NON-NULL observation (hour 1)
+    assert list(out["hour_id"] % 24) == [1, 2, 3]
+    assert list(out["value"]) == [10.0, 20.0, 30.0]
+    assert not out["value"].isna().any()
