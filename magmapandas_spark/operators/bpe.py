@@ -155,8 +155,14 @@ def apply_bpe(
     for a, b in merges:
         sym = F.replace(sym, F.lit(f"#{a}# #{b}#"), F.lit(f"#{a}{b}#"))
     toks = word_tokens(text_col)
+    # the empty-doc guard matters: split('', ' ') yields [''] — without
+    # filtering '' a zero-token doc would report n_bpe_tokens = 1 (and
+    # poison any corpus-level compression-ratio statistic)
     bpe_count = F.size(
-        F.filter(F.split(sym, " "), lambda x: x != F.lit("#|#"))
+        F.filter(
+            F.split(sym, " "),
+            lambda x: (x != F.lit("#|#")) & (x != F.lit("")),
+        )
     )
     return docs.select(
         F.col(id_col),
@@ -196,7 +202,8 @@ SELECT doc_id,
        CAST(len(toks) AS INT) AS n_words,
        CAST(length(array_to_string(toks, '')) AS INT) AS n_symbols,
        CAST(len(list_filter(str_split({_sql_merge_chain()}, ' '),
-                            x -> x <> '#|#')) AS INT) AS n_bpe_tokens
+                            x -> x <> '#|#' AND x <> '')) AS INT)
+         AS n_bpe_tokens
 FROM tok
 ORDER BY doc_id
 """

@@ -96,6 +96,11 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     out = ranks
+    # materialize the lazy localCheckpoint chain BEFORE releasing the
+    # co-partitioned edge/node caches — otherwise the caller's first
+    # action replays the whole edge-prep lineage uncached, defeating
+    # the partitioned-once-and-reused plan
+    out.count()
     nodes.unpersist()
     e.unpersist()
     return out

@@ -161,6 +161,12 @@ def merge_upsert(
     Delta/Iceberg engine plans when every base file is touched;
     partition-pruned variants follow by filtering ``base`` first.
 
+    NULL-key semantics: a NULL merge key never matches (SQL equality),
+    so NULL-key base rows are always KEPT and NULL-key update rows
+    always insert — the Delta/Iceberg MERGE contract. The SQL twin
+    uses NOT EXISTS (not NOT IN, whose three-valued logic would drop
+    every base row the moment one update key is NULL).
+
     Returns the merged relation (not written — compose with
     compact_parquet's swap for the read-modify-write cycle)."""
     upd_keys = updates.select(key_col).distinct()
@@ -238,8 +244,8 @@ ins AS (
 ),
 cdc AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
 merged AS (
-  SELECT o_orderstatus, o_totalprice, o_orderkey FROM orders
-  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM cdc)
+  SELECT o_orderstatus, o_totalprice, o_orderkey FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM cdc WHERE cdc.o_orderkey = o.o_orderkey)
   UNION ALL
   SELECT o_orderstatus, o_totalprice, o_orderkey FROM cdc
   WHERE NOT _delete

@@ -84,7 +84,15 @@ def histogram_quantiles(
     cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
         "cum_prev", F.col("cum") - F.col("cnt")
     )
-    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    # the rank target is computed in INTEGER arithmetic (q carried as a
+    # permille integer): ceil(q·N) in IEEE doubles can land one ulp
+    # above an exact integer product and bump to the next order
+    # statistic — ceil(q_pm·N / 1000) = (q_pm·N + 999) div 1000 is
+    # exact (all operands positive, so truncating and floor division
+    # agree in both engines)
+    qdf = spark.createDataFrame(
+        [(q, int(round(q * 1000))) for q in qs], "q double, q_pm long"
+    )
     probes = (
         cum.join(F.broadcast(stats), on="g")
         .crossJoin(F.broadcast(qdf))
@@ -92,7 +100,7 @@ def histogram_quantiles(
             "rank_q",
             F.greatest(
                 F.lit(1).cast("long"),
-                F.ceil(F.col("q") * F.col("n")).cast("long"),
+                F.expr("(q_pm * n + 999) div 1000"),
             ),
         )
         .filter(
@@ -178,19 +186,23 @@ cum AS (
   FROM hist
 ),
 probes AS (
+  -- rank in INTEGER arithmetic (q as permille): (q_pm·N + 999) // 1000
+  -- == ceil(q·N) exactly; the float ceil can land one ulp high
   SELECT c.g, q.q,
          s.mn + CAST(c.bin AS DOUBLE) * (s.mx - s.mn)
               / {float(_N_BINS)!r}
-              + (CAST(GREATEST(1, CAST(ceil(q.q * s.n) AS BIGINT))
+              + (CAST(GREATEST(1, (q.q_pm * s.n + 999) // 1000)
                       - (c.cum - c.cnt) AS DOUBLE)
                  / CAST(c.cnt AS DOUBLE))
               * (s.mx - s.mn) / {float(_N_BINS)!r} AS est,
-         GREATEST(1, CAST(ceil(q.q * s.n) AS BIGINT)) AS rank_q
+         GREATEST(1, (q.q_pm * s.n + 999) // 1000) AS rank_q
   FROM cum c
   JOIN stats s ON c.g = s.g
-  CROSS JOIN (SELECT UNNEST({_QUANTILES!r}) AS q) q
-  WHERE c.cum >= GREATEST(1, CAST(ceil(q.q * s.n) AS BIGINT))
-    AND c.cum - c.cnt < GREATEST(1, CAST(ceil(q.q * s.n) AS BIGINT))
+  CROSS JOIN (SELECT UNNEST({_QUANTILES!r}) AS q,
+                     UNNEST({[int(round(q * 1000)) for q in _QUANTILES]!r})
+                       AS q_pm) q
+  WHERE c.cum >= GREATEST(1, (q.q_pm * s.n + 999) // 1000)
+    AND c.cum - c.cnt < GREATEST(1, (q.q_pm * s.n + 999) // 1000)
 ),
 ranked AS (
   SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS r

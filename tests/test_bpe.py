@@ -36,6 +36,11 @@ def test_apply_bpe_counts(spark):
     assert out.loc[0, "n_words"] == 2
     assert out.loc[0, "n_symbols"] == 6
     assert out.loc[0, "n_bpe_tokens"] == 2
+    # empty doc: split('', ' ') yields [''] — the '' filter must keep
+    # the zero-token count at 0, not 1
+    assert out.loc[1, "n_words"] == 0
+    assert out.loc[1, "n_symbols"] == 0
+    assert out.loc[1, "n_bpe_tokens"] == 0
 
 
 def test_merge_respects_word_boundary(spark):
