@@ -142,6 +142,31 @@ def test_codec_is_single_arrow_stage(spark, qname):
     assert plan.count("MapInPandas") == 1, qname
 
 
+# -- robots verdict is an argmax aggregation, not a sort window ------
+
+def test_robots_verdict_has_no_sort(spark):
+    """The RFC 9309 winning-rule verdict must compile to a hash
+    aggregation (max_by with map-side partial merge) — a row_number
+    window would total-sort every URL's candidate rules at crawl
+    scale."""
+    from magmapandas_spark.operators.webcorpus import (
+        canonicalize_urls,
+        robots_filter,
+        synthetic_pages,
+        synthetic_robots_rules,
+    )
+
+    pages = canonicalize_urls(synthetic_pages(spark))
+    urls = pages.select(
+        "doc_id", "host", F.lit("/path/3").alias("path")
+    )
+    df = robots_filter(urls, synthetic_robots_rules(spark))
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
 # -- the driver-status rule: merge keeps base un-shuffled ------------
 
 def test_merge_upsert_base_side_streams(spark):
