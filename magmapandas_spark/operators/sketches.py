@@ -8,9 +8,13 @@ in practice but with two properties that matter here):
   smallest md5 hashes", pure order statistics — no engine-specific
   register layout like HLL), so the gate can hash-compare estimates;
 - it is mergeable (union of bottom-k sets, re-truncated to k), the
-  property that makes sketches work at 100 TB: per-partition bottom-k
-  then a k-row-per-partition merge, which is exactly what the window/
-  aggregate below compiles to under partial aggregation.
+  property that makes sketches work at 100 TB — realized here as a
+  TRUE two-phase bottom-k aggregation (no per-group sort window):
+  phase 1 builds per-(group, hash-shard) sorted distinct-hash arrays
+  truncated to k, phase 2 merges ≤ k values per shard and
+  re-truncates. See :func:`kmv_distinct` for the honest state-bound
+  statement; ``hll_distinct`` below is the constant-state alternative
+  when ±6.5 % error is acceptable.
 
 Estimator: with h normalized to [0,1) and h_(k) the k-th smallest
 distinct hash, E[distinct] = (k-1)/h_(k); groups with fewer than k
@@ -24,7 +28,7 @@ because a correctness-gated pipeline needs the deterministic twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from magmapandas_spark.operators.dedup import _md5_60
@@ -38,41 +42,63 @@ def kmv_distinct(
     group_col: str,
     value_col: str,
     k: int = 256,
+    n_shards: int = 32,
 ) -> DataFrame:
-    """Per-group KMV distinct-count estimate beside the exact count.
+    """Per-group KMV distinct-count estimate beside the exact count,
+    as a TRUE two-phase bottom-k aggregation — no per-group sort
+    window anywhere in the plan (tests/test_plan_invariants.py pins
+    this).
 
-    Plan: distinct (group, value) — one shuffle, the same cost any
-    exact distinct pays at gate scale; at 100 TB replace the exact
-    branch with the sketch-only one (bottom-k per partition merges in
-    the partial aggregate, so the shuffle carries ≤ k rows per
-    partition per group, not the distinct set).
+    Phase 1 groups by (group, ``pmod(h, n_shards)``) and aggregates
+    ``slice(array_sort(collect_set(h)), 1, k)``: map-side partial
+    aggregation dedups hashes before the shuffle, and sorting happens
+    only INSIDE bounded per-shard arrays (an expression, not a Sort
+    operator). Phase 2 merges ≤ k hashes per shard per group and
+    re-truncates — the bottom-k union/re-truncate merge that makes
+    the sketch composable. Shards partition the hash space (same
+    value → same hash → same shard), so per-shard distinct counts sum
+    to the group's exact distinct-hash count with no cross-shard
+    dedup.
 
+    Honest state bound: phase-1 partial state is a shard's distinct-
+    hash set (≈ D/n_shards per group, bounded by CHOOSING n_shards ≈
+    D/k at the target scale), phase-2 state is ≤ n_shards·k hashes
+    per group. For truly constant per-group state use
+    :func:`hll_distinct` (m registers, elementwise-max mergeable).
+
+    NULL values are excluded (standard distinct-count semantics).
     Returns (group, n_exact, kmv_estimate, rel_error)."""
     if k < 2:
         raise ValueError("k must be ≥ 2")
-    # NULL values are excluded (standard distinct-count semantics) —
-    # also removes a cross-engine hazard: a null hash would sort first
-    # in Spark's window but last in DuckDB's
-    d = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(group_col, value_col)
-        .distinct()
+    if n_shards < 1:
+        raise ValueError("n_shards must be ≥ 1")
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        _md5_60(F.col(value_col).cast("string")).alias("h"),
     )
-    h = (
-        _md5_60(F.col(value_col).cast("string")).cast("double") / _H_SCALE
+    p1 = (
+        d.groupBy(group_col, F.pmod("h", F.lit(n_shards)).alias("shard"))
+        .agg(F.array_sort(F.collect_set("h")).alias("hs"))
+        .select(
+            group_col,
+            F.size("hs").cast("long").alias("n_shard"),
+            F.slice("hs", 1, k).alias("hs"),
+        )
     )
-    w = Window.partitionBy(group_col).orderBy("h")
-    ranked = d.select(group_col, h.alias("h")).withColumn(
-        "r", F.row_number().over(w)
+    p2 = p1.groupBy(group_col).agg(
+        F.sum("n_shard").alias("n_exact"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("hs"))), 1, k
+        ).alias("bk"),
     )
-    agg = ranked.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.max(F.when(F.col("r") == k, F.col("h"))).alias("hk"),
-    )
+    # k-th smallest hash, normalized to [0,1) — casting the INTEGER
+    # order statistic to double commutes with the old sort-the-doubles
+    # formulation (rounding to double is monotone)
+    hk = F.get("bk", k - 1).cast("double") / F.lit(_H_SCALE)
     est = F.when(
-        F.col("n_exact") >= k, (F.lit(float(k - 1)) / F.col("hk"))
+        F.col("n_exact") >= k, F.lit(float(k - 1)) / hk
     ).otherwise(F.col("n_exact").cast("double"))
-    return agg.select(
+    return p2.select(
         group_col,
         "n_exact",
         F.round(est, 4).alias("kmv_estimate"),
@@ -92,25 +118,29 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the oracle mirrors the two-phase semantics (distinct HASHES, k-th
+#: smallest integer hash normalized at the end) — the row_number here
+#: is oracle-side convenience only; the engine plan has no window
 SQL_KMV_DISTINCT = """
 WITH d AS (
-  SELECT DISTINCT event_type, user_id FROM events
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM events WHERE user_id IS NOT NULL
 ),
 ranked AS (
-  SELECT event_type,
-         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
-           / 1152921504606846976.0 AS h,
+  SELECT event_type, h,
          ROW_NUMBER() OVER (
-           PARTITION BY event_type
-           ORDER BY ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                    ::BIGINT / 1152921504606846976.0
+           PARTITION BY event_type ORDER BY h
          ) AS r
   FROM d
 ),
 agg AS (
   SELECT event_type,
          COUNT(*) AS n_exact,
-         MAX(CASE WHEN r = 256 THEN h END) AS hk
+         MAX(CASE WHEN r = 256
+                  THEN CAST(h AS DOUBLE) / 1152921504606846976.0 END)
+           AS hk
   FROM ranked GROUP BY event_type
 )
 SELECT event_type,

@@ -142,6 +142,24 @@ def test_codec_is_single_arrow_stage(spark, qname):
     assert plan.count("MapInPandas") == 1, qname
 
 
+# -- KMV bottom-k is a two-phase aggregation, not a sort window ------
+
+def test_kmv_bottom_k_has_no_sort_window(spark):
+    """kmv_distinct's claim to mergeability requires the plan to be
+    two partial-aggregatable phases — a row_number() window (per-group
+    TOTAL sort of the distinct relation) is exactly the cost the
+    sketch exists to avoid at 100 TB."""
+    from magmapandas_spark.operators.sketches import kmv_distinct
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    df = kmv_distinct(events, "event_type", "user_id")
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    # collect_set aggregates via ObjectHashAggregate — both phases
+    assert "ObjectHashAggregate" in plan
+
+
 # -- robots verdict is an argmax aggregation, not a sort window ------
 
 def test_robots_verdict_has_no_sort(spark):
