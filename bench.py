@@ -40,6 +40,22 @@ def main() -> None:
     spark.range(256).repartition(32).mapInPandas(
         _identity, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # warm the SHARED input caches the same way: the synthetic-melt
+    # persist and the IVF centroid fit are one-time materializations
+    # ~30 queries reuse — without this they are charged to whichever
+    # query the gate rotation happens to put first in registry order
+    # (r5's phantom density_viscosity "regression")
+    suite.synthetic_melt(spark, sf_dir).df.write.format("noop").mode(
+        "overwrite"
+    ).save()
+    try:
+        from magmapandas_spark.operators.similarity import (
+            ivf_fit_centroids,
+        )
+
+        ivf_fit_centroids(sf_dir)
+    except Exception:
+        pass  # embeddings table absent at this SF — nothing to warm
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -18,8 +18,16 @@ This module implements it in both directions:
 
 ``sample_video_frames_mp4`` upgrades the frame-sampling operator: the
 frame timestamp grid now comes from the FILE's mvhd duration/timescale
-(a real decode), not from a trusted metadata column; the frame *image*
-decode remains the honest stub.
+(a real decode), not from a trusted metadata column.
+
+Round 6 makes frame IMAGE decode real for MJPEG: :func:`mp4_encode_mjpeg`
+writes a conforming sample table (``stsd`` VisualSampleEntry 'jpeg',
+``stts``/``stsz``/``stsc``/``stco``), :func:`mp4_parse` extracts the
+codec fourcc + per-sample extents, and :func:`decode_mjpeg_frames`
+slices each sample out of ``mdat`` and runs the engine's own baseline
+JPEG decoder (operators/jpeg.py) on it — real end-to-end video frame
+decode with zero codec libraries. Inter-frame-predicted codecs
+(H.264/H.265) remain the honest ``NotImplementedError``.
 
 Scale posture: identical to every decode path — one narrow
 ``mapInPandas`` stage, payloads never leave the executor.
@@ -85,6 +93,101 @@ def mp4_encode(
     return ftyp + moov + _box(b"mdat", mdat)
 
 
+def _visual_sample_entry(fourcc: bytes, width: int = 0, height: int = 0) -> bytes:
+    """86-byte VisualSampleEntry (ISO 14496-12 §12.1.3)."""
+    return (
+        struct.pack(">I", 86)
+        + fourcc
+        + b"\x00" * 6                      # reserved
+        + struct.pack(">H", 1)             # data_reference_index
+        + b"\x00" * 16                     # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4                      # reserved
+        + struct.pack(">H", 1)             # frame_count
+        + b"\x00" * 32                     # compressorname
+        + struct.pack(">Hh", 0x0018, -1)   # depth, pre_defined
+    )
+
+
+def mp4_encode_mjpeg(
+    frames: list[bytes],
+    frame_duration_ms: int = 100,
+    timescale: int = 1000,
+) -> bytes:
+    """Conforming ISO BMFF file whose single video track carries one
+    complete baseline-JPEG payload per sample (Motion-JPEG): full
+    sample table — ``stsd`` ('jpeg' VisualSampleEntry), ``stts`` (one
+    run of equal deltas), ``stsz`` (per-sample sizes), ``stsc`` (one
+    chunk holding all samples), ``stco`` (absolute chunk offset).
+
+    MJPEG has no inter-frame prediction, which is exactly why it is
+    the honest no-codec-library video format: every sample is decodable
+    by the engine's own JPEG decoder."""
+    if not frames:
+        raise ValueError("MJPEG file needs at least one frame")
+    n = len(frames)
+    delta = frame_duration_ms * timescale // 1000
+    duration = n * delta
+    mdat_body = b"".join(frames)
+
+    def build(chunk_offset: int) -> bytes:
+        stsd = _full_box(
+            b"stsd", 0, 0,
+            struct.pack(">I", 1) + _visual_sample_entry(b"jpeg"),
+        )
+        stts = _full_box(
+            b"stts", 0, 0, struct.pack(">III", 1, n, delta)
+        )
+        stsc = _full_box(
+            b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1)
+        )
+        stsz = _full_box(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", len(f)) for f in frames),
+        )
+        stco = _full_box(
+            b"stco", 0, 0, struct.pack(">II", 1, chunk_offset)
+        )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mvhd = _full_box(
+            b"mvhd", 0, 0,
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">iH", 0x00010000, 0x0100)
+            + b"\x00" * 10
+            + struct.pack(
+                ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + b"\x00" * 24
+            + struct.pack(">I", 2),
+        )
+        tkhd = _full_box(
+            b"tkhd", 0, 7,
+            struct.pack(">IIIII", 0, 0, 1, 0, duration) + b"\x00" * 60,
+        )
+        mdhd = _full_box(
+            b"mdhd", 0, 0,
+            struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+        )
+        hdlr = _full_box(
+            b"hdlr", 0, 0,
+            b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00",
+        )
+        trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+        moov = _box(b"moov", mvhd + trak)
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        return ftyp + moov + _box(b"mdat", mdat_body)
+
+    # stco stores an ABSOLUTE file offset, which depends on moov's own
+    # length — build once with a placeholder to measure, then rebuild
+    # (the offset field is fixed-width, so the length doesn't move)
+    probe = build(0)
+    mdat_payload_off = len(probe) - len(mdat_body)
+    return build(mdat_payload_off)
+
+
 def _walk_boxes(data: bytes, start: int, end: int):
     pos = start
     while pos + 8 <= end:
@@ -110,10 +213,15 @@ _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 def mp4_parse(payload: bytes) -> dict:
     """Parse an ISO BMFF stream → movie metadata dict with keys
     ``brand, timescale, duration_ms, n_tracks, track_kinds (sorted),
-    mdat_bytes, mdat_sum``."""
+    mdat_bytes, mdat_sum`` plus the sample-table fields frame decode
+    needs: ``codec`` (first stsd entry's fourcc), ``sample_sizes``
+    (stsz), ``sample_deltas`` (stts, expanded per sample),
+    ``chunk_offsets`` (stco, absolute file offsets)."""
     out = {
         "brand": None, "timescale": None, "duration_ms": None,
         "n_tracks": 0, "track_kinds": [], "mdat_bytes": 0, "mdat_sum": 0,
+        "codec": None, "sample_sizes": [], "sample_deltas": [],
+        "chunk_offsets": [],
     }
     saw_ftyp = False
 
@@ -143,6 +251,38 @@ def mp4_parse(payload: bytes) -> dict:
                 body = np.frombuffer(payload[b0:b1], dtype=np.uint8)
                 out["mdat_bytes"] += len(body)
                 out["mdat_sum"] += int(body.sum(dtype=np.int64))
+            elif btype == b"stsd":
+                (n_entries,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+                if n_entries >= 1 and out["codec"] is None:
+                    out["codec"] = payload[b0 + 12 : b0 + 16].decode(
+                        "ascii", errors="replace"
+                    )
+            elif btype == b"stsz":
+                size, cnt = struct.unpack(">II", payload[b0 + 4 : b0 + 12])
+                if size != 0:
+                    out["sample_sizes"] = [size] * cnt
+                else:
+                    out["sample_sizes"] = list(
+                        struct.unpack(
+                            f">{cnt}I", payload[b0 + 12 : b0 + 12 + 4 * cnt]
+                        )
+                    )
+            elif btype == b"stts":
+                (n_runs,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+                deltas: list[int] = []
+                for k in range(n_runs):
+                    cnt, d = struct.unpack(
+                        ">II", payload[b0 + 8 + 8 * k : b0 + 16 + 8 * k]
+                    )
+                    deltas.extend([d] * cnt)
+                out["sample_deltas"] = deltas
+            elif btype == b"stco":
+                (n_off,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+                out["chunk_offsets"] = list(
+                    struct.unpack(
+                        f">{n_off}I", payload[b0 + 8 : b0 + 8 + 4 * n_off]
+                    )
+                )
             elif btype in _CONTAINERS:
                 walk(b0, b1)
 
@@ -289,4 +429,192 @@ SELECT clip.media_id,
        CAST(mdat_sum AS BIGINT) AS mdat_sum
 FROM clip JOIN b ON clip.media_id = b.media_id
 ORDER BY clip.media_id
+"""
+
+
+# ---------------------------------------------------------------------
+# MJPEG frame decode — the real video-frame path (round 6)
+# ---------------------------------------------------------------------
+
+_FRAME_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("sum_dc", T.LongType()),
+        T.StructField("sum_abs_ac", T.LongType()),
+        T.StructField("nnz_ac", T.LongType()),
+    ]
+)
+
+_FRAME_PERMISSIVE_SCHEMA = T.StructType(
+    _FRAME_DECODE_SCHEMA.fields + [T.StructField("error", T.StringType())]
+)
+
+
+def decode_mjpeg_frames(media: DataFrame, permissive: bool = False) -> DataFrame:
+    """REAL video frame decode: walk the container's sample table
+    (stsz sizes + stco chunk offset), slice each sample out of
+    ``mdat``, and run the engine's own baseline JPEG decoder on it —
+    per frame, exact integer coefficient statistics plus the stts
+    presentation timestamp. One narrow ``mapInPandas`` stage; payload
+    bytes never leave the executor.
+
+    Only MJPEG ('jpeg' stsd fourcc) is decodable without a codec
+    library — inter-frame codecs raise ``NotImplementedError``
+    (``permissive=True`` quarantines them as error rows instead)."""
+    from magmapandas_spark.operators.jpeg import jpeg_decode_coeffs
+
+    schema = _FRAME_PERMISSIVE_SCHEMA if permissive else _FRAME_DECODE_SCHEMA
+    names = [f.name for f in _FRAME_PERMISSIVE_SCHEMA.fields][1:]
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+
+            def emit(mid, row):
+                out["media_id"].append(mid)
+                for nm, val in zip(names, row):
+                    if nm in out:
+                        out[nm].append(val)
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    m = mp4_parse(payload)
+                    if m["codec"] != "jpeg":
+                        raise NotImplementedError(
+                            f"codec {m['codec']!r}: only MJPEG frames "
+                            "are decodable without a codec library"
+                        )
+                    if not m["chunk_offsets"] or not m["sample_sizes"]:
+                        raise ValueError("MJPEG file without sample table")
+                    ts_scale = m["timescale"] or 1000
+                    pos = m["chunk_offsets"][0]
+                    t_units = 0
+                    for idx, size in enumerate(m["sample_sizes"]):
+                        frame = payload[pos : pos + size]
+                        pos += size
+                        img = jpeg_decode_coeffs(frame)
+                        sum_dc = sum_abs = nnz = nb = 0
+                        for comp in img.coeffs:
+                            nb += comp.shape[0]
+                            flat = comp.reshape(comp.shape[0], 64)
+                            sum_dc += int(flat[:, 0].sum())
+                            sum_abs += int(np.abs(flat[:, 1:]).sum())
+                            nnz += int((flat[:, 1:] != 0).sum())
+                        emit(mid, (
+                            idx, t_units * 1000 // ts_scale, img.width,
+                            img.height, nb, sum_dc, sum_abs, nnz, None,
+                        ))
+                        deltas = m["sample_deltas"]
+                        t_units += deltas[idx] if idx < len(deltas) else 0
+                except Exception as exc:  # noqa: BLE001
+                    if not permissive:
+                        raise
+                    emit(mid, (None, None, None, None, None, None,
+                               None, None, f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema=schema)
+
+
+# Formula shared with the SQL oracle: clip i carries
+#   n_frames = 2 + i % 3 frames at 100 ms per frame, and frame f is
+#   the engine's synthetic JPEG with seed 3·i + f (dims + quantized
+#   coefficients all follow jpeg.py's seed formulas).
+
+def make_synthetic_mjpeg_mp4(i: int) -> bytes:
+    from magmapandas_spark.operators.jpeg import make_synthetic_jpeg
+
+    n_frames = 2 + i % 3
+    frames = [make_synthetic_jpeg(3 * i + f) for f in range(n_frames)]
+    return mp4_encode_mjpeg(frames, frame_duration_ms=100)
+
+
+def synthetic_mjpeg_media(spark: SparkSession, n: int = 14) -> DataFrame:
+    rows = [(i, make_synthetic_mjpeg_mp4(i)) for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_MP4_SCHEMA).coalesce(4)
+
+
+def q_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: decode every frame of 14 real MJPEG-in-MP4 files —
+    container walk (sample table), per-sample mdat slicing, REAL
+    baseline-JPEG decode of each frame, stts timestamps. Exact integer
+    coefficient statistics per frame sit under the hash (the oracle
+    replays the seed formulas arithmetically; the float IDCT/pixel
+    path is verified separately in unit tests, as for jpeg_decode)."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    out = decode_mjpeg_frames(synthetic_mjpeg_media(spark, 14))
+    return tiny_sorted(
+        out.select(
+            "media_id", "frame_idx", "frame_ts_ms", "width", "height",
+            "n_blocks", "sum_dc", "sum_abs_ac", "nnz_ac",
+        ),
+        "media_id", "frame_idx",
+    )
+
+
+# Oracle: per (clip, frame) seed = 3·i + f, then jpeg.py's dims +
+# coefficient formulas replayed arithmetically (see SQL_JPEG_DECODE).
+SQL_VIDEO_FRAME_DECODE = """
+WITH clip AS (
+  SELECT i AS media_id, f.f AS frame_idx, 3 * i + f.f AS seed
+  FROM range(14) t(i),
+       LATERAL (SELECT UNNEST(range(2 + i % 3)) AS f) f
+),
+img AS (
+  SELECT media_id, frame_idx, seed,
+         CASE WHEN seed % 2 = 0 THEN 8 * (4 + seed % 5)
+              ELSE 16 * (2 + seed % 3) END AS w,
+         CASE WHEN seed % 2 = 0 THEN 8 * (3 + seed % 4)
+              ELSE 16 * (1 + seed % 2) END AS h,
+         seed % 2 = 0 AS full_res
+  FROM clip
+),
+comp AS (
+  SELECT media_id, frame_idx, seed, w, h, c.c AS c,
+         CASE WHEN c.c = 0 OR full_res THEN (w // 8) * (h // 8)
+              ELSE (w // 16) * (h // 16) END AS nb
+  FROM img, (SELECT UNNEST([0, 1, 2]) AS c) c
+),
+blk AS (
+  SELECT media_id, frame_idx, seed, c, b.b AS b
+  FROM comp, LATERAL (SELECT UNNEST(range(nb)) AS b) b
+),
+nbagg AS (
+  SELECT media_id, frame_idx, w, h, SUM(nb) AS n_blocks
+  FROM comp GROUP BY media_id, frame_idx, w, h
+),
+dc AS (
+  SELECT media_id, frame_idx,
+         SUM((seed * 5 + c * 11 + b * 3) % 41 - 20) AS sum_dc
+  FROM blk GROUP BY media_id, frame_idx
+),
+ac AS (
+  SELECT media_id, frame_idx,
+         SUM(ABS((seed + c * 7 + b * 5 + k.k * 13) % 19 - 9))
+           AS sum_abs_ac,
+         SUM(CASE WHEN (seed + c * 7 + b * 5 + k.k * 13) % 19 - 9
+                  <> 0 THEN 1 ELSE 0 END) AS nnz_ac
+  FROM blk, LATERAL (SELECT UNNEST(range(1, 10)) AS k) k
+  GROUP BY media_id, frame_idx
+)
+SELECT n.media_id,
+       CAST(n.frame_idx AS INT) AS frame_idx,
+       CAST(n.frame_idx * 100 AS BIGINT) AS frame_ts_ms,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(sum_dc AS BIGINT) AS sum_dc,
+       CAST(sum_abs_ac AS BIGINT) AS sum_abs_ac,
+       CAST(nnz_ac AS BIGINT) AS nnz_ac
+FROM nbagg n
+JOIN dc ON n.media_id = dc.media_id AND n.frame_idx = dc.frame_idx
+JOIN ac ON n.media_id = ac.media_id AND n.frame_idx = ac.frame_idx
+ORDER BY n.media_id, n.frame_idx
 """

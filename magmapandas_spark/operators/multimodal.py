@@ -173,9 +173,11 @@ def extract_features(
     kernel = _DECODERS.get(decoder)
     if kernel is None:
         raise NotImplementedError(
-            f"decoder {decoder!r} not available: video codecs (MP4/"
-            "H.264) do not exist in this environment; available "
-            f"decoders are {sorted(_DECODERS)} — the Spark plumbing "
+            f"decoder {decoder!r} not available: inter-frame video "
+            "codecs (H.264/H.265) do not exist in this environment; "
+            f"available decoders are {sorted(_DECODERS)}, and REAL "
+            "video frame decode exists for MJPEG-in-MP4 via "
+            "operators.mp4.decode_mjpeg_frames — the Spark plumbing "
             "is identical"
         )
 
@@ -560,11 +562,13 @@ ORDER BY media_id
 
 def sniff_media_format(payload: bytes) -> str:
     """Container format from magic bytes (the only trustworthy label):
-    jpeg / png / ppm / wav / mp4 / unknown."""
+    jpeg / png / gif / ppm / wav / mp4 / unknown."""
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -589,6 +593,7 @@ def decode_any(media: DataFrame) -> DataFrame:
     (JPEG/PNG/PPM/WAV/MP4); emit (fmt, ok, error). Permissive by
     nature — an unknown or corrupt payload is a row, not a task
     failure. One narrow Arrow stage."""
+    from magmapandas_spark.operators.gif import gif_decode
     from magmapandas_spark.operators.jpeg import jpeg_decode
     from magmapandas_spark.operators.mp4 import mp4_parse
     from magmapandas_spark.operators.png import png_decode
@@ -597,6 +602,7 @@ def decode_any(media: DataFrame) -> DataFrame:
     decoders = {
         "jpeg": jpeg_decode,
         "png": png_decode,
+        "gif": gif_decode,
         "ppm": decode_ppm,
         "wav": wav_decode,
         "mp4": mp4_parse,
@@ -632,9 +638,10 @@ def decode_any(media: DataFrame) -> DataFrame:
 def synthetic_mixed_media(spark: SparkSession) -> DataFrame:
     """One unlabeled table mixing every synthetic format family:
     ids 0-31 jpeg, 100-139 png, 200-247 ppm, 300-347 wav, 400-439 mp4,
-    900-904 unknown garbage."""
+    500-539 gif, 900-904 unknown garbage."""
     import numpy as np
 
+    from magmapandas_spark.operators.gif import make_synthetic_gif
     from magmapandas_spark.operators.jpeg import make_synthetic_jpeg
     from magmapandas_spark.operators.mp4 import make_synthetic_mp4
     from magmapandas_spark.operators.png import make_synthetic_png
@@ -650,6 +657,7 @@ def synthetic_mixed_media(spark: SparkSession) -> DataFrame:
         rows.append((200 + i, ppm_encode(px)))
     rows += [(300 + i, make_synthetic_wav(i)) for i in range(48)]
     rows += [(400 + i, make_synthetic_mp4(i)) for i in range(40)]
+    rows += [(500 + i, make_synthetic_gif(i)) for i in range(40)]
     rows += [(900 + i, bytes([i]) * 16) for i in range(5)]
     return spark.createDataFrame(
         rows, "media_id long, payload binary"
@@ -680,6 +688,7 @@ WITH fam AS (
   UNION ALL SELECT 'ppm', 200, 48, 48
   UNION ALL SELECT 'wav', 300, 48, 48
   UNION ALL SELECT 'mp4', 400, 40, 40
+  UNION ALL SELECT 'gif', 500, 40, 40
   UNION ALL SELECT 'unknown', 900, 5, 0
 )
 SELECT fmt,

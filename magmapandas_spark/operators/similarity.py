@@ -956,6 +956,7 @@ def semdedup(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Per-vector SemDeDup verdict against a fitted coarse codebook.
 
@@ -968,6 +969,19 @@ def semdedup(
     ≥ threshold similar) — pair-local, one aggregation, no iterative
     transitive closure (chains route through connected_components when
     cluster-exact grouping is needed).
+
+    Scale contract — the within-cell pair space is O(Σ cell²), so the
+    codebook must grow with the corpus (the paper's k ∝ N). Because a
+    FIXED codebook silently turns linear growth into quadratic pair
+    volume, ``max_cell_rows`` bounds it: cells whose population
+    exceeds the bound are deterministically split into
+    ``ceil(cnt / max_cell_rows)`` sub-cells by a hash of the vector id
+    (and a warning names them — the signal to refit with larger k).
+    Pairs are then compared within (cell, sub-cell) only: a
+    documented approximation that can only MISS duplicate pairs,
+    never invent them, so ``keep`` verdicts are a superset of the
+    unsharded run's (tests pin this). ``None`` disables the guard for
+    exact parity with the full within-cell comparison.
 
     Returns (vec_id, cell, n_dup_neighbors, keep) for every corpus
     vector."""
@@ -987,19 +1001,57 @@ def semdedup(
     # norm is a per-VECTOR quantity — fold it here (N folds), not
     # inside the pair comparison (N²/k folds); same IEEE value either
     # way, so the SQL twin's inline sqrt(dot(b,b)) still matches.
-    assigned = (
+    base = (
         scored.withColumn("srn", F.row_number().over(w))
         .filter(F.col("srn") == 1)
         .select("vid", "v", "cell", _norm(F.col("v")).alias("nrm"))
         .persist()
     )
+    assigned = base
+    join_keys = ["cell"]
+    if max_cell_rows is not None:
+        import warnings
+
+        from magmapandas_spark.operators.dedup import _md5_60
+
+        if max_cell_rows < 1:
+            raise ValueError("max_cell_rows must be ≥ 1")
+        counts = base.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # ≤ n_cells rows — a constant-bounded driver collect (the
+        # max_fit_rows discipline), used both for the warning and so
+        # the broadcast below is trivially small
+        rows = counts.collect()
+        over = sorted(
+            (r["cell"], r["cnt"]) for r in rows if r["cnt"] > max_cell_rows
+        )
+        if over:
+            warnings.warn(
+                "semdedup: cells exceed max_cell_rows="
+                f"{max_cell_rows} and were hash-split into sub-cells "
+                f"(cell, population): {over} — near-duplicate pairs "
+                "across sub-cells of one cell are NOT compared; refit "
+                "the codebook with larger k (k ∝ N) to restore full "
+                "within-cell coverage",
+                stacklevel=2,
+            )
+        n_sub = F.expr(f"(cnt + {max_cell_rows - 1}) div {max_cell_rows}")
+        sub_map = counts.select("cell", n_sub.alias("n_sub"))
+        assigned = base.join(F.broadcast(sub_map), on="cell").select(
+            "vid", "v", "cell", "nrm",
+            F.pmod(
+                _md5_60(F.col("vid").cast("string")), F.col("n_sub")
+            ).alias("sub"),
+        )
+        join_keys = ["cell", "sub"]
     a = assigned.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "cell",
+        F.col("nrm").alias("na"), *join_keys,
     )
     b = assigned.select(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb_n"), "cell",
+        F.col("nrm").alias("nb_n"), *join_keys,
     )
     # broadcast the build side: `cell` has only n_cells distinct
     # values, so a shuffled join would put ALL pairs on n_cells tasks
@@ -1009,7 +1061,7 @@ def semdedup(
     # write_ivf_index's bucketBy(cell) layout makes this same join
     # co-located instead.
     pairs = (
-        a.join(F.broadcast(b), on="cell")
+        a.join(F.broadcast(b), on=join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -1030,7 +1082,7 @@ def semdedup(
         F.count(F.lit(1)).alias("n_dup_neighbors"),
         F.max(F.col("nb") < F.col("vid")).alias("dominated"),
     )
-    out = assigned.join(stats, on="vid", how="left").select(
+    out = base.join(stats, on="vid", how="left").select(
         F.col("vid").alias(id_col),
         "cell",
         F.coalesce("n_dup_neighbors", F.lit(0)).cast("long").alias(
@@ -1043,7 +1095,7 @@ def semdedup(
     # convention: repeated calls in a long-lived session must not
     # accumulate cached tables until LRU pressure
     out = out.localCheckpoint(eager=True)
-    assigned.unpersist()
+    base.unpersist()
     return out
 
 
@@ -1058,14 +1110,43 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, centroids).orderBy("vec_id")
 
 
+#: gate bound for the sharded SemDeDup: small enough that the 8-cell
+#: codebook OVERFLOWS at every test SF (≈62 rows/cell at sf0.01), so
+#: the guard's hash-split actually executes under the hash
+_SEMDEDUP_GATE_MCR = 48
+
+
+def q_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: SemDeDup WITH the cell-population guard active
+    (max_cell_rows=48 over the same 8-cell codebook, which every cell
+    exceeds) — the deterministic hash-split, the sub-cell-bounded pair
+    comparison, and every resulting keep/drop verdict sit under the
+    hash. This is the 100 TB posture: pair volume is bounded per
+    sub-cell no matter how far the corpus outgrows a fixed codebook."""
+    import warnings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = ivf_fit_centroids(sf_dir)
+    with warnings.catch_warnings():
+        # the overflow warning is the point of this gate — expected
+        warnings.simplefilter("ignore")
+        out = semdedup(
+            emb, centroids, max_cell_rows=_SEMDEDUP_GATE_MCR
+        )
+    return out.orderBy("vec_id")
+
+
 def sql_semdedup(
     sf_dir: str | None = None,
     dim: int = 64,
     threshold: float = 0.45,
+    max_cell_rows: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`q_semdedup`: same literal centroids from
     the cached fit, same argmin window, same fixed-order cosine fold,
-    same ≥-threshold and dominance aggregation."""
+    same ≥-threshold and dominance aggregation. With ``max_cell_rows``
+    it also replays the cell-population guard's deterministic
+    hash-split (so the sharded gate verifies the guard itself)."""
     import os
 
     sf_dir = sf_dir or os.environ.get(
@@ -1077,6 +1158,22 @@ def sql_semdedup(
         f"{_sql_dist2_lit('e.embedding', c)} AS sd FROM embeddings e"
         for j, c in enumerate(centroids)
     )
+    if max_cell_rows is None:
+        shard_ctes = ""
+        pair_src = "assigned"
+        sub_cond = ""
+    else:
+        mcr = int(max_cell_rows)
+        shard_ctes = f"""
+counts AS (SELECT cell, COUNT(*) AS cnt FROM assigned GROUP BY cell),
+sharded AS (
+  SELECT a.vec_id, a.cell,
+         ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT
+           % ((c.cnt + {mcr - 1}) // {mcr}) AS sub
+  FROM assigned a JOIN counts c ON a.cell = c.cell
+),"""
+        pair_src = "sharded"
+        sub_cond = " AND a.sub = b.sub"
     return f"""
 WITH dists AS ({dist_rows}),
 assigned AS (
@@ -1086,12 +1183,12 @@ assigned AS (
              PARTITION BY vec_id ORDER BY sd ASC, cell) AS srn
     FROM dists
   ) WHERE srn = 1
-),
+),{shard_ctes}
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_sql_cos('ea.embedding', 'eb.embedding', dim)} AS cos
-  FROM assigned a
-  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  FROM {pair_src} a
+  JOIN {pair_src} b ON a.cell = b.cell{sub_cond} AND a.vec_id < b.vec_id
   JOIN embeddings ea ON a.vec_id = ea.vec_id
   JOIN embeddings eb ON b.vec_id = eb.vec_id
 ),

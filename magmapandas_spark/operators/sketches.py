@@ -177,6 +177,73 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
 _HLL_C = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_SCALE)
 
 
+def hll_register_relation(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """The HLL sketch STATE as a relation: (group, idx, m_reg) with
+    ≤ m rows per group. max(rho) is idempotent under duplicates (no
+    distinct shuffle needed) and the relation merges with any other
+    register relation by elementwise ``max`` — the property both the
+    100 TB batch plan and the cross-micro-batch streaming ingest
+    (streaming/streams.py) rely on."""
+    vals = df.filter(F.col(value_col).isNotNull())
+    h = _md5_60(F.col(value_col).cast("string"))
+    w = h % F.lit(1 << _HLL_WBITS).cast("long")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        vals.select(
+            F.col(group_col).alias("g"),
+            F.shiftrightunsigned(h, _HLL_WBITS).alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("g", "idx")
+        .agg(F.max("rho").alias("m_reg"))
+        .withColumnRenamed("g", group_col)
+    )
+
+
+def merge_hll_registers(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Union + elementwise max — the sketch merge (associative,
+    commutative, idempotent), usable across partitions, days, tables,
+    or micro-batches."""
+    return (
+        a.unionByName(b)
+        .groupBy(group_col, "idx")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_col: str
+) -> DataFrame:
+    """Finalize a register relation into (group, est): the scaled
+    integer harmonic sum, the single-division estimator, and the
+    small-range correction (see :func:`hll_distinct` for why every
+    step is cross-engine exact)."""
+    s = regs.groupBy(group_col).agg(
+        # python shiftleft() wants a literal int shift; the SQL form
+        # takes an expression
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - m_reg)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    s_int = F.col("s_present") + (
+        F.lit(_HLL_M) - F.col("n_regs")
+    ) * F.lit(1 << _HLL_SCALE).cast("long")
+    zeros = F.lit(_HLL_M) - F.col("n_regs")
+    e_raw = F.lit(_HLL_C) / s_int.cast("double")
+    est = F.when(
+        (zeros > 0) & (e_raw <= F.lit(2.5 * _HLL_M)),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(e_raw)
+    return s.select(group_col, est.alias("est"))
+
+
 def hll_distinct(
     df: DataFrame,
     group_col: str,
@@ -210,38 +277,8 @@ def hll_distinct(
     branch exists for the gate's comparison and would be dropped at
     scale."""
     vals = df.filter(F.col(value_col).isNotNull())
-    h = _md5_60(F.col(value_col).cast("string"))
-    w = h % F.lit(1 << _HLL_WBITS).cast("long")
-    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
-    )
-    regs = (
-        vals.select(
-            group_col,
-            F.shiftrightunsigned(h, _HLL_WBITS).alias("idx"),
-            rho.alias("rho"),
-        )
-        .groupBy(group_col, "idx")
-        .agg(F.max("rho").alias("m_reg"))
-    )
-    s = regs.groupBy(group_col).agg(
-        # python shiftleft() wants a literal int shift; the SQL form
-        # takes an expression
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - m_reg)")
-        ).alias("s_present"),
-        F.count(F.lit(1)).alias("n_regs"),
-    )
-    s_int = F.col("s_present") + (
-        F.lit(_HLL_M) - F.col("n_regs")
-    ) * F.lit(1 << _HLL_SCALE).cast("long")
-    zeros = F.lit(_HLL_M) - F.col("n_regs")
-    e_raw = F.lit(_HLL_C) / s_int.cast("double")
-    est = F.when(
-        (zeros > 0) & (e_raw <= F.lit(2.5 * _HLL_M)),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
-    ).otherwise(e_raw)
-    sketch = s.select(group_col, est.alias("est"))
+    regs = hll_register_relation(df, group_col, value_col)
+    sketch = hll_estimate_from_registers(regs, group_col)
     exact = vals.groupBy(group_col).agg(
         F.countDistinct(value_col).alias("n_exact")
     )
@@ -330,6 +367,60 @@ _CMS_D = 4
 _CMS_W = 8
 
 
+def _cms_bucket_pairs(df: DataFrame) -> DataFrame:
+    """(token, tf) → one (token, tf, r, b) row per hash row."""
+    return df.select(
+        "token",
+        "tf",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            _md5_60(
+                                F.concat(
+                                    F.lit(f"cms{r}:"), F.col("token")
+                                )
+                            )
+                            % _CMS_W
+                        ).alias("b"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "tf", "rb.r", "rb.b")
+
+
+def cms_counter_relation(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The CMS sketch STATE as a relation: (r, b, c) — at most d·w
+    rows no matter the corpus size. Built with one map-side-combined
+    aggregation over the token stream; mergeable by elementwise sum
+    (:func:`merge_cms_counters`)."""
+    from magmapandas_spark.operators.curation import word_tokens
+
+    tf = (
+        docs.select(F.explode(word_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _cms_bucket_pairs(tf).groupBy("r", "b").agg(
+        F.sum("tf").alias("c")
+    )
+
+
+def merge_cms_counters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union + elementwise sum — the CMS merge (associative and
+    commutative; exact integer arithmetic, so merge order is
+    irrelevant bit-for-bit)."""
+    return a.unionByName(b).groupBy("r", "b").agg(
+        F.sum("c").alias("c")
+    )
+
+
 def cms_token_counts(
     docs: DataFrame,
     text_col: str = "text",
@@ -347,36 +438,15 @@ def cms_token_counts(
     Scale posture: the counter table is d·w rows TOTAL regardless of
     corpus size (the point of the sketch), built with one map-side-
     combined agg from the token-frequency relation and broadcast back
-    for the min-lookup. Counter relations merge by elementwise sum, so
-    per-partition sketches compose — the 100 TB deployment keeps one
-    d×w array per executor and merges at the end."""
+    for the min-lookup. Counter relations merge by elementwise sum
+    (:func:`merge_cms_counters`), so per-partition — or per-micro-
+    batch, see streaming/streams.py — sketches compose; the 100 TB
+    deployment keeps one d×w array per executor and merges at the
+    end."""
     from magmapandas_spark.operators.curation import word_tokens
     from magmapandas_spark.operators.dedup import fan_out
 
-    def bucket_pairs(df):
-        """(token, tf) → one (token, tf, r, b) row per hash row."""
-        return df.select(
-            "token",
-            "tf",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("r"),
-                            (
-                                _md5_60(
-                                    F.concat(
-                                        F.lit(f"cms{r}:"), F.col("token")
-                                    )
-                                )
-                                % _CMS_W
-                            ).alias("b"),
-                        )
-                        for r in range(_CMS_D)
-                    ]
-                )
-            ).alias("rb"),
-        ).select("token", "tf", "rb.r", "rb.b")
+    bucket_pairs = _cms_bucket_pairs
 
     tok = fan_out(docs).select(
         F.explode(word_tokens(text_col)).alias("token")

@@ -347,75 +347,76 @@ def _wrap(fn: Callable) -> Callable:
 # The correctness driver hash-verifies only the FIRST 50 entries of
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
-# Round-5 rotation — exactly 50 entries: (a) queries new this round
-# (the sketch tier hll/cms/histogram, semdedup, gap_fill, then the
-# web-corpus/retrieval/maintenance wave: pii/url/bloom/bpe/tfidf/
-# warc/gif/keep-best/kmv/jaccard-est/quota/robots/merge/pagerank/
-# mixture/ensemble/substring/containment/pq/ivfpq), (b) queries whose
-# code changed this round (lm_quality decimal sum, wav all-channel
-# energy, png channel-aware sums), then (c) queries with no recent
-# driver-green row, rotated back in. Everything after slot 50 stays
-# covered by tests/test_oracle.py (the identical check, run in
-# CI/pytest).
+# Round-6 rotation — exactly 50 entries, ordered by the established
+# contract: (a) queries NEW this round (the two scale-posture gates:
+# semdedup_sharded — the cell-population guard actively splitting —
+# and video_frame_decode — real MJPEG frame decode), (b) queries
+# whose CODE changed this round (kmv two-phase bottom-k, robots
+# max-encoding verdict, bpe empty-doc fix, merge null-safe oracle,
+# quantile integer ranks, pagerank materialization, semdedup guard
+# plumbing, media_inventory + GIF dispatch, hll/cms register/counter
+# refactor for the streaming twins), then (c) last-driver-green
+# ASCENDING: all 27 queries whose last green row is r3, then the
+# alphabetically-first 11 of the r4 cohort. Everything past slot 50
+# stays covered by tests/test_oracle.py (the identical check).
 _GATE_ORDER = [
-    # new this round (round 5) — first green row needed
-    "hll_distinct",
-    "semdedup",
-    "cms_topk",
-    "gap_fill",
-    "histogram_quantiles",
-    "pii_scan",
-    "url_canonical",
-    "bloom_decontaminate",
-    "bpe_tokens",
-    "tfidf_search",
-    "warc_records",
-    "warc_gz_records",
-    "gif_decode",
-    "dedup_keep_best",
+    # (a) new this round (round 6) — first green row needed
+    "semdedup_sharded",
+    "video_frame_decode",
+    # (b) code changed this round — re-verify
     "kmv_distinct",
-    "minhash_jaccard_est",
-    "host_quota",
     "robots_filter",
+    "bpe_tokens",
     "merge_upsert",
+    "histogram_quantiles",
     "pagerank",
-    "mixture_schedule",
-    "quality_ensemble",
-    "exact_substring_dups",
-    "pair_overlap_scores",
-    "pq_topk_seeded",
-    "ivfpq_topk",  # rows-only production probe (relational twins carry exactness)
-    # changed this round — re-verify
-    "lm_quality",      # decimal-sum avg_nll
-    "wav_chunks",      # all-channel energy (mono output unchanged)
-    "png_decode",      # channel-aware sums (RGB output unchanged)
-    # no driver-green row in r3 or r4 — rotate back into the window
-    "doc_stats",
-    "dedup_exact",
-    "chondrite_normalize",
-    "rhodes_grid",
-    "range_join_clicks",
-    "events_hourly",
-    "density_viscosity",
-    "mineral_forsterite",
-    "text_quality",
-    "pricing_summary",
-    "thermometer_putirka2008_15",
-    # verified in r3 but rotated out of the r4 window — re-verify
-    "reservoir_normalize",
-    "tas_classification",
-    "part_setops",
-    "redox_chain",
-    "shishkina_co2_saturation",
-    "volatile_saturation_im",
-    "embedding_neardup",
-    "allison_saturation",
-    "video_frames",
-    "audio_chunks",
-    # (thermometers_multi2 / magnetite_speciation / olmelt_thermometer /
-    # melt_structure / fe3fe2_expr_models rotated out to make room for
-    # the five round-5 late additions — all have r3 driver green rows
-    # and stay under tests/test_oracle.py's identical check)
+    "semdedup",
+    "media_inventory",
+    "hll_distinct",
+    "cms_topk",
+    # (c) oldest driver-green rows first: last green in r3
+    "calibration_flags",
+    "fe3fe2_deng2020",
+    "fe3fe2_expr_models",
+    "fe3fe2_expr_models2",
+    "fe3fe2_expr_models3",
+    "fe3fe2_hirschmann2022",
+    "feo_fe2o3_split",
+    "fo2_buffers",
+    "ilmenite_speciation",
+    "image_decode",
+    "isobar_grid",
+    "ivf_topk",
+    "kd_blundy_saper",
+    "kd_expr_models",
+    "kd_toplis_iteration",
+    "magnetite_speciation",
+    "mc_thermometer",
+    "melt_describe",
+    "melt_structure",
+    "ngram_contamination",
+    "olmelt_thermometer",
+    "plag_endmembers",
+    "stratified_sample",
+    "sugawara6a_cpx",
+    "thermometers_multi",
+    "thermometers_multi2",
+    "unit_conversions",
+    # (c cont.) last green in r4 — alphabetically first 11
+    "asof_purchase_view",
+    "below_avg_revenue",
+    "customer_ntiles",
+    "customer_order_window",
+    "customer_semi_anti",
+    "dedup_clusters",
+    "dedup_clusters_distributed",
+    "dedup_verified",
+    "doc_fingerprint",
+    "embedding_topk",
+    "event_deltas",
+    # (the r5 window's 50 rows all have r5 driver green; the remaining
+    # r4 cohort rotates in next round — all stay under
+    # tests/test_oracle.py's identical check meanwhile)
 ]
 
 
@@ -426,7 +427,13 @@ def _gate_sorted(out: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from magmapandas_spark.relational import suite2, suite3, suite4, suite5
+    from magmapandas_spark.relational import (
+        suite2,
+        suite3,
+        suite4,
+        suite5,
+        suite6,
+    )
 
     out = {
         "pricing_summary": q_pricing_summary,
@@ -438,11 +445,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(suite3.queries())
     out.update(suite4.queries())
     out.update(suite5.queries())
+    out.update(suite6.queries())
     return {k: _wrap(v) for k, v in _gate_sorted(out).items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from magmapandas_spark.relational import suite2, suite3, suite4, suite5
+    from magmapandas_spark.relational import (
+        suite2,
+        suite3,
+        suite4,
+        suite5,
+        suite6,
+    )
 
     out = {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -454,4 +468,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(suite3.oracle_sql())
     out.update(suite4.oracle_sql())
     out.update(suite5.oracle_sql())
+    out.update(suite6.oracle_sql())
     return _gate_sorted(out)

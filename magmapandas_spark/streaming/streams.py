@@ -361,3 +361,104 @@ def scrub_documents(docs: DataFrame) -> DataFrame:
         F.length("text").alias("len_chars"),
         *pii_exprs("text"),
     )
+
+
+# ---------------------------------------------------------------------
+# Streaming mergeable sketches (round 6): the sketch tier's state
+# relations (HLL registers, CMS counters) merge elementwise — exactly
+# the cross-micro-batch shape. Each micro-batch builds its own bounded
+# sketch relation and folds it into a parquet state table; the final
+# merged state is oracle-equal to the batch sketch over the union of
+# all batches (tests/test_streaming_oracle.py pins exact equality).
+# foreachBatch is the canonical shape: the merge reads the state the
+# PREVIOUS batch wrote, which stream-static joins cannot see.
+# ---------------------------------------------------------------------
+
+
+def _fold_sketch_state(batch_rel: DataFrame, state_path: str, merge_fn) -> None:
+    """Fold one micro-batch's sketch relation into the parquet state:
+    read-merge-overwrite, with an eager localCheckpoint so the merged
+    relation is materialized BEFORE the path it was read from is
+    overwritten. State stays sketch-sized (≤ m rows per group / d·w
+    rows), so this is a constant-cost fold per batch."""
+    import os
+
+    spark = batch_rel.sparkSession
+    if os.path.exists(state_path):
+        merged = merge_fn(spark.read.parquet(state_path), batch_rel)
+    else:
+        merged = batch_rel
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(state_path)
+
+
+def streaming_hll_ingest(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    timeout_s: int = 120,
+):
+    """Incremental per-group HyperLogLog over an event stream: each
+    micro-batch's register relation (≤ m rows per group) merges into
+    the state by elementwise max — registers are idempotent, so
+    reprocessed rows cannot inflate the estimate (the at-least-once
+    safety HLL gives for free). Returns the finished StreamingQuery;
+    finalize the state with
+    ``sketches.hll_estimate_from_registers(spark.read.parquet(state_path), group_col)``."""
+    from magmapandas_spark.operators.sketches import (
+        hll_register_relation,
+        merge_hll_registers,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        rel = hll_register_relation(batch_df, group_col, value_col)
+        _fold_sketch_state(
+            rel, state_path,
+            lambda a, b: merge_hll_registers(a, b, group_col),
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def streaming_cms_ingest(
+    doc_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    timeout_s: int = 120,
+):
+    """Incremental count-min sketch over a document stream: each
+    micro-batch's d×w counter relation merges into the state by
+    elementwise sum (exact integer arithmetic — merge order is
+    irrelevant bit-for-bit). Returns the finished StreamingQuery; the
+    state parquet IS the sketch."""
+    from magmapandas_spark.operators.sketches import (
+        cms_counter_relation,
+        merge_cms_counters,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        rel = cms_counter_relation(batch_df, text_col)
+        _fold_sketch_state(rel, state_path, merge_cms_counters)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

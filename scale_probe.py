@@ -91,6 +91,32 @@ def build_scaled_inputs(spark, sf_dir: str, x: int, out_dir: str) -> None:
         f"{out_dir}/documents.parquet"
     )
 
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vid_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    copies = []
+    for c in range(x):
+        # per-copy perturbation of dim 0 so copies aren't exact
+        # cosine-duplicates of each other (cosine is scale-invariant,
+        # so a plain rescale would be a no-op workload-wise)
+        copies.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * vid_span))
+            .withColumn(
+                "embedding",
+                F.concat(
+                    F.array(
+                        F.get("embedding", 0) + F.lit(0.05 * c)
+                    ),
+                    F.slice("embedding", 2, 10_000),
+                ),
+            )
+        )
+    scaled = copies[0]
+    for df in copies[1:]:
+        scaled = scaled.unionByName(df)
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
 
 # pricing runs BEFORE the dedup shapes: minhash/CC leave persisted and
 # localCheckpointed blocks that contend with a following scan-heavy
@@ -103,9 +129,46 @@ SHAPES = [
     "bpe_encode",
     "bloom_decontaminate",
     "cms_sketch",
+    "semdedup_guarded",
     "minhash_pipeline",
     "cc_distributed",
 ]
+
+
+#: guard bound for the probe's SemDeDup shape
+_PROBE_MCR = 64
+
+
+def _semdedup_guarded_shape(spark, sf_dir: str):
+    import warnings
+
+    from magmapandas_spark.operators.similarity import (
+        ivf_fit_centroids,
+        semdedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the codebook is fit ONCE on the base corpus and deliberately NOT
+    # refit as the corpus scales — the exact fixed-codebook regime the
+    # guard exists for (and the duckdb-side fit needs the single-file
+    # base parquet anyway)
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cents = ivf_fit_centroids(base)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # overflow warning is expected
+        out = semdedup(emb, cents, max_cell_rows=_PROBE_MCR)
+    # side metric (cheap — out is already checkpointed): what the
+    # guard saved. unguarded pair volume is Σ C(pop,2) over cells;
+    # the guarded bound is ≤ pop·(mcr-1)/2 per cell — linear in pop.
+    pops = out.groupBy("cell").count().collect()
+    unguarded = sum(r["count"] * (r["count"] - 1) // 2 for r in pops)
+    bound = sum(r["count"] * (_PROBE_MCR - 1) // 2 for r in pops)
+    print(
+        f"#   semdedup pair volume: unguarded Σ C(pop,2) = {unguarded}, "
+        f"guarded bound Σ pop·(mcr-1)/2 = {bound}",
+        file=sys.stderr,
+    )
+    return out.orderBy("vec_id")
 
 
 def run_shapes(spark, sf_dir: str) -> dict[str, float]:
@@ -128,6 +191,12 @@ def run_shapes(spark, sf_dir: str) -> dict[str, float]:
         # d*w rows regardless of input, so its wall should scale with
         # the token scan alone
         "cms_sketch": qs["cms_topk"],
+        # round-6 close: SemDeDup with the cell-population guard. The
+        # codebook stays FIXED (8 cells) while the corpus scales X× —
+        # exactly the failure mode the guard exists for: without it,
+        # within-cell pairs grow X², with it each sub-cell is bounded
+        # at max_cell_rows so pair volume (and wall) grow ~linearly.
+        "semdedup_guarded": _semdedup_guarded_shape,
     }
     out: dict[str, float] = {}
 

@@ -122,3 +122,110 @@ def test_sample_video_frames_zero_duration(spark):
     out = sample_video_frames_mp4(media, every_ms=1000).toPandas()
     assert set(out["media_id"]) == {1}
     assert sorted(out["frame_ts_ms"]) == [0, 1000, 2000]
+
+
+# ---------------------------------------------------------------------
+# MJPEG frame decode (round 6): real per-frame JPEG decode from a real
+# sample table
+# ---------------------------------------------------------------------
+
+
+def test_mjpeg_roundtrip_sample_table():
+    from magmapandas_spark.operators.jpeg import make_synthetic_jpeg
+    from magmapandas_spark.operators.mp4 import mp4_encode_mjpeg
+
+    frames = [make_synthetic_jpeg(i) for i in range(3)]
+    data = mp4_encode_mjpeg(frames, frame_duration_ms=40, timescale=600)
+    m = mp4_parse(data)
+    assert m["codec"] == "jpeg"
+    assert m["sample_sizes"] == [len(f) for f in frames]
+    # 40 ms at timescale 600 = 24 units per sample
+    assert m["sample_deltas"] == [24, 24, 24]
+    assert m["brand"] == "isom"
+    # stco points exactly at frame 0: slicing by the sample table must
+    # reproduce the original payload bytes
+    off = m["chunk_offsets"][0]
+    for f in frames:
+        assert data[off : off + len(f)] == f
+        off += len(f)
+
+
+def test_decode_mjpeg_frames_matches_direct_jpeg_decode(spark):
+    """Frame stats through the container path must equal decode_jpegs
+    on the bare frame payloads — same decoder, real slicing."""
+    from magmapandas_spark.operators.jpeg import (
+        decode_jpegs,
+        make_synthetic_jpeg,
+    )
+    from magmapandas_spark.operators.mp4 import (
+        decode_mjpeg_frames,
+        synthetic_mjpeg_media,
+    )
+
+    got = (
+        decode_mjpeg_frames(synthetic_mjpeg_media(spark, 6))
+        .toPandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    # clip i frame f == synthetic jpeg seed 3i+f
+    seeds = [
+        (i, f, 3 * i + f) for i in range(6) for f in range(2 + i % 3)
+    ]
+    uniq = sorted({s for (_, _, s) in seeds})
+    bare = spark.createDataFrame(
+        [(s, make_synthetic_jpeg(s)) for s in uniq],
+        "media_id long, payload binary",
+    )
+    ref = (
+        decode_jpegs(bare)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert len(got) == len(seeds)
+    for (i, f, s), (_, row) in zip(seeds, got.iterrows()):
+        assert row["media_id"] == i and row["frame_idx"] == f
+        assert row["frame_ts_ms"] == f * 100
+        for col in ["width", "height", "n_blocks", "sum_dc",
+                    "sum_abs_ac", "nnz_ac"]:
+            assert row[col] == ref.loc[s, col], (i, f, col)
+
+
+def test_decode_mjpeg_frames_permissive_quarantines_h264(spark):
+    """A non-MJPEG video (no codec library) must become an error ROW
+    in permissive mode, not a task failure — and strict mode raises."""
+    from magmapandas_spark.operators.mp4 import (
+        decode_mjpeg_frames,
+        make_synthetic_mjpeg_mp4,
+    )
+
+    rows = [
+        (0, make_synthetic_mjpeg_mp4(0)),
+        (1, make_synthetic_mp4(1)),  # no sample table / codec
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = decode_mjpeg_frames(media, permissive=True).toPandas()
+    ok = out[out["error"].isna()]
+    bad = out[out["error"].notna()]
+    assert set(ok["media_id"]) == {0} and len(ok) == 2
+    assert set(bad["media_id"]) == {1}
+    assert "NotImplementedError" in bad.iloc[0]["error"]
+    with pytest.raises(Exception):
+        decode_mjpeg_frames(media).toPandas()
+
+
+def test_video_frame_decode_oracle_matches(spark):
+    from magmapandas_spark.operators.mp4 import (
+        SQL_VIDEO_FRAME_DECODE,
+        q_video_frame_decode,
+    )
+
+    got = q_video_frame_decode(spark, "/root/testdata/sf0.001").toPandas()
+    exp = duckdb.connect().execute(SQL_VIDEO_FRAME_DECODE).df()
+    exp.columns = got.columns
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp.reset_index(drop=True),
+        check_dtype=False,
+    )

@@ -248,3 +248,57 @@ def test_semdedup_cross_cell_pairs_uncompared(spark):
     out = semdedup(df, cents, threshold=0.5).toPandas()
     assert (out["n_dup_neighbors"] == 0).all()
     assert out["keep"].all()
+
+
+def test_semdedup_cell_guard_warns_and_keep_superset(spark):
+    """The cell-population guard (max_cell_rows): overfull cells are
+    deterministically hash-split (warning names them), sub-cell
+    sharding only REMOVES comparisons — so keep verdicts are a
+    superset of the unsharded run's — and the split is exact-parity
+    with the DuckDB twin (oracle-checked in test_oracle via
+    semdedup_sharded)."""
+    import warnings
+
+    import numpy as np
+
+    from magmapandas_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    # 30 vectors all in ONE cell (all near +base), several near-dups
+    rows = [
+        (i, (base * (1.0 + 0.001 * (i % 3))).tolist()) for i in range(30)
+    ]
+    cents = [base.tolist(), (-base).tolist()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    un = (
+        semdedup(df, cents, threshold=0.9)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sh = (
+            semdedup(df, cents, threshold=0.9, max_cell_rows=8)
+            .toPandas()
+            .set_index("vec_id")
+            .sort_index()
+        )
+    msgs = [str(w.message) for w in caught]
+    assert any("max_cell_rows" in m for m in msgs)
+    # sharding can only drop pairs: unsharded keep ⇒ sharded keep,
+    # and neighbor counts can only shrink
+    assert bool(((~un["keep"]) | sh["keep"]).all())
+    assert bool((sh["n_dup_neighbors"] <= un["n_dup_neighbors"]).all())
+    # under-bound cells don't warn and don't change results
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        big = (
+            semdedup(df, cents, threshold=0.9, max_cell_rows=1000)
+            .toPandas()
+            .set_index("vec_id")
+            .sort_index()
+        )
+    assert not any("max_cell_rows" in str(w.message) for w in caught2)
+    assert big.equals(un)

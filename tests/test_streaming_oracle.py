@@ -178,3 +178,86 @@ def test_scrub_documents_is_stateless(spark):
         .toString()
     )
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------
+# Round 6: streaming mergeable sketches — the final merged state must
+# equal the batch sketch over the union EXACTLY (register max / counter
+# sum are order-independent), across REAL multiple micro-batches
+# (maxFilesPerTrigger=1 over a multi-file stage).
+# ---------------------------------------------------------------------
+
+
+def _multi_file_stage(spark, df, n_files: int):
+    """Write df as n_files parquet files; return the directory (each
+    file becomes one micro-batch under maxFilesPerTrigger=1)."""
+    d = tempfile.mkdtemp(prefix="stream_sketch_src_")
+    df.repartition(n_files).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_streaming_hll_registers_match_batch(spark):
+    from magmapandas_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_register_relation,
+    )
+    from magmapandas_spark.streaming.streams import streaming_hll_ingest
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    src = _multi_file_stage(spark, batch, 3)
+    out_dir = tempfile.mkdtemp(prefix="stream_hll_")
+    state = os.path.join(out_dir, "state.parquet")
+    stream = spark.readStream.schema(
+        "event_type string, user_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    streaming_hll_ingest(
+        stream, state, os.path.join(out_dir, "ckpt"),
+    )
+    got_regs = normalize(spark.read.parquet(state).toPandas())
+    exp_regs = normalize(
+        hll_register_relation(batch, "event_type", "user_id").toPandas()
+    )
+    pd.testing.assert_frame_equal(got_regs, exp_regs, check_dtype=False)
+    # and the finalized estimates agree bit-for-bit with the batch twin
+    got_est = normalize(
+        hll_estimate_from_registers(
+            spark.read.parquet(state), "event_type"
+        ).toPandas()
+    )
+    exp_est = normalize(
+        hll_estimate_from_registers(
+            hll_register_relation(batch, "event_type", "user_id"),
+            "event_type",
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got_est, exp_est, check_dtype=False)
+    for d in (src, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_cms_counters_match_batch(spark):
+    from magmapandas_spark.operators.sketches import cms_counter_relation
+    from magmapandas_spark.streaming.streams import streaming_cms_ingest
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = _multi_file_stage(spark, batch, 3)
+    out_dir = tempfile.mkdtemp(prefix="stream_cms_")
+    state = os.path.join(out_dir, "state.parquet")
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    streaming_cms_ingest(
+        stream, state, os.path.join(out_dir, "ckpt"),
+    )
+    got = normalize(spark.read.parquet(state).toPandas())
+    exp = normalize(cms_counter_relation(batch).toPandas())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the counter table is the sketch: d·w rows max, regardless of
+    # how many batches fed it
+    assert len(got) <= 4 * 8
+    for d in (src, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
