@@ -213,3 +213,60 @@ SELECT p.g AS l_returnflag, p.q, p.est, r.x AS exact,
 FROM probes p JOIN ranked r ON p.g = r.g AND p.rank_q = r.r
 ORDER BY l_returnflag, q
 """
+
+
+# ---------------------------------------------------------------------
+# Fixed-edge histograms — the STREAMING-mergeable variant (round 6)
+# ---------------------------------------------------------------------
+# The equi-width histogram above derives its edges from the group's
+# (min, max), which is a two-pass plan and NOT mergeable across
+# independently-built sketches (two days' histograms with different
+# edges don't add). With FIXED explicit edges the relation
+# (group, bin, cnt) merges by elementwise integer sum — the
+# cross-partition / cross-day / cross-micro-batch shape
+# (streaming/streams.py folds these incrementally).
+
+
+def fixed_histogram_relation(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = _N_BINS,
+) -> DataFrame:
+    """Per-group integer histogram over FIXED [lo, hi) edges:
+    (group, bin, cnt), ≤ n_bins rows per group, built with one
+    map-side-combined aggregation. Out-of-range values clamp into the
+    end bins (count-preserving — a quantile consumer sees rank-exact
+    mass, just edge-resolution loss outside [lo, hi))."""
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    x = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor(
+                (x - F.lit(float(lo)))
+                * F.lit(float(n_bins))
+                / F.lit(float(hi - lo))
+            ),
+        ),
+    ).cast("long")
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(F.col(group_col).alias("g"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("g", group_col)
+    )
+
+
+def merge_histograms(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Union + elementwise sum — exact integer arithmetic, so merge
+    order is irrelevant bit-for-bit."""
+    return (
+        a.unionByName(b)
+        .groupBy(group_col, "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

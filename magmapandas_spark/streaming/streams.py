@@ -462,3 +462,47 @@ def streaming_cms_ingest(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def streaming_histogram_ingest(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    lo: float,
+    hi: float,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 1000,
+    timeout_s: int = 120,
+):
+    """Incremental per-group fixed-edge histogram over an event
+    stream: micro-batch (group, bin, cnt) relations merge by
+    elementwise integer sum. Fixed [lo, hi) edges are what make the
+    histogram mergeable at all — the batch operator's data-derived
+    (min, max) edges would differ per batch and not add. Returns the
+    finished StreamingQuery; feed the state to any quantile consumer
+    (rank mass is exact, resolution is one bin)."""
+    from magmapandas_spark.operators.quantiles import (
+        fixed_histogram_relation,
+        merge_histograms,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        rel = fixed_histogram_relation(
+            batch_df, group_col, value_col, lo, hi, n_bins
+        )
+        _fold_sketch_state(
+            rel, state_path,
+            lambda a, b: merge_histograms(a, b, group_col),
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

@@ -261,3 +261,37 @@ def test_streaming_cms_counters_match_batch(spark):
     assert len(got) <= 4 * 8
     for d in (src, out_dir):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_histogram_matches_batch(spark):
+    from magmapandas_spark.operators.quantiles import (
+        fixed_histogram_relation,
+    )
+    from magmapandas_spark.streaming.streams import (
+        streaming_histogram_ingest,
+    )
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "value"
+    )
+    src = _multi_file_stage(spark, batch, 3)
+    out_dir = tempfile.mkdtemp(prefix="stream_hist_")
+    state = os.path.join(out_dir, "state.parquet")
+    stream = spark.readStream.schema(
+        "event_type string, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    streaming_histogram_ingest(
+        stream, state, os.path.join(out_dir, "ckpt"),
+        lo=0.0, hi=100.0, n_bins=64,
+    )
+    got = normalize(spark.read.parquet(state).toPandas())
+    exp = normalize(
+        fixed_histogram_relation(
+            batch, "event_type", "value", 0.0, 100.0, 64
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # total mass is exact: every non-null value lands in exactly one bin
+    assert got["cnt"].sum() == batch.filter("value IS NOT NULL").count()
+    for d in (src, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
