@@ -592,3 +592,74 @@ def mixture_schedule(
             F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Weighted reservoir sampling (round 6) — Efraimidis–Spirakis A-ES
+# ---------------------------------------------------------------------
+
+_TWO_POW_60 = float(1 << 60)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "wrs",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of ``k``
+    rows: inclusion probability proportional to ``weight_col``
+    (Efraimidis & Spirakis 2006 — keep the k largest priorities
+    ``u^(1/w)``, equivalently the k largest ``ln(u)/w``, with ``u``
+    a per-key uniform).
+
+    ``u = (md5_60(salt:key) + 1) / 2^60`` replaces RNG state — the
+    sample is reproducible across engines, partitionings, retries and
+    cluster sizes, and ADDING rows never changes the priority of
+    existing rows (the property that makes A-ES mergeable: union the
+    candidate sets, keep the global top-k). The plan is a scan-local
+    projection + TakeOrdered — no shuffle, no window. Priorities are
+    rounded to 9 decimals in both engines (ln ulp divergence) with a
+    total (priority, key) tie-break, so the selected SET is identical.
+
+    Zero/negative weights are excluded (their inclusion probability
+    is 0)."""
+    u = (
+        _md5_60(
+            F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+        )
+        + 1
+    ).cast("double") / F.lit(_TWO_POW_60)
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w > 0)
+        .select(
+            key_col,
+            weight_col,
+            F.round(F.log(u) / w, 9).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), key_col)
+        .limit(k)
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: 200-document weighted sample, weight = n_chars —
+    the md5-uniform, the A-ES priority, and the top-k boundary all
+    under the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs.select("doc_id", "n_chars"),
+                           "n_chars", 200)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars,
+       ROUND(ln((('0x' || substr(md5('wrs:' || doc_id), 1, 15))::BIGINT
+                 + 1) / 1152921504606846976.0)
+             / CAST(n_chars AS DOUBLE), 9) AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority DESC, doc_id
+LIMIT 200
+"""

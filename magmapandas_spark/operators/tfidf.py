@@ -116,3 +116,160 @@ GROUP BY tf.doc_id
 ORDER BY score DESC, tf.doc_id
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------
+# BM25 (Robertson/Spärck Jones) — the ranking function production
+# keyword retrieval actually uses (round 6)
+# ---------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k with an even better plan than TF-IDF's: per-term
+    ``tf`` comes from ``size(filter(tokens, = term))`` — a pure
+    scan-local projection with NO explode and NO (doc, term) shuffle
+    at all. The only aggregation is ONE global row (N, avgdl, per-term
+    df) that rides a broadcast back; then scoring is a projection and
+    the top-k is a TakeOrdered. Nothing is proportional to corpus
+    width except the scan — the strongest possible posture for a
+    literal query at 100 TB.
+
+    Determinism: the score is a FIXED-ORDER sum of per-term doubles
+    (term columns added left-to-right, not a float SUM aggregate), but
+    ``ln`` itself differs by 1 ulp between the JVM's Math.log and
+    DuckDB's libm on some inputs, so — exactly like ``tfidf_scores``
+    above — the score is rounded to 6 decimals in BOTH engines before
+    the top-k ordering; ties break on id.
+    Returns (id, n_matched, score)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = word_tokens(text_col)
+
+    def tf_col(term: str):
+        # NB: a two-arg lambda would make F.filter pass the element
+        # INDEX as the second argument — close over the term instead
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[
+            tf_col(t).alias(f"tf_{j}")
+            for j, t in enumerate(query_terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("N"),
+        # integer token counts sum exactly; ONE division makes avgdl
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{j}") > 0).cast("int")).alias(f"df_{j}")
+            for j in range(len(query_terms))
+        ],
+    )
+    j0 = base.crossJoin(F.broadcast(stats))
+    dl_ratio = F.col("dl").cast("double") / F.col("avgdl")
+
+    def term_score(j: int):
+        tf = F.col(f"tf_{j}").cast("double")
+        dfj = F.col(f"df_{j}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("N").cast("double") - dfj + F.lit(0.5))
+            / (dfj + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio)
+        return idf * (tf * F.lit(k1 + 1.0)) / denom
+
+    score = term_score(0)
+    for j in range(1, len(query_terms)):
+        score = score + term_score(j)
+    matched = (F.col("tf_0") > 0).cast("int")
+    for j in range(1, len(query_terms)):
+        matched = matched + (F.col(f"tf_{j}") > 0).cast("int")
+    return (
+        j0.select(
+            id_col,
+            matched.alias("n_matched"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(top_k)
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: BM25 top-100 for the default query — idf, length
+    normalization, and the fixed-order score chain all under the hash
+    (rounded to 6 decimals in both engines: JVM Math.log and libm ln
+    disagree by 1 ulp on some inputs, the tfidf precedent)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_scores(docs, DEFAULT_QUERY)
+
+
+def _sql_bm25_search(
+    query_terms: list[str] | None = None,
+    top_k: int = 100,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin — float literals are emitted with ``!r`` so both
+    engines parse the IDENTICAL doubles (1.2 + 1.0 in Python is not
+    the same double as a literal 2.2)."""
+    terms = DEFAULT_QUERY if query_terms is None else query_terms
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{j}"
+        for j, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS df_{j}"
+        for j in range(len(terms))
+    )
+    def s(j: int) -> str:
+        return (
+            f"(ln(1.0 + (CAST(N AS DOUBLE) - CAST(df_{j} AS DOUBLE)"
+            f" + 0.5) / (CAST(df_{j} AS DOUBLE) + 0.5))"
+            f" * (CAST(tf_{j} AS DOUBLE) * {k1 + 1.0!r})"
+            f" / (CAST(tf_{j} AS DOUBLE) + {k1!r} * ({1.0 - b!r}"
+            f" + {b!r} * (CAST(dl AS DOUBLE) / avgdl))))"
+        )
+    score = " + ".join(s(j) for j in range(len(terms)))
+    matched = " + ".join(
+        f"CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END"
+        for j in range(len(terms))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id,
+               list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+stats AS (
+  SELECT COUNT(*) AS N,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id,
+       CAST({matched} AS INT) AS n_matched,
+       ROUND({score}, 6) AS score
+FROM base, stats
+ORDER BY score DESC, doc_id
+LIMIT {top_k}
+"""

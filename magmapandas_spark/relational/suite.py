@@ -363,6 +363,12 @@ _GATE_ORDER = [
     # (a) new this round (round 6) — first green row needed
     "semdedup_sharded",
     "video_frame_decode",
+    "bm25_search",
+    "line_dedup",
+    "quality_classifier",
+    "dsir_importance",
+    "weighted_sample",
+    "jsonl_ingest",
     # (b) code changed this round — re-verify
     "kmv_distinct",
     "robots_filter",
@@ -408,15 +414,12 @@ _GATE_ORDER = [
     "customer_ntiles",
     "customer_order_window",
     "customer_semi_anti",
-    "dedup_clusters",
-    "dedup_clusters_distributed",
-    "dedup_verified",
-    "doc_fingerprint",
-    "embedding_topk",
-    "event_deltas",
     # (the r5 window's 50 rows all have r5 driver green; the remaining
-    # r4 cohort rotates in next round — all stay under
-    # tests/test_oracle.py's identical check meanwhile)
+    # r4 cohort — including dedup_clusters / dedup_clusters_distributed
+    # / dedup_verified / doc_fingerprint / embedding_topk /
+    # event_deltas, displaced by the six late round-6 additions —
+    # rotates in next round; all stay under tests/test_oracle.py's
+    # identical check meanwhile)
 ]
 
 

@@ -12,6 +12,22 @@ themselves under the cross-engine hash:
   ISO BMFF sample table (stsd/stts/stsz/stco), coefficient statistics
   replayed arithmetically by the oracle.
 
+Round 6 also widens the retrieval/curation tier with two operators a
+training-data pipeline runs daily:
+
+- ``bm25_search`` — BM25 top-k keyword retrieval (scan-local per-term
+  tf, one global stats row broadcast back, TakeOrdered);
+- ``line_dedup`` — CCNet-style line-level boilerplate removal (count
+  lines corpus-wide, drop ≥-threshold lines, reassemble pages);
+- ``quality_classifier`` — fastText-style hashed linear scoring,
+  fully scan-local (integer feature folds, zero exchanges);
+- ``dsir_importance`` — DSIR importance weights (target-vs-raw hashed
+  unigram LMs, bounded bucket stats broadcast back);
+- ``weighted_sample`` — Efraimidis–Spirakis weighted sampling via
+  md5-uniform priorities (scan-local + TakeOrdered);
+- ``jsonl_ingest`` — PERMISSIVE JSONL parsing with corrupt-record
+  quarantine (from_json in the scan projection).
+
 Same cross-engine determinism rules as :mod:`suite`.
 """
 
@@ -25,20 +41,48 @@ from magmapandas_spark.operators.similarity import (
 
 
 def queries():
+    from magmapandas_spark.operators.curation import q_weighted_sample
+    from magmapandas_spark.operators.jsonl import q_jsonl_ingest
     from magmapandas_spark.operators.mp4 import q_video_frame_decode
+    from magmapandas_spark.operators.scoring import (
+        q_dsir_importance,
+        q_quality_classifier,
+    )
+    from magmapandas_spark.operators.tfidf import q_bm25_search
+    from magmapandas_spark.operators.webcorpus import q_line_dedup
 
     return {
         "semdedup_sharded": q_semdedup_sharded,
         "video_frame_decode": q_video_frame_decode,
+        "bm25_search": q_bm25_search,
+        "line_dedup": q_line_dedup,
+        "quality_classifier": q_quality_classifier,
+        "dsir_importance": q_dsir_importance,
+        "weighted_sample": q_weighted_sample,
+        "jsonl_ingest": q_jsonl_ingest,
     }
 
 
 def oracle_sql():
+    from magmapandas_spark.operators.curation import SQL_WEIGHTED_SAMPLE
+    from magmapandas_spark.operators.jsonl import SQL_JSONL_INGEST
     from magmapandas_spark.operators.mp4 import SQL_VIDEO_FRAME_DECODE
+    from magmapandas_spark.operators.scoring import (
+        _sql_dsir_importance,
+        _sql_quality_classifier,
+    )
+    from magmapandas_spark.operators.tfidf import _sql_bm25_search
+    from magmapandas_spark.operators.webcorpus import SQL_LINE_DEDUP
 
     return {
         "semdedup_sharded": sql_semdedup(
             max_cell_rows=_SEMDEDUP_GATE_MCR
         ),
         "video_frame_decode": SQL_VIDEO_FRAME_DECODE,
+        "bm25_search": _sql_bm25_search(),
+        "line_dedup": SQL_LINE_DEDUP,
+        "quality_classifier": _sql_quality_classifier(),
+        "dsir_importance": _sql_dsir_importance(),
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "jsonl_ingest": SQL_JSONL_INGEST,
     }

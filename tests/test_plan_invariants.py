@@ -195,3 +195,96 @@ def test_merge_upsert_base_side_streams(spark):
     plan = plan_of(merge_upsert(base, cdc, "o_orderkey", "_delete"))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- BM25 is scan-local: no explode, no per-doc/per-term shuffle ------
+
+def test_bm25_has_no_explode_and_no_hash_shuffle(spark):
+    """bm25_scores computes per-term tf as size(filter(tokens)) in the
+    scan projection — the whole query must show NO Generate (explode)
+    and NO hash-partitioned exchange: the only data movement is the
+    one-row stats aggregation riding a broadcast back, and the top-k
+    is a TakeOrdered, not a global sort."""
+    from magmapandas_spark.relational import suite
+
+    df = suite.queries()["bm25_search"](spark, SF)
+    plan = plan_of(df)
+    assert "Generate" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+# -- line dedup reassembles via aggregation, not a window/sort --------
+
+def test_line_dedup_reassembly_is_aggregation(spark):
+    """line_dedup rebuilds page text with array_sort over collected
+    (pos, line) structs — an ObjectHashAggregate with map-side partial
+    merge. A Window or Sort before the reassembly would total-sort
+    every page's lines at crawl scale."""
+    from magmapandas_spark.relational import suite
+
+    df = suite.queries()["line_dedup"](spark, SF)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "ObjectHashAggregate" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+# -- hashed classifier & weighted sampler are fully scan-local --------
+
+def test_quality_classifier_is_scan_local(spark):
+    """The linear-model feature sum folds integer weights over the
+    token array INSIDE the scan projection — the operator must show
+    no exchange of any kind, no explode, no Python."""
+    from magmapandas_spark.operators.scoring import (
+        hashed_linear_classifier,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(hashed_linear_classifier(docs))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_weighted_sample_is_takeordered(spark):
+    """A-ES weighted sampling is a scan-local priority projection +
+    TakeOrdered — no hash shuffle, no Window, no global Sort stage."""
+    from magmapandas_spark.operators.curation import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(weighted_sample(docs, "n_chars", 200))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Window" not in plan
+
+
+# -- DSIR stats ride a broadcast, never a sort-merge join -------------
+
+def test_dsir_stats_are_broadcast(spark):
+    """dsir_importance joins exploded tokens against the ≤ n_buckets
+    bucket-stats relation — that side must be broadcast (it is bounded
+    by construction); a SortMergeJoin would shuffle the full token
+    stream a second time."""
+    from pyspark.sql import functions as F
+    from magmapandas_spark.operators.scoring import dsir_importance
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(dsir_importance(docs, F.col("lang") == "en"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+# -- JSONL parsing happens in the scan projection ---------------------
+
+def test_jsonl_parse_is_scan_local(spark):
+    from magmapandas_spark.operators.jsonl import (
+        parse_jsonl,
+        synthetic_jsonl,
+    )
+
+    plan = plan_of(parse_jsonl(synthetic_jsonl(spark)))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
