@@ -1,0 +1,228 @@
+"""Grouped top-k and inverted-index construction — two retrieval-side
+primitives a training-data pipeline runs constantly.
+
+``group_topk``: the "best k documents per domain/language/source"
+selection, WITHOUT a window. ``row_number() OVER (PARTITION BY g ORDER
+BY score)`` total-sorts every group at crawl scale; the aggregation
+form used here keeps the sort INSIDE bounded arrays (an expression,
+not a Sort operator) and truncates to ``k`` at every merge — the same
+two-phase bottom-k discipline as :func:`~magmapandas_spark.operators.
+sketches.kmv_distinct`. Phase 1 groups by (group, hash-shard) and
+keeps each shard's top-k; phase 2 merges ≤ n_shards·k candidates per
+group and re-truncates. Honest state bound: a phase-1 partial state is
+one shard's collected rows (choose ``n_shards`` ≈ group_size/k at the
+target scale); phase-2 state is ≤ n_shards·k structs per group.
+
+``inverted_index``: the classic posting-list build — tokenize in the
+scan, explode, ONE map-side-combined shuffle keyed on the term, and
+per-term postings assembled as sorted (doc, tf) arrays inside the
+aggregation (ObjectHashAggregate, no window/sort operator). At 100 TB
+the index persists bucketed by term (``write_inverted_index``) so a
+literal-term lookup is a bucket-pruned scan that shuffles nothing —
+the IVF-index playbook (similarity.write_ivf_index) applied to text.
+
+Cross-engine determinism: ordering keys are integers/strings with
+total (key, id) tie-breaks; posting lists are serialized to
+comma-joined strings for the value hash (array columns don't survive
+the driver's pandas-side compare).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magmapandas_spark.operators.curation import word_tokens
+from magmapandas_spark.operators.dedup import _md5_60, fan_out
+
+
+# ---------------------------------------------------------------------
+# Grouped top-k without a window
+# ---------------------------------------------------------------------
+
+def group_topk(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    payload_cols: list[str],
+    descending: bool = True,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Top-``k`` rows per group by (``order_col``, ``id_col``) as a
+    two-phase truncating aggregation — no Window, no Sort operator
+    (plan-pinned in tests/test_plan_invariants.py).
+
+    The sort key is packed into a struct whose FIRST fields are the
+    ordering columns, so ``array_sort`` (ascending, struct field
+    order) yields exactly the (order, id) ranking; descending orders
+    negate a numeric key. Ties are totally broken on ``id_col`` so
+    the k-boundary is deterministic. Returns the exploded top-k rows
+    (group, rank, order, payload...)."""
+    key = F.col(order_col).cast("double")
+    if descending:
+        key = -key
+    packed = F.struct(
+        key.alias("_k"),
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    shard = F.pmod(_md5_60(F.col(id_col).cast("string")), F.lit(n_shards))
+    p1 = (
+        df.groupBy(F.col(group_col), shard.alias("_shard"))
+        .agg(
+            F.slice(F.array_sort(F.collect_list(packed)), 1, k).alias(
+                "_top"
+            )
+        )
+    )
+    p2 = p1.groupBy(group_col).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_top"))), 1, k
+        ).alias("_top")
+    )
+    row = F.posexplode("_top")
+    out = p2.select(group_col, row.alias("rank", "r"))
+    sign = -1.0 if descending else 1.0
+    return out.select(
+        group_col,
+        (F.col("rank") + 1).cast("int").alias("rank"),
+        (F.col("r._k") * sign).alias(order_col),
+        F.col("r._id").alias(id_col),
+        *[F.col(f"r.{c}").alias(c) for c in payload_cols],
+    )
+
+
+def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the 5 longest documents per (lang, source) stratum
+    — the per-domain "keep the best" selection, ranked without a
+    window; ranks, boundaries, and tie-breaks all under the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat_ws("/", "lang", "source").alias("stratum"),
+        "n_chars",
+        "lang",
+    )
+    out = group_topk(
+        docs, "stratum", "n_chars", 5, payload_cols=["lang"]
+    )
+    return out.orderBy("stratum", "rank").coalesce(1)
+
+
+SQL_DOMAIN_TOPK = """
+WITH ranked AS (
+  SELECT concat_ws('/', lang, source) AS stratum,
+         doc_id, n_chars, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY concat_ws('/', lang, source)
+           ORDER BY -CAST(n_chars AS DOUBLE), doc_id
+         ) AS rank
+  FROM documents
+)
+SELECT stratum, CAST(rank AS INT) AS rank,
+       CAST(n_chars AS DOUBLE) AS n_chars, doc_id, lang
+FROM ranked WHERE rank <= 5
+ORDER BY stratum, rank
+"""
+
+
+# ---------------------------------------------------------------------
+# Inverted index
+# ---------------------------------------------------------------------
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Posting lists: one row per term with document frequency, total
+    term frequency, and the first ``max_postings`` (doc, tf) postings
+    sorted by doc id, serialized ``"doc:tf,doc:tf,..."``.
+
+    Plan: tokenize + per-doc tf in the scan stage (aggregate by
+    (term, doc) with map-side combine), then ONE shuffle keyed on the
+    term whose aggregation assembles the posting array via
+    ``slice(array_sort(collect_list(struct(doc, tf))))`` — sorting
+    only inside the bounded array, truncation at every merge. The
+    long tail of df=1 terms dominates crawl vocabularies, so partial
+    aggregation collapses most of the stream before the exchange."""
+    tf = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_tokens(text_col)).alias("term"),
+        )
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("doc", "tf"))),
+                    1,
+                    max_postings,
+                ),
+                lambda s: F.concat_ws(
+                    ":", s["doc"].cast("string"), s["tf"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def write_inverted_index(
+    index: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """Persist the index bucketed by term: a literal-term lookup then
+    scans only the matching buckets and shuffles nothing (the
+    write_ivf_index playbook)."""
+    (
+        index.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(table)
+    )
+
+
+def lookup_terms(spark: SparkSession, table: str, terms: list[str]) -> DataFrame:
+    """Point lookup against a persisted index — the IN-list filter
+    prunes buckets at the scan; no exchange, no join."""
+    return spark.table(table).filter(F.col("term").isin(terms))
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: posting lists for every term with df ≥ 5 — df,
+    total tf, and the serialized (doc, tf) postings (doc-id order)
+    all under the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        inverted_index(docs)
+        .filter(F.col("df") >= 5)
+        .orderBy("term")
+        .coalesce(1)
+    )
+
+
+SQL_INVERTED_INDEX = """
+WITH tok AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY term, doc
+)
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
+       string_agg(doc || ':' || tf, ',' ORDER BY doc) AS postings
+FROM tf
+GROUP BY term
+HAVING COUNT(*) >= 5
+ORDER BY term
+"""

@@ -1,0 +1,197 @@
+"""Table statistics collection — the ANALYZE pass that feeds a cost
+model (broadcast-vs-shuffle decisions, join ordering, partition-count
+sizing all start from per-column null counts / NDVs / ranges).
+
+Spark-first shape: ONE scan computes every column's statistics in a
+single aggregation. Spark plans the multi-distinct aggregate via an
+Expand (one stream per distinct column) with map-side partial
+deduplication, so the shuffle carries distinct values per column per
+partition — the standard two-phase ANALYZE plan. The single result
+row is pivoted to one-row-per-column with a driver-trivial explode of
+a literal-indexed struct array (the row is already on one executor;
+no extra shuffle).
+
+At 100 TB the exact NDV (`count(distinct)`) is the one knob to turn:
+swap it for :func:`~magmapandas_spark.operators.sketches.hll_distinct`
+registers (constant state, mergeable across partitions AND across
+incremental ingest batches) — the gate keeps exact NDV so the oracle
+is a plain COUNT(DISTINCT).
+
+Cross-engine determinism: min/max NEVER surface as rendered strings
+for non-string types (Java's Double.toString and DuckDB's float
+formatting disagree on exponent notation; timestamp rendering differs
+in fractional-second trimming). Numerics surface as ROUND(x, 4)
+doubles, timestamps as epoch seconds (bigint), and only VARCHAR
+columns use string min/max.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    NumericType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+_TS_TYPES = (TimestampType, TimestampNTZType)
+
+
+def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column (null_count, ndv, min/max) for ``columns`` (default:
+    every column of a supported type) in one scan.
+
+    Returns one row per column:
+    (col, null_count, ndv, min_num, max_num, min_str, max_str) —
+    the numeric pair for numeric/timestamp columns (rounded doubles /
+    epoch seconds), the string pair for VARCHAR, NULL otherwise."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = columns if columns is not None else list(fields)
+    aggs = []
+    for c in cols:
+        t = fields[c]
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if isinstance(t, NumericType):
+            aggs.append(
+                F.round(F.min(c).cast("double"), 4).alias(f"mn_{c}")
+            )
+            aggs.append(
+                F.round(F.max(c).cast("double"), 4).alias(f"mx_{c}")
+            )
+        elif isinstance(t, _TS_TYPES):
+            aggs.append(
+                F.unix_timestamp(F.min(c)).cast("double").alias(f"mn_{c}")
+            )
+            aggs.append(
+                F.unix_timestamp(F.max(c)).cast("double").alias(f"mx_{c}")
+            )
+        elif isinstance(t, StringType):
+            aggs.append(F.min(c).alias(f"ms_{c}"))
+            aggs.append(F.max(c).alias(f"xs_{c}"))
+    row = df.agg(*aggs)
+
+    def entry(c: str):
+        t = fields[c]
+        num = isinstance(t, (NumericType,) + _TS_TYPES)
+        return F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"nn_{c}").alias("null_count"),
+            F.col(f"nd_{c}").alias("ndv"),
+            (F.col(f"mn_{c}") if num else F.lit(None).cast("double")).alias(
+                "min_num"
+            ),
+            (F.col(f"mx_{c}") if num else F.lit(None).cast("double")).alias(
+                "max_num"
+            ),
+            (
+                F.col(f"ms_{c}")
+                if isinstance(t, StringType)
+                else F.lit(None).cast("string")
+            ).alias("min_str"),
+            (
+                F.col(f"xs_{c}")
+                if isinstance(t, StringType)
+                else F.lit(None).cast("string")
+            ).alias("max_str"),
+        )
+
+    return row.select(
+        F.explode(F.array(*[entry(c) for c in cols])).alias("s")
+    ).select("s.*")
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: full ANALYZE of the lineitem table — null counts,
+    exact NDVs, numeric/timestamp ranges, and string min/max for all
+    11 columns, one scan, all under the hash."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return table_stats(li).orderBy("col").coalesce(1)
+
+
+SQL_TABLE_STATS = """
+WITH li AS (SELECT * FROM lineitem)
+SELECT col, null_count, ndv, min_num, max_num, min_str, max_str
+FROM (
+  SELECT 'l_orderkey' AS col,
+         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+         COUNT(DISTINCT l_orderkey) AS ndv,
+         ROUND(CAST(MIN(l_orderkey) AS DOUBLE), 4) AS min_num,
+         ROUND(CAST(MAX(l_orderkey) AS DOUBLE), 4) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM li
+  UNION ALL
+  SELECT 'l_partkey',
+         CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT l_partkey),
+         ROUND(CAST(MIN(l_partkey) AS DOUBLE), 4),
+         ROUND(CAST(MAX(l_partkey) AS DOUBLE), 4), NULL, NULL
+  FROM li
+  UNION ALL
+  SELECT 'l_suppkey',
+         CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT l_suppkey),
+         ROUND(CAST(MIN(l_suppkey) AS DOUBLE), 4),
+         ROUND(CAST(MAX(l_suppkey) AS DOUBLE), 4), NULL, NULL
+  FROM li
+  UNION ALL
+  SELECT 'l_linenumber',
+         CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT l_linenumber),
+         ROUND(CAST(MIN(l_linenumber) AS DOUBLE), 4),
+         ROUND(CAST(MAX(l_linenumber) AS DOUBLE), 4), NULL, NULL
+  FROM li
+  UNION ALL
+  SELECT 'l_quantity',
+         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT l_quantity),
+         ROUND(CAST(MIN(l_quantity) AS DOUBLE), 4),
+         ROUND(CAST(MAX(l_quantity) AS DOUBLE), 4), NULL, NULL
+  FROM li
+  UNION ALL
+  SELECT 'l_extendedprice',
+         CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT l_extendedprice),
+         ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 4),
+         ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 4), NULL, NULL
+  FROM li
+  UNION ALL
+  SELECT 'l_discount',
+         CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT l_discount),
+         ROUND(CAST(MIN(l_discount) AS DOUBLE), 4),
+         ROUND(CAST(MAX(l_discount) AS DOUBLE), 4), NULL, NULL
+  FROM li
+  UNION ALL
+  SELECT 'l_tax',
+         CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT l_tax),
+         ROUND(CAST(MIN(l_tax) AS DOUBLE), 4),
+         ROUND(CAST(MAX(l_tax) AS DOUBLE), 4), NULL, NULL
+  FROM li
+  UNION ALL
+  SELECT 'l_returnflag',
+         CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT l_returnflag),
+         NULL, NULL, MIN(l_returnflag), MAX(l_returnflag)
+  FROM li
+  UNION ALL
+  SELECT 'l_linestatus',
+         CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT l_linestatus),
+         NULL, NULL, MIN(l_linestatus), MAX(l_linestatus)
+  FROM li
+  UNION ALL
+  SELECT 'l_shipdate',
+         CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(DISTINCT l_shipdate),
+         CAST(epoch(MIN(l_shipdate)) AS DOUBLE),
+         CAST(epoch(MAX(l_shipdate)) AS DOUBLE), NULL, NULL
+  FROM li
+)
+ORDER BY col
+"""

@@ -348,17 +348,21 @@ def _wrap(fn: Callable) -> Callable:
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
 # Round-6 rotation — exactly 50 entries, ordered by the established
-# contract: (a) queries NEW this round (the two scale-posture gates:
-# semdedup_sharded — the cell-population guard actively splitting —
-# and video_frame_decode — real MJPEG frame decode), (b) queries
-# whose CODE changed this round (kmv two-phase bottom-k, robots
-# max-encoding verdict, bpe empty-doc fix, merge null-safe oracle,
-# quantile integer ranks, pagerank materialization, semdedup guard
-# plumbing, media_inventory + GIF dispatch, hll/cms register/counter
-# refactor for the streaming twins), then (c) last-driver-green
-# ASCENDING: all 27 queries whose last green row is r3, then the
-# alphabetically-first 11 of the r4 cohort. Everything past slot 50
-# stays covered by tests/test_oracle.py (the identical check).
+# contract: (a) the 12 queries NEW this round (the two scale-posture
+# gates — semdedup_sharded with the cell-population guard actively
+# splitting, video_frame_decode with real MJPEG frame decode — plus
+# the retrieval/curation tier: bm25_search, line_dedup,
+# quality_classifier, dsir_importance, weighted_sample, jsonl_ingest,
+# domain_topk, inverted_index, table_stats, kmeans_refine), (b)
+# queries whose CODE changed this round (kmv two-phase bottom-k,
+# robots max-encoding verdict, bpe empty-doc fix, merge null-safe
+# oracle, quantile integer ranks, pagerank materialization, semdedup
+# guard plumbing, media_inventory + GIF dispatch, hll/cms
+# register/counter refactor for the streaming twins), then (c)
+# last-driver-green ASCENDING: all 27 queries whose last green row is
+# r3, then the alphabetically-first 1 of the r4 cohort. Everything
+# past slot 50 stays covered by tests/test_oracle.py (the identical
+# check).
 _GATE_ORDER = [
     # (a) new this round (round 6) — first green row needed
     "semdedup_sharded",
@@ -369,6 +373,10 @@ _GATE_ORDER = [
     "dsir_importance",
     "weighted_sample",
     "jsonl_ingest",
+    "domain_topk",
+    "inverted_index",
+    "table_stats",
+    "kmeans_refine",
     # (b) code changed this round — re-verify
     "kmv_distinct",
     "robots_filter",
@@ -408,18 +416,15 @@ _GATE_ORDER = [
     "thermometers_multi",
     "thermometers_multi2",
     "unit_conversions",
-    # (c cont.) last green in r4 — alphabetically first 11
+    # (c cont.) last green in r4 — alphabetically first 1
     "asof_purchase_view",
-    "below_avg_revenue",
-    "customer_ntiles",
-    "customer_order_window",
-    "customer_semi_anti",
     # (the r5 window's 50 rows all have r5 driver green; the remaining
-    # r4 cohort — including dedup_clusters / dedup_clusters_distributed
-    # / dedup_verified / doc_fingerprint / embedding_topk /
-    # event_deltas, displaced by the six late round-6 additions —
-    # rotates in next round; all stay under tests/test_oracle.py's
-    # identical check meanwhile)
+    # r4 cohort — including below_avg_revenue / customer_ntiles /
+    # customer_order_window / customer_semi_anti / dedup_clusters /
+    # dedup_clusters_distributed / dedup_verified / doc_fingerprint /
+    # embedding_topk / event_deltas, displaced by the ten late round-6
+    # additions — rotates in next round; all stay under
+    # tests/test_oracle.py's identical check meanwhile)
 ]
 
 

@@ -26,7 +26,16 @@ training-data pipeline runs daily:
 - ``weighted_sample`` — Efraimidis–Spirakis weighted sampling via
   md5-uniform priorities (scan-local + TakeOrdered);
 - ``jsonl_ingest`` — PERMISSIVE JSONL parsing with corrupt-record
-  quarantine (from_json in the scan projection).
+  quarantine (from_json in the scan projection);
+- ``domain_topk`` — per-stratum top-k WITHOUT a window (two-phase
+  truncating aggregation, the kmv_distinct discipline);
+- ``inverted_index`` — posting-list construction (per-term sorted
+  (doc, tf) arrays assembled in an ObjectHashAggregate);
+- ``table_stats`` — one-scan ANALYZE (null counts, exact NDVs,
+  type-aware min/max) for every lineitem column;
+- ``kmeans_refine`` — full-corpus distributed Lloyd iterations with
+  decimal-exact order-independent sums (the oracle replays every
+  iteration as unrolled CTEs).
 
 Same cross-engine determinism rules as :mod:`suite`.
 """
@@ -42,12 +51,18 @@ from magmapandas_spark.operators.similarity import (
 
 def queries():
     from magmapandas_spark.operators.curation import q_weighted_sample
+    from magmapandas_spark.operators.indexing import (
+        q_domain_topk,
+        q_inverted_index,
+    )
     from magmapandas_spark.operators.jsonl import q_jsonl_ingest
+    from magmapandas_spark.operators.kmeans import q_kmeans_refine
     from magmapandas_spark.operators.mp4 import q_video_frame_decode
     from magmapandas_spark.operators.scoring import (
         q_dsir_importance,
         q_quality_classifier,
     )
+    from magmapandas_spark.operators.stats import q_table_stats
     from magmapandas_spark.operators.tfidf import q_bm25_search
     from magmapandas_spark.operators.webcorpus import q_line_dedup
 
@@ -60,17 +75,27 @@ def queries():
         "dsir_importance": q_dsir_importance,
         "weighted_sample": q_weighted_sample,
         "jsonl_ingest": q_jsonl_ingest,
+        "domain_topk": q_domain_topk,
+        "inverted_index": q_inverted_index,
+        "table_stats": q_table_stats,
+        "kmeans_refine": q_kmeans_refine,
     }
 
 
 def oracle_sql():
     from magmapandas_spark.operators.curation import SQL_WEIGHTED_SAMPLE
+    from magmapandas_spark.operators.indexing import (
+        SQL_DOMAIN_TOPK,
+        SQL_INVERTED_INDEX,
+    )
     from magmapandas_spark.operators.jsonl import SQL_JSONL_INGEST
+    from magmapandas_spark.operators.kmeans import sql_kmeans_refine
     from magmapandas_spark.operators.mp4 import SQL_VIDEO_FRAME_DECODE
     from magmapandas_spark.operators.scoring import (
         _sql_dsir_importance,
         _sql_quality_classifier,
     )
+    from magmapandas_spark.operators.stats import SQL_TABLE_STATS
     from magmapandas_spark.operators.tfidf import _sql_bm25_search
     from magmapandas_spark.operators.webcorpus import SQL_LINE_DEDUP
 
@@ -85,4 +110,8 @@ def oracle_sql():
         "dsir_importance": _sql_dsir_importance(),
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "jsonl_ingest": SQL_JSONL_INGEST,
+        "domain_topk": SQL_DOMAIN_TOPK,
+        "inverted_index": SQL_INVERTED_INDEX,
+        "table_stats": SQL_TABLE_STATS,
+        "kmeans_refine": sql_kmeans_refine(),
     }

@@ -1,0 +1,114 @@
+"""Unit tests for the round-6 indexing / ANALYZE / k-means operators
+(their cross-engine gate checks live in test_oracle.py; these pin the
+operator semantics on small controlled inputs)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_group_topk_ranks_and_boundaries(spark):
+    from magmapandas_spark.operators.indexing import group_topk
+
+    rows = [
+        Row(doc_id=i, g="a" if i < 6 else "b", score=float(i % 4))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    out = group_topk(
+        df, "g", "score", 3, payload_cols=[], id_col="doc_id"
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["rank"], r["score"], r["doc_id"]))
+    # group a: scores 0,1,2,3,0,1 for ids 0..5 → top3 = (3,id3),(2,id2),(1,id1)
+    assert sorted(by_g["a"]) == [(1, 3.0, 3), (2, 2.0, 2), (3, 1.0, 1)]
+    # group b: ids 6..9 scores 2,3,0,1 → (3,id7),(2,id6),(1,id9)
+    assert sorted(by_g["b"]) == [(1, 3.0, 7), (2, 2.0, 6), (3, 1.0, 9)]
+
+
+def test_group_topk_tie_breaks_on_id(spark):
+    from magmapandas_spark.operators.indexing import group_topk
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, g="x", score=1.0) for i in range(5)]
+    )
+    out = group_topk(df, "g", "score", 2, payload_cols=[]).collect()
+    assert [(r["rank"], r["doc_id"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (1, 0),
+        (2, 1),
+    ]
+
+
+def test_inverted_index_postings_roundtrip(spark):
+    from magmapandas_spark.operators.indexing import inverted_index
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="red blue red"),
+            Row(doc_id=2, text="blue green"),
+            Row(doc_id=3, text="red"),
+        ]
+    )
+    out = {r["term"]: r for r in inverted_index(df).collect()}
+    assert out["red"]["df"] == 2 and out["red"]["tf_total"] == 3
+    assert out["red"]["postings"] == "1:2,3:1"
+    assert out["blue"]["postings"] == "1:1,2:1"
+    assert out["green"]["df"] == 1
+
+
+def test_table_stats_nulls_and_types(spark):
+    from magmapandas_spark.operators.stats import table_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=2.5, s="b"),
+            Row(k=2, v=None, s="a"),
+            Row(k=2, v=7.5, s=None),
+        ]
+    )
+    out = {r["col"]: r for r in table_stats(df).collect()}
+    assert out["k"]["null_count"] == 0 and out["k"]["ndv"] == 2
+    assert out["k"]["min_num"] == 1.0 and out["k"]["max_num"] == 2.0
+    assert out["v"]["null_count"] == 1 and out["v"]["ndv"] == 2
+    assert out["v"]["min_num"] == 2.5 and out["v"]["max_num"] == 7.5
+    assert out["s"]["null_count"] == 1
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+    assert out["s"]["min_num"] is None
+
+
+def test_lloyd_refine_monotone_inertia(spark):
+    """Lloyd's algorithm never increases total inertia — refining the
+    sample-fit codebook against the full corpus must shrink (or hold)
+    the decimal-exact inertia every iteration."""
+    from magmapandas_spark.operators.kmeans import lloyd_refine
+    from magmapandas_spark.operators.similarity import (
+        ivf_fit_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    init = ivf_fit_centroids(SF)
+
+    def inertia(iters: int) -> float:
+        _, assigned = lloyd_refine(emb, init, iters=iters)
+        return float(
+            assigned.agg(F.sum("d2").cast("double")).collect()[0][0]
+        )
+
+    i0, i1, i2 = inertia(0), inertia(1), inertia(2)
+    assert i1 <= i0 + 1e-9
+    assert i2 <= i1 + 1e-9
+
+
+def test_lloyd_refine_raises_on_empty_cell(spark):
+    from magmapandas_spark.operators.kmeans import lloyd_refine
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 0.0]) for i in range(4)]
+    )
+    # a far-away centroid no point will pick → must fail loudly
+    init = [[0.0, 0.0], [1e6, 1e6]]
+    with pytest.raises(ValueError, match="emptied"):
+        lloyd_refine(emb, init, iters=1)

@@ -288,3 +288,99 @@ def test_jsonl_parse_is_scan_local(spark):
     plan = plan_of(parse_jsonl(synthetic_jsonl(spark)))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+# -- grouped top-k and inverted index: aggregation, never a window ----
+
+def test_group_topk_has_no_window(spark):
+    """group_topk ranks per-group rows via the two-phase truncating
+    aggregation — a Window (row_number) would total-sort every group
+    at crawl scale."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()["domain_topk"](spark, SF))
+    assert "Window" not in plan
+    assert "ObjectHashAggregate" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_inverted_index_postings_are_aggregation(spark):
+    """Posting lists assemble inside the per-term aggregation
+    (array_sort over collected structs) — no Window, no Sort feeding
+    the aggregate."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()["inverted_index"](spark, SF))
+    assert "Window" not in plan
+    assert "ObjectHashAggregate" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_inverted_index_lookup_is_bucket_pruned(spark):
+    """A literal-term lookup against the persisted bucketed index
+    scans matching buckets only — no Exchange, no join in the plan."""
+    from magmapandas_spark.operators.indexing import (
+        inverted_index,
+        lookup_terms,
+        write_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    spark.sql("DROP TABLE IF EXISTS inv_idx_test")
+    write_inverted_index(inverted_index(docs), "inv_idx_test", 8)
+    # the auto-bucketed-scan heuristic only keeps bucketed reads when
+    # a join/agg consumes the bucketing — turn it off to exercise the
+    # point-lookup bucket pruning the index is laid out for
+    prev = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    )
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    try:
+        df = lookup_terms(spark, "inv_idx_test", ["the", "and"])
+        plan = plan_of(df)
+        assert "Exchange" not in plan
+        assert "SelectedBucketsCount: 2 out of 8" in plan, plan
+        assert df.count() >= 0
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
+        spark.sql("DROP TABLE IF EXISTS inv_idx_test")
+
+
+# -- ANALYZE runs as ONE multi-distinct scan --------------------------
+
+def test_table_stats_is_single_scan_expand(spark):
+    """table_stats computes every column's stats in one aggregation:
+    the plan shows Spark's Expand-based multi-distinct (one scan), no
+    self-joins, no Python."""
+    from magmapandas_spark.operators.stats import table_stats
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = plan_of(table_stats(li))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+# -- Lloyd assignment is scan-local -----------------------------------
+
+def test_kmeans_assignment_is_scan_local(spark):
+    """The per-iteration argmin assignment against broadcast (literal)
+    centroids is a pure expression in the scan projection — no
+    exchange of any kind, no join, no Python. The only shuffle in the
+    whole iteration is the k-row centroid-update aggregation."""
+    from magmapandas_spark.operators.kmeans import _assign_cells
+    from magmapandas_spark.operators.similarity import (
+        ivf_fit_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ivf_fit_centroids(SF)
+    plan = plan_of(_assign_cells(emb, cents, "vec_id", "embedding"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
