@@ -663,3 +663,83 @@ WHERE n_chars > 0
 ORDER BY priority DESC, doc_id
 LIMIT 200
 """
+
+
+def stratified_weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "wrs",
+) -> DataFrame:
+    """Per-stratum A-ES weighted sampling WITHOUT replacement: the k
+    largest priorities ``ln(u)/w`` within each group — the "keep k
+    documents per language, weighted by quality/length" selection.
+
+    Same deterministic md5-uniform priority as
+    :func:`weighted_sample`; the per-group top-k rides
+    :func:`~magmapandas_spark.operators.indexing.group_topk`'s
+    two-phase truncating aggregation, so there is no Window and no
+    per-group Sort operator anywhere in the plan — per-stratum
+    reservoirs stay mergeable (union candidate top-ks, re-truncate).
+
+    Returns (group, rank, priority, key, weight)."""
+    from magmapandas_spark.operators.indexing import group_topk
+
+    u = (
+        _md5_60(
+            F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+        )
+        + 1
+    ).cast("double") / F.lit(_TWO_POW_60)
+    w = F.col(weight_col).cast("double")
+    pri = df.filter(w > 0).select(
+        group_col,
+        key_col,
+        weight_col,
+        F.round(F.log(u) / w, 9).alias("priority"),
+    )
+    return group_topk(
+        pri,
+        group_col,
+        "priority",
+        k,
+        payload_cols=[weight_col],
+        id_col=key_col,
+    )
+
+
+def q_stratified_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gate query: 20 documents per language, weight = n_chars — the
+    per-stratum priorities, reservoir boundaries, and tie-breaks all
+    under the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_weighted_sample(
+        docs.select("lang", "doc_id", "n_chars"), "lang", "n_chars", 20
+    )
+    return out.orderBy("lang", "rank").coalesce(1)
+
+
+SQL_STRATIFIED_WEIGHTED_SAMPLE = """
+WITH pri AS (
+  SELECT lang, doc_id, n_chars,
+         ROUND(ln((('0x' || substr(md5('wrs:' || doc_id), 1, 15))::BIGINT
+                   + 1) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE), 9) AS priority
+  FROM documents
+  WHERE n_chars > 0
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars, priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY priority DESC, doc_id
+         ) AS rank
+  FROM pri
+)
+SELECT lang, CAST(rank AS INT) AS rank, priority, doc_id, n_chars
+FROM ranked WHERE rank <= 20
+ORDER BY lang, rank
+"""

@@ -195,3 +195,90 @@ FROM (
 )
 ORDER BY col
 """
+
+
+# ---------------------------------------------------------------------
+# Mergeable stats — the incremental / streaming ANALYZE form
+# ---------------------------------------------------------------------
+
+def mergeable_stats_relation(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """The exactly-mergeable subset of :func:`table_stats` as a
+    per-column relation: (col, n_rows, null_count, min_num, max_num,
+    min_str, max_str). Row counts and null counts merge by integer
+    sum, extrema by min/max — so per-batch relations fold into a
+    running state whose final value is bit-equal to one batch pass
+    over the union, regardless of batch boundaries or order. Exact
+    NDV is deliberately absent (not mergeable); layer
+    ``hll_register_relation`` per column when an incremental distinct
+    estimate is needed."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = columns if columns is not None else list(fields)
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        t = fields[c]
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+        )
+        if isinstance(t, NumericType):
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+        elif isinstance(t, _TS_TYPES):
+            aggs.append(
+                F.unix_timestamp(F.min(c)).cast("double").alias(f"mn_{c}")
+            )
+            aggs.append(
+                F.unix_timestamp(F.max(c)).cast("double").alias(f"mx_{c}")
+            )
+        elif isinstance(t, StringType):
+            aggs.append(F.min(c).alias(f"ms_{c}"))
+            aggs.append(F.max(c).alias(f"xs_{c}"))
+    row = df.agg(*aggs)
+
+    def entry(c: str):
+        t = fields[c]
+        num = isinstance(t, (NumericType,) + _TS_TYPES)
+        return F.struct(
+            F.lit(c).alias("col"),
+            F.col("_n_rows").alias("n_rows"),
+            F.col(f"nn_{c}").alias("null_count"),
+            (F.col(f"mn_{c}") if num else F.lit(None).cast("double")).alias(
+                "min_num"
+            ),
+            (F.col(f"mx_{c}") if num else F.lit(None).cast("double")).alias(
+                "max_num"
+            ),
+            (
+                F.col(f"ms_{c}")
+                if isinstance(t, StringType)
+                else F.lit(None).cast("string")
+            ).alias("min_str"),
+            (
+                F.col(f"xs_{c}")
+                if isinstance(t, StringType)
+                else F.lit(None).cast("string")
+            ).alias("max_str"),
+        )
+
+    return row.select(
+        F.explode(F.array(*[entry(c) for c in cols])).alias("s")
+    ).select("s.*")
+
+
+def merge_stats_relations(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two mergeable-stats relations: counts add, extrema
+    min/max. Associative and commutative, so any fold order over any
+    batching yields the identical state."""
+    return (
+        a.unionByName(b)
+        .groupBy("col")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("null_count").alias("null_count"),
+            F.min("min_num").alias("min_num"),
+            F.max("max_num").alias("max_num"),
+            F.min("min_str").alias("min_str"),
+            F.max("max_str").alias("max_str"),
+        )
+    )

@@ -360,7 +360,8 @@ def _wrap(fn: Callable) -> Callable:
 # guard plumbing, media_inventory + GIF dispatch, hll/cms
 # register/counter refactor for the streaming twins), then (c)
 # last-driver-green ASCENDING: all 27 queries whose last green row is
-# r3, then the alphabetically-first 1 of the r4 cohort. Everything
+# r3 (the 13 round-6 newcomers + 10 code-changed fill the rest).
+# Everything
 # past slot 50 stays covered by tests/test_oracle.py (the identical
 # check).
 _GATE_ORDER = [
@@ -377,6 +378,7 @@ _GATE_ORDER = [
     "inverted_index",
     "table_stats",
     "kmeans_refine",
+    "stratified_weighted_sample",
     # (b) code changed this round — re-verify
     "kmv_distinct",
     "robots_filter",
@@ -416,15 +418,13 @@ _GATE_ORDER = [
     "thermometers_multi",
     "thermometers_multi2",
     "unit_conversions",
-    # (c cont.) last green in r4 — alphabetically first 1
-    "asof_purchase_view",
     # (the r5 window's 50 rows all have r5 driver green; the remaining
-    # r4 cohort — including below_avg_revenue / customer_ntiles /
-    # customer_order_window / customer_semi_anti / dedup_clusters /
-    # dedup_clusters_distributed / dedup_verified / doc_fingerprint /
-    # embedding_topk / event_deltas, displaced by the ten late round-6
-    # additions — rotates in next round; all stay under
-    # tests/test_oracle.py's identical check meanwhile)
+    # r4 cohort — including asof_purchase_view / below_avg_revenue /
+    # customer_ntiles / customer_order_window / customer_semi_anti /
+    # dedup_clusters / dedup_clusters_distributed / dedup_verified /
+    # doc_fingerprint / embedding_topk / event_deltas, displaced by
+    # the eleven late round-6 additions — rotates in next round; all
+    # stay under tests/test_oracle.py's identical check meanwhile)
 ]
 
 

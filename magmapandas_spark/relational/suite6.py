@@ -35,7 +35,9 @@ training-data pipeline runs daily:
   type-aware min/max) for every lineitem column;
 - ``kmeans_refine`` — full-corpus distributed Lloyd iterations with
   decimal-exact order-independent sums (the oracle replays every
-  iteration as unrolled CTEs).
+  iteration as unrolled CTEs);
+- ``stratified_weighted_sample`` — per-stratum A-ES reservoirs riding
+  the windowless group_topk aggregation.
 
 Same cross-engine determinism rules as :mod:`suite`.
 """
@@ -50,7 +52,10 @@ from magmapandas_spark.operators.similarity import (
 
 
 def queries():
-    from magmapandas_spark.operators.curation import q_weighted_sample
+    from magmapandas_spark.operators.curation import (
+        q_stratified_weighted_sample,
+        q_weighted_sample,
+    )
     from magmapandas_spark.operators.indexing import (
         q_domain_topk,
         q_inverted_index,
@@ -79,11 +84,15 @@ def queries():
         "inverted_index": q_inverted_index,
         "table_stats": q_table_stats,
         "kmeans_refine": q_kmeans_refine,
+        "stratified_weighted_sample": q_stratified_weighted_sample,
     }
 
 
 def oracle_sql():
-    from magmapandas_spark.operators.curation import SQL_WEIGHTED_SAMPLE
+    from magmapandas_spark.operators.curation import (
+        SQL_STRATIFIED_WEIGHTED_SAMPLE,
+        SQL_WEIGHTED_SAMPLE,
+    )
     from magmapandas_spark.operators.indexing import (
         SQL_DOMAIN_TOPK,
         SQL_INVERTED_INDEX,
@@ -114,4 +123,5 @@ def oracle_sql():
         "inverted_index": SQL_INVERTED_INDEX,
         "table_stats": SQL_TABLE_STATS,
         "kmeans_refine": sql_kmeans_refine(),
+        "stratified_weighted_sample": SQL_STRATIFIED_WEIGHTED_SAMPLE,
     }

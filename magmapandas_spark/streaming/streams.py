@@ -506,3 +506,40 @@ def streaming_histogram_ingest(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def streaming_stats_ingest(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    columns: list[str] | None = None,
+    timeout_s: int = 120,
+):
+    """Incremental ANALYZE over an ingest stream: each micro-batch's
+    mergeable-stats relation (one row per column — counts, null
+    counts, extrema) folds into the parquet state by sum/min/max.
+    State is |columns| rows regardless of stream length, and the
+    final state is bit-equal to one batch pass over the union — the
+    table-stats freshness a continuously-ingested lake table needs
+    without ever rescanning it. (Exact NDV is not mergeable and is
+    deliberately absent; compose streaming_hll_ingest per column for
+    an incremental distinct estimate.)"""
+    from magmapandas_spark.operators.stats import (
+        mergeable_stats_relation,
+        merge_stats_relations,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        rel = mergeable_stats_relation(batch_df, columns)
+        _fold_sketch_state(rel, state_path, merge_stats_relations)
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

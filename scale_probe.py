@@ -129,6 +129,8 @@ SHAPES = [
     "bpe_encode",
     "bloom_decontaminate",
     "cms_sketch",
+    "line_dedup_scaled",
+    "kmeans_refine_full",
     "semdedup_guarded",
     "minhash_pipeline",
     "cc_distributed",
@@ -171,6 +173,44 @@ def _semdedup_guarded_shape(spark, sf_dir: str):
     return out.orderBy("vec_id")
 
 
+def _line_dedup_shape(spark, sf_dir: str):
+    """CCNet line-level dedup with page count proportional to the
+    corpus: posexplode → line-count shuffle → count join → reassembly
+    aggregation. 40 synthetic multi-line pages per corpus document so
+    the 10× input drives 10× pages through every stage."""
+    from magmapandas_spark.operators.webcorpus import (
+        line_dedup,
+        synthetic_lined_pages,
+    )
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return line_dedup(synthetic_lined_pages(spark, n=n_docs * 40))
+
+
+def _kmeans_refine_shape(spark, sf_dir: str):
+    """Two full-corpus Lloyd iterations at fixed k·d: per-iteration
+    cost is the assignment scan + a k-row aggregation, so wall should
+    track the corpus size linearly; driver state stays k·d floats.
+    The init codebook is fit ONCE on the single-file base parquet
+    (duckdb fit; also the honest regime — init quality is corpus-
+    independent, refinement is what scales)."""
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.kmeans import lloyd_refine
+    from magmapandas_spark.operators.similarity import (
+        ivf_fit_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    init = ivf_fit_centroids(base)
+    _, assigned = lloyd_refine(emb, init, iters=2)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d2").cast("double").alias("inertia"),
+    )
+
+
 def run_shapes(spark, sf_dir: str) -> dict[str, float]:
     from magmapandas_spark.relational import suite
 
@@ -197,6 +237,10 @@ def run_shapes(spark, sf_dir: str) -> dict[str, float]:
         # within-cell pairs grow X², with it each sub-cell is bounded
         # at max_cell_rows so pair volume (and wall) grow ~linearly.
         "semdedup_guarded": _semdedup_guarded_shape,
+        # round-6 close: the line-dedup shuffle chain and the
+        # full-corpus Lloyd loop (fixed k·d, wall ∝ corpus)
+        "line_dedup_scaled": _line_dedup_shape,
+        "kmeans_refine_full": _kmeans_refine_shape,
     }
     out: dict[str, float] = {}
 

@@ -295,3 +295,45 @@ def test_streaming_histogram_matches_batch(spark):
     assert got["cnt"].sum() == batch.filter("value IS NOT NULL").count()
     for d in (src, out_dir):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_stats_match_batch(spark):
+    """Incremental ANALYZE: the folded per-column stats state after N
+    micro-batches equals one batch pass over the union exactly —
+    counts by integer sum, extrema by min/max, so batch boundaries
+    cannot perturb anything. Cross-checked against table_stats too
+    (null counts and extrema must agree with the one-scan ANALYZE)."""
+    from magmapandas_spark.operators.stats import (
+        mergeable_stats_relation,
+        table_stats,
+    )
+    from magmapandas_spark.streaming.streams import (
+        streaming_stats_ingest,
+    )
+
+    batch = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    src = _multi_file_stage(spark, batch, 3)
+    out_dir = tempfile.mkdtemp(prefix="stream_stats_")
+    state = os.path.join(out_dir, "state.parquet")
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    streaming_stats_ingest(stream, state, os.path.join(out_dir, "ckpt"))
+    got = normalize(spark.read.parquet(state).toPandas())
+    exp = normalize(mergeable_stats_relation(batch).toPandas())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # transitivity with the gate-checked one-scan ANALYZE: null
+    # counts and rounded extrema agree per column
+    ts = {r["col"]: r for r in table_stats(batch).collect()}
+    for r in spark.read.parquet(state).collect():
+        assert r["null_count"] == ts[r["col"]]["null_count"]
+        if r["min_num"] is not None:
+            assert round(r["min_num"], 4) == ts[r["col"]]["min_num"]
+            assert round(r["max_num"], 4) == ts[r["col"]]["max_num"]
+        if r["min_str"] is not None:
+            assert r["min_str"] == ts[r["col"]]["min_str"]
+            assert r["max_str"] == ts[r["col"]]["max_str"]
+    for d in (src, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
