@@ -1,0 +1,167 @@
+"""ANN quality measurement — recall@k of the approximate indexes
+against exact brute force.
+
+An approximate index you cannot measure is a liability: production
+vector search ships recall dashboards next to latency ones. This
+harness computes per-query recall@k of the IVF index against the
+exact cosine top-k, entirely in-engine — both sides are deterministic
+here (seeded codebook, total tie-breaks), so recall itself is a
+cross-engine-reproducible number the DuckDB oracle replays exactly.
+
+Scale posture: the truth side is the brute-force scan (that is the
+point — the harness runs on a SAMPLE of queries, not the corpus; its
+cost is |sample| · corpus dot products, the standard recall-eval
+budget), the approximate side is the bucket-pruned IVF probe, and the
+comparison is an equi-join on (qid, cid) followed by a k-bounded
+aggregation. Nothing new shuffles the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magmapandas_spark.operators.similarity import (
+    _sql_cos,
+    _sql_dist2_lit,
+    cosine_topk_bruteforce,
+    ivf_fit_centroids,
+    ivf_topk_fitted,
+)
+
+_GATE_K = 5
+_GATE_NPROBE = 4
+
+
+def ann_recall(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    query_pred: Column,
+    k: int = _GATE_K,
+    n_probe: int = _GATE_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query recall@k of the probed IVF search vs exact brute
+    force: (qid, n_hits, recall). Queries with zero IVF hits survive
+    with recall 0 (left join from the truth's query set)."""
+    queries = emb.filter(query_pred)
+    truth = cosine_topk_bruteforce(
+        queries, emb, id_col=id_col, vec_col=vec_col, k=k
+    ).select("qid", "cid")
+    approx = ivf_topk_fitted(
+        emb, centroids, query_pred, k=k, n_probe=n_probe
+    ).select("qid", "cid")
+    hits = (
+        approx.join(truth, on=["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries.select(F.col(id_col).alias("qid"))
+        .join(hits, on="qid", how="left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k)),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: recall@5 of the 8-cell / 4-probe IVF search for the
+    first 20 query vectors — the hit counts AND the exact recall
+    fractions are under the hash, so an index regression that silently
+    drops recall fails the gate, not a dashboard."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_fit_centroids(sf_dir)
+    out = ann_recall(emb, cents, F.col("vec_id") < 20)
+    return out.orderBy("qid").coalesce(1)
+
+
+def sql_ann_recall(
+    sf_dir: str | None = None,
+    dim: int = 64,
+    k: int = _GATE_K,
+    n_probe: int = _GATE_NPROBE,
+) -> str:
+    """DuckDB twin: replays the IVF search (literal centroids from the
+    SAME cached fit, Euclidean-argmin assignment/probing, cosine
+    rescore) and the brute-force truth, joins them, and computes the
+    identical recall fractions."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+    centroids = ivf_fit_centroids(sf_dir)
+    dist_cases = {
+        j: _sql_dist2_lit("e.embedding", c)
+        for j, c in enumerate(centroids)
+    }
+    seed_rows = " UNION ALL ".join(
+        f"SELECT e.vec_id, {j} AS cell, {d} AS sd FROM embeddings e"
+        for j, d in dist_cases.items()
+    )
+    return f"""
+WITH dists AS ({seed_rows}),
+assigned AS (
+  SELECT vec_id AS cid, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sd ASC, cell) AS srn
+    FROM dists
+  ) WHERE srn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY sd ASC, cell) AS srn
+    FROM dists WHERE vec_id < 20
+  ) WHERE srn <= {n_probe}
+),
+ivf AS (
+  SELECT qid, cid FROM (
+    SELECT cand.qid, cand.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY cand.qid ORDER BY cand.cos DESC, cand.cid
+           ) AS rn
+    FROM (
+      SELECT p.qid, a.cid,
+             {_sql_cos('qe.embedding', 'ce.embedding', dim)} AS cos
+      FROM probes p
+      JOIN assigned a ON p.cell = a.cell AND p.qid <> a.cid
+      JOIN embeddings qe ON p.qid = qe.vec_id
+      JOIN embeddings ce ON a.cid = ce.vec_id
+    ) cand
+  ) WHERE rn <= {k}
+),
+truth AS (
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, e.vec_id AS cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_cos('q.embedding', 'e.embedding', dim)} DESC,
+                      e.vec_id
+           ) AS rn
+    FROM embeddings q, embeddings e
+    WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+  ) WHERE rn <= {k}
+),
+hits AS (
+  SELECT i.qid, COUNT(*) AS n_hits
+  FROM ivf i JOIN truth t ON i.qid = t.qid AND i.cid = t.cid
+  GROUP BY i.qid
+)
+SELECT q.vec_id AS qid,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(k)!r}, 4)
+         AS recall
+FROM embeddings q LEFT JOIN hits h ON q.vec_id = h.qid
+WHERE q.vec_id < 20
+ORDER BY qid
+"""

@@ -360,7 +360,9 @@ def _wrap(fn: Callable) -> Callable:
 # guard plumbing, media_inventory + GIF dispatch, hll/cms
 # register/counter refactor for the streaming twins), then (c)
 # last-driver-green ASCENDING: all 27 queries whose last green row is
-# r3 (the 13 round-6 newcomers + 10 code-changed fill the rest).
+# r3 minus its alphabetical tail (the 14 round-6 newcomers + 10
+# code-changed fill the rest; unit_conversions joins the next
+# rotation).
 # Everything
 # past slot 50 stays covered by tests/test_oracle.py (the identical
 # check).
@@ -379,6 +381,7 @@ _GATE_ORDER = [
     "table_stats",
     "kmeans_refine",
     "stratified_weighted_sample",
+    "ann_recall",
     # (b) code changed this round — re-verify
     "kmv_distinct",
     "robots_filter",
@@ -417,7 +420,6 @@ _GATE_ORDER = [
     "sugawara6a_cpx",
     "thermometers_multi",
     "thermometers_multi2",
-    "unit_conversions",
     # (the r5 window's 50 rows all have r5 driver green; the remaining
     # r4 cohort — including asof_purchase_view / below_avg_revenue /
     # customer_ntiles / customer_order_window / customer_semi_anti /

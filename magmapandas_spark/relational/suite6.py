@@ -37,7 +37,10 @@ training-data pipeline runs daily:
   decimal-exact order-independent sums (the oracle replays every
   iteration as unrolled CTEs);
 - ``stratified_weighted_sample`` — per-stratum A-ES reservoirs riding
-  the windowless group_topk aggregation.
+  the windowless group_topk aggregation;
+- ``ann_recall`` — recall@5 of the probed IVF search vs exact brute
+  force, per query, both sides deterministic so the measurement
+  itself sits under the cross-engine hash.
 
 Same cross-engine determinism rules as :mod:`suite`.
 """
@@ -56,6 +59,7 @@ def queries():
         q_stratified_weighted_sample,
         q_weighted_sample,
     )
+    from magmapandas_spark.operators.evaluation import q_ann_recall
     from magmapandas_spark.operators.indexing import (
         q_domain_topk,
         q_inverted_index,
@@ -85,6 +89,7 @@ def queries():
         "table_stats": q_table_stats,
         "kmeans_refine": q_kmeans_refine,
         "stratified_weighted_sample": q_stratified_weighted_sample,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -93,6 +98,7 @@ def oracle_sql():
         SQL_STRATIFIED_WEIGHTED_SAMPLE,
         SQL_WEIGHTED_SAMPLE,
     )
+    from magmapandas_spark.operators.evaluation import sql_ann_recall
     from magmapandas_spark.operators.indexing import (
         SQL_DOMAIN_TOPK,
         SQL_INVERTED_INDEX,
@@ -124,4 +130,5 @@ def oracle_sql():
         "table_stats": SQL_TABLE_STATS,
         "kmeans_refine": sql_kmeans_refine(),
         "stratified_weighted_sample": SQL_STRATIFIED_WEIGHTED_SAMPLE,
+        "ann_recall": sql_ann_recall(),
     }

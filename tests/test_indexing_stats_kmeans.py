@@ -112,3 +112,16 @@ def test_lloyd_refine_raises_on_empty_cell(spark):
     init = [[0.0, 0.0], [1e6, 1e6]]
     with pytest.raises(ValueError, match="emptied"):
         lloyd_refine(emb, init, iters=1)
+
+
+def test_ann_recall_floor(spark):
+    """The 8-cell / 4-probe IVF search must keep recall@5 well above
+    degenerate — probing half the cells of a balanced codebook should
+    find most true neighbors (the gate hash pins the exact values;
+    this pins the QUALITY floor so a silently broken index cannot
+    re-baseline itself)."""
+    from magmapandas_spark.operators.evaluation import q_ann_recall
+
+    out = q_ann_recall(spark, SF).toPandas()
+    assert len(out) == 20
+    assert out["recall"].mean() >= 0.5

@@ -1,0 +1,169 @@
+"""Property tests for the round-6 operators — the algebraic laws that
+make them safe at scale, checked on hypothesis-generated batches
+(examples are collected into ONE DataFrame per law; the expressions
+are the unit under test)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _collect_examples(strategy, n):
+    out = []
+
+    @settings(max_examples=n, deadline=None, database=None)
+    @given(x=strategy)
+    def collect(x):
+        out.append(x)
+
+    collect()
+    return out
+
+
+_row = st.tuples(
+    st.integers(0, 9999),              # id
+    st.sampled_from(list("abcd")),     # group
+    st.integers(-1000, 1000),          # score (ints: no float-tie fog)
+)
+
+
+def test_group_topk_equals_window_ranking(spark):
+    """group_topk must select and rank EXACTLY the rows
+    row_number() OVER (PARTITION BY g ORDER BY score DESC, id) would —
+    the aggregation form is a plan optimization, never a semantics
+    change."""
+    rows = {r[0]: r for r in _collect_examples(_row, 300)}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, g=g, score=float(s)) for i, g, s in rows.values()]
+    )
+    from magmapandas_spark.operators.indexing import group_topk
+
+    k = 4
+    got = {
+        (r["g"], r["rank"], r["doc_id"])
+        for r in group_topk(df, "g", "score", k, payload_cols=[]).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("score"), "doc_id")
+    exp = {
+        (r["g"], r["rn"], r["doc_id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
+    assert got == exp
+
+
+def test_weighted_sample_merge_law(spark):
+    """A-ES mergeability: the global top-k of priorities equals the
+    re-truncated union of per-part top-ks for ANY split of the input —
+    the property that lets per-executor (or per-day) reservoirs merge
+    without revisiting data."""
+    rows = {r[0]: r for r in _collect_examples(_row, 300)}
+    data = [
+        Row(doc_id=i, w=abs(s) + 1) for i, _g, s in rows.values()
+    ]
+    df = spark.createDataFrame(data)
+    from magmapandas_spark.operators.curation import weighted_sample
+
+    k = 25
+    whole = [
+        (r["priority"], r["doc_id"])
+        for r in weighted_sample(df, "w", k).collect()
+    ]
+    parts = [df.filter(F.col("doc_id") % 3 == m) for m in range(3)]
+    cand = []
+    for p in parts:
+        cand.extend(
+            (r["priority"], r["doc_id"])
+            for r in weighted_sample(p, "w", k).collect()
+        )
+    merged = sorted(cand, key=lambda t: (-t[0], t[1]))[:k]
+    assert merged == whole
+
+
+def test_line_dedup_identity_when_all_lines_unique(spark):
+    """With every line globally unique, line_dedup must be the
+    identity on text (n_dropped == 0, clean_text == text) — the
+    operator only ever removes provably repeated boilerplate."""
+    texts = _collect_examples(
+        st.lists(st.integers(0, 10**9), min_size=1, max_size=5), 80
+    )
+    rows = []
+    seen = set()
+    for i, ls in enumerate(texts):
+        # make lines globally unique by construction
+        lines = []
+        for j, v in enumerate(ls):
+            t = f"line-{i}-{j}-{v}"
+            assert t not in seen
+            seen.add(t)
+            lines.append(t)
+        rows.append(Row(doc_id=i, text="\n".join(lines)))
+    df = spark.createDataFrame(rows)
+    from magmapandas_spark.operators.webcorpus import line_dedup
+
+    out = line_dedup(df).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for r in rows:
+        assert by_id[r.doc_id]["clean_text"] == r.text
+        assert by_id[r.doc_id]["n_dropped"] == 0
+
+
+def test_merge_stats_relations_associative_commutative(spark):
+    """Incremental ANALYZE folds must not care about batch order or
+    grouping: fold(fold(a,b),c) == fold(a,fold(b,c)) == fold over any
+    permutation == one batch pass over the union."""
+    from magmapandas_spark.operators.stats import (
+        merge_stats_relations,
+        mergeable_stats_relation,
+    )
+
+    rows = {r[0]: r for r in _collect_examples(_row, 200)}
+    df = spark.createDataFrame(
+        [
+            Row(k=i, v=float(s), s=g if s % 3 else None)
+            for i, g, s in rows.values()
+        ]
+    )
+    parts = [df.filter(F.col("k") % 3 == m) for m in range(3)]
+    rels = [mergeable_stats_relation(p) for p in parts]
+
+    def as_set(rel):
+        return {
+            (
+                r["col"], r["n_rows"], r["null_count"], r["min_num"],
+                r["max_num"], r["min_str"], r["max_str"],
+            )
+            for r in rel.collect()
+        }
+
+    left = merge_stats_relations(merge_stats_relations(rels[0], rels[1]), rels[2])
+    right = merge_stats_relations(rels[0], merge_stats_relations(rels[1], rels[2]))
+    rev = merge_stats_relations(merge_stats_relations(rels[2], rels[1]), rels[0])
+    whole = mergeable_stats_relation(df)
+    assert as_set(left) == as_set(right) == as_set(rev) == as_set(whole)
+
+
+def test_bm25_zero_when_no_term_matches(spark):
+    """Documents containing none of the query terms score exactly 0
+    (every per-term tf is 0 → every term score is 0); documents with
+    matches never score below them in the ranking."""
+    from magmapandas_spark.operators.tfidf import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="volcano basalt magma"),
+            Row(doc_id=2, text="completely unrelated words here"),
+            Row(doc_id=3, text="basalt basalt basalt"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bm25_scores(df, ["basalt", "magma"], top_k=3).collect()
+    }
+    assert out[2]["score"] == 0.0 and out[2]["n_matched"] == 0
+    assert out[1]["n_matched"] == 2 and out[1]["score"] > 0
+    assert out[3]["n_matched"] == 1 and out[3]["score"] > 0
