@@ -985,26 +985,36 @@ def semdedup(
 
     Returns (vec_id, cell, n_dup_neighbors, keep) for every corpus
     vector."""
-    spark = corpus.sparkSession
-    seeds = spark.createDataFrame(
-        [(j, c) for j, c in enumerate(centroids)],
-        "cell int, svec array<double>",
+    # Scan-local argmin assignment: distances to the k literal
+    # centroids fold inside the scan projection and array_min picks
+    # the (sd, cell)-lexicographic minimum — the SAME verdict (values
+    # and tie-break) the SQL twin's ROW_NUMBER(ORDER BY sd, cell)
+    # computes, with NO crossJoin and NO per-vector sort window (the
+    # round-6 rewrite dropped an N×k shuffle+sort from this path; the
+    # kmeans.lloyd_refine assignment shape).
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist2(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    ).alias("sd"),
+                    F.lit(j).alias("cell"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
     )
-    scored = corpus.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
-    ).crossJoin(F.broadcast(seeds)).select(
-        "vid", "v", "cell", _dist2(F.col("v"), F.col("svec")).alias("sd")
-    )
-    w = Window.partitionBy("vid").orderBy(F.col("sd").asc(), F.col("cell"))
     # assigned feeds three consumers (both self-join sides + the
     # output); persist so the argmin assignment computes once. The
     # norm is a per-VECTOR quantity — fold it here (N folds), not
     # inside the pair comparison (N²/k folds); same IEEE value either
     # way, so the SQL twin's inline sqrt(dot(b,b)) still matches.
     base = (
-        scored.withColumn("srn", F.row_number().over(w))
-        .filter(F.col("srn") == 1)
-        .select("vid", "v", "cell", _norm(F.col("v")).alias("nrm"))
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .select("vid", "v", best["cell"].alias("cell"),
+                _norm(F.col("v")).alias("nrm"))
         .persist()
     )
     assigned = base
