@@ -795,7 +795,15 @@ def ivf_topk_fitted(
     cosine rescore → top-k window), but cells come from the *fitted*
     Lloyd centroids and both assignment and probing use Euclidean
     argmin — the KMeans metric. n_cells literal 64-d folds per row run
-    inside whole-stage codegen; no Arrow exchange anywhere."""
+    inside whole-stage codegen; no Arrow exchange anywhere.
+
+    (A scan-local `array_min` assignment — the semdedup/lloyd_refine
+    shape — was A/B-measured here in round 6 and LOST to this form at
+    sf0.1: the window over N×k narrow rows is cheap at this k, and
+    the fused 8×64-literal fold array pushed the projection out of
+    whole-stage codegen. semdedup keeps the array_min form because
+    its assignment feeds a persist consumed three times, where the
+    single-pass projection wins.)"""
     spark = corpus.sparkSession
     seeds = spark.createDataFrame(
         [(j, c) for j, c in enumerate(centroids)],
