@@ -109,3 +109,81 @@ def test_gz_permissive_quarantines_bad_gzip(spark):
     media = spark.createDataFrame(rows, MEDIA_WARC_SCHEMA)
     out = parse_warc_gz_records(media, permissive=True).toPandas()
     assert set(out[out["error"].notna()]["file_id"]) == {1}
+
+
+# ---------------------------------------------------------------------
+# Python Data Source: spark.read.format("warc")
+# ---------------------------------------------------------------------
+
+def test_warc_datasource_reads_files(spark, tmp_path):
+    """format('warc') plans one partition per file and yields the
+    same records the mapInPandas path parses — same walk, same
+    payload bytes (checksummed)."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.warc import make_synthetic_warc
+    from magmapandas_spark.parse_io.warc_source import (
+        register_warc_source,
+    )
+
+    d = tmp_path / "segment"
+    d.mkdir()
+    for i in range(4):
+        (d / f"f{i}.warc").write_bytes(make_synthetic_warc(i))
+    # one gzipped member too
+    (d / "f4.warc.gz").write_bytes(gzip.compress(make_synthetic_warc(4)))
+
+    register_warc_source(spark)
+    df = spark.read.format("warc").load(str(d))
+    assert df.rdd.getNumPartitions() == 5  # one per file
+    got = df.select(
+        "file", "rec_no", "warc_type", "target_uri", "content_length",
+        F.md5(F.col("payload")).alias("md5"),
+    ).toPandas()
+    # expected via the validated local parser
+    import hashlib
+
+    from magmapandas_spark.operators.warc import warc_parse
+
+    exp_rows = []
+    for i in range(5):
+        raw = make_synthetic_warc(i)
+        for rec_no, rec in enumerate(warc_parse(raw)):
+            exp_rows.append(
+                (
+                    rec_no,
+                    rec["warc_type"],
+                    rec["target_uri"],
+                    rec["content_length"],
+                    hashlib.md5(rec["payload"]).hexdigest(),
+                )
+            )
+    got_rows = sorted(
+        got[["rec_no", "warc_type", "target_uri", "content_length", "md5"]]
+        .itertuples(index=False, name=None)
+    )
+    assert got_rows == sorted(exp_rows)
+
+
+def test_warc_datasource_filter_and_prune(spark, tmp_path):
+    """Relational ops compose above the source: a type filter +
+    payload-free projection runs without touching payload bytes in
+    the result."""
+    from magmapandas_spark.operators.warc import make_synthetic_warc
+    from magmapandas_spark.parse_io.warc_source import (
+        register_warc_source,
+    )
+
+    f = tmp_path / "one.warc"
+    f.write_bytes(make_synthetic_warc(7))
+    register_warc_source(spark)
+    df = (
+        spark.read.format("warc")
+        .load(str(f))
+        .filter("warc_type = 'response'")
+        .select("target_uri", "content_length")
+    )
+    rows = df.collect()
+    assert rows and all(r["content_length"] > 0 for r in rows)
