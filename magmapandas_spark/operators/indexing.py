@@ -131,15 +131,15 @@ ORDER BY stratum, rank
 # Inverted index
 # ---------------------------------------------------------------------
 
-def inverted_index(
+def inverted_index_relation(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_postings: int = 1000,
 ) -> DataFrame:
-    """Posting lists: one row per term with document frequency, total
-    term frequency, and the first ``max_postings`` (doc, tf) postings
-    sorted by doc id, serialized ``"doc:tf,doc:tf,..."``.
+    """The MERGEABLE posting-list relation: one row per term with
+    (df, tf_total, postings array<struct<doc,tf>> — the
+    ``max_postings`` SMALLEST doc ids, sorted).
 
     Plan: tokenize + per-doc tf in the scan stage (aggregate by
     (term, doc) with map-side combine), then ONE shuffle keyed on the
@@ -147,7 +147,13 @@ def inverted_index(
     ``slice(array_sort(collect_list(struct(doc, tf))))`` — sorting
     only inside the bounded array, truncation at every merge. The
     long tail of df=1 terms dominates crawl vocabularies, so partial
-    aggregation collapses most of the stream before the exchange."""
+    aggregation collapses most of the stream before the exchange.
+
+    Mergeable under the APPEND-ONLY ingest contract (each doc arrives
+    in exactly one batch): df/tf_total add, and bottom-k posting
+    arrays merge exactly (every globally-smallest doc id is within
+    its own batch's bottom-k, so slice(sort(concat)) equals the
+    one-pass build — the kmv_distinct bottom-k law)."""
     tf = (
         fan_out(docs)
         .select(
@@ -160,19 +166,68 @@ def inverted_index(
     return tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("tf_total"),
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("doc", "tf"))),
+            1,
+            max_postings,
+        ).alias("postings"),
+    )
+
+
+def merge_inverted_index(
+    a: DataFrame, b: DataFrame, max_postings: int = 1000
+) -> DataFrame:
+    """Fold two posting-list relations built from DISJOINT document
+    sets: counts add, bottom-k posting arrays concat → re-sort →
+    re-truncate (exact — see :func:`inverted_index_relation`)."""
+    return (
+        a.unionByName(b)
+        .groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("tf_total").alias("tf_total"),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("postings"))),
+                1,
+                max_postings,
+            ).alias("postings"),
+        )
+    )
+
+
+def serialize_postings(rel: DataFrame) -> DataFrame:
+    """Render the posting array as ``"doc:tf,doc:tf,..."`` — the
+    hash-friendly string form the gate compares (array columns don't
+    survive the driver's pandas-side value compare)."""
+    return rel.select(
+        "term",
+        "df",
+        "tf_total",
         F.array_join(
             F.transform(
-                F.slice(
-                    F.array_sort(F.collect_list(F.struct("doc", "tf"))),
-                    1,
-                    max_postings,
-                ),
+                F.col("postings"),
                 lambda s: F.concat_ws(
                     ":", s["doc"].cast("string"), s["tf"].cast("string")
                 ),
             ),
             ",",
         ).alias("postings"),
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Posting lists in serialized form: one row per term with
+    document frequency, total term frequency, and the first
+    ``max_postings`` (doc, tf) postings sorted by doc id as
+    ``"doc:tf,doc:tf,..."`` (see :func:`inverted_index_relation` for
+    the plan shape and merge law)."""
+    return serialize_postings(
+        inverted_index_relation(docs, id_col, text_col, max_postings)
     )
 
 

@@ -543,3 +543,44 @@ def streaming_stats_ingest(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def streaming_index_ingest(
+    doc_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    max_postings: int = 1000,
+    timeout_s: int = 120,
+):
+    """Incremental inverted-index maintenance: each micro-batch's
+    posting-list relation folds into the parquet state — df/tf_total
+    by integer sum, bottom-k posting arrays by concat → re-sort →
+    re-truncate (exact under the append-only ingest contract: each
+    doc arrives in exactly one batch, and every globally-smallest doc
+    id is inside its own batch's bottom-k). Final state is bit-equal
+    to the one-pass batch build over the union — a search index that
+    stays fresh under continuous ingest without corpus rescans."""
+    from magmapandas_spark.operators.indexing import (
+        inverted_index_relation,
+        merge_inverted_index,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        rel = inverted_index_relation(
+            batch_df, max_postings=max_postings
+        )
+        _fold_sketch_state(
+            rel, state_path,
+            lambda a, b: merge_inverted_index(a, b, max_postings),
+        )
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

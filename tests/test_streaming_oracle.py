@@ -337,3 +337,40 @@ def test_streaming_stats_match_batch(spark):
             assert r["max_str"] == ts[r["col"]]["max_str"]
     for d in (src, out_dir):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_index_matches_batch(spark):
+    """Incremental inverted index: after N micro-batches of disjoint
+    documents, the folded state equals the one-pass batch build over
+    the union EXACTLY — counts by sum, bottom-k posting arrays by the
+    exact bottom-k merge law."""
+    from magmapandas_spark.operators.indexing import (
+        inverted_index_relation,
+        serialize_postings,
+    )
+    from magmapandas_spark.streaming.streams import (
+        streaming_index_ingest,
+    )
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = _multi_file_stage(spark, batch, 4)
+    out_dir = tempfile.mkdtemp(prefix="stream_idx_")
+    state = os.path.join(out_dir, "state.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    streaming_index_ingest(stream, state, os.path.join(out_dir, "ckpt"),
+                           max_postings=50)
+    got = normalize(
+        serialize_postings(spark.read.parquet(state)).toPandas()
+    )
+    exp = normalize(
+        serialize_postings(
+            inverted_index_relation(batch, max_postings=50)
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    for d in (src, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
