@@ -40,7 +40,10 @@ training-data pipeline runs daily:
   the windowless group_topk aggregation;
 - ``ann_recall`` — recall@5 of the probed IVF search vs exact brute
   force, per query, both sides deterministic so the measurement
-  itself sits under the cross-engine hash.
+  itself sits under the cross-engine hash;
+- ``binary_topk`` — sign-bit binary-quantization ANN (two BIGINT
+  halves per vector, xor+bit_count Hamming pre-rank, exact cosine
+  rescore of the bounded candidate set).
 
 Same cross-engine determinism rules as :mod:`suite`.
 """
@@ -59,6 +62,7 @@ def queries():
         q_stratified_weighted_sample,
         q_weighted_sample,
     )
+    from magmapandas_spark.operators.binary_ann import q_binary_topk
     from magmapandas_spark.operators.evaluation import q_ann_recall
     from magmapandas_spark.operators.indexing import (
         q_domain_topk,
@@ -90,6 +94,7 @@ def queries():
         "kmeans_refine": q_kmeans_refine,
         "stratified_weighted_sample": q_stratified_weighted_sample,
         "ann_recall": q_ann_recall,
+        "binary_topk": q_binary_topk,
     }
 
 
@@ -98,6 +103,7 @@ def oracle_sql():
         SQL_STRATIFIED_WEIGHTED_SAMPLE,
         SQL_WEIGHTED_SAMPLE,
     )
+    from magmapandas_spark.operators.binary_ann import sql_binary_topk
     from magmapandas_spark.operators.evaluation import sql_ann_recall
     from magmapandas_spark.operators.indexing import (
         SQL_DOMAIN_TOPK,
@@ -131,4 +137,5 @@ def oracle_sql():
         "kmeans_refine": sql_kmeans_refine(),
         "stratified_weighted_sample": SQL_STRATIFIED_WEIGHTED_SAMPLE,
         "ann_recall": sql_ann_recall(),
+        "binary_topk": sql_binary_topk(),
     }

@@ -384,3 +384,18 @@ def test_kmeans_assignment_is_scan_local(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+# -- binary ANN: the Hamming stage carries codes, never vectors -------
+
+def test_binary_topk_hamming_is_code_only(spark):
+    """The query×corpus Hamming stage is ONE bounded broadcast cross
+    of (id, code-halves) longs — no Python, no extra BNL, and the
+    candidate ranking window runs before any vector re-join."""
+    from magmapandas_spark.relational import suite
+
+    df = suite.queries()["binary_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
