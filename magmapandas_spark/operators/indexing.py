@@ -281,3 +281,114 @@ GROUP BY term
 HAVING COUNT(*) >= 5
 ORDER BY term
 """
+
+
+# ---------------------------------------------------------------------
+# Query-side retrieval over the persisted index
+# ---------------------------------------------------------------------
+
+def write_search_index(
+    docs: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    max_postings: int = 1_000_000,
+) -> None:
+    """Persist everything BM25 needs to answer queries WITHOUT the
+    corpus: ``{name}_postings`` (term → df, tf_total, (doc, tf) list;
+    bucketed by term for pruned lookups), ``{name}_doclen`` (doc →
+    length; bucketed by doc so the postings⋈doclen join co-locates),
+    and ``{name}_stats`` (ONE row: N, avgdl). At crawl scale each is
+    an incremental-maintenance target (`streaming_index_ingest` for
+    postings; doclen appends; stats recomputes from doclen)."""
+    from magmapandas_spark.operators.curation import word_tokens
+
+    spark = docs.sparkSession
+    rel = inverted_index_relation(
+        docs, id_col, text_col, max_postings=max_postings
+    )
+    (
+        rel.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(f"{name}_postings")
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(word_tokens(text_col)).alias("dl"),
+    )
+    (
+        dl.write.mode("overwrite")
+        .bucketBy(n_buckets, "doc")
+        .sortBy("doc")
+        .saveAsTable(f"{name}_doclen")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    stats.write.mode("overwrite").saveAsTable(f"{name}_stats")
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    name: str,
+    query_terms: list[str],
+    top_k: int = 100,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k answered ENTIRELY from the persisted index — the
+    corpus is never scanned. The literal-term filter prunes postings
+    buckets; the exploded (term, doc, tf) relation is bounded by the
+    query terms' posting sizes and BROADCASTS onto the bucketed
+    doclen table (the big side streams, plan-testable); the one-row
+    stats relation rides a broadcast. Per-doc scores sum per-term
+    contributions as decimal(28,12) (order-independent — the index
+    path has no fixed term order to replay), rounded to 6.
+
+    Returns (doc, n_matched, score) — only documents containing at
+    least one query term (the others score 0 by definition)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    p = spark.table(f"{name}_postings").filter(
+        F.col("term").isin(query_terms)
+    )
+    exploded = p.select(
+        "term",
+        F.col("df"),
+        F.explode("postings").alias("e"),
+    ).select(
+        "term", "df", F.col("e.doc").alias("doc"), F.col("e.tf").alias("tf")
+    )
+    stats = spark.table(f"{name}_stats")
+    dl = spark.table(f"{name}_doclen")
+    j = (
+        F.broadcast(exploded)
+        .join(dl, on="doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    tf = F.col("tf").cast("double")
+    dfj = F.col("df").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("N").cast("double") - dfj + F.lit(0.5))
+        / (dfj + F.lit(0.5))
+    )
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    contrib = (idf * (tf * F.lit(k1 + 1.0)) / denom).cast(
+        "decimal(28,12)"
+    )
+    return (
+        j.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_matched"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc")
+        .limit(top_k)
+    )

@@ -125,3 +125,73 @@ def test_ann_recall_floor(spark):
     out = q_ann_recall(spark, SF).toPandas()
     assert len(out) == 20
     assert out["recall"].mean() >= 0.5
+
+
+def test_bm25_from_index_matches_direct(spark):
+    """Query-side BM25 over the persisted index must agree with the
+    direct corpus-scan bm25_scores on every positive-scoring doc
+    (the index path omits 0-score docs by definition). Tolerance
+    1e-6: the index path sums per-term contributions in decimal
+    (order-independent), the direct path as a fixed-order double
+    chain — equal to within an ulp at the 6th decimal."""
+    from magmapandas_spark.operators.indexing import (
+        bm25_from_index,
+        write_search_index,
+    )
+    from magmapandas_spark.operators.tfidf import (
+        DEFAULT_QUERY,
+        bm25_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for t in ["si_postings", "si_doclen", "si_stats"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_search_index(docs, "si")
+    try:
+        got = {
+            r["doc"]: (r["n_matched"], r["score"])
+            for r in bm25_from_index(
+                spark, "si", DEFAULT_QUERY, top_k=10000
+            ).collect()
+        }
+        exp = {
+            r["doc_id"]: (r["n_matched"], r["score"])
+            for r in bm25_scores(
+                docs, DEFAULT_QUERY, top_k=10000
+            ).collect()
+            if r["n_matched"] > 0
+        }
+        assert set(got) == set(exp)
+        for doc, (nm, sc) in exp.items():
+            gnm, gsc = got[doc]
+            assert gnm == nm, doc
+            assert abs(gsc - sc) <= 2e-6, (doc, gsc, sc)
+    finally:
+        for t in ["si_postings", "si_doclen", "si_stats"]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bm25_from_index_never_scans_corpus(spark):
+    """The query plan must read ONLY the three index tables — no
+    documents.parquet scan, the postings lookup bucket-pruned, the
+    doclen side streamed (no SortMergeJoin, exploded side broadcast)."""
+    from magmapandas_spark.operators.indexing import (
+        bm25_from_index,
+        write_search_index,
+    )
+    from tests.test_plan_invariants import plan_of
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    for t in ["si2_postings", "si2_doclen", "si2_stats"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_search_index(docs, "si2", n_buckets=8)
+    try:
+        df = bm25_from_index(spark, "si2", ["the", "and"])
+        plan = plan_of(df)
+        assert "documents.parquet" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert df.count() >= 0
+    finally:
+        for t in ["si2_postings", "si2_doclen", "si2_stats"]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
