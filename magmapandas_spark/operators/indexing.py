@@ -273,13 +273,25 @@ WITH tok AS (
 ),
 tf AS (
   SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY term, doc
+),
+totals AS (
+  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+  FROM tf GROUP BY term HAVING COUNT(*) >= 5
+),
+-- the Spark side truncates postings to the max_postings SMALLEST doc
+-- ids (slice(array_sort(...), 1, 1000)); replay the same bottom-k
+kept AS (
+  SELECT term, doc, tf FROM (
+    SELECT term, doc, tf,
+           ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc) AS prn
+    FROM tf
+  ) WHERE prn <= 1000
 )
-SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
-       string_agg(doc || ':' || tf, ',' ORDER BY doc) AS postings
-FROM tf
-GROUP BY term
-HAVING COUNT(*) >= 5
-ORDER BY term
+SELECT t.term, t.df, t.tf_total,
+       (SELECT string_agg(k.doc || ':' || k.tf, ',' ORDER BY k.doc)
+        FROM kept k WHERE k.term = t.term) AS postings
+FROM totals t
+ORDER BY t.term
 """
 
 
