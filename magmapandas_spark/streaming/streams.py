@@ -584,3 +584,43 @@ def streaming_index_ingest(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def streaming_reservoir_ingest(
+    doc_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    weight_col: str = "n_chars",
+    k: int = 200,
+    key_col: str = "doc_id",
+    timeout_s: int = 120,
+):
+    """Incremental Efraimidis–Spirakis weighted reservoir: each
+    micro-batch's candidate top-k (md5-uniform priorities — stateless,
+    so re-delivered rows recompute the SAME priority and dedupe in
+    the union) merges with the running state by union → re-rank →
+    re-truncate. The A-ES merge law (pinned as a property test in
+    tests/test_round6_properties.py) makes the fold exact: the final
+    state IS the batch weighted_sample over everything seen. State is
+    ≤ k rows; the sample a 100 TB ingest keeps warm without ever
+    revisiting data."""
+    from magmapandas_spark.operators.curation import weighted_sample
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        u = a.unionByName(b).dropDuplicates([key_col])
+        return u.orderBy(F.desc("priority"), key_col).limit(k)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        cand = weighted_sample(batch_df, weight_col, k, key_col=key_col)
+        _fold_sketch_state(cand, state_path, merge)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

@@ -374,3 +374,32 @@ def test_streaming_index_matches_batch(spark):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     for d in (src, out_dir):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_reservoir_matches_batch(spark):
+    """Incremental A-ES reservoir: after N micro-batches the folded
+    ≤k-row state equals the batch weighted_sample over the union
+    exactly (the merge law: global top-k == re-truncated union of
+    per-part top-ks; priorities are stateless md5-uniforms)."""
+    from magmapandas_spark.operators.curation import weighted_sample
+    from magmapandas_spark.streaming.streams import (
+        streaming_reservoir_ingest,
+    )
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    src = _multi_file_stage(spark, batch, 4)
+    out_dir = tempfile.mkdtemp(prefix="stream_res_")
+    state = os.path.join(out_dir, "state.parquet")
+    stream = spark.readStream.schema("doc_id long, n_chars long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    streaming_reservoir_ingest(
+        stream, state, os.path.join(out_dir, "ckpt"), k=50
+    )
+    got = normalize(spark.read.parquet(state).toPandas())
+    exp = normalize(weighted_sample(batch, "n_chars", 50).toPandas())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    for d in (src, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
