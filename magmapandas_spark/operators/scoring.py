@@ -279,3 +279,64 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------
+# Composed curation pipeline (round 6): classifier-gated weighted
+# sampling — the two-stage shape production curation actually runs
+# (score everything, keep the good, sample proportionally).
+# ---------------------------------------------------------------------
+
+def q_curated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: quality-gate then sample — keep documents the
+    hashed linear classifier scores ≥ 0.5, then draw a 100-doc A-ES
+    weighted sample (weight = n_chars) from the survivors. Both
+    stages' decisions (the sigmoid threshold boundary and the
+    reservoir boundary) sit under one hash — the gate proves the
+    operators COMPOSE deterministically, not just run alone.
+
+    Plan shape: classifier is scan-local; the filter is a projection
+    predicate; sampling is TakeOrdered — the whole pipeline is one
+    narrow pass over the corpus with zero hash exchanges."""
+    from magmapandas_spark.operators.curation import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = hashed_linear_classifier(docs).filter(
+        F.col("prob") >= 0.5
+    )
+    kept = scored.join(
+        docs.select("doc_id", "n_chars"), on="doc_id"
+    )
+    return weighted_sample(kept, "n_chars", 100)
+
+
+def _sql_curated_sample(n_buckets: int = 256, salt: str = "qclf") -> str:
+    b = _sql_bucket("t", n_buckets, salt)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, n_chars,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         COALESCE((SELECT SUM((({b} * {_WEIGHT_MULT}) % 2001) - 1000)
+                   FROM unnest(toks) u(t)), 0) AS sum_w
+  FROM tok
+),
+kept AS (
+  SELECT doc_id, n_chars FROM scored
+  WHERE ROUND(1.0 / (1.0 + exp(-(CASE WHEN n_tokens > 0
+              THEN CAST(sum_w AS DOUBLE) / (n_tokens * 1000.0)
+              ELSE 0.0 END))), 6) >= 0.5
+)
+SELECT doc_id, n_chars,
+       ROUND(ln((('0x' || substr(md5('wrs:' || doc_id), 1, 15))::BIGINT
+                 + 1) / 1152921504606846976.0)
+             / CAST(n_chars AS DOUBLE), 9) AS priority
+FROM kept
+WHERE n_chars > 0
+ORDER BY priority DESC, doc_id
+LIMIT 100
+"""

@@ -43,7 +43,10 @@ training-data pipeline runs daily:
   itself sits under the cross-engine hash;
 - ``binary_topk`` — sign-bit binary-quantization ANN (two BIGINT
   halves per vector, xor+bit_count Hamming pre-rank, exact cosine
-  rescore of the bounded candidate set).
+  rescore of the bounded candidate set);
+- ``curated_sample`` — the COMPOSED curation pipeline
+  (classifier-gate then A-ES sample) under one hash: operators
+  compose deterministically, not just run alone.
 
 Same cross-engine determinism rules as :mod:`suite`.
 """
@@ -72,6 +75,7 @@ def queries():
     from magmapandas_spark.operators.kmeans import q_kmeans_refine
     from magmapandas_spark.operators.mp4 import q_video_frame_decode
     from magmapandas_spark.operators.scoring import (
+        q_curated_sample,
         q_dsir_importance,
         q_quality_classifier,
     )
@@ -95,6 +99,7 @@ def queries():
         "stratified_weighted_sample": q_stratified_weighted_sample,
         "ann_recall": q_ann_recall,
         "binary_topk": q_binary_topk,
+        "curated_sample": q_curated_sample,
     }
 
 
@@ -113,6 +118,7 @@ def oracle_sql():
     from magmapandas_spark.operators.kmeans import sql_kmeans_refine
     from magmapandas_spark.operators.mp4 import SQL_VIDEO_FRAME_DECODE
     from magmapandas_spark.operators.scoring import (
+        _sql_curated_sample,
         _sql_dsir_importance,
         _sql_quality_classifier,
     )
@@ -138,4 +144,5 @@ def oracle_sql():
         "stratified_weighted_sample": SQL_STRATIFIED_WEIGHTED_SAMPLE,
         "ann_recall": sql_ann_recall(),
         "binary_topk": sql_binary_topk(),
+        "curated_sample": _sql_curated_sample(),
     }
