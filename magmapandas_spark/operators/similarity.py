@@ -968,8 +968,10 @@ def semdedup(
 ) -> DataFrame:
     """Per-vector SemDeDup verdict against a fitted coarse codebook.
 
-    Assignment reuses the IVF expression tier (broadcast-centroid
-    crossJoin → Euclidean argmin window); the within-cell self-join
+    Assignment is a scan-local argmin fold against the literal
+    centroids (array_min over (sd, cell) structs — no crossJoin, no
+    per-vector window; A/B-measured 2× faster here because the
+    persisted assignment feeds three consumers); the within-cell self-join
     compares each pair once (``id_a < id_b``) with the fixed-order
     cosine fold, so the ≥-threshold decision is bit-identical in the
     SQL twin. Keep policy is the deterministic dominated-by-smaller-id
