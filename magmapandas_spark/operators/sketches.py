@@ -526,3 +526,143 @@ FROM est
 ORDER BY tf DESC, token
 LIMIT 30
 """
+
+
+# ---------------------------------------------------------------------
+# HLL join-cardinality estimation — the CBO primitive
+# ---------------------------------------------------------------------
+
+def hll_join_cardinality(
+    a: DataFrame, a_key: str, b: DataFrame, b_key: str
+) -> DataFrame:
+    """Estimate the distinct-key overlap |keys(A) ∩ keys(B)| — the
+    number a join-size/selectivity model needs — from HLL sketches
+    alone, via inclusion-exclusion: est(A∩B) = est(A) + est(B) −
+    est(A∪B), where the UNION sketch is the elementwise max of the
+    two register relations (the merge HLL gets for free).
+
+    This is how a cost-based optimizer sizes joins at 100 TB: each
+    table's key sketch is ≤ m rows, maintained incrementally
+    (streaming_hll_ingest), and the estimate costs one register merge
+    — the tables themselves are never rescanned, let alone joined.
+    The exact counts computed alongside are the gate's comparison and
+    would be dropped at scale.
+
+    Returns ONE row: (n_exact_a, n_exact_b, n_exact_common, est_a,
+    est_b, est_union, est_common) — estimates rounded to 4, the
+    inclusion-exclusion arithmetic written as the identical
+    fixed-order expression in the SQL twin."""
+    ka = a.select(F.col(a_key).alias("v")).filter(F.col("v").isNotNull())
+    kb = b.select(F.col(b_key).alias("v")).filter(F.col("v").isNotNull())
+    side = F.lit("k").alias("side")
+    ra = hll_register_relation(ka.select(side, "v"), "side", "v")
+    rb = hll_register_relation(kb.select(side, "v"), "side", "v")
+    ru = merge_hll_registers(ra, rb, "side")
+
+    def est_of(regs, name):
+        return hll_estimate_from_registers(regs, "side").select(
+            F.col("est").alias(name)
+        )
+
+    ests = (
+        est_of(ra, "est_a")
+        .crossJoin(est_of(rb, "est_b"))
+        .crossJoin(est_of(ru, "est_union"))
+    )
+    exact_a = ka.agg(F.countDistinct("v").alias("n_exact_a"))
+    exact_b = kb.agg(F.countDistinct("v").alias("n_exact_b"))
+    exact_common = (
+        ka.distinct()
+        .join(kb.distinct(), on="v")
+        .agg(F.count(F.lit(1)).alias("n_exact_common"))
+    )
+    return (
+        exact_a.crossJoin(exact_b)
+        .crossJoin(exact_common)
+        .crossJoin(F.broadcast(ests))
+        .select(
+            "n_exact_a",
+            "n_exact_b",
+            "n_exact_common",
+            F.round("est_a", 4).alias("est_a"),
+            F.round("est_b", 4).alias("est_b"),
+            F.round("est_union", 4).alias("est_union"),
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_common"),
+        )
+    )
+
+
+def q_hll_join_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: sketch-estimated vs exact key overlap between
+    orders.o_custkey and the EVEN-keyed customer slice (a genuine
+    partial overlap, so inclusion-exclusion has real work to do) —
+    the register merge, all three estimators, and the
+    inclusion-exclusion arithmetic under the hash."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") % 2 == 0
+    )
+    return hll_join_cardinality(orders, "o_custkey", cust, "c_custkey")
+
+
+def _sql_hll_est(src: str) -> str:
+    """DuckDB CTE chain computing the scalar HLL estimate of the
+    distinct values of relation ``src`` (one column ``v``)."""
+    return f"""(
+  WITH h AS (
+    SELECT ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM {src}
+  ),
+  b AS (
+    SELECT h >> {_HLL_WBITS} AS idx, h % {1 << _HLL_WBITS} AS w FROM h
+  ),
+  r AS (
+    SELECT idx,
+           MAX(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                    ELSE {_HLL_WBITS + 1} - length(bin(w)) END) AS m_reg
+    FROM b GROUP BY idx
+  ),
+  s AS (
+    SELECT SUM((1::BIGINT << ({_HLL_SCALE} - m_reg)))::BIGINT
+             AS s_present,
+           COUNT(*) AS n_regs
+    FROM r
+  )
+  SELECT CASE WHEN ({_HLL_M} - n_regs) > 0
+              AND CAST({_HLL_C!r} AS DOUBLE)
+                  / CAST(s_present + ({_HLL_M} - n_regs)
+                         * {1 << _HLL_SCALE} AS DOUBLE)
+                  <= {2.5 * _HLL_M!r}
+         THEN {float(_HLL_M)!r}
+              * ln({float(_HLL_M)!r} / ({_HLL_M} - n_regs))
+         ELSE CAST({_HLL_C!r} AS DOUBLE)
+              / CAST(s_present + ({_HLL_M} - n_regs)
+                     * {1 << _HLL_SCALE} AS DOUBLE) END AS est
+  FROM s
+)"""
+
+
+SQL_HLL_JOIN_CARD = f"""
+WITH ka AS (SELECT o_custkey AS v FROM orders WHERE o_custkey IS NOT NULL),
+kb AS (SELECT c_custkey AS v FROM customer
+      WHERE c_custkey IS NOT NULL AND c_custkey % 2 = 0),
+ku AS (SELECT v FROM ka UNION ALL SELECT v FROM kb),
+ea AS (SELECT est AS est_a FROM {_sql_hll_est('ka')}),
+eb AS (SELECT est AS est_b FROM {_sql_hll_est('kb')}),
+eu AS (SELECT est AS est_union FROM {_sql_hll_est('ku')}),
+xa AS (SELECT COUNT(DISTINCT v) AS n_exact_a FROM ka),
+xb AS (SELECT COUNT(DISTINCT v) AS n_exact_b FROM kb),
+xc AS (
+  SELECT COUNT(*) AS n_exact_common FROM (
+    SELECT DISTINCT ka.v FROM ka JOIN kb ON ka.v = kb.v
+  )
+)
+SELECT n_exact_a, n_exact_b, n_exact_common,
+       ROUND(est_a, 4) AS est_a,
+       ROUND(est_b, 4) AS est_b,
+       ROUND(est_union, 4) AS est_union,
+       ROUND(est_a + est_b - est_union, 4) AS est_common
+FROM xa, xb, xc, ea, eb, eu
+"""

@@ -46,7 +46,10 @@ training-data pipeline runs daily:
   rescore of the bounded candidate set);
 - ``curated_sample`` — the COMPOSED curation pipeline
   (classifier-gate then A-ES sample) under one hash: operators
-  compose deterministically, not just run alone.
+  compose deterministically, not just run alone;
+- ``hll_join_card`` — sketch-only join-cardinality estimation
+  (register-merge union + inclusion-exclusion), the CBO primitive:
+  join sizes estimated without touching either table.
 
 Same cross-engine determinism rules as :mod:`suite`.
 """
@@ -79,6 +82,7 @@ def queries():
         q_dsir_importance,
         q_quality_classifier,
     )
+    from magmapandas_spark.operators.sketches import q_hll_join_card
     from magmapandas_spark.operators.stats import q_table_stats
     from magmapandas_spark.operators.tfidf import q_bm25_search
     from magmapandas_spark.operators.webcorpus import q_line_dedup
@@ -100,6 +104,7 @@ def queries():
         "ann_recall": q_ann_recall,
         "binary_topk": q_binary_topk,
         "curated_sample": q_curated_sample,
+        "hll_join_card": q_hll_join_card,
     }
 
 
@@ -122,6 +127,7 @@ def oracle_sql():
         _sql_dsir_importance,
         _sql_quality_classifier,
     )
+    from magmapandas_spark.operators.sketches import SQL_HLL_JOIN_CARD
     from magmapandas_spark.operators.stats import SQL_TABLE_STATS
     from magmapandas_spark.operators.tfidf import _sql_bm25_search
     from magmapandas_spark.operators.webcorpus import SQL_LINE_DEDUP
@@ -145,4 +151,5 @@ def oracle_sql():
         "ann_recall": sql_ann_recall(),
         "binary_topk": sql_binary_topk(),
         "curated_sample": _sql_curated_sample(),
+        "hll_join_card": SQL_HLL_JOIN_CARD,
     }
