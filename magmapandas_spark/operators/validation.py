@@ -1,0 +1,238 @@
+"""Data-quality expectations — declarative constraint validation for
+lake tables (the Deequ / dbt-test shape, Spark-first).
+
+A pipeline that cannot ASSERT its invariants ships corrupt data the
+day an upstream change lands. This module evaluates a rule list
+against a table and returns one row per rule with its violation
+count — never throwing mid-job, never scanning more than needed:
+
+- row-level rules (``not_null``, ``in_range``, ``accepted_values``,
+  ``matches_regex``) fold into ONE aggregation over ONE scan — adding
+  a rule adds a column to the agg, not a pass over the data;
+- ``unique`` counts over-represented keys with a map-side-combined
+  groupBy (the shuffle carries distinct keys only);
+- ``foreign_key`` is a LEFT ANTI join against the reference keys —
+  broadcast when the reference is dimension-sized, the same plan
+  discipline as merge_upsert.
+
+Cross-engine determinism: counts are exact integers; rule labels are
+literals; no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Rule:
+    """One expectation: ``label`` names it in the report, ``kind``
+    routes evaluation."""
+
+    label: str
+    kind: str
+    col: str | None = None
+    cols: list[str] = field(default_factory=list)
+    lo: float | None = None
+    hi: float | None = None
+    values: list = field(default_factory=list)
+    pattern: str | None = None
+    ref: DataFrame | None = None
+    ref_col: str | None = None
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", "not_null", col=col)
+
+
+def in_range(col: str, lo: float, hi: float) -> Rule:
+    return Rule(
+        f"in_range({col},{lo},{hi})", "in_range", col=col, lo=lo, hi=hi
+    )
+
+
+def accepted_values(col: str, values: list) -> Rule:
+    return Rule(
+        f"accepted_values({col})", "accepted_values", col=col,
+        values=list(values),
+    )
+
+
+def matches_regex(col: str, pattern: str) -> Rule:
+    return Rule(
+        f"matches_regex({col})", "matches_regex", col=col,
+        pattern=pattern,
+    )
+
+
+def unique(*cols: str) -> Rule:
+    return Rule(
+        f"unique({','.join(cols)})", "unique", cols=list(cols)
+    )
+
+
+def foreign_key(col: str, ref: DataFrame, ref_col: str) -> Rule:
+    return Rule(
+        f"foreign_key({col})", "foreign_key", col=col, ref=ref,
+        ref_col=ref_col,
+    )
+
+
+def _violation_expr(r: Rule) -> Column:
+    c = F.col(r.col)
+    if r.kind == "not_null":
+        return c.isNull()
+    if r.kind == "in_range":
+        return c.isNull() | (c < F.lit(r.lo)) | (c > F.lit(r.hi))
+    if r.kind == "accepted_values":
+        return c.isNull() | ~c.isin(r.values)
+    if r.kind == "matches_regex":
+        return c.isNull() | ~c.rlike(r.pattern)
+    raise ValueError(f"not a row-level rule: {r.kind}")
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate every rule; returns (rule, n_violations, passed),
+    one row per rule, ordered by rule label.
+
+    Row-level rules share one scan/one aggregation; ``unique`` rules
+    count rows beyond the first per key (so the number is "rows that
+    would be dropped by a dedup", not "keys with dupes");
+    ``foreign_key`` counts child rows whose key has no parent
+    (NULL keys are orphans — use not_null beside it if NULLs are
+    legal)."""
+    spark = df.sparkSession
+    parts: list[DataFrame] = []
+    row_rules = [
+        r for r in rules
+        if r.kind in ("not_null", "in_range", "accepted_values",
+                      "matches_regex")
+    ]
+    if row_rules:
+        agg = df.agg(
+            *[
+                F.sum(_violation_expr(r).cast("long")).alias(str(i))
+                for i, r in enumerate(row_rules)
+            ]
+        )
+        parts.append(
+            agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(r.label).alias("rule"),
+                                F.coalesce(
+                                    F.col(str(i)), F.lit(0)
+                                ).alias("n_violations"),
+                            )
+                            for i, r in enumerate(row_rules)
+                        ]
+                    )
+                ).alias("s")
+            ).select("s.*")
+        )
+    for r in rules:
+        if r.kind == "unique":
+            dup = (
+                df.groupBy(*[F.col(c) for c in r.cols])
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("cnt") - 1), F.lit(0)
+                    ).cast("long").alias("n_violations")
+                )
+            )
+            parts.append(dup.select(F.lit(r.label).alias("rule"),
+                                    "n_violations"))
+        elif r.kind == "foreign_key":
+            refkeys = r.ref.select(
+                F.col(r.ref_col).alias(r.col)
+            ).distinct()
+            orphans = df.select(r.col).join(
+                F.broadcast(refkeys), on=r.col, how="left_anti"
+            ).agg(F.count(F.lit(1)).alias("n_violations"))
+            parts.append(
+                orphans.select(F.lit(r.label).alias("rule"),
+                               "n_violations")
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rule",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("rule")
+
+
+def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: a seven-rule expectation suite over lineitem —
+    null/range/enum/regex/uniqueness/referential-integrity verdicts
+    all under the hash. ``in_range(l_tax, 0, 0.05)`` is deliberately
+    violated by the data so the violation-counting path is
+    non-vacuous."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rules = [
+        not_null("l_orderkey"),
+        not_null("l_shipdate"),
+        in_range("l_quantity", 1, 50),
+        in_range("l_tax", 0.0, 0.05),
+        accepted_values("l_returnflag", ["A", "N", "R"]),
+        matches_regex("l_linestatus", "^[FO]$"),
+        unique("l_orderkey", "l_linenumber"),
+        foreign_key("l_orderkey", orders, "o_orderkey"),
+    ]
+    return validate(li, rules).coalesce(1)
+
+
+SQL_VALIDATE_LINEITEM = """
+WITH row_rules AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_nn_ok,
+    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_nn_sd,
+    CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                    OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_rng_q,
+    CAST(SUM(CASE WHEN l_tax IS NULL OR l_tax < 0.0 OR l_tax > 0.05
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_rng_t,
+    CAST(SUM(CASE WHEN l_returnflag IS NULL
+                    OR l_returnflag NOT IN ('A','N','R')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_acc,
+    CAST(SUM(CASE WHEN l_linestatus IS NULL
+                    OR NOT regexp_matches(l_linestatus, '^[FO]$')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+  FROM lineitem
+),
+uniq AS (
+  SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS v FROM (
+    SELECT COUNT(*) AS cnt FROM lineitem
+    GROUP BY l_orderkey, l_linenumber
+  )
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v
+  FROM lineitem l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+  )
+)
+SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'not_null(l_orderkey)' AS rule, v_nn_ok AS n_violations
+  FROM row_rules
+  UNION ALL SELECT 'not_null(l_shipdate)', v_nn_sd FROM row_rules
+  UNION ALL SELECT 'in_range(l_quantity,1,50)', v_rng_q FROM row_rules
+  UNION ALL SELECT 'in_range(l_tax,0.0,0.05)', v_rng_t FROM row_rules
+  UNION ALL SELECT 'accepted_values(l_returnflag)', v_acc FROM row_rules
+  UNION ALL SELECT 'matches_regex(l_linestatus)', v_re FROM row_rules
+  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v FROM uniq
+  UNION ALL SELECT 'foreign_key(l_orderkey)', v FROM fk
+)
+ORDER BY rule
+"""

@@ -49,7 +49,10 @@ training-data pipeline runs daily:
   compose deterministically, not just run alone;
 - ``hll_join_card`` — sketch-only join-cardinality estimation
   (register-merge union + inclusion-exclusion), the CBO primitive:
-  join sizes estimated without touching either table.
+  join sizes estimated without touching either table;
+- ``validate_lineitem`` — declarative data-quality expectations
+  (null/range/enum/regex in one scan, uniqueness, referential
+  integrity), the Deequ/dbt-test shape with exact-integer verdicts.
 
 Same cross-engine determinism rules as :mod:`suite`.
 """
@@ -85,6 +88,9 @@ def queries():
     from magmapandas_spark.operators.sketches import q_hll_join_card
     from magmapandas_spark.operators.stats import q_table_stats
     from magmapandas_spark.operators.tfidf import q_bm25_search
+    from magmapandas_spark.operators.validation import (
+        q_validate_lineitem,
+    )
     from magmapandas_spark.operators.webcorpus import q_line_dedup
 
     return {
@@ -105,6 +111,7 @@ def queries():
         "binary_topk": q_binary_topk,
         "curated_sample": q_curated_sample,
         "hll_join_card": q_hll_join_card,
+        "validate_lineitem": q_validate_lineitem,
     }
 
 
@@ -130,6 +137,9 @@ def oracle_sql():
     from magmapandas_spark.operators.sketches import SQL_HLL_JOIN_CARD
     from magmapandas_spark.operators.stats import SQL_TABLE_STATS
     from magmapandas_spark.operators.tfidf import _sql_bm25_search
+    from magmapandas_spark.operators.validation import (
+        SQL_VALIDATE_LINEITEM,
+    )
     from magmapandas_spark.operators.webcorpus import SQL_LINE_DEDUP
 
     return {
@@ -152,4 +162,5 @@ def oracle_sql():
         "binary_topk": sql_binary_topk(),
         "curated_sample": _sql_curated_sample(),
         "hll_join_card": SQL_HLL_JOIN_CARD,
+        "validate_lineitem": SQL_VALIDATE_LINEITEM,
     }

@@ -195,3 +195,46 @@ def test_bm25_from_index_never_scans_corpus(spark):
     finally:
         for t in ["si2_postings", "si2_doclen", "si2_stats"]:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_validation_rules_on_crafted_data(spark):
+    from magmapandas_spark.operators.validation import (
+        accepted_values,
+        foreign_key,
+        in_range,
+        matches_regex,
+        not_null,
+        unique,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=5.0, s="ok", fk=10),
+            Row(k=1, v=-1.0, s="bad!", fk=10),   # dup k, range, regex
+            Row(k=2, v=None, s="ok", fk=99),     # null v, orphan fk
+            Row(k=3, v=7.0, s="zz", fk=10),      # not accepted
+        ]
+    )
+    ref = spark.createDataFrame([Row(r=10), Row(r=20)])
+    out = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in validate(
+            df,
+            [
+                not_null("v"),
+                in_range("v", 0, 10),
+                accepted_values("s", ["ok", "bad!"]),
+                matches_regex("s", "^[a-z!]+$"),
+                unique("k"),
+                foreign_key("fk", ref, "r"),
+            ],
+        ).collect()
+    }
+    assert out["not_null(v)"] == (1, False)
+    # null counts as a range violation too
+    assert out["in_range(v,0,10)"] == (2, False)
+    assert out["accepted_values(s)"] == (1, False)
+    assert out["matches_regex(s)"] == (0, True)
+    assert out["unique(k)"] == (1, False)
+    assert out["foreign_key(fk)"] == (1, False)
