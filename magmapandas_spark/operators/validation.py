@@ -236,3 +236,67 @@ SELECT rule, n_violations, n_violations = 0 AS passed FROM (
 )
 ORDER BY rule
 """
+
+
+# ---------------------------------------------------------------------
+# Join-key skew diagnostics
+# ---------------------------------------------------------------------
+
+def skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """The pre-join skew check: per-key row counts → the ``top_k``
+    heaviest keys with their exact per-mille share of the table, plus
+    each key's multiple of the mean row-per-key load (the number that
+    says "this key lands 40× the average on one reduce task").
+
+    ONE map-side-combined count shuffle (distinct keys cross the
+    wire), a 1-row total broadcast back, TakeOrdered for the top-k.
+    All arithmetic integer-exact (shares in per-mille via integer
+    division; load multiple ×100). NULL keys count as a key — they
+    hash to one partition too, which is exactly the skew this report
+    exists to surface."""
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            # `div` is integer division on longs — exact floor in both
+            # engines (a double divide + cast can round up across an
+            # integer boundary and disagree with DuckDB's `//`)
+            F.expr("(cnt * 1000) div total").alias("share_permille"),
+            F.expr("(cnt * 100 * n_keys) div total").alias("load_x100"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(top_k)
+    )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the 10 heaviest lineitem join keys (l_partkey) —
+    counts, per-mille shares, and mean-load multiples all
+    integer-exact under the hash."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return skew_report(li, "l_partkey")
+
+
+SQL_SKEW_REPORT = """
+WITH counts AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS key, COUNT(*) AS cnt
+  FROM lineitem GROUP BY CAST(l_partkey AS VARCHAR)
+),
+totals AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM counts)
+SELECT key, cnt,
+       CAST((cnt * 1000) // total AS BIGINT) AS share_permille,
+       CAST((cnt * 100 * n_keys) // total AS BIGINT) AS load_x100
+FROM counts, totals
+ORDER BY cnt DESC, key
+LIMIT 10
+"""

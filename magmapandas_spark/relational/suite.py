@@ -362,8 +362,8 @@ def _wrap(fn: Callable) -> Callable:
 # last-driver-green ASCENDING: all 27 queries whose last green row is
 # r3 minus its alphabetical tail (the 14 round-6 newcomers + 10
 # code-changed fill the rest; unit_conversions joins the next
-# rotation, as do stratified_sample, sugawara6a_cpx,
-# thermometers_multi, and thermometers_multi2).
+# rotation, as do plag_endmembers, stratified_sample,
+# sugawara6a_cpx, thermometers_multi, and thermometers_multi2).
 # Everything
 # past slot 50 stays covered by tests/test_oracle.py (the identical
 # check).
@@ -387,6 +387,7 @@ _GATE_ORDER = [
     "curated_sample",
     "hll_join_card",
     "validate_lineitem",
+    "skew_report",
     # (b) code changed this round — re-verify
     "kmv_distinct",
     "robots_filter",
@@ -420,7 +421,6 @@ _GATE_ORDER = [
     "melt_structure",
     "ngram_contamination",
     "olmelt_thermometer",
-    "plag_endmembers",
     # (the r5 window's 50 rows all have r5 driver green; the remaining
     # r4 cohort — including asof_purchase_view / below_avg_revenue /
     # customer_ntiles / customer_order_window / customer_semi_anti /

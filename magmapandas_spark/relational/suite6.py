@@ -52,7 +52,9 @@ training-data pipeline runs daily:
   join sizes estimated without touching either table;
 - ``validate_lineitem`` — declarative data-quality expectations
   (null/range/enum/regex in one scan, uniqueness, referential
-  integrity), the Deequ/dbt-test shape with exact-integer verdicts.
+  integrity), the Deequ/dbt-test shape with exact-integer verdicts;
+- ``skew_report`` — pre-join key-skew diagnostics (heaviest keys,
+  integer-exact per-mille shares and mean-load multiples).
 
 Same cross-engine determinism rules as :mod:`suite`.
 """
@@ -89,6 +91,7 @@ def queries():
     from magmapandas_spark.operators.stats import q_table_stats
     from magmapandas_spark.operators.tfidf import q_bm25_search
     from magmapandas_spark.operators.validation import (
+        q_skew_report,
         q_validate_lineitem,
     )
     from magmapandas_spark.operators.webcorpus import q_line_dedup
@@ -112,6 +115,7 @@ def queries():
         "curated_sample": q_curated_sample,
         "hll_join_card": q_hll_join_card,
         "validate_lineitem": q_validate_lineitem,
+        "skew_report": q_skew_report,
     }
 
 
@@ -138,6 +142,7 @@ def oracle_sql():
     from magmapandas_spark.operators.stats import SQL_TABLE_STATS
     from magmapandas_spark.operators.tfidf import _sql_bm25_search
     from magmapandas_spark.operators.validation import (
+        SQL_SKEW_REPORT,
         SQL_VALIDATE_LINEITEM,
     )
     from magmapandas_spark.operators.webcorpus import SQL_LINE_DEDUP
@@ -163,4 +168,5 @@ def oracle_sql():
         "curated_sample": _sql_curated_sample(),
         "hll_join_card": SQL_HLL_JOIN_CARD,
         "validate_lineitem": SQL_VALIDATE_LINEITEM,
+        "skew_report": SQL_SKEW_REPORT,
     }

@@ -403,3 +403,43 @@ def test_streaming_reservoir_matches_batch(spark):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     for d in (src, out_dir):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_validation_matches_batch(spark):
+    """Ingest-time expectations: per-batch row-level violation counts
+    folded by integer sum equal one batch validation over the union
+    exactly."""
+    from magmapandas_spark.operators.validation import (
+        accepted_values,
+        in_range,
+        not_null,
+        validate,
+    )
+    from magmapandas_spark.streaming.streams import (
+        streaming_validation_ingest,
+    )
+
+    rules = [
+        not_null("l_shipdate"),
+        in_range("l_tax", 0.0, 0.05),
+        accepted_values("l_returnflag", ["A", "N", "R"]),
+    ]
+    batch = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_shipdate", "l_tax", "l_returnflag"
+    )
+    src = _multi_file_stage(spark, batch, 3)
+    out_dir = tempfile.mkdtemp(prefix="stream_val_")
+    state = os.path.join(out_dir, "state.parquet")
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    streaming_validation_ingest(
+        stream, state, os.path.join(out_dir, "ckpt"), rules
+    )
+    got = normalize(spark.read.parquet(state).toPandas())
+    exp = normalize(
+        validate(batch, rules).select("rule", "n_violations").toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    for d in (src, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
