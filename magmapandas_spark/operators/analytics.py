@@ -1,0 +1,755 @@
+"""Event-log / warehouse analytics operators (beyond-reference
+surface): SCD type-2 dimension building, ordered funnel analysis,
+bigram-PMI collocation mining, and incremental materialized-view
+maintenance.
+
+Each operator is the Spark-first form of a pipeline every large
+warehouse runs daily; all four keep their entire output in exact
+integer / fixed-order arithmetic so the gate can hash them directly.
+
+Scale postures:
+
+- :func:`scd2_build` — one shuffle on the entity key, then two window
+  passes over the same partitioning (change detection, interval
+  close). No self-join: ``lag``/``lead`` do the adjacency. At 100 TB
+  the cost is the one entity-keyed exchange.
+- :func:`funnel_steps` — one shuffle into per-user full-partition
+  windows; each successive step is a conditional MIN over the user's
+  own rows referencing the previous step's time. Output is one
+  summary row: counts and integer per-mille conversions.
+- :func:`token_pmi` — two word-count-shaped aggregations (unigrams,
+  adjacent bigrams, both built scan-locally from the token array) and
+  two equi-joins of bigram counts against the vocabulary-sized
+  unigram relation (broadcast at crawl scale). Scores are exact
+  integer ppm ratios — no cross-engine ``ln`` one-ulp risk. The
+  ``c_ab·N·10⁶`` product fits BIGINT through ~1e12-token corpora;
+  beyond that move the score to DECIMAL(38,0) (same expression).
+- :func:`incremental_agg` — the mergeable-state contract made
+  executable: partial aggregation states from a base slice and a
+  delta slice are MERGED (sums of exact decimal sums, min of mins,
+  max of maxes) and the gate hashes the merged result against the
+  oracle's direct full recompute — merge == recompute, on every
+  engine. This is the maintenance shape that turns a 100 TB nightly
+  re-aggregation into a delta-sized job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from magmapandas_spark.relational.suite import SQL_DSUM, _t, dsum
+
+# ---------------------------------------------------------------------
+# SCD type-2 dimension build
+# ---------------------------------------------------------------------
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Build SCD type-2 validity intervals from a CDC-style change log.
+
+    Rows are ordered per entity by ``(ts, seq)`` (the sequence column
+    makes equal-timestamp changes totally ordered, so every engine
+    sees the same history). Consecutive duplicate states collapse —
+    a no-op update extends the current interval instead of opening a
+    new version. Returns one row per version: entity key, ``version``
+    (1-based), ``state``, ``valid_from_us`` / ``valid_to_us`` (epoch
+    microseconds; open interval end is NULL) and ``is_current``.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    changed = changes.withColumn(
+        "_prev", F.lag(state_col).over(w)
+    ).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    return (
+        changed.select(
+            F.col(key_col),
+            F.row_number().over(w2).alias("version"),
+            F.col(state_col).alias("state"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias(
+                "valid_from_us"
+            ),
+            F.lead(
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+            ).over(w2).alias(
+                "valid_to_us"
+            ),
+            F.lead(F.col(ts_col)).over(w2).isNull().alias("is_current"),
+        )
+    )
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: SCD2 history of each user's event_type state over
+    the events change log — versioned validity intervals with no-op
+    collapse, every column an exact integer/string/bool."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return scd2_build(ev).orderBy("user_id", "version")
+
+
+SQL_SCD2_BUILD = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_state
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changed AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE prev_state IS NULL OR prev_state <> event_type
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+       event_type AS state,
+       epoch_us(ts) AS valid_from_us,
+       LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM changed
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
+# ---------------------------------------------------------------------
+# Ordered funnel analysis
+# ---------------------------------------------------------------------
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str] | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered multi-step funnel: per user, step k counts only if an
+    event of its type happened STRICTLY after the user's step-(k-1)
+    time (each step time is the MIN qualifying timestamp — a pure
+    set-min, deterministic without any tie-break column).
+
+    Returns ONE summary row: total users, per-step reached counts,
+    per-step conversion in ppm of the previous step (integer div),
+    and the mean signup→purchase latency in microseconds over
+    converted users (integer div of exact sums).
+    """
+    steps = steps or FUNNEL_STEPS
+    w = Window.partitionBy(user_col)
+    df = events.select(
+        F.col(user_col), F.col(type_col), F.col(ts_col)
+    )
+    prev = None
+    tcols = []
+    for k, step in enumerate(steps):
+        name = f"_t{k}"
+        if prev is None:
+            expr = F.min(
+                F.when(F.col(type_col) == step, F.col(ts_col))
+            ).over(w)
+        else:
+            expr = F.min(
+                F.when(
+                    (F.col(type_col) == step)
+                    & (F.col(ts_col) > F.col(prev)),
+                    F.col(ts_col),
+                )
+            ).over(w)
+        df = df.withColumn(name, expr)
+        tcols.append(name)
+        prev = name
+    per_user = df.groupBy(user_col).agg(
+        *[F.min(c).alias(c) for c in tcols]
+    )
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    for k, step in enumerate(steps):
+        aggs.append(
+            F.count(F.col(f"_t{k}")).alias(f"n_{step}")
+        )
+    aggs.append(
+        F.sum(
+            F.when(
+                F.col(tcols[-1]).isNotNull(),
+                F.unix_micros(F.col(tcols[-1]).cast("timestamp"))
+                - F.unix_micros(F.col(tcols[0]).cast("timestamp")),
+            )
+        ).alias("_lat_sum")
+    )
+    out = per_user.agg(*aggs)
+    convs = []
+    for k in range(1, len(steps)):
+        convs.append(
+            F.expr(
+                f"(n_{steps[k]} * 1000000)"
+                f" div (n_{steps[k - 1]})"
+            ).alias(f"conv_{steps[k]}_ppm")
+        )
+    last = steps[-1]
+    return out.select(
+        "n_users",
+        *[F.col(f"n_{s}") for s in steps],
+        *convs,
+        F.expr(f"_lat_sum div n_{last}").alias("mean_funnel_us"),
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: signup→view→click→purchase funnel over events —
+    strictly-ordered step semantics, integer ppm conversions and mean
+    end-to-end latency under the cross-engine hash."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return funnel_steps(ev)
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH t0 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+  FROM events GROUP BY user_id
+),
+t1 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN event_type = 'view' AND e.ts > t0.t0
+                  THEN e.ts END) AS t1
+  FROM events e JOIN t0 ON t0.user_id = e.user_id
+  GROUP BY e.user_id
+),
+t2 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN event_type = 'click' AND e.ts > t1.t1
+                  THEN e.ts END) AS t2
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN event_type = 'purchase' AND e.ts > t2.t2
+                  THEN e.ts END) AS t3
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  GROUP BY e.user_id
+),
+u AS (
+  SELECT t0.user_id, t0.t0, t1.t1, t2.t2, t3.t3
+  FROM t0
+  LEFT JOIN t1 ON t1.user_id = t0.user_id
+  LEFT JOIN t2 ON t2.user_id = t0.user_id
+  LEFT JOIN t3 ON t3.user_id = t0.user_id
+)
+SELECT
+  COUNT(*) AS n_users,
+  COUNT(t0) AS n_signup,
+  COUNT(t1) AS n_view,
+  COUNT(t2) AS n_click,
+  COUNT(t3) AS n_purchase,
+  COUNT(t1) * 1000000 // COUNT(t0) AS conv_view_ppm,
+  COUNT(t2) * 1000000 // COUNT(t1) AS conv_click_ppm,
+  COUNT(t3) * 1000000 // COUNT(t2) AS conv_purchase_ppm,
+  CAST(SUM(CASE WHEN t3 IS NOT NULL
+                THEN epoch_us(t3) - epoch_us(t0) END)
+       // COUNT(t3) AS BIGINT) AS mean_funnel_us
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------
+# Bigram PMI collocation mining
+# ---------------------------------------------------------------------
+
+
+def token_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by an integer PMI score.
+
+    ``pmi_ratio_ppm = (c_ab · N · 10⁶) div (c_a · c_b)`` — the inside
+    of the PMI logarithm, scaled to exact ppm integers, so ranking
+    and values are engine-independent (taking the actual log would
+    put a last-ulp ``ln`` divergence under the hash for zero ranking
+    benefit: log is monotone).
+    """
+    from magmapandas_spark.operators.curation import word_tokens
+
+    toks = docs.select(word_tokens().alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                    ),
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_tokens = int(
+        toks.select(F.sum(F.size("t"))).collect()[0][0] or 0
+    )
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    scored = (
+        bi.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(
+            F.broadcast(uni.withColumnsRenamed({"w": "w1", "c": "c_a"})),
+            on="w1",
+        )
+        .join(
+            F.broadcast(uni.withColumnsRenamed({"w": "w2", "c": "c_b"})),
+            on="w2",
+        )
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                f"(c_ab * {n_tokens}L * 1000000L) div (c_a * c_b)"
+            ).alias("pmi_ratio_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_ratio_ppm"), "bigram"
+    ).limit(top_k)
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: top-50 bigram collocations over documents by
+    exact-integer PMI ratio — two word-count aggregations plus two
+    broadcast joins against the vocabulary relation."""
+    from magmapandas_spark.operators.dedup import fan_out
+
+    docs = fan_out(spark.read.parquet(_t(sf_dir, "documents")))
+    return token_pmi(docs)
+
+
+# DuckDB twin of curation.word_tokens (suite4 keeps the same literal)
+_SQL_TOKS = (
+    "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+SQL_TOKEN_PMI = f"""
+WITH toks AS (
+  SELECT {_SQL_TOKS} AS t FROM documents
+),
+n AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_tokens FROM toks),
+uni AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(t) AS w FROM toks)
+  GROUP BY w
+),
+bi AS (
+  SELECT bigram, COUNT(*) AS c_ab
+  FROM (
+    SELECT unnest(
+      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+    ) AS bigram
+    FROM toks
+  )
+  GROUP BY bigram
+  HAVING COUNT(*) >= 5
+)
+SELECT bi.bigram, bi.c_ab, u1.c AS c_a, u2.c AS c_b,
+       (bi.c_ab * n.n_tokens * 1000000) // (u1.c * u2.c)
+         AS pmi_ratio_ppm
+FROM bi
+CROSS JOIN n
+JOIN uni u1 ON u1.w = string_split(bi.bigram, ' ')[1]
+JOIN uni u2 ON u2.w = string_split(bi.bigram, ' ')[2]
+ORDER BY pmi_ratio_ppm DESC, bi.bigram
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------
+# Incremental materialized-view maintenance
+# ---------------------------------------------------------------------
+
+
+def agg_state(li: DataFrame) -> DataFrame:
+    """Mergeable per-(returnflag, linestatus) aggregation state:
+    exact-decimal sums, count, integer min/max epoch-days."""
+    days = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sq"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+        ).alias("sp"),
+        F.min(days).alias("min_ship_day"),
+        F.max(days).alias("max_ship_day"),
+    )
+
+
+def merge_states(*states: DataFrame) -> DataFrame:
+    """Merge agg states: sum counts and decimal sums, min/max
+    extremes — the algebraic-aggregate merge every distributed engine
+    performs between partial and final aggregation, here made an
+    explicit operator over persisted state relations."""
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionAll(s)
+    return u.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sq").alias("sq"),
+        F.sum("sp").alias("sp"),
+        F.min("min_ship_day").alias("min_ship_day"),
+        F.max("max_ship_day").alias("max_ship_day"),
+    )
+
+
+#: base/delta split point for the gate query
+INCR_CUTOFF = "1999-01-01"
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: build the aggregation state on the pre-cutoff base
+    slice and the post-cutoff delta slice SEPARATELY, merge the two
+    states, and finalize (double averages from exact decimal sums).
+    The oracle recomputes directly over the full table — the hash
+    passing IS the merge==recompute proof."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    base = agg_state(li.filter(F.col("l_shipdate") < INCR_CUTOFF))
+    delta = agg_state(li.filter(F.col("l_shipdate") >= INCR_CUTOFF))
+    merged = merge_states(base, delta)
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        F.col("sq").cast("double").alias("sum_qty"),
+        F.col("sp").cast("double").alias("sum_price"),
+        (F.col("sq").cast("double") / F.col("n_rows").cast("double"))
+        .alias("avg_qty"),
+        "min_ship_day",
+        "max_ship_day",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+SQL_INCREMENTAL_AGG = f"""
+SELECT
+  l_returnflag, l_linestatus,
+  COUNT(*) AS n_rows,
+  {SQL_DSUM.format(x='l_quantity')} AS sum_qty,
+  {SQL_DSUM.format(x='l_extendedprice')} AS sum_price,
+  {SQL_DSUM.format(x='l_quantity')}
+    / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(date_diff('day', DATE '1970-01-01', MIN(l_shipdate))
+       AS INTEGER) AS min_ship_day,
+  CAST(date_diff('day', DATE '1970-01-01', MAX(l_shipdate))
+       AS INTEGER) AS max_ship_day
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------
+# Cohort retention analysis
+# ---------------------------------------------------------------------
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix in long form.
+
+    Cohort = the user's first-activity epoch week (``days div 7``);
+    activity = the distinct (user, week) pairs. One row per
+    (cohort_week, week_offset): active users, cohort size, and
+    ``retention_ppm`` as an exact integer division.
+
+    Scale posture: first-week aggregation and the (user, week)
+    distinct both shuffle on the user key (the second reuses the
+    first's partitioning); the cohort join is user-co-partitioned;
+    the final (cohort, offset) aggregate is weeks² rows. Nothing
+    touches raw-event pairs.
+    """
+    uw = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(
+            f"datediff(cast({ts_col} as date), date'1970-01-01') div 7"
+        ).alias("week"),
+    )
+    active = uw.distinct()
+    cohort = active.groupBy("u").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    joined = active.join(cohort, on="u").select(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias(
+            "week_offset"
+        )
+    )
+    ret = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return (
+        ret.join(F.broadcast(sizes), on="cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.expr("(n_active * 1000000) div n_cohort").alias(
+                "retention_ppm"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: weekly cohort retention over events — long-form
+    cohort × offset matrix, exact integer counts and ppm shares."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return cohort_retention(ev)
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+           AS week
+  FROM events
+),
+cohort AS (
+  SELECT u, MIN(week) AS cohort_week FROM uw GROUP BY u
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS n_cohort FROM cohort GROUP BY 1
+),
+ret AS (
+  SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+         COUNT(*) AS n_active
+  FROM uw JOIN cohort c ON c.u = uw.u
+  GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.n_cohort,
+       r.n_active * 1000000 // s.n_cohort AS retention_ppm
+FROM ret r JOIN sizes s ON s.cohort_week = r.cohort_week
+ORDER BY r.cohort_week, r.week_offset
+"""
+
+
+# ---------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts between event types.
+
+    Per user, events are ordered by ``(ts, seq)`` and each adjacent
+    pair contributes one (from_state, to_state) transition. Output:
+    counts plus ``prob_ppm``, the integer row-normalized transition
+    probability. One user-keyed shuffle for the lag window, one
+    states²-sized aggregation, and a window over the states²-row
+    result for the row totals — nothing scales beyond the event scan.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("from_state"),
+            F.col(type_col).alias("to_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n_trans",
+        F.expr("n_trans * 1000000").alias("_num"),
+        F.sum("n_trans").over(tot).alias("_den"),
+    ).select(
+        "from_state",
+        "to_state",
+        "n_trans",
+        F.expr("_num div _den").alias("prob_ppm"),
+    ).orderBy("from_state", "to_state")
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: event-type Markov transition matrix over events —
+    per-user (ts, event_id)-ordered adjacency, integer ppm rows."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return event_transitions(ev)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS from_state,
+         event_type AS to_state
+  FROM events
+),
+counts AS (
+  SELECT from_state, to_state, COUNT(*) AS n_trans
+  FROM pairs WHERE from_state IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_state, to_state, n_trans,
+       CAST(n_trans * 1000000 // SUM(n_trans) OVER (
+         PARTITION BY from_state
+       ) AS BIGINT) AS prob_ppm
+FROM counts
+ORDER BY from_state, to_state
+"""
+
+
+# ---------------------------------------------------------------------
+# A/B experiment analysis: exact-integer chi-square
+# ---------------------------------------------------------------------
+
+
+def ab_chi2(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    success_type: str = "purchase",
+    baseline_type: str = "error",
+) -> DataFrame:
+    """2×2 chi-square test of a deterministic user split vs
+    conversion, in EXACT integer arithmetic.
+
+    Treatment = ``user_id % 2``; conversion = the user emitted MORE
+    ``success_type`` than ``baseline_type`` events (a scale-free
+    criterion: "at least one purchase" saturates to all-converted on
+    any corpus where per-user activity grows with corpus size,
+    degenerating a chi-square margin to zero). The statistic
+    ``n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`` is computed in
+    DECIMAL(38,0) and emitted as ``chi2_micro`` (×10⁶, integer div) —
+    no sqrt, no float, so the full test statistic sits under the
+    cross-engine hash; degenerate margins yield NULL rather than a
+    division error. One user-keyed aggregation then a single
+    4-counter reduce: the experimentation-analytics shape at any
+    scale.
+    """
+    per_user = events.groupBy(user_col).agg(
+        F.when(
+            F.sum(
+                F.when(F.col(type_col) == success_type, 1).otherwise(0)
+            )
+            > F.sum(
+                F.when(F.col(type_col) == baseline_type, 1).otherwise(0)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    cells = per_user.agg(
+        F.sum(
+            F.when(
+                (F.col(user_col) % 2 == 0) & (F.col("conv") == 1), 1
+            ).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when(
+                (F.col(user_col) % 2 == 0) & (F.col("conv") == 0), 1
+            ).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when(
+                (F.col(user_col) % 2 == 1) & (F.col("conv") == 1), 1
+            ).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when(
+                (F.col(user_col) % 2 == 1) & (F.col("conv") == 0), 1
+            ).otherwise(0)
+        ).alias("d"),
+    )
+    dec = "decimal(38,0)"
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr("(a * 1000000) div (a + b)").alias("conv_treat_ppm"),
+        F.expr("(c * 1000000) div (c + d)").alias("conv_ctrl_ppm"),
+        F.expr(
+            f"CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) <> 0"
+            f" THEN (cast(a + b + c + d as {dec})"
+            f" * cast(a * d - b * c as {dec})"
+            f" * cast(a * d - b * c as {dec}) * 1000000)"
+            f" div (cast(a + b as {dec}) * cast(c + d as {dec})"
+            f" * cast(a + c as {dec}) * cast(b + d as {dec})) END"
+        ).alias("chi2_micro"),
+    )
+
+
+def q_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: chi-square independence test of the user_id-parity
+    split vs purchase conversion — the full statistic in exact
+    integer micro-units."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return ab_chi2(ev)
+
+
+SQL_AB_CHI2 = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT
+    SUM(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS a,
+    SUM(CASE WHEN user_id % 2 = 0 AND conv = 0 THEN 1 ELSE 0 END) AS b,
+    SUM(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS c,
+    SUM(CASE WHEN user_id % 2 = 1 AND conv = 0 THEN 1 ELSE 0 END) AS d
+  FROM per_user
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       CAST(a * 1000000 // (a + b) AS BIGINT) AS conv_treat_ppm,
+       CAST(c * 1000000 // (c + d) AS BIGINT) AS conv_ctrl_ppm,
+       CAST(
+         CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) <> 0 THEN
+           ((a + b + c + d)::HUGEINT
+            * (a * d - b * c)::HUGEINT
+            * (a * d - b * c)::HUGEINT * 1000000)
+           // ((a + b)::HUGEINT * (c + d)::HUGEINT
+               * (a + c)::HUGEINT * (b + d)::HUGEINT)
+         END
+       AS BIGINT) AS chi2_micro
+FROM cells
+"""

@@ -666,3 +666,156 @@ SELECT n_exact_a, n_exact_b, n_exact_common,
        ROUND(est_a + est_b - est_union, 4) AS est_common
 FROM xa, xb, xc, ea, eb, eu
 """
+
+
+# ---------------------------------------------------------------------
+# KMV / theta-sketch set operations: intersection & union estimation
+# ---------------------------------------------------------------------
+
+#: bottom-k size for the set-operation gate (binds at every SF: even
+#: sf0.001 has ~130 distinct users per event type)
+KMV_SETOPS_K = 64
+
+
+def kmv_setops(
+    events: DataFrame,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    k: int = KMV_SETOPS_K,
+) -> DataFrame:
+    """Theta-sketch set operations over two md5-hashed user sets.
+
+    Builds the bottom-``k`` hash sketch of each side's distinct users
+    (deterministic: the k SMALLEST 60-bit md5 values), takes
+    ``theta`` = the k-th smallest of the two sketches' union, and
+    estimates ``|A ∪ B| ≈ (k−1)·2⁶⁰ div theta`` (the KMV estimator)
+    and ``|A ∩ B| ≈ |{h ∈ S_A ∩ S_B : h < theta}|·2⁶⁰ div theta``
+    (the theta-sketch intersection). Exact counts ride along so the
+    gate hashes estimator AND ground truth.
+
+    Scale posture: each sketch is a TakeOrdered bottom-k (per-
+    partition k candidates, merged on the driver-side take — O(k)
+    state, never a global sort); the set algebra then runs on ≤ 2k
+    rows. This is the sketch-tier answer to "how many users did both"
+    without a distinct-join: at 100 TB the two scans are the cost and
+    the sketches are constant-size, mergeable, and persistable. When
+    a side has < k distinct values theta degrades to the observed
+    maximum and the estimators fall back to near-exact counts.
+    """
+    from magmapandas_spark.operators.dedup import _md5_60
+
+    spark = events.sparkSession
+    two60 = 1 << 60
+
+    def side(t: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == t)
+            .select(
+                _md5_60(F.col("user_id").cast("string")).alias("h")
+            )
+            .distinct()
+        )
+
+    ha, hb = side(type_a), side(type_b)
+    sa = ha.orderBy("h").limit(k).persist()
+    sb = hb.orderBy("h").limit(k).persist()
+    union_k = (
+        sa.unionAll(sb).distinct().orderBy("h").limit(k)
+    )
+    urows = union_k.agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("kth")
+    ).collect()[0]
+    n_union_sketch, theta = int(urows["n"]), int(urows["kth"])
+    exact_a = ha.count()
+    exact_b = hb.count()
+    exact_inter = ha.join(hb, on="h").count()
+    w = (
+        sa.join(sb, on="h")
+        .filter(F.col("h") < theta)
+        .count()
+    )
+    if n_union_sketch < k:
+        # sketches saw everything: estimators degrade to exact
+        est_union = exact_a + exact_b - exact_inter
+        est_inter = exact_inter
+    else:
+        # cap: with a sane hash the estimate is ~|A∪B|, but guard the
+        # int64 range anyway (theta=1 would put (k−1)·2⁶⁰ over it)
+        est_union = min((k - 1) * two60 // theta, 1 << 62)
+        est_inter = min(w * two60 // theta, 1 << 62)
+    row = [(
+        k,
+        theta,
+        exact_a,
+        exact_b,
+        exact_a + exact_b - exact_inter,
+        exact_inter,
+        est_union,
+        est_inter,
+    )]
+    sa.unpersist()
+    sb.unpersist()
+    return spark.createDataFrame(
+        row,
+        "k long, theta long, exact_a long, exact_b long,"
+        " exact_union long, exact_inter long, est_union long,"
+        " est_inter long",
+    )
+
+
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: theta-sketch union/intersection estimation between
+    the viewer and purchaser user sets — the estimators AND the exact
+    ground truth under one hash."""
+    from magmapandas_spark.relational.suite import _t
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return kmv_setops(ev)
+
+
+SQL_KMV_SETOPS = f"""
+WITH ha AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      AS h
+  FROM events WHERE event_type = 'view'
+),
+hb AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      AS h
+  FROM events WHERE event_type = 'purchase'
+),
+sa AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_SETOPS_K}),
+sb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_SETOPS_K}),
+uk AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+  ORDER BY h LIMIT {KMV_SETOPS_K}
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM uk) AS n_u,
+         (SELECT MAX(h) FROM uk) AS theta,
+         (SELECT COUNT(*) FROM ha) AS exact_a,
+         (SELECT COUNT(*) FROM hb) AS exact_b,
+         (SELECT COUNT(*) FROM ha JOIN hb USING (h)) AS exact_inter,
+         (SELECT COUNT(*) FROM sa JOIN sb USING (h)
+          WHERE h < (SELECT MAX(h) FROM uk)) AS w
+)
+SELECT
+  CAST({KMV_SETOPS_K} AS BIGINT) AS k,
+  theta,
+  CAST(exact_a AS BIGINT) AS exact_a,
+  CAST(exact_b AS BIGINT) AS exact_b,
+  CAST(exact_a + exact_b - exact_inter AS BIGINT) AS exact_union,
+  CAST(exact_inter AS BIGINT) AS exact_inter,
+  CAST(CASE WHEN n_u < {KMV_SETOPS_K}
+       THEN exact_a + exact_b - exact_inter
+       ELSE LEAST(({KMV_SETOPS_K} - 1)::HUGEINT * {1 << 60}
+                  // theta, {1 << 62}) END
+    AS BIGINT) AS est_union,
+  CAST(CASE WHEN n_u < {KMV_SETOPS_K}
+       THEN exact_inter
+       ELSE LEAST(w::HUGEINT * {1 << 60} // theta, {1 << 62}) END
+    AS BIGINT) AS est_inter
+FROM stats
+"""

@@ -368,7 +368,22 @@ def _wrap(fn: Callable) -> Callable:
 # past slot 50 stays covered by tests/test_oracle.py (the identical
 # check).
 _GATE_ORDER = [
-    # (a) new this round (round 6) — first green row needed
+    # (a) new this round (round 6) — first green row needed; the
+    # suite7 waves lead (newest first, per the contract), and the ten
+    # alphabetically-last r3-cohort entries (ivf_topk, kd_blundy_saper,
+    # kd_expr_models, kd_toplis_iteration, magnetite_speciation,
+    # mc_thermometer, melt_describe, melt_structure,
+    # ngram_contamination, olmelt_thermometer) rotate to next round
+    "linreg_normal",
+    "triangle_count",
+    "scd2_build",
+    "funnel_conversion",
+    "token_pmi",
+    "incremental_agg",
+    "cohort_retention",
+    "event_transitions",
+    "ab_chi2",
+    "kmv_setops",
     "semdedup_sharded",
     "video_frame_decode",
     "bm25_search",
@@ -411,16 +426,6 @@ _GATE_ORDER = [
     "ilmenite_speciation",
     "image_decode",
     "isobar_grid",
-    "ivf_topk",
-    "kd_blundy_saper",
-    "kd_expr_models",
-    "kd_toplis_iteration",
-    "magnetite_speciation",
-    "mc_thermometer",
-    "melt_describe",
-    "melt_structure",
-    "ngram_contamination",
-    "olmelt_thermometer",
     # (the r5 window's 50 rows all have r5 driver green; the remaining
     # r4 cohort — including asof_purchase_view / below_avg_revenue /
     # customer_ntiles / customer_order_window / customer_semi_anti /
@@ -444,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         suite4,
         suite5,
         suite6,
+        suite7,
     )
 
     out = {
@@ -457,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(suite4.queries())
     out.update(suite5.queries())
     out.update(suite6.queries())
+    out.update(suite7.queries())
     return {k: _wrap(v) for k, v in _gate_sorted(out).items()}
 
 
@@ -467,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         suite4,
         suite5,
         suite6,
+        suite7,
     )
 
     out = {
@@ -480,4 +488,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(suite4.oracle_sql())
     out.update(suite5.oracle_sql())
     out.update(suite6.oracle_sql())
+    out.update(suite7.oracle_sql())
     return _gate_sorted(out)
