@@ -281,10 +281,14 @@ def token_pmi(
     from magmapandas_spark.operators.curation import word_tokens
 
     toks = docs.select(word_tokens().alias("t"))
+    # the unigram relation is vocabulary-sized: persist it and derive
+    # the corpus token total from it (Σc) — the corpus is tokenized
+    # exactly twice (unigram pass, bigram pass) instead of four times
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     bi = (
         toks.filter(F.size("t") >= 2)
@@ -305,7 +309,7 @@ def token_pmi(
         .filter(F.col("c_ab") >= min_count)
     )
     n_tokens = int(
-        toks.select(F.sum(F.size("t"))).collect()[0][0] or 0
+        uni.agg(F.sum("c")).collect()[0][0] or 0
     )
     w1 = F.split(F.col("bigram"), " ").getItem(0)
     w2 = F.split(F.col("bigram"), " ").getItem(1)
@@ -330,9 +334,14 @@ def token_pmi(
             ).alias("pmi_ratio_ppm"),
         )
     )
-    return scored.orderBy(
+    out = scored.orderBy(
         F.desc("pmi_ratio_ppm"), "bigram"
     ).limit(top_k)
+    # materialize before dropping the vocabulary cache (the bigram
+    # side still streams; only uni was cached)
+    out = out.localCheckpoint(eager=True)
+    uni.unpersist()
+    return out
 
 
 def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -716,7 +716,10 @@ def kmv_setops(
             .distinct()
         )
 
-    ha, hb = side(type_a), side(type_b)
+    # the distinct-hash relations are user-set-sized; caching them
+    # collapses five downstream consumers (sketch takes, exact counts,
+    # exact intersection) onto ONE events scan per side
+    ha, hb = side(type_a).persist(), side(type_b).persist()
     sa = ha.orderBy("h").limit(k).persist()
     sb = hb.orderBy("h").limit(k).persist()
     union_k = (
@@ -753,8 +756,8 @@ def kmv_setops(
         est_union,
         est_inter,
     )]
-    sa.unpersist()
-    sb.unpersist()
+    for cached in (sa, sb, ha, hb):
+        cached.unpersist()
     return spark.createDataFrame(
         row,
         "k long, theta long, exact_a long, exact_b long,"
