@@ -762,3 +762,138 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        AS BIGINT) AS chi2_micro
 FROM cells
 """
+
+
+# ---------------------------------------------------------------------
+# Session path mining
+# ---------------------------------------------------------------------
+
+#: inactivity gap that closes a session (matches ``user_sessions``)
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def session_paths(
+    events: DataFrame,
+    max_steps: int = 5,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Top-k behavioral session paths.
+
+    Sessions split on >30-minute inactivity (the ``user_sessions``
+    convention, here via an explicit lag-gap running sum so the
+    session id is a plain column); a session's path is its first
+    ``max_steps`` event types in (ts, seq) order joined with ``>``.
+    Returns the ``top_k`` paths with session counts and integer ppm
+    share of all sessions.
+
+    Scale posture: one user-keyed shuffle feeds both windows (gap
+    flag, running session id); the per-session path is an ordered
+    array aggregation truncated to ``max_steps`` (ObjectHashAggregate
+    state bounded per session); path counting is a word-count over
+    short strings, TakeOrdered top-k. The total-session count rides
+    in as a one-row broadcast.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    flagged = events.select(
+        F.col(user_col),
+        F.col(type_col),
+        F.col(ts_col),
+        F.col(seq_col),
+        us.alias("_us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    run = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, seq_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = flagged.withColumn("_sid", F.sum("_new").over(run))
+    paths = (
+        sessions.groupBy(user_col, "_sid")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("_us", seq_col, type_col)
+                            )
+                        ),
+                        lambda x: x[type_col],
+                    ),
+                    1,
+                    max_steps,
+                ),
+            ).alias("path")
+        )
+    )
+    tot = paths.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n_sessions",
+            F.expr("(n_sessions * 1000000) div _total").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top_k)
+    )
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: top-20 five-step session paths over events —
+    lag-gap sessionization, ordered path assembly, integer ppm
+    shares."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return session_paths(ev)
+
+
+SQL_SESSION_PATHS = f"""
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                   > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS newflag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(newflag) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING
+  ) AS sid
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, sid,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:5], '>'
+         ) AS path
+  FROM s GROUP BY user_id, sid
+),
+tot AS (SELECT COUNT(*) AS total FROM paths)
+SELECT path, COUNT(*) AS n_sessions,
+       CAST(COUNT(*) * 1000000 // MAX(tot.total) AS BIGINT)
+         AS share_ppm
+FROM paths CROSS JOIN tot
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""

@@ -168,3 +168,146 @@ SELECT
 FROM stats
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------
+# Multi-feature OLS: Gram-matrix sufficient statistics + Cramer solve
+# ---------------------------------------------------------------------
+
+
+def _det3(a, b, c, d, e, f, g, h, i):
+    """SQL text of a 3×3 determinant expanded along the first row —
+    the SAME string is parsed by Spark SQL and DuckDB, so both engines
+    evaluate the identical fixed-order IEEE expression tree."""
+    return (
+        f"({a} * ({e} * {i} - {f} * {h})"
+        f" - {b} * ({d} * {i} - {f} * {g})"
+        f" + {c} * ({d} * {h} - {e} * {g}))"
+    )
+
+
+#: shared expression texts for the 2-feature + intercept normal
+#: equations over stats columns (n_rows, s1, s2, s11, s12, s22,
+#: sy, s1y, s2y, syy)
+_DN = "CAST(n_rows AS DOUBLE)"
+_DET_A = _det3(_DN, "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+_DET_0 = _det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+_DET_1 = _det3(_DN, "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+_DET_2 = _det3(_DN, "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+
+
+def grouped_ols2(
+    df: DataFrame,
+    group_cols: list[str],
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group OLS ``y = β0 + β1·x1 + β2·x2`` from ten decimal-exact
+    Gram-matrix sufficient statistics and a closed-form 3×3 Cramer
+    solve.
+
+    The general distributed-training shape: the scan accumulates the
+    (d+1)×(d+1) Gram matrix and X'y as mergeable exact-decimal sums
+    (one partial-aggregatable shuffle, O(groups·d²) state); the solve
+    is driver-free, a single projection. Determinism: the Cramer
+    determinants are shared SQL-text expressions parsed identically
+    by every engine, so β and R² are bit-identical given the exact
+    stats. Singular Gram matrices (collinear features) yield NULLs.
+    Numerical note: raw-moment normal equations lose ~half the
+    significand to cancellation when features are far from zero —
+    at scale, center features first (the statistics are the same
+    sums); the gate's features are small and tidy.
+    """
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(x1).alias("s1"),
+        dsum(x2).alias("s2"),
+        _dprod_sum(x1, x1).alias("s11"),
+        _dprod_sum(x1, x2).alias("s12"),
+        _dprod_sum(x2, x2).alias("s22"),
+        dsum(y).alias("sy"),
+        _dprod_sum(x1, y).alias("s1y"),
+        _dprod_sum(x2, y).alias("s2y"),
+        _dprod_sum(y, y).alias("syy"),
+    )
+    betas = stats.select(
+        *group_cols,
+        "n_rows",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        F.expr(
+            f"CASE WHEN {_DET_A} <> 0.0"
+            f" THEN {_DET_0} / {_DET_A} END"
+        ).alias("beta0"),
+        F.expr(
+            f"CASE WHEN {_DET_A} <> 0.0"
+            f" THEN {_DET_1} / {_DET_A} END"
+        ).alias("beta1"),
+        F.expr(
+            f"CASE WHEN {_DET_A} <> 0.0"
+            f" THEN {_DET_2} / {_DET_A} END"
+        ).alias("beta2"),
+    )
+    sse = "(syy - (beta0 * sy + beta1 * s1y + beta2 * s2y))"
+    sst = f"(syy - sy * sy / {_DN})"
+    return betas.select(
+        *group_cols,
+        "n_rows",
+        "beta0",
+        "beta1",
+        "beta2",
+        F.expr(
+            f"CASE WHEN beta0 IS NOT NULL AND {sst} <> 0.0"
+            f" THEN ({sst} - {sse}) / {sst} END"
+        ).alias("r2"),
+    )
+
+
+def q_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-returnflag OLS of extended price on quantity
+    and discount — ten Gram-matrix statistics, shared-text Cramer
+    solve, β and R² under the cross-engine hash."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return grouped_ols2(
+        li, ["l_returnflag"], "l_quantity", "l_discount",
+        "l_extendedprice",
+    ).orderBy("l_returnflag")
+
+
+SQL_OLS_MULTI = f"""
+WITH stats AS (
+  SELECT
+    l_returnflag,
+    COUNT(*) AS n_rows,
+    {SQL_DSUM.format(x='l_quantity')} AS s1,
+    {SQL_DSUM.format(x='l_discount')} AS s2,
+    {SQL_DPROD_SUM.format(a='l_quantity', b='l_quantity')} AS s11,
+    {SQL_DPROD_SUM.format(a='l_quantity', b='l_discount')} AS s12,
+    {SQL_DPROD_SUM.format(a='l_discount', b='l_discount')} AS s22,
+    {SQL_DSUM.format(x='l_extendedprice')} AS sy,
+    {SQL_DPROD_SUM.format(a='l_quantity', b='l_extendedprice')} AS s1y,
+    {SQL_DPROD_SUM.format(a='l_discount', b='l_extendedprice')} AS s2y,
+    {SQL_DPROD_SUM.format(a='l_extendedprice', b='l_extendedprice')}
+      AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+),
+betas AS (
+  SELECT l_returnflag, n_rows, sy, s1y, s2y, syy,
+    CASE WHEN {_DET_A} <> 0.0 THEN {_DET_0} / {_DET_A} END AS beta0,
+    CASE WHEN {_DET_A} <> 0.0 THEN {_DET_1} / {_DET_A} END AS beta1,
+    CASE WHEN {_DET_A} <> 0.0 THEN {_DET_2} / {_DET_A} END AS beta2
+  FROM stats
+)
+SELECT l_returnflag, n_rows, beta0, beta1, beta2,
+  CASE WHEN beta0 IS NOT NULL AND (syy - sy * sy / {_DN}) <> 0.0
+       THEN ((syy - sy * sy / {_DN})
+             - (syy - (beta0 * sy + beta1 * s1y + beta2 * s2y)))
+            / (syy - sy * sy / {_DN}) END AS r2
+FROM betas
+ORDER BY l_returnflag
+"""

@@ -369,11 +369,12 @@ def _wrap(fn: Callable) -> Callable:
 # check).
 _GATE_ORDER = [
     # (a) new this round (round 6) — first green row needed; the
-    # suite7 waves lead (newest first, per the contract), and the ten
-    # alphabetically-last r3-cohort entries (ivf_topk, kd_blundy_saper,
-    # kd_expr_models, kd_toplis_iteration, magnetite_speciation,
-    # mc_thermometer, melt_describe, melt_structure,
-    # ngram_contamination, olmelt_thermometer) rotate to next round
+    # suite7 waves lead (newest first, per the contract), and the twelve
+    # alphabetically-last r3-cohort entries (image_decode, isobar_grid,
+    # ivf_topk, kd_blundy_saper, kd_expr_models, kd_toplis_iteration,
+    # magnetite_speciation, mc_thermometer, melt_describe,
+    # melt_structure, ngram_contamination, olmelt_thermometer) rotate
+    # to next round
     "linreg_normal",
     "triangle_count",
     "scd2_build",
@@ -384,6 +385,8 @@ _GATE_ORDER = [
     "event_transitions",
     "ab_chi2",
     "kmv_setops",
+    "ols_multi",
+    "session_paths",
     "semdedup_sharded",
     "video_frame_decode",
     "bm25_search",
@@ -424,8 +427,6 @@ _GATE_ORDER = [
     "feo_fe2o3_split",
     "fo2_buffers",
     "ilmenite_speciation",
-    "image_decode",
-    "isobar_grid",
     # (the r5 window's 50 rows all have r5 driver green; the remaining
     # r4 cohort — including asof_purchase_view / below_avg_revenue /
     # customer_ntiles / customer_order_window / customer_semi_anti /

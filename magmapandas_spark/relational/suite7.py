@@ -46,6 +46,12 @@ set algebra:
   over bottom-k md5 sketches of the viewer/purchaser user sets,
   estimators and exact ground truth under one hash (completes the
   sketch tier's set algebra beside hll_join_card's union-only path).
+- ``ols_multi`` — the multi-feature generalization of
+  ``linreg_normal``: ten Gram-matrix sufficient statistics, 3×3
+  Cramer solve via SHARED SQL-text determinant expressions (both
+  engines parse the identical string → identical IEEE tree).
+- ``session_paths`` — top-k behavioral session paths (lag-gap
+  sessionization, ordered path assembly, ppm shares).
 
 Same cross-engine determinism rules as :mod:`suite`.
 """
@@ -63,8 +69,12 @@ def queries():
         q_scd2_build,
         q_token_pmi,
     )
+    from magmapandas_spark.operators.analytics import q_session_paths
     from magmapandas_spark.operators.graph import q_triangle_count
-    from magmapandas_spark.operators.regression import q_linreg_normal
+    from magmapandas_spark.operators.regression import (
+        q_linreg_normal,
+        q_ols_multi,
+    )
     from magmapandas_spark.operators.sketches import q_kmv_setops
 
     return {
@@ -78,6 +88,8 @@ def queries():
         "event_transitions": q_event_transitions,
         "ab_chi2": q_ab_chi2,
         "kmv_setops": q_kmv_setops,
+        "ols_multi": q_ols_multi,
+        "session_paths": q_session_paths,
     }
 
 
@@ -91,8 +103,12 @@ def oracle_sql():
         SQL_SCD2_BUILD,
         SQL_TOKEN_PMI,
     )
+    from magmapandas_spark.operators.analytics import SQL_SESSION_PATHS
     from magmapandas_spark.operators.graph import SQL_TRIANGLE_COUNT
-    from magmapandas_spark.operators.regression import SQL_LINREG_NORMAL
+    from magmapandas_spark.operators.regression import (
+        SQL_LINREG_NORMAL,
+        SQL_OLS_MULTI,
+    )
     from magmapandas_spark.operators.sketches import SQL_KMV_SETOPS
 
     return {
@@ -106,4 +122,6 @@ def oracle_sql():
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "ab_chi2": SQL_AB_CHI2,
         "kmv_setops": SQL_KMV_SETOPS,
+        "ols_multi": SQL_OLS_MULTI,
+        "session_paths": SQL_SESSION_PATHS,
     }

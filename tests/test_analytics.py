@@ -301,3 +301,60 @@ def test_kmv_setops_small_sets_exact(spark):
     # below-k sketches degrade to exact counts
     assert r["est_union"] == r["exact_union"] == 2
     assert r["est_inter"] == r["exact_inter"] == 1
+
+
+def test_grouped_ols2_matches_numpy(spark):
+    from magmapandas_spark.operators.regression import grouped_ols2
+
+    rng = np.random.RandomState(7)
+    x1 = np.round(rng.uniform(1, 50, 40), 2)
+    x2 = np.round(rng.uniform(0, 0.1, 40), 2)
+    y = np.round(3.0 + 2.5 * x1 - 40.0 * x2 + rng.normal(0, 1, 40), 2)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b), float(c))
+         for a, b, c in zip(x1, x2, y)],
+        ["g", "x1", "x2", "y"],
+    )
+    row = grouped_ols2(df, ["g"], "x1", "x2", "y").collect()[0]
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(row["beta0"] - beta[0]) < 1e-6
+    assert abs(row["beta1"] - beta[1]) < 1e-6
+    assert abs(row["beta2"] - beta[2]) < 1e-6
+    pred = X @ beta
+    sst = ((y - y.mean()) ** 2).sum()
+    sse = ((y - pred) ** 2).sum()
+    assert abs(row["r2"] - (1 - sse / sst)) < 1e-6
+
+
+def test_grouped_ols2_collinear_is_null(spark):
+    from magmapandas_spark.operators.regression import grouped_ols2
+
+    # x2 = 2*x1 -> singular Gram matrix
+    rows = [("g", float(i), float(2 * i), float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    r = grouped_ols2(df, ["g"], "x1", "x2", "y").collect()[0]
+    assert r["beta0"] is None and r["r2"] is None
+
+
+def test_session_paths_gap_split_and_truncation(spark):
+    from magmapandas_spark.operators.analytics import session_paths
+
+    rows = [
+        # user 1: 7 events 1 min apart -> one session, path truncated
+        # to 5 steps
+        *[(i, 1, _ts(f"2024-01-01T00:0{i}:00"), t)
+          for i, t in enumerate(["a", "b", "c", "d", "e", "f", "g"])],
+        # user 2: two events 40 min apart -> two sessions
+        (100, 2, _ts("2024-01-01T00:00:00"), "a"),
+        (101, 2, _ts("2024-01-01T00:40:00"), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    )
+    out = {r["path"]: r for r in session_paths(df).collect()}
+    assert out["a>b>c>d>e"]["n_sessions"] == 1
+    assert out["a"]["n_sessions"] == 1
+    assert out["b"]["n_sessions"] == 1
+    # 3 sessions total
+    assert out["a"]["share_ppm"] == 1_000_000 // 3
