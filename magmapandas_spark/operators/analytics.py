@@ -269,6 +269,7 @@ def token_pmi(
     docs: DataFrame,
     min_count: int = 5,
     top_k: int = 50,
+    eager: bool = True,
 ) -> DataFrame:
     """Top-k adjacent-bigram collocations by an integer PMI score.
 
@@ -337,10 +338,11 @@ def token_pmi(
     out = scored.orderBy(
         F.desc("pmi_ratio_ppm"), "bigram"
     ).limit(top_k)
-    # materialize before dropping the vocabulary cache (the bigram
-    # side still streams; only uni was cached)
-    out = out.localCheckpoint(eager=True)
-    uni.unpersist()
+    if eager:
+        # materialize before dropping the vocabulary cache (the
+        # bigram side still streams; only uni was cached)
+        out = out.localCheckpoint(eager=True)
+        uni.unpersist()
     return out
 
 

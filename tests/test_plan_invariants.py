@@ -403,3 +403,98 @@ def test_binary_topk_hamming_is_code_only(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+# -- round-6 second-wave analytics tier ------------------------------
+
+def test_linreg_is_one_aggregation_no_join_no_window(spark):
+    from magmapandas_spark.operators.regression import q_linreg_normal
+
+    plan = plan_of(q_linreg_normal(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # partial+final hash aggregate pair, nothing more
+    assert plan.count("HashAggregate") == 2
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert "l_tax" not in m.group(1)  # only the 4 consumed columns
+
+
+def test_ols_multi_is_one_aggregation_no_join(spark):
+    from magmapandas_spark.operators.regression import q_ols_multi
+
+    plan = plan_of(q_ols_multi(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 2
+
+
+def test_scd2_has_no_join_single_partitioning(spark):
+    from magmapandas_spark.operators.analytics import q_scd2_build
+
+    plan = plan_of(q_scd2_build(spark, SF))
+    assert "Join" not in plan
+    # adjacency via lag/lead windows, all on the user_id partitioning:
+    # exactly one user-keyed hash exchange feeds them
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_funnel_windows_share_one_shuffle(spark):
+    from magmapandas_spark.operators.analytics import (
+        q_funnel_conversion,
+    )
+
+    plan = plan_of(q_funnel_conversion(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_token_pmi_vocab_joins_are_broadcast(spark):
+    from magmapandas_spark.operators.analytics import token_pmi
+    from magmapandas_spark.operators.dedup import fan_out
+
+    docs = fan_out(spark.read.parquet(f"{SF}/documents.parquet"))
+    # eager=False: the gate query checkpoints its result (so the
+    # vocabulary cache can be released), which replaces the plan with
+    # an ExistingRDD scan — introspect the lazy form instead
+    plan = plan_of(token_pmi(docs, eager=False))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_agg_no_join(spark):
+    from magmapandas_spark.operators.analytics import q_incremental_agg
+
+    plan = plan_of(q_incremental_agg(spark, SF))
+    assert "Join" not in plan
+
+
+def test_transitions_no_join(spark):
+    from magmapandas_spark.operators.analytics import (
+        q_event_transitions,
+    )
+
+    plan = plan_of(q_event_transitions(spark, SF))
+    assert "Join" not in plan
+
+
+def test_session_paths_no_self_join(spark):
+    from magmapandas_spark.operators.analytics import q_session_paths
+
+    plan = plan_of(q_session_paths(spark, SF))
+    # sessionization + path assembly never self-join; the only join is
+    # the one-row total broadcast (its subtree re-derives the paths
+    # relation — AQE's identical-shuffle reuse collapses the second
+    # user-keyed exchange at runtime)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_no_cartesian_on_data(spark):
+    from magmapandas_spark.operators.graph import q_triangle_count
+
+    plan = plan_of(q_triangle_count(spark, SF))
+    # the only nested-loop joins are the two one-row global-stat
+    # broadcasts; wedge closure is hash equi-joins
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
