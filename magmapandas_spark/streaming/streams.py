@@ -672,3 +672,137 @@ def streaming_validation_ingest(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def streaming_transitions_ingest(
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    timeout_s: int = 120,
+):
+    """Incremental first-order Markov transition counts over an event
+    stream — the streaming twin of ``analytics.event_transitions``.
+
+    Unlike the sketch folds, transitions are NOT order-independent:
+    a user's adjacent events can straddle micro-batches, so a plain
+    per-batch count undercounts every boundary adjacency. The fold
+    therefore keeps TWO state relations under ``state_dir``:
+
+    - ``counts``  — (from_state, to_state, n), additive merge;
+    - ``boundary`` — each user's LAST seen event (one row per user),
+      prepended to the next batch so the cross-batch adjacency is
+      counted exactly once (its to-side must be a new row).
+
+    Contract: per-user in-order ingest (the CDC / log-shipping
+    regime; the availableNow file source replays files in order).
+    Out-of-order arrivals would need watermarked buffering before the
+    fold — the same caveat the watermarked-dedup operator documents.
+    State is O(states² + users): the boundary relation is the one
+    state that grows with the key space, exactly like any stateful
+    sessionization. Finalize with
+    :func:`finalize_streaming_transitions` — its output is frame-
+    equal to the batch operator on the union of all batches.
+    """
+    import os
+
+    counts_path = os.path.join(state_dir, "counts.parquet")
+    boundary_path = os.path.join(state_dir, "boundary.parquet")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            F.col(user_col), F.col(type_col), F.col(ts_col),
+            F.col(seq_col), F.lit(False).alias("_is_state"),
+        )
+        if os.path.exists(boundary_path):
+            prev = spark.read.parquet(boundary_path).select(
+                F.col(user_col), F.col(type_col), F.col(ts_col),
+                F.col(seq_col), F.lit(True).alias("_is_state"),
+            )
+            allrows = prev.unionByName(batch)
+        else:
+            allrows = batch
+        w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+        adj = allrows.select(
+            F.col(user_col),
+            F.lag(type_col).over(w).alias("from_state"),
+            F.col(type_col).alias("to_state"),
+            F.col("_is_state"),
+        )
+        new_counts = (
+            adj.filter(
+                F.col("from_state").isNotNull() & ~F.col("_is_state")
+            )
+            .groupBy("from_state", "to_state")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if os.path.exists(counts_path):
+            merged = (
+                spark.read.parquet(counts_path)
+                .unionByName(new_counts)
+                .groupBy("from_state", "to_state")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = new_counts
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(counts_path)
+        wb = Window.partitionBy(user_col).orderBy(
+            F.desc(ts_col), F.desc(seq_col)
+        )
+        boundary = (
+            allrows.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") == 1)
+            .select(user_col, type_col, ts_col, seq_col)
+            .localCheckpoint(eager=True)
+        )
+        boundary.write.mode("overwrite").parquet(boundary_path)
+
+    q = (
+        events_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def finalize_streaming_transitions(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Row-normalize the folded transition counts — same output
+    contract as ``analytics.event_transitions``."""
+    import os
+
+    from pyspark.sql import Window
+
+    counts = spark.read.parquet(
+        os.path.join(state_dir, "counts.parquet")
+    )
+    tot = Window.partitionBy("from_state")
+    return (
+        counts.withColumnRenamed("n", "n_trans")
+        .select(
+            "from_state",
+            "to_state",
+            "n_trans",
+            F.expr("n_trans * 1000000").alias("_num"),
+            F.sum("n_trans").over(tot).alias("_den"),
+        )
+        .select(
+            "from_state",
+            "to_state",
+            "n_trans",
+            F.expr("_num div _den").alias("prob_ppm"),
+        )
+        .orderBy("from_state", "to_state")
+    )

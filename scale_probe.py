@@ -5,7 +5,7 @@ input size and that no stage's *driver-side* memory grows with input.
 Derives a ``SPARK_GRAFT_SCALE_X``× (default 10×) wider copy of the
 sf0.1 lineitem + documents tables (key-offset copies; document text is
 salted per copy so the dedup workload shape — not just the row count —
-scales), then times six headline shapes at 1× and X×:
+scales), then times the headline shapes at 1× and X×:
 
 - ``melt_materialize``  — scan → projection → range sort → persist
   (the shared input every domain query starts from)
@@ -91,6 +91,29 @@ def build_scaled_inputs(spark, sf_dir: str, x: int, out_dir: str) -> None:
         f"{out_dir}/documents.parquet"
     )
 
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid_span = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    eid_span = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    copies = []
+    for c in range(x):
+        # distinct users per copy so the user-keyed window shuffles see
+        # an X-times-wider key space (offset duplicates of the same
+        # users would deepen partitions instead of widening the key
+        # space and overstate window cost)
+        copies.append(
+            ev.withColumn(
+                "user_id", F.col("user_id") + F.lit(c * uid_span)
+            ).withColumn(
+                "event_id", F.col("event_id") + F.lit(c * eid_span)
+            )
+        )
+    scaled = copies[0]
+    for df in copies[1:]:
+        scaled = scaled.unionByName(df)
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     vid_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     copies = []
@@ -129,6 +152,9 @@ SHAPES = [
     "bpe_encode",
     "bloom_decontaminate",
     "cms_sketch",
+    "gram_aggregate",
+    "pmi_aggregate",
+    "scd2_windows",
     "line_dedup_scaled",
     "kmeans_refine_full",
     "semdedup_guarded",
@@ -236,6 +262,15 @@ def run_shapes(spark, sf_dir: str) -> dict[str, float]:
         # exactly the failure mode the guard exists for: without it,
         # within-cell pairs grow X², with it each sub-cell is bounded
         # at max_cell_rows so pair volume (and wall) grow ~linearly.
+        # round-6 second wave: the Gram-matrix sufficient-statistics
+        # aggregate (10 decimal-product sums, O(groups) state), the
+        # two-pass tokenize/aggregate PMI chain (vocabulary fixed, so
+        # broadcast size is scale-invariant), and the SCD2 lag/lead
+        # window pair over one user-keyed exchange (the event-log
+        # tier's representative: key space widens X times)
+        "gram_aggregate": qs["ols_multi"],
+        "pmi_aggregate": qs["token_pmi"],
+        "scd2_windows": qs["scd2_build"],
         "semdedup_guarded": _semdedup_guarded_shape,
         # round-6 close: the line-dedup shuffle chain and the
         # full-corpus Lloyd loop (fixed k·d, wall ∝ corpus)

@@ -443,3 +443,49 @@ def test_streaming_validation_matches_batch(spark):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     for d in (src, out_dir):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _time_ordered_stage(spark, df, n_files: int, order_cols):
+    """Write df as n_files parquet files in event-time order (one
+    slice per file, written sequentially so the file source replays
+    them in order) — the in-order-ingest regime the transitions fold
+    contracts for."""
+    import time as _time
+
+    d = tempfile.mkdtemp(prefix="stream_ordered_src_")
+    pdf = df.toPandas().sort_values(order_cols).reset_index(drop=True)
+    bounds = [round(i * len(pdf) / n_files) for i in range(n_files + 1)]
+    for i in range(n_files):
+        sl = pdf.iloc[bounds[i]:bounds[i + 1]]
+        spark.createDataFrame(sl).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic replay order
+    return d
+
+
+def test_streaming_transitions_match_batch(spark):
+    from magmapandas_spark.operators.analytics import event_transitions
+    from magmapandas_spark.streaming.streams import (
+        finalize_streaming_transitions,
+        streaming_transitions_ingest,
+    )
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    src = _time_ordered_stage(spark, batch, 3, ["ts", "event_id"])
+    out_dir = tempfile.mkdtemp(prefix="stream_trans_")
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp, event_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    streaming_transitions_ingest(
+        stream, out_dir, os.path.join(out_dir, "ckpt"),
+    )
+    got = normalize(
+        finalize_streaming_transitions(spark, out_dir).toPandas()
+    )
+    exp = normalize(event_transitions(batch).toPandas())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    for d in (src, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
