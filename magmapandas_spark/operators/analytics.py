@@ -899,3 +899,104 @@ GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------
+# Incremental JOIN-view maintenance (delta-join identity)
+# ---------------------------------------------------------------------
+
+
+def _join_agg(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The maintained view: revenue per order priority across the
+    orders ⋈ lineitem join, as mergeable state (decimal revenue sums +
+    row counts)."""
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(18,6)")
+           - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    return (
+        orders.join(lineitem,
+                    F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(rev).alias("rev"),
+        )
+    )
+
+
+def incremental_join_state(
+    orders_base: DataFrame,
+    orders_delta: DataFrame,
+    li_base: DataFrame,
+    li_delta: DataFrame,
+) -> DataFrame:
+    """Maintain the join view under inserts on BOTH sides via the
+    delta-join identity::
+
+        Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    so the refresh never rejoins base-with-base — at 100 TB that is
+    the difference between a delta-sized maintenance job and a full
+    recompute. The three delta terms aggregate into the same
+    mergeable state as the base view (decimal sums + counts) and
+    merge additively. The gate hashes the merged state against the
+    oracle's direct recompute over the full inputs: identity ==
+    recompute, on every engine.
+    """
+    parts = [
+        _join_agg(orders_base, li_base),
+        _join_agg(orders_delta, li_base),
+        _join_agg(orders_base, li_delta),
+        _join_agg(orders_delta, li_delta),
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("o_orderpriority").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("rev").alias("rev"),
+    )
+
+
+#: delta split point: orders after this date are "new" (and their
+#: lineitems ship after it too, so both sides have real deltas)
+INCR_JOIN_CUTOFF = "2000-01-01"
+
+
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: incremental maintenance of the orders ⋈ lineitem
+    revenue view under two-sided inserts — the base⋈base term is the
+    PRE-SPLIT aggregation state (never recomputed); the three delta
+    terms merge into it. Hash equals the oracle's direct recompute."""
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    ob = o.filter(F.col("o_orderdate") < INCR_JOIN_CUTOFF)
+    od = o.filter(F.col("o_orderdate") >= INCR_JOIN_CUTOFF)
+    lb = li.filter(F.col("l_shipdate") < INCR_JOIN_CUTOFF)
+    ld = li.filter(F.col("l_shipdate") >= INCR_JOIN_CUTOFF)
+    state = incremental_join_state(ob, od, lb, ld)
+    # scale-12 sum -> exact scale-6 downscale (revenue terms carry
+    # <= 4 true fractional digits) -> double: the dsum-proven regime;
+    # the raw scale-12 decimal->double cast double-rounds in DuckDB
+    return state.select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("rev").cast("decimal(28,6)").cast("double").alias(
+            "revenue"
+        ),
+    ).orderBy("o_orderpriority")
+
+
+SQL_INCREMENTAL_JOIN = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                * (CAST(1 AS DECIMAL(28,6))
+                   - CAST(l_discount AS DECIMAL(28,6))))
+            AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -369,8 +369,8 @@ def _wrap(fn: Callable) -> Callable:
 # check).
 _GATE_ORDER = [
     # (a) new this round (round 6) — first green row needed; the
-    # suite7 waves lead (newest first, per the contract), and the twelve
-    # alphabetically-last r3-cohort entries (image_decode, isobar_grid,
+    # suite7 waves lead (newest first, per the contract), and the thirteen
+    # rotated r3-cohort entries (calibration_flags, image_decode, isobar_grid,
     # ivf_topk, kd_blundy_saper, kd_expr_models, kd_toplis_iteration,
     # magnetite_speciation, mc_thermometer, melt_describe,
     # melt_structure, ngram_contamination, olmelt_thermometer) rotate
@@ -387,6 +387,7 @@ _GATE_ORDER = [
     "kmv_setops",
     "ols_multi",
     "session_paths",
+    "incremental_join",
     "semdedup_sharded",
     "video_frame_decode",
     "bm25_search",
@@ -418,7 +419,6 @@ _GATE_ORDER = [
     "hll_distinct",
     "cms_topk",
     # (c) oldest driver-green rows first: last green in r3
-    "calibration_flags",
     "fe3fe2_deng2020",
     "fe3fe2_expr_models",
     "fe3fe2_expr_models2",

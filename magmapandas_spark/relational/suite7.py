@@ -52,6 +52,12 @@ set algebra:
   engines parse the identical string → identical IEEE tree).
 - ``session_paths`` — top-k behavioral session paths (lag-gap
   sessionization, ordered path assembly, ppm shares).
+- ``incremental_join`` — join-view maintenance via the delta-join
+  identity (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB): the base⋈base term is never
+  recomputed; merged state hashes equal to the oracle's direct full
+  recompute. Plus a streaming twin for ``event_transitions``
+  (boundary-stitched incremental fold, streams.py) under the
+  batch-equality oracle discipline.
 
 Same cross-engine determinism rules as :mod:`suite`.
 """
@@ -66,6 +72,7 @@ def queries():
         q_event_transitions,
         q_funnel_conversion,
         q_incremental_agg,
+        q_incremental_join,
         q_scd2_build,
         q_token_pmi,
     )
@@ -90,6 +97,7 @@ def queries():
         "kmv_setops": q_kmv_setops,
         "ols_multi": q_ols_multi,
         "session_paths": q_session_paths,
+        "incremental_join": q_incremental_join,
     }
 
 
@@ -100,6 +108,7 @@ def oracle_sql():
         SQL_EVENT_TRANSITIONS,
         SQL_FUNNEL_CONVERSION,
         SQL_INCREMENTAL_AGG,
+        SQL_INCREMENTAL_JOIN,
         SQL_SCD2_BUILD,
         SQL_TOKEN_PMI,
     )
@@ -124,4 +133,5 @@ def oracle_sql():
         "kmv_setops": SQL_KMV_SETOPS,
         "ols_multi": SQL_OLS_MULTI,
         "session_paths": SQL_SESSION_PATHS,
+        "incremental_join": SQL_INCREMENTAL_JOIN,
     }

@@ -358,3 +358,27 @@ def test_session_paths_gap_split_and_truncation(spark):
     assert out["b"]["n_sessions"] == 1
     # 3 sessions total
     assert out["a"]["share_ppm"] == 1_000_000 // 3
+
+
+def test_incremental_join_identity_equals_recompute(spark):
+    from magmapandas_spark.operators.analytics import (
+        _join_agg,
+        incremental_join_state,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cut = "2000-01-01"
+    state = incremental_join_state(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        li.filter(F.col("l_shipdate") < cut),
+        li.filter(F.col("l_shipdate") >= cut),
+    )
+    direct = _join_agg(o, li)
+    m = {r["o_orderpriority"]: r for r in state.collect()}
+    d = {r["o_orderpriority"]: r for r in direct.collect()}
+    assert set(m) == set(d)
+    for k in d:
+        assert m[k]["n_rows"] == d[k]["n_rows"]
+        assert m[k]["rev"] == d[k]["rev"]  # exact decimal equality
