@@ -220,16 +220,16 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, DEFAULT_QUERY)
 
 
-def _sql_bm25_search(
-    query_terms: list[str] | None = None,
-    top_k: int = 100,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-) -> str:
-    """DuckDB twin — float literals are emitted with ``!r`` so both
-    engines parse the IDENTICAL doubles (1.2 + 1.0 in Python is not
-    the same double as a literal 2.2)."""
-    terms = DEFAULT_QUERY if query_terms is None else query_terms
+def _bm25_sql_parts(
+    terms: list[str], k1: float, b: float
+) -> tuple[str, str, str, str]:
+    """The four generated SQL fragments of the BM25 plan (per-term tf
+    projections, per-term df aggregates, the fixed-order score chain,
+    the matched-term count) — shared by the standalone BM25 oracle and
+    the hybrid-retrieval oracle so both replay the identical arithmetic.
+    Float literals are emitted with ``!r`` so both engines parse the
+    IDENTICAL doubles (1.2 + 1.0 in Python is not the same double as a
+    literal 2.2)."""
     tf_cols = ",\n         ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf_{j}"
         for j, t in enumerate(terms)
@@ -251,6 +251,18 @@ def _sql_bm25_search(
         f"CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END"
         for j in range(len(terms))
     )
+    return tf_cols, df_cols, score, matched
+
+
+def _sql_bm25_search(
+    query_terms: list[str] | None = None,
+    top_k: int = 100,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bm25_scores`."""
+    terms = DEFAULT_QUERY if query_terms is None else query_terms
+    tf_cols, df_cols, score, matched = _bm25_sql_parts(terms, k1, b)
     return f"""
 WITH base AS (
   SELECT doc_id, len(toks) AS dl,
@@ -271,5 +283,173 @@ SELECT doc_id,
        ROUND({score}, 6) AS score
 FROM base, stats
 ORDER BY score DESC, doc_id
+LIMIT {top_k}
+"""
+
+
+# ---------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine fused by reciprocal rank
+# (the canonical RAG retrieval shape — round 6)
+# ---------------------------------------------------------------------
+
+#: RRF discount constant (Cormack et al. 2009's k=60).
+RRF_K = 60
+#: per-list candidate pool depth and fused output depth
+HYBRID_POOL_K = 50
+HYBRID_TOP_K = 20
+#: the gate's dense query: the corpus vector with this id
+HYBRID_QUERY_VEC_ID = 0
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    pool_k: int = HYBRID_POOL_K,
+    top_k: int = HYBRID_TOP_K,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a BM25 keyword list and a dense
+    cosine list: ``rrf(d) = Σ_lists 1/(k + rank_list(d))``.
+
+    Scale posture: both input lists are already top-``pool_k`` bounded
+    (BM25 is a TakeOrdered over a scan-local projection, dense is the
+    ANN tier — brute force here, IVF/PQ at corpus scale), so the
+    fusion itself joins two CONSTANT-size relations: nothing in this
+    operator grows with the corpus. That is the point of RRF — fusion
+    happens after per-list truncation, needing only ranks, never
+    score calibration across lists.
+
+    Determinism: ranks are integers; each reciprocal is one IEEE
+    double division of exact integers and the two-term sum is fixed
+    order (sparse + dense), so both engines produce bit-identical
+    ``rrf`` before the display rounding. Docs absent from a list
+    carry rank 0 (contributing nothing), keeping the output
+    null-free. Ties order by doc_id.
+    """
+    from pyspark.sql import Window
+
+    from magmapandas_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    sparse_top = bm25_scores(docs, query_terms, top_k=pool_k)
+    # rank over the already-TakeOrdered pool_k rows: same key as the
+    # top-k selection, so this window touches pool_k rows, not the
+    # corpus
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    sparse = sparse_top.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("rank_sparse")
+    )
+
+    qv = embeddings.filter(F.col("vec_id") == query_vec_id)
+    dense = cosine_topk_bruteforce(
+        qv, embeddings, id_col="vec_id", vec_col="embedding", k=pool_k
+    ).select(
+        F.col("cid").alias("doc_id"),
+        F.col("rn").cast("int").alias("rank_dense"),
+    )
+
+    fused = sparse.join(dense, on="doc_id", how="full_outer")
+    recip = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1).cast("double") / (F.lit(rrf_k) + F.col(c)),
+        F.lit(0.0),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("rank_sparse", F.lit(0)).alias("rank_sparse"),
+            F.coalesce("rank_dense", F.lit(0)).alias("rank_dense"),
+            F.round(recip("rank_sparse") + recip("rank_dense"), 8).alias(
+                "rrf"
+            ),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(top_k)
+    )
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: RRF fusion of BM25 top-50 (default keyword query)
+    and dense cosine top-50 (query = embedding of vec_id 0; vec_id is
+    doc_id-aligned in the testdata), fused top-20 under the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hybrid_search(docs, emb, DEFAULT_QUERY, HYBRID_QUERY_VEC_ID)
+
+
+def _sql_hybrid_search(
+    query_terms: list[str] | None = None,
+    query_vec_id: int = HYBRID_QUERY_VEC_ID,
+    pool_k: int = HYBRID_POOL_K,
+    top_k: int = HYBRID_TOP_K,
+    rrf_k: int = RRF_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin: identical BM25 arithmetic (shared fragment
+    builder), the embedding_topk ordered-fold dot product, integer
+    rank windows, and the same fixed-order two-term RRF sum."""
+    terms = DEFAULT_QUERY if query_terms is None else query_terms
+    tf_cols, df_cols, score, _ = _bm25_sql_parts(terms, k1, b)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id,
+               list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+),
+stats AS (
+  SELECT COUNT(*) AS N,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {df_cols}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, ROUND({score}, 6) AS score FROM base, stats
+),
+sparse AS (
+  SELECT doc_id, rank_sparse FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+             AS rank_sparse
+    FROM scored
+  ) WHERE rank_sparse <= {pool_k}
+),
+dq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+dots AS (
+  SELECT e.vec_id AS doc_id,
+    list_reduce(
+      list_transform(dq.qe, (x, i) ->
+        CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+      (a, b) -> a + b) AS dot,
+    sqrt(list_reduce(
+      list_transform(dq.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      (a, b) -> a + b)) AS nq,
+    sqrt(list_reduce(
+      list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      (a, b) -> a + b)) AS nc
+  FROM dq, embeddings e
+  WHERE e.vec_id != {query_vec_id}
+),
+dense AS (
+  SELECT doc_id, rank_dense FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY dot / (nq * nc) DESC, doc_id)
+                AS INT) AS rank_dense
+    FROM dots
+  ) WHERE rank_dense <= {pool_k}
+)
+SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+       COALESCE(s.rank_sparse, 0) AS rank_sparse,
+       COALESCE(d.rank_dense, 0) AS rank_dense,
+       ROUND(COALESCE(CAST(1 AS DOUBLE) / ({rrf_k} + s.rank_sparse), 0.0)
+           + COALESCE(CAST(1 AS DOUBLE) / ({rrf_k} + d.rank_dense), 0.0),
+             8) AS rrf
+FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+ORDER BY rrf DESC, doc_id
 LIMIT {top_k}
 """

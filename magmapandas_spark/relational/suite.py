@@ -388,6 +388,7 @@ _GATE_ORDER = [
     "ols_multi",
     "session_paths",
     "incremental_join",
+    "hybrid_search",
     "semdedup_sharded",
     "video_frame_decode",
     "bm25_search",
@@ -419,7 +420,7 @@ _GATE_ORDER = [
     "hll_distinct",
     "cms_topk",
     # (c) oldest driver-green rows first: last green in r3
-    "fe3fe2_deng2020",
+    # (fe3fe2_deng2020 rotates to next round for hybrid_search)
     "fe3fe2_expr_models",
     "fe3fe2_expr_models2",
     "fe3fe2_expr_models3",

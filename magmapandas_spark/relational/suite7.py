@@ -52,6 +52,9 @@ set algebra:
   engines parse the identical string → identical IEEE tree).
 - ``session_paths`` — top-k behavioral session paths (lag-gap
   sessionization, ordered path assembly, ppm shares).
+- ``hybrid_search`` — reciprocal-rank fusion of BM25 top-k and
+  dense cosine top-k (the canonical RAG retrieval shape): both lists
+  truncated before fusion, so the fuse joins constant-size relations.
 - ``incremental_join`` — join-view maintenance via the delta-join
   identity (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB): the base⋈base term is never
   recomputed; merged state hashes equal to the oracle's direct full
@@ -66,6 +69,7 @@ from __future__ import annotations
 
 
 def queries():
+    from magmapandas_spark.operators.tfidf import q_hybrid_search
     from magmapandas_spark.operators.analytics import (
         q_ab_chi2,
         q_cohort_retention,
@@ -98,10 +102,12 @@ def queries():
         "ols_multi": q_ols_multi,
         "session_paths": q_session_paths,
         "incremental_join": q_incremental_join,
+        "hybrid_search": q_hybrid_search,
     }
 
 
 def oracle_sql():
+    from magmapandas_spark.operators.tfidf import _sql_hybrid_search
     from magmapandas_spark.operators.analytics import (
         SQL_AB_CHI2,
         SQL_COHORT_RETENTION,
@@ -134,4 +140,5 @@ def oracle_sql():
         "ols_multi": SQL_OLS_MULTI,
         "session_paths": SQL_SESSION_PATHS,
         "incremental_join": SQL_INCREMENTAL_JOIN,
+        "hybrid_search": _sql_hybrid_search(),
     }

@@ -167,3 +167,49 @@ def test_bm25_zero_when_no_term_matches(spark):
     assert out[2]["score"] == 0.0 and out[2]["n_matched"] == 0
     assert out[1]["n_matched"] == 2 and out[1]["score"] > 0
     assert out[3]["n_matched"] == 1 and out[3]["score"] > 0
+
+
+def test_hybrid_rrf_fuses_both_lists_exactly(spark):
+    """A doc's rrf must equal 1/(60+rank_sparse) + 1/(60+rank_dense)
+    with absent-list ranks contributing nothing, and a doc leading
+    BOTH lists must lead the fused ranking (RRF dominance)."""
+    from magmapandas_spark.operators.tfidf import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="spark table merge window hash spark"),
+            Row(doc_id=1, text="spark spark spark table table hash"),
+            Row(doc_id=2, text="granite pluton xenolith"),
+            Row(doc_id=3, text="table"),
+        ]
+    )
+    # vec 1 is nearly parallel to the query (vec 0); vec 2 orthogonal,
+    # vec 3 anti-parallel → dense ranks: 1, 2, 3 for docs 1, 2, 3
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.99, 0.1]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[-1.0, 0.05]),
+        ]
+    )
+    out = hybrid_search(
+        docs, emb,
+        ["spark", "table", "merge", "window", "hash"],
+        query_vec_id=0, pool_k=3, top_k=10,
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # doc 1 leads: dense rank 1 + sparse rank 2 beats doc 0's
+    # sparse-only rank 1 (doc 0 IS the query vector, which the dense
+    # list excludes — the self-match never pads its own retrieval)
+    assert out[0]["doc_id"] == 1
+    assert rows[0]["rank_dense"] == 0 and rows[0]["rank_sparse"] == 1
+    for r in out:
+        want = 0.0
+        if r["rank_sparse"] > 0:
+            want += 1.0 / (60 + r["rank_sparse"])
+        if r["rank_dense"] > 0:
+            want += 1.0 / (60 + r["rank_dense"])
+        assert r["rrf"] == pytest.approx(want, abs=5e-9)
+    # doc 2 matched no query term: sparse rank 0, dense-only entry
+    assert rows[2]["rank_sparse"] == 0 and rows[2]["rank_dense"] > 0
