@@ -1,0 +1,211 @@
+"""Typo-tolerant dictionary join via deletion-neighborhood blocking
+(SymSpell-style; beyond-reference surface — the fuzzy-matching tier a
+curation pipeline needs for entity normalization and spell-mapping
+dirty tokens onto a reference vocabulary).
+
+The scale problem: edit-distance joins are quadratic if written as
+``probes × dictionary WHERE levenshtein ≤ 1``. The SymSpell identity
+makes them an equi-join: two strings are within Levenshtein distance 1
+**iff** their deletion neighborhoods ``{s} ∪ D1(s)`` intersect (D1 =
+all single-character deletions) — deletions cover deletion edits
+directly, substitutions via deleting the differing position from both
+sides, insertions symmetrically. So:
+
+- each side explodes into ``len+1`` variant rows (scan-local,
+  whole-stage codegen — ``transform(sequence(...))``, no UDF),
+- candidates come from ONE equi-join on the variant key (the
+  dictionary side is broadcast: ``|vocab| · (len+1)`` rows),
+- candidates are verified with the exact ``levenshtein`` built-in
+  (JVM-side), bounding false positives like ``ab``/``ba`` that share
+  a deletion but sit at distance 2.
+
+Nothing is quadratic: the probe side streams through the scan, the
+candidate count is bounded by bucket collisions on short variant
+strings, and the verify touches candidates only. The gate query's
+oracle is the BRUTE-FORCE cross join in DuckDB — hash equality against
+it is an executable proof that blocking loses no distance-≤1 pair
+(SymSpell's recall guarantee), not just that both engines agree.
+
+Determinism: probes are derived from part attributes with the edit
+position/type keyed on ``p_partkey`` (delete / substitute 'z' /
+insert 'q'), so both engines synthesize the identical dirty tokens;
+all outputs are integers and strings — no float fog anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: minimum token length admitted to the dictionary / probe base
+MIN_WORD_LEN = 4
+
+
+def _variants(col_name: str):
+    """``{s} ∪ D1(s)`` as a scan-local array column (self first, then
+    each single-character deletion, deduped by array_union)."""
+    return F.array_union(
+        F.array(F.col(col_name)),
+        F.expr(
+            f"transform(sequence(1, length({col_name})), i -> "
+            f"concat(substring({col_name}, 1, i-1), "
+            f"substring({col_name}, i+1, 100000)))"
+        ),
+    )
+
+
+def fuzzy_join_d1(
+    probes: DataFrame,
+    dictionary: DataFrame,
+    probe_col: str = "probe",
+    word_col: str = "word",
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """All (probe, word) pairs with ``levenshtein(probe, word) <= 1``,
+    computed by deletion-neighborhood blocking + exact verify — never
+    a cross join.
+
+    ``probes`` and ``dictionary`` should be distinct on their key
+    column (dedupe upstream where multiplicities exist; the candidate
+    generation cost is per DISTINCT string). With ``broadcast_dict``
+    the dictionary's variant relation rides a broadcast — the
+    dictionary-correction shape where a bounded vocabulary meets an
+    unbounded probe stream."""
+    pv = probes.select(
+        F.col(probe_col), F.explode(_variants(probe_col)).alias("_var")
+    )
+    dv = dictionary.select(
+        F.col(word_col), F.explode(_variants(word_col)).alias("_var")
+    )
+    if broadcast_dict:
+        dv = F.broadcast(dv)
+    cand = (
+        pv.join(dv, "_var")
+        .select(probe_col, word_col)
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein(F.col(probe_col), F.col(word_col)) <= 1
+    )
+
+
+# ---------------------------------------------------------------------
+# Gate query: deterministic dirty tokens from part attributes, mapped
+# back onto the part-attribute vocabulary
+# ---------------------------------------------------------------------
+
+
+def _part_vocab(parts: DataFrame) -> DataFrame:
+    """(tok, n) dictionary from p_name words + p_type, length ≥ 4."""
+    words = (
+        parts.select(
+            F.explode(F.split(F.lower("p_name"), " ")).alias("tok")
+        )
+        .unionByName(parts.select(F.lower("p_type").alias("tok")))
+        .filter(F.length("tok") >= MIN_WORD_LEN)
+    )
+    return words.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _part_probes(parts: DataFrame) -> DataFrame:
+    """One dirty token per part row: pick a word by ``k % 3`` (name
+    word 1 / name word 2 / p_type), then apply the edit class keyed on
+    ``k div 3`` at position ``(k div 9) % len`` — delete, substitute
+    'z', or insert 'q'. Returns (probe, n_probe) grouped."""
+    k = F.col("p_partkey")
+    arr = F.concat(
+        F.split(F.lower("p_name"), " "), F.array(F.lower("p_type"))
+    )
+    w = F.element_at(arr, (k % 3 + 1).cast("int"))
+    chosen = parts.select(k.alias("k"), w.alias("w")).filter(
+        F.length("w") >= MIN_WORD_LEN
+    )
+    pos = (F.expr("k div 9") % F.length("w") + 1).cast("int")
+    mode = (F.expr("k div 3") % 3).cast("int")
+    pre = F.expr("substring(w, 1, pos - 1)")
+    post = F.expr("substring(w, pos + 1, 100000)")
+    probe = (
+        F.when(F.col("mode") == 0, F.concat(pre, post))
+        .when(F.col("mode") == 1, F.concat(pre, F.lit("z"), post))
+        .otherwise(
+            F.concat(F.expr("substring(w, 1, pos)"), F.lit("q"), post)
+        )
+    )
+    return (
+        chosen.withColumn("pos", pos)
+        .withColumn("mode", mode)
+        .select(probe.alias("probe"))
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).alias("n_probe"))
+    )
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: blocked edit-distance-≤1 join of the synthesized
+    dirty tokens against the part vocabulary; the DuckDB oracle does
+    the brute-force cross join, so the hash certifies SymSpell recall,
+    not just engine agreement."""
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    vocab = _part_vocab(parts)
+    probes = _part_probes(parts)
+    matched = fuzzy_join_d1(
+        probes.select("probe"), vocab.select("tok"),
+        probe_col="probe", word_col="tok",
+    )
+    return (
+        matched.join(probes, "probe")
+        .join(vocab, "tok")
+        .select(
+            "probe",
+            F.col("tok").alias("match"),
+            "n_probe",
+            F.col("n").alias("n_dict"),
+            F.levenshtein("probe", "tok").cast("int").alias("dist"),
+        )
+        .orderBy(F.desc("n_probe"), "probe", "match")
+    )
+
+
+SQL_FUZZY_JOIN = f"""
+WITH words AS (
+  SELECT tok FROM (
+    SELECT unnest(str_split(lower(p_name), ' ')) AS tok FROM part) t1
+  UNION ALL
+  SELECT lower(p_type) AS tok FROM part
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS n FROM words
+  WHERE len(tok) >= {MIN_WORD_LEN} GROUP BY tok
+),
+chosen AS (
+  SELECT p_partkey AS k,
+         (str_split(lower(p_name), ' ') || [lower(p_type)])
+           [(p_partkey % 3) + 1] AS w
+  FROM part
+),
+probes0 AS (
+  SELECT k, w,
+         CAST(((k // 9) % len(w)) + 1 AS INT) AS pos,
+         CAST((k // 3) % 3 AS INT) AS mode
+  FROM chosen WHERE len(w) >= {MIN_WORD_LEN}
+),
+probes AS (
+  SELECT CASE mode
+           WHEN 0 THEN concat(substr(w, 1, pos - 1),
+                              substr(w, pos + 1, 100000))
+           WHEN 1 THEN concat(substr(w, 1, pos - 1), 'z',
+                              substr(w, pos + 1, 100000))
+           ELSE concat(substr(w, 1, pos), 'q',
+                       substr(w, pos + 1, 100000))
+         END AS probe
+  FROM probes0
+),
+pg AS (SELECT probe, COUNT(*) AS n_probe FROM probes GROUP BY probe)
+SELECT pg.probe,
+       v.tok AS match,
+       pg.n_probe,
+       v.n AS n_dict,
+       CAST(levenshtein(pg.probe, v.tok) AS INT) AS dist
+FROM pg JOIN vocab v ON levenshtein(pg.probe, v.tok) <= 1
+ORDER BY n_probe DESC, probe, match
+"""

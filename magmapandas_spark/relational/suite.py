@@ -389,6 +389,7 @@ _GATE_ORDER = [
     "session_paths",
     "incremental_join",
     "hybrid_search",
+    "fuzzy_join",
     "semdedup_sharded",
     "video_frame_decode",
     "bm25_search",
@@ -420,8 +421,8 @@ _GATE_ORDER = [
     "hll_distinct",
     "cms_topk",
     # (c) oldest driver-green rows first: last green in r3
-    # (fe3fe2_deng2020 rotates to next round for hybrid_search)
-    "fe3fe2_expr_models",
+    # (fe3fe2_deng2020 and fe3fe2_expr_models rotate to next round
+    # for hybrid_search and fuzzy_join)
     "fe3fe2_expr_models2",
     "fe3fe2_expr_models3",
     "fe3fe2_hirschmann2022",

@@ -55,6 +55,10 @@ set algebra:
 - ``hybrid_search`` — reciprocal-rank fusion of BM25 top-k and
   dense cosine top-k (the canonical RAG retrieval shape): both lists
   truncated before fusion, so the fuse joins constant-size relations.
+- ``fuzzy_join`` — typo-tolerant dictionary join via SymSpell
+  deletion-neighborhood blocking + exact levenshtein verify; the
+  oracle is the brute-force cross join, so the hash certifies the
+  blocking's recall guarantee, not just engine agreement.
 - ``incremental_join`` — join-view maintenance via the delta-join
   identity (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB): the base⋈base term is never
   recomputed; merged state hashes equal to the oracle's direct full
@@ -69,6 +73,7 @@ from __future__ import annotations
 
 
 def queries():
+    from magmapandas_spark.operators.fuzzy import q_fuzzy_join
     from magmapandas_spark.operators.tfidf import q_hybrid_search
     from magmapandas_spark.operators.analytics import (
         q_ab_chi2,
@@ -103,10 +108,12 @@ def queries():
         "session_paths": q_session_paths,
         "incremental_join": q_incremental_join,
         "hybrid_search": q_hybrid_search,
+        "fuzzy_join": q_fuzzy_join,
     }
 
 
 def oracle_sql():
+    from magmapandas_spark.operators.fuzzy import SQL_FUZZY_JOIN
     from magmapandas_spark.operators.tfidf import _sql_hybrid_search
     from magmapandas_spark.operators.analytics import (
         SQL_AB_CHI2,
@@ -141,4 +148,5 @@ def oracle_sql():
         "session_paths": SQL_SESSION_PATHS,
         "incremental_join": SQL_INCREMENTAL_JOIN,
         "hybrid_search": _sql_hybrid_search(),
+        "fuzzy_join": SQL_FUZZY_JOIN,
     }

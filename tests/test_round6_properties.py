@@ -213,3 +213,40 @@ def test_hybrid_rrf_fuses_both_lists_exactly(spark):
         assert r["rrf"] == pytest.approx(want, abs=5e-9)
     # doc 2 matched no query term: sparse rank 0, dense-only entry
     assert rows[2]["rank_sparse"] == 0 and rows[2]["rank_dense"] > 0
+
+
+def test_fuzzy_blocking_recall_equals_bruteforce(spark):
+    """SymSpell recall law: deletion-neighborhood blocking + verify
+    finds EXACTLY the pairs the brute-force levenshtein<=1 cross join
+    finds — on adversarial short strings where spurious shared
+    deletions (ab/ba) are densest."""
+    import itertools
+
+    from magmapandas_spark.operators.fuzzy import fuzzy_join_d1
+
+    # every string of length 2-3 over {a,b,c}: 36 strings, all edge
+    # cases of insertion/deletion/substitution adjacency in one pool
+    pool = ["".join(p) for n in (2, 3)
+            for p in itertools.product("abc", repeat=n)]
+    probes = spark.createDataFrame([(s,) for s in pool], ["probe"])
+    words = spark.createDataFrame([(s,) for s in pool], ["word"])
+    got = {
+        (r["probe"], r["word"])
+        for r in fuzzy_join_d1(probes, words).collect()
+    }
+
+    def lev(a, b):
+        d = {(i, 0): i for i in range(len(a) + 1)}
+        d.update({(0, j): j for j in range(len(b) + 1)})
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i, j] = min(
+                    d[i - 1, j] + 1, d[i, j - 1] + 1,
+                    d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[len(a), len(b)]
+
+    want = {
+        (p, w) for p in pool for w in pool if lev(p, w) <= 1
+    }
+    assert got == want
