@@ -19,6 +19,7 @@ import tempfile
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from magmapandas_spark.streaming import streams
 
@@ -488,4 +489,107 @@ def test_streaming_transitions_match_batch(spark):
     exp = normalize(event_transitions(batch).toPandas())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     for d in (src, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_cdc_merge_matches_sequential_batch(spark):
+    """CDC apply over a stream: the final state table equals the
+    sequential batch fold of the same compacted deltas — including
+    within-batch duplicate keys (last-writer-wins by seq), cross-batch
+    overwrites, deletes, and inserts."""
+    import time as _time
+
+    from magmapandas_spark.operators.maintenance import merge_upsert
+    from magmapandas_spark.streaming.streams import (
+        compact_cdc_batch,
+        streaming_merge_ingest,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") < 2000)
+    )
+    # three ordered CDC slices with: updates overlapping across
+    # batches (k%3 keys touched in every batch), a within-batch
+    # duplicate (seq decides), deletes in batch 1, re-inserts of a
+    # deleted key in batch 2, and brand-new keys per batch
+    def slice_df(b):
+        upd = (
+            base.filter(F.col("o_orderkey") % 3 == 0)
+            .select(
+                "o_orderkey",
+                F.lit(f"B{b}").alias("o_orderstatus"),
+                (F.col("o_totalprice") + b * 1000).alias("o_totalprice"),
+                F.lit(False).alias("_delete"),
+                F.lit(2 * b).alias("seq"),
+            )
+        )
+        dup = upd.filter(F.col("o_orderkey") % 9 == 0).select(
+            "o_orderkey",
+            F.lit(f"D{b}").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 7).alias("o_totalprice"),
+            F.lit(False).alias("_delete"),
+            F.lit(2 * b + 1).alias("seq"),  # wins within the batch
+        )
+        dele = (
+            base.filter(F.col("o_orderkey") % 5 == (1 if b == 1 else 99))
+            .select(
+                "o_orderkey",
+                F.lit("X").alias("o_orderstatus"),
+                F.lit(0.0).alias("o_totalprice"),
+                F.lit(True).alias("_delete"),
+                F.lit(2 * b).alias("seq"),
+            )
+        )
+        ins = spark.range(5).select(
+            (F.col("id") + 10_000 + 100 * b).alias("o_orderkey"),
+            F.lit("I").alias("o_orderstatus"),
+            (F.col("id") + b).cast("double").alias("o_totalprice"),
+            F.lit(False).alias("_delete"),
+            F.lit(2 * b).alias("seq"),
+        )
+        return upd.unionByName(dup).unionByName(dele).unionByName(ins)
+
+    slices = [slice_df(b) for b in range(3)]
+
+    src = tempfile.mkdtemp(prefix="stream_cdc_src_")
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> in-order replay
+
+    out = tempfile.mkdtemp(prefix="stream_cdc_state_")
+    state_path = os.path.join(out, "state.parquet")
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double,"
+            " _delete boolean, seq int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_merge_ingest(
+        stream, base, state_path, os.path.join(out, "ckpt"),
+        key_col="o_orderkey", delete_col="_delete", order_col="seq",
+    )
+    got = normalize(spark.read.parquet(state_path).toPandas())
+
+    exp_state = base
+    for s in slices:
+        delta = compact_cdc_batch(s, "o_orderkey", "seq").drop("seq")
+        exp_state = merge_upsert(
+            exp_state, delta, "o_orderkey", delete_col="_delete"
+        )
+    exp = normalize(exp_state.toPandas())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the within-batch duplicate keys must carry the seq-winner row
+    winners = {
+        r["o_orderkey"]: r["o_orderstatus"]
+        for r in spark.read.parquet(state_path)
+        .filter((F.col("o_orderkey") % 9 == 0) & (F.col("o_orderkey") % 5 != 1))
+        .filter(F.col("o_orderkey") < 2000)
+        .collect()
+    }
+    assert winners and all(s == "D2" for s in winners.values())
+    for d in (src, out):
         shutil.rmtree(d, ignore_errors=True)
