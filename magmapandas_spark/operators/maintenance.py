@@ -260,3 +260,188 @@ FROM merged
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+# ---------------------------------------------------------------------
+# Snapshot diff (round 6): what changed between two table versions
+# ---------------------------------------------------------------------
+
+
+def row_digest(df: DataFrame, key_col: str) -> DataFrame:
+    """(key, digest) projection: md5 over the canonicalized non-key
+    columns ('|'-joined, NULL → a sentinel that cannot collide with a
+    real value because the join adds field ordinals). Doubles are
+    canonicalized through DECIMAL(18,6) so the digest never depends on
+    engine float-to-string formatting."""
+    cols = []
+    for f in df.schema.fields:
+        if f.name == key_col:
+            continue
+        c = F.col(f.name)
+        if f.dataType.simpleString() == "double":
+            c = c.cast("decimal(18,6)")
+        cols.append(F.coalesce(c.cast("string"), F.lit("\x00null")))
+    parts = []
+    for i, c in enumerate(cols):
+        parts.extend([F.lit(f"{i}|"), c])
+    return df.select(
+        F.col(key_col), F.md5(F.concat(*parts)).alias("digest")
+    )
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, key_col: str
+) -> DataFrame:
+    """Classify every key across two snapshots as ``added`` /
+    ``removed`` / ``changed`` / ``unchanged``.
+
+    Plan shape (the 100 TB posture): each side reduces to (key,
+    digest) AT THE SCAN — 2 narrow columns shuffle instead of the full
+    row width, which is the entire point of digest-based diffing; one
+    full outer join on the key classifies everything. Consumers that
+    need the changed VALUES join the (bounded) changed-key set back to
+    the snapshots; this operator never carries payload columns through
+    the wide join.
+
+    Returns (key, change) with change ∈ {added, removed, changed,
+    unchanged}."""
+    o = row_digest(old, key_col).withColumnRenamed("digest", "_od")
+    n = row_digest(new, key_col).withColumnRenamed("digest", "_nd")
+    j = o.join(n, on=key_col, how="full_outer")
+    change = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") == F.col("_nd"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(key_col, change.alias("change"))
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: diff ``orders`` against a formula-derived next
+    snapshot (price bump on %7 keys, status flip on %19, drop %11,
+    insert 40 fresh keys), then aggregate per change class with the
+    decimal-exact price delta over CHANGED keys (the value fetch that
+    joins the bounded changed set back to both snapshots).
+
+    The DuckDB oracle classifies with direct IS DISTINCT FROM column
+    compares — no md5 anywhere — so hash equality certifies that the
+    digest classification is exactly the semantic row comparison, not
+    merely that both engines hash alike."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base_cols = [
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+    ]
+    old = orders.select(*base_cols)
+    new = (
+        old.filter(F.col("o_orderkey") % 11 != 3)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.col("o_totalprice") + 250.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 19 == 0, F.lit("Z")
+            ).otherwise(F.col("o_orderstatus")),
+        )
+        .unionByName(
+            spark.range(40).select(
+                (F.col("id") + 800_000_000).alias("o_orderkey"),
+                F.lit("A").alias("o_orderstatus"),
+                (F.col("id").cast("double") * 3.0).alias("o_totalprice"),
+                F.lit("2-HIGH").alias("o_orderpriority"),
+            )
+        )
+    )
+    d = table_diff(old, new, "o_orderkey")
+    changed_keys = d.filter(F.col("change") == "changed").select(
+        "o_orderkey"
+    )
+    delta = (
+        changed_keys.join(
+            old.select("o_orderkey", F.col("o_totalprice").alias("_p0")),
+            "o_orderkey",
+        )
+        .join(
+            new.select("o_orderkey", F.col("o_totalprice").alias("_p1")),
+            "o_orderkey",
+        )
+        .agg(
+            F.sum(
+                (F.col("_p1") - F.col("_p0")).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("price_delta")
+        )
+    )
+    per_class = (
+        d.groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+    return (
+        per_class.crossJoin(F.broadcast(delta))
+        .select(
+            "change", "n", "min_key", "max_key",
+            F.when(F.col("change") == "changed", F.col("price_delta"))
+            .otherwise(F.lit(0.0))
+            .alias("price_delta"),
+        )
+        .orderBy("change")
+    )
+
+
+SQL_TABLE_DIFF = """
+WITH old_s AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+new_s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 19 = 0 THEN 'Z' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 250.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 11 != 3
+  UNION ALL
+  SELECT 800000000 + i AS o_orderkey, 'A' AS o_orderstatus,
+         CAST(i AS DOUBLE) * 3.0 AS o_totalprice,
+         '2-HIGH' AS o_orderpriority
+  FROM range(40) t(i)
+),
+d AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE
+           WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN (CAST(o.o_totalprice AS DECIMAL(18,6))
+                   IS DISTINCT FROM CAST(n.o_totalprice AS DECIMAL(18,6)))
+             OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+             OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+             THEN 'changed'
+           ELSE 'unchanged'
+         END AS change,
+         o.o_totalprice AS p0, n.o_totalprice AS p1
+  FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+),
+delta AS (
+  SELECT CAST(SUM(CAST(p1 - p0 AS DECIMAL(18,6))) AS DOUBLE)
+           AS price_delta
+  FROM d WHERE change = 'changed'
+)
+SELECT change, COUNT(*) AS n,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       CASE WHEN change = 'changed' THEN ANY_VALUE(delta.price_delta)
+            ELSE 0.0 END AS price_delta
+FROM d, delta
+GROUP BY change, delta.price_delta
+ORDER BY change
+"""

@@ -390,6 +390,7 @@ _GATE_ORDER = [
     "incremental_join",
     "hybrid_search",
     "fuzzy_join",
+    "table_diff",
     "semdedup_sharded",
     "video_frame_decode",
     "bm25_search",
@@ -421,9 +422,8 @@ _GATE_ORDER = [
     "hll_distinct",
     "cms_topk",
     # (c) oldest driver-green rows first: last green in r3
-    # (fe3fe2_deng2020 and fe3fe2_expr_models rotate to next round
-    # for hybrid_search and fuzzy_join)
-    "fe3fe2_expr_models2",
+    # (fe3fe2_deng2020, fe3fe2_expr_models, fe3fe2_expr_models2 rotate
+    # to next round for hybrid_search, fuzzy_join, table_diff)
     "fe3fe2_expr_models3",
     "fe3fe2_hirschmann2022",
     "feo_fe2o3_split",

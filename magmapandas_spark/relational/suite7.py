@@ -59,6 +59,10 @@ set algebra:
   deletion-neighborhood blocking + exact levenshtein verify; the
   oracle is the brute-force cross join, so the hash certifies the
   blocking's recall guarantee, not just engine agreement.
+- ``table_diff`` — snapshot diff: (key, digest) scan-local
+  reduction, one narrow full-outer join, added/removed/changed/
+  unchanged classes; the oracle classifies via direct IS DISTINCT
+  FROM compares, so the hash certifies digest fidelity.
 - ``incremental_join`` — join-view maintenance via the delta-join
   identity (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB): the base⋈base term is never
   recomputed; merged state hashes equal to the oracle's direct full
@@ -74,6 +78,7 @@ from __future__ import annotations
 
 def queries():
     from magmapandas_spark.operators.fuzzy import q_fuzzy_join
+    from magmapandas_spark.operators.maintenance import q_table_diff
     from magmapandas_spark.operators.tfidf import q_hybrid_search
     from magmapandas_spark.operators.analytics import (
         q_ab_chi2,
@@ -109,11 +114,13 @@ def queries():
         "incremental_join": q_incremental_join,
         "hybrid_search": q_hybrid_search,
         "fuzzy_join": q_fuzzy_join,
+        "table_diff": q_table_diff,
     }
 
 
 def oracle_sql():
     from magmapandas_spark.operators.fuzzy import SQL_FUZZY_JOIN
+    from magmapandas_spark.operators.maintenance import SQL_TABLE_DIFF
     from magmapandas_spark.operators.tfidf import _sql_hybrid_search
     from magmapandas_spark.operators.analytics import (
         SQL_AB_CHI2,
@@ -149,4 +156,5 @@ def oracle_sql():
         "incremental_join": SQL_INCREMENTAL_JOIN,
         "hybrid_search": _sql_hybrid_search(),
         "fuzzy_join": SQL_FUZZY_JOIN,
+        "table_diff": SQL_TABLE_DIFF,
     }

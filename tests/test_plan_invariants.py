@@ -52,6 +52,7 @@ def test_column_pruning_reaches_scan(spark):
         "merge_upsert",
         "host_quota",
         "ngram_contamination",
+        "fuzzy_join",
     ],
 )
 def test_no_cartesian_product(spark, qname):
@@ -63,7 +64,10 @@ def test_no_cartesian_product(spark, qname):
     assert "BroadcastNestedLoopJoin" not in plan, qname
 
 
-@pytest.mark.parametrize("qname", ["tfidf_search", "quality_ensemble"])
+@pytest.mark.parametrize(
+    "qname",
+    ["tfidf_search", "quality_ensemble", "hybrid_search", "table_diff"]
+)
 def test_only_deliberate_one_row_cross(spark, qname):
     """These queries carry ONE BroadcastNestedLoopJoin by design: the
     1-row corpus-stats relation (N / N+V) crossed onto the scored
@@ -74,8 +78,11 @@ def test_only_deliberate_one_row_cross(spark, qname):
     df = suite.queries()[qname](spark, SF)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, qname
+    # tfidf: the 1-row stats cross; ensemble: two signal crosses;
+    # hybrid: BM25's 1-row stats cross + the 1-row dense query cross;
+    # table_diff: the 1-row changed-price-delta cross
     assert plan.count("BroadcastNestedLoopJoin") <= (
-        1 if qname == "tfidf_search" else 2  # ensemble joins two signals
+        1 if qname in ("tfidf_search", "table_diff") else 2
     ), qname
 
 
@@ -84,7 +91,7 @@ def test_only_deliberate_one_row_cross(spark, qname):
 @pytest.mark.parametrize(
     "qname",
     ["bloom_decontaminate", "tfidf_search", "ngram_contamination",
-     "merge_upsert"],
+     "merge_upsert", "fuzzy_join"],
 )
 def test_small_side_is_broadcast(spark, qname):
     from magmapandas_spark.relational import suite
@@ -498,3 +505,18 @@ def test_triangle_count_no_cartesian_on_data(spark):
     # broadcasts; wedge closure is hash equi-joins
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_table_diff_join_is_digest_narrow(spark):
+    """The snapshot-diff outer join must consume (key, digest)
+    projections — md5 reduces rows BEFORE the join, and the payload
+    columns (o_orderpriority etc.) never ride the wide join: they
+    reappear only in the bounded changed-key value fetch."""
+    from magmapandas_spark.relational import suite
+
+    df = suite.queries()["table_diff"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "md5" in plan
+    # the FULL OUTER join exists and is keyed on the merge key
+    assert "FullOuter" in plan
