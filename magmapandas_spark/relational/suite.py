@@ -391,6 +391,8 @@ _GATE_ORDER = [
     "hybrid_search",
     "fuzzy_join",
     "table_diff",
+    "hard_negatives",
+    "k_anonymity",
     "semdedup_sharded",
     "video_frame_decode",
     "bm25_search",
@@ -422,10 +424,10 @@ _GATE_ORDER = [
     "hll_distinct",
     "cms_topk",
     # (c) oldest driver-green rows first: last green in r3
-    # (fe3fe2_deng2020, fe3fe2_expr_models, fe3fe2_expr_models2 rotate
-    # to next round for hybrid_search, fuzzy_join, table_diff)
-    "fe3fe2_expr_models3",
-    "fe3fe2_hirschmann2022",
+    # (fe3fe2_deng2020, fe3fe2_expr_models, fe3fe2_expr_models2,
+    # fe3fe2_expr_models3, and fe3fe2_hirschmann2022 rotate to next
+    # round for hybrid_search, fuzzy_join, table_diff, hard_negatives,
+    # k_anonymity)
     "feo_fe2o3_split",
     "fo2_buffers",
     "ilmenite_speciation",

@@ -63,6 +63,12 @@ set algebra:
   reduction, one narrow full-outer join, added/removed/changed/
   unchanged classes; the oracle classifies via direct IS DISTINCT
   FROM compares, so the hash certifies digest fidelity.
+- ``hard_negatives`` — contrastive pair mining: per anchor, the
+  top same-label positive and top different-label hard negative with
+  the margin; anchors broadcast, one corpus scan, window argmax.
+- ``k_anonymity`` — quasi-identifier equivalence-class census
+  (two partial-aggregatable groupBys); the aggregate complement of
+  the PII detect/redact direct-identifier tier.
 - ``incremental_join`` — join-view maintenance via the delta-join
   identity (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB): the base⋈base term is never
   recomputed; merged state hashes equal to the oracle's direct full
@@ -77,6 +83,8 @@ from __future__ import annotations
 
 
 def queries():
+    from magmapandas_spark.operators.contrastive import q_hard_negatives
+    from magmapandas_spark.operators.webcorpus import q_k_anonymity
     from magmapandas_spark.operators.fuzzy import q_fuzzy_join
     from magmapandas_spark.operators.maintenance import q_table_diff
     from magmapandas_spark.operators.tfidf import q_hybrid_search
@@ -115,10 +123,14 @@ def queries():
         "hybrid_search": q_hybrid_search,
         "fuzzy_join": q_fuzzy_join,
         "table_diff": q_table_diff,
+        "hard_negatives": q_hard_negatives,
+        "k_anonymity": q_k_anonymity,
     }
 
 
 def oracle_sql():
+    from magmapandas_spark.operators.contrastive import SQL_HARD_NEGATIVES
+    from magmapandas_spark.operators.webcorpus import SQL_K_ANONYMITY
     from magmapandas_spark.operators.fuzzy import SQL_FUZZY_JOIN
     from magmapandas_spark.operators.maintenance import SQL_TABLE_DIFF
     from magmapandas_spark.operators.tfidf import _sql_hybrid_search
@@ -157,4 +169,6 @@ def oracle_sql():
         "hybrid_search": _sql_hybrid_search(),
         "fuzzy_join": SQL_FUZZY_JOIN,
         "table_diff": SQL_TABLE_DIFF,
+        "hard_negatives": SQL_HARD_NEGATIVES,
+        "k_anonymity": SQL_K_ANONYMITY,
     }
