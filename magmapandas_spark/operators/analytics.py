@@ -1000,3 +1000,140 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------
+# Marketing attribution (first-touch / last-touch)
+# ---------------------------------------------------------------------
+
+
+def attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    conv_type: str = "purchase",
+) -> DataFrame:
+    """First-touch / last-touch revenue attribution over the event log.
+
+    Per user, events are totally ordered by ``(ts, seq)``. Each
+    conversion (``conv_type``) is attributed to the FIRST and the LAST
+    non-conversion event that precedes it. The preceding events are
+    located as ROW NUMBERS via windowed conditional MIN/MAX (no
+    IGNORE NULLS dependence — portable to every engine), then resolved
+    with one self-join on ``(user, rn)``, co-partitioned with the
+    window's own shuffle. Output is the long-form (model, channel)
+    summary: conversions, exact-decimal revenue, integer ppm share.
+
+    Scale posture: one user-keyed exchange feeds the window, the
+    rn-resolution join, and (via map-side partials) the final
+    channel-sized aggregation — nothing else shuffles.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    idx = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("etype"),
+        F.col("value"),
+        F.row_number().over(w).alias("rn"),
+    )
+    # re-derive the conditional min/max over the SAME window spec
+    w2 = Window.partitionBy("u").orderBy("rn")
+    prev2 = w2.rowsBetween(Window.unboundedPreceding, -1)
+    touch = F.when(F.col("etype") != conv_type, F.col("rn"))
+    conv = (
+        idx.select(
+            "u",
+            "etype",
+            "value",
+            "rn",
+            F.min(touch).over(prev2).alias("first_rn"),
+            F.max(touch).over(prev2).alias("last_rn"),
+        )
+        .filter(
+            (F.col("etype") == conv_type) & F.col("last_rn").isNotNull()
+        )
+    )
+    chan = idx.select(
+        "u", F.col("rn").alias("crn"), F.col("etype").alias("channel")
+    )
+    first = (
+        conv.join(
+            chan,
+            (conv["u"] == chan["u"]) & (conv["first_rn"] == chan["crn"]),
+        )
+        .select(F.lit("first_touch").alias("model"), "channel", conv["value"])
+    )
+    last = (
+        conv.join(
+            chan,
+            (conv["u"] == chan["u"]) & (conv["last_rn"] == chan["crn"]),
+        )
+        .select(F.lit("last_touch").alias("model"), "channel", conv["value"])
+    )
+    both = first.unionByName(last)
+    agg = both.groupBy("model", "channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        dsum(F.col("value")).alias("revenue"),
+    )
+    tot = Window.partitionBy("model")
+    return agg.select(
+        "model",
+        "channel",
+        "n_conversions",
+        "revenue",
+        F.expr("n_conversions * 1000000").alias("_num"),
+        F.sum("n_conversions").over(tot).alias("_den"),
+    ).select(
+        "model",
+        "channel",
+        "n_conversions",
+        "revenue",
+        F.expr("_num div _den").alias("share_ppm"),
+    ).orderBy("model", "channel")
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: first/last-touch attribution of purchase events."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return attribution(ev)
+
+
+SQL_ATTRIBUTION = f"""
+WITH idx AS (
+  SELECT user_id AS u, event_type AS etype, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+conv AS (
+  SELECT u, etype, value, rn,
+         MIN(CASE WHEN etype <> 'purchase' THEN rn END) OVER
+           (PARTITION BY u ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_rn,
+         MAX(CASE WHEN etype <> 'purchase' THEN rn END) OVER
+           (PARTITION BY u ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_rn
+  FROM idx
+),
+conv2 AS (SELECT * FROM conv WHERE etype = 'purchase'
+          AND last_rn IS NOT NULL),
+merged AS (
+  SELECT 'first_touch' AS model, c2.etype AS channel, c.value
+  FROM conv2 c JOIN idx c2 ON c2.u = c.u AND c2.rn = c.first_rn
+  UNION ALL
+  SELECT 'last_touch' AS model, c2.etype AS channel, c.value
+  FROM conv2 c JOIN idx c2 ON c2.u = c.u AND c2.rn = c.last_rn
+),
+agg AS (
+  SELECT model, channel, COUNT(*) AS n_conversions,
+         {SQL_DSUM.format(x="value")} AS revenue
+  FROM merged GROUP BY model, channel
+)
+SELECT model, channel, n_conversions, revenue,
+       CAST(n_conversions * 1000000
+         // SUM(n_conversions) OVER (PARTITION BY model) AS BIGINT)
+         AS share_ppm
+FROM agg
+ORDER BY model, channel
+"""

@@ -743,3 +743,197 @@ SELECT lang, CAST(rank AS INT) AS rank, priority, doc_id, n_chars
 FROM ranked WHERE rank <= 20
 ORDER BY lang, rank
 """
+
+
+# ---------------------------------------------------------------------
+# Sentence segmentation statistics
+# ---------------------------------------------------------------------
+
+_SENT_SPLIT_RE = "[.!?]+ "  # literal-space boundary: same semantics in
+# Java regex (Spark split) and RE2 (DuckDB str_split_regex)
+
+
+def sentence_stats(docs: DataFrame) -> DataFrame:
+    """Per-source sentence segmentation report.
+
+    Documents are split into sentences on ``[.!?]+ `` (terminal
+    punctuation followed by a space; empties filtered), then reduced
+    per document and per source — all counts exact integers, means as
+    integer milli-units. One explode + two aggregations; the sentence
+    rows never carry the document body (only lengths), so the explode
+    is narrow at crawl scale.
+    """
+    sents = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.col("text"), _SENT_SPLIT_RE),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("s"),
+    ).select("doc_id", "source", F.length("s").alias("slen"))
+    per_doc = sents.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_sent"),
+        F.sum("slen").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sent").alias("n_sentences"),
+            F.max("n_sent").alias("max_sent_per_doc"),
+            F.sum("chars").alias("_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_sentences",
+            "max_sent_per_doc",
+            F.expr("n_sentences * 1000 div n_docs").alias(
+                "sent_per_doc_milli"
+            ),
+            F.expr("_chars * 1000 div n_sentences").alias(
+                "sent_len_milli"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-source sentence segmentation statistics."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sentence_stats(docs)
+
+
+SQL_SENTENCE_STATS = """
+WITH sents AS (
+  SELECT doc_id, source,
+         LENGTH(UNNEST(list_filter(str_split_regex(text, '[.!?]+ '),
+                                   x -> x <> ''))) AS slen
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n_sent,
+         CAST(SUM(slen) AS BIGINT) AS chars
+  FROM sents GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_sent) AS BIGINT) AS n_sentences,
+       MAX(n_sent) AS max_sent_per_doc,
+       CAST(SUM(n_sent) * 1000 // COUNT(*) AS BIGINT)
+         AS sent_per_doc_milli,
+       CAST(SUM(chars) * 1000 // SUM(n_sent) AS BIGINT)
+         AS sent_len_milli
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------
+# Domain divergence (chi-square distance of token-length profiles)
+# ---------------------------------------------------------------------
+
+
+def domain_divergence(docs: DataFrame, max_bucket: int = 20) -> DataFrame:
+    """Chi-square divergence of each source's token-length profile
+    from the corpus profile — the ln-free domain-shift score used to
+    flag outlier slices before mixing (the KL shape with rational
+    arithmetic: contributions are ``(p - q)^2 div max(q, 1)`` over
+    integer-ppm shares, so the statistic hashes exactly).
+
+    Plan: one token explode into a (source, bucket) count aggregation
+    (map-side partials; ≤ sources x 21 rows emerge), then
+    constant-size profile joins. Nothing after the scan exceeds
+    |sources| · (max_bucket + 1) rows.
+    """
+    toks = docs.select(
+        "source",
+        F.explode(word_tokens("text")).alias("tok"),
+    ).select("source", F.least(F.length("tok"), F.lit(max_bucket)).alias("b"))
+    csb = toks.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    ns = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
+    gb = toks.groupBy("b").agg(F.count(F.lit(1)).alias("g"))
+    n = toks.select(F.count(F.lit(1)).alias("n_total"))
+    grid = ns.crossJoin(F.broadcast(gb)).join(
+        csb, ["source", "b"], "left"
+    ).crossJoin(F.broadcast(n))
+    contrib = grid.select(
+        "source",
+        "b",
+        "n_tokens",
+        F.expr("COALESCE(c, 0) * 1000000 div n_tokens").alias("p_ppm"),
+        F.expr("g * 1000000 div n_total").alias("q_ppm"),
+    ).select(
+        "source",
+        "b",
+        "n_tokens",
+        F.expr(
+            "(p_ppm - q_ppm) * (p_ppm - q_ppm)"
+            " div (CASE WHEN q_ppm > 1 THEN q_ppm ELSE 1 END)"
+        ).alias("contrib"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("contrib"), "b"
+    )
+    return (
+        contrib.withColumn("rn", F.row_number().over(w))
+        .groupBy("source", "n_tokens")
+        .agg(
+            F.sum("contrib").alias("chi2"),
+            F.max(F.expr("CASE WHEN rn = 1 THEN b END")).alias("top_bucket"),
+            F.max(F.expr("CASE WHEN rn = 1 THEN contrib END")).alias(
+                "top_contrib"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: chi-square token-length divergence per source."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_divergence(docs)
+
+
+SQL_DOMAIN_DIVERGENCE = """
+WITH toks AS (
+  SELECT source,
+         LEAST(LENGTH(UNNEST(list_filter(
+           str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))), 20)
+           AS b
+  FROM documents
+),
+csb AS (SELECT source, b, COUNT(*) AS c FROM toks GROUP BY source, b),
+ns AS (SELECT source, COUNT(*) AS n_tokens FROM toks GROUP BY source),
+gb AS (SELECT b, COUNT(*) AS g FROM toks GROUP BY b),
+n AS (SELECT COUNT(*) AS n_total FROM toks),
+grid AS (
+  SELECT ns.source, gb.b, ns.n_tokens,
+         COALESCE(csb.c, 0) * 1000000 // ns.n_tokens AS p_ppm,
+         gb.g * 1000000 // n.n_total AS q_ppm
+  FROM ns CROSS JOIN gb
+  LEFT JOIN csb ON csb.source = ns.source AND csb.b = gb.b
+  CROSS JOIN n
+),
+contrib AS (
+  SELECT source, b, n_tokens,
+         (p_ppm - q_ppm) * (p_ppm - q_ppm)
+           // (CASE WHEN q_ppm > 1 THEN q_ppm ELSE 1 END) AS contrib
+  FROM grid
+),
+ranked AS (
+  SELECT source, b, n_tokens, contrib,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY contrib DESC, b) AS rn
+  FROM contrib
+)
+SELECT source, n_tokens, CAST(SUM(contrib) AS BIGINT) AS chi2,
+       MAX(CASE WHEN rn = 1 THEN b END) AS top_bucket,
+       MAX(CASE WHEN rn = 1 THEN contrib END) AS top_contrib
+FROM ranked
+GROUP BY source, n_tokens
+ORDER BY source
+"""

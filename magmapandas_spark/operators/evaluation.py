@@ -165,3 +165,111 @@ FROM embeddings q LEFT JOIN hits h ON q.vec_id = h.qid
 WHERE q.vec_id < 20
 ORDER BY qid
 """
+
+
+# ---------------------------------------------------------------------
+# Retrieval quality metrics (P@k, MRR, first-relevant rank)
+# ---------------------------------------------------------------------
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: label-relevance retrieval metrics for the exact L2
+    ranking — per query (a deterministic 1/100 slice of vectors):
+    rank of the first same-label neighbor, MRR and P@10 as integer
+    ppm. The distance is the shared unrolled 64-term IEEE tree (see
+    operators/projection.py), so ranks are identical cross-engine;
+    only ranks and integer ratios surface, never floats.
+
+    Scale posture: the query side is constant-size and broadcast; at
+    corpus scale the exact ranking is replaced by the ANN candidate
+    paths (ivf/pq/binary) and this harness scores their output — the
+    evaluation shape stays the same.
+    """
+    from pyspark.sql import Window
+    from magmapandas_spark.operators.projection import _l2_full
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.expr("vec_id % 100 = 7")).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("clabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.expr(_l2_full("qvec", "cvec", 0)).alias("d2"),
+            F.expr("CASE WHEN qlabel = clabel THEN 1 ELSE 0 END").alias(
+                "rel"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "cid")
+    ranked = scored.select(
+        "qid", "rel", F.row_number().over(w).alias("rank")
+    )
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_ranked"),
+            F.sum("rel").alias("n_relevant"),
+            F.min(F.expr("CASE WHEN rel = 1 THEN rank END")).alias(
+                "first_rel_rank"
+            ),
+            F.sum(
+                F.expr("CASE WHEN rank <= 10 AND rel = 1 THEN 1 ELSE 0 END")
+            ).alias("_hits10"),
+        )
+        .select(
+            "qid",
+            "n_ranked",
+            "n_relevant",
+            "first_rel_rank",
+            F.expr("1000000 div first_rel_rank").alias("mrr_ppm"),
+            F.expr("_hits10 * 100000").alias("p_at_10_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _sql_retrieval_eval() -> str:
+    from magmapandas_spark.operators.projection import _l2_full
+
+    l2 = _l2_full("q.embedding", "c.embedding", 1)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding, label AS qlabel
+  FROM embeddings WHERE vec_id % 100 = 7
+),
+scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         {l2} AS d2,
+         CASE WHEN q.qlabel = c.label THEN 1 ELSE 0 END AS rel
+  FROM q JOIN embeddings c ON c.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rank
+  FROM scored
+)
+SELECT qid, COUNT(*) AS n_ranked,
+       CAST(SUM(rel) AS BIGINT) AS n_relevant,
+       MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+       1000000 // MIN(CASE WHEN rel = 1 THEN rank END) AS mrr_ppm,
+       CAST(SUM(CASE WHEN rank <= 10 AND rel = 1 THEN 1 ELSE 0 END)
+            * 100000 AS BIGINT) AS p_at_10_ppm
+FROM ranked
+GROUP BY qid
+ORDER BY qid
+"""
+
+
+SQL_RETRIEVAL_EVAL = _sql_retrieval_eval()

@@ -25,7 +25,7 @@ localCheckpoint exactly as in the CC loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: rank scale: 1.0 of probability mass == S
@@ -388,3 +388,123 @@ SELECT p.node, p.tri_count, g.n_edges, g.n_triangles,
 FROM per_node p CROSS JOIN globals g
 ORDER BY p.tri_count DESC, p.node
 """
+
+
+# ---------------------------------------------------------------------
+# Synchronous min-label propagation (fixed-round community detection)
+# ---------------------------------------------------------------------
+
+
+def min_label_propagation(
+    edges: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Fixed-round synchronous min-label propagation over an
+    undirected graph: every node starts labeled with its own id and
+    each round takes the min of its label and its neighbors' labels.
+
+    Fixed ``rounds`` (not run-to-convergence) keeps the computation
+    exactly replayable by an unrolled SQL oracle; the converged
+    variant is the existing distributed connected-components loop
+    (operators/dedup.py) — this operator is its bounded-round,
+    hash-checkable twin.
+
+    Scale posture: per round, one join of the label relation against
+    the symmetrized edge list (both keyed on node — AQE co-partitions
+    the repeat joins) and one min-aggregation. Label state is one row
+    per node; round count is the graph-diameter bound the caller
+    chooses. Returns (node, community).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    sym = und.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(rounds):
+        nmin = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("lbl").alias("blbl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("blbl").alias("nmin"))
+        )
+        labels = (
+            labels.join(
+                nmin.withColumnRenamed("a", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: 4-round min-label communities over the synthetic
+    400-node link graph — top-20 communities by size, exact integers."""
+    labels = min_label_propagation(synthetic_tri_graph(spark), rounds=4)
+    sizes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    w = Window.orderBy(F.desc("size"), "community")
+    return (
+        sizes.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "community", "size")
+        .orderBy("rank")
+    )
+
+
+def _sql_label_propagation(rounds: int = 4) -> str:
+    ctes = [
+        f"raw AS ({_tri_links_sql()})",
+        """und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst
+)""",
+        """sym AS (
+  SELECT u AS a, v AS b FROM und
+  UNION ALL SELECT v AS a, u AS b FROM und
+)""",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym)",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""l{r} AS (
+  SELECT n.node,
+         LEAST(n.lbl, COALESCE(MIN(p.lbl), n.lbl)) AS lbl
+  FROM l{r - 1} n
+  LEFT JOIN sym s ON s.a = n.node
+  LEFT JOIN l{r - 1} p ON p.node = s.b
+  GROUP BY n.node, n.lbl
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+sizes AS (
+  SELECT lbl AS community, COUNT(*) AS size FROM l{rounds} GROUP BY lbl
+)
+SELECT ROW_NUMBER() OVER (ORDER BY size DESC, community) AS rank,
+       community, size
+FROM sizes
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+
+SQL_LABEL_PROPAGATION = _sql_label_propagation()

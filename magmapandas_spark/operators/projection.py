@@ -1,0 +1,168 @@
+"""Johnson-Lindenstrauss random projection for embedding columns
+(beyond-reference surface).
+
+Projects the 64-dim embedding column to 8 dimensions with a seeded
++-1 sign matrix (Achlioptas 2003's database-friendly JL transform:
+signs, not Gaussians — the projection is 8 fused multiply-free sums
+inside the scan, a pure map stage that never shuffles).
+
+Cross-engine determinism: the sign matrix is precomputed in Python
+from md5 (same constants embedded in both engines' expression text);
+each projected coordinate is one left-associated sum of +-element
+terms, and multiplying a double by +-1.0 is exact — so the projected
+doubles, the squared L2 distances built from them, and the
+recall-vs-full-space flags all hash bit-exactly. Spark indexes arrays
+0-based and DuckDB 1-based; the generator emits the same tree with
+shifted indices.
+
+Scale posture: projection is O(d_out · d_in) per row inside the
+scan (no shuffle, no UDF — whole-stage codegen). The top-k rank
+after it is the same bounded window the brute-force ANN baseline
+uses; at corpus scale the projected vectors feed the LSH/IVF index
+paths instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from magmapandas_spark.relational.suite import _t
+
+__all__ = ["project_embeddings", "q_random_projection", "SQL_RANDOM_PROJECTION"]
+
+_D_IN = 64
+_D_OUT = 8
+_QUERY_ID = 0
+_TOP_K = 20
+
+
+def _signs() -> list[list[int]]:
+    out = []
+    for j in range(_D_OUT):
+        row = []
+        for i in range(_D_IN):
+            h = hashlib.md5(f"rp7_{j}_{i}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def _proj_exprs(vec: str, base: int) -> list[str]:
+    """One expression string per output dim; ``base`` is the engine's
+    array origin (0 for Spark, 1 for DuckDB)."""
+    signs = _signs()
+    return [
+        " + ".join(
+            f"CAST({vec}[{i + base}] AS DOUBLE) * {s}.0"
+            for i, s in enumerate(signs[j])
+        )
+        for j in range(_D_OUT)
+    ]
+
+
+def project_embeddings(
+    embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Add p0..p7 projected coordinates inside the scan stage."""
+    exprs = _proj_exprs(vec_col, 0)
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[F.expr(e).alias(f"p{j}") for j, e in enumerate(exprs)],
+    )
+
+
+def _l2_full(a: str, b: str, base: int) -> str:
+    return " + ".join(
+        f"(CAST({a}[{i + base}] AS DOUBLE) - CAST({b}[{i + base}] AS DOUBLE))"
+        f" * (CAST({a}[{i + base}] AS DOUBLE) - CAST({b}[{i + base}] AS DOUBLE))"
+        for i in range(_D_IN)
+    )
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: top-20 neighbors of vec_id=0 in JL-projected space,
+    with the exact full-space distance and full-space-top-20 membership
+    flag beside each — the projection-quality report."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    proj = project_embeddings(emb)
+    q = proj.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("qvec"),
+        *[F.col(f"p{j}").alias(f"q{j}") for j in range(_D_OUT)],
+    )
+    d2p = " + ".join(
+        f"(p{j} - q{j}) * (p{j} - q{j})" for j in range(_D_OUT)
+    )
+    scored = (
+        proj.filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(d2p).alias("d2_proj"),
+            F.expr(_l2_full("embedding", "qvec", 0)).alias("d2_full"),
+        )
+    )
+    wp = Window.orderBy("d2_proj", "vec_id")
+    wf = Window.orderBy("d2_full", "vec_id")
+    ranked = scored.select(
+        "vec_id",
+        "d2_proj",
+        "d2_full",
+        F.row_number().over(wp).alias("proj_rank"),
+        F.row_number().over(wf).alias("full_rank"),
+    )
+    return (
+        ranked.filter(F.col("proj_rank") <= _TOP_K)
+        .select(
+            "proj_rank",
+            "vec_id",
+            "d2_proj",
+            "d2_full",
+            F.expr(f"CASE WHEN full_rank <= {_TOP_K} THEN 1 ELSE 0 END").alias(
+                "in_full_topk"
+            ),
+        )
+        .orderBy("proj_rank")
+    )
+
+
+def _sql_random_projection() -> str:
+    exprs = _proj_exprs("embedding", 1)
+    proj_cols = ",\n         ".join(
+        f"{e} AS p{j}" for j, e in enumerate(exprs)
+    )
+    d2p = " + ".join(
+        f"(c.p{j} - q.p{j}) * (c.p{j} - q.p{j})" for j in range(_D_OUT)
+    )
+    l2f = _l2_full("c.embedding", "q.embedding", 1)
+    return f"""
+WITH proj AS (
+  SELECT vec_id, embedding,
+         {proj_cols}
+  FROM embeddings
+),
+q AS (SELECT * FROM proj WHERE vec_id = {_QUERY_ID}),
+scored AS (
+  SELECT c.vec_id,
+         {d2p} AS d2_proj,
+         {l2f} AS d2_full
+  FROM proj c, q
+  WHERE c.vec_id <> {_QUERY_ID}
+),
+ranked AS (
+  SELECT vec_id, d2_proj, d2_full,
+         ROW_NUMBER() OVER (ORDER BY d2_proj, vec_id) AS proj_rank,
+         ROW_NUMBER() OVER (ORDER BY d2_full, vec_id) AS full_rank
+  FROM scored
+)
+SELECT proj_rank, vec_id, d2_proj, d2_full,
+       CASE WHEN full_rank <= {_TOP_K} THEN 1 ELSE 0 END AS in_full_topk
+FROM ranked WHERE proj_rank <= {_TOP_K}
+ORDER BY proj_rank
+"""
+
+
+SQL_RANDOM_PROJECTION = _sql_random_projection()

@@ -314,3 +314,124 @@ def merge_stats_relations(a: DataFrame, b: DataFrame) -> DataFrame:
             F.max("max_str").alias("max_str"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Zone-map (data-skipping) effectiveness report
+# ---------------------------------------------------------------------
+
+
+def zonemap_report(
+    df: DataFrame,
+    stat_col: str,
+    order_col: str,
+    n_files: int = 64,
+    lo: int = 150,
+    hi: int = 300,
+    layout: str = "layout",
+) -> DataFrame:
+    """Per-layout zone-map pruning statistics for the predicate
+    ``stat_col BETWEEN lo AND hi``.
+
+    Rows are packed into ``n_files`` synthetic files in ``order_col``
+    order via explicit rank arithmetic ``(rn - 1) * n_files div n``
+    (NTILE's remainder rule spelled out, so every engine buckets
+    identically); per-file min/max of ``stat_col`` are the zone maps.
+    Output: one row — files pruned, rows scanned vs matched, and the
+    scan efficiency in ppm. Running it once with ``order_col`` =
+    insertion key and once with ``order_col`` = the filter column
+    quantifies what clustering buys the scan planner — the
+    data-layout decision behind Z-order/compaction at 100 TB.
+    """
+    from pyspark.sql import Window as W
+
+    filed = df.select(
+        F.col(stat_col).alias("x"),
+        F.expr(
+            f"(ROW_NUMBER() OVER (ORDER BY {order_col}, doc_id) - 1)"
+        ).alias("rn0"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    ).select(
+        "x", F.expr(f"rn0 * {n_files} div n").alias("file_id")
+    )
+    zones = filed.groupBy("file_id").agg(
+        F.min("x").alias("zmin"),
+        F.max("x").alias("zmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.expr(f"CASE WHEN x BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END")
+        ).alias("n_match"),
+    )
+    return zones.select(
+        F.lit(layout).alias("layout"),
+        F.expr(f"CASE WHEN zmax < {lo} OR zmin > {hi} THEN 0 ELSE 1 END").alias(
+            "_scanned"
+        ),
+        "n_rows",
+        "n_match",
+    ).groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.expr("1 - _scanned")).alias("files_pruned"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.expr("_scanned * n_rows")).alias("rows_scanned"),
+        F.sum("n_match").alias("rows_matched"),
+    ).select(
+        "layout",
+        "n_files",
+        "files_pruned",
+        "rows_total",
+        "rows_scanned",
+        "rows_matched",
+        F.expr(
+            "CASE WHEN rows_scanned > 0"
+            " THEN rows_matched * 1000000 div rows_scanned ELSE 0 END"
+        ).alias("efficiency_ppm"),
+    )
+
+
+def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: zone-map pruning report over documents for
+    ``n_chars BETWEEN 150 AND 300`` under the insertion-ordered layout
+    vs the n_chars-clustered layout."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = zonemap_report(docs, "n_chars", "doc_id", layout="insertion")
+    b = zonemap_report(docs, "n_chars", "n_chars", layout="clustered")
+    return a.unionByName(b).orderBy("layout")
+
+
+def _sql_zonemap_one(order_col: str, layout: str) -> str:
+    return f"""
+  SELECT '{layout}' AS layout, n_files, files_pruned, rows_total,
+         rows_scanned, rows_matched,
+         CASE WHEN rows_scanned > 0
+              THEN rows_matched * 1000000 // rows_scanned ELSE 0 END
+           AS efficiency_ppm
+  FROM (
+    SELECT COUNT(*) AS n_files,
+           CAST(SUM(1 - scanned) AS BIGINT) AS files_pruned,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(scanned * n_rows) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matched
+    FROM (
+      SELECT CASE WHEN MAX(x) < 150 OR MIN(x) > 300 THEN 0 ELSE 1 END
+               AS scanned,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN x BETWEEN 150 AND 300 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_match
+      FROM (
+        SELECT n_chars AS x,
+               (ROW_NUMBER() OVER (ORDER BY {order_col}, doc_id) - 1)
+                 * 64 // COUNT(*) OVER () AS file_id
+        FROM documents
+      ) GROUP BY file_id
+    )
+  )"""
+
+
+SQL_ZONEMAP_PRUNE = (
+    "SELECT * FROM ("
+    + _sql_zonemap_one("doc_id", "insertion")
+    + "\nUNION ALL\n"
+    + _sql_zonemap_one("n_chars", "clustered")
+    + ") ORDER BY layout"
+)

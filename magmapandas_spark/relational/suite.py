@@ -347,97 +347,73 @@ def _wrap(fn: Callable) -> Callable:
 # The correctness driver hash-verifies only the FIRST 50 entries of
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
-# Round-6 rotation — exactly 50 entries, ordered by the established
-# contract: (a) the 12 queries NEW this round (the two scale-posture
-# gates — semdedup_sharded with the cell-population guard actively
-# splitting, video_frame_decode with real MJPEG frame decode — plus
-# the retrieval/curation tier: bm25_search, line_dedup,
-# quality_classifier, dsir_importance, weighted_sample, jsonl_ingest,
-# domain_topk, inverted_index, table_stats, kmeans_refine), (b)
-# queries whose CODE changed this round (kmv two-phase bottom-k,
-# robots max-encoding verdict, bpe empty-doc fix, merge null-safe
-# oracle, quantile integer ranks, pagerank materialization, semdedup
-# guard plumbing, media_inventory + GIF dispatch, hll/cms
-# register/counter refactor for the streaming twins), then (c)
-# last-driver-green ASCENDING: all 27 queries whose last green row is
-# r3 minus its alphabetical tail (the 14 round-6 newcomers + 10
-# code-changed fill the rest; unit_conversions joins the next
-# rotation, as do plag_endmembers, stratified_sample,
-# sugawara6a_cpx, thermometers_multi, and thermometers_multi2).
-# Everything
-# past slot 50 stays covered by tests/test_oracle.py (the identical
-# check).
+# Round-7 rotation — exactly 50 entries, ordered by the established
+# contract: (a) the 12 queries NEW this round (suite8: association
+# rules, MAD outliers, bit-exact EWMA, attribution, grid-bucketed
+# spatial NN, randomized-response DP, JL projection, min-label
+# propagation, zone-map pruning report, sentence stats, chi-square
+# domain divergence, retrieval metrics), (b) queries whose CODE
+# changed this round (none — suite8 is all new modules), then (c)
+# last-driver-green ASCENDING: the full 24-query r3 cohort, then the
+# r4 cohort alphabetically through fe3fe2_solvers2 (the remaining r4
+# entries — html_extract, ivf_topk_seeded, iw_exact, jpeg_decode,
+# langid_heuristic, lsh_topk, media_features, … — rotate next round).
+# Everything past slot 50 stays covered by tests/test_oracle.py (the
+# identical check).
 _GATE_ORDER = [
-    # (a) new this round (round 6) — first green row needed; the
-    # suite7 waves lead (newest first, per the contract), and the thirteen
-    # rotated r3-cohort entries (calibration_flags, image_decode, isobar_grid,
-    # ivf_topk, kd_blundy_saper, kd_expr_models, kd_toplis_iteration,
-    # magnetite_speciation, mc_thermometer, melt_describe,
-    # melt_structure, ngram_contamination, olmelt_thermometer) rotate
-    # to next round
-    "linreg_normal",
-    "triangle_count",
-    "scd2_build",
-    "funnel_conversion",
-    "token_pmi",
-    "incremental_agg",
-    "cohort_retention",
-    "event_transitions",
-    "ab_chi2",
-    "kmv_setops",
-    "ols_multi",
-    "session_paths",
-    "incremental_join",
-    "hybrid_search",
-    "fuzzy_join",
-    "table_diff",
-    "hard_negatives",
-    "k_anonymity",
-    "semdedup_sharded",
-    "video_frame_decode",
-    "bm25_search",
-    "line_dedup",
-    "quality_classifier",
-    "dsir_importance",
-    "weighted_sample",
-    "jsonl_ingest",
-    "domain_topk",
-    "inverted_index",
-    "table_stats",
-    "kmeans_refine",
-    "stratified_weighted_sample",
-    "ann_recall",
-    "binary_topk",
-    "curated_sample",
-    "hll_join_card",
-    "validate_lineitem",
-    "skew_report",
-    # (b) code changed this round — re-verify
-    "kmv_distinct",
-    "robots_filter",
-    "bpe_tokens",
-    "merge_upsert",
-    "histogram_quantiles",
-    "pagerank",
-    "semdedup",
-    "media_inventory",
-    "hll_distinct",
-    "cms_topk",
+    # (a) new this round (round 7): suite8
+    "copurchase_lift",
+    "mad_outliers",
+    "ewma_smooth",
+    "attribution",
+    "geo_nearest",
+    "randomized_response",
+    "random_projection",
+    "label_propagation",
+    "zonemap_prune",
+    "sentence_stats",
+    "domain_divergence",
+    "retrieval_eval",
     # (c) oldest driver-green rows first: last green in r3
-    # (fe3fe2_deng2020, fe3fe2_expr_models, fe3fe2_expr_models2,
-    # fe3fe2_expr_models3, and fe3fe2_hirschmann2022 rotate to next
-    # round for hybrid_search, fuzzy_join, table_diff, hard_negatives,
-    # k_anonymity)
-    "feo_fe2o3_split",
-    "fo2_buffers",
-    "ilmenite_speciation",
-    # (the r5 window's 50 rows all have r5 driver green; the remaining
-    # r4 cohort — including asof_purchase_view / below_avg_revenue /
-    # customer_ntiles / customer_order_window / customer_semi_anti /
-    # dedup_clusters / dedup_clusters_distributed / dedup_verified /
-    # doc_fingerprint / embedding_topk / event_deltas, displaced by
-    # the eleven late round-6 additions — rotates in next round; all
-    # stay under tests/test_oracle.py's identical check meanwhile)
+    "calibration_flags",
+    "fe3fe2_deng2020",
+    "fe3fe2_expr_models",
+    "fe3fe2_expr_models2",
+    "fe3fe2_expr_models3",
+    "fe3fe2_hirschmann2022",
+    "image_decode",
+    "isobar_grid",
+    "ivf_topk",
+    "kd_blundy_saper",
+    "kd_expr_models",
+    "kd_toplis_iteration",
+    "magnetite_speciation",
+    "mc_thermometer",
+    "melt_describe",
+    "melt_structure",
+    "ngram_contamination",
+    "olmelt_thermometer",
+    "plag_endmembers",
+    "stratified_sample",
+    "sugawara6a_cpx",
+    "thermometers_multi",
+    "thermometers_multi2",
+    "unit_conversions",
+    # last green in r4 (alphabetical; remainder rotates next round)
+    "asof_purchase_view",
+    "below_avg_revenue",
+    "customer_ntiles",
+    "customer_order_window",
+    "customer_semi_anti",
+    "dedup_clusters",
+    "dedup_clusters_distributed",
+    "dedup_verified",
+    "doc_fingerprint",
+    "embedding_topk",
+    "event_deltas",
+    "events_json",
+    "fe3fe2_errors",
+    "fe3fe2_solvers2",
 ]
 
 
@@ -455,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         suite5,
         suite6,
         suite7,
+        suite8,
     )
 
     out = {
@@ -469,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(suite5.queries())
     out.update(suite6.queries())
     out.update(suite7.queries())
+    out.update(suite8.queries())
     return {k: _wrap(v) for k, v in _gate_sorted(out).items()}
 
 
@@ -480,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         suite5,
         suite6,
         suite7,
+        suite8,
     )
 
     out = {
@@ -494,4 +473,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(suite5.oracle_sql())
     out.update(suite6.oracle_sql())
     out.update(suite7.oracle_sql())
+    out.update(suite8.oracle_sql())
     return _gate_sorted(out)
