@@ -87,11 +87,16 @@ def copurchase_lift(
             ).alias("conf_ppm"),
         )
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps merged on the driver — no single-partition sort window
+    # over the full pair relation); the dense rank is then a window
+    # over the k surviving rows only.
+    top = scored.orderBy(
+        F.desc("lift_ppm"), F.desc("n_ab"), "a", "b"
+    ).limit(top_k)
     w = Window.orderBy(F.desc("lift_ppm"), F.desc("n_ab"), "a", "b")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .orderBy("rank")
+        top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
     )
 
 

@@ -453,16 +453,19 @@ def min_label_propagation(
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate query: 4-round min-label communities over the synthetic
-    400-node link graph — top-20 communities by size, exact integers."""
-    labels = min_label_propagation(synthetic_tri_graph(spark), rounds=4)
+    """Gate query: 2-round min-label communities over the synthetic
+    400-node link graph — top-20 communities by size, exact integers.
+    Two rounds leave 14 mid-merge communities (4 rounds fully collapse
+    this dense graph to one label — no gate signal)."""
+    labels = min_label_propagation(synthetic_tri_graph(spark), rounds=2)
     sizes = labels.groupBy("community").agg(
         F.count(F.lit(1)).alias("size")
     )
+    # distributed top-k (orderBy+limit), then rank the 20 survivors
+    top = sizes.orderBy(F.desc("size"), "community").limit(20)
     w = Window.orderBy(F.desc("size"), "community")
     return (
-        sizes.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "community", "size")
         .orderBy("rank")
     )
@@ -507,4 +510,4 @@ ORDER BY rank
 """
 
 
-SQL_LABEL_PROPAGATION = _sql_label_propagation()
+SQL_LABEL_PROPAGATION = _sql_label_propagation(rounds=2)

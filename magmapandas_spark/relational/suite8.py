@@ -24,8 +24,10 @@ Twelve additions, each with a full exact oracle:
 - ``random_projection`` — Achlioptas +-1 JL projection 64 -> 8 dims
   inside the scan; projected top-20 with full-space distances and
   recall flags, doubles bit-exact via +-1.0 multiplies.
-- ``label_propagation`` — 4-round synchronous min-label communities
-  (the bounded-round, unrolled-oracle twin of the converged CC loop).
+- ``label_propagation`` — 2-round synchronous min-label communities
+  (the bounded-round, unrolled-oracle twin of the converged CC loop;
+  two rounds leave the dense gate graph mid-merge — 14 communities —
+  where four collapse it to one label and no signal).
 - ``zonemap_prune`` — data-skipping effectiveness report: zone maps
   under insertion-ordered vs filter-column-clustered layouts — the
   measurement behind compaction/Z-order decisions.

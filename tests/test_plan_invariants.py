@@ -520,3 +520,86 @@ def test_table_diff_join_is_digest_narrow(spark):
     assert "md5" in plan
     # the FULL OUTER join exists and is keyed on the merge key
     assert "FullOuter" in plan
+
+
+# -- round-7 wave (suite8) --------------------------------------------
+
+
+def test_copurchase_topk_is_takeordered(spark):
+    """Global top-50 rules come from orderBy+limit (distributed
+    TakeOrdered), never a single-partition sort window over the full
+    pair relation; the only nested-loop join is the 1-row order-count
+    broadcast."""
+    from magmapandas_spark.operators.assoc import q_copurchase_lift
+
+    plan = plan_of(q_copurchase_lift(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_label_propagation_topk_is_takeordered(spark):
+    from magmapandas_spark.operators.graph import q_label_propagation
+
+    plan = plan_of(q_label_propagation(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geo_nearest_is_hash_equi_join(spark):
+    """The spatial join is an equi-join on the grid cell (hash join),
+    never a nested-loop theta join on distance."""
+    from magmapandas_spark.operators.spatial import q_geo_nearest
+
+    plan = plan_of(q_geo_nearest(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_randomized_response_is_one_aggregation(spark):
+    """The DP mechanism is scan-local: one shuffle (the group-by),
+    no joins, no windows."""
+    from magmapandas_spark.operators.privacy import q_randomized_response
+
+    plan = plan_of(q_randomized_response(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_ewma_is_single_window_no_join(spark):
+    from magmapandas_spark.operators.robust import q_ewma_smooth
+
+    plan = plan_of(q_ewma_smooth(spark, SF))
+    assert "Join" not in plan
+    # exactly one window pass computes all 16 lags
+    assert plan.count("Window") == 1
+
+
+def test_projection_is_scan_local(spark):
+    """The 8 projected coordinates are computed inside the scan
+    stage: no exchange between the parquet scan and the projection."""
+    from magmapandas_spark.operators.projection import project_embeddings
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(project_embeddings(emb))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_sentence_stats_no_join(spark):
+    from magmapandas_spark.operators.curation import q_sentence_stats
+
+    plan = plan_of(q_sentence_stats(spark, SF))
+    assert "Join" not in plan
+    # the explode carries sentence LENGTHS onward, not bodies: the
+    # post-explode project keeps only (doc_id, source, length(s))
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_joins_are_keyed(spark):
+    from magmapandas_spark.operators.analytics import q_attribution
+
+    plan = plan_of(q_attribution(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
