@@ -1137,3 +1137,91 @@ SELECT model, channel, n_conversions, revenue,
 FROM agg
 ORDER BY model, channel
 """
+
+
+# ---------------------------------------------------------------------
+# RFM (recency / frequency / monetary) customer segmentation
+# ---------------------------------------------------------------------
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """Classic RFM segmentation: per customer, recency (last order
+    epoch), frequency (order count), monetary (exact decimal spend);
+    each metric quintile-binned 1-5 by explicit rank arithmetic
+    ``1 + (rank - 1) · 5 div n`` under a total order with the customer
+    key as tie-break (NTILE's remainder rule spelled out — every
+    engine bins identically). Output: distribution of the 3-digit
+    RFM segment codes.
+
+    Scale posture: the three rank windows are global sorts — the
+    exact-quantile correctness twin. At 100 TB bin edges come from the
+    mergeable histogram sketch (operators/quantiles.py) and binning
+    becomes a scan-local expression; the gate keeps exact ranks so the
+    oracle is plain window SQL.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "r_us"
+        ),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"),
+    )
+    w_r = Window.orderBy("r_us", "o_custkey")
+    w_f = Window.orderBy("freq", "o_custkey")
+    w_m = Window.orderBy("spend", "o_custkey")
+    n = Window.partitionBy()
+    binned = per_cust.select(
+        "o_custkey",
+        F.row_number().over(w_r).alias("rr"),
+        F.row_number().over(w_f).alias("rf"),
+        F.row_number().over(w_m).alias("rm"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    ).select(
+        F.expr("1 + (rr - 1) * 5 div n").alias("r_bin"),
+        F.expr("1 + (rf - 1) * 5 div n").alias("f_bin"),
+        F.expr("1 + (rm - 1) * 5 div n").alias("m_bin"),
+    )
+    return (
+        binned.select(
+            F.expr("r_bin * 100 + f_bin * 10 + m_bin").alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: RFM segment-code distribution over orders."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    return rfm_segments(orders)
+
+
+SQL_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS r_us,
+         COUNT(*) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER (ORDER BY r_us, o_custkey) AS rr,
+         ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS rf,
+         ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS rm,
+         COUNT(*) OVER () AS n
+  FROM per_cust
+),
+binned AS (
+  SELECT 1 + (rr - 1) * 5 // n AS r_bin,
+         1 + (rf - 1) * 5 // n AS f_bin,
+         1 + (rm - 1) * 5 // n AS m_bin
+  FROM ranked
+)
+SELECT CAST(r_bin * 100 + f_bin * 10 + m_bin AS BIGINT) AS segment,
+       COUNT(*) AS n_customers
+FROM binned
+GROUP BY 1
+ORDER BY segment
+"""

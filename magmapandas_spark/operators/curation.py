@@ -937,3 +937,215 @@ FROM ranked
 GROUP BY source, n_tokens
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------
+# Bigram language-model fluency scoring
+# ---------------------------------------------------------------------
+
+
+def bigram_lm_score(docs: DataFrame, top_k: int = 30) -> DataFrame:
+    """Per-document fluency under a corpus bigram LM, ln-free.
+
+    Every adjacent token pair scores the integer conditional
+    probability ``c(ab) · 10⁶ div c(a)`` (bigram count over head-token
+    unigram count — both from the corpus itself, so every observed
+    bigram has support ≥ 1); the document score is the integer mean
+    over its bigrams. The log-domain sum is monotone in this rational
+    mean for ranking purposes, and the rational form hashes exactly
+    (same discipline as token_pmi).
+
+    Plan: bigram arrays are built scan-locally (transform over an
+    index sequence — only (doc, bigram) rows explode), corpus counts
+    are two word-count aggregations, and scoring is two hash joins
+    against vocabulary-sized relations. Top-k via orderBy+limit.
+    """
+    toks = docs.select(
+        "doc_id", word_tokens("text").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "bg",
+        F.expr("split(bg, ' ')[0]").alias("head"),
+    )
+    c_bg = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    unis = docs.select(F.explode(word_tokens("text")).alias("tok"))
+    c_uni = unis.groupBy("tok").agg(F.count(F.lit(1)).alias("c_a"))
+    scored = (
+        bigrams.join(c_bg, "bg")
+        .join(c_uni.withColumnRenamed("tok", "head"), "head")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("c_ab * 1000000 div c_a")).alias("_psum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("_psum div n_bigrams").alias("score_ppm"),
+        )
+    )
+    top = scored.orderBy(F.desc("score_ppm"), "doc_id").limit(top_k)
+    return top.orderBy(F.desc("score_ppm"), "doc_id")
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: top-30 most-fluent documents under the corpus
+    bigram LM — exact integer ppm scores."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_lm_score(docs)
+
+
+SQL_BIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+bg2 AS (
+  SELECT doc_id, bg, str_split(bg, ' ')[1] AS head FROM bigrams
+),
+c_bg AS (SELECT bg, COUNT(*) AS c_ab FROM bg2 GROUP BY bg),
+unis AS (
+  SELECT UNNEST(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+c_uni AS (SELECT tok, COUNT(*) AS c_a FROM unis GROUP BY tok),
+scored AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(c.c_ab * 1000000 // u.c_a) AS BIGINT) AS psum
+  FROM bg2 b
+  JOIN c_bg c ON c.bg = b.bg
+  JOIN c_uni u ON u.tok = b.head
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, psum // n_bigrams AS score_ppm
+FROM scored
+ORDER BY score_ppm DESC, doc_id
+LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------
+# Group-aware k-fold split assignment
+# ---------------------------------------------------------------------
+
+
+def kfold_split(
+    events: DataFrame,
+    group_col: str = "user_id",
+    k: int = 5,
+    salt: str = "kf7",
+) -> DataFrame:
+    """Group-hash k-fold assignment with a leakage audit column.
+
+    Folds are assigned by md5 of the GROUP key (never the row), so
+    every row of a user lands in one fold — the split that prevents
+    per-user leakage between train and eval slices. Output per fold:
+    rows, distinct groups, purchase-share ppm (a balance check), and
+    ``leaked_groups`` — the count of groups seen in more than one
+    fold, which this construction makes identically zero and the
+    oracle re-derives rather than trusts.
+
+    Plan: fold id is a scan-local hash expression; one fold-keyed
+    aggregation plus one constant-size (k rows) audit join.
+    """
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.col(group_col).cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % k
+    )
+    rows = events.select(
+        fold.alias("fold"),
+        F.col(group_col).alias("grp"),
+        F.col("event_type"),
+    )
+    per_fold = rows.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("grp").alias("n_groups"),
+        F.sum(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        ).alias("_n_purch"),
+    )
+    leaks = (
+        rows.select("grp", "fold")
+        .distinct()
+        .groupBy("grp")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .select(
+            F.sum(F.expr("CASE WHEN nf > 1 THEN 1 ELSE 0 END")).alias(
+                "leaked_groups"
+            )
+        )
+    )
+    return (
+        per_fold.crossJoin(F.broadcast(leaks))
+        .select(
+            "fold",
+            "n_rows",
+            "n_groups",
+            F.expr("_n_purch * 1000000 div n_rows").alias("purchase_ppm"),
+            "leaked_groups",
+        )
+        .orderBy("fold")
+    )
+
+
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: group-hash 5-fold split of events with the
+    leakage audit re-derived under the hash."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kfold_split(ev)
+
+
+SQL_KFOLD_SPLIT = """
+WITH rows_f AS (
+  SELECT ('0x' || substr(md5('kf7' || CAST(user_id AS VARCHAR)), 1, 12))
+           ::BIGINT % 5 AS fold,
+         user_id AS grp, event_type
+  FROM events
+),
+per_fold AS (
+  SELECT fold, COUNT(*) AS n_rows, COUNT(DISTINCT grp) AS n_groups,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purch
+  FROM rows_f GROUP BY fold
+),
+leaks AS (
+  SELECT CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS leaked_groups
+  FROM (SELECT grp, COUNT(DISTINCT fold) AS nf FROM rows_f GROUP BY grp)
+)
+SELECT fold, n_rows, n_groups,
+       n_purch * 1000000 // n_rows AS purchase_ppm,
+       leaked_groups
+FROM per_fold CROSS JOIN leaks
+ORDER BY fold
+"""

@@ -209,3 +209,102 @@ SELECT pg.probe,
 FROM pg JOIN vocab v ON levenshtein(pg.probe, v.tok) <= 1
 ORDER BY n_probe DESC, probe, match
 """
+
+
+# ---------------------------------------------------------------------
+# Sorted-neighborhood entity resolution (SNM blocking)
+# ---------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 3,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood-method candidate pairs with exact
+    Levenshtein verify — the other classic blocking scheme beside
+    SymSpell deletion neighborhoods: sort records by a blocking key,
+    slide a fixed window, verify only in-window pairs.
+
+    Spark-first shape: the sort key is PREFIX-BLOCKED (first two
+    characters), so the rank window partitions by block and the pair
+    generation is ``window`` co-partitioned equi-joins on
+    ``(block, rank = rank - k)`` — no global sort, no single-partition
+    window, no self-cross. Pairs that straddle a prefix block are the
+    documented recall loss (multi-pass SNM with a second key closes
+    it), mirroring LSH banding's false-negative contract.
+
+    Output: verified pairs (distance ≤ ``max_dist``) with exact
+    integer distances.
+    """
+    base = df.select(
+        F.col(id_col).alias("rid"), F.col(key_col).alias("key")
+    ).distinct()
+    blocked = base.select(
+        "rid", "key", F.substring("key", 1, 2).alias("blk")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("blk").orderBy("key", "rid")
+    ranked = blocked.select(
+        "rid", "key", "blk", F.row_number().over(w).alias("rn")
+    )
+    left = ranked.select(
+        F.col("blk"),
+        F.col("rid").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    # one strict 1:1 equi-join per window offset (linear in n; a
+    # blk-only join with a range filter would be quadratic per block)
+    shifted = None
+    for k in range(1, window + 1):
+        right_k = ranked.select(
+            F.col("blk"),
+            F.col("rid").alias("id_b"),
+            F.col("key").alias("key_b"),
+            (F.col("rn") - k).alias("rn_a"),
+        )
+        part = left.join(right_k, ["blk", "rn_a"])
+        shifted = part if shifted is None else shifted.unionByName(part)
+    pairs = shifted
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "key_a",
+            "key_b",
+            F.levenshtein("key_a", "key_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") > 0)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: sorted-neighborhood near-duplicate part names
+    (window 3, Levenshtein <= 3), exact integer distances."""
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return sorted_neighborhood_pairs(parts, "p_name", "p_partkey")
+
+
+SQL_SNM_PAIRS = """
+WITH base AS (
+  SELECT DISTINCT p_partkey AS rid, p_name AS key FROM part
+),
+ranked AS (
+  SELECT rid, key, substr(key, 1, 2) AS blk,
+         ROW_NUMBER() OVER (PARTITION BY substr(key, 1, 2)
+                            ORDER BY key, rid) AS rn
+  FROM base
+)
+SELECT a.rid AS id_a, b.rid AS id_b, a.key AS key_a, b.key AS key_b,
+       CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+FROM ranked a
+JOIN ranked b ON b.blk = a.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
+WHERE levenshtein(a.key, b.key) <= 3 AND levenshtein(a.key, b.key) > 0
+ORDER BY id_a, id_b
+"""

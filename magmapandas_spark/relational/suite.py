@@ -348,16 +348,18 @@ def _wrap(fn: Callable) -> Callable:
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
 # Round-7 rotation — exactly 50 entries, ordered by the established
-# contract: (a) the 12 queries NEW this round (suite8: association
+# contract: (a) the 17 queries NEW this round (suite8: association
 # rules, MAD outliers, bit-exact EWMA, attribution, grid-bucketed
 # spatial NN, randomized-response DP, JL projection, min-label
 # propagation, zone-map pruning report, sentence stats, chi-square
-# domain divergence, retrieval metrics), (b) queries whose CODE
-# changed this round (none — suite8 is all new modules), then (c)
-# last-driver-green ASCENDING: the full 24-query r3 cohort, then the
-# r4 cohort alphabetically through fe3fe2_solvers2 (the remaining r4
-# entries — html_extract, ivf_topk_seeded, iw_exact, jpeg_decode,
-# langid_heuristic, lsh_topk, media_features, … — rotate next round).
+# domain divergence, retrieval metrics; suite9: skyline, sorted-
+# neighborhood pairs, bigram LM, k-fold split, RFM segments), (b)
+# queries whose CODE changed this round (none — all new modules),
+# then (c) last-driver-green ASCENDING: the full 24-query r3 cohort,
+# then the r4 cohort alphabetically through doc_fingerprint (the
+# remaining r4 entries — embedding_topk, event_deltas, events_json,
+# fe3fe2_errors, fe3fe2_solvers2, html_extract, ivf_topk_seeded,
+# iw_exact, jpeg_decode, langid_heuristic, … — rotate next round).
 # Everything past slot 50 stays covered by tests/test_oracle.py (the
 # identical check).
 _GATE_ORDER = [
@@ -374,6 +376,11 @@ _GATE_ORDER = [
     "sentence_stats",
     "domain_divergence",
     "retrieval_eval",
+    "skyline_parts",
+    "snm_pairs",
+    "bigram_lm",
+    "kfold_split",
+    "rfm_segments",
     # (c) oldest driver-green rows first: last green in r3
     "calibration_flags",
     "fe3fe2_deng2020",
@@ -409,11 +416,6 @@ _GATE_ORDER = [
     "dedup_clusters_distributed",
     "dedup_verified",
     "doc_fingerprint",
-    "embedding_topk",
-    "event_deltas",
-    "events_json",
-    "fe3fe2_errors",
-    "fe3fe2_solvers2",
 ]
 
 
@@ -432,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         suite6,
         suite7,
         suite8,
+        suite9,
     )
 
     out = {
@@ -447,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(suite6.queries())
     out.update(suite7.queries())
     out.update(suite8.queries())
+    out.update(suite9.queries())
     return {k: _wrap(v) for k, v in _gate_sorted(out).items()}
 
 
@@ -459,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         suite6,
         suite7,
         suite8,
+        suite9,
     )
 
     out = {
@@ -474,4 +479,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(suite6.oracle_sql())
     out.update(suite7.oracle_sql())
     out.update(suite8.oracle_sql())
+    out.update(suite9.oracle_sql())
     return _gate_sorted(out)

@@ -1,0 +1,56 @@
+"""Correctness-suite part 9 (round 7, second wave): multi-criteria
+shortlisting, blocking-based entity resolution, LM fluency scoring,
+ML split hygiene, and customer segmentation.
+
+- ``skyline_parts`` — Pareto frontier via the sort-based linear level
+  pass (no quadratic NOT EXISTS self-join); strict-in-one dominance
+  property-tested against brute force.
+- ``snm_pairs`` — sorted-neighborhood entity resolution: prefix-
+  blocked rank windows + one strict 1:1 equi-join per window offset,
+  exact Levenshtein verify (the second blocking family beside
+  SymSpell deletion neighborhoods).
+- ``bigram_lm`` — corpus bigram-LM fluency in exact integer ppm
+  (rational conditional probabilities, no ln).
+- ``kfold_split`` — group-hash k-fold assignment whose leakage audit
+  is re-derived under the hash, not asserted.
+- ``rfm_segments`` — recency/frequency/monetary quintile segmentation
+  with NTILE's remainder rule spelled out as rank arithmetic.
+"""
+
+from __future__ import annotations
+
+
+def queries():
+    from magmapandas_spark.operators.analytics import q_rfm_segments
+    from magmapandas_spark.operators.curation import (
+        q_bigram_lm,
+        q_kfold_split,
+    )
+    from magmapandas_spark.operators.fuzzy import q_snm_pairs
+    from magmapandas_spark.operators.skyline import q_skyline_parts
+
+    return {
+        "skyline_parts": q_skyline_parts,
+        "snm_pairs": q_snm_pairs,
+        "bigram_lm": q_bigram_lm,
+        "kfold_split": q_kfold_split,
+        "rfm_segments": q_rfm_segments,
+    }
+
+
+def oracle_sql():
+    from magmapandas_spark.operators.analytics import SQL_RFM_SEGMENTS
+    from magmapandas_spark.operators.curation import (
+        SQL_BIGRAM_LM,
+        SQL_KFOLD_SPLIT,
+    )
+    from magmapandas_spark.operators.fuzzy import SQL_SNM_PAIRS
+    from magmapandas_spark.operators.skyline import SQL_SKYLINE_PARTS
+
+    return {
+        "skyline_parts": SQL_SKYLINE_PARTS,
+        "snm_pairs": SQL_SNM_PAIRS,
+        "bigram_lm": SQL_BIGRAM_LM,
+        "kfold_split": SQL_KFOLD_SPLIT,
+        "rfm_segments": SQL_RFM_SEGMENTS,
+    }
