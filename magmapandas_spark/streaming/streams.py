@@ -894,3 +894,84 @@ def streaming_merge_ingest(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+# ---------------------------------------------------------------------
+# Streaming EWMA — the stateful twin of operators/robust.ewma_smooth
+# ---------------------------------------------------------------------
+
+
+def streaming_ewma(events: DataFrame) -> DataFrame:
+    """Per-user streaming EWMA via ``applyInPandasWithState``.
+
+    State is the user's most-recent 15 values (newest first). Each
+    arriving row replays the batch operator's EXACT left-associated
+    weight tree (operators/robust._ewma_expr) in Python floats — same
+    literals, same order, same COALESCE-zero terms — so every streamed
+    ``ewma`` double is BIT-EQUAL to the batch window's, not just
+    approximately right (the streaming-twin discipline of this
+    module). In-order ingest per user is the contract, as for the
+    transitions fold: micro-batch boundaries may split a user's
+    series anywhere, but files must replay in event-time order.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from magmapandas_spark.operators.robust import (
+        _EWMA_LAGS,
+        _ewma_weights,
+    )
+
+    ws = _ewma_weights()
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("recent", T.ArrayType(T.DoubleType()))]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        recent = list(state.get[0]) if state.exists else []
+        eids, vals, ews = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x, eid in zip(pdf["value"], pdf["event_id"]):
+                x = float(x)
+                win = [x] + recent
+                num = 0.0
+                den = 0.0
+                for j in range(_EWMA_LAGS):
+                    if j < len(win):
+                        num = num + win[j] * ws[j]
+                        den = den + ws[j]
+                    else:
+                        # replay COALESCE(l_j, 0e0) * w and the CASE
+                        # NULL -> 0e0 branch exactly (exact no-ops)
+                        num = num + 0.0 * ws[j]
+                        den = den + 0.0
+                eids.append(int(eid))
+                vals.append(x)
+                ews.append(num / den)
+                recent = ([x] + recent)[: _EWMA_LAGS - 1]
+        state.update((recent,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(eids),
+                "event_id": eids,
+                "value": vals,
+                "ewma": ews,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

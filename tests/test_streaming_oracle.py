@@ -593,3 +593,45 @@ def test_streaming_cdc_merge_matches_sequential_batch(spark):
     assert winners and all(s == "D2" for s in winners.values())
     for d in (src, out):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_ewma_bit_equal_to_batch(spark):
+    """Streamed EWMA doubles are bit-identical to the batch window's
+    (same literals, same fold order), across micro-batch boundaries
+    that split user series."""
+    from magmapandas_spark.operators.robust import ewma_smooth
+    from magmapandas_spark.streaming.streams import (
+        run_stream_to_memory,
+        streaming_ewma,
+    )
+
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter("user_id % 97 = 0")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    src = _time_ordered_stage(spark, batch, 3, ["ts", "event_id"])
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    got = (
+        run_stream_to_memory(
+            streaming_ewma(stream), "ewma_stream", output_mode="update"
+        )
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        ewma_smooth(batch)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["event_id"] == exp["event_id"]).all()
+    # BIT equality, not approx
+    assert (
+        got["ewma"].to_numpy() == exp["ewma"].to_numpy()
+    ).all()
+    shutil.rmtree(src, ignore_errors=True)
