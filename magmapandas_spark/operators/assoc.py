@@ -42,18 +42,36 @@ def copurchase_lift(
     the larger antecedent count is reported (confidence of the more
     frequent item recommending the rarer one).
     """
-    basket = lineitem.select(
-        F.col(order_col).alias("o"), F.col(item_col).alias("item")
-    ).distinct()
+    from magmapandas_spark.operators.dedup import fan_out
 
-    n_orders = basket.select(F.countDistinct("o").alias("n_orders"))
-    item_n = basket.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    # ONE order-keyed shuffle builds per-order sorted item sets
+    # (collect_set partial-aggregates map-side); pairs are then
+    # generated SCAN-LOCALLY from each array (≤ C(basket,2) per order,
+    # capped by the basket bound) — no self-join. Item frequencies and
+    # the order count are re-aggregations of the same baskets.
+    baskets = (
+        fan_out(lineitem)
+        .select(F.col(order_col).alias("o"), F.col(item_col).alias("item"))
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .localCheckpoint(eager=False)
+    )
+    n_orders = baskets.select(F.count(F.lit(1)).alias("n_orders"))
+    item_n = baskets.select(
+        F.explode("items").alias("item")
+    ).groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
 
-    a = basket.select(F.col("o"), F.col("item").alias("a"))
-    b = basket.select(F.col("o"), F.col("item").alias("b"))
     pairs = (
-        a.join(b, "o")
-        .filter(F.col("a") < F.col("b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) ->"
+                    " transform(slice(items, i + 2, size(items)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_support)

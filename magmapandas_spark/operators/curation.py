@@ -853,10 +853,18 @@ def domain_divergence(docs: DataFrame, max_bucket: int = 20) -> DataFrame:
         "source",
         F.explode(word_tokens("text")).alias("tok"),
     ).select("source", F.least(F.length("tok"), F.lit(max_bucket)).alias("b"))
-    csb = toks.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
-    ns = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
-    gb = toks.groupBy("b").agg(F.count(F.lit(1)).alias("g"))
-    n = toks.select(F.count(F.lit(1)).alias("n_total"))
+    # ONE token scan: the (source, bucket) counts are ≤ |sources|·21
+    # rows and every other profile is a re-aggregation of them
+    # (sums of counts == direct counts); eager-checkpointed so the
+    # four consumers don't re-explode the corpus
+    csb = (
+        toks.groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ns = csb.groupBy("source").agg(F.sum("c").alias("n_tokens"))
+    gb = csb.groupBy("b").agg(F.sum("c").alias("g"))
+    n = csb.select(F.sum("c").alias("n_total"))
     grid = ns.crossJoin(F.broadcast(gb)).join(
         csb, ["source", "b"], "left"
     ).crossJoin(F.broadcast(n))

@@ -186,7 +186,7 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation shape stays the same.
     """
     from pyspark.sql import Window
-    from magmapandas_spark.operators.projection import _l2_full
+    from magmapandas_spark.operators.projection import l2_fold
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.expr("vec_id % 100 = 7")).select(
@@ -206,7 +206,7 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "cid",
-            F.expr(_l2_full("qvec", "cvec", 0)).alias("d2"),
+            l2_fold(F.col("qvec"), F.col("cvec")).alias("d2"),
             F.expr("CASE WHEN qlabel = clabel THEN 1 ELSE 0 END").alias(
                 "rel"
             ),

@@ -63,15 +63,42 @@ def _proj_exprs(vec: str, base: int) -> list[str]:
     ]
 
 
+def _signed_sum(vec_col, signs: list[int]):
+    """Left fold of vec[i] * sign_i — the same IEEE tree as the
+    oracle's unrolled left-associated text (fold init 0.0 + t0 is
+    exact), in a compact higher-order-function form: the unrolled
+    8x64-term strings cost ~4 s of driver-side analysis per query."""
+    sarr = F.array(*[F.lit(float(s)) for s in signs])
+    prods = F.zip_with(
+        vec_col, sarr, lambda x, s: x.cast("double") * s
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_fold(a, b):
+    """Squared L2 as a left fold — bit-equal to the unrolled
+    left-associated (a[i]-b[i])^2 sum the oracle evaluates."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
 def project_embeddings(
     embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
     """Add p0..p7 projected coordinates inside the scan stage."""
-    exprs = _proj_exprs(vec_col, 0)
+    signs = _signs()
     return embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        *[F.expr(e).alias(f"p{j}") for j, e in enumerate(exprs)],
+        *[
+            _signed_sum(F.col(vec_col), signs[j]).alias(f"p{j}")
+            for j in range(_D_OUT)
+        ],
     )
 
 
@@ -102,7 +129,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.expr(d2p).alias("d2_proj"),
-            F.expr(_l2_full("embedding", "qvec", 0)).alias("d2_full"),
+            l2_fold(F.col("embedding"), F.col("qvec")).alias("d2_full"),
         )
     )
     wp = Window.orderBy("d2_proj", "vec_id")

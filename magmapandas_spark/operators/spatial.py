@@ -105,7 +105,10 @@ def grid_nearest(
             (F.col("by") + F.col("dy")).alias("cy"),
         )
     )
-    joined = p.join(c, ["cx", "cy"], "left").select(
+    # the replicated corpus side is dimension-sized (9 rows per
+    # point) — broadcast it so the probe side never shuffles; at
+    # planet scale swap to a cell-bucketed co-partitioned join
+    joined = p.join(F.broadcast(c), ["cx", "cy"], "left").select(
         "pk",
         "ck",
         (

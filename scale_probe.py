@@ -155,6 +155,9 @@ SHAPES = [
     "gram_aggregate",
     "pmi_aggregate",
     "scd2_windows",
+    "copurchase_pairs",
+    "ewma_windows",
+    "bigram_lm_chain",
     "line_dedup_scaled",
     "kmeans_refine_full",
     "semdedup_guarded",
@@ -271,6 +274,16 @@ def run_shapes(spark, sf_dir: str) -> dict[str, float]:
         "gram_aggregate": qs["ols_multi"],
         "pmi_aggregate": qs["token_pmi"],
         "scd2_windows": qs["scd2_build"],
+        # round-7 shapes: the basket-bounded pair self-join (pair
+        # volume ∝ orders because basket size is capped, so wall must
+        # track the lineitem scan), the 16-lag EWMA window over an
+        # X-times-wider user key space (one exchange, constant per-row
+        # work), and the bigram-LM chain (scan-local bigram build +
+        # two vocabulary-sized count joins — vocabulary is corpus-
+        # capped, so join build sides stay ~fixed)
+        "copurchase_pairs": qs["copurchase_lift"],
+        "ewma_windows": qs["ewma_smooth"],
+        "bigram_lm_chain": qs["bigram_lm"],
         "semdedup_guarded": _semdedup_guarded_shape,
         # round-6 close: the line-dedup shuffle chain and the
         # full-corpus Lloyd loop (fixed k·d, wall ∝ corpus)
