@@ -1225,3 +1225,210 @@ FROM binned
 GROUP BY 1
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------
+# Dominant-supplier semi-join chain (the TPC-H Q20 shape)
+# ---------------------------------------------------------------------
+
+
+def dominant_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    name_filter: str = "red",
+    share_ppm: int = 100_000,
+) -> DataFrame:
+    """Suppliers that shipped more than ``share_ppm`` of some filtered
+    part's total volume — the nested semi-join reduction shape of
+    TPC-H Q20 (filter dim → aggregate fact at two grains → ratio
+    predicate → distinct entity → enrich).
+
+    Plan: the part filter is BROADCAST into the lineitem scan (a
+    semi-join reduction — lineitem rows for other parts never leave
+    the scan stage); both aggregation grains come off that one
+    filtered relation; the ratio is integer ppm over exact decimal
+    quantity sums; the final supplier enrichment is a broadcast join
+    onto a distinct-supplier relation bounded by |suppliers|.
+    """
+    red = part.filter(
+        F.col("p_name").contains(name_filter)
+    ).select(F.col("p_partkey").alias("l_partkey"))
+    # l_quantity is integral (TPC-H: 1..50) — BIGINT arithmetic
+    # sidesteps decimal precision-promotion rules, which differ
+    # between engines when a product would exceed precision 38
+    li = lineitem.join(F.broadcast(red), "l_partkey").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q").alias("q_ps")
+    )
+    per_p = li.groupBy("l_partkey").agg(F.sum("q").alias("q_p"))
+    dominant = (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.expr(f"q_ps * 1000000 >= {share_ppm} * q_p"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+    )
+    return (
+        dominant.join(
+            F.broadcast(
+                supplier.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_name"
+                )
+            ),
+            "l_suppkey",
+        )
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_dominant_parts",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: suppliers shipping >=10% of a red part's volume —
+    the Q20 semi-join-reduction shape with exact decimal/integer
+    arithmetic."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    return dominant_suppliers(li, part, supp)
+
+
+SQL_DOMINANT_SUPPLIERS = """
+WITH red AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+),
+li AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem JOIN red ON red.p_partkey = lineitem.l_partkey
+),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(q) AS BIGINT) AS q_ps
+  FROM li GROUP BY l_partkey, l_suppkey
+),
+per_p AS (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS q_p
+          FROM li GROUP BY l_partkey),
+dominant AS (
+  SELECT ps.l_suppkey, COUNT(*) AS n_dominant_parts
+  FROM per_ps ps JOIN per_p p ON p.l_partkey = ps.l_partkey
+  WHERE ps.q_ps * 1000000 >= 100000 * p.q_p
+  GROUP BY ps.l_suppkey
+)
+SELECT d.l_suppkey AS s_suppkey, s.s_name, d.n_dominant_parts
+FROM dominant d JOIN supplier s ON s.s_suppkey = d.l_suppkey
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------
+# Winsorized robust summary
+# ---------------------------------------------------------------------
+
+
+def winsorized_stats(
+    events: DataFrame,
+    group_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group winsorized summary: values are clamped to the exact
+    p05/p95 order statistics (rank ``ceil(q·n)`` under a (value, id)
+    total order — integer rank arithmetic, no percentile builtin, no
+    interpolation) and summarized with exact decimal sums. Output:
+    n, the clamp bounds (raw data values), clip counts, and the
+    winsorized mean.
+
+    One per-group sort window locates the bounds; the clamp + mean is
+    a second scan-local pass over the same partitioning. The exact
+    twin of a sketch-based winsorization (histogram_quantiles gives
+    the mergeable bounds at 100 TB).
+    """
+    w = Window.partitionBy(group_col).orderBy(val_col, id_col)
+    ranked = events.select(
+        F.col(group_col).alias("g"),
+        F.col(val_col).alias("x"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(group_col))
+        .alias("n"),
+    )
+    bounds = ranked.filter(
+        F.expr("rn = -((-5 * n) div 100) OR rn = -((-95 * n) div 100)")
+    ).groupBy("g").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    clamped = ranked.join(F.broadcast(bounds), "g").select(
+        "g",
+        "lo",
+        "hi",
+        F.expr(
+            "CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END"
+        ).alias("cx"),
+        F.expr("CASE WHEN x < lo THEN 1 ELSE 0 END").alias("clip_lo"),
+        F.expr("CASE WHEN x > hi THEN 1 ELSE 0 END").alias("clip_hi"),
+    )
+    return (
+        clamped.groupBy("g", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("clip_lo").alias("n_clip_lo"),
+            F.sum("clip_hi").alias("n_clip_hi"),
+            F.sum(F.col("cx").cast("decimal(18,6)")).alias("_s"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            "lo",
+            "hi",
+            "n_clip_lo",
+            "n_clip_hi",
+            (F.col("_s").cast("double") / F.col("n")).alias("wins_mean"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: p05/p95-winsorized per-type value summary with
+    exact order-statistic bounds."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return winsorized_stats(ev)
+
+
+SQL_WINSORIZED_STATS = """
+WITH ranked AS (
+  SELECT event_type AS g, value AS x,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT g, MIN(x) AS lo, MAX(x) AS hi
+  FROM ranked
+  WHERE rn = -((-5 * n) // 100) OR rn = -((-95 * n) // 100)
+  GROUP BY g
+),
+clamped AS (
+  SELECT r.g, b.lo, b.hi,
+         CASE WHEN r.x < b.lo THEN b.lo
+              WHEN r.x > b.hi THEN b.hi ELSE r.x END AS cx,
+         CASE WHEN r.x < b.lo THEN 1 ELSE 0 END AS clip_lo,
+         CASE WHEN r.x > b.hi THEN 1 ELSE 0 END AS clip_hi
+  FROM ranked r JOIN bounds b ON b.g = r.g
+)
+SELECT g AS event_type, COUNT(*) AS n, lo, hi,
+       CAST(SUM(clip_lo) AS BIGINT) AS n_clip_lo,
+       CAST(SUM(clip_hi) AS BIGINT) AS n_clip_hi,
+       CAST(SUM(CAST(cx AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS wins_mean
+FROM clamped
+GROUP BY g, lo, hi
+ORDER BY event_type
+"""

@@ -1,0 +1,158 @@
+"""Exact set-similarity join via prefix filtering (AllPairs/PPJoin
+family; beyond-reference surface).
+
+The OTHER exact dedup join beside brute force: for Jaccard >= tau,
+order every document's shingle set by GLOBAL rarity (document
+frequency ascending) and keep only the first
+``s - ceil(tau * s) + 1`` elements as its prefix. Two sets with
+Jaccard >= tau MUST share a prefix element (pigeonhole on the
+rarest-first order), so candidates come from one equi-join on the
+prefix token — zero false negatives, unlike MinHash-LSH banding
+(whose recall is probabilistic). Verification computes exact
+intersection counts over candidates only.
+
+Everything is integer/string exact: ceil(tau*s) is computed in
+integer arithmetic with tau as a rational (3/5), Jaccard as integer
+ppm — the whole pipeline hashes.
+
+Scale posture: document frequencies and ranks form a vocabulary-sized
+dictionary (broadcast at crawl scale); prefix explode emits
+O(0.4 * |set|) rows per doc; the candidate join is keyed on the
+prefix rank whose fan-out the rarity order minimizes (the AllPairs
+guarantee: rarest tokens have the smallest posting lists); the verify
+join touches candidates only. The global rank window over the
+vocabulary is dictionary-sized, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from magmapandas_spark.operators.curation import word_ngrams, word_tokens
+
+__all__ = ["setjoin_jaccard", "q_setsim_join", "SQL_SETSIM_JOIN"]
+
+#: tau = NUM/DEN (rational so prefix lengths are exact integers)
+_TAU_NUM, _TAU_DEN = 3, 5
+_TAU_PPM = 600_000
+
+
+def setjoin_jaccard(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """All pairs of documents with shingle-set Jaccard >= 3/5, found
+    by prefix filtering and verified exactly. Returns
+    (doc_a, doc_b, n_inter, s_a, s_b, jaccard_ppm)."""
+    toks = docs.select("doc_id", word_tokens("text").alias("t"))
+    sh = toks.select(
+        "doc_id", F.explode(word_ngrams("t", ngram)).alias("g")
+    )
+    df_rel = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.orderBy("df", "g")
+    rk = df_rel.select("g", F.row_number().over(w_rank).alias("r"))
+    tr = sh.join(rk, "g").select("doc_id", "r")
+    sz = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    w_pos = Window.partitionBy("doc_id").orderBy("r")
+    pfx = (
+        tr.select(
+            "doc_id", "r", F.row_number().over(w_pos).alias("pos")
+        )
+        .join(sz, "doc_id")
+        .filter(
+            F.expr(
+                f"pos <= s - ({_TAU_NUM} * s + {_TAU_DEN - 1})"
+                f" div {_TAU_DEN} + 1"
+            )
+        )
+        .select("doc_id", "r")
+    )
+    cand = (
+        pfx.alias("pa")
+        .join(pfx.alias("pb"), F.expr("pa.r = pb.r AND pa.doc_id < pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("a"), F.col("pb.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    ta = tr.select(F.col("doc_id").alias("a"), F.col("r").alias("ra"))
+    tb = tr.select(F.col("doc_id").alias("b2"), F.col("r").alias("rb"))
+    inter = (
+        cand.join(ta, "a")
+        .join(
+            tb,
+            (F.col("b") == F.col("b2")) & (F.col("ra") == F.col("rb")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("a"), F.col("s").alias("s_a"))
+    sb = sz.select(F.col("doc_id").alias("b"), F.col("s").alias("s_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "n_inter",
+            "s_a",
+            "s_b",
+            F.expr(
+                "n_inter * 1000000 div (s_a + s_b - n_inter)"
+            ).alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= _TAU_PPM)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: exact Jaccard >= 0.6 document pairs via prefix
+    filtering over 3-word shingles — the zero-false-negative dedup
+    join, every column an exact integer."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return setjoin_jaccard(docs)
+
+
+SQL_SETSIM_JOIN = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+  FROM toks WHERE len(t) >= 3
+),
+df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+rk AS (SELECT g, ROW_NUMBER() OVER (ORDER BY df, g) AS r FROM df),
+tr AS (SELECT doc_id, r FROM sh JOIN rk USING (g)),
+sz AS (SELECT doc_id, COUNT(*) AS s FROM tr GROUP BY doc_id),
+pfx AS (
+  SELECT p.doc_id, p.r FROM (
+    SELECT doc_id, r,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY r) AS pos
+    FROM tr) p JOIN sz ON sz.doc_id = p.doc_id
+  WHERE p.pos <= sz.s - ({_TAU_NUM} * sz.s + {_TAU_DEN - 1})
+                   // {_TAU_DEN} + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM pfx a JOIN pfx b ON a.r = b.r AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN tr t1 ON t1.doc_id = c.a
+  JOIN tr t2 ON t2.doc_id = c.b AND t2.r = t1.r
+  GROUP BY c.a, c.b
+)
+SELECT i.a AS doc_a, i.b AS doc_b, i.n_inter, sa.s AS s_a, sb.s AS s_b,
+       i.n_inter * 1000000 // (sa.s + sb.s - i.n_inter) AS jaccard_ppm
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.a
+JOIN sz sb ON sb.doc_id = i.b
+WHERE i.n_inter * 1000000 // (sa.s + sb.s - i.n_inter) >= {_TAU_PPM}
+ORDER BY doc_a, doc_b
+"""

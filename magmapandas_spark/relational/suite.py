@@ -348,7 +348,7 @@ def _wrap(fn: Callable) -> Callable:
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
 # Round-7 rotation — exactly 50 entries, ordered by the established
-# contract: (a) the 17 queries NEW this round (suite8: association
+# contract: (a) the 20 queries NEW this round (suite8: association
 # rules, MAD outliers, bit-exact EWMA, attribution, grid-bucketed
 # spatial NN, randomized-response DP, JL projection, min-label
 # propagation, zone-map pruning report, sentence stats, chi-square
@@ -356,10 +356,11 @@ def _wrap(fn: Callable) -> Callable:
 # neighborhood pairs, bigram LM, k-fold split, RFM segments), (b)
 # queries whose CODE changed this round (none — all new modules),
 # then (c) last-driver-green ASCENDING: the full 24-query r3 cohort,
-# then the r4 cohort alphabetically through doc_fingerprint (the
-# remaining r4 entries — embedding_topk, event_deltas, events_json,
-# fe3fe2_errors, fe3fe2_solvers2, html_extract, ivf_topk_seeded,
-# iw_exact, jpeg_decode, langid_heuristic, … — rotate next round).
+# then the r4 cohort alphabetically through dedup_clusters (the
+# remaining r4 entries — dedup_clusters_distributed, dedup_verified,
+# doc_fingerprint, embedding_topk, event_deltas, events_json,
+# fe3fe2_errors, fe3fe2_solvers2, html_extract, … — rotate next
+# round).
 # Everything past slot 50 stays covered by tests/test_oracle.py (the
 # identical check).
 _GATE_ORDER = [
@@ -381,6 +382,9 @@ _GATE_ORDER = [
     "bigram_lm",
     "kfold_split",
     "rfm_segments",
+    "setsim_join",
+    "dominant_suppliers",
+    "winsorized_stats",
     # (c) oldest driver-green rows first: last green in r3
     "calibration_flags",
     "fe3fe2_deng2020",
@@ -413,9 +417,6 @@ _GATE_ORDER = [
     "customer_order_window",
     "customer_semi_anti",
     "dedup_clusters",
-    "dedup_clusters_distributed",
-    "dedup_verified",
-    "doc_fingerprint",
 ]
 
 

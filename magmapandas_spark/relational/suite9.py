@@ -15,6 +15,19 @@ ML split hygiene, and customer segmentation.
   is re-derived under the hash, not asserted.
 - ``rfm_segments`` — recency/frequency/monetary quintile segmentation
   with NTILE's remainder rule spelled out as rank arithmetic.
+
+Third wave:
+
+- ``setsim_join`` — EXACT set-similarity join via prefix filtering
+  (AllPairs/PPJoin family): rarity-ordered shingle prefixes make
+  Jaccard >= 3/5 pairs share a prefix element (pigeonhole — zero
+  false negatives, unlike LSH banding), candidates from one equi-join,
+  exact intersection verify, all integer ppm.
+- ``dominant_suppliers`` — the TPC-H Q20 nested semi-join-reduction
+  shape (broadcast dim filter into the fact scan, two aggregation
+  grains, BIGINT ratio predicate, enrichment join).
+- ``winsorized_stats`` — p05/p95 winsorized summaries with exact
+  order-statistic bounds and decimal-exact means.
 """
 
 from __future__ import annotations
@@ -26,7 +39,12 @@ def queries():
         q_bigram_lm,
         q_kfold_split,
     )
+    from magmapandas_spark.operators.analytics import (
+        q_dominant_suppliers,
+        q_winsorized_stats,
+    )
     from magmapandas_spark.operators.fuzzy import q_snm_pairs
+    from magmapandas_spark.operators.setjoin import q_setsim_join
     from magmapandas_spark.operators.skyline import q_skyline_parts
 
     return {
@@ -35,6 +53,9 @@ def queries():
         "bigram_lm": q_bigram_lm,
         "kfold_split": q_kfold_split,
         "rfm_segments": q_rfm_segments,
+        "setsim_join": q_setsim_join,
+        "dominant_suppliers": q_dominant_suppliers,
+        "winsorized_stats": q_winsorized_stats,
     }
 
 
@@ -44,7 +65,12 @@ def oracle_sql():
         SQL_BIGRAM_LM,
         SQL_KFOLD_SPLIT,
     )
+    from magmapandas_spark.operators.analytics import (
+        SQL_DOMINANT_SUPPLIERS,
+        SQL_WINSORIZED_STATS,
+    )
     from magmapandas_spark.operators.fuzzy import SQL_SNM_PAIRS
+    from magmapandas_spark.operators.setjoin import SQL_SETSIM_JOIN
     from magmapandas_spark.operators.skyline import SQL_SKYLINE_PARTS
 
     return {
@@ -53,4 +79,7 @@ def oracle_sql():
         "bigram_lm": SQL_BIGRAM_LM,
         "kfold_split": SQL_KFOLD_SPLIT,
         "rfm_segments": SQL_RFM_SEGMENTS,
+        "setsim_join": SQL_SETSIM_JOIN,
+        "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
+        "winsorized_stats": SQL_WINSORIZED_STATS,
     }

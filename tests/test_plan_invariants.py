@@ -603,3 +603,25 @@ def test_attribution_joins_are_keyed(spark):
     plan = plan_of(q_attribution(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_setsim_join_no_cartesian(spark):
+    """Candidate generation is the prefix-rank equi-join; verify and
+    enrichment are keyed joins — nothing nested-loop."""
+    from magmapandas_spark.operators.setjoin import q_setsim_join
+
+    plan = plan_of(q_setsim_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dominant_suppliers_semi_reduction_is_broadcast(spark):
+    """The part filter reaches the lineitem scan side as a broadcast
+    hash join — the Q20 semi-join reduction, never a shuffle of the
+    unfiltered fact."""
+    from magmapandas_spark.operators.analytics import q_dominant_suppliers
+
+    plan = plan_of(q_dominant_suppliers(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -85,3 +85,71 @@ def test_bigram_lm_scores_bounded(spark):
     # descending by score
     s = pdf["score_ppm"].to_numpy()
     assert (s[:-1] >= s[1:]).all()
+
+
+def test_setsim_join_equals_brute_force(spark):
+    """Prefix filtering loses NO pair with Jaccard >= 3/5 (the
+    AllPairs pigeonhole guarantee), and reports exact intersections —
+    checked against brute force over all document pairs."""
+    from itertools import combinations
+
+    import re as _re
+
+    from magmapandas_spark.operators.setjoin import q_setsim_join
+
+    got = q_setsim_join(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    sets = {}
+    for _, r in docs.iterrows():
+        t = [
+            x
+            for x in _re.split("[^a-z0-9]+", str(r["text"]).lower())
+            if x != ""
+        ]
+        sets[int(r["doc_id"])] = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+    exp = {}
+    for a, b in combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        i = len(sa & sb)
+        u = len(sa) + len(sb) - i
+        if u and i * 1_000_000 // u >= 600_000:
+            exp[(a, b)] = (i, len(sa), len(sb))
+    gotmap = {
+        (int(r["doc_a"]), int(r["doc_b"])): (
+            int(r["n_inter"]),
+            int(r["s_a"]),
+            int(r["s_b"]),
+        )
+        for _, r in got.iterrows()
+    }
+    assert gotmap == exp
+
+
+def test_winsorized_stats_invariants(spark):
+    from magmapandas_spark.operators.analytics import q_winsorized_stats
+
+    pdf = q_winsorized_stats(spark, SF).toPandas()
+    assert (pdf["lo"] <= pdf["hi"]).all()
+    assert (pdf["wins_mean"] >= pdf["lo"]).all()
+    assert (pdf["wins_mean"] <= pdf["hi"]).all()
+    # ~5% clipped each side (integer-rank rounding tolerance)
+    frac_lo = pdf["n_clip_lo"] / pdf["n"]
+    frac_hi = pdf["n_clip_hi"] / pdf["n"]
+    assert (frac_lo <= 0.06).all() and (frac_hi <= 0.06).all()
+
+
+def test_dominant_suppliers_shares_verified(spark):
+    from magmapandas_spark.operators.analytics import q_dominant_suppliers
+
+    pdf = q_dominant_suppliers(spark, SF).toPandas()
+    assert (pdf["n_dominant_parts"] >= 1).all()
+    # keys resolve to real suppliers
+    supp = set(
+        spark.read.parquet(f"{SF}/supplier.parquet")
+        .toPandas()["s_suppkey"]
+    )
+    assert set(pdf["s_suppkey"]) <= supp
