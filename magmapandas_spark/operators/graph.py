@@ -511,3 +511,99 @@ ORDER BY rank
 
 
 SQL_LABEL_PROPAGATION = _sql_label_propagation(rounds=2)
+
+
+# ---------------------------------------------------------------------
+# Bounded-round k-core peeling
+# ---------------------------------------------------------------------
+
+
+def kcore_peel(edges: DataFrame, k: int = 10, rounds: int = 3) -> DataFrame:
+    """Fixed-round k-core peeling: each round recomputes degrees over
+    the surviving induced subgraph and drops nodes with degree < k.
+
+    Fixed ``rounds`` (not peel-to-fixpoint) keeps the oracle an
+    unrolled CTE chain — the same bounded-round discipline as
+    min-label propagation; the fixpoint variant is a Pregel loop of
+    the identical round body. Returns the surviving nodes with their
+    within-subgraph degree after the last round.
+
+    Scale posture: each round is one join of the symmetrized edge
+    list against the surviving-node set (semi-join shape, keyed on
+    node) and one count aggregation — no state beyond the node set.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    sym = und.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    alive = sym.select(F.col("a").alias("node")).distinct()
+    for _ in range(rounds):
+        alive = (
+            sym.join(
+                alive.select(F.col("node").alias("a")), "a"
+            )
+            .join(alive.select(F.col("node").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("a").alias("node"))
+        )
+    return (
+        sym.join(alive.select(F.col("node").alias("a")), "a")
+        .join(alive.select(F.col("node").alias("b")), "b")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("a").alias("node"), "core_degree")
+        .orderBy("node")
+    )
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: 3-round 10-core peel of the synthetic 400-node
+    link graph (400 -> 200 -> 128 -> 56 survivors) with final
+    within-core degrees, all exact integers."""
+    return kcore_peel(synthetic_tri_graph(spark), k=10, rounds=3)
+
+
+def _sql_kcore(k: int = 10, rounds: int = 3) -> str:
+    ctes = [
+        f"raw AS ({_tri_links_sql()})",
+        """und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst
+)""",
+        """sym AS (
+  SELECT u AS a, v AS b FROM und
+  UNION ALL SELECT v AS a, u AS b FROM und
+)""",
+        "n0 AS (SELECT DISTINCT a AS node FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""n{r} AS (
+  SELECT s.a AS node FROM sym s
+  JOIN n{r - 1} x ON x.node = s.a
+  JOIN n{r - 1} y ON y.node = s.b
+  GROUP BY s.a HAVING COUNT(*) >= {k}
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT s.a AS node, COUNT(*) AS core_degree
+FROM sym s
+JOIN n{rounds} x ON x.node = s.a
+JOIN n{rounds} y ON y.node = s.b
+GROUP BY s.a
+ORDER BY node
+"""
+
+
+SQL_KCORE = _sql_kcore()

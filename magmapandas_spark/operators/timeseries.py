@@ -159,3 +159,133 @@ SELECT ent AS user_id, hour_id,
 FROM w
 ORDER BY user_id, hour_id
 """
+
+
+# ---------------------------------------------------------------------
+# CUSUM rate-shift detection over hourly counts
+# ---------------------------------------------------------------------
+
+
+def cusum_hourly(
+    events,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    alarm_mult: int = 10,
+):
+    """One-sided CUSUM over per-group hourly event counts, in exact
+    BIGINT arithmetic.
+
+    The recursion ``S_i = max(0, S_{i-1} + y_i)`` is rewritten as the
+    window identity ``S_i = P_i - min(0, min_{j<=i} P_j)`` (P = running
+    prefix sum of y) — two plain running windows instead of an
+    unexpressible recursive aggregate. Deviations are scaled integers
+    ``y_i = c_i * n_hours - total`` (count deviation from the group
+    mean multiplied through by n_hours, so no division ever happens),
+    and the alarm threshold is ``alarm_mult * total`` in the same
+    units. Everything under the hash is a BIGINT.
+
+    Plan: one (group, hour) count aggregation, a group-sized stats
+    join, two running windows over the same (group ORDER BY hour)
+    partitioning, one final group summary. At 100 TB the hourly
+    count relation is |groups|·|hours| — tiny next to the scan.
+    """
+    from pyspark.sql import Window
+
+    hourly = events.groupBy(
+        F.col(group_col).alias("g"),
+        F.date_trunc("hour", F.col(ts_col)).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = hourly.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("total"),
+    )
+    y = hourly.join(F.broadcast(tot), "g").select(
+        "g",
+        "h",
+        "n_hours",
+        "total",
+        F.expr("c * n_hours - total").alias("y"),
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    p = y.select(
+        "g", "h", "total", F.sum("y").over(w).alias("psum")
+    )
+    s = p.select(
+        "g",
+        "h",
+        "total",
+        (
+            F.col("psum")
+            - F.least(F.min("psum").over(w), F.lit(0))
+        ).alias("s"),
+    )
+    return (
+        s.groupBy("g", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("s").alias("max_s"),
+            F.sum(
+                F.expr(f"CASE WHEN s > {alarm_mult} * total THEN 1"
+                       " ELSE 0 END")
+            ).alias("n_alarms"),
+            F.min(
+                F.expr(
+                    f"CASE WHEN s > {alarm_mult} * total"
+                    " THEN unix_micros(CAST(h AS TIMESTAMP)) END"
+                )
+            ).alias("first_alarm_us"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_hours",
+            "total",
+            "max_s",
+            "n_alarms",
+            "first_alarm_us",
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_cusum_alarms(spark, sf_dir: str):
+    """Gate query: integer CUSUM rate-shift report per event type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum_hourly(ev)
+
+
+SQL_CUSUM_ALARMS = """
+WITH hourly AS (
+  SELECT event_type AS g, date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT g, COUNT(*) AS n_hours, CAST(SUM(c) AS BIGINT) AS total
+  FROM hourly GROUP BY g
+),
+y AS (
+  SELECT h2.g, h2.h, t.n_hours, t.total,
+         h2.c * t.n_hours - t.total AS y
+  FROM hourly h2 JOIN tot t ON t.g = h2.g
+),
+p AS (
+  SELECT g, h, total,
+         SUM(y) OVER (PARTITION BY g ORDER BY h) AS psum
+  FROM y
+),
+s AS (
+  SELECT g, h, total,
+         psum - LEAST(MIN(psum) OVER (PARTITION BY g ORDER BY h), 0)
+           AS s
+  FROM p
+)
+SELECT g AS event_type, COUNT(*) AS n_hours, total,
+       CAST(MAX(s) AS BIGINT) AS max_s,
+       CAST(SUM(CASE WHEN s > 10 * total THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       MIN(CASE WHEN s > 10 * total
+                THEN epoch_us(CAST(h AS TIMESTAMP)) END)
+         AS first_alarm_us
+FROM s
+GROUP BY g, total
+ORDER BY event_type
+"""

@@ -348,7 +348,7 @@ def _wrap(fn: Callable) -> Callable:
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
 # Round-7 rotation — exactly 50 entries, ordered by the established
-# contract: (a) the 20 queries NEW this round (suite8: association
+# contract: (a) the 22 queries NEW this round (suite8: association
 # rules, MAD outliers, bit-exact EWMA, attribution, grid-bucketed
 # spatial NN, randomized-response DP, JL projection, min-label
 # propagation, zone-map pruning report, sentence stats, chi-square
@@ -356,11 +356,11 @@ def _wrap(fn: Callable) -> Callable:
 # neighborhood pairs, bigram LM, k-fold split, RFM segments), (b)
 # queries whose CODE changed this round (none — all new modules),
 # then (c) last-driver-green ASCENDING: the full 24-query r3 cohort,
-# then the r4 cohort alphabetically through dedup_clusters (the
-# remaining r4 entries — dedup_clusters_distributed, dedup_verified,
-# doc_fingerprint, embedding_topk, event_deltas, events_json,
-# fe3fe2_errors, fe3fe2_solvers2, html_extract, … — rotate next
-# round).
+# then the r4 cohort alphabetically through customer_order_window
+# (the remaining r4 entries — customer_semi_anti, dedup_clusters,
+# dedup_clusters_distributed, dedup_verified, doc_fingerprint,
+# embedding_topk, event_deltas, events_json, fe3fe2_errors,
+# fe3fe2_solvers2, html_extract, … — rotate next round).
 # Everything past slot 50 stays covered by tests/test_oracle.py (the
 # identical check).
 _GATE_ORDER = [
@@ -385,6 +385,8 @@ _GATE_ORDER = [
     "setsim_join",
     "dominant_suppliers",
     "winsorized_stats",
+    "cusum_alarms",
+    "kcore",
     # (c) oldest driver-green rows first: last green in r3
     "calibration_flags",
     "fe3fe2_deng2020",
@@ -415,8 +417,6 @@ _GATE_ORDER = [
     "below_avg_revenue",
     "customer_ntiles",
     "customer_order_window",
-    "customer_semi_anti",
-    "dedup_clusters",
 ]
 
 

@@ -28,6 +28,12 @@ Third wave:
   grains, BIGINT ratio predicate, enrichment join).
 - ``winsorized_stats`` — p05/p95 winsorized summaries with exact
   order-statistic bounds and decimal-exact means.
+- ``cusum_alarms`` — one-sided CUSUM rate-shift detection over hourly
+  counts: the recursion rewritten as prefix-sum minus running-min
+  windows, all BIGINT (no division anywhere).
+- ``kcore`` — fixed-round k-core peeling (400 -> 200 -> 128 -> 56 on
+  the gate graph), unrolled-CTE oracle; each round one semi-join +
+  one count aggregation.
 """
 
 from __future__ import annotations
@@ -44,8 +50,10 @@ def queries():
         q_winsorized_stats,
     )
     from magmapandas_spark.operators.fuzzy import q_snm_pairs
+    from magmapandas_spark.operators.graph import q_kcore
     from magmapandas_spark.operators.setjoin import q_setsim_join
     from magmapandas_spark.operators.skyline import q_skyline_parts
+    from magmapandas_spark.operators.timeseries import q_cusum_alarms
 
     return {
         "skyline_parts": q_skyline_parts,
@@ -56,6 +64,8 @@ def queries():
         "setsim_join": q_setsim_join,
         "dominant_suppliers": q_dominant_suppliers,
         "winsorized_stats": q_winsorized_stats,
+        "cusum_alarms": q_cusum_alarms,
+        "kcore": q_kcore,
     }
 
 
@@ -70,8 +80,10 @@ def oracle_sql():
         SQL_WINSORIZED_STATS,
     )
     from magmapandas_spark.operators.fuzzy import SQL_SNM_PAIRS
+    from magmapandas_spark.operators.graph import SQL_KCORE
     from magmapandas_spark.operators.setjoin import SQL_SETSIM_JOIN
     from magmapandas_spark.operators.skyline import SQL_SKYLINE_PARTS
+    from magmapandas_spark.operators.timeseries import SQL_CUSUM_ALARMS
 
     return {
         "skyline_parts": SQL_SKYLINE_PARTS,
@@ -82,4 +94,6 @@ def oracle_sql():
         "setsim_join": SQL_SETSIM_JOIN,
         "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
         "winsorized_stats": SQL_WINSORIZED_STATS,
+        "cusum_alarms": SQL_CUSUM_ALARMS,
+        "kcore": SQL_KCORE,
     }
