@@ -308,3 +308,105 @@ JOIN ranked b ON b.blk = a.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
 WHERE levenshtein(a.key, b.key) <= 3 AND levenshtein(a.key, b.key) > 0
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------
+# End-to-end entity resolution: SNM pairs -> clusters -> golden records
+# ---------------------------------------------------------------------
+
+
+def q_er_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the full MDM entity-resolution pipeline composed
+    from existing verified operators — sorted-neighborhood candidate
+    pairs (blocked, Levenshtein-verified), connected components over
+    the match graph, and a survivorship rule that elects one golden
+    record per cluster (max p_size, then min key — the deterministic
+    'most complete record wins' policy). Output: one row per
+    multi-member cluster with its golden record and member count.
+
+    The oracle replays the identical pair pipeline and labels
+    components by recursive-CTE transitive closure (exact: min-label
+    CC is iteration-order independent), then applies the same
+    survivorship window.
+    """
+    from pyspark.sql import Window as W
+
+    from magmapandas_spark.operators.dedup import connected_components
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pairs = sorted_neighborhood_pairs(
+        parts, "p_name", "p_partkey"
+    ).select(F.col("id_a").alias("id1"), F.col("id_b").alias("id2"))
+    cc = connected_components(pairs, n_partitions=2)
+    members = cc.join(
+        parts.select(
+            F.col("p_partkey").alias("node"), "p_name", "p_size"
+        ),
+        "node",
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("p_size"), "node"
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(W.partitionBy("cluster_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("node").alias("golden_key"),
+            F.col("p_name").alias("golden_name"),
+            F.col("p_size").alias("golden_size"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+SQL_ER_GOLDEN = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT p_partkey AS rid, p_name AS key FROM part
+),
+ranked AS (
+  SELECT rid, key, substr(key, 1, 2) AS blk,
+         ROW_NUMBER() OVER (PARTITION BY substr(key, 1, 2)
+                            ORDER BY key, rid) AS rn
+  FROM base
+),
+pairs AS (
+  SELECT a.rid AS id1, b.rid AS id2
+  FROM ranked a
+  JOIN ranked b ON b.blk = a.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
+  WHERE levenshtein(a.key, b.key) <= 3 AND levenshtein(a.key, b.key) > 0
+),
+sym AS (
+  SELECT id1 AS node, id2 AS nb FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT node, node FROM sym
+  UNION
+  SELECT s.node, r.lbl FROM sym s JOIN reach r ON s.nb = r.node
+),
+cc AS (
+  SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+members AS (
+  SELECT c.cluster_id, c.node, p.p_name, p.p_size
+  FROM cc c JOIN part p ON p.p_partkey = c.node
+),
+survivor AS (
+  SELECT cluster_id, node, p_name, p_size,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY p_size DESC, node) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM members
+)
+SELECT cluster_id, n_members, node AS golden_key,
+       p_name AS golden_name, p_size AS golden_size
+FROM survivor WHERE rn = 1
+ORDER BY cluster_id
+"""

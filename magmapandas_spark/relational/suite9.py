@@ -34,6 +34,9 @@ Third wave:
 - ``kcore`` — fixed-round k-core peeling (400 -> 200 -> 128 -> 56 on
   the gate graph), unrolled-CTE oracle; each round one semi-join +
   one count aggregation.
+- ``er_golden`` — the composed MDM pipeline: SNM candidate pairs →
+  connected components over the match graph → survivorship election
+  of one golden record per cluster; recursive-CTE oracle.
 """
 
 from __future__ import annotations
@@ -49,7 +52,7 @@ def queries():
         q_dominant_suppliers,
         q_winsorized_stats,
     )
-    from magmapandas_spark.operators.fuzzy import q_snm_pairs
+    from magmapandas_spark.operators.fuzzy import q_er_golden, q_snm_pairs
     from magmapandas_spark.operators.graph import q_kcore
     from magmapandas_spark.operators.setjoin import q_setsim_join
     from magmapandas_spark.operators.skyline import q_skyline_parts
@@ -66,6 +69,7 @@ def queries():
         "winsorized_stats": q_winsorized_stats,
         "cusum_alarms": q_cusum_alarms,
         "kcore": q_kcore,
+        "er_golden": q_er_golden,
     }
 
 
@@ -79,7 +83,10 @@ def oracle_sql():
         SQL_DOMINANT_SUPPLIERS,
         SQL_WINSORIZED_STATS,
     )
-    from magmapandas_spark.operators.fuzzy import SQL_SNM_PAIRS
+    from magmapandas_spark.operators.fuzzy import (
+        SQL_ER_GOLDEN,
+        SQL_SNM_PAIRS,
+    )
     from magmapandas_spark.operators.graph import SQL_KCORE
     from magmapandas_spark.operators.setjoin import SQL_SETSIM_JOIN
     from magmapandas_spark.operators.skyline import SQL_SKYLINE_PARTS
@@ -96,4 +103,5 @@ def oracle_sql():
         "winsorized_stats": SQL_WINSORIZED_STATS,
         "cusum_alarms": SQL_CUSUM_ALARMS,
         "kcore": SQL_KCORE,
+        "er_golden": SQL_ER_GOLDEN,
     }
