@@ -273,3 +273,99 @@ ORDER BY qid
 
 
 SQL_RETRIEVAL_EVAL = _sql_retrieval_eval()
+
+
+# ---------------------------------------------------------------------
+# LSH recall/precision vs the exact set-similarity ground truth
+# ---------------------------------------------------------------------
+
+
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: measure MinHash-LSH banding against EXACT ground
+    truth — the prefix-filtered set-similarity join (zero false
+    negatives by construction) supplies every pair with word-3-shingle
+    Jaccard >= 3/5; LSH candidate pairs (char-5-shingle banding) are
+    scored against it. Output: one row of exact counts plus recall
+    (truth pairs the banding surfaced) — banding's probabilistic
+    recall contract, finally measured under the gate hash instead of
+    asserted. Candidate surplus is expected (banding also surfaces
+    sub-threshold pairs; the verify stage exists for that) and
+    reported as candidate_excess.
+    """
+    from magmapandas_spark.operators.dedup import minhash_lsh_candidates
+    from magmapandas_spark.operators.setjoin import setjoin_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = setjoin_jaccard(docs).select(
+        F.col("doc_a").alias("id1"), F.col("doc_b").alias("id2")
+    )
+    cand = minhash_lsh_candidates(docs, hash_strategy="md5").select(
+        "id1", "id2"
+    )
+    n_truth = truth.count()
+    hit = truth.join(cand, ["id1", "id2"], "left_semi")
+    n_hit = hit.count()
+    n_cand = cand.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_cand,
+                n_hit,
+                (n_hit * 1_000_000 // n_truth) if n_truth else 0,
+                n_cand - n_hit,
+            )
+        ],
+        "n_truth long, n_candidates long, n_hits long,"
+        " recall_ppm long, candidate_excess long",
+    )
+
+
+def _sql_lsh_recall_eval() -> str:
+    from magmapandas_spark.operators.dedup import _minhash_pair_ctes
+    from magmapandas_spark.operators.setjoin import SQL_SETSIM_JOIN
+
+    # reuse the verified CTE bodies: minhash pairs + the setsim WITH
+    # body (strip its trailing SELECT, keep the CTE chain). Both
+    # chains define a CTE named "sh" — prefix every setsim CTE name
+    # (word-boundary replace; none of the names appears as a column
+    # or inside a string literal in that SQL)
+    import re
+
+    setsim_ctes = SQL_SETSIM_JOIN.split("WITH ", 1)[1].rsplit(
+        "SELECT i.a AS doc_a", 1
+    )[0].rstrip().rstrip(",")
+    for name in ("toks", "sh", "df", "rk", "tr", "sz", "pfx", "cand",
+                 "inter"):
+        setsim_ctes = re.sub(
+            rf"\b{name}\b", f"ss_{name}", setsim_ctes
+        )
+    mh = _minhash_pair_ctes()
+    return f"""
+WITH {setsim_ctes},
+truth AS (
+  SELECT i.a AS id1, i.b AS id2
+  FROM ss_inter i
+  JOIN ss_sz sa ON sa.doc_id = i.a
+  JOIN ss_sz sb ON sb.doc_id = i.b
+  WHERE i.n_inter * 1000000 // (sa.s + sb.s - i.n_inter) >= 600000
+),
+{mh},
+hits AS (
+  SELECT t.id1, t.id2 FROM truth t
+  WHERE EXISTS (SELECT 1 FROM pairs p
+                WHERE p.id1 = t.id1 AND p.id2 = t.id2)
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM pairs) AS n_candidates,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+            THEN (SELECT COUNT(*) FROM hits) * 1000000
+                   // (SELECT COUNT(*) FROM truth)
+            ELSE 0 END AS recall_ppm,
+       (SELECT COUNT(*) FROM pairs)
+         - (SELECT COUNT(*) FROM hits) AS candidate_excess
+"""
+
+
+SQL_LSH_RECALL_EVAL = _sql_lsh_recall_eval()

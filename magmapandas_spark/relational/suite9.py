@@ -37,6 +37,9 @@ Third wave:
 - ``er_golden`` — the composed MDM pipeline: SNM candidate pairs →
   connected components over the match graph → survivorship election
   of one golden record per cluster; recursive-CTE oracle.
+- ``lsh_recall_eval`` — MinHash-LSH banding measured against the
+  EXACT prefix-filter ground truth: recall under the gate hash
+  instead of asserted.
 """
 
 from __future__ import annotations
@@ -56,6 +59,7 @@ def queries():
     from magmapandas_spark.operators.graph import q_kcore
     from magmapandas_spark.operators.setjoin import q_setsim_join
     from magmapandas_spark.operators.skyline import q_skyline_parts
+    from magmapandas_spark.operators.evaluation import q_lsh_recall_eval
     from magmapandas_spark.operators.timeseries import q_cusum_alarms
 
     return {
@@ -70,6 +74,7 @@ def queries():
         "cusum_alarms": q_cusum_alarms,
         "kcore": q_kcore,
         "er_golden": q_er_golden,
+        "lsh_recall_eval": q_lsh_recall_eval,
     }
 
 
@@ -90,6 +95,7 @@ def oracle_sql():
     from magmapandas_spark.operators.graph import SQL_KCORE
     from magmapandas_spark.operators.setjoin import SQL_SETSIM_JOIN
     from magmapandas_spark.operators.skyline import SQL_SKYLINE_PARTS
+    from magmapandas_spark.operators.evaluation import SQL_LSH_RECALL_EVAL
     from magmapandas_spark.operators.timeseries import SQL_CUSUM_ALARMS
 
     return {
@@ -104,4 +110,5 @@ def oracle_sql():
         "cusum_alarms": SQL_CUSUM_ALARMS,
         "kcore": SQL_KCORE,
         "er_golden": SQL_ER_GOLDEN,
+        "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
     }
