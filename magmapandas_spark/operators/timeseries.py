@@ -289,3 +289,158 @@ FROM s
 GROUP BY g, total
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------
+# Largest-triangle-one-bucket downsampling (LTOB)
+# ---------------------------------------------------------------------
+
+
+def triangle_downsample(
+    events,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    val_col: str = "value",
+    n_buckets: int = 32,
+):
+    """Visual time-series downsampling: per series, keep the point in
+    each of ``n_buckets`` rank buckets whose triangle with its
+    immediate neighbors has the largest area (the LTOB variant of
+    LTTB — one-bucket areas keep the selection window-expressible,
+    where true LTTB's selected-point recursion is inherently
+    sequential). First and last points always survive.
+
+    Determinism: areas are exact BIGINT cross products over
+    (epoch-microsecond, floor(value·10⁶)) integer coordinates —
+    double→int conversion is an explicit FLOOR of an exactly-rounded
+    product, identical cross-engine; ties break on the sequence
+    column. Bucket assignment is explicit rank arithmetic.
+
+    Plan: one series-keyed exchange feeds the rank window, the
+    lag/lead neighbor window, and the per-bucket argmax (windowless
+    max_by-style aggregation) — nothing else shuffles.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(ts_col, seq_col)
+    base = events.select(
+        F.col(group_col).alias("g"),
+        # x in epoch SECONDS and y in value-microunits keep the cross
+        # products within BIGINT even for sparse series whose neighbor
+        # gaps span the full time range (micros overflowed at sf0.001)
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000000))
+        .cast("bigint").alias("x"),
+        F.expr(f"CAST(FLOOR({val_col} * 1000000) AS BIGINT)").alias("y"),
+        F.col(seq_col).alias("i"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n"),
+    )
+    wg = Window.partitionBy("g").orderBy("rn")
+    nb = base.select(
+        "g",
+        "x",
+        "y",
+        "i",
+        "rn",
+        "n",
+        F.expr(f"(rn - 1) * {n_buckets} div n").alias("bucket"),
+        F.lag("x").over(wg).alias("px"),
+        F.lag("y").over(wg).alias("py"),
+        F.lead("x").over(wg).alias("nx"),
+        F.lead("y").over(wg).alias("ny"),
+    )
+    scored = nb.select(
+        "g",
+        "x",
+        "y",
+        "i",
+        "rn",
+        "n",
+        "bucket",
+        F.expr(
+            "CASE WHEN px IS NULL OR nx IS NULL THEN NULL"
+            " ELSE abs((px - x) * (ny - y) - (nx - x) * (py - y)) END"
+        ).alias("area"),
+    )
+    keep_edges = scored.filter(
+        F.expr("rn = 1 OR rn = n")
+    ).select("g", "x", "y", "i")
+    # per-bucket argmax by (area, -i): encode into one MAX over a
+    # struct-ordered pair — windowless grouped top-1
+    middles = (
+        scored.filter(F.expr("rn > 1 AND rn < n AND area IS NOT NULL"))
+        .groupBy("g", "bucket")
+        .agg(
+            F.max(F.struct(F.col("area"), (-F.col("i")).alias("ni"))).alias(
+                "best"
+            )
+        )
+        .select("g", "bucket", F.expr("-best.ni").alias("i"))
+    )
+    sel = middles.select("g", "i").unionByName(
+        keep_edges.select("g", "i")
+    ).distinct()
+    return (
+        base.join(sel, ["g", "i"])
+        .select(
+            F.col("g").alias(group_col),
+            F.col("i").alias(seq_col),
+            "x",
+            "y",
+        )
+        .orderBy(group_col, "x", seq_col)
+    )
+
+
+def q_triangle_downsample(spark, sf_dir: str):
+    """Gate query: LTOB downsampling of each event type's value
+    series to 32 buckets — exact integer coordinates and areas."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return triangle_downsample(ev)
+
+
+SQL_TRIANGLE_DOWNSAMPLE = """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS x,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS y,
+         event_id AS i,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+nb AS (
+  SELECT g, x, y, i, rn, n,
+         (rn - 1) * 32 // n AS bucket,
+         LAG(x) OVER w AS px, LAG(y) OVER w AS py,
+         LEAD(x) OVER w AS nx, LEAD(y) OVER w AS ny
+  FROM base
+  WINDOW w AS (PARTITION BY g ORDER BY rn)
+),
+scored AS (
+  SELECT g, x, y, i, rn, n, bucket,
+         CASE WHEN px IS NULL OR nx IS NULL THEN NULL
+              ELSE abs((px - x) * (ny - y) - (nx - x) * (py - y)) END
+           AS area
+  FROM nb
+),
+keep_edges AS (
+  SELECT g, i FROM scored WHERE rn = 1 OR rn = n
+),
+middles AS (
+  SELECT g, bucket, -MAX({'area': area, 'ni': -i}).ni AS i
+  FROM scored
+  WHERE rn > 1 AND rn < n AND area IS NOT NULL
+  GROUP BY g, bucket
+),
+sel AS (
+  SELECT DISTINCT g, i FROM (
+    SELECT g, i FROM middles UNION ALL SELECT g, i FROM keep_edges
+  )
+)
+SELECT b.g AS event_type, b.i AS event_id, b.x, b.y
+FROM base b JOIN sel s ON s.g = b.g AND s.i = b.i
+ORDER BY event_type, x, event_id
+"""

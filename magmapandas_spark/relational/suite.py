@@ -348,7 +348,7 @@ def _wrap(fn: Callable) -> Callable:
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
 # Round-7 rotation — exactly 50 entries, ordered by the established
-# contract: (a) the 24 queries NEW this round (suite8: association
+# contract: (a) the 25 queries NEW this round (suite8: association
 # rules, MAD outliers, bit-exact EWMA, attribution, grid-bucketed
 # spatial NN, randomized-response DP, JL projection, min-label
 # propagation, zone-map pruning report, sentence stats, chi-square
@@ -356,8 +356,9 @@ def _wrap(fn: Callable) -> Callable:
 # neighborhood pairs, bigram LM, k-fold split, RFM segments), (b)
 # queries whose CODE changed this round (none — all new modules),
 # then (c) last-driver-green ASCENDING: the full 24-query r3 cohort,
-# then the r4 cohort alphabetically through below_avg_revenue
-# (the remaining r4 entries — customer_ntiles, customer_order_window,
+# then the r4 cohort alphabetically through asof_purchase_view
+# (the remaining r4 entries — below_avg_revenue, customer_ntiles,
+# customer_order_window,
 # customer_semi_anti, dedup_clusters,
 # dedup_clusters_distributed, dedup_verified, doc_fingerprint,
 # embedding_topk, event_deltas, events_json, fe3fe2_errors,
@@ -390,6 +391,7 @@ _GATE_ORDER = [
     "kcore",
     "er_golden",
     "lsh_recall_eval",
+    "triangle_downsample",
     # (c) oldest driver-green rows first: last green in r3
     "calibration_flags",
     "fe3fe2_deng2020",
@@ -417,7 +419,6 @@ _GATE_ORDER = [
     "unit_conversions",
     # last green in r4 (alphabetical; remainder rotates next round)
     "asof_purchase_view",
-    "below_avg_revenue",
 ]
 
 

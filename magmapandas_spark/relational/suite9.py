@@ -40,6 +40,9 @@ Third wave:
 - ``lsh_recall_eval`` — MinHash-LSH banding measured against the
   EXACT prefix-filter ground truth: recall under the gate hash
   instead of asserted.
+- ``triangle_downsample`` — LTOB visual downsampling with exact
+  BIGINT cross-product areas over integer coordinates; per-bucket
+  argmax as a windowless struct-MAX.
 """
 
 from __future__ import annotations
@@ -60,7 +63,10 @@ def queries():
     from magmapandas_spark.operators.setjoin import q_setsim_join
     from magmapandas_spark.operators.skyline import q_skyline_parts
     from magmapandas_spark.operators.evaluation import q_lsh_recall_eval
-    from magmapandas_spark.operators.timeseries import q_cusum_alarms
+    from magmapandas_spark.operators.timeseries import (
+        q_cusum_alarms,
+        q_triangle_downsample,
+    )
 
     return {
         "skyline_parts": q_skyline_parts,
@@ -75,6 +81,7 @@ def queries():
         "kcore": q_kcore,
         "er_golden": q_er_golden,
         "lsh_recall_eval": q_lsh_recall_eval,
+        "triangle_downsample": q_triangle_downsample,
     }
 
 
@@ -96,7 +103,10 @@ def oracle_sql():
     from magmapandas_spark.operators.setjoin import SQL_SETSIM_JOIN
     from magmapandas_spark.operators.skyline import SQL_SKYLINE_PARTS
     from magmapandas_spark.operators.evaluation import SQL_LSH_RECALL_EVAL
-    from magmapandas_spark.operators.timeseries import SQL_CUSUM_ALARMS
+    from magmapandas_spark.operators.timeseries import (
+        SQL_CUSUM_ALARMS,
+        SQL_TRIANGLE_DOWNSAMPLE,
+    )
 
     return {
         "skyline_parts": SQL_SKYLINE_PARTS,
@@ -111,4 +121,5 @@ def oracle_sql():
         "kcore": SQL_KCORE,
         "er_golden": SQL_ER_GOLDEN,
         "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
+        "triangle_downsample": SQL_TRIANGLE_DOWNSAMPLE,
     }

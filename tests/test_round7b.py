@@ -202,3 +202,46 @@ def test_kcore_is_fixpoint_consistent(spark):
     # every node surviving round 4 also has degree >= k in round 3's
     # induced subgraph by construction.
     assert (r3df["core_degree"] >= 1).all()
+
+
+def test_triangle_downsample_structure(spark):
+    from magmapandas_spark.operators.timeseries import triangle_downsample
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = triangle_downsample(ev).toPandas()
+    src = ev.toPandas()
+    for g, grp in src.groupby("event_type"):
+        sel = got[got["event_type"] == g]
+        # at most n_buckets middles + 2 endpoints, at least endpoints
+        assert 2 <= len(sel) <= 34
+        grp = grp.sort_values(["ts", "event_id"])
+        first, last = grp["event_id"].iloc[0], grp["event_id"].iloc[-1]
+        assert first in set(sel["event_id"])
+        assert last in set(sel["event_id"])
+
+
+def test_lsh_recall_eval_bounds(spark):
+    from magmapandas_spark.operators.evaluation import q_lsh_recall_eval
+
+    pdf = q_lsh_recall_eval(spark, SF).toPandas()
+    r = pdf.iloc[0]
+    assert r["n_hits"] <= min(r["n_truth"], r["n_candidates"])
+    assert 0 <= r["recall_ppm"] <= 1_000_000
+    assert r["candidate_excess"] == r["n_candidates"] - r["n_hits"]
+
+
+def test_er_golden_members_cover_pairs(spark):
+    from magmapandas_spark.operators.fuzzy import (
+        q_er_golden,
+        sorted_neighborhood_pairs,
+    )
+
+    got = q_er_golden(spark, SF).toPandas()
+    parts = spark.read.parquet(f"{SF}/part.parquet")
+    pairs = sorted_neighborhood_pairs(
+        parts, "p_name", "p_partkey"
+    ).toPandas()
+    nodes = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert got["n_members"].sum() == len(nodes)
+    assert (got["n_members"] >= 1).all()
+    assert set(got["golden_key"]) <= nodes
