@@ -975,3 +975,102 @@ def streaming_ewma(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# Streaming CUSUM — incremental hourly counts, windowed finalize
+# ---------------------------------------------------------------------
+
+
+def streaming_cusum_ingest(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    timeout_s: int = 120,
+):
+    """Incremental state for CUSUM rate-shift detection: per
+    micro-batch (group, hour, count) relations merge by elementwise
+    integer sum — hourly counts are the mergeable sufficient statistic
+    (the CUSUM windows themselves are a finalize-time pass over the
+    |groups|·|hours| state, not per-event work). Same fold contract as
+    the histogram/HLL/CMS ingests."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        rel = batch_df.groupBy(
+            F.col(group_col).alias("g"),
+            F.date_trunc("hour", F.col(ts_col)).alias("h"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+        _fold_sketch_state(
+            rel,
+            state_path,
+            lambda a, b: a.unionByName(b)
+            .groupBy("g", "h")
+            .agg(F.sum("c").alias("c")),
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def finalize_streaming_cusum(
+    spark: SparkSession, state_path: str, alarm_mult: int = 10
+) -> DataFrame:
+    """Run the CUSUM windows over the merged hourly-count state;
+    output is identical to the batch operator on the union of all
+    micro-batches (oracle-checked in tests/test_streaming_oracle.py)."""
+    from pyspark.sql import Window
+
+    hourly = spark.read.parquet(state_path)
+    tot = hourly.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("c").alias("total")
+    )
+    y = hourly.join(F.broadcast(tot), "g").select(
+        "g", "h", "total", F.expr("c * n_hours - total").alias("y")
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    p = y.select("g", "h", "total", F.sum("y").over(w).alias("psum"))
+    s = p.select(
+        "g",
+        "h",
+        "total",
+        (F.col("psum") - F.least(F.min("psum").over(w), F.lit(0))).alias(
+            "s"
+        ),
+    )
+    return (
+        s.groupBy("g", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("s").alias("max_s"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN s > {alarm_mult} * total THEN 1 ELSE 0 END"
+                )
+            ).alias("n_alarms"),
+            F.min(
+                F.expr(
+                    f"CASE WHEN s > {alarm_mult} * total"
+                    " THEN unix_micros(CAST(h AS TIMESTAMP)) END"
+                )
+            ).alias("first_alarm_us"),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            "n_hours",
+            "total",
+            "max_s",
+            "n_alarms",
+            "first_alarm_us",
+        )
+        .orderBy("event_type")
+    )

@@ -635,3 +635,35 @@ def test_streaming_ewma_bit_equal_to_batch(spark):
         got["ewma"].to_numpy() == exp["ewma"].to_numpy()
     ).all()
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_cusum_matches_batch(spark):
+    """Merged hourly-count state finalizes to EXACTLY the batch CUSUM
+    report, across micro-batch boundaries that split hours."""
+    from magmapandas_spark.operators.timeseries import cusum_hourly
+    from magmapandas_spark.streaming.streams import (
+        finalize_streaming_cusum,
+        streaming_cusum_ingest,
+    )
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "ts"
+    )
+    src = _multi_file_stage(spark, batch, 3)
+    out_dir = tempfile.mkdtemp(prefix="stream_cusum_")
+    state = os.path.join(out_dir, "state.parquet")
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    streaming_cusum_ingest(
+        stream, state, os.path.join(out_dir, "ckpt")
+    )
+    got = normalize(finalize_streaming_cusum(spark, state).toPandas())
+    exp = normalize(
+        cusum_hourly(
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    for d in (src, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
