@@ -296,11 +296,18 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magmapandas_spark.operators.setjoin import setjoin_jaccard
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    truth = setjoin_jaccard(docs).select(
-        F.col("doc_a").alias("id1"), F.col("doc_b").alias("id2")
+    # both pair relations feed two consumers each (a count and the
+    # hit join): eager-checkpoint the pair-sized results so the
+    # shingle pipelines run once, not twice
+    truth = (
+        setjoin_jaccard(docs)
+        .select(F.col("doc_a").alias("id1"), F.col("doc_b").alias("id2"))
+        .localCheckpoint(eager=True)
     )
-    cand = minhash_lsh_candidates(docs, hash_strategy="md5").select(
-        "id1", "id2"
+    cand = (
+        minhash_lsh_candidates(docs, hash_strategy="md5")
+        .select("id1", "id2")
+        .localCheckpoint(eager=True)
     )
     n_truth = truth.count()
     hit = truth.join(cand, ["id1", "id2"], "left_semi")

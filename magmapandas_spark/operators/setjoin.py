@@ -46,15 +46,25 @@ def setjoin_jaccard(docs: DataFrame, ngram: int = 3) -> DataFrame:
     sh = toks.select(
         "doc_id", F.explode(word_ngrams("t", ngram)).alias("g")
     )
+    # per-doc rarity order comes from sorting by (df, g) DIRECTLY —
+    # a dense global rank over the vocabulary would add a single-
+    # partition window over |vocab| rows for no semantic gain (the
+    # rank is order-isomorphic to (df, g), so prefixes, candidates,
+    # and intersections are identical joining on the raw shingle)
     df_rel = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    w_rank = Window.orderBy("df", "g")
-    rk = df_rel.select("g", F.row_number().over(w_rank).alias("r"))
-    tr = sh.join(rk, "g").select("doc_id", "r")
+    # (doc, shingle, df) feeds five consumers (sizes, prefixes, both
+    # sides of the intersection join): eager-checkpoint the narrow
+    # relation so the tokenize/shingle/df pipeline runs once
+    tr = (
+        sh.join(df_rel, "g")
+        .select("doc_id", "g", "df")
+        .localCheckpoint(eager=True)
+    )
     sz = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
-    w_pos = Window.partitionBy("doc_id").orderBy("r")
+    w_pos = Window.partitionBy("doc_id").orderBy("df", "g")
     pfx = (
         tr.select(
-            "doc_id", "r", F.row_number().over(w_pos).alias("pos")
+            "doc_id", "g", F.row_number().over(w_pos).alias("pos")
         )
         .join(sz, "doc_id")
         .filter(
@@ -63,23 +73,39 @@ def setjoin_jaccard(docs: DataFrame, ngram: int = 3) -> DataFrame:
                 f" div {_TAU_DEN} + 1"
             )
         )
-        .select("doc_id", "r")
+        .select("doc_id", "g", "pos", "s")
     )
+    # PPJoin pruning on top of the prefix equi-join — both filters are
+    # SOUND (they only drop pairs that cannot reach tau), so the final
+    # verified pair set is unchanged and the oracle needs no twin:
+    #   size filter:      tau*s_a <= s_b (and symmetrically)
+    #   positional bound: the overlap can't exceed 1 + min remaining
+    #     suffix, and J >= tau  <=>  inter >= tau/(1+tau)*(s_a+s_b)
     cand = (
         pfx.alias("pa")
-        .join(pfx.alias("pb"), F.expr("pa.r = pb.r AND pa.doc_id < pb.doc_id"))
+        .join(
+            pfx.alias("pb"),
+            F.expr(
+                "pa.g = pb.g AND pa.doc_id < pb.doc_id"
+                f" AND {_TAU_NUM} * pa.s <= {_TAU_DEN} * pb.s"
+                f" AND {_TAU_NUM} * pb.s <= {_TAU_DEN} * pa.s"
+                f" AND {_TAU_DEN + _TAU_NUM} * "
+                "(1 + least(pa.s - pa.pos, pb.s - pb.pos))"
+                f" >= {_TAU_NUM} * (pa.s + pb.s)"
+            ),
+        )
         .select(
             F.col("pa.doc_id").alias("a"), F.col("pb.doc_id").alias("b")
         )
         .distinct()
     )
-    ta = tr.select(F.col("doc_id").alias("a"), F.col("r").alias("ra"))
-    tb = tr.select(F.col("doc_id").alias("b2"), F.col("r").alias("rb"))
+    ta = tr.select(F.col("doc_id").alias("a"), F.col("g").alias("ga"))
+    tb = tr.select(F.col("doc_id").alias("b2"), F.col("g").alias("gb"))
     inter = (
         cand.join(ta, "a")
         .join(
             tb,
-            (F.col("b") == F.col("b2")) & (F.col("ra") == F.col("rb")),
+            (F.col("b") == F.col("b2")) & (F.col("ga") == F.col("gb")),
         )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
