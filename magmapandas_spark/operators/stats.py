@@ -30,7 +30,7 @@ columns use string min/max.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     NumericType,
@@ -435,3 +435,155 @@ SQL_ZONEMAP_PRUNE = (
     + _sql_zonemap_one("n_chars", "clustered")
     + ") ORDER BY layout"
 )
+
+
+# ---------------------------------------------------------------------
+# Deterministic Poisson-bootstrap confidence intervals
+# ---------------------------------------------------------------------
+
+_BOOT_B = 40
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    n_boot: int = _BOOT_B,
+    salt: str = "bs7",
+) -> DataFrame:
+    """Per-group bootstrap CI for the mean, fully deterministic.
+
+    The classic Poisson bootstrap (each replicate weights every row
+    i.i.d. ~Poisson(1) — the streaming-friendly resample that never
+    materializes a resampled dataset) with the Poisson draw replaced
+    by Binomial(8, 1/8) (mean 1, var 7/8) built from eight 3-bit
+    fields of a portable md5 hash — so both engines draw the SAME
+    weights and the whole CI hashes exactly. Replicate means are
+    decimal-exact weighted sums over doubles; the 95% interval is the
+    (2nd, 39th) order statistic of the 40 replicate means.
+
+    Plan: one B-fold scan-local explode (no shuffle), one
+    (group, replicate) aggregation with map-side partials, one
+    40-row-per-group order-statistic window. At 100 TB the explode
+    multiplies the scan, not any shuffle — B caps the cost, and the
+    aggregation state is |groups|·B rows.
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col(id_col).cast("string"),
+                    F.lit("_"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w_terms = " + ".join(
+        f"(CASE WHEN (h div {8 ** k}) % 8 = 0 THEN 1 ELSE 0 END)"
+        for k in range(8)
+    )
+    rep = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(val_col).alias("x"),
+            F.col(id_col),
+            b,
+        )
+        .withColumn("h", h)
+        .select("g", "x", "b", F.expr(w_terms).alias("w"))
+    )
+    means = rep.groupBy("g", "b").agg(
+        (
+            F.sum(
+                F.col("x").cast("decimal(18,6)") * F.col("w")
+            ).cast("double")
+            / F.sum("w")
+        ).alias("mean_b")
+    )
+    w_rank = Window.partitionBy("g").orderBy("mean_b", "b")
+    ranked = means.select(
+        "g", "mean_b", F.row_number().over(w_rank).alias("rn")
+    )
+    ci = ranked.groupBy("g").agg(
+        F.max(F.expr("CASE WHEN rn = 2 THEN mean_b END")).alias("ci_lo"),
+        F.max(
+            F.expr(f"CASE WHEN rn = {_BOOT_B - 1} THEN mean_b END")
+        ).alias("ci_hi"),
+    )
+    est = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col(val_col).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_est"),
+    )
+    return (
+        est.join(ci, "g")
+        .select(
+            F.col("g").alias(group_col), "n", "mean_est", "ci_lo", "ci_hi"
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: deterministic Poisson-bootstrap 95% CI of the mean
+    event value per type — the whole interval under the hash."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bootstrap_mean_ci(ev, "event_type", "value", "event_id")
+
+
+def _sql_bootstrap() -> str:
+    w_terms = " + ".join(
+        f"(CASE WHEN (h // {8 ** k}) % 8 = 0 THEN 1 ELSE 0 END)"
+        for k in range(8)
+    )
+    return f"""
+WITH rep AS (
+  SELECT event_type AS g, value AS x, b.b,
+         ('0x' || substr(md5('bs7' || CAST(event_id AS VARCHAR) || '_'
+                              || CAST(b.b AS VARCHAR)), 1, 12))::BIGINT
+           AS h
+  FROM events, (SELECT UNNEST(range(0, {_BOOT_B})) AS b) b
+),
+weighted AS (
+  SELECT g, b, x, {w_terms} AS w FROM rep
+),
+means AS (
+  SELECT g, b,
+         CAST(SUM(CAST(x AS DECIMAL(18,6)) * w) AS DOUBLE) / SUM(w)
+           AS mean_b
+  FROM weighted GROUP BY g, b
+),
+ranked AS (
+  SELECT g, mean_b,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY mean_b, b) AS rn
+  FROM means
+),
+ci AS (
+  SELECT g,
+         MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+         MAX(CASE WHEN rn = {_BOOT_B - 1} THEN mean_b END) AS ci_hi
+  FROM ranked GROUP BY g
+),
+est AS (
+  SELECT event_type AS g, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS mean_est
+  FROM events GROUP BY 1
+)
+SELECT est.g AS event_type, est.n, est.mean_est, ci.ci_lo, ci.ci_hi
+FROM est JOIN ci ON ci.g = est.g
+ORDER BY event_type
+"""
+
+
+SQL_BOOTSTRAP_CI = _sql_bootstrap()

@@ -300,3 +300,107 @@ FROM counts, totals
 ORDER BY cnt DESC, key
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------
+
+#: Benford expected first-digit shares, ppm (log10(1 + 1/d) — computed
+#: once offline so neither engine evaluates a log)
+BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+               51153, 45757]
+
+
+def benford_audit(
+    df: DataFrame, amount_col: str, min_cents: int = 100
+) -> DataFrame:
+    """First-significant-digit distribution of a monetary column vs
+    Benford's law, with an integer chi-square discrepancy score.
+
+    The first digit is extracted in pure integer/string arithmetic —
+    ``n div 10^(len(str(n)) - 1)`` over integer cents — because a
+    log10-based significand differs cross-engine in the last ulp at
+    decade boundaries; both engines render integers identically. The
+    expected shares are precomputed ppm literals (no runtime log).
+    One scan-local projection + one 9-row aggregation; the fraud/
+    data-quality audit shape that runs beside `validate` expectations.
+    """
+    cents = F.expr(
+        f"CAST(FLOOR({amount_col} * 100) AS BIGINT)"
+    )
+    base = df.select(cents.alias("n")).filter(
+        F.col("n") >= min_cents
+    )
+    digit = F.expr(
+        "n div CAST(pow(10, length(CAST(n AS STRING)) - 1) AS BIGINT)"
+    )
+    counts = base.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = counts.select(F.sum("n_rows").alias("n_total"))
+    exp_rows = ", ".join(
+        f"({d + 1}, {p})" for d, p in enumerate(BENFORD_PPM)
+    )
+    expected = df.sparkSession.sql(
+        f"SELECT digit, exp_ppm FROM VALUES {exp_rows} AS t(digit, exp_ppm)"
+    )
+    return (
+        F.broadcast(expected)
+        .join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            F.expr(
+                "COALESCE(n_rows, 0) * 1000000 div n_total"
+            ).alias("obs_ppm"),
+            "exp_ppm",
+            F.expr(
+                "(COALESCE(n_rows, 0) * 1000000 div n_total - exp_ppm)"
+                " * (COALESCE(n_rows, 0) * 1000000 div n_total - exp_ppm)"
+                " div exp_ppm"
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: Benford first-digit audit of order totals."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return benford_audit(orders, "o_totalprice")
+
+
+def _sql_benford() -> str:
+    exp_rows = ", ".join(
+        f"({d + 1}, {p})" for d, p in enumerate(BENFORD_PPM)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS n
+  FROM orders
+  WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 100
+),
+counts AS (
+  SELECT n // CAST(pow(10, length(CAST(n AS VARCHAR)) - 1) AS BIGINT)
+           AS digit,
+         COUNT(*) AS n_rows
+  FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM counts),
+expected (digit, exp_ppm) AS (VALUES {exp_rows})
+SELECT e.digit, COALESCE(c.n_rows, 0) AS n_rows,
+       COALESCE(c.n_rows, 0) * 1000000 // t.n_total AS obs_ppm,
+       e.exp_ppm,
+       (COALESCE(c.n_rows, 0) * 1000000 // t.n_total - e.exp_ppm)
+         * (COALESCE(c.n_rows, 0) * 1000000 // t.n_total - e.exp_ppm)
+         // e.exp_ppm AS chi2_contrib
+FROM expected e
+LEFT JOIN counts c ON c.digit = e.digit
+CROSS JOIN tot t
+ORDER BY e.digit
+"""
+
+
+SQL_BENFORD_AUDIT = _sql_benford()

@@ -348,7 +348,7 @@ def _wrap(fn: Callable) -> Callable:
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
 # Round-7 rotation — exactly 50 entries, ordered by the established
-# contract: (a) the 25 queries NEW this round (suite8: association
+# contract: (a) the 27 queries NEW this round (suite8: association
 # rules, MAD outliers, bit-exact EWMA, attribution, grid-bucketed
 # spatial NN, randomized-response DP, JL projection, min-label
 # propagation, zone-map pruning report, sentence stats, chi-square
@@ -356,9 +356,8 @@ def _wrap(fn: Callable) -> Callable:
 # neighborhood pairs, bigram LM, k-fold split, RFM segments), (b)
 # queries whose CODE changed this round (none — all new modules),
 # then (c) last-driver-green ASCENDING: the full 24-query r3 cohort,
-# then the r4 cohort alphabetically through asof_purchase_view
-# (the remaining r4 entries — below_avg_revenue, customer_ntiles,
-# customer_order_window,
+# (unit_conversions and the whole r4 cohort — asof_purchase_view,
+# below_avg_revenue, customer_ntiles, customer_order_window,
 # customer_semi_anti, dedup_clusters,
 # dedup_clusters_distributed, dedup_verified, doc_fingerprint,
 # embedding_topk, event_deltas, events_json, fe3fe2_errors,
@@ -392,6 +391,8 @@ _GATE_ORDER = [
     "er_golden",
     "lsh_recall_eval",
     "triangle_downsample",
+    "benford_audit",
+    "bootstrap_ci",
     # (c) oldest driver-green rows first: last green in r3
     "calibration_flags",
     "fe3fe2_deng2020",
@@ -416,9 +417,6 @@ _GATE_ORDER = [
     "sugawara6a_cpx",
     "thermometers_multi",
     "thermometers_multi2",
-    "unit_conversions",
-    # last green in r4 (alphabetical; remainder rotates next round)
-    "asof_purchase_view",
 ]
 
 
@@ -438,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         suite7,
         suite8,
         suite9,
+        suite10,
     )
 
     out = {
@@ -454,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(suite7.queries())
     out.update(suite8.queries())
     out.update(suite9.queries())
+    out.update(suite10.queries())
     return {k: _wrap(v) for k, v in _gate_sorted(out).items()}
 
 
@@ -467,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         suite7,
         suite8,
         suite9,
+        suite10,
     )
 
     out = {
@@ -483,4 +484,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(suite7.oracle_sql())
     out.update(suite8.oracle_sql())
     out.update(suite9.oracle_sql())
+    out.update(suite10.oracle_sql())
     return _gate_sorted(out)

@@ -245,3 +245,32 @@ def test_er_golden_members_cover_pairs(spark):
     assert got["n_members"].sum() == len(nodes)
     assert (got["n_members"] >= 1).all()
     assert set(got["golden_key"]) <= nodes
+
+
+def test_benford_audit_structure(spark):
+    from magmapandas_spark.operators.validation import (
+        BENFORD_PPM,
+        q_benford_audit,
+    )
+
+    pdf = q_benford_audit(spark, SF).toPandas()
+    assert list(pdf["digit"]) == list(range(1, 10))
+    assert list(pdf["exp_ppm"]) == BENFORD_PPM
+    assert abs(sum(BENFORD_PPM) - 1_000_000) <= 10
+    assert (pdf["obs_ppm"] <= 1_000_000).all()
+
+
+def test_bootstrap_ci_brackets_estimate(spark):
+    from magmapandas_spark.operators.stats import q_bootstrap_ci
+
+    pdf = q_bootstrap_ci(spark, SF).toPandas()
+    assert (pdf["ci_lo"] <= pdf["ci_hi"]).all()
+    # the point estimate should lie inside (or extremely near) the CI
+    assert (pdf["mean_est"] >= pdf["ci_lo"] - 1e-9).all()
+    assert (pdf["mean_est"] <= pdf["ci_hi"] + 1e-9).all()
+    # interval width shrinks with n at the usual 1/sqrt(n) order:
+    # crude sanity — width below half the estimate for n >= 100
+    big = pdf[pdf["n"] >= 100]
+    assert (
+        (big["ci_hi"] - big["ci_lo"]) < big["mean_est"].abs() * 0.5 + 1.0
+    ).all()
