@@ -625,3 +625,25 @@ def test_dominant_suppliers_semi_reduction_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bootstrap_explode_is_scan_local(spark):
+    """The B-fold replicate explode multiplies the SCAN, never a
+    shuffle: exactly one exchange (the (group, replicate) aggregation)
+    before the 40-row-per-group rank window."""
+    from magmapandas_spark.operators.stats import q_bootstrap_ci
+
+    plan = plan_of(q_bootstrap_ci(spark, SF))
+    assert "Join" in plan  # est x ci join only
+    assert "CartesianProduct" not in plan
+    # the explode (Generate) happens under the first aggregate
+    assert "Generate" in plan
+
+
+def test_benford_is_two_aggregations(spark):
+    from magmapandas_spark.operators.validation import q_benford_audit
+
+    plan = plan_of(q_benford_audit(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the 9-row expected table and the 1-row total ride broadcasts
+    assert "SortMergeJoin" not in plan
