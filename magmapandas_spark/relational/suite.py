@@ -348,7 +348,7 @@ def _wrap(fn: Callable) -> Callable:
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
 # Round-7 rotation — exactly 50 entries, ordered by the established
-# contract: (a) the 27 queries NEW this round (suite8: association
+# contract: (a) the 29 queries NEW this round (suite8: association
 # rules, MAD outliers, bit-exact EWMA, attribution, grid-bucketed
 # spatial NN, randomized-response DP, JL projection, min-label
 # propagation, zone-map pruning report, sentence stats, chi-square
@@ -356,7 +356,8 @@ def _wrap(fn: Callable) -> Callable:
 # neighborhood pairs, bigram LM, k-fold split, RFM segments), (b)
 # queries whose CODE changed this round (none — all new modules),
 # then (c) last-driver-green ASCENDING: the full 24-query r3 cohort,
-# (unit_conversions and the whole r4 cohort — asof_purchase_view,
+# (thermometers_multi, thermometers_multi2, unit_conversions and the
+# whole r4 cohort — asof_purchase_view,
 # below_avg_revenue, customer_ntiles, customer_order_window,
 # customer_semi_anti, dedup_clusters,
 # dedup_clusters_distributed, dedup_verified, doc_fingerprint,
@@ -393,6 +394,8 @@ _GATE_ORDER = [
     "triangle_downsample",
     "benford_audit",
     "bootstrap_ci",
+    "blame_supplier",
+    "balance_cume_dist",
     # (c) oldest driver-green rows first: last green in r3
     "calibration_flags",
     "fe3fe2_deng2020",
@@ -415,8 +418,6 @@ _GATE_ORDER = [
     "plag_endmembers",
     "stratified_sample",
     "sugawara6a_cpx",
-    "thermometers_multi",
-    "thermometers_multi2",
 ]
 
 

@@ -120,6 +120,8 @@ def queries():
         "ols_multi": q_ols_multi,
         "session_paths": q_session_paths,
         "incremental_join": q_incremental_join,
+        "blame_supplier": q_blame_supplier,
+        "balance_cume_dist": q_balance_cume_dist,
         "hybrid_search": q_hybrid_search,
         "fuzzy_join": q_fuzzy_join,
         "table_diff": q_table_diff,
@@ -166,9 +168,171 @@ def oracle_sql():
         "ols_multi": SQL_OLS_MULTI,
         "session_paths": SQL_SESSION_PATHS,
         "incremental_join": SQL_INCREMENTAL_JOIN,
+        "blame_supplier": SQL_BLAME_SUPPLIER,
+        "balance_cume_dist": SQL_BALANCE_CUME_DIST,
         "hybrid_search": _sql_hybrid_search(),
         "fuzzy_join": SQL_FUZZY_JOIN,
         "table_diff": SQL_TABLE_DIFF,
         "hard_negatives": SQL_HARD_NEGATIVES,
         "k_anonymity": SQL_K_ANONYMITY,
     }
+
+
+# ---------------------------------------------------------------------
+# Round 7: nested EXISTS / NOT EXISTS (the TPC-H Q21 shape) and
+# cumulative-distribution windows
+# ---------------------------------------------------------------------
+
+
+def q_blame_supplier(spark, sf_dir):
+    """Gate query: the TPC-H Q21 'suppliers who kept waiting' shape —
+    for multi-supplier orders, blame the supplier whose line was the
+    ONLY late line (shipdate > orderdate + 60 days). Exercises nested
+    correlated EXISTS (a left-semi join on the order key) and NOT
+    EXISTS (a left-anti join on (order, late)) back to back; both
+    planned as hash joins against the one shared late-flagged line
+    relation, never correlated re-execution.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    flagged = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.expr(
+                "CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY"
+                " THEN 1 ELSE 0 END"
+            ).alias("late"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s1 = flagged.filter(F.col("late") == 1).alias("s1")
+    other = flagged.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    ).alias("s2")
+    other_late = (
+        flagged.filter(F.col("late") == 1)
+        .select(
+            F.col("l_orderkey").alias("ok3"),
+            F.col("l_suppkey").alias("sk3"),
+        )
+        .alias("s3")
+    )
+    has_other = s1.join(
+        other,
+        (F.col("s1.l_orderkey") == F.col("ok2"))
+        & (F.col("s1.l_suppkey") != F.col("sk2")),
+        "left_semi",
+    )
+    blamed = has_other.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("ok3"))
+        & (F.col("l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    top = (
+        blamed.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "suppkey")
+        .limit(20)
+    )
+    return top.orderBy(F.desc("n_orders"), "suppkey")
+
+
+SQL_BLAME_SUPPLIER = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT s1.l_suppkey AS suppkey,
+       COUNT(DISTINCT s1.l_orderkey) AS n_orders
+FROM li s1
+WHERE s1.late = 1
+  AND EXISTS (SELECT 1 FROM li s2 WHERE s2.l_orderkey = s1.l_orderkey
+              AND s2.l_suppkey <> s1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li s3 WHERE s3.l_orderkey = s1.l_orderkey
+                  AND s3.l_suppkey <> s1.l_suppkey AND s3.late = 1)
+GROUP BY 1
+ORDER BY n_orders DESC, suppkey
+LIMIT 20
+"""
+
+
+def q_balance_cume_dist(spark, sf_dir):
+    """Gate query: cumulative-distribution window coverage — per
+    market segment, each customer decile's exact cume_dist and
+    percent_rank surfaced as integer ppm (rank arithmetic over the
+    (acctbal, custkey) total order, so no float rank fractions under
+    the hash). One segment-keyed window; deciles reduce the output to
+    10 rows per segment.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "c_acctbal", "c_custkey"
+    )
+    n = Window.partitionBy("c_mktsegment")
+    ranked = cust.select(
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    ).select(
+        "c_mktsegment",
+        "rn",
+        "n",
+        # rn is INT (row_number); widen before the ppm scale-up —
+        # rn * 1e6 overflows int32 past ~2147 rows per segment
+        F.expr("(CAST(rn AS BIGINT) - 1) * 10 div n").alias("decile"),
+        F.expr("CAST(rn AS BIGINT) * 1000000 div n").alias("cume_ppm"),
+        F.expr(
+            "CASE WHEN n > 1"
+            " THEN (CAST(rn AS BIGINT) - 1) * 1000000 div (n - 1)"
+            " ELSE 0 END"
+        ).alias("prank_ppm"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("cume_ppm").alias("max_cume_ppm"),
+            F.min("prank_ppm").alias("min_prank_ppm"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
+SQL_BALANCE_CUME_DIST = """
+WITH ranked AS (
+  SELECT c_mktsegment,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+),
+d AS (
+  SELECT c_mktsegment,
+         (rn - 1) * 10 // n AS decile,
+         rn * 1000000 // n AS cume_ppm,
+         CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1)
+              ELSE 0 END AS prank_ppm
+  FROM ranked
+)
+SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_rows,
+       CAST(MAX(cume_ppm) AS BIGINT) AS max_cume_ppm,
+       CAST(MIN(prank_ppm) AS BIGINT) AS min_prank_ppm
+FROM d
+GROUP BY c_mktsegment, decile
+ORDER BY c_mktsegment, decile
+"""
