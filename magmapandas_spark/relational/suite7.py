@@ -69,6 +69,12 @@ set algebra:
 - ``k_anonymity`` — quasi-identifier equivalence-class census
   (two partial-aggregatable groupBys); the aggregate complement of
   the PII detect/redact direct-identifier tier.
+- ``blame_supplier`` (round 7) — the TPC-H Q21 nested
+  EXISTS/NOT-EXISTS shape: one left-semi + one left-anti hash join
+  against a shared late-flagged relation.
+- ``balance_cume_dist`` (round 7) — exact integer-ppm cume_dist /
+  percent_rank per segment decile (rank arithmetic; rn widened to
+  BIGINT before the ppm scale-up).
 - ``incremental_join`` — join-view maintenance via the delta-join
   identity (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB): the base⋈base term is never
   recomputed; merged state hashes equal to the oracle's direct full
