@@ -174,22 +174,26 @@ ORDER BY qid
 
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: label-relevance retrieval metrics for the exact L2
-    ranking — per query (a deterministic 1/100 slice of vectors):
-    rank of the first same-label neighbor, MRR and P@10 as integer
-    ppm. The distance is the shared unrolled 64-term IEEE tree (see
-    operators/projection.py), so ranks are identical cross-engine;
-    only ranks and integer ratios surface, never floats.
+    ranking — per query (a deterministic 1/100 slice of vectors,
+    CAPPED at vec_id < 2000 so the query set is at most 20 rows at
+    ANY corpus size): rank of the first same-label neighbor, MRR and
+    P@10 as integer ppm. The distance is the shared unrolled 64-term
+    IEEE tree (see operators/projection.py), so ranks are identical
+    cross-engine; only ranks and integer ratios surface, never floats.
 
-    Scale posture: the query side is constant-size and broadcast; at
-    corpus scale the exact ranking is replaced by the ANN candidate
-    paths (ivf/pq/binary) and this harness scores their output — the
+    Scale posture: the query side is genuinely constant-size (the
+    ``vec_id < 2000`` cap — r7's uncapped ``% 100`` slice grew
+    proportionally with the corpus, making the broadcast-crossJoin
+    scoring N²/100; fixed r8) and broadcast; at corpus scale the
+    exact ranking is replaced by the ANN candidate paths
+    (ivf/pq/binary) and this harness scores their output — the
     evaluation shape stays the same.
     """
     from pyspark.sql import Window
     from magmapandas_spark.operators.projection import l2_fold
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.filter(F.expr("vec_id % 100 = 7")).select(
+    q = emb.filter(F.expr("vec_id % 100 = 7 AND vec_id < 2000")).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
         F.col("label").alias("qlabel"),
@@ -247,7 +251,7 @@ def _sql_retrieval_eval() -> str:
     return f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding, label AS qlabel
-  FROM embeddings WHERE vec_id % 100 = 7
+  FROM embeddings WHERE vec_id % 100 = 7 AND vec_id < 2000
 ),
 scored AS (
   SELECT q.qid, c.vec_id AS cid,
@@ -280,22 +284,29 @@ SQL_RETRIEVAL_EVAL = _sql_retrieval_eval()
 # ---------------------------------------------------------------------
 
 
-def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate query: measure MinHash-LSH banding against EXACT ground
-    truth — the prefix-filtered set-similarity join (zero false
-    negatives by construction) supplies every pair with word-3-shingle
-    Jaccard >= 3/5; LSH candidate pairs (char-5-shingle banding) are
-    scored against it. Output: one row of exact counts plus recall
-    (truth pairs the banding surfaced) — banding's probabilistic
-    recall contract, finally measured under the gate hash instead of
-    asserted. Candidate surplus is expected (banding also surfaces
-    sub-threshold pairs; the verify stage exists for that) and
-    reported as candidate_excess.
-    """
+def lsh_recall_eval(
+    spark: SparkSession, docs: DataFrame, sample_pred: Column | None = None
+) -> DataFrame:
+    """Measure MinHash-LSH banding against EXACT ground truth — the
+    prefix-filtered set-similarity join (zero false negatives by
+    construction) supplies every pair with word-3-shingle Jaccard
+    >= 3/5; LSH candidate pairs (char-5-shingle banding) are scored
+    against it. Output: one row of exact counts plus recall (truth
+    pairs the banding surfaced). Candidate surplus is expected
+    (banding also surfaces sub-threshold pairs; the verify stage
+    exists for that) and reported as candidate_excess.
+
+    ``sample_pred`` bounds the measurement at scale: both pipelines
+    run on the sampled document slice only, so the eval budget is
+    |sample|-determined, not corpus-determined — at 100 TB you
+    measure recall on a sample, never the full corpus (this is the
+    suite's most expensive query when unsampled; see scale_probe's
+    ``lsh_recall_sampled`` row)."""
     from magmapandas_spark.operators.dedup import minhash_lsh_candidates
     from magmapandas_spark.operators.setjoin import setjoin_jaccard
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if sample_pred is not None:
+        docs = docs.filter(sample_pred)
     # both pair relations feed two consumers each (a count and the
     # hit join): eager-checkpoint the pair-sized results so the
     # shingle pipelines run once, not twice
@@ -328,28 +339,23 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: full-corpus LSH recall measurement (the gate corpus
+    is small; production runs pass ``sample_pred``)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_recall_eval(spark, docs)
+
+
 def _sql_lsh_recall_eval() -> str:
     from magmapandas_spark.operators.dedup import _minhash_pair_ctes
-    from magmapandas_spark.operators.setjoin import SQL_SETSIM_JOIN
+    from magmapandas_spark.operators.setjoin import _setsim_ctes
 
-    # reuse the verified CTE bodies: minhash pairs + the setsim WITH
-    # body (strip its trailing SELECT, keep the CTE chain). Both
-    # chains define a CTE named "sh" — prefix every setsim CTE name
-    # (word-boundary replace; none of the names appears as a column
-    # or inside a string literal in that SQL)
-    import re
-
-    setsim_ctes = SQL_SETSIM_JOIN.split("WITH ", 1)[1].rsplit(
-        "SELECT i.a AS doc_a", 1
-    )[0].rstrip().rstrip(",")
-    for name in ("toks", "sh", "df", "rk", "tr", "sz", "pfx", "cand",
-                 "inter"):
-        setsim_ctes = re.sub(
-            rf"\b{name}\b", f"ss_{name}", setsim_ctes
-        )
+    # reuse the verified CTE bodies: minhash pairs + the setsim chain
+    # from its shared generator, prefixed ss_ (both chains define a
+    # CTE named "sh")
     mh = _minhash_pair_ctes()
     return f"""
-WITH {setsim_ctes},
+WITH {_setsim_ctes("ss_")},
 truth AS (
   SELECT i.a AS id1, i.b AS id2
   FROM ss_inter i

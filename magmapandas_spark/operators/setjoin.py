@@ -138,42 +138,52 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setjoin_jaccard(docs)
 
 
-SQL_SETSIM_JOIN = f"""
-WITH toks AS (
+def _setsim_ctes(p: str = "") -> str:
+    """The set-similarity CTE chain (no final SELECT), every CTE name
+    prefixed with ``p`` — shared by ``SQL_SETSIM_JOIN`` (p='') and the
+    ``lsh_recall_eval`` oracle (p='ss_', composed beside the minhash
+    chain, which also defines a CTE named ``sh``). One generator
+    instead of post-hoc regex surgery on the finished SQL string, so
+    an edit here cannot silently desynchronize the spliced oracle."""
+    return f"""{p}toks AS (
   SELECT doc_id,
          list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS t
   FROM documents
 ),
-sh AS (
+{p}sh AS (
   SELECT doc_id,
          UNNEST(list_distinct(list_transform(range(1, len(t) - 1),
                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
-  FROM toks WHERE len(t) >= 3
+  FROM {p}toks WHERE len(t) >= 3
 ),
-df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
-rk AS (SELECT g, ROW_NUMBER() OVER (ORDER BY df, g) AS r FROM df),
-tr AS (SELECT doc_id, r FROM sh JOIN rk USING (g)),
-sz AS (SELECT doc_id, COUNT(*) AS s FROM tr GROUP BY doc_id),
-pfx AS (
+{p}df AS (SELECT g, COUNT(*) AS df FROM {p}sh GROUP BY g),
+{p}rk AS (SELECT g, ROW_NUMBER() OVER (ORDER BY df, g) AS r FROM {p}df),
+{p}tr AS (SELECT doc_id, r FROM {p}sh JOIN {p}rk USING (g)),
+{p}sz AS (SELECT doc_id, COUNT(*) AS s FROM {p}tr GROUP BY doc_id),
+{p}pfx AS (
   SELECT p.doc_id, p.r FROM (
     SELECT doc_id, r,
            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY r) AS pos
-    FROM tr) p JOIN sz ON sz.doc_id = p.doc_id
-  WHERE p.pos <= sz.s - ({_TAU_NUM} * sz.s + {_TAU_DEN - 1})
+    FROM {p}tr) p JOIN {p}sz ON {p}sz.doc_id = p.doc_id
+  WHERE p.pos <= {p}sz.s - ({_TAU_NUM} * {p}sz.s + {_TAU_DEN - 1})
                    // {_TAU_DEN} + 1
 ),
-cand AS (
+{p}cand AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM pfx a JOIN pfx b ON a.r = b.r AND a.doc_id < b.doc_id
+  FROM {p}pfx a JOIN {p}pfx b ON a.r = b.r AND a.doc_id < b.doc_id
 ),
-inter AS (
+{p}inter AS (
   SELECT c.a, c.b, COUNT(*) AS n_inter
-  FROM cand c
-  JOIN tr t1 ON t1.doc_id = c.a
-  JOIN tr t2 ON t2.doc_id = c.b AND t2.r = t1.r
+  FROM {p}cand c
+  JOIN {p}tr t1 ON t1.doc_id = c.a
+  JOIN {p}tr t2 ON t2.doc_id = c.b AND t2.r = t1.r
   GROUP BY c.a, c.b
-)
+)"""
+
+
+SQL_SETSIM_JOIN = f"""
+WITH {_setsim_ctes()}
 SELECT i.a AS doc_a, i.b AS doc_b, i.n_inter, sa.s AS s_a, sb.s AS s_b,
        i.n_inter * 1000000 // (sa.s + sb.s - i.n_inter) AS jaccard_ppm
 FROM inter i
