@@ -1227,6 +1227,238 @@ ORDER BY segment
 """
 
 
+def rfm_segments_sketch(orders: DataFrame, n_bins: int = 1000) -> DataFrame:
+    """RFM segmentation with SKETCH-fed bin edges — the scale path
+    beside the exact global-window twin above (the established
+    exact↔mergeable pairing: KMV↔HLL, exact↔histogram quantiles).
+
+    Quintile edges for each metric come from a 1000-bin equi-width
+    histogram (operators/quantiles.py's interpolation formula: one
+    bounded-state aggregation per metric, ≤ B integer counters, NO
+    global sort anywhere); binning is then a scan-local comparison of
+    each customer's metric against the four broadcast edge literals.
+    Rank error ≤ one bin width — the histogram trade — so segment
+    counts differ slightly from the exact twin, but every number is
+    deterministic integer/fixed-IEEE arithmetic the DuckDB oracle
+    replays bit-for-bit.
+
+    Plan: per-customer agg (1 shuffle) → 3-metric unpivot (scan-local
+    stack) → 3-row stats agg → ≤ 3·B-row histogram agg → cumulative
+    window over 3 bounded partitions → 12 edge values pivoted into ONE
+    broadcast row → scan-local binning of the wide per-customer
+    relation → ≤ 125-row segment count agg. Every post-scan relation
+    is metric/bin/segment-bounded, never customer-bounded.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "r_us"
+        ),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"),
+    )
+    vals = per_cust.select(
+        F.expr(
+            "stack(3, 'r', CAST(r_us AS DOUBLE), 'f', CAST(freq AS DOUBLE),"
+            " 'm', CAST(spend AS DOUBLE)) AS (g, x)"
+        )
+    )
+    stats = vals.groupBy("g").agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = vals.join(F.broadcast(stats), on="g").select(
+        "g",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("mn"))
+                    * F.lit(float(n_bins))
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("g", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    qdf = orders.sparkSession.createDataFrame(
+        [(200,), (400,), (600,), (800,)], "q_pm long"
+    )
+    # same integer rank target + within-bin interpolation as
+    # histogram_quantiles (quantiles.py:87-126) — the proven
+    # cross-engine-deterministic edge formula
+    edges = (
+        cum.join(F.broadcast(stats), on="g")
+        .crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "rank_q",
+            F.greatest(
+                F.lit(1).cast("long"), F.expr("(q_pm * n + 999) div 1000")
+            ),
+        )
+        .filter(
+            (F.col("cum") >= F.col("rank_q"))
+            & (F.col("cum_prev") < F.col("rank_q"))
+        )
+        .select(
+            "g",
+            "q_pm",
+            (
+                F.col("mn")
+                + F.col("bin").cast("double")
+                * (F.col("mx") - F.col("mn"))
+                / F.lit(float(n_bins))
+                + (
+                    (F.col("rank_q") - F.col("cum_prev")).cast("double")
+                    / F.col("cnt").cast("double")
+                )
+                * (F.col("mx") - F.col("mn"))
+                / F.lit(float(n_bins))
+            ).alias("edge"),
+        )
+    )
+    edge_row = edges.groupBy().agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("g") == g) & (F.col("q_pm") == q), F.col("edge")
+                )
+            ).alias(f"{g}_e{q // 200}")
+            for g in ("r", "f", "m")
+            for q in (200, 400, 600, 800)
+        ]
+    )
+
+    def _bin(x: str, g: str) -> F.Column:
+        return (
+            F.lit(1)
+            + sum(
+                F.when(F.col(x) > F.col(f"{g}_e{i}"), 1).otherwise(0)
+                for i in (1, 2, 3, 4)
+            )
+        ).alias(f"{g}_bin")
+
+    binned_cust = per_cust.select(
+        F.col("r_us").cast("double").alias("xr"),
+        F.col("freq").cast("double").alias("xf"),
+        F.col("spend").cast("double").alias("xm"),
+    ).crossJoin(F.broadcast(edge_row)).select(
+        _bin("xr", "r"), _bin("xf", "f"), _bin("xm", "m")
+    )
+    return (
+        binned_cust.select(
+            F.expr("r_bin * 100 + f_bin * 10 + m_bin")
+            .cast("long")
+            .alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+def q_rfm_segments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: histogram-sketch-binned RFM segment distribution —
+    the no-global-sort scale twin of ``rfm_segments``."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    return rfm_segments_sketch(orders)
+
+
+def _sql_rfm_sketch() -> str:
+    b = 1000.0
+    edge_cols = ",\n         ".join(
+        f"MAX(CASE WHEN g = '{g}' AND q_pm = {q} THEN edge END)"
+        f" AS {g}_e{q // 200}"
+        for g in ("r", "f", "m")
+        for q in (200, 400, 600, 800)
+    )
+    bins = ",\n         ".join(
+        f"1 + (CASE WHEN x{g} > e.{g}_e1 THEN 1 ELSE 0 END"
+        f" + CASE WHEN x{g} > e.{g}_e2 THEN 1 ELSE 0 END"
+        f" + CASE WHEN x{g} > e.{g}_e3 THEN 1 ELSE 0 END"
+        f" + CASE WHEN x{g} > e.{g}_e4 THEN 1 ELSE 0 END) AS {g}_bin"
+        for g in ("r", "f", "m")
+    )
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS r_us,
+         COUNT(*) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+vals AS (
+  SELECT 'r' AS g, CAST(r_us AS DOUBLE) AS x FROM per_cust
+  UNION ALL
+  SELECT 'f' AS g, CAST(freq AS DOUBLE) AS x FROM per_cust
+  UNION ALL
+  SELECT 'm' AS g, CAST(spend AS DOUBLE) AS x FROM per_cust
+),
+stats AS (
+  SELECT g, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n
+  FROM vals GROUP BY g
+),
+binned AS (
+  SELECT v.g,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE LEAST(
+                CAST(floor((v.x - s.mn) * {b!r} / (s.mx - s.mn))
+                     AS BIGINT), 999) END AS bin
+  FROM vals v JOIN stats s ON v.g = s.g
+),
+hist AS (SELECT g, bin, COUNT(*) AS cnt FROM binned GROUP BY g, bin),
+cum AS (
+  SELECT g, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+  FROM hist
+),
+edges AS (
+  SELECT c.g, q.q_pm,
+         s.mn + CAST(c.bin AS DOUBLE) * (s.mx - s.mn) / {b!r}
+              + (CAST(GREATEST(1, (q.q_pm * s.n + 999) // 1000)
+                      - (c.cum - c.cnt) AS DOUBLE)
+                 / CAST(c.cnt AS DOUBLE))
+              * (s.mx - s.mn) / {b!r} AS edge
+  FROM cum c
+  JOIN stats s ON c.g = s.g
+  CROSS JOIN (SELECT UNNEST([200, 400, 600, 800]) AS q_pm) q
+  WHERE c.cum >= GREATEST(1, (q.q_pm * s.n + 999) // 1000)
+    AND c.cum - c.cnt < GREATEST(1, (q.q_pm * s.n + 999) // 1000)
+),
+edge_row AS (
+  SELECT {edge_cols}
+  FROM edges
+),
+binned_cust AS (
+  SELECT {bins}
+  FROM (SELECT CAST(r_us AS DOUBLE) AS xr, CAST(freq AS DOUBLE) AS xf,
+               CAST(spend AS DOUBLE) AS xm FROM per_cust) p
+  CROSS JOIN edge_row e
+)
+SELECT CAST(r_bin * 100 + f_bin * 10 + m_bin AS BIGINT) AS segment,
+       COUNT(*) AS n_customers
+FROM binned_cust
+GROUP BY 1
+ORDER BY segment
+"""
+
+
+SQL_RFM_SEGMENTS_SKETCH = _sql_rfm_sketch()
+
+
 # ---------------------------------------------------------------------
 # Dominant-supplier semi-join chain (the TPC-H Q20 shape)
 # ---------------------------------------------------------------------
@@ -1339,10 +1571,14 @@ def winsorized_stats(
 ) -> DataFrame:
     """Per-group winsorized summary: values are clamped to the exact
     p05/p95 order statistics (rank ``ceil(q·n)`` under a (value, id)
-    total order — integer rank arithmetic, no percentile builtin, no
+    total order — true ceil via add-denominator-minus-one integer
+    arithmetic, ``(q·100·n + 99) div 100``, since both Spark ``div``
+    and DuckDB ``//`` truncate toward zero; no percentile builtin, no
     interpolation) and summarized with exact decimal sums. Output:
     n, the clamp bounds (raw data values), clip counts, and the
-    winsorized mean.
+    winsorized mean. The ceil rank is ≥ 1 for every n ≥ 1, so small
+    groups keep a real bound row (at n = 1 both bounds are the single
+    value and the clamp is a no-op).
 
     One per-group sort window locates the bounds; the clamp + mean is
     a second scan-local pass over the same partitioning. The exact
@@ -1359,7 +1595,7 @@ def winsorized_stats(
         .alias("n"),
     )
     bounds = ranked.filter(
-        F.expr("rn = -((-5 * n) div 100) OR rn = -((-95 * n) div 100)")
+        F.expr("rn = (5 * n + 99) div 100 OR rn = (95 * n + 99) div 100")
     ).groupBy("g").agg(
         F.min("x").alias("lo"), F.max("x").alias("hi")
     )
@@ -1412,7 +1648,7 @@ WITH ranked AS (
 bounds AS (
   SELECT g, MIN(x) AS lo, MAX(x) AS hi
   FROM ranked
-  WHERE rn = -((-5 * n) // 100) OR rn = -((-95 * n) // 100)
+  WHERE rn = (5 * n + 99) // 100 OR rn = (95 * n + 99) // 100
   GROUP BY g
 ),
 clamped AS (

@@ -171,7 +171,16 @@ def _ewma_expr() -> str:
     # decimal literal parses as DECIMAL (in both Spark and DuckDB,
     # with *different* precision rules) and drags the whole tree
     # through engine-specific decimal arithmetic — a measured 1-ulp
-    # divergence on this query.
+    # divergence on this query. The e0 suffix is only valid when
+    # repr(w) has no exponent of its own (weights below 1e-4 repr in
+    # scientific notation and '1.2e-05e0' is a parse error in both
+    # engines) — fail loudly at import if a lag-count/alpha change
+    # ever crosses that line.
+    for w in ws:
+        assert "e" not in repr(w), (
+            f"EWMA weight {w!r} reprs in scientific notation; "
+            "emit fixed-point literals before changing _EWMA_LAGS/ALPHA"
+        )
     num = " + ".join(
         f"COALESCE(l{j}, 0e0) * {w!r}e0" for j, w in enumerate(ws)
     )

@@ -347,77 +347,72 @@ def _wrap(fn: Callable) -> Callable:
 # The correctness driver hash-verifies only the FIRST 50 entries of
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
-# Round-7 rotation — exactly 50 entries, ordered by the established
-# contract: (a) the 29 queries NEW this round (suite8: association
-# rules, MAD outliers, bit-exact EWMA, attribution, grid-bucketed
-# spatial NN, randomized-response DP, JL projection, min-label
-# propagation, zone-map pruning report, sentence stats, chi-square
-# domain divergence, retrieval metrics; suite9: skyline, sorted-
-# neighborhood pairs, bigram LM, k-fold split, RFM segments), (b)
-# queries whose CODE changed this round (none — all new modules),
-# then (c) last-driver-green ASCENDING: the full 24-query r3 cohort,
-# (thermometers_multi, thermometers_multi2, unit_conversions and the
-# whole r4 cohort — asof_purchase_view,
-# below_avg_revenue, customer_ntiles, customer_order_window,
-# customer_semi_anti, dedup_clusters,
-# dedup_clusters_distributed, dedup_verified, doc_fingerprint,
-# embedding_topk, event_deltas, events_json, fe3fe2_errors,
-# fe3fe2_solvers2, html_extract, … — rotate next round).
-# Everything past slot 50 stays covered by tests/test_oracle.py (the
-# identical check).
+# Round-8 rotation — exactly 50 entries, ordered by the round-7
+# verdict's priority: (a) the 37 registry entries that have NEVER had
+# a driver-green CORRECTNESS row (round 6 produced no driver check;
+# list = registry minus the union of all CORRECTNESS_r0N keys), (b)
+# queries whose CODE changed this round (setsim CTE-generator
+# refactor, lsh_recall_eval sample_pred factoring, random_projection
+# TakeOrdered top-k, retrieval_eval slice cap, winsorized_stats true
+# ceil ranks), then (c) queries NEW this round (suite11). Everything
+# past slot 50 stays covered by tests/test_oracle.py (the identical
+# rows+schema+values check over the whole registry).
 _GATE_ORDER = [
-    # (a) new this round (round 7): suite8
-    "copurchase_lift",
-    "mad_outliers",
-    "ewma_smooth",
-    "attribution",
-    "geo_nearest",
-    "randomized_response",
-    "random_projection",
-    "label_propagation",
-    "zonemap_prune",
-    "sentence_stats",
-    "domain_divergence",
-    "retrieval_eval",
-    "skyline_parts",
-    "snm_pairs",
-    "bigram_lm",
-    "kfold_split",
-    "rfm_segments",
+    # (a) never driver-verified (the round-6 cohort + r5 stragglers)
+    "semdedup_sharded",
+    "video_frame_decode",
+    "bm25_search",
+    "line_dedup",
+    "quality_classifier",
+    "dsir_importance",
+    "weighted_sample",
+    "jsonl_ingest",
+    "domain_topk",
+    "inverted_index",
+    "table_stats",
+    "kmeans_refine",
+    "stratified_weighted_sample",
+    "ann_recall",
+    "binary_topk",
+    "curated_sample",
+    "hll_join_card",
+    "validate_lineitem",
+    "skew_report",
+    "linreg_normal",
+    "triangle_count",
+    "scd2_build",
+    "funnel_conversion",
+    "token_pmi",
+    "incremental_agg",
+    "cohort_retention",
+    "event_transitions",
+    "ab_chi2",
+    "kmv_setops",
+    "ols_multi",
+    "session_paths",
+    "incremental_join",
+    "hybrid_search",
+    "fuzzy_join",
+    "table_diff",
+    "hard_negatives",
+    "k_anonymity",
+    # (b) code changed this round
     "setsim_join",
-    "dominant_suppliers",
-    "winsorized_stats",
-    "cusum_alarms",
-    "kcore",
-    "er_golden",
     "lsh_recall_eval",
-    "triangle_downsample",
-    "benford_audit",
-    "bootstrap_ci",
-    "blame_supplier",
-    "balance_cume_dist",
-    # (c) oldest driver-green rows first: last green in r3
-    "calibration_flags",
-    "fe3fe2_deng2020",
-    "fe3fe2_expr_models",
-    "fe3fe2_expr_models2",
-    "fe3fe2_expr_models3",
-    "fe3fe2_hirschmann2022",
-    "image_decode",
-    "isobar_grid",
-    "ivf_topk",
-    "kd_blundy_saper",
-    "kd_expr_models",
-    "kd_toplis_iteration",
-    "magnetite_speciation",
-    "mc_thermometer",
-    "melt_describe",
-    "melt_structure",
-    "ngram_contamination",
-    "olmelt_thermometer",
-    "plag_endmembers",
-    "stratified_sample",
-    "sugawara6a_cpx",
+    "random_projection",
+    "retrieval_eval",
+    "winsorized_stats",
+    "ewma_smooth",
+    # (c) new this round (suite11)
+    "rfm_segments_sketch",
+    "er_golden_multipass",
+    # (d) remaining slots: oldest-driver-green rotation (last green
+    # r4) — swapped out as further round-8 queries land
+    "asof_purchase_view",
+    "below_avg_revenue",
+    "customer_ntiles",
+    "customer_order_window",
+    "customer_semi_anti",
 ]
 
 
@@ -438,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         suite8,
         suite9,
         suite10,
+        suite11,
     )
 
     out = {
@@ -455,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(suite8.queries())
     out.update(suite9.queries())
     out.update(suite10.queries())
+    out.update(suite11.queries())
     return {k: _wrap(v) for k, v in _gate_sorted(out).items()}
 
 
@@ -469,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         suite8,
         suite9,
         suite10,
+        suite11,
     )
 
     out = {
@@ -486,4 +484,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(suite8.oracle_sql())
     out.update(suite9.oracle_sql())
     out.update(suite10.oracle_sql())
+    out.update(suite11.oracle_sql())
     return _gate_sorted(out)
