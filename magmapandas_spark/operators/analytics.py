@@ -1668,3 +1668,194 @@ FROM clamped
 GROUP BY g, lo, hi
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------
+# Largest-remainder budget allocation (round 8)
+# ---------------------------------------------------------------------
+
+
+def budget_allocation(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Hamilton / largest-remainder apportionment: allocate an integer
+    ``budget`` across nations proportional to their order counts —
+    base share ``budget·cnt div total`` per nation, the leftover seats
+    to the largest integer remainders (``(budget·cnt) mod total``,
+    ties by nation name). Guarantees Σ alloc = budget exactly; every
+    number is BIGINT arithmetic under the hash.
+
+    Plan: fact aggregated to the customer grain is joined to the
+    broadcast customer→nation dimension, re-aggregated to |nations|
+    rows; the remainder rank window runs over those ≤ 25 rows.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dim = customer.select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    ).join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("c_nationkey"), "n_name"
+            )
+        ),
+        "c_nationkey",
+    )
+    per_nation = (
+        per_cust.join(F.broadcast(dim), "o_custkey")
+        .groupBy("n_name")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    tot = per_nation.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(
+        F.desc(F.expr(f"({budget} * cnt) % total")), "n_name"
+    )
+    leftover = F.lit(budget) - F.expr(f"sum({budget} * cnt div total) over ()")
+    return (
+        per_nation.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(f"{budget} * cnt div total"))
+        .withColumn("rem_rank", F.row_number().over(w))
+        .withColumn("leftover", leftover)
+        .select(
+            "n_name",
+            "cnt",
+            "base",
+            (
+                F.col("base")
+                + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(
+                    0
+                )
+            ).alias("alloc"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: 10000-seat largest-remainder allocation across
+    nations by order count; Σ alloc = 10000 exactly."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    customer = spark.read.parquet(_t(sf_dir, "customer"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    return budget_allocation(orders, customer, nation)
+
+
+SQL_BUDGET_ALLOCATION = """
+WITH per_nation AS (
+  SELECT n.n_name, COUNT(*) AS cnt
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+),
+tot AS (SELECT SUM(cnt) AS total FROM per_nation),
+ranked AS (
+  SELECT n_name, cnt,
+         10000 * cnt // total AS base,
+         ROW_NUMBER() OVER (
+           ORDER BY (10000 * cnt) % total DESC, n_name) AS rem_rank,
+         10000 - SUM(10000 * cnt // total) OVER () AS leftover
+  FROM per_nation, tot
+)
+SELECT n_name, CAST(cnt AS BIGINT) AS cnt, CAST(base AS BIGINT) AS base,
+       CAST(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------
+# ABC (Pareto) classification (round 8)
+# ---------------------------------------------------------------------
+
+
+def abc_classification(lineitem: DataFrame) -> DataFrame:
+    """ABC inventory classification: parts ranked by exact revenue
+    (decimal micros — BIGINT-exact), cumulative share thresholds at
+    70% (A) and 90% (B), C for the tail. Output: per class, part
+    count, revenue micros, and share ppm — all integers.
+
+    Scale posture: the cumulative window runs over the PART-grain
+    aggregate (the item catalog), not the fact table — the standard
+    Pareto assumption that items ≪ facts. For catalogs too large for
+    one sort, the histogram-sketch binning of ``rfm_segments_sketch``
+    applies to the revenue distribution verbatim (bin edges at the
+    70/90 cumulative marks); the exact twin stays the gate so the
+    oracle is plain window SQL.
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = lineitem.groupBy("l_partkey").agg(
+        (F.sum(rev.cast("decimal(18,6)")) * 1_000_000)
+        .cast("bigint")
+        .alias("rev_u")
+    )
+    w = Window.orderBy(F.desc("rev_u"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_part.agg(F.sum("rev_u").alias("total_u"))
+    classed = (
+        per_part.withColumn("cum_u", F.sum("rev_u").over(w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cls",
+            F.when(F.expr("cum_u * 100 <= 70 * total_u"), "A")
+            .when(F.expr("cum_u * 100 <= 90 * total_u"), "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_u").alias("rev_micros"),
+            # 1e6 · Σrev overflows BIGINT at warehouse totals — the
+            # ppm ratio runs in DECIMAL(38,0) integer arithmetic
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * sum(rev_u)"
+                " div max(total_u) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("cls")
+    )
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: A/B/C revenue classification of the part catalog
+    at 70/90% cumulative-share thresholds, BIGINT-exact."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return abc_classification(li)
+
+
+SQL_ABC_CLASSIFICATION = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_u
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(rev_u) AS total_u FROM per_part),
+classed AS (
+  SELECT rev_u,
+         CASE WHEN SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 100 <= 70 * total_u THEN 'A'
+              WHEN SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 100 <= 90 * total_u THEN 'B'
+              ELSE 'C' END AS cls,
+         total_u
+  FROM per_part, tot
+)
+SELECT cls, COUNT(*) AS n_parts,
+       CAST(SUM(rev_u) AS BIGINT) AS rev_micros,
+       CAST(CAST(1000000 AS HUGEINT) * SUM(rev_u) // MAX(total_u)
+            AS BIGINT) AS share_ppm
+FROM classed
+GROUP BY cls
+ORDER BY cls
+"""

@@ -607,3 +607,96 @@ ORDER BY node
 
 
 SQL_KCORE = _sql_kcore()
+
+
+# ---------------------------------------------------------------------
+# Two-hop neighborhood reach (round 8)
+# ---------------------------------------------------------------------
+
+
+def two_hop_reach(edges: DataFrame, top_k: int = 30) -> DataFrame:
+    """Per-node count of distinct nodes within ≤ 2 undirected hops
+    (friend-of-friend reach, excluding the node itself), with the
+    one-hop degree beside it; top-k by reach.
+
+    Scale posture: the 2-hop pair generation is ONE equi-join of the
+    symmetrized edge list with itself keyed on the middle node — its
+    fan-out is Σ deg(v)², bounded on degree-capped graphs (this link
+    graph caps at 6 generator maps per node; real pipelines cap
+    supernodes first, the standard friend-of-friend discipline). The
+    distinct + count aggregate is keyed on the source node, and the
+    top-k is orderBy().limit() (TakeOrderedAndProject), never a
+    global rank window.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    sym = und.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    hop2 = (
+        sym.alias("e1")
+        .join(
+            sym.select(
+                F.col("a").alias("b"), F.col("b").alias("c")
+            ).alias("e2"),
+            "b",
+        )
+        .select(F.col("a"), F.col("c").alias("r"))
+        .filter(F.col("a") != F.col("r"))
+    )
+    reach = (
+        sym.select("a", F.col("b").alias("r"))
+        .unionByName(hop2)
+        .distinct()
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("reach_2hop"))
+    )
+    return (
+        reach.join(deg, "a")
+        .select(F.col("a").alias("node"), "deg", "reach_2hop")
+        .orderBy(F.desc("reach_2hop"), "node")
+        .limit(top_k)
+    )
+
+
+def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: top-30 nodes of the 400-node synthetic link graph
+    by distinct ≤ 2-hop reach, exact integers."""
+    return two_hop_reach(synthetic_tri_graph(spark))
+
+
+SQL_TWO_HOP_REACH = f"""
+WITH raw AS ({_tri_links_sql()}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+sym AS (
+  SELECT u AS a, v AS b FROM und
+  UNION ALL SELECT v AS a, u AS b FROM und
+),
+deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+hop2 AS (
+  SELECT e1.a, e2.b AS r
+  FROM sym e1 JOIN sym e2 ON e1.b = e2.a
+  WHERE e1.a <> e2.b
+),
+reach AS (
+  SELECT a, COUNT(*) AS reach_2hop FROM (
+    SELECT a, b AS r FROM sym
+    UNION
+    SELECT a, r FROM hop2
+  ) GROUP BY a
+)
+SELECT r.a AS node, d.deg, r.reach_2hop
+FROM reach r JOIN deg d ON d.a = r.a
+ORDER BY reach_2hop DESC, node
+LIMIT 30
+"""

@@ -406,13 +406,11 @@ _GATE_ORDER = [
     # (c) new this round (suite11)
     "rfm_segments_sketch",
     "er_golden_multipass",
-    # (d) remaining slots: oldest-driver-green rotation (last green
-    # r4) — swapped out as further round-8 queries land
-    "asof_purchase_view",
-    "below_avg_revenue",
-    "customer_ntiles",
-    "customer_order_window",
-    "customer_semi_anti",
+    "two_hop_reach",
+    "budget_allocation",
+    "abc_classification",
+    "rake_keywords",
+    "h264_ipcm_decode",
 ]
 
 

@@ -1,35 +1,73 @@
-"""Correctness-suite part 11 (round 8): scale-path twins and
-entity-resolution recall closure.
+"""Correctness-suite part 11 (round 8): scale-path twins,
+entity-resolution recall closure, warehouse allocation analytics, and
+the first H.264 codec notch.
 
 - ``rfm_segments_sketch`` — RFM segmentation with quintile edges from
   the 1000-bin histogram sketch (operators/quantiles.py formula) and
   scan-local binning: the no-global-sort scale twin of the exact
   ``rfm_segments`` (the established exact↔mergeable pairing).
 - ``er_golden_multipass`` — multi-pass sorted-neighborhood entity
-  resolution: a second SNM pass on an independent sort key (reversed
-  name) unioned with the first before connected components, closing
-  the single-pass cross-block recall loss; recall vs brute-force
-  truth pairs is measured UNDER the gate hash.
+  resolution over the distinct name dictionary: a second SNM pass on
+  an independent sort key (reversed name) unioned with the first,
+  closing the single-pass cross-block recall loss; recall vs
+  brute-force truth pairs is measured UNDER the gate hash.
+- ``two_hop_reach`` — distinct ≤2-hop neighborhood counts over the
+  synthetic link graph (one middle-node-keyed self-join, TakeOrdered
+  top-k).
+- ``budget_allocation`` — Hamilton largest-remainder apportionment of
+  an integer budget across nations (Σ alloc exact by construction).
+- ``abc_classification`` — Pareto ABC revenue classes over the part
+  catalog at 70/90% cumulative share, BIGINT micros/ppm.
+- ``rake_keywords`` — RAKE degree/frequency keyword scoring over the
+  documents corpus, integer ppm, vocabulary-sized aggregation.
+- ``h264_ipcm_decode`` — real Annex-B H.264 baseline I-frame decode
+  (NAL framing, emulation-prevention, Exp-Golomb SPS/PPS/slice parse,
+  I_PCM macroblock reconstruction); the oracle replays the fixture's
+  closed-form plane sums and MB-order checksum.
 """
 
 from __future__ import annotations
 
 
 def queries():
-    from magmapandas_spark.operators.analytics import q_rfm_segments_sketch
+    from magmapandas_spark.operators.analytics import (
+        q_abc_classification,
+        q_budget_allocation,
+        q_rfm_segments_sketch,
+    )
     from magmapandas_spark.operators.fuzzy import q_er_golden_multipass
+    from magmapandas_spark.operators.graph import q_two_hop_reach
+    from magmapandas_spark.operators.h264 import q_h264_ipcm_decode
+    from magmapandas_spark.operators.keywords import q_rake_keywords
 
     return {
         "rfm_segments_sketch": q_rfm_segments_sketch,
         "er_golden_multipass": q_er_golden_multipass,
+        "two_hop_reach": q_two_hop_reach,
+        "budget_allocation": q_budget_allocation,
+        "abc_classification": q_abc_classification,
+        "rake_keywords": q_rake_keywords,
+        "h264_ipcm_decode": q_h264_ipcm_decode,
     }
 
 
 def oracle_sql():
-    from magmapandas_spark.operators.analytics import SQL_RFM_SEGMENTS_SKETCH
+    from magmapandas_spark.operators.analytics import (
+        SQL_ABC_CLASSIFICATION,
+        SQL_BUDGET_ALLOCATION,
+        SQL_RFM_SEGMENTS_SKETCH,
+    )
     from magmapandas_spark.operators.fuzzy import SQL_ER_GOLDEN_MULTIPASS
+    from magmapandas_spark.operators.graph import SQL_TWO_HOP_REACH
+    from magmapandas_spark.operators.h264 import SQL_H264_IPCM_DECODE
+    from magmapandas_spark.operators.keywords import SQL_RAKE_KEYWORDS
 
     return {
         "rfm_segments_sketch": SQL_RFM_SEGMENTS_SKETCH,
         "er_golden_multipass": SQL_ER_GOLDEN_MULTIPASS,
+        "two_hop_reach": SQL_TWO_HOP_REACH,
+        "budget_allocation": SQL_BUDGET_ALLOCATION,
+        "abc_classification": SQL_ABC_CLASSIFICATION,
+        "rake_keywords": SQL_RAKE_KEYWORDS,
+        "h264_ipcm_decode": SQL_H264_IPCM_DECODE,
     }

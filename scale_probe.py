@@ -161,6 +161,7 @@ SHAPES = [
     "line_dedup_scaled",
     "kmeans_refine_full",
     "semdedup_guarded",
+    "lsh_recall_sampled",
     "minhash_pipeline",
     "cc_distributed",
 ]
@@ -240,6 +241,23 @@ def _kmeans_refine_shape(spark, sf_dir: str):
     )
 
 
+def _lsh_recall_sampled_shape(spark, sf_dir: str):
+    """Round-8 close: the recall-eval harness with its sample_pred —
+    both the exact PPJoin ground truth and the LSH banding pipeline
+    run on a CONSTANT document slice (base-corpus ids only; the
+    scaled copies' offset ids fall outside it), so the suite's most
+    expensive measurement stays |sample|-priced while the corpus
+    scales X×. Expected ratio ≈ 1, well under the linear bound."""
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.evaluation import lsh_recall_eval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_recall_eval(
+        spark, docs, sample_pred=F.col("doc_id") < 2000
+    )
+
+
 def run_shapes(spark, sf_dir: str) -> dict[str, float]:
     from magmapandas_spark.relational import suite
 
@@ -289,6 +307,7 @@ def run_shapes(spark, sf_dir: str) -> dict[str, float]:
         # full-corpus Lloyd loop (fixed k·d, wall ∝ corpus)
         "line_dedup_scaled": _line_dedup_shape,
         "kmeans_refine_full": _kmeans_refine_shape,
+        "lsh_recall_sampled": _lsh_recall_sampled_shape,
     }
     out: dict[str, float] = {}
 

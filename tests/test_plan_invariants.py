@@ -668,3 +668,40 @@ def test_random_projection_topk_is_takeordered(spark):
     assert "GlobalLimit" in plan or plan.count("Window") == 1
     # the 1-row query vector and the k-id membership list broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_two_hop_reach_topk_is_takeordered(spark):
+    from magmapandas_spark.operators.graph import q_two_hop_reach
+
+    plan = plan_of(q_two_hop_reach(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rake_keywords_topk_is_takeordered(spark):
+    """Vocabulary aggregation + TakeOrdered — no global rank window,
+    no UDF (the tokenize/filter chain is whole-stage codegen)."""
+    from magmapandas_spark.operators.keywords import q_rake_keywords
+
+    plan = plan_of(q_rake_keywords(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rfm_sketch_has_no_global_sort_windows(spark):
+    """The sketch-binned RFM path must not contain the exact twin's
+    three corpus-sized global rank windows: every Window in its plan
+    partitions by the 3-metric histogram key, and binning is a
+    broadcast of one 12-edge row."""
+    import re as _re
+
+    from magmapandas_spark.operators.analytics import q_rfm_segments_sketch
+
+    plan = plan_of(q_rfm_segments_sketch(spark, SF))
+    # the only window is the per-metric cumulative histogram sum —
+    # partitioned (3 bounded partitions), never an empty partition spec
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window in sketch path"
+    assert "row_number" not in plan.lower()
