@@ -18,9 +18,18 @@ every later notch reuses, all real:
   whose reconstruction needs no prediction or transform, so the
   decoded pixels are exactly checkable under the gate hash).
 
-CAVLC residual macroblocks (intra prediction + IDCT) remain the
-honest ``NotImplementedError`` — that is the NEXT notch, and the
-boundary is now a parsed-bitstream boundary, not a container one.
+Round-8 second notch adds **intra-predicted I_16x16 macroblocks**
+(zero residual): real Intra_16x16 prediction (Vertical / Horizontal /
+DC, spec 8.3.3) and spec 8.3.4 chroma prediction from already-
+reconstructed neighbor edges, plus the CAVLC ``coeff_token`` parse of
+the always-present Intra16x16DCLevel block — including the real nC
+context derivation from neighboring blocks' TotalCoeff (I_PCM
+neighbors count 16, zero-residual I_16x16 neighbors 0; spec 9.2.1),
+so the bitstream exercises two of the four coeff_token VLC classes.
+Nonzero CAVLC coefficient levels (and Plane prediction, P/B slices,
+CABAC) remain the honest ``NotImplementedError`` — the boundary is
+now "entropy-coded residuals", three layers deeper than round 7's
+container boundary.
 
 Scale posture: identical to every codec in this engine — one narrow
 Arrow ``mapInPandas`` stage per payload; bytes never leave the
@@ -349,6 +358,81 @@ def _parse_pps(rbsp: bytes) -> dict:
     return {"pps_id": pps_id, "sps_id": sps_id, "init_qp": init_qp}
 
 
+def _predict_16x16(y: np.ndarray, mbx: int, mby: int, mode: int) -> None:
+    """Intra_16x16 luma prediction (spec 8.3.3) from already-
+    reconstructed neighbor edges: 0=Vertical, 1=Horizontal, 2=DC."""
+    x0, y0 = mbx * 16, mby * 16
+    top = y[y0 - 1, x0 : x0 + 16].astype(np.int32) if mby > 0 else None
+    left = y[y0 : y0 + 16, x0 - 1].astype(np.int32) if mbx > 0 else None
+    blk = y[y0 : y0 + 16, x0 : x0 + 16]
+    if mode == 0:  # Vertical
+        if top is None:
+            raise ValueError("Vertical prediction without top neighbor")
+        blk[:, :] = top[None, :]
+    elif mode == 1:  # Horizontal
+        if left is None:
+            raise ValueError("Horizontal prediction without left neighbor")
+        blk[:, :] = left[:, None]
+    else:  # DC
+        if top is not None and left is not None:
+            dc = (int(top.sum()) + int(left.sum()) + 16) >> 5
+        elif top is not None:
+            dc = (int(top.sum()) + 8) >> 4
+        elif left is not None:
+            dc = (int(left.sum()) + 8) >> 4
+        else:
+            dc = 128
+        blk[:, :] = dc
+
+
+def _predict_chroma8x8(
+    c: np.ndarray, mbx: int, mby: int, mode: int
+) -> None:
+    """Chroma 8x8 prediction (spec 8.3.4): 0=DC (per-4x4 corner rule),
+    1=Horizontal, 2=Vertical."""
+    x0, y0 = mbx * 8, mby * 8
+    top = c[y0 - 1, x0 : x0 + 8].astype(np.int32) if mby > 0 else None
+    left = c[y0 : y0 + 8, x0 - 1].astype(np.int32) if mbx > 0 else None
+    blk = c[y0 : y0 + 8, x0 : x0 + 8]
+    if mode == 2:  # Vertical
+        if top is None:
+            raise ValueError("Vertical chroma prediction without top")
+        blk[:, :] = top[None, :]
+    elif mode == 1:  # Horizontal
+        if left is None:
+            raise ValueError("Horizontal chroma prediction without left")
+        blk[:, :] = left[:, None]
+    else:  # DC, per 4x4 sub-block
+        for by in (0, 4):
+            for bx in (0, 4):
+                t = top[bx : bx + 4] if top is not None else None
+                l_ = left[by : by + 4] if left is not None else None
+                if bx == by:  # (0,0) and (4,4): average both edges
+                    if t is not None and l_ is not None:
+                        dc = (int(t.sum()) + int(l_.sum()) + 4) >> 3
+                    elif t is not None:
+                        dc = (int(t.sum()) + 2) >> 2
+                    elif l_ is not None:
+                        dc = (int(l_.sum()) + 2) >> 2
+                    else:
+                        dc = 128
+                elif bx == 4:  # (4,0): top else left
+                    if t is not None:
+                        dc = (int(t.sum()) + 2) >> 2
+                    elif l_ is not None:
+                        dc = (int(l_.sum()) + 2) >> 2
+                    else:
+                        dc = 128
+                else:  # (0,4): left else top
+                    if l_ is not None:
+                        dc = (int(l_.sum()) + 2) >> 2
+                    elif t is not None:
+                        dc = (int(t.sum()) + 2) >> 2
+                    else:
+                        dc = 128
+                blk[by : by + 4, bx : bx + 4] = dc
+
+
 def decode_h264_iframe(
     data: bytes,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
@@ -398,28 +482,85 @@ def decode_h264_iframe(
             y = np.zeros((h, w), np.uint8)
             cb = np.zeros((h // 2, w // 2), np.uint8)
             cr = np.zeros((h // 2, w // 2), np.uint8)
+            # per-MB TotalCoeff context for CAVLC nC derivation:
+            # I_PCM counts 16, zero-residual I_16x16 counts 0
+            # (spec 9.2.1); -1 = not yet decoded / unavailable
+            tc = np.full(mbs_w * mbs_h, -1, np.int32)
             for mb in range(first_mb, mbs_w * mbs_h):
                 mb_type = r.ue()
-                if mb_type != 25:
-                    raise NotImplementedError(
-                        f"mb_type {mb_type}: CAVLC residual macroblocks "
-                        "(intra prediction + IDCT) are the next codec "
-                        "notch — only I_PCM decodes"
-                    )
-                r.byte_align()
                 mbx, mby = mb % mbs_w, mb // mbs_w
-                yb = np.frombuffer(r.raw_bytes(256), np.uint8)
-                cbb = np.frombuffer(r.raw_bytes(64), np.uint8)
-                crb = np.frombuffer(r.raw_bytes(64), np.uint8)
-                y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = (
-                    yb.reshape(16, 16)
-                )
-                cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
-                    cbb.reshape(8, 8)
-                )
-                cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
-                    crb.reshape(8, 8)
-                )
+                if mb_type == 25:  # I_PCM
+                    r.byte_align()
+                    yb = np.frombuffer(r.raw_bytes(256), np.uint8)
+                    cbb = np.frombuffer(r.raw_bytes(64), np.uint8)
+                    crb = np.frombuffer(r.raw_bytes(64), np.uint8)
+                    y[
+                        mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16
+                    ] = yb.reshape(16, 16)
+                    cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                        cbb.reshape(8, 8)
+                    )
+                    cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                        crb.reshape(8, 8)
+                    )
+                    tc[mb] = 16
+                elif 1 <= mb_type <= 24:  # I_16x16 family (Table 7-11)
+                    pred_mode = (mb_type - 1) % 4
+                    cbp_chroma = ((mb_type - 1) // 4) % 3
+                    cbp_luma = 15 if mb_type - 1 >= 12 else 0
+                    if cbp_chroma or cbp_luma:
+                        raise NotImplementedError(
+                            f"mb_type {mb_type}: nonzero coded_block_"
+                            "pattern needs CAVLC coefficient levels — "
+                            "the next codec notch"
+                        )
+                    if pred_mode == 3:
+                        raise NotImplementedError(
+                            "Intra_16x16 Plane prediction not supported"
+                        )
+                    chroma_mode = r.ue()  # intra_chroma_pred_mode
+                    if chroma_mode == 3:
+                        raise NotImplementedError(
+                            "chroma Plane prediction not supported"
+                        )
+                    r.se()  # mb_qp_delta (always present for I_16x16)
+                    # Intra16x16DCLevel is always parsed: CAVLC
+                    # coeff_token with nC from neighbors of luma 4x4
+                    # block 0 (left MB / top MB at an MB corner)
+                    n_a = tc[mb - 1] if mbx > 0 else -1
+                    n_b = tc[mb - mbs_w] if mby > 0 else -1
+                    if n_a >= 0 and n_b >= 0:
+                        n_c = (n_a + n_b + 1) >> 1
+                    elif n_a >= 0:
+                        n_c = n_a
+                    elif n_b >= 0:
+                        n_c = n_b
+                    else:
+                        n_c = 0
+                    if n_c < 2:
+                        zero_tok = r.u(1) == 1
+                    elif n_c < 4:
+                        zero_tok = r.u(2) == 3
+                    elif n_c < 8:
+                        zero_tok = r.u(4) == 15
+                    else:
+                        zero_tok = r.u(6) == 3
+                    if not zero_tok:
+                        raise NotImplementedError(
+                            "nonzero Intra16x16DCLevel coefficients: "
+                            "CAVLC level decode + inverse Hadamard are "
+                            "the next codec notch"
+                        )
+                    _predict_16x16(y, mbx, mby, pred_mode)
+                    _predict_chroma8x8(cb, mbx, mby, chroma_mode)
+                    _predict_chroma8x8(cr, mbx, mby, chroma_mode)
+                    tc[mb] = 0
+                else:
+                    raise NotImplementedError(
+                        f"mb_type {mb_type} (I_4x4/I_8x8): per-block "
+                        "intra modes + CAVLC residuals are the next "
+                        "codec notch"
+                    )
             if r.u(1) != 1:
                 raise ValueError("missing rbsp stop bit after slice data")
     if y is None:
@@ -533,6 +674,229 @@ def q_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiny_sorted(
         h264_frame_stats(synthetic_h264_media(spark)), "media_id"
     )
+
+
+# ---------------------------------------------------------------------
+# Notch 2: mixed I_PCM / intra-predicted I_16x16 streams
+# ---------------------------------------------------------------------
+
+
+def encode_mixed_annexb(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    cls: np.ndarray,
+) -> bytes:
+    """Annex-B stream whose macroblocks are I_PCM where ``cls`` is 0
+    and I_16x16 (Vertical luma + Vertical chroma prediction, zero
+    residual) where 1. PCM samples are read from the plane arrays;
+    predicted MBs emit only syntax (mb_type 1, chroma mode, qp delta,
+    and the CAVLC zero coeff_token for the always-present
+    Intra16x16DCLevel block, in the real nC context)."""
+    h, w = y.shape
+    mbs_w, mbs_h = w // 16, h // 16
+
+    sps = _BitWriter()
+    sps.u(66, 8); sps.u(0, 8); sps.u(10, 8)
+    sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0)
+    sps.u(0, 1)
+    sps.ue(mbs_w - 1); sps.ue(mbs_h - 1)
+    sps.u(1, 1); sps.u(0, 1); sps.u(0, 1); sps.u(0, 1)
+    sps.rbsp_trailing()
+
+    pps = _BitWriter()
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
+    pps.se(0); pps.se(0); pps.se(0)
+    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.rbsp_trailing()
+
+    sl = _BitWriter()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    tc = np.full(mbs_w * mbs_h, -1, np.int32)
+    for mb in range(mbs_w * mbs_h):
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        if cls[mb] == 0:
+            sl.ue(25)
+            sl.align_zero()
+            sl.raw_bytes(
+                y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16]
+                .astype(np.uint8).tobytes()
+            )
+            sl.raw_bytes(
+                cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+                .astype(np.uint8).tobytes()
+            )
+            sl.raw_bytes(
+                cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+                .astype(np.uint8).tobytes()
+            )
+            tc[mb] = 16
+        else:
+            sl.ue(1)  # I_16x16: Vertical pred, cbp 0
+            sl.ue(2)  # intra_chroma_pred_mode: Vertical
+            sl.se(0)  # mb_qp_delta
+            n_a = tc[mb - 1] if mbx > 0 else -1
+            n_b = tc[mb - mbs_w] if mby > 0 else -1
+            if n_a >= 0 and n_b >= 0:
+                n_c = (n_a + n_b + 1) >> 1
+            elif n_a >= 0:
+                n_c = n_a
+            elif n_b >= 0:
+                n_c = n_b
+            else:
+                n_c = 0
+            if n_c < 2:
+                sl.u(1, 1)
+            elif n_c < 4:
+                sl.u(3, 2)
+            elif n_c < 8:
+                sl.u(15, 4)
+            else:
+                sl.u(3, 6)
+            tc[mb] = 0
+    sl.rbsp_trailing()
+
+    def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
+        header = bytes([(ref_idc << 5) | nal_type])
+        return b"\x00\x00\x00\x01" + header + _escape_ebsp(w_.tobytes())
+
+    return nal(3, 7, sps) + nal(3, 8, pps) + nal(3, 5, sl)
+
+
+def _fixture_mixed(i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Expected reconstruction for mixed clip ``i``: every MB slot has
+    addressable PCM formula values (luma k = mb·256 + offset, chroma
+    kc = mb·64 + offset — the notch-1 formulas); interior MBs
+    (mbx > 0 AND mby > 0) are then overwritten by Vertical prediction
+    from the row above (always a PCM MB here: mbs_h ≤ 2, so a
+    predicted MB's top neighbor has mby = 0)."""
+    w = 16 * (1 + i % 3)
+    h = 16 * (1 + i % 2)
+    mbs_w, mbs_h = w // 16, h // 16
+    y = np.zeros((h, w), np.uint8)
+    cb = np.zeros((h // 2, w // 2), np.uint8)
+    cr = np.zeros((h // 2, w // 2), np.uint8)
+    cls = np.zeros(mbs_w * mbs_h, np.int32)
+    for mb in range(mbs_w * mbs_h):
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        for o in range(256):
+            r_, c_ = o // 16, o % 16
+            y[mby * 16 + r_, mbx * 16 + c_] = (
+                7 * i + 13 * ((mb * 256 + o) // 4)
+            ) % 256
+        for o in range(64):
+            r_, c_ = o // 8, o % 8
+            cb[mby * 8 + r_, mbx * 8 + c_] = (11 * i + 17 * (mb * 64 + o)) % 256
+            cr[mby * 8 + r_, mbx * 8 + c_] = (19 * i + 23 * (mb * 64 + o)) % 256
+        if mbx > 0 and mby > 0:
+            cls[mb] = 1
+    for mb in range(mbs_w * mbs_h):
+        if cls[mb]:
+            mbx, mby = mb % mbs_w, mb // mbs_w
+            y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = y[
+                mby * 16 - 1, mbx * 16 : mbx * 16 + 16
+            ][None, :]
+            for pl in (cb, cr):
+                pl[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pl[
+                    mby * 8 - 1, mbx * 8 : mbx * 8 + 8
+                ][None, :]
+    return y, cb, cr, cls
+
+
+def synthetic_h264_intra_media(
+    spark: SparkSession, n: int = _N_CLIPS
+) -> DataFrame:
+    rows = []
+    for i in range(n):
+        y, cb, cr, cls = _fixture_mixed(i)
+        rows.append(
+            (i, bytearray(encode_mixed_annexb(y, cb, cr, cls)))
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def q_h264_intra_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: decode 24 mixed I_PCM / intra-predicted I_16x16
+    streams — Vertical luma + chroma prediction from reconstructed
+    PCM neighbor edges, CAVLC zero-coeff_token parse in the real nC
+    context — plane sums and the MB-order checksum under the hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_frame_stats(synthetic_h264_intra_media(spark)), "media_id"
+    )
+
+
+def _sql_h264_intra() -> str:
+    # PCM formulas (k = mb·256 + o luma; kc = mb·64 + o chroma)
+    y_v = "(7 * media_id + 13 * ((mb * 256 + o.o) // 4)) % 256"
+    # predicted MB's top edge = row 15 of the MB above (o = 240 + c)
+    y_top = (
+        "(7 * media_id + 13 * (((mb - mbs_w) * 256 + 240 + c.c) // 4))"
+        " % 256"
+    )
+    cb_v = "(11 * media_id + 17 * (mb * 64 + o.o)) % 256"
+    cr_v = "(19 * media_id + 23 * (mb * 64 + o.o)) % 256"
+    cb_top = "(11 * media_id + 17 * ((mb - mbs_w) * 64 + 56 + c.c)) % 256"
+    cr_top = "(19 * media_id + 23 * ((mb - mbs_w) * 64 + 56 + c.c)) % 256"
+    return f"""
+WITH clip AS (
+  SELECT i AS media_id, 1 + i % 3 AS mbs_w, 1 + i % 2 AS mbs_h
+  FROM range({_N_CLIPS}) t(i)
+),
+mbs AS (
+  SELECT media_id, mbs_w, mbs_h, m.m AS mb,
+         m.m % mbs_w AS mbx, m.m // mbs_w AS mby
+  FROM clip, LATERAL (SELECT UNNEST(range(mbs_w * mbs_h)) AS m) m
+),
+luma_pcm AS (
+  SELECT media_id,
+         SUM({y_v}) AS s,
+         SUM((mb * 256 + o.o + 1) * ({y_v})) AS ck
+  FROM mbs, LATERAL (SELECT UNNEST(range(256)) AS o) o
+  WHERE NOT (mbx > 0 AND mby > 0)
+  GROUP BY media_id
+),
+luma_pred AS (
+  SELECT media_id,
+         16 * SUM({y_top}) AS s,
+         SUM(({y_top}) * (16 * (mb * 256 + c.c + 1) + 1920)) AS ck
+  FROM mbs, LATERAL (SELECT UNNEST(range(16)) AS c) c
+  WHERE mbx > 0 AND mby > 0
+  GROUP BY media_id
+),
+chroma_pcm AS (
+  SELECT media_id, SUM({cb_v}) AS scb, SUM({cr_v}) AS scr
+  FROM mbs, LATERAL (SELECT UNNEST(range(64)) AS o) o
+  WHERE NOT (mbx > 0 AND mby > 0)
+  GROUP BY media_id
+),
+chroma_pred AS (
+  SELECT media_id, 8 * SUM({cb_top}) AS scb, 8 * SUM({cr_top}) AS scr
+  FROM mbs, LATERAL (SELECT UNNEST(range(8)) AS c) c
+  WHERE mbx > 0 AND mby > 0
+  GROUP BY media_id
+)
+SELECT c.media_id,
+       CAST(16 * c.mbs_w AS INT) AS width,
+       CAST(16 * c.mbs_h AS INT) AS height,
+       CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
+       CAST(lp.s + COALESCE(lr.s, 0) AS BIGINT) AS sum_y,
+       CAST(cp.scb + COALESCE(cr2.scb, 0) AS BIGINT) AS sum_cb,
+       CAST(cp.scr + COALESCE(cr2.scr, 0) AS BIGINT) AS sum_cr,
+       CAST((lp.ck + COALESCE(lr.ck, 0)) % {_CK_MOD} AS BIGINT) AS ck_y
+FROM clip c
+JOIN luma_pcm lp ON lp.media_id = c.media_id
+LEFT JOIN luma_pred lr ON lr.media_id = c.media_id
+JOIN chroma_pcm cp ON cp.media_id = c.media_id
+LEFT JOIN chroma_pred cr2 ON cr2.media_id = c.media_id
+ORDER BY c.media_id
+"""
+
+
+SQL_H264_INTRA_DECODE = _sql_h264_intra()
 
 
 # The oracle recomputes the fixture's closed-form statistics: luma

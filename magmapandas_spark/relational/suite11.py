@@ -24,6 +24,12 @@ the first H.264 codec notch.
   (NAL framing, emulation-prevention, Exp-Golomb SPS/PPS/slice parse,
   I_PCM macroblock reconstruction); the oracle replays the fixture's
   closed-form plane sums and MB-order checksum.
+- ``h264_intra_decode`` — notch 2: mixed I_PCM / intra-predicted
+  I_16x16 macroblocks (Vertical luma+chroma prediction from
+  reconstructed neighbor edges, CAVLC zero coeff_token in the real
+  nC context); registry entry past the 50-slot gate this round
+  (covered by the identical pytest oracle sweep), rotates into the
+  driver gate next round.
 """
 
 from __future__ import annotations
@@ -37,7 +43,10 @@ def queries():
     )
     from magmapandas_spark.operators.fuzzy import q_er_golden_multipass
     from magmapandas_spark.operators.graph import q_two_hop_reach
-    from magmapandas_spark.operators.h264 import q_h264_ipcm_decode
+    from magmapandas_spark.operators.h264 import (
+        q_h264_intra_decode,
+        q_h264_ipcm_decode,
+    )
     from magmapandas_spark.operators.keywords import q_rake_keywords
 
     return {
@@ -48,6 +57,7 @@ def queries():
         "abc_classification": q_abc_classification,
         "rake_keywords": q_rake_keywords,
         "h264_ipcm_decode": q_h264_ipcm_decode,
+        "h264_intra_decode": q_h264_intra_decode,
     }
 
 
@@ -59,7 +69,10 @@ def oracle_sql():
     )
     from magmapandas_spark.operators.fuzzy import SQL_ER_GOLDEN_MULTIPASS
     from magmapandas_spark.operators.graph import SQL_TWO_HOP_REACH
-    from magmapandas_spark.operators.h264 import SQL_H264_IPCM_DECODE
+    from magmapandas_spark.operators.h264 import (
+        SQL_H264_INTRA_DECODE,
+        SQL_H264_IPCM_DECODE,
+    )
     from magmapandas_spark.operators.keywords import SQL_RAKE_KEYWORDS
 
     return {
@@ -70,4 +83,5 @@ def oracle_sql():
         "abc_classification": SQL_ABC_CLASSIFICATION,
         "rake_keywords": SQL_RAKE_KEYWORDS,
         "h264_ipcm_decode": SQL_H264_IPCM_DECODE,
+        "h264_intra_decode": SQL_H264_INTRA_DECODE,
     }

@@ -98,7 +98,7 @@ def test_cavlc_macroblock_is_honest_boundary():
     stream = bytes(data[:idx]) + b"\x00\x00\x00\x01\x65" + _escape_ebsp(
         sl.tobytes()
     )
-    with pytest.raises(NotImplementedError, match="I_PCM"):
+    with pytest.raises(NotImplementedError, match="codec notch"):
         decode_h264_iframe(stream)
 
 
@@ -115,3 +115,79 @@ def test_missing_sps_raises():
     idx = data.rfind(b"\x00\x00\x00\x01\x65")
     with pytest.raises(ValueError, match="SPS"):
         decode_h264_iframe(data[idx:])
+
+
+# -- notch 2: intra-predicted I_16x16 --------------------------------
+
+
+def test_mixed_round_trip_and_prediction_values():
+    from magmapandas_spark.operators.h264 import (
+        _fixture_mixed,
+        encode_mixed_annexb,
+    )
+
+    for i in (5, 11, 23):  # clips with predicted MBs
+        y, cb, cr, cls = _fixture_mixed(i)
+        assert cls.sum() > 0
+        data = encode_mixed_annexb(y, cb, cr, cls)
+        yd, cbd, crd, _ = decode_h264_iframe(data)
+        assert np.array_equal(y, yd)
+        assert np.array_equal(cb, cbd)
+        assert np.array_equal(cr, crd)
+        # a predicted MB's columns replicate the row above it
+        mbs_w = y.shape[1] // 16
+        mb = int(np.nonzero(cls)[0][0])
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        top = yd[mby * 16 - 1, mbx * 16 : mbx * 16 + 16]
+        assert np.array_equal(
+            yd[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16],
+            np.tile(top, (16, 1)),
+        )
+
+
+def test_dc_and_horizontal_prediction_helpers():
+    from magmapandas_spark.operators.h264 import (
+        _predict_16x16,
+        _predict_chroma8x8,
+    )
+
+    y = np.zeros((32, 32), np.uint8)
+    y[15, 16:32] = 100  # top edge of MB (1,1)
+    y[16:32, 15] = 50  # left edge of MB (1,1)
+    _predict_16x16(y, 1, 1, 2)  # DC
+    assert int(y[20, 20]) == (100 * 16 + 50 * 16 + 16) >> 5
+    y[16:32, 15] = 50
+    _predict_16x16(y, 1, 1, 1)  # Horizontal
+    assert (y[16:32, 16:32] == 50).all()
+    c = np.zeros((16, 16), np.uint8)
+    c[7, 8:16] = 200
+    c[8:16, 7] = 40
+    _predict_chroma8x8(c, 1, 1, 0)  # DC: per-4x4 corner rule
+    assert int(c[8, 8]) == (200 * 4 + 40 * 4 + 4) >> 3  # (0,0) both
+    assert int(c[8, 14]) == (200 * 4 + 2) >> 2  # (4,0) top only
+    assert int(c[14, 8]) == (40 * 4 + 2) >> 2  # (0,4) left only
+    assert int(c[14, 14]) == (200 * 4 + 40 * 4 + 4) >> 3  # (4,4) both
+
+
+def test_nonzero_cbp_is_honest_boundary():
+    """I_16x16 with a nonzero coded_block_pattern (mb_type 13: cbp
+    luma 15) must raise — residual levels are the next notch."""
+    from magmapandas_spark.operators.h264 import (
+        _escape_ebsp,
+        _fixture_mixed,
+        encode_mixed_annexb,
+    )
+
+    y, cb, cr, cls = _fixture_mixed(0)
+    data = encode_mixed_annexb(y, cb, cr, cls)
+    sl = _BitWriter()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.ue(13)  # I_16x16, pred 0, cbp_luma 15
+    sl.rbsp_trailing()
+    idx = data.rfind(b"\x00\x00\x00\x01\x65")
+    stream = data[:idx] + b"\x00\x00\x00\x01\x65" + _escape_ebsp(
+        sl.tobytes()
+    )
+    with pytest.raises(NotImplementedError, match="coded_block_pattern"):
+        decode_h264_iframe(stream)
