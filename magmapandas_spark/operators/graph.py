@@ -555,12 +555,26 @@ def kcore_peel(edges: DataFrame, k: int = 10, rounds: int = 3) -> DataFrame:
             .filter(F.col("deg") >= k)
             .select(F.col("a").alias("node"))
         )
-    return (
+    # LEFT join the degree report onto the surviving node set: a
+    # survivor whose within-core neighbors were all peeled this round
+    # has core_degree 0 and must still appear (an inner join silently
+    # dropped such nodes — caught by the r8 fixpoint test, where the
+    # k=10 round-4 core is exactly four mutually-disconnected nodes)
+    deg = (
         sym.join(alive.select(F.col("node").alias("a")), "a")
         .join(alive.select(F.col("node").alias("b")), "b")
         .groupBy("a")
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .select(F.col("a").alias("node"), "core_degree")
+    )
+    return (
+        alive.join(deg, "node", "left")
+        .select(
+            "node",
+            F.coalesce("core_degree", F.lit(0)).cast("long").alias(
+                "core_degree"
+            ),
+        )
         .orderBy("node")
     )
 
@@ -597,12 +611,16 @@ def _sql_kcore(k: int = 10, rounds: int = 3) -> str:
     body = ",\n".join(ctes)
     return f"""
 WITH {body}
-SELECT s.a AS node, COUNT(*) AS core_degree
-FROM sym s
-JOIN n{rounds} x ON x.node = s.a
-JOIN n{rounds} y ON y.node = s.b
-GROUP BY s.a
-ORDER BY node
+SELECT x.node, CAST(COALESCE(d.core_degree, 0) AS BIGINT) AS core_degree
+FROM n{rounds} x
+LEFT JOIN (
+  SELECT s.a AS node, COUNT(*) AS core_degree
+  FROM sym s
+  JOIN n{rounds} p ON p.node = s.a
+  JOIN n{rounds} q ON q.node = s.b
+  GROUP BY s.a
+) d ON d.node = x.node
+ORDER BY x.node
 """
 
 

@@ -358,6 +358,131 @@ def _parse_pps(rbsp: bytes) -> dict:
     return {"pps_id": pps_id, "sps_id": sps_id, "init_qp": init_qp}
 
 
+# chroma QP mapping (spec Table 8-15) for qPi >= 30; below 30 QPc = qPi
+_QPC_TABLE = {
+    30: 29, 31: 30, 32: 31, 33: 32, 34: 32, 35: 33, 36: 34, 37: 34,
+    38: 35, 39: 35, 40: 36, 41: 36, 42: 37, 43: 37, 44: 37, 45: 38,
+    46: 38, 47: 38, 48: 39, 49: 39, 50: 39, 51: 39,
+}
+
+#: LevelScale4x4 position-(0,0) values by QP % 6 (spec Table 8-13 v row)
+_LS00 = [10, 11, 13, 14, 16, 18]
+
+#: chroma-DC coeff_token (nC == -1) prefix codes we can prove from the
+#: fixture corpus; TotalCoeff >= 3 rows raise (not yet needed)
+_CHROMA_DC_TOKENS = {
+    "01": (0, 0),
+    "1": (1, 1),
+    "000111": (0, 1),
+    "001": (2, 2),
+    "000100": (0, 2),
+    "000110": (1, 2),
+}
+
+_TOTAL_ZEROS_2X2 = {
+    1: {"1": 0, "01": 1, "001": 2, "000": 3},
+    2: {"1": 0, "01": 1, "00": 2},
+    3: {"1": 0, "0": 1},
+}
+
+_RUN_BEFORE = {
+    1: {"1": 0, "0": 1},
+    2: {"1": 0, "01": 1, "00": 2},
+    3: {"11": 0, "10": 1, "01": 2, "00": 3},
+}
+
+
+def _read_vlc(r: _BitReader, table: dict, what: str, max_bits: int = 8):
+    code = ""
+    for _ in range(max_bits):
+        code += str(r.u(1))
+        if code in table:
+            return table[code]
+    raise NotImplementedError(f"{what} code {code!r} not in table")
+
+
+def _parse_cavlc_chroma_dc(r: _BitReader) -> list[int]:
+    """CAVLC residual_block for one 2x2 chroma DC block (nC = -1):
+    coeff_token, trailing-one signs, level_prefix/suffix decode with
+    the first-coefficient +2 rule, total_zeros (2x2 tables) and
+    run_before. Returns the 4 coefficients in 2x2 raster order."""
+    t1s, tc = _read_vlc(r, _CHROMA_DC_TOKENS, "chroma-DC coeff_token")
+    if tc == 0:
+        return [0, 0, 0, 0]
+    levels: list[int] = []
+    for _ in range(t1s):
+        levels.append(-1 if r.u(1) else 1)
+    suffix_len = 0
+    for i in range(t1s, tc):
+        prefix = 0
+        while r.u(1) == 0:
+            prefix += 1
+            if prefix > 14:
+                raise NotImplementedError(
+                    "level_prefix >= 15 (escape levels) not needed for "
+                    "chroma DC magnitudes — next notch"
+                )
+        level_code = prefix << suffix_len
+        if suffix_len:
+            level_code += r.u(suffix_len)
+        if i == t1s and t1s < 3:
+            level_code += 2
+        level = (
+            (level_code + 2) >> 1
+            if level_code % 2 == 0
+            else -((level_code + 1) >> 1)
+        )
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    if tc < 4:
+        tz = _read_vlc(r, _TOTAL_ZEROS_2X2[tc], "2x2 total_zeros")
+    else:
+        tz = 0
+    coeffs = [0, 0, 0, 0]
+    zeros_left = tz
+    pos = tc + tz - 1
+    for idx, lvl in enumerate(levels):
+        coeffs[pos] = lvl
+        if idx == tc - 1:
+            break
+        run = (
+            _read_vlc(r, _RUN_BEFORE[min(zeros_left, 3)], "run_before")
+            if zeros_left > 0
+            else 0
+        )
+        zeros_left -= run
+        pos -= 1 + run
+    return coeffs
+
+
+def _chroma_dc_residuals(coeffs: list[int], qpc: int) -> list[int]:
+    """2x2 inverse Hadamard + chroma-DC scaling (spec 8.5.11), then
+    the per-4x4 uniform residual of a DC-only block ((dc + 32) >> 6).
+    Returns 4 residual values in block raster order
+    [(0,0), (4,0), (0,4), (4,4)]."""
+    c00, c01, c10, c11 = coeffs
+    f = [
+        c00 + c01 + c10 + c11,
+        c00 - c01 + c10 - c11,
+        c00 + c01 - c10 - c11,
+        c00 - c01 - c10 + c11,
+    ]
+    ls = _LS00[qpc % 6]
+    out = []
+    for fv in f:
+        dc = (fv * ls << (qpc // 6)) >> 5
+        out.append((dc + 32) >> 6)
+    return out
+
+
+def _qpc_of(qpy: int, offset: int = 0) -> int:
+    qpi = max(0, min(51, qpy + offset))
+    return qpi if qpi < 30 else _QPC_TABLE[qpi]
+
+
 def _predict_16x16(y: np.ndarray, mbx: int, mby: int, mode: int) -> None:
     """Intra_16x16 luma prediction (spec 8.3.3) from already-
     reconstructed neighbor edges: 0=Vertical, 1=Horizontal, 2=DC."""
@@ -476,7 +601,7 @@ def decode_h264_iframe(
                         raise NotImplementedError(
                             "adaptive ref-pic marking not supported"
                         )
-            r.se()  # slice_qp_delta
+            qp_y = pps["init_qp"] + r.se()  # slice_qp_delta
             mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
             w, h = mbs_w * 16, mbs_h * 16
             y = np.zeros((h, w), np.uint8)
@@ -508,10 +633,10 @@ def decode_h264_iframe(
                     pred_mode = (mb_type - 1) % 4
                     cbp_chroma = ((mb_type - 1) // 4) % 3
                     cbp_luma = 15 if mb_type - 1 >= 12 else 0
-                    if cbp_chroma or cbp_luma:
+                    if cbp_luma or cbp_chroma == 2:
                         raise NotImplementedError(
-                            f"mb_type {mb_type}: nonzero coded_block_"
-                            "pattern needs CAVLC coefficient levels — "
+                            f"mb_type {mb_type}: AC coefficient blocks "
+                            "(4x4 CAVLC + inverse core transform) are "
                             "the next codec notch"
                         )
                     if pred_mode == 3:
@@ -523,7 +648,7 @@ def decode_h264_iframe(
                         raise NotImplementedError(
                             "chroma Plane prediction not supported"
                         )
-                    r.se()  # mb_qp_delta (always present for I_16x16)
+                    qp_y += r.se()  # mb_qp_delta (always present here)
                     # Intra16x16DCLevel is always parsed: CAVLC
                     # coeff_token with nC from neighbors of luma 4x4
                     # block 0 (left MB / top MB at an MB corner)
@@ -554,6 +679,26 @@ def decode_h264_iframe(
                     _predict_16x16(y, mbx, mby, pred_mode)
                     _predict_chroma8x8(cb, mbx, mby, chroma_mode)
                     _predict_chroma8x8(cr, mbx, mby, chroma_mode)
+                    if cbp_chroma == 1:
+                        # chroma DC residuals: Cb then Cr (spec
+                        # residual() order), 2x2 CAVLC each, inverse
+                        # Hadamard + scaling, clipped add per 4x4
+                        qpc = _qpc_of(qp_y)
+                        for plane in (cb, cr):
+                            res = _chroma_dc_residuals(
+                                _parse_cavlc_chroma_dc(r), qpc
+                            )
+                            for bi, (by, bx) in enumerate(
+                                ((0, 0), (0, 4), (4, 0), (4, 4))
+                            ):
+                                sub = plane[
+                                    mby * 8 + by : mby * 8 + by + 4,
+                                    mbx * 8 + bx : mbx * 8 + bx + 4,
+                                ].astype(np.int32)
+                                plane[
+                                    mby * 8 + by : mby * 8 + by + 4,
+                                    mbx * 8 + bx : mbx * 8 + bx + 4,
+                                ] = np.clip(sub + res[bi], 0, 255)
                     tc[mb] = 0
                 else:
                     raise NotImplementedError(
@@ -686,6 +831,8 @@ def encode_mixed_annexb(
     cb: np.ndarray,
     cr: np.ndarray,
     cls: np.ndarray,
+    chroma_dc: np.ndarray | None = None,
+    qp: int = 26,
 ) -> bytes:
     """Annex-B stream whose macroblocks are I_PCM where ``cls`` is 0
     and I_16x16 (Vertical luma + Vertical chroma prediction, zero
@@ -707,9 +854,25 @@ def encode_mixed_annexb(
     pps = _BitWriter()
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
-    pps.se(0); pps.se(0); pps.se(0)
+    pps.se(qp - 26); pps.se(0); pps.se(0)
     pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
     pps.rbsp_trailing()
+
+    def write_chroma_dc_level(w_: _BitWriter, level: int) -> None:
+        """One-coefficient (scan position 0) 2x2 chroma DC block."""
+        if level == 0:
+            w_.u(1, 2)  # coeff_token (0,0) = '01'
+            return
+        if abs(level) == 1:
+            w_.u(1, 1)  # coeff_token (1,1) = '1'
+            w_.u(0 if level > 0 else 1, 1)  # trailing-one sign
+        else:
+            w_.u(7, 6)  # coeff_token (0,1) = '000111'
+            level_code = (2 * level - 2 if level > 0 else -2 * level - 1)
+            level_code -= 2  # first-coefficient rule (T1s < 3)
+            w_.u(0, level_code)  # level_prefix zeros
+            w_.u(1, 1)
+        w_.u(1, 1)  # total_zeros = 0 ('1' in the TC=1 2x2 table)
 
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
@@ -734,7 +897,15 @@ def encode_mixed_annexb(
             )
             tc[mb] = 16
         else:
-            sl.ue(1)  # I_16x16: Vertical pred, cbp 0
+            cdc = (
+                (int(chroma_dc[mb][0]), int(chroma_dc[mb][1]))
+                if chroma_dc is not None
+                else (0, 0)
+            )
+            has_cdc = cdc != (0, 0)
+            # Table 7-11: mb_type - 1 = 12*cbp_luma_bit + 4*cbp_chroma
+            # + pred_mode; Vertical pred, cbp_chroma 1 -> mb_type 5
+            sl.ue(5 if has_cdc else 1)
             sl.ue(2)  # intra_chroma_pred_mode: Vertical
             sl.se(0)  # mb_qp_delta
             n_a = tc[mb - 1] if mbx > 0 else -1
@@ -755,6 +926,9 @@ def encode_mixed_annexb(
                 sl.u(15, 4)
             else:
                 sl.u(3, 6)
+            if has_cdc:
+                write_chroma_dc_level(sl, cdc[0])
+                write_chroma_dc_level(sl, cdc[1])
             tc[mb] = 0
     sl.rbsp_trailing()
 
@@ -827,6 +1001,171 @@ def q_h264_intra_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiny_sorted(
         h264_frame_stats(synthetic_h264_intra_media(spark)), "media_id"
     )
+
+
+# ---------------------------------------------------------------------
+# Notch 3: chroma-DC CAVLC residuals (entropy-coded reconstruction)
+# ---------------------------------------------------------------------
+
+_N3_QP = 40  # QPy; QPc = 36 via Table 8-15 -> dcC = 20 * level
+
+
+def _n3_levels(i: int) -> tuple[int, int]:
+    """Per-clip chroma DC levels: Cb positive (level decode path,
+    |L| >= 2), Cr negative (odd levelCode branch)."""
+    return 2 + i % 5, -(2 + i % 3)
+
+
+def _n3_residuals(i: int) -> tuple[int, int]:
+    """Uniform per-8x8 chroma residuals for clip ``i`` — independent
+    closed form for the oracle generator: QPc 36 gives dcC = 20·L and
+    residual floor((20·L + 32) / 64)."""
+    import math
+
+    l_cb, l_cr = _n3_levels(i)
+    return (
+        math.floor((20 * l_cb + 32) / 64),
+        math.floor((20 * l_cr + 32) / 64),
+    )
+
+
+def _fixture_notch3(i: int):
+    """Like ``_fixture_mixed`` but every predicted MB carries a
+    chroma-DC residual: after Vertical prediction, both chroma planes
+    shift by the clip's uniform residual (clipped to [0, 255])."""
+    y, cb, cr, cls = _fixture_mixed(i)
+    r_cb, r_cr = _n3_residuals(i)
+    mbs_w = y.shape[1] // 16
+    n_mbs = len(cls)
+    cdc = np.zeros((n_mbs, 2), np.int32)
+    l_cb, l_cr = _n3_levels(i)
+    for mb in range(n_mbs):
+        if cls[mb]:
+            cdc[mb] = (l_cb, l_cr)
+            mbx, mby = mb % mbs_w, mb // mbs_w
+            for pl, r_ in ((cb, r_cb), (cr, r_cr)):
+                sub = pl[
+                    mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+                ].astype(np.int32)
+                pl[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                    np.clip(sub + r_, 0, 255)
+                )
+    return y, cb, cr, cls, cdc
+
+
+def synthetic_h264_cavlc_media(
+    spark: SparkSession, n: int = _N_CLIPS
+) -> DataFrame:
+    rows = []
+    for i in range(n):
+        y, cb, cr, cls, cdc = _fixture_notch3(i)
+        rows.append(
+            (
+                i,
+                bytearray(
+                    encode_mixed_annexb(
+                        y, cb, cr, cls, chroma_dc=cdc, qp=_N3_QP
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def q_h264_cavlc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: decode 24 streams whose predicted macroblocks carry
+    entropy-coded chroma-DC residuals — real CAVLC coeff_token /
+    trailing-one / level-prefix decode, 2x2 inverse Hadamard, QP-to-
+    chroma-QP scaling, and clipped reconstruction — plane sums and
+    the MB-order luma checksum under the cross-engine hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_frame_stats(synthetic_h264_cavlc_media(spark)), "media_id"
+    )
+
+
+def _sql_h264_cavlc() -> str:
+    r_cb_list = [(_n3_residuals(i))[0] for i in range(_N_CLIPS)]
+    r_cr_list = [(_n3_residuals(i))[1] for i in range(_N_CLIPS)]
+    y_v = "(7 * media_id + 13 * ((mb * 256 + o.o) // 4)) % 256"
+    y_top = (
+        "(7 * media_id + 13 * (((mb - mbs_w) * 256 + 240 + c.c) // 4))"
+        " % 256"
+    )
+    cb_v = "(11 * media_id + 17 * (mb * 64 + o.o)) % 256"
+    cr_v = "(19 * media_id + 23 * (mb * 64 + o.o)) % 256"
+    cb_top = (
+        "LEAST(255, GREATEST(0,"
+        " (11 * media_id + 17 * ((mb - mbs_w) * 64 + 56 + c.c)) % 256"
+        " + r_cb))"
+    )
+    cr_top = (
+        "LEAST(255, GREATEST(0,"
+        " (19 * media_id + 23 * ((mb - mbs_w) * 64 + 56 + c.c)) % 256"
+        " + r_cr))"
+    )
+    return f"""
+WITH clip AS (
+  SELECT i AS media_id, 1 + i % 3 AS mbs_w, 1 + i % 2 AS mbs_h,
+         rcb.r AS r_cb, rcr.r AS r_cr
+  FROM range({_N_CLIPS}) t(i)
+  JOIN (SELECT UNNEST(range({_N_CLIPS})) AS j,
+               UNNEST({r_cb_list!r}) AS r) rcb ON rcb.j = i
+  JOIN (SELECT UNNEST(range({_N_CLIPS})) AS j,
+               UNNEST({r_cr_list!r}) AS r) rcr ON rcr.j = i
+),
+mbs AS (
+  SELECT media_id, mbs_w, mbs_h, r_cb, r_cr, m.m AS mb,
+         m.m % mbs_w AS mbx, m.m // mbs_w AS mby
+  FROM clip, LATERAL (SELECT UNNEST(range(mbs_w * mbs_h)) AS m) m
+),
+luma_pcm AS (
+  SELECT media_id,
+         SUM({y_v}) AS s,
+         SUM((mb * 256 + o.o + 1) * ({y_v})) AS ck
+  FROM mbs, LATERAL (SELECT UNNEST(range(256)) AS o) o
+  WHERE NOT (mbx > 0 AND mby > 0)
+  GROUP BY media_id
+),
+luma_pred AS (
+  SELECT media_id,
+         16 * SUM({y_top}) AS s,
+         SUM(({y_top}) * (16 * (mb * 256 + c.c + 1) + 1920)) AS ck
+  FROM mbs, LATERAL (SELECT UNNEST(range(16)) AS c) c
+  WHERE mbx > 0 AND mby > 0
+  GROUP BY media_id
+),
+chroma_pcm AS (
+  SELECT media_id, SUM({cb_v}) AS scb, SUM({cr_v}) AS scr
+  FROM mbs, LATERAL (SELECT UNNEST(range(64)) AS o) o
+  WHERE NOT (mbx > 0 AND mby > 0)
+  GROUP BY media_id
+),
+chroma_pred AS (
+  SELECT media_id, 8 * SUM({cb_top}) AS scb, 8 * SUM({cr_top}) AS scr
+  FROM mbs, LATERAL (SELECT UNNEST(range(8)) AS c) c
+  WHERE mbx > 0 AND mby > 0
+  GROUP BY media_id
+)
+SELECT c.media_id,
+       CAST(16 * c.mbs_w AS INT) AS width,
+       CAST(16 * c.mbs_h AS INT) AS height,
+       CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
+       CAST(lp.s + COALESCE(lr.s, 0) AS BIGINT) AS sum_y,
+       CAST(cp.scb + COALESCE(cr2.scb, 0) AS BIGINT) AS sum_cb,
+       CAST(cp.scr + COALESCE(cr2.scr, 0) AS BIGINT) AS sum_cr,
+       CAST((lp.ck + COALESCE(lr.ck, 0)) % {_CK_MOD} AS BIGINT) AS ck_y
+FROM clip c
+JOIN luma_pcm lp ON lp.media_id = c.media_id
+LEFT JOIN luma_pred lr ON lr.media_id = c.media_id
+JOIN chroma_pcm cp ON cp.media_id = c.media_id
+LEFT JOIN chroma_pred cr2 ON cr2.media_id = c.media_id
+ORDER BY c.media_id
+"""
+
+
+SQL_H264_CAVLC_DECODE = _sql_h264_cavlc()
 
 
 def _sql_h264_intra() -> str:

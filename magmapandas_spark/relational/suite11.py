@@ -30,6 +30,11 @@ the first H.264 codec notch.
   nC context); registry entry past the 50-slot gate this round
   (covered by the identical pytest oracle sweep), rotates into the
   driver gate next round.
+- ``h264_cavlc_decode`` — notch 3: predicted MBs carry entropy-coded
+  chroma-DC residuals — real CAVLC (coeff_token incl. the nC = -1
+  chroma table, trailing-one signs, level_prefix decode with the
+  first-coefficient rule, total_zeros, run_before), 2x2 inverse
+  Hadamard, Table-8-15 chroma-QP scaling, clipped reconstruction.
 """
 
 from __future__ import annotations
@@ -44,6 +49,7 @@ def queries():
     from magmapandas_spark.operators.fuzzy import q_er_golden_multipass
     from magmapandas_spark.operators.graph import q_two_hop_reach
     from magmapandas_spark.operators.h264 import (
+        q_h264_cavlc_decode,
         q_h264_intra_decode,
         q_h264_ipcm_decode,
     )
@@ -58,6 +64,7 @@ def queries():
         "rake_keywords": q_rake_keywords,
         "h264_ipcm_decode": q_h264_ipcm_decode,
         "h264_intra_decode": q_h264_intra_decode,
+        "h264_cavlc_decode": q_h264_cavlc_decode,
     }
 
 
@@ -70,6 +77,7 @@ def oracle_sql():
     from magmapandas_spark.operators.fuzzy import SQL_ER_GOLDEN_MULTIPASS
     from magmapandas_spark.operators.graph import SQL_TWO_HOP_REACH
     from magmapandas_spark.operators.h264 import (
+        SQL_H264_CAVLC_DECODE,
         SQL_H264_INTRA_DECODE,
         SQL_H264_IPCM_DECODE,
     )
@@ -84,4 +92,5 @@ def oracle_sql():
         "rake_keywords": SQL_RAKE_KEYWORDS,
         "h264_ipcm_decode": SQL_H264_IPCM_DECODE,
         "h264_intra_decode": SQL_H264_INTRA_DECODE,
+        "h264_cavlc_decode": SQL_H264_CAVLC_DECODE,
     }

@@ -189,5 +189,78 @@ def test_nonzero_cbp_is_honest_boundary():
     stream = data[:idx] + b"\x00\x00\x00\x01\x65" + _escape_ebsp(
         sl.tobytes()
     )
-    with pytest.raises(NotImplementedError, match="coded_block_pattern"):
+    with pytest.raises(NotImplementedError, match="AC coefficient"):
         decode_h264_iframe(stream)
+
+
+# -- notch 3: chroma-DC CAVLC residuals ------------------------------
+
+
+def test_cavlc_chroma_dc_block_parse_paths():
+    """Round-trip every encoder path of the 2x2 chroma DC block:
+    zero, trailing-one +-1, and level-prefix-coded |L| >= 2."""
+    from magmapandas_spark.operators.h264 import (
+        _parse_cavlc_chroma_dc,
+        encode_mixed_annexb,  # noqa: F401  (module import side)
+    )
+    from magmapandas_spark.operators.h264 import _BitWriter as BW
+
+    def encode_one(level):
+        w = BW()
+        if level == 0:
+            w.u(1, 2)
+        elif abs(level) == 1:
+            w.u(1, 1)
+            w.u(0 if level > 0 else 1, 1)
+            w.u(1, 1)
+        else:
+            w.u(7, 6)
+            code = (2 * level - 2 if level > 0 else -2 * level - 1) - 2
+            w.u(0, code)
+            w.u(1, 1)
+            w.u(1, 1)
+        w.rbsp_trailing()
+        return w.tobytes()
+
+    for lvl in (0, 1, -1, 2, -2, 3, -3, 7, -5):
+        coeffs = _parse_cavlc_chroma_dc(_BitReader(encode_one(lvl)))
+        assert coeffs == [lvl, 0, 0, 0], (lvl, coeffs)
+
+
+def test_chroma_dc_dequant_and_hadamard():
+    from magmapandas_spark.operators.h264 import (
+        _chroma_dc_residuals,
+        _qpc_of,
+    )
+
+    assert _qpc_of(40) == 36
+    assert _qpc_of(26) == 26
+    assert _qpc_of(30) == 29
+    # QPc 36: dcC = 20 * f; residual = (20f + 32) >> 6
+    assert _chroma_dc_residuals([2, 0, 0, 0], 36) == [1, 1, 1, 1]
+    assert _chroma_dc_residuals([-2, 0, 0, 0], 36) == [-1, -1, -1, -1]
+    assert _chroma_dc_residuals([8, 0, 0, 0], 36) == [3, 3, 3, 3]
+    # a non-DC 2x2 pattern exercises the Hadamard cross terms
+    res = _chroma_dc_residuals([4, 2, 0, 0], 36)
+    # f = [6, 2, 6, 2] -> dc = [120, 40, 120, 40] -> r = [2, 1, 2, 1]
+    assert res == [2, 1, 2, 1]
+
+
+def test_notch3_full_round_trip():
+    from magmapandas_spark.operators.h264 import (
+        _N3_QP,
+        _fixture_notch3,
+        encode_mixed_annexb,
+    )
+
+    for i in (5, 11, 23):
+        y, cb, cr, cls, cdc = _fixture_notch3(i)
+        data = encode_mixed_annexb(y, cb, cr, cls, chroma_dc=cdc, qp=_N3_QP)
+        yd, cbd, crd, _ = decode_h264_iframe(data)
+        assert np.array_equal(cb, cbd)
+        assert np.array_equal(cr, crd)
+        # the residual genuinely shifted the predicted chroma blocks
+        y2, cb2, cr2, cls2 = __import__(
+            "magmapandas_spark.operators.h264", fromlist=["_fixture_mixed"]
+        )._fixture_mixed(i)
+        assert not np.array_equal(cb, cb2)
