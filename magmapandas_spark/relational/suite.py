@@ -354,7 +354,8 @@ def _wrap(fn: Callable) -> Callable:
 # queries whose CODE changed this round (setsim CTE-generator
 # refactor, lsh_recall_eval sample_pred factoring, random_projection
 # TakeOrdered top-k, retrieval_eval slice cap, winsorized_stats true
-# ceil ranks), then (c) queries NEW this round (suite11). Everything
+# ceil ranks, kcore isolated-survivor left-join fix), then (c)
+# queries NEW this round (suite11). Everything
 # past slot 50 stays covered by tests/test_oracle.py (the identical
 # rows+schema+values check over the whole registry).
 _GATE_ORDER = [
@@ -402,7 +403,7 @@ _GATE_ORDER = [
     "random_projection",
     "retrieval_eval",
     "winsorized_stats",
-    "ewma_smooth",
+    "kcore",
     # (c) new this round (suite11)
     "rfm_segments_sketch",
     "er_golden_multipass",
