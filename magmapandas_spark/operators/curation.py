@@ -1157,3 +1157,79 @@ SELECT fold, n_rows, n_groups,
 FROM per_fold CROSS JOIN leaks
 ORDER BY fold
 """
+
+
+# ---------------------------------------------------------------------
+# Class-balanced deterministic downsampling (round 8)
+# ---------------------------------------------------------------------
+
+
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: rebalance the documents corpus to the smallest
+    language class by deterministic hash sampling — per class, the
+    acceptance rate is ``n_min·1e6 div n_class`` ppm and a document
+    survives iff its md5-uniform (permille-scaled, the
+    stratified-sample discipline) falls under the rate. Output per
+    language: original count, rate, sampled count — the class-balance
+    pass every training-mix pipeline runs, reproducible across
+    engines, partitionings and retries.
+
+    Plan: one counts aggregate (|classes| rows, broadcast back), one
+    scan-local md5 filter, one counts aggregate — no window, no
+    shuffle of the corpus beyond the two aggregations."""
+    from magmapandas_spark.operators.dedup import _md5_60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_orig"))
+    n_min = counts.agg(F.min("n_orig").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_orig",
+        F.expr("n_min * 1000000 div n_orig").alias("rate_ppm"),
+    )
+    u_ppm = _md5_60(
+        F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))
+    ) % 1_000_000
+    sampled = (
+        docs.select("lang", u_ppm.alias("u"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("u") < F.col("rate_ppm"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(F.broadcast(sampled), "lang", "left")
+        .select(
+            "lang",
+            "n_orig",
+            "rate_ppm",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias(
+                "n_sampled"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_BALANCED_SAMPLE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_orig FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang, n_orig,
+         (SELECT MIN(n_orig) FROM counts) * 1000000 // n_orig
+           AS rate_ppm
+  FROM counts
+),
+sampled AS (
+  SELECT d.lang, COUNT(*) AS n_sampled
+  FROM documents d JOIN rates r ON r.lang = d.lang
+  WHERE ('0x' || substr(md5('bal:' || d.doc_id), 1, 15))::BIGINT
+        % 1000000 < r.rate_ppm
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_orig, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+       COALESCE(s.n_sampled, 0) AS n_sampled
+FROM rates r LEFT JOIN sampled s ON s.lang = r.lang
+ORDER BY r.lang
+"""

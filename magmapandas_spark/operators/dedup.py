@@ -1347,3 +1347,51 @@ JOIN sizes sa ON sa.doc_id = p.id1
 JOIN sizes sb ON sb.doc_id = p.id2
 ORDER BY p.id1, p.id2
 """
+
+
+# ---------------------------------------------------------------------
+# Dedup impact report (round 8)
+# ---------------------------------------------------------------------
+
+
+def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the exact-duplicate impact report a curation run
+    publishes — documents grouped by content hash, then the cluster
+    SIZE DISTRIBUTION: for each duplicate-cluster size, how many
+    clusters, how many documents, and how many whitespace tokens a
+    keep-one policy drops ((size-1) · tokens-per-copy, exact). The
+    'what did dedup buy us' number, under the cross-engine hash.
+
+    Plan: one hash aggregation to the cluster grain (content-keyed,
+    map-side combined), one |distinct sizes|-row aggregation — the
+    same two-phase shape as dedup_exact, nothing corpus-sized past
+    the first shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.max(F.size(F.split(F.col("text"), " "))).alias("toks"),
+    )
+    return (
+        clusters.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.expr("CAST(sz * count(1) AS BIGINT)").alias("n_docs"),
+            F.sum(F.expr("(sz - 1) * toks")).alias("tokens_dropped"),
+        )
+        .orderBy("sz")
+    )
+
+
+SQL_DEDUP_IMPACT = """
+WITH clusters AS (
+  SELECT md5(text) AS h, COUNT(*) AS sz,
+         MAX(len(str_split(text, ' '))) AS toks
+  FROM documents GROUP BY md5(text)
+)
+SELECT sz, COUNT(*) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM((sz - 1) * toks) AS BIGINT) AS tokens_dropped
+FROM clusters
+GROUP BY sz
+ORDER BY sz
+"""

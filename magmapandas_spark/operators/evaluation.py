@@ -382,3 +382,136 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
 
 
 SQL_LSH_RECALL_EVAL = _sql_lsh_recall_eval()
+
+
+# ---------------------------------------------------------------------
+# k-NN label-noise detection (round 8)
+# ---------------------------------------------------------------------
+
+_NOISE_QUERY_CAP = 50
+_NOISE_K = 5
+
+
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: k-NN label-agreement audit — for each of a
+    CONSTANT query slice (vec_id < 50), the 5 exact-L2 nearest
+    neighbors vote; a row whose majority neighbor label disagrees
+    with its own (majority >= 3 of 5) is flagged as probable label
+    noise. The standard embedding-space label-QA pass a training-data
+    pipeline runs before fine-tuning.
+
+    Scale posture: the query side is constant and broadcast (the
+    ann_recall pattern); the rank window partitions by qid over
+    |sample| * N scored rows pruned to k. At corpus scale the exact
+    ranking is replaced by the IVF/LSH candidate paths — the voting
+    shape is unchanged.
+    """
+    from pyspark.sql import Window
+
+    from magmapandas_spark.operators.projection import l2_fold
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < _NOISE_QUERY_CAP).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("clabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "qlabel",
+            "cid",
+            "clabel",
+            l2_fold(F.col("qvec"), F.col("cvec")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "cid")
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _NOISE_K
+    )
+    votes = knn.groupBy("qid", "qlabel", "clabel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("cnt"), "clabel")
+    top = votes.withColumn("vr", F.row_number().over(wv)).filter(
+        F.col("vr") == 1
+    )
+    agree = knn.groupBy("qid").agg(
+        F.sum(
+            F.expr("CASE WHEN clabel = qlabel THEN 1 ELSE 0 END")
+        ).alias("n_agree")
+    )
+    return (
+        top.join(agree, "qid")
+        .select(
+            "qid",
+            "qlabel",
+            F.col("clabel").alias("majority_label"),
+            F.col("cnt").alias("majority_cnt"),
+            F.col("n_agree").cast("long").alias("n_agree"),
+            F.expr(
+                "CASE WHEN clabel <> qlabel AND cnt >= 3 THEN 1 ELSE 0"
+                " END"
+            ).alias("noisy"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _sql_knn_label_noise() -> str:
+    from magmapandas_spark.operators.projection import _l2_full
+
+    l2 = _l2_full("q.embedding", "c.embedding", 1)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding, label AS qlabel
+  FROM embeddings WHERE vec_id < {_NOISE_QUERY_CAP}
+),
+scored AS (
+  SELECT q.qid, q.qlabel, c.vec_id AS cid, c.label AS clabel,
+         {l2} AS d2
+  FROM q JOIN embeddings c ON c.vec_id <> q.qid
+),
+knn AS (
+  SELECT * FROM (
+    SELECT qid, qlabel, clabel,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+    FROM scored
+  ) WHERE rn <= {_NOISE_K}
+),
+votes AS (
+  SELECT qid, qlabel, clabel, COUNT(*) AS cnt
+  FROM knn GROUP BY qid, qlabel, clabel
+),
+top AS (
+  SELECT * FROM (
+    SELECT qid, qlabel, clabel, cnt,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cnt DESC, clabel) AS vr
+    FROM votes
+  ) WHERE vr = 1
+),
+agree AS (
+  SELECT qid,
+         CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM knn GROUP BY qid
+)
+SELECT t.qid, t.qlabel, t.clabel AS majority_label,
+       t.cnt AS majority_cnt, a.n_agree,
+       CASE WHEN t.clabel <> t.qlabel AND t.cnt >= 3 THEN 1 ELSE 0 END
+         AS noisy
+FROM top t JOIN agree a ON a.qid = t.qid
+ORDER BY t.qid
+"""
+
+
+SQL_KNN_LABEL_NOISE = _sql_knn_label_noise()

@@ -35,6 +35,16 @@ the first H.264 codec notch.
   chroma table, trailing-one signs, level_prefix decode with the
   first-coefficient rule, total_zeros, run_before), 2x2 inverse
   Hadamard, Table-8-15 chroma-QP scaling, clipped reconstruction.
+- ``balanced_sample`` — class-balanced deterministic downsampling of
+  the documents corpus to the smallest language class (ppm acceptance
+  rates, md5-uniform survival); two |classes|-row aggregations, one
+  scan-local filter. Past the 50-slot gate this round.
+- ``dedup_impact`` — exact-duplicate cluster SIZE DISTRIBUTION with
+  keep-one token savings; the dedup_exact two-phase shape. Past the
+  50-slot gate this round.
+- ``knn_label_noise`` — k-NN label-agreement audit over a constant
+  broadcast query slice (5-NN majority vote vs own label). Past the
+  50-slot gate this round.
 """
 
 from __future__ import annotations
@@ -46,6 +56,9 @@ def queries():
         q_budget_allocation,
         q_rfm_segments_sketch,
     )
+    from magmapandas_spark.operators.curation import q_balanced_sample
+    from magmapandas_spark.operators.dedup import q_dedup_impact
+    from magmapandas_spark.operators.evaluation import q_knn_label_noise
     from magmapandas_spark.operators.fuzzy import q_er_golden_multipass
     from magmapandas_spark.operators.graph import q_two_hop_reach
     from magmapandas_spark.operators.h264 import (
@@ -65,6 +78,9 @@ def queries():
         "h264_ipcm_decode": q_h264_ipcm_decode,
         "h264_intra_decode": q_h264_intra_decode,
         "h264_cavlc_decode": q_h264_cavlc_decode,
+        "balanced_sample": q_balanced_sample,
+        "dedup_impact": q_dedup_impact,
+        "knn_label_noise": q_knn_label_noise,
     }
 
 
@@ -74,6 +90,9 @@ def oracle_sql():
         SQL_BUDGET_ALLOCATION,
         SQL_RFM_SEGMENTS_SKETCH,
     )
+    from magmapandas_spark.operators.curation import SQL_BALANCED_SAMPLE
+    from magmapandas_spark.operators.dedup import SQL_DEDUP_IMPACT
+    from magmapandas_spark.operators.evaluation import SQL_KNN_LABEL_NOISE
     from magmapandas_spark.operators.fuzzy import SQL_ER_GOLDEN_MULTIPASS
     from magmapandas_spark.operators.graph import SQL_TWO_HOP_REACH
     from magmapandas_spark.operators.h264 import (
@@ -93,4 +112,7 @@ def oracle_sql():
         "h264_ipcm_decode": SQL_H264_IPCM_DECODE,
         "h264_intra_decode": SQL_H264_INTRA_DECODE,
         "h264_cavlc_decode": SQL_H264_CAVLC_DECODE,
+        "balanced_sample": SQL_BALANCED_SAMPLE,
+        "dedup_impact": SQL_DEDUP_IMPACT,
+        "knn_label_noise": SQL_KNN_LABEL_NOISE,
     }

@@ -705,3 +705,38 @@ def test_rfm_sketch_has_no_global_sort_windows(spark):
     for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert m.group(1).strip(), "unpartitioned Window in sketch path"
     assert "row_number" not in plan.lower()
+
+
+def test_balanced_sample_is_aggregations_plus_broadcast(spark):
+    """The class-balance pass touches the corpus twice (counts, then
+    the filtered recount) with the |classes|-row rate table broadcast
+    back — no window, no corpus-sized sort-merge join, no UDF."""
+    from magmapandas_spark.operators.curation import q_balanced_sample
+
+    plan = plan_of(q_balanced_sample(spark, SF))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_impact_is_two_aggregations_no_join(spark):
+    """Cluster grain then size grain: two hash aggregations, nothing
+    else — no join, no window, the dedup_exact two-phase shape."""
+    from magmapandas_spark.operators.dedup import q_dedup_impact
+
+    plan = plan_of(q_dedup_impact(spark, SF))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_knn_label_noise_windows_are_partitioned(spark):
+    """The constant 50-query slice broadcasts against the corpus; every
+    Window (k-NN rank, majority-vote rank) partitions by qid — no
+    unpartitioned global sort, no corpus-sized SMJ."""
+    from magmapandas_spark.operators.evaluation import q_knn_label_noise
+
+    plan = plan_of(q_knn_label_noise(spark, SF))
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window in knn path"
+    assert "CartesianProduct" not in plan
