@@ -401,18 +401,17 @@ def _read_vlc(r: _BitReader, table: dict, what: str, max_bits: int = 8):
     raise NotImplementedError(f"{what} code {code!r} not in table")
 
 
-def _parse_cavlc_chroma_dc(r: _BitReader) -> list[int]:
-    """CAVLC residual_block for one 2x2 chroma DC block (nC = -1):
-    coeff_token, trailing-one signs, level_prefix/suffix decode with
-    the first-coefficient +2 rule, total_zeros (2x2 tables) and
-    run_before. Returns the 4 coefficients in 2x2 raster order."""
-    t1s, tc = _read_vlc(r, _CHROMA_DC_TOKENS, "chroma-DC coeff_token")
-    if tc == 0:
-        return [0, 0, 0, 0]
+def _read_levels(r: _BitReader, tc: int, t1s: int) -> list[int]:
+    """CAVLC level decode shared by every residual block class:
+    trailing-one sign bits, then level_prefix/suffix with the
+    first-coefficient +2 rule (only when TrailingOnes < 3), the
+    TotalCoeff > 10 initial suffixLength rule, and the spec's
+    suffix-length growth schedule (spec 9.2.2.1). Returns the signed
+    levels in decode order (highest scan position first)."""
     levels: list[int] = []
     for _ in range(t1s):
         levels.append(-1 if r.u(1) else 1)
-    suffix_len = 0
+    suffix_len = 1 if (tc > 10 and t1s < 3) else 0
     for i in range(t1s, tc):
         prefix = 0
         while r.u(1) == 0:
@@ -420,7 +419,7 @@ def _parse_cavlc_chroma_dc(r: _BitReader) -> list[int]:
             if prefix > 14:
                 raise NotImplementedError(
                     "level_prefix >= 15 (escape levels) not needed for "
-                    "chroma DC magnitudes — next notch"
+                    "the fixture magnitudes — next notch"
                 )
         level_code = prefix << suffix_len
         if suffix_len:
@@ -437,6 +436,42 @@ def _parse_cavlc_chroma_dc(r: _BitReader) -> list[int]:
             suffix_len = 1
         if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
             suffix_len += 1
+    return levels
+
+
+def _write_levels(w_: _BitWriter, levels: list[int], tc: int, t1s: int) -> None:
+    """Bit-exact inverse of ``_read_levels`` (the fixture encoder's
+    half of the CAVLC round trip); asserts the no-escape envelope the
+    decoder enforces."""
+    for k in range(t1s):
+        w_.u(0 if levels[k] > 0 else 1, 1)
+    suffix_len = 1 if (tc > 10 and t1s < 3) else 0
+    for i in range(t1s, tc):
+        lvl = levels[i]
+        level_code = 2 * lvl - 2 if lvl > 0 else -2 * lvl - 1
+        if i == t1s and t1s < 3:
+            level_code -= 2
+        prefix = level_code >> suffix_len
+        assert prefix < 14, "level magnitude needs escape coding"
+        w_.u(0, prefix)
+        w_.u(1, 1)
+        if suffix_len:
+            w_.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(lvl) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+
+
+def _parse_cavlc_chroma_dc(r: _BitReader) -> list[int]:
+    """CAVLC residual_block for one 2x2 chroma DC block (nC = -1):
+    coeff_token, trailing-one signs, level_prefix/suffix decode with
+    the first-coefficient +2 rule, total_zeros (2x2 tables) and
+    run_before. Returns the 4 coefficients in 2x2 raster order."""
+    t1s, tc = _read_vlc(r, _CHROMA_DC_TOKENS, "chroma-DC coeff_token")
+    if tc == 0:
+        return [0, 0, 0, 0]
+    levels = _read_levels(r, tc, t1s)
     if tc < 4:
         tz = _read_vlc(r, _TOTAL_ZEROS_2X2[tc], "2x2 total_zeros")
     else:
@@ -481,6 +516,85 @@ def _chroma_dc_residuals(coeffs: list[int], qpc: int) -> list[int]:
 def _qpc_of(qpy: int, offset: int = 0) -> int:
     qpi = max(0, min(51, qpy + offset))
     return qpi if qpi < 30 else _QPC_TABLE[qpi]
+
+
+#: 4x4 zig-zag scan (spec figure 8-8): scan position -> (row, col)
+_ZZ4 = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3),
+]
+
+#: the symmetric 4x4 Hadamard of the luma-DC inverse transform
+#: (spec 8.5.10, equation 8-308)
+_H4 = np.array(
+    [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+    np.int64,
+)
+
+
+def _parse_cavlc_luma_dc(r: _BitReader, n_c: int) -> list[int]:
+    """CAVLC residual_block for the 4x4 Intra16x16DCLevel block.
+
+    The nC >= 8 class (6-bit FLC coeff_token: code = 4·(TotalCoeff-1)
+    + TrailingOnes, TotalCoeff 0 -> code 3) is implemented in full —
+    the fixture's I_PCM neighborhoods put every DC block there (left
+    or top neighbor counts 16, spec 9.2.1). The VLC0/1/2 token
+    classes of Table 9-5 decode only their zero tokens, and
+    partially-filled blocks (0 < TotalCoeff < 16) stop at the 4x4
+    total_zeros / run_before tables — each an explicit next-notch
+    boundary. Returns 16 coefficients in zig-zag scan order."""
+    if n_c < 2:
+        if r.u(1):
+            return [0] * 16
+        raise NotImplementedError(
+            "Table 9-5 VLC0 nonzero coeff_token — next codec notch"
+        )
+    if n_c < 4:
+        if r.u(2) == 3:
+            return [0] * 16
+        raise NotImplementedError(
+            "Table 9-5 VLC1 nonzero coeff_token — next codec notch"
+        )
+    if n_c < 8:
+        if r.u(4) == 15:
+            return [0] * 16
+        raise NotImplementedError(
+            "Table 9-5 VLC2 nonzero coeff_token — next codec notch"
+        )
+    code = r.u(6)
+    if code == 3:  # TotalCoeff 0
+        return [0] * 16
+    tc, t1s = code // 4 + 1, code % 4
+    if tc < 16:
+        raise NotImplementedError(
+            "partial 4x4 DC blocks need the 4x4 total_zeros (Table "
+            "9-7) and run_before decode — next codec notch"
+        )
+    levels = _read_levels(r, tc, t1s)
+    # all 16 scan positions filled: decode order is highest-first,
+    # no total_zeros / run_before syntax elements exist (spec 9.2.3:
+    # zerosLeft = 0 when TotalCoeff == maxNumCoeff)
+    coeffs = [0] * 16
+    for idx, lvl in enumerate(levels):
+        coeffs[15 - idx] = lvl
+    return coeffs
+
+
+def _luma_dc_residuals(zz_coeffs: list[int], qpy: int) -> np.ndarray:
+    """4x4 inverse Hadamard + luma-DC scaling (spec 8.5.10), then the
+    per-4x4-block uniform residual of a DC-only block
+    ((dcY + 32) >> 6). Returns a 4x4 int array indexed by
+    (block row, block col) within the macroblock."""
+    c = np.zeros((4, 4), np.int64)
+    for k, (i_, j_) in enumerate(_ZZ4):
+        c[i_, j_] = zz_coeffs[k]
+    f = _H4 @ c @ _H4
+    ls = _LS00[qpy % 6]
+    if qpy >= 36:
+        dc = (f * ls) << (qpy // 6 - 6)
+    else:
+        dc = (f * ls + (1 << (5 - qpy // 6))) >> (6 - qpy // 6)
+    return (dc + 32) >> 6
 
 
 def _predict_16x16(y: np.ndarray, mbx: int, mby: int, mode: int) -> None:
@@ -608,8 +722,10 @@ def decode_h264_iframe(
             cb = np.zeros((h // 2, w // 2), np.uint8)
             cr = np.zeros((h // 2, w // 2), np.uint8)
             # per-MB TotalCoeff context for CAVLC nC derivation:
-            # I_PCM counts 16, zero-residual I_16x16 counts 0
-            # (spec 9.2.1); -1 = not yet decoded / unavailable
+            # I_PCM counts 16; I_16x16 stores its luma 4x4 AC
+            # TotalCoeff (the DC block never contributes to neighbor
+            # nC, spec 9.2.1), which is 0 while cbp_luma == 0 even
+            # when the DC block itself is dense; -1 = unavailable
             tc = np.full(mbs_w * mbs_h, -1, np.int32)
             for mb in range(first_mb, mbs_w * mbs_h):
                 mb_type = r.ue()
@@ -662,23 +778,24 @@ def decode_h264_iframe(
                         n_c = n_b
                     else:
                         n_c = 0
-                    if n_c < 2:
-                        zero_tok = r.u(1) == 1
-                    elif n_c < 4:
-                        zero_tok = r.u(2) == 3
-                    elif n_c < 8:
-                        zero_tok = r.u(4) == 15
-                    else:
-                        zero_tok = r.u(6) == 3
-                    if not zero_tok:
-                        raise NotImplementedError(
-                            "nonzero Intra16x16DCLevel coefficients: "
-                            "CAVLC level decode + inverse Hadamard are "
-                            "the next codec notch"
-                        )
+                    dc_zz = _parse_cavlc_luma_dc(r, n_c)
                     _predict_16x16(y, mbx, mby, pred_mode)
                     _predict_chroma8x8(cb, mbx, mby, chroma_mode)
                     _predict_chroma8x8(cr, mbx, mby, chroma_mode)
+                    if any(dc_zz):
+                        # luma DC reconstruction: inverse Hadamard +
+                        # scaling gives one uniform residual per 4x4
+                        # block (AC all zero here), added clipped
+                        res = _luma_dc_residuals(dc_zz, qp_y)
+                        for bi in range(4):
+                            for bj in range(4):
+                                y0_, x0_ = mby * 16 + 4 * bi, mbx * 16 + 4 * bj
+                                sub = y[
+                                    y0_ : y0_ + 4, x0_ : x0_ + 4
+                                ].astype(np.int32)
+                                y[y0_ : y0_ + 4, x0_ : x0_ + 4] = np.clip(
+                                    sub + int(res[bi, bj]), 0, 255
+                                )
                     if cbp_chroma == 1:
                         # chroma DC residuals: Cb then Cr (spec
                         # residual() order), 2x2 CAVLC each, inverse
@@ -833,6 +950,7 @@ def encode_mixed_annexb(
     cls: np.ndarray,
     chroma_dc: np.ndarray | None = None,
     qp: int = 26,
+    luma_dc: np.ndarray | None = None,
 ) -> bytes:
     """Annex-B stream whose macroblocks are I_PCM where ``cls`` is 0
     and I_16x16 (Vertical luma + Vertical chroma prediction, zero
@@ -918,7 +1036,28 @@ def encode_mixed_annexb(
                 n_c = n_b
             else:
                 n_c = 0
-            if n_c < 2:
+            ldc = (
+                [int(v) for v in luma_dc[mb]]
+                if luma_dc is not None
+                else [0] * 16
+            )
+            if any(ldc):
+                # full 16-coefficient DC block: FLC coeff_token (the
+                # fixture guarantees an I_PCM neighbor, so nC >= 8),
+                # trailing-one signs, level machinery — no
+                # total_zeros/run_before exist at TotalCoeff == 16
+                assert n_c >= 8, "dense DC block outside the FLC class"
+                assert all(v != 0 for v in ldc)
+                dec = [ldc[15 - k] for k in range(16)]
+                t1s = 0
+                for lvl in dec:
+                    if abs(lvl) == 1 and t1s < 3:
+                        t1s += 1
+                    else:
+                        break
+                sl.u(4 * 15 + t1s, 6)
+                _write_levels(sl, dec, 16, t1s)
+            elif n_c < 2:
                 sl.u(1, 1)
             elif n_c < 4:
                 sl.u(3, 2)
@@ -1279,3 +1418,203 @@ JOIN luma l ON l.media_id = c.media_id
 JOIN chroma ch ON ch.media_id = c.media_id
 ORDER BY c.media_id
 """
+
+
+# ---------------------------------------------------------------------
+# Notch 4: entropy-coded luma-DC residuals (dense Intra16x16DCLevel)
+# ---------------------------------------------------------------------
+
+_H4_LIST = [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]]
+
+
+def _n4_dc_zz(i: int) -> list[int]:
+    """Per-clip Intra16x16DCLevel coefficients in zig-zag order: scan
+    positions 0..12 carry magnitudes 2..4 with alternating signs (the
+    level_prefix/suffix machinery incl. both suffix-length growth
+    steps), positions 13..15 are ±1 (TrailingOnes = 3, sign bits)."""
+    out = []
+    for p in range(13):
+        mag = 2 + (i + p) % 3
+        out.append(mag if (i + p) % 2 == 0 else -mag)
+    for p in range(13, 16):
+        out.append(1 if (i + p) % 2 == 0 else -1)
+    return out
+
+
+def _n4_block_residuals(i: int) -> list[int]:
+    """Independent closed form for the oracle generator: inverse 4x4
+    Hadamard of the clip's zig-zag DC levels, QP-40 luma scaling
+    (LevelScale 16, shift 0 -> dcY = 16·f), DC-only block residual
+    (dcY + 32) >> 6. Returns 16 residuals in (block row, block col)
+    raster order — written with explicit loops, not the decoder's
+    numpy path."""
+    zz = _n4_dc_zz(i)
+    c = [[0] * 4 for _ in range(4)]
+    for k, (r_, c_) in enumerate(_ZZ4):
+        c[r_][c_] = zz[k]
+    out = []
+    for bi in range(4):
+        for bj in range(4):
+            f = sum(
+                _H4_LIST[bi][k] * c[k][l] * _H4_LIST[l][bj]
+                for k in range(4)
+                for l in range(4)
+            )
+            out.append((16 * f + 32) >> 6)
+    return out
+
+
+def _fixture_notch4(i: int):
+    """Notch-3 planes + per-4x4-block luma-DC residuals on every
+    predicted MB (clipped add after Vertical prediction)."""
+    y, cb, cr, cls, cdc = _fixture_notch3(i)
+    mbs_w = y.shape[1] // 16
+    n_mbs = len(cls)
+    ldc = np.zeros((n_mbs, 16), np.int32)
+    zz = _n4_dc_zz(i)
+    res = _n4_block_residuals(i)
+    for mb in range(n_mbs):
+        if cls[mb]:
+            ldc[mb] = zz
+            mbx, mby = mb % mbs_w, mb // mbs_w
+            for bi in range(4):
+                for bj in range(4):
+                    y0_, x0_ = mby * 16 + 4 * bi, mbx * 16 + 4 * bj
+                    sub = y[y0_ : y0_ + 4, x0_ : x0_ + 4].astype(np.int32)
+                    y[y0_ : y0_ + 4, x0_ : x0_ + 4] = np.clip(
+                        sub + res[bi * 4 + bj], 0, 255
+                    )
+    return y, cb, cr, cls, cdc, ldc
+
+
+def synthetic_h264_lumadc_media(
+    spark: SparkSession, n: int = _N_CLIPS
+) -> DataFrame:
+    rows = []
+    for i in range(n):
+        y, cb, cr, cls, cdc, ldc = _fixture_notch4(i)
+        rows.append(
+            (
+                i,
+                bytearray(
+                    encode_mixed_annexb(
+                        y, cb, cr, cls,
+                        chroma_dc=cdc, qp=_N3_QP, luma_dc=ldc,
+                    )
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def q_h264_lumadc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: decode 24 streams whose predicted macroblocks carry
+    DENSE entropy-coded luma-DC blocks (all 16 Intra16x16DCLevel
+    coefficients nonzero) on top of notch 3's chroma-DC residuals —
+    the 6-bit FLC coeff_token class, TrailingOnes sign bits, the full
+    level_prefix/suffix state machine with both suffix-length growth
+    steps, 4x4 inverse Hadamard, spec-8.5.10 luma-DC scaling, and
+    per-4x4-block clipped reconstruction — plane sums and the
+    MB-order luma checksum under the cross-engine hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_frame_stats(synthetic_h264_lumadc_media(spark)), "media_id"
+    )
+
+
+def _sql_h264_lumadc() -> str:
+    """Notch-3 oracle skeleton with the luma-predicted CTE extended by
+    the per-clip 16-entry block-residual lookup: sample (row, col) of
+    a predicted MB adds residual r_y[4·(row div 4) + col div 4] to the
+    Vertical prediction, clipped — rows within a block-row share
+    values, so the 256-sample MB collapses to 64 (block row × col)."""
+    r_cb_list = [(_n3_residuals(i))[0] for i in range(_N_CLIPS)]
+    r_cr_list = [(_n3_residuals(i))[1] for i in range(_N_CLIPS)]
+    r_y_lists = [_n4_block_residuals(i) for i in range(_N_CLIPS)]
+    y_top = (
+        "(7 * media_id + 13 * (((mb - mbs_w) * 256 + 240 + (u.u % 16))"
+        " // 4)) % 256"
+    )
+    y_v = "(7 * media_id + 13 * ((mb * 256 + o.o) // 4)) % 256"
+    cb_v = "(11 * media_id + 17 * (mb * 64 + o.o)) % 256"
+    cr_v = "(19 * media_id + 23 * (mb * 64 + o.o)) % 256"
+    cb_top = (
+        "LEAST(255, GREATEST(0,"
+        " (11 * media_id + 17 * ((mb - mbs_w) * 64 + 56 + c.c)) % 256"
+        " + r_cb))"
+    )
+    cr_top = (
+        "LEAST(255, GREATEST(0,"
+        " (19 * media_id + 23 * ((mb - mbs_w) * 64 + 56 + c.c)) % 256"
+        " + r_cr))"
+    )
+    v_pred = (
+        f"LEAST(255, GREATEST(0, {y_top}"
+        " + r_y[4 * (u.u // 16) + (u.u % 16) // 4 + 1]))"
+    )
+    return f"""
+WITH clip AS (
+  SELECT i AS media_id, 1 + i % 3 AS mbs_w, 1 + i % 2 AS mbs_h,
+         rcb.r AS r_cb, rcr.r AS r_cr, ry.r AS r_y
+  FROM range({_N_CLIPS}) t(i)
+  JOIN (SELECT UNNEST(range({_N_CLIPS})) AS j,
+               UNNEST({r_cb_list!r}) AS r) rcb ON rcb.j = i
+  JOIN (SELECT UNNEST(range({_N_CLIPS})) AS j,
+               UNNEST({r_cr_list!r}) AS r) rcr ON rcr.j = i
+  JOIN (SELECT UNNEST(range({_N_CLIPS})) AS j,
+               UNNEST({r_y_lists!r}) AS r) ry ON ry.j = i
+),
+mbs AS (
+  SELECT media_id, mbs_w, mbs_h, r_cb, r_cr, r_y, m.m AS mb,
+         m.m % mbs_w AS mbx, m.m // mbs_w AS mby
+  FROM clip, LATERAL (SELECT UNNEST(range(mbs_w * mbs_h)) AS m) m
+),
+luma_pcm AS (
+  SELECT media_id,
+         SUM({y_v}) AS s,
+         SUM((mb * 256 + o.o + 1) * ({y_v})) AS ck
+  FROM mbs, LATERAL (SELECT UNNEST(range(256)) AS o) o
+  WHERE NOT (mbx > 0 AND mby > 0)
+  GROUP BY media_id
+),
+luma_pred AS (
+  SELECT media_id,
+         4 * SUM({v_pred}) AS s,
+         SUM(({v_pred}) *
+             (4 * (mb * 256 + 64 * (u.u // 16) + (u.u % 16) + 1) + 96)
+         ) AS ck
+  FROM mbs, LATERAL (SELECT UNNEST(range(64)) AS u) u
+  WHERE mbx > 0 AND mby > 0
+  GROUP BY media_id
+),
+chroma_pcm AS (
+  SELECT media_id, SUM({cb_v}) AS scb, SUM({cr_v}) AS scr
+  FROM mbs, LATERAL (SELECT UNNEST(range(64)) AS o) o
+  WHERE NOT (mbx > 0 AND mby > 0)
+  GROUP BY media_id
+),
+chroma_pred AS (
+  SELECT media_id, 8 * SUM({cb_top}) AS scb, 8 * SUM({cr_top}) AS scr
+  FROM mbs, LATERAL (SELECT UNNEST(range(8)) AS c) c
+  WHERE mbx > 0 AND mby > 0
+  GROUP BY media_id
+)
+SELECT c.media_id,
+       CAST(16 * c.mbs_w AS INT) AS width,
+       CAST(16 * c.mbs_h AS INT) AS height,
+       CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
+       CAST(lp.s + COALESCE(lr.s, 0) AS BIGINT) AS sum_y,
+       CAST(cp.scb + COALESCE(cr2.scb, 0) AS BIGINT) AS sum_cb,
+       CAST(cp.scr + COALESCE(cr2.scr, 0) AS BIGINT) AS sum_cr,
+       CAST((lp.ck + COALESCE(lr.ck, 0)) % {_CK_MOD} AS BIGINT) AS ck_y
+FROM clip c
+JOIN luma_pcm lp ON lp.media_id = c.media_id
+LEFT JOIN luma_pred lr ON lr.media_id = c.media_id
+JOIN chroma_pcm cp ON cp.media_id = c.media_id
+LEFT JOIN chroma_pred cr2 ON cr2.media_id = c.media_id
+ORDER BY c.media_id
+"""
+
+
+SQL_H264_LUMADC_DECODE = _sql_h264_lumadc()

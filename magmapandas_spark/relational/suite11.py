@@ -35,6 +35,13 @@ the first H.264 codec notch.
   chroma table, trailing-one signs, level_prefix decode with the
   first-coefficient rule, total_zeros, run_before), 2x2 inverse
   Hadamard, Table-8-15 chroma-QP scaling, clipped reconstruction.
+- ``h264_lumadc_decode`` — notch 4: predicted MBs carry DENSE
+  entropy-coded luma-DC blocks (all 16 Intra16x16DCLevel
+  coefficients nonzero) — the 6-bit FLC coeff_token class, the full
+  level_prefix/suffix state machine with both suffix-length growth
+  steps and the TC>10 initial-suffixLength rule, 4x4 inverse
+  Hadamard, spec-8.5.10 luma-DC scaling, per-4x4-block clipped
+  reconstruction. Past the 50-slot gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -65,6 +72,7 @@ def queries():
         q_h264_cavlc_decode,
         q_h264_intra_decode,
         q_h264_ipcm_decode,
+        q_h264_lumadc_decode,
     )
     from magmapandas_spark.operators.keywords import q_rake_keywords
 
@@ -78,6 +86,7 @@ def queries():
         "h264_ipcm_decode": q_h264_ipcm_decode,
         "h264_intra_decode": q_h264_intra_decode,
         "h264_cavlc_decode": q_h264_cavlc_decode,
+        "h264_lumadc_decode": q_h264_lumadc_decode,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -99,6 +108,7 @@ def oracle_sql():
         SQL_H264_CAVLC_DECODE,
         SQL_H264_INTRA_DECODE,
         SQL_H264_IPCM_DECODE,
+        SQL_H264_LUMADC_DECODE,
     )
     from magmapandas_spark.operators.keywords import SQL_RAKE_KEYWORDS
 
@@ -112,6 +122,7 @@ def oracle_sql():
         "h264_ipcm_decode": SQL_H264_IPCM_DECODE,
         "h264_intra_decode": SQL_H264_INTRA_DECODE,
         "h264_cavlc_decode": SQL_H264_CAVLC_DECODE,
+        "h264_lumadc_decode": SQL_H264_LUMADC_DECODE,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,

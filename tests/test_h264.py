@@ -264,3 +264,100 @@ def test_notch3_full_round_trip():
             "magmapandas_spark.operators.h264", fromlist=["_fixture_mixed"]
         )._fixture_mixed(i)
         assert not np.array_equal(cb, cb2)
+
+
+def test_notch4_full_round_trip():
+    from magmapandas_spark.operators.h264 import (
+        _N3_QP,
+        _fixture_mixed,
+        _fixture_notch4,
+        encode_mixed_annexb,
+    )
+
+    for i in (0, 5, 11, 23):
+        y, cb, cr, cls, cdc, ldc = _fixture_notch4(i)
+        data = encode_mixed_annexb(
+            y, cb, cr, cls, chroma_dc=cdc, qp=_N3_QP, luma_dc=ldc
+        )
+        yd, cbd, crd, _ = decode_h264_iframe(data)
+        assert np.array_equal(y, yd)
+        assert np.array_equal(cb, cbd)
+        assert np.array_equal(cr, crd)
+        if cls.any():
+            # the DC residuals genuinely shifted predicted luma
+            ym, _, _, _ = _fixture_mixed(i)
+            assert not np.array_equal(y, ym)
+
+
+def test_cavlc_level_machinery_round_trip():
+    """_write_levels is the bit-exact inverse of _read_levels across
+    TrailingOnes counts, the first-coefficient +2 rule, the TC>10
+    initial suffixLength rule, and suffix growth."""
+    from magmapandas_spark.operators.h264 import (
+        _BitReader,
+        _BitWriter,
+        _read_levels,
+        _write_levels,
+    )
+
+    cases = [
+        ([1, -1, 1, 3, -2, 4, -4, 2], 8, 3),      # t1s=3, growth to 2
+        ([-1, 5, -3, 2], 4, 1),                   # t1s<3: +2 rule
+        ([2, -2, 3], 3, 0),                       # no trailing ones
+        ([1, -1, -1] + [4, -4] * 6 + [2], 16, 3), # dense DC shape
+        ([-1, 2] + [3] * 10, 12, 1),              # TC>10, t1s<3: init 1
+    ]
+    for levels, tc, t1s in cases:
+        w = _BitWriter()
+        _write_levels(w, levels, tc, t1s)
+        w.rbsp_trailing()
+        r = _BitReader(w.tobytes())
+        assert _read_levels(r, tc, t1s) == levels, (levels, tc, t1s)
+
+
+def test_luma_dc_hadamard_and_scaling():
+    from magmapandas_spark.operators.h264 import _luma_dc_residuals
+
+    # DC-only block at QP 40: f = c00 everywhere, dcY = 16*c00,
+    # residual = (16*c00 + 32) >> 6
+    res = _luma_dc_residuals([4] + [0] * 15, 40)
+    assert (res == ((16 * 4 + 32) >> 6)).all()
+    res = _luma_dc_residuals([-4] + [0] * 15, 40)
+    assert (res == ((16 * -4 + 32) >> 6)).all()
+    # zig-zag position 1 is DC-array (0, 1): modulates block columns
+    # via the Hadamard column pattern [1, 1, -1, -1]
+    res = _luma_dc_residuals([0, 2] + [0] * 14, 40)
+    assert (res[:, :2] == ((32 + 32) >> 6)).all()
+    assert (res[:, 2:] == ((-32 + 32) >> 6)).all()
+    # low-QP branch: qP 28 -> (f * LS + 2) >> 2, LS[28 % 6] = 16
+    res = _luma_dc_residuals([3] + [0] * 15, 28)
+    assert (res == (((3 * 16 + 2) >> 2) + 32 >> 6)).all()
+
+
+def test_partial_dc_block_is_honest_boundary():
+    from magmapandas_spark.operators.h264 import (
+        _BitReader,
+        _BitWriter,
+        _parse_cavlc_luma_dc,
+    )
+
+    # zero tokens decode in all four nC classes
+    for n_c, bits, width in ((0, 1, 1), (2, 3, 2), (4, 15, 4), (8, 3, 6)):
+        w = _BitWriter()
+        w.u(bits, width)
+        w.rbsp_trailing()
+        assert _parse_cavlc_luma_dc(_BitReader(w.tobytes()), n_c) == [0] * 16
+    # nonzero token in a low-nC class: Table 9-5 VLC tables are the
+    # explicit next notch
+    w = _BitWriter()
+    w.u(0, 1)
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="VLC0"):
+        _parse_cavlc_luma_dc(_BitReader(w.tobytes()), 0)
+    # partial block (TotalCoeff < 16) in the FLC class: needs the 4x4
+    # total_zeros table
+    w = _BitWriter()
+    w.u(4 * (2 - 1) + 0, 6)  # TC=2, T1s=0
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="total_zeros"):
+        _parse_cavlc_luma_dc(_BitReader(w.tobytes()), 8)
