@@ -1859,3 +1859,93 @@ FROM classed
 GROUP BY cls
 ORDER BY cls
 """
+
+
+# ---------------------------------------------------------------------
+# Gini revenue concentration (round 8)
+# ---------------------------------------------------------------------
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-nation Gini coefficient of customer revenue —
+    the inequality/concentration audit a marketplace or data-mixture
+    governance pass publishes. Revenue per customer is a DECIMAL-exact
+    sum of order totals; within each nation customers are ranked
+    ascending (row_number, custkey tiebreak) and
+    G = 2·Σ(rank·rev) / (n·Σrev) − (n+1)/n, every Σ order-independent
+    (per-row DECIMAL casts of the deterministic rank·rev product).
+
+    Plan: one custkey aggregation, a key-shuffled join to customer,
+    one broadcast of the 25-row nation dim, then PER-NATION rank
+    windows (the MAD-outliers exact-twin posture — each partition is
+    one nation's customers, never a global sort). The mergeable scale
+    path for outsized groups is histogram-sketch Lorenz binning, the
+    rfm_segments_sketch pairing."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = orders.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice")).alias("rev")
+    )
+    cust = (
+        rev.join(
+            customer.select("c_custkey", "c_nationkey"),
+            rev.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "c_custkey", "rev")
+    )
+    w = Window.partitionBy("n_name").orderBy("rev", "c_custkey")
+    ranked = cust.withColumn("rk", F.row_number().over(w))
+    per = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("rev").cast("decimal(18,6)")).cast("double").alias(
+            "total_rev"
+        ),
+        F.sum(
+            (F.col("rk") * F.col("rev")).cast("decimal(28,6)")
+        ).cast("double").alias("s_ix"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("s_ix") / (n * F.col("total_rev"))
+        - (n + F.lit(1.0)) / n
+    )
+    return per.select(
+        "n_name",
+        "n_customers",
+        F.round("total_rev", 2).alias("total_rev"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("n_name")
+
+
+SQL_GINI_CONCENTRATION = f"""
+WITH rev AS (
+  SELECT o_custkey, {SQL_DSUM.format(x="o_totalprice")} AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT n.n_name, r.rev,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY r.rev, c.c_custkey) AS rk
+  FROM rev r
+  JOIN customer c ON c.c_custkey = r.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+per AS (
+  SELECT n_name, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS total_rev,
+         CAST(SUM(CAST(rk * rev AS DECIMAL(28,6))) AS DOUBLE) AS s_ix
+  FROM ranked GROUP BY n_name
+)
+SELECT n_name, n_customers,
+       ROUND(total_rev, 2) AS total_rev,
+       ROUND(2.0 * s_ix / (CAST(n_customers AS DOUBLE) * total_rev)
+             - (CAST(n_customers AS DOUBLE) + 1.0)
+               / CAST(n_customers AS DOUBLE), 6) AS gini
+FROM per
+ORDER BY n_name
+"""

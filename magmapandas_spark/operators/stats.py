@@ -587,3 +587,91 @@ ORDER BY event_type
 
 
 SQL_BOOTSTRAP_CI = _sql_bootstrap()
+
+
+# ---------------------------------------------------------------------
+# Pairwise Pearson correlation matrix (round 8)
+# ---------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the numeric-column correlation matrix a profiling
+    pass publishes — all 6 pairwise Pearson r's over lineitem's
+    measure columns from ONE scan of DECIMAL-exact power sums
+    (Σx, Σx², Σxy per pair; per-row DECIMAL(38,6) casts make every
+    sum order-independent under any partitioning), assembled with one
+    shared closed form so both engines run identical double
+    arithmetic. Built-in corr() differs between engines in summation
+    order — the power-sum route is the reproducible one.
+
+    Plan: one aggregation producing a single 15-column row (algebraic
+    sums -> full map-side combine), then a scan-free explode into the
+    6 pair rows. k measures cost k(k+3)/2 scan-local terms — the
+    gram_aggregate posture, no extra shuffle, no window."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def ps(e):
+        return F.sum(e.cast("decimal(38,6)")).cast("double")
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(ps(F.col(c)).alias(f"s_{c}"))
+        aggs.append(ps(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            aggs.append(ps(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    g = li.agg(*aggs)
+
+    def r_of(a, b):
+        n = F.col("n")
+        num = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+        db = F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        return num / (da * db)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.round(r_of(a, b), 6).alias("pearson_r"),
+            )
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i + 1 :]
+        ]
+    )
+    return (
+        g.select(F.col("n").cast("bigint").alias("n"), F.explode(pairs).alias("p"))
+        .select("p.col_x", "p.col_y", "n", "p.pearson_r")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _sql_corr_matrix() -> str:
+    ps = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"{ps.format(x=c)} AS s_{c}")
+        sums.append(f"{ps.format(x=f'{c} * {c}')} AS ss_{c}")
+    pair_rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            sums.append(f"{ps.format(x=f'{a} * {b}')} AS sp_{a}_{b}")
+            pair_rows.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
+                f" CAST(n AS BIGINT) AS n,"
+                f" ROUND((n * sp_{a}_{b} - s_{a} * s_{b})"
+                f" / (SQRT(n * ss_{a} - s_{a} * s_{a})"
+                f" * SQRT(n * ss_{b} - s_{b} * s_{b})), 6) AS pearson_r"
+                f" FROM a"
+            )
+    union = "\nUNION ALL\n".join(pair_rows)
+    return (
+        "WITH a AS (\n  SELECT " + ",\n    ".join(sums)
+        + "\n  FROM lineitem\n)\n" + union + "\nORDER BY col_x, col_y"
+    )
+
+
+SQL_CORR_MATRIX = _sql_corr_matrix()

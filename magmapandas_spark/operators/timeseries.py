@@ -444,3 +444,74 @@ SELECT b.g AS event_type, b.i AS event_id, b.x, b.y
 FROM base b JOIN sel s ON s.g = b.g AND s.i = b.i
 ORDER BY event_type, x, event_id
 """
+
+
+# ---------------------------------------------------------------------
+# Seasonal profile (round 8)
+# ---------------------------------------------------------------------
+
+
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the day-of-week × hour-of-day seasonal profile a
+    capacity-planning / anomaly-baseline pass publishes over the
+    events stream — per (dow, hour) cell: event count, exact mean
+    value, and the seasonal index (cell mean / global mean, ppm-free
+    double from DECIMAL-exact sums). Day-of-week is computed as
+    engine-portable integer arithmetic on epoch days
+    ((days_since_1970 + 4) % 7, 0 = Sunday) — EXTRACT(dow) conventions
+    differ between engines.
+
+    Plan: one grouped aggregation to the ≤168-cell grain (map-side
+    combined), one 1-row global roll-up broadcast back — nothing
+    corpus-sized past the first shuffle, no window."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    cells = ev.groupBy(
+        ((days + 4) % 7).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    glob = cells.agg(
+        F.sum("n").alias("gn"), F.sum("sv").alias("gsv")
+    )
+    return (
+        cells.crossJoin(F.broadcast(glob))
+        .select(
+            "dow",
+            "hour",
+            "n",
+            F.round(F.col("sv").cast("double") / F.col("n"), 6).alias(
+                "mean_value"
+            ),
+            F.round(
+                (F.col("sv").cast("double") / F.col("n"))
+                / (F.col("gsv").cast("double") / F.col("gn")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+SQL_SEASONAL_PROFILE = """
+WITH cells AS (
+  SELECT CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4)
+              % 7 AS INT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM events
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT SUM(n) AS gn, SUM(sv) AS gsv FROM cells
+)
+SELECT dow, hour, n,
+       ROUND(CAST(sv AS DOUBLE) / n, 6) AS mean_value,
+       ROUND((CAST(sv AS DOUBLE) / n) / (CAST(gsv AS DOUBLE) / gn), 6)
+         AS seasonal_index
+FROM cells CROSS JOIN tot
+ORDER BY dow, hour
+"""

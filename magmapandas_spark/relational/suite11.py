@@ -52,6 +52,12 @@ the first H.264 codec notch.
 - ``knn_label_noise`` — k-NN label-agreement audit over a constant
   broadcast query slice (5-NN majority vote vs own label). Past the
   50-slot gate this round.
+- ``corr_matrix`` — pairwise Pearson matrix over lineitem measures
+  from one scan of DECIMAL-exact power sums (the gram_aggregate
+  posture); ``seasonal_profile`` — dow×hour seasonal index over
+  events with engine-portable epoch-day dow; ``gini_concentration``
+  — per-nation Gini of customer revenue via per-group rank windows.
+  All past the 50-slot gate this round.
 """
 
 from __future__ import annotations
@@ -63,6 +69,7 @@ def queries():
         q_budget_allocation,
         q_rfm_segments_sketch,
     )
+    from magmapandas_spark.operators.analytics import q_gini_concentration
     from magmapandas_spark.operators.curation import q_balanced_sample
     from magmapandas_spark.operators.dedup import q_dedup_impact
     from magmapandas_spark.operators.evaluation import q_knn_label_noise
@@ -75,6 +82,8 @@ def queries():
         q_h264_lumadc_decode,
     )
     from magmapandas_spark.operators.keywords import q_rake_keywords
+    from magmapandas_spark.operators.stats import q_corr_matrix
+    from magmapandas_spark.operators.timeseries import q_seasonal_profile
 
     return {
         "rfm_segments_sketch": q_rfm_segments_sketch,
@@ -90,6 +99,9 @@ def queries():
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
+        "corr_matrix": q_corr_matrix,
+        "seasonal_profile": q_seasonal_profile,
+        "gini_concentration": q_gini_concentration,
     }
 
 
@@ -99,6 +111,7 @@ def oracle_sql():
         SQL_BUDGET_ALLOCATION,
         SQL_RFM_SEGMENTS_SKETCH,
     )
+    from magmapandas_spark.operators.analytics import SQL_GINI_CONCENTRATION
     from magmapandas_spark.operators.curation import SQL_BALANCED_SAMPLE
     from magmapandas_spark.operators.dedup import SQL_DEDUP_IMPACT
     from magmapandas_spark.operators.evaluation import SQL_KNN_LABEL_NOISE
@@ -111,6 +124,8 @@ def oracle_sql():
         SQL_H264_LUMADC_DECODE,
     )
     from magmapandas_spark.operators.keywords import SQL_RAKE_KEYWORDS
+    from magmapandas_spark.operators.stats import SQL_CORR_MATRIX
+    from magmapandas_spark.operators.timeseries import SQL_SEASONAL_PROFILE
 
     return {
         "rfm_segments_sketch": SQL_RFM_SEGMENTS_SKETCH,
@@ -126,4 +141,7 @@ def oracle_sql():
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,
+        "corr_matrix": SQL_CORR_MATRIX,
+        "seasonal_profile": SQL_SEASONAL_PROFILE,
+        "gini_concentration": SQL_GINI_CONCENTRATION,
     }

@@ -740,3 +740,37 @@ def test_knn_label_noise_windows_are_partitioned(spark):
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert m.group(1).strip(), "unpartitioned Window in knn path"
     assert "CartesianProduct" not in plan
+
+
+def test_corr_matrix_is_one_aggregation_no_join(spark):
+    """All 6 Pearson pairs come from ONE scan's power sums: a single
+    global aggregate (map-side combined) exploded into pair rows — no
+    join, no window, no per-pair rescan."""
+    from magmapandas_spark.operators.stats import q_corr_matrix
+
+    plan = plan_of(q_corr_matrix(spark, SF))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_seasonal_profile_no_window_no_smj(spark):
+    """Cell aggregation + 1-row global roll-up broadcast back: no
+    window, no corpus-sized sort-merge join."""
+    from magmapandas_spark.operators.timeseries import q_seasonal_profile
+
+    plan = plan_of(q_seasonal_profile(spark, SF))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gini_windows_are_per_nation(spark):
+    """Every rank window partitions by nation (the MAD exact-twin
+    posture); the 25-row nation dim broadcasts."""
+    from magmapandas_spark.operators.analytics import q_gini_concentration
+
+    plan = plan_of(q_gini_concentration(spark, SF))
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "unpartitioned Window in gini plan"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
