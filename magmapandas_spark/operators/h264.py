@@ -599,7 +599,9 @@ def _luma_dc_residuals(zz_coeffs: list[int], qpy: int) -> np.ndarray:
 
 def _predict_16x16(y: np.ndarray, mbx: int, mby: int, mode: int) -> None:
     """Intra_16x16 luma prediction (spec 8.3.3) from already-
-    reconstructed neighbor edges: 0=Vertical, 1=Horizontal, 2=DC."""
+    reconstructed neighbor edges: 0=Vertical, 1=Horizontal, 2=DC,
+    3=Plane (spec 8.3.3.4 integer-gradient fit over the top/left
+    edges incl. the above-left corner sample)."""
     x0, y0 = mbx * 16, mby * 16
     top = y[y0 - 1, x0 : x0 + 16].astype(np.int32) if mby > 0 else None
     left = y[y0 : y0 + 16, x0 - 1].astype(np.int32) if mbx > 0 else None
@@ -612,6 +614,24 @@ def _predict_16x16(y: np.ndarray, mbx: int, mby: int, mode: int) -> None:
         if left is None:
             raise ValueError("Horizontal prediction without left neighbor")
         blk[:, :] = left[:, None]
+    elif mode == 3:  # Plane
+        if top is None or left is None or mby == 0 or mbx == 0:
+            raise ValueError("Plane prediction needs top+left neighbors")
+        corner = int(y[y0 - 1, x0 - 1])
+        edge_t = [corner] + [int(v) for v in top]   # p[x, -1], x=-1..15
+        edge_l = [corner] + [int(v) for v in left]  # p[-1, y], y=-1..15
+        h = sum(
+            (xp + 1) * (edge_t[9 + xp] - edge_t[7 - xp]) for xp in range(8)
+        )
+        v = sum(
+            (yp + 1) * (edge_l[9 + yp] - edge_l[7 - yp]) for yp in range(8)
+        )
+        a = 16 * (edge_t[16] + edge_l[16])
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        xs = np.arange(16, dtype=np.int32)
+        plane = (a + b * (xs[None, :] - 7) + c * (xs[:, None] - 7) + 16) >> 5
+        blk[:, :] = np.clip(plane, 0, 255)
     else:  # DC
         if top is not None and left is not None:
             dc = (int(top.sum()) + int(left.sum()) + 16) >> 5
@@ -628,7 +648,8 @@ def _predict_chroma8x8(
     c: np.ndarray, mbx: int, mby: int, mode: int
 ) -> None:
     """Chroma 8x8 prediction (spec 8.3.4): 0=DC (per-4x4 corner rule),
-    1=Horizontal, 2=Vertical."""
+    1=Horizontal, 2=Vertical, 3=Plane (8x8 integer-gradient fit,
+    coefficients 17/(>>5))."""
     x0, y0 = mbx * 8, mby * 8
     top = c[y0 - 1, x0 : x0 + 8].astype(np.int32) if mby > 0 else None
     left = c[y0 : y0 + 8, x0 - 1].astype(np.int32) if mbx > 0 else None
@@ -641,6 +662,24 @@ def _predict_chroma8x8(
         if left is None:
             raise ValueError("Horizontal chroma prediction without left")
         blk[:, :] = left[:, None]
+    elif mode == 3:  # Plane
+        if top is None or left is None or mby == 0 or mbx == 0:
+            raise ValueError("Plane chroma prediction needs top+left")
+        corner = int(c[y0 - 1, x0 - 1])
+        edge_t = [corner] + [int(v) for v in top]   # p[x, -1], x=-1..7
+        edge_l = [corner] + [int(v) for v in left]  # p[-1, y], y=-1..7
+        h = sum(
+            (xp + 1) * (edge_t[5 + xp] - edge_t[3 - xp]) for xp in range(4)
+        )
+        v = sum(
+            (yp + 1) * (edge_l[5 + yp] - edge_l[3 - yp]) for yp in range(4)
+        )
+        a = 16 * (edge_t[8] + edge_l[8])
+        b = (17 * h + 16) >> 5
+        cc = (17 * v + 16) >> 5
+        xs = np.arange(8, dtype=np.int32)
+        plane = (a + b * (xs[None, :] - 3) + cc * (xs[:, None] - 3) + 16) >> 5
+        blk[:, :] = np.clip(plane, 0, 255)
     else:  # DC, per 4x4 sub-block
         for by in (0, 4):
             for bx in (0, 4):
@@ -755,15 +794,7 @@ def decode_h264_iframe(
                             "(4x4 CAVLC + inverse core transform) are "
                             "the next codec notch"
                         )
-                    if pred_mode == 3:
-                        raise NotImplementedError(
-                            "Intra_16x16 Plane prediction not supported"
-                        )
                     chroma_mode = r.ue()  # intra_chroma_pred_mode
-                    if chroma_mode == 3:
-                        raise NotImplementedError(
-                            "chroma Plane prediction not supported"
-                        )
                     qp_y += r.se()  # mb_qp_delta (always present here)
                     # Intra16x16DCLevel is always parsed: CAVLC
                     # coeff_token with nC from neighbors of luma 4x4
@@ -951,12 +982,15 @@ def encode_mixed_annexb(
     chroma_dc: np.ndarray | None = None,
     qp: int = 26,
     luma_dc: np.ndarray | None = None,
+    modes: np.ndarray | None = None,
 ) -> bytes:
     """Annex-B stream whose macroblocks are I_PCM where ``cls`` is 0
-    and I_16x16 (Vertical luma + Vertical chroma prediction, zero
-    residual) where 1. PCM samples are read from the plane arrays;
-    predicted MBs emit only syntax (mb_type 1, chroma mode, qp delta,
-    and the CAVLC zero coeff_token for the always-present
+    and I_16x16 where 1 (default Vertical luma + Vertical chroma,
+    zero residual; ``modes`` overrides per MB with (luma_mode,
+    chroma_mode) pairs — luma V/H/DC/Plane 0-3, chroma DC/H/V/Plane
+    0-3). PCM samples are read from the plane arrays; predicted MBs
+    emit only syntax (mb_type from Table 7-11, chroma mode, qp delta,
+    and the CAVLC coeff_token syntax for the always-present
     Intra16x16DCLevel block, in the real nC context)."""
     h, w = y.shape
     mbs_w, mbs_h = w // 16, h // 16
@@ -1021,10 +1055,15 @@ def encode_mixed_annexb(
                 else (0, 0)
             )
             has_cdc = cdc != (0, 0)
+            lm, cm = (
+                (int(modes[mb][0]), int(modes[mb][1]))
+                if modes is not None
+                else (0, 2)  # Vertical luma, Vertical chroma
+            )
             # Table 7-11: mb_type - 1 = 12*cbp_luma_bit + 4*cbp_chroma
-            # + pred_mode; Vertical pred, cbp_chroma 1 -> mb_type 5
-            sl.ue(5 if has_cdc else 1)
-            sl.ue(2)  # intra_chroma_pred_mode: Vertical
+            # + pred_mode
+            sl.ue((4 if has_cdc else 0) + lm + 1)
+            sl.ue(cm)  # intra_chroma_pred_mode
             sl.se(0)  # mb_qp_delta
             n_a = tc[mb - 1] if mbx > 0 else -1
             n_b = tc[mb - mbs_w] if mby > 0 else -1
@@ -1618,3 +1657,330 @@ ORDER BY c.media_id
 
 
 SQL_H264_LUMADC_DECODE = _sql_h264_lumadc()
+
+
+# ---------------------------------------------------------------------
+# Notch 5: the full Intra_16x16 prediction-mode matrix (incl. Plane)
+# ---------------------------------------------------------------------
+
+
+def _n5_modes(i: int, mb: int) -> tuple[int, int]:
+    """Per-MB (luma_mode, chroma_mode): cycles through V/H/DC/Plane
+    luma and DC/H/V/Plane chroma so every mode pair occurs across the
+    corpus."""
+    return (i + mb) % 4, (i + 2 * mb + 1) % 4
+
+
+def _fixture_notch5(i: int):
+    """Expected reconstruction for the mode-matrix clip ``i``: a
+    (2..4) x (2..3) MB grid where MBs at (odd, odd) coordinates are
+    predicted and everything else is I_PCM — so every predicted MB
+    has PCM left, top, AND above-left corner neighbors (Plane and the
+    H/V gradient sums read all three). Prediction expectations are
+    computed here with explicit integer loops, independent of the
+    decoder's numpy path."""
+    mbs_w, mbs_h = 2 + i % 3, 2 + i % 2
+    w, h = 16 * mbs_w, 16 * mbs_h
+    y = np.zeros((h, w), np.uint8)
+    cb = np.zeros((h // 2, w // 2), np.uint8)
+    cr = np.zeros((h // 2, w // 2), np.uint8)
+    n_mbs = mbs_w * mbs_h
+    cls = np.zeros(n_mbs, np.int32)
+    modes = np.zeros((n_mbs, 2), np.int32)
+    for mb in range(n_mbs):
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        for o in range(256):
+            r_, c_ = o // 16, o % 16
+            y[mby * 16 + r_, mbx * 16 + c_] = (
+                7 * i + 13 * ((mb * 256 + o) // 4)
+            ) % 256
+        for o in range(64):
+            r_, c_ = o // 8, o % 8
+            cb[mby * 8 + r_, mbx * 8 + c_] = (
+                11 * i + 17 * (mb * 64 + o)
+            ) % 256
+            cr[mby * 8 + r_, mbx * 8 + c_] = (
+                19 * i + 23 * (mb * 64 + o)
+            ) % 256
+        if mbx % 2 == 1 and mby % 2 == 1:
+            cls[mb] = 1
+            modes[mb] = _n5_modes(i, mb)
+
+    def clip1(v: int) -> int:
+        return 0 if v < 0 else (255 if v > 255 else v)
+
+    for mb in range(n_mbs):
+        if not cls[mb]:
+            continue
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        lm, cm = int(modes[mb][0]), int(modes[mb][1])
+        y0, x0 = mby * 16, mbx * 16
+        top = [int(y[y0 - 1, x0 + x]) for x in range(16)]
+        left = [int(y[y0 + yy, x0 - 1]) for yy in range(16)]
+        corner = int(y[y0 - 1, x0 - 1])
+        for yy in range(16):
+            for x in range(16):
+                if lm == 0:
+                    v = top[x]
+                elif lm == 1:
+                    v = left[yy]
+                elif lm == 2:
+                    v = (sum(top) + sum(left) + 16) >> 5
+                else:
+                    et = [corner] + top
+                    el = [corner] + left
+                    hs = sum(
+                        (xp + 1) * (et[9 + xp] - et[7 - xp])
+                        for xp in range(8)
+                    )
+                    vs = sum(
+                        (yp + 1) * (el[9 + yp] - el[7 - yp])
+                        for yp in range(8)
+                    )
+                    a = 16 * (et[16] + el[16])
+                    b = (5 * hs + 32) >> 6
+                    c = (5 * vs + 32) >> 6
+                    v = clip1((a + b * (x - 7) + c * (yy - 7) + 16) >> 5)
+                y[y0 + yy, x0 + x] = v
+        for pl in (cb, cr):
+            cy0, cx0 = mby * 8, mbx * 8
+            ct = [int(pl[cy0 - 1, cx0 + x]) for x in range(8)]
+            cl = [int(pl[cy0 + yy, cx0 - 1]) for yy in range(8)]
+            cco = int(pl[cy0 - 1, cx0 - 1])
+            for yy in range(8):
+                for x in range(8):
+                    if cm == 1:
+                        v = cl[yy]
+                    elif cm == 2:
+                        v = ct[x]
+                    elif cm == 3:
+                        et = [cco] + ct
+                        el = [cco] + cl
+                        hs = sum(
+                            (xp + 1) * (et[5 + xp] - et[3 - xp])
+                            for xp in range(4)
+                        )
+                        vs = sum(
+                            (yp + 1) * (el[5 + yp] - el[3 - yp])
+                            for yp in range(4)
+                        )
+                        a = 16 * (et[8] + el[8])
+                        b = (17 * hs + 16) >> 5
+                        c = (17 * vs + 16) >> 5
+                        v = clip1(
+                            (a + b * (x - 3) + c * (yy - 3) + 16) >> 5
+                        )
+                    else:  # DC, per-4x4 corner rule
+                        if x < 4 and yy < 4:
+                            v = (sum(ct[:4]) + sum(cl[:4]) + 4) >> 3
+                        elif x >= 4 and yy < 4:
+                            v = (sum(ct[4:]) + 2) >> 2
+                        elif x < 4 and yy >= 4:
+                            v = (sum(cl[4:]) + 2) >> 2
+                        else:
+                            v = (sum(ct[4:]) + sum(cl[4:]) + 4) >> 3
+                    pl[cy0 + yy, cx0 + x] = v
+    return y, cb, cr, cls, modes
+
+
+def synthetic_h264_plane_media(
+    spark: SparkSession, n: int = _N_CLIPS
+) -> DataFrame:
+    rows = []
+    for i in range(n):
+        y, cb, cr, cls, modes = _fixture_notch5(i)
+        rows.append(
+            (i, bytearray(encode_mixed_annexb(y, cb, cr, cls, modes=modes)))
+        )
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def q_h264_plane_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: decode 24 streams exercising the COMPLETE
+    Intra_16x16 prediction-mode matrix — Vertical / Horizontal / DC /
+    Plane luma (spec 8.3.3 incl. the 8.3.3.4 integer-gradient Plane
+    fit over top+left+corner edges) crossed with DC / Horizontal /
+    Vertical / Plane chroma (spec 8.3.4 incl. the per-4x4 DC corner
+    rule and the 17-coefficient chroma Plane) — every predicted MB
+    reconstructed from real PCM neighbor edges, plane sums and the
+    MB-order luma checksum under the cross-engine hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_frame_stats(synthetic_h264_plane_media(spark)), "media_id"
+    )
+
+
+def _sql_h264_plane() -> str:
+    """Closed-form oracle for the mode-matrix corpus: predicted MBs'
+    neighbor edges are PCM formula values, so every prediction mode —
+    incl. both Plane fits — replays as integer arithmetic: per-MB
+    gradient/DC constants in a ``consts`` CTE (explicit edge-sum
+    expansions), then per-sample CASE over the mode. DuckDB's ``>>``
+    is an arithmetic shift on BIGINT (verified), matching the spec's
+    floor semantics on the possibly-negative pre-shift operands."""
+
+    def ft(x: int) -> str:
+        return (
+            f"((7 * media_id + 13 * (((mb - mbs_w) * 256 + {240 + x})"
+            f" // 4)) % 256)"
+        )
+
+    def fl(yy: int) -> str:
+        return (
+            f"((7 * media_id + 13 * (((mb - 1) * 256 + {16 * yy + 15})"
+            f" // 4)) % 256)"
+        )
+
+    fd = "((7 * media_id + 13 * (((mb - mbs_w - 1) * 256 + 255) // 4)) % 256)"
+    hsum = " + ".join(
+        f"({xp + 1}) * ({ft(8 + xp)} - {ft(6 - xp) if 6 - xp >= 0 else fd})"
+        for xp in range(8)
+    )
+    vsum = " + ".join(
+        f"({yp + 1}) * ({fl(8 + yp)} - {fl(6 - yp) if 6 - yp >= 0 else fd})"
+        for yp in range(8)
+    )
+    sum_top = " + ".join(ft(x) for x in range(16))
+    sum_left = " + ".join(fl(yy) for yy in range(16))
+    ft_var = (
+        "((7 * media_id + 13 * (((mb - mbs_w) * 256 + 240 + (o.o % 16))"
+        " // 4)) % 256)"
+    )
+    fl_var = (
+        "((7 * media_id + 13 * (((mb - 1) * 256 + 16 * (o.o // 16) + 15)"
+        " // 4)) % 256)"
+    )
+    v_luma = f"""CASE lm
+      WHEN 0 THEN {ft_var}
+      WHEN 1 THEN {fl_var}
+      WHEN 2 THEN dc16
+      ELSE LEAST(255, GREATEST(0,
+        (la + lb * ((o.o % 16) - 7) + lc * ((o.o // 16) - 7) + 16) >> 5))
+    END"""
+
+    def chroma_parts(k1: int, k2: int, tag: str) -> tuple[str, str]:
+        def gt(x: int) -> str:
+            return (
+                f"(({k1} * media_id + {k2} * ((mb - mbs_w) * 64"
+                f" + {56 + x})) % 256)"
+            )
+
+        def gl(yy: int) -> str:
+            return (
+                f"(({k1} * media_id + {k2} * ((mb - 1) * 64"
+                f" + {8 * yy + 7})) % 256)"
+            )
+
+        gd = f"(({k1} * media_id + {k2} * ((mb - mbs_w - 1) * 64 + 63)) % 256)"
+        hs = " + ".join(
+            f"({xp + 1}) * ({gt(4 + xp)} - {gt(2 - xp) if 2 - xp >= 0 else gd})"
+            for xp in range(4)
+        )
+        vs = " + ".join(
+            f"({yp + 1}) * ({gl(4 + yp)} - {gl(2 - yp) if 2 - yp >= 0 else gd})"
+            for yp in range(4)
+        )
+        consts = f"""
+         16 * ({gt(7)} + {gl(7)}) AS {tag}_a,
+         ((17 * ({hs}) + 16) >> 5) AS {tag}_b,
+         ((17 * ({vs}) + 16) >> 5) AS {tag}_c,
+         ({" + ".join(gt(x) for x in range(4))}) AS {tag}_t0,
+         ({" + ".join(gt(x) for x in range(4, 8))}) AS {tag}_t1,
+         ({" + ".join(gl(y) for y in range(4))}) AS {tag}_l0,
+         ({" + ".join(gl(y) for y in range(4, 8))}) AS {tag}_l1"""
+        gt_var = (
+            f"(({k1} * media_id + {k2} * ((mb - mbs_w) * 64 + 56"
+            f" + (o.o % 8))) % 256)"
+        )
+        gl_var = (
+            f"(({k1} * media_id + {k2} * ((mb - 1) * 64 + 8 * (o.o // 8)"
+            f" + 7)) % 256)"
+        )
+        v = f"""CASE cm
+      WHEN 1 THEN {gl_var}
+      WHEN 2 THEN {gt_var}
+      WHEN 3 THEN LEAST(255, GREATEST(0,
+        ({tag}_a + {tag}_b * ((o.o % 8) - 3)
+         + {tag}_c * ((o.o // 8) - 3) + 16) >> 5))
+      ELSE CASE
+        WHEN (o.o % 8) < 4 AND (o.o // 8) < 4
+          THEN ({tag}_t0 + {tag}_l0 + 4) >> 3
+        WHEN (o.o % 8) >= 4 AND (o.o // 8) < 4
+          THEN ({tag}_t1 + 2) >> 2
+        WHEN (o.o % 8) < 4 AND (o.o // 8) >= 4
+          THEN ({tag}_l1 + 2) >> 2
+        ELSE ({tag}_t1 + {tag}_l1 + 4) >> 3
+      END
+    END"""
+        return consts, v
+
+    cb_consts, v_cb = chroma_parts(11, 17, "cb")
+    cr_consts, v_cr = chroma_parts(19, 23, "cr")
+    y_v = "(7 * media_id + 13 * ((mb * 256 + o.o) // 4)) % 256"
+    cb_v = "(11 * media_id + 17 * (mb * 64 + o.o)) % 256"
+    cr_v = "(19 * media_id + 23 * (mb * 64 + o.o)) % 256"
+    return f"""
+WITH clip AS (
+  SELECT i AS media_id, 2 + i % 3 AS mbs_w, 2 + i % 2 AS mbs_h
+  FROM range({_N_CLIPS}) t(i)
+),
+mbs AS (
+  SELECT media_id, mbs_w, mbs_h, m.m AS mb,
+         m.m % mbs_w AS mbx, m.m // mbs_w AS mby
+  FROM clip, LATERAL (SELECT UNNEST(range(mbs_w * mbs_h)) AS m) m
+),
+consts AS (
+  SELECT media_id, mbs_w, mb,
+         (media_id + mb) % 4 AS lm,
+         (media_id + 2 * mb + 1) % 4 AS cm,
+         16 * ({ft(15)} + {fl(15)}) AS la,
+         ((5 * ({hsum}) + 32) >> 6) AS lb,
+         ((5 * ({vsum}) + 32) >> 6) AS lc,
+         (({sum_top}) + ({sum_left}) + 16) >> 5 AS dc16,{cb_consts},{cr_consts}
+  FROM mbs WHERE mbx % 2 = 1 AND mby % 2 = 1
+),
+luma_pcm AS (
+  SELECT media_id,
+         SUM({y_v}) AS s,
+         SUM((mb * 256 + o.o + 1) * ({y_v})) AS ck
+  FROM mbs, LATERAL (SELECT UNNEST(range(256)) AS o) o
+  WHERE NOT (mbx % 2 = 1 AND mby % 2 = 1)
+  GROUP BY media_id
+),
+luma_pred AS (
+  SELECT media_id,
+         SUM({v_luma}) AS s,
+         SUM(({v_luma}) * (mb * 256 + o.o + 1)) AS ck
+  FROM consts, LATERAL (SELECT UNNEST(range(256)) AS o) o
+  GROUP BY media_id
+),
+chroma_pcm AS (
+  SELECT media_id, SUM({cb_v}) AS scb, SUM({cr_v}) AS scr
+  FROM mbs, LATERAL (SELECT UNNEST(range(64)) AS o) o
+  WHERE NOT (mbx % 2 = 1 AND mby % 2 = 1)
+  GROUP BY media_id
+),
+chroma_pred AS (
+  SELECT media_id, SUM({v_cb}) AS scb, SUM({v_cr}) AS scr
+  FROM consts, LATERAL (SELECT UNNEST(range(64)) AS o) o
+  GROUP BY media_id
+)
+SELECT c.media_id,
+       CAST(16 * c.mbs_w AS INT) AS width,
+       CAST(16 * c.mbs_h AS INT) AS height,
+       CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
+       CAST(lp.s + COALESCE(lr.s, 0) AS BIGINT) AS sum_y,
+       CAST(cp.scb + COALESCE(cr2.scb, 0) AS BIGINT) AS sum_cb,
+       CAST(cp.scr + COALESCE(cr2.scr, 0) AS BIGINT) AS sum_cr,
+       CAST((lp.ck + COALESCE(lr.ck, 0)) % {_CK_MOD} AS BIGINT) AS ck_y
+FROM clip c
+JOIN luma_pcm lp ON lp.media_id = c.media_id
+LEFT JOIN luma_pred lr ON lr.media_id = c.media_id
+JOIN chroma_pcm cp ON cp.media_id = c.media_id
+LEFT JOIN chroma_pred cr2 ON cr2.media_id = c.media_id
+ORDER BY c.media_id
+"""
+
+
+SQL_H264_PLANE_DECODE = _sql_h264_plane()

@@ -42,6 +42,12 @@ the first H.264 codec notch.
   steps and the TC>10 initial-suffixLength rule, 4x4 inverse
   Hadamard, spec-8.5.10 luma-DC scaling, per-4x4-block clipped
   reconstruction. Past the 50-slot gate this round.
+- ``h264_plane_decode`` — notch 5: the COMPLETE Intra_16x16
+  prediction-mode matrix — V/H/DC/Plane luma (spec 8.3.3.4
+  integer-gradient Plane over top+left+corner edges) × DC/H/V/Plane
+  chroma (per-4x4 DC corner rule, 17-coefficient chroma Plane) on a
+  checkerboard fixture whose predicted MBs always have PCM
+  neighbors. Past the 50-slot gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -80,6 +86,7 @@ def queries():
         q_h264_intra_decode,
         q_h264_ipcm_decode,
         q_h264_lumadc_decode,
+        q_h264_plane_decode,
     )
     from magmapandas_spark.operators.keywords import q_rake_keywords
     from magmapandas_spark.operators.stats import q_corr_matrix
@@ -96,6 +103,7 @@ def queries():
         "h264_intra_decode": q_h264_intra_decode,
         "h264_cavlc_decode": q_h264_cavlc_decode,
         "h264_lumadc_decode": q_h264_lumadc_decode,
+        "h264_plane_decode": q_h264_plane_decode,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -122,6 +130,7 @@ def oracle_sql():
         SQL_H264_INTRA_DECODE,
         SQL_H264_IPCM_DECODE,
         SQL_H264_LUMADC_DECODE,
+        SQL_H264_PLANE_DECODE,
     )
     from magmapandas_spark.operators.keywords import SQL_RAKE_KEYWORDS
     from magmapandas_spark.operators.stats import SQL_CORR_MATRIX
@@ -138,6 +147,7 @@ def oracle_sql():
         "h264_intra_decode": SQL_H264_INTRA_DECODE,
         "h264_cavlc_decode": SQL_H264_CAVLC_DECODE,
         "h264_lumadc_decode": SQL_H264_LUMADC_DECODE,
+        "h264_plane_decode": SQL_H264_PLANE_DECODE,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,

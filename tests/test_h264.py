@@ -361,3 +361,55 @@ def test_partial_dc_block_is_honest_boundary():
     w.rbsp_trailing()
     with pytest.raises(NotImplementedError, match="total_zeros"):
         _parse_cavlc_luma_dc(_BitReader(w.tobytes()), 8)
+
+
+def test_notch5_mode_matrix_round_trip():
+    from magmapandas_spark.operators.h264 import (
+        _fixture_notch5,
+        encode_mixed_annexb,
+    )
+
+    lm_seen, cm_seen = set(), set()
+    for i in (0, 3, 7, 10, 14, 21):
+        y, cb, cr, cls, modes = _fixture_notch5(i)
+        data = encode_mixed_annexb(y, cb, cr, cls, modes=modes)
+        yd, cbd, crd, _ = decode_h264_iframe(data)
+        assert np.array_equal(y, yd)
+        assert np.array_equal(cb, cbd)
+        assert np.array_equal(cr, crd)
+        for mb in range(len(cls)):
+            if cls[mb]:
+                lm_seen.add(int(modes[mb][0]))
+                cm_seen.add(int(modes[mb][1]))
+    # the sampled clips exercise Plane in both planes
+    assert 3 in lm_seen and 3 in cm_seen
+
+
+def test_plane_prediction_is_exact_on_a_linear_ramp():
+    """A perfectly linear edge field must reproduce its own gradient:
+    with top = 100 + 2x and left = 100 + 3y (corner 95... consistent
+    corner 100-2 = 98? use exact ramp incl. corner), the fitted plane
+    passes through every edge sample and the prediction extends it."""
+    from magmapandas_spark.operators.h264 import _predict_16x16
+
+    y = np.zeros((32, 32), np.uint8)
+    # top edge of MB (1,1): row 15, cols 16..31 = 100 + 2x; left edge
+    # col 15, rows 16..31 = 100 + 2y; corner (15,15) = 98 continues
+    # BOTH ramps exactly (one corner sample can't continue two
+    # different slopes, so both edges use slope 2)
+    for x in range(16):
+        y[15, 16 + x] = 100 + 2 * x
+    for yy in range(16):
+        y[16 + yy, 15] = 100 + 2 * yy
+    y[15, 15] = 98
+    _predict_16x16(y, 1, 1, 3)
+    blk = y[16:32, 16:32].astype(int)
+    # On an exact ramp the gradient registers carry 32x the slope
+    # (absorbed by the final >> 5): slope 2 -> H = V =
+    # 2 * 2 * sum(k^2, k=1..8) = 816, b = c = (5*816+32) >> 6 = 64.
+    b, c = 64, 64
+    a = 16 * (100 + 2 * 15 + 100 + 2 * 15)
+    for yy in range(16):
+        for x in range(16):
+            exp = (a + b * (x - 7) + c * (yy - 7) + 16) >> 5
+            assert blk[yy, x] == min(255, max(0, exp)), (x, yy)
