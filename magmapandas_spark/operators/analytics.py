@@ -1949,3 +1949,187 @@ SELECT n_name, n_customers,
 FROM per
 ORDER BY n_name
 """
+
+
+def q_gini_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the mergeable scale twin of ``gini_concentration``
+    — per-nation Gini from a 1000-bin equi-width Lorenz histogram
+    (trapezoid formula G = 1 − Σ cnt_k·(cums_k + cums_{k−1})/(n·S)),
+    hashed BESIDE the exact rank-window Gini so the estimator's error
+    sits under the gate hash (the histogram_quantiles discipline).
+    Revenue is carried as exact BIGINT cents; every Σ is a
+    DECIMAL(38,0) sum of exact integer products, order-independent
+    under any partitioning; the final 1-ulp-sensitive divisions are
+    one shared double chain in both engines.
+
+    Plan: the histogram path is one |nations|-row stats broadcast, a
+    scan-local bin assignment, a ≤1000-rows-per-nation histogram with
+    map-side combine, and bin-bounded cumulative windows — state is
+    B counters per group, mergeable across partitions/days/tables.
+    The exact branch (per-nation rank windows) is the measurement
+    twin and is dropped at scale."""
+    _B = 1000
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = orders.groupBy("o_custkey").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            * F.lit(100)
+        ).cast("long").alias("rev_c")
+    )
+    cust = (
+        rev.join(
+            customer.select("c_custkey", "c_nationkey"),
+            rev.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "c_custkey", "rev_c")
+    )
+    stats = cust.groupBy("n_name").agg(
+        F.min("rev_c").alias("mn"),
+        F.max("rev_c").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_c").alias("s"),
+    )
+    binned = cust.join(F.broadcast(stats), "n_name").select(
+        "n_name",
+        "n",
+        "s",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.expr(f"(rev_c - mn) * {_B} div (mx - mn)"),
+                F.lit(_B - 1),
+            )
+        )
+        .cast("long")
+        .alias("bin"),
+        "rev_c",
+    )
+    hist = binned.groupBy("n_name", "n", "s", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("rev_c").alias("sb"),
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cums", F.sum("sb").over(w)).withColumn(
+        "cums_prev", F.col("cums") - F.col("sb")
+    )
+    sk = cum.groupBy("n_name", "n", "s").agg(
+        F.count(F.lit(1)).alias("bins_used"),
+        F.sum(
+            F.col("cnt").cast("decimal(18,0)")
+            * (F.col("cums") + F.col("cums_prev")).cast("decimal(20,0)")
+        ).alias("num_sk"),
+    )
+    we = Window.partitionBy("n_name").orderBy("rev_c", "c_custkey")
+    ex = (
+        cust.withColumn("rk", F.row_number().over(we))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("rk").cast("decimal(18,0)")
+                * F.col("rev_c").cast("decimal(20,0)")
+            ).alias("num_ex")
+        )
+    )
+    nd = F.col("n").cast("double")
+    ns = nd * F.col("s").cast("double")
+    g_sk = F.lit(1.0) - F.col("num_sk").cast("double") / ns
+    g_ex = (
+        F.lit(2.0) * F.col("num_ex").cast("double") / ns
+        - (nd + F.lit(1.0)) / nd
+    )
+    return (
+        sk.join(ex, "n_name")
+        .select(
+            "n_name",
+            F.col("n").alias("n_customers"),
+            "bins_used",
+            F.round(g_sk, 6).alias("gini_sketch"),
+            F.round(g_ex, 6).alias("gini_exact"),
+            F.round(g_ex - g_sk, 6).alias("err"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_GINI_SKETCH = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+cust AS (
+  SELECT n.n_name, c.c_custkey, r.rev_c
+  FROM rev r
+  JOIN customer c ON c.c_custkey = r.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+stats AS (
+  SELECT n_name, MIN(rev_c) AS mn, MAX(rev_c) AS mx,
+         COUNT(*) AS n, CAST(SUM(rev_c) AS BIGINT) AS s
+  FROM cust GROUP BY n_name
+),
+binned AS (
+  SELECT c.n_name, st.n, st.s,
+         CASE WHEN st.mx = st.mn THEN 0
+              ELSE LEAST((c.rev_c - st.mn) * 1000 // (st.mx - st.mn),
+                         999)
+         END AS bin,
+         c.rev_c
+  FROM cust c JOIN stats st ON st.n_name = c.n_name
+),
+hist AS (
+  SELECT n_name, n, s, bin, COUNT(*) AS cnt,
+         CAST(SUM(rev_c) AS BIGINT) AS sb
+  FROM binned GROUP BY n_name, n, s, bin
+),
+cum AS (
+  SELECT n_name, n, s, cnt, sb,
+         CAST(SUM(sb) OVER (PARTITION BY n_name ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cums
+  FROM hist
+),
+sk AS (
+  SELECT n_name, n, s, COUNT(*) AS bins_used,
+         SUM(CAST(cnt AS DECIMAL(18,0))
+             * CAST(cums + (cums - sb) AS DECIMAL(20,0))) AS num_sk
+  FROM cum GROUP BY n_name, n, s
+),
+ex AS (
+  SELECT n_name,
+         SUM(CAST(rk AS DECIMAL(18,0)) * CAST(rev_c AS DECIMAL(20,0)))
+           AS num_ex
+  FROM (
+    SELECT n_name, rev_c,
+           ROW_NUMBER() OVER (PARTITION BY n_name
+                              ORDER BY rev_c, c_custkey) AS rk
+    FROM cust
+  ) GROUP BY n_name
+)
+SELECT sk.n_name, sk.n AS n_customers, sk.bins_used,
+       ROUND(1.0 - CAST(num_sk AS DOUBLE)
+             / (CAST(sk.n AS DOUBLE) * CAST(sk.s AS DOUBLE)), 6)
+         AS gini_sketch,
+       ROUND(2.0 * CAST(num_ex AS DOUBLE)
+             / (CAST(sk.n AS DOUBLE) * CAST(sk.s AS DOUBLE))
+             - (CAST(sk.n AS DOUBLE) + 1.0) / CAST(sk.n AS DOUBLE), 6)
+         AS gini_exact,
+       ROUND((2.0 * CAST(num_ex AS DOUBLE)
+              / (CAST(sk.n AS DOUBLE) * CAST(sk.s AS DOUBLE))
+              - (CAST(sk.n AS DOUBLE) + 1.0) / CAST(sk.n AS DOUBLE))
+             - (1.0 - CAST(num_sk AS DOUBLE)
+                / (CAST(sk.n AS DOUBLE) * CAST(sk.s AS DOUBLE))), 6)
+         AS err
+FROM sk JOIN ex ON ex.n_name = sk.n_name
+ORDER BY sk.n_name
+"""

@@ -62,7 +62,10 @@ the first H.264 codec notch.
   from one scan of DECIMAL-exact power sums (the gram_aggregate
   posture); ``seasonal_profile`` — dow×hour seasonal index over
   events with engine-portable epoch-day dow; ``gini_concentration``
-  — per-nation Gini of customer revenue via per-group rank windows.
+  — per-nation Gini of customer revenue via per-group rank windows;
+  ``gini_sketch`` — its mergeable twin: 1000-bin Lorenz histogram
+  trapezoid Gini in exact BIGINT cents, hashed beside the exact Gini
+  so the estimator error sits under the gate hash.
   All past the 50-slot gate this round.
 """
 
@@ -75,7 +78,10 @@ def queries():
         q_budget_allocation,
         q_rfm_segments_sketch,
     )
-    from magmapandas_spark.operators.analytics import q_gini_concentration
+    from magmapandas_spark.operators.analytics import (
+        q_gini_concentration,
+        q_gini_sketch,
+    )
     from magmapandas_spark.operators.curation import q_balanced_sample
     from magmapandas_spark.operators.dedup import q_dedup_impact
     from magmapandas_spark.operators.evaluation import q_knn_label_noise
@@ -110,6 +116,7 @@ def queries():
         "corr_matrix": q_corr_matrix,
         "seasonal_profile": q_seasonal_profile,
         "gini_concentration": q_gini_concentration,
+        "gini_sketch": q_gini_sketch,
     }
 
 
@@ -119,7 +126,10 @@ def oracle_sql():
         SQL_BUDGET_ALLOCATION,
         SQL_RFM_SEGMENTS_SKETCH,
     )
-    from magmapandas_spark.operators.analytics import SQL_GINI_CONCENTRATION
+    from magmapandas_spark.operators.analytics import (
+        SQL_GINI_CONCENTRATION,
+        SQL_GINI_SKETCH,
+    )
     from magmapandas_spark.operators.curation import SQL_BALANCED_SAMPLE
     from magmapandas_spark.operators.dedup import SQL_DEDUP_IMPACT
     from magmapandas_spark.operators.evaluation import SQL_KNN_LABEL_NOISE
@@ -154,4 +164,5 @@ def oracle_sql():
         "corr_matrix": SQL_CORR_MATRIX,
         "seasonal_profile": SQL_SEASONAL_PROFILE,
         "gini_concentration": SQL_GINI_CONCENTRATION,
+        "gini_sketch": SQL_GINI_SKETCH,
     }

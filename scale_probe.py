@@ -164,6 +164,9 @@ SHAPES = [
     "lsh_recall_sampled",
     "minhash_pipeline",
     "cc_distributed",
+    "corr_power_sums",
+    "knn_broadcast_scoring",
+    "balanced_resample",
 ]
 
 
@@ -308,6 +311,15 @@ def run_shapes(spark, sf_dir: str) -> dict[str, float]:
         "line_dedup_scaled": _line_dedup_shape,
         "kmeans_refine_full": _kmeans_refine_shape,
         "lsh_recall_sampled": _lsh_recall_sampled_shape,
+        # round-8 shapes: the k(k+3)/2-term power-sum correlation
+        # aggregate (single scan, O(1) state — the gram_aggregate
+        # family), the constant-broadcast-slice kNN scorer (|sample|*N
+        # scored rows, so wall ∝ corpus, never N²), and the
+        # class-balance two-aggregation resample (two corpus scans,
+        # |classes|-row exchange)
+        "corr_power_sums": qs["corr_matrix"],
+        "knn_broadcast_scoring": qs["knn_label_noise"],
+        "balanced_resample": qs["balanced_sample"],
     }
     out: dict[str, float] = {}
 

@@ -18,6 +18,31 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def window_partition_specs(plan: str) -> list[str]:
+    """Partition spec of every Window node, '' when unpartitioned.
+
+    WindowExec prints ``Window [exprs], [partition], [order]`` but
+    drops empty groups: an UNPARTITIONED ordered window prints only
+    ``Window [exprs], [order]`` — a naive two-group regex then reads
+    the ORDER spec as the partition and false-passes. Disambiguate
+    two-group lines by the ASC/DESC markers order specs always
+    carry."""
+    out = []
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        groups = re.findall(r"\[([^\]]*)\]", line[idx:])
+        if len(groups) >= 3:
+            out.append(groups[1])
+        elif len(groups) == 2:
+            g = groups[1]
+            out.append("" if (" ASC" in g or " DESC" in g) else g)
+        else:
+            out.append("")
+    return out
+
+
 def optimized_of(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
@@ -695,15 +720,13 @@ def test_rfm_sketch_has_no_global_sort_windows(spark):
     three corpus-sized global rank windows: every Window in its plan
     partitions by the 3-metric histogram key, and binning is a
     broadcast of one 12-edge row."""
-    import re as _re
-
     from magmapandas_spark.operators.analytics import q_rfm_segments_sketch
 
     plan = plan_of(q_rfm_segments_sketch(spark, SF))
     # the only window is the per-metric cumulative histogram sum —
     # partitioned (3 bounded partitions), never an empty partition spec
-    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert m.group(1).strip(), "unpartitioned Window in sketch path"
+    for spec in window_partition_specs(plan):
+        assert spec.strip(), "unpartitioned Window in sketch path"
     assert "row_number" not in plan.lower()
 
 
@@ -737,8 +760,8 @@ def test_knn_label_noise_windows_are_partitioned(spark):
     from magmapandas_spark.operators.evaluation import q_knn_label_noise
 
     plan = plan_of(q_knn_label_noise(spark, SF))
-    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert m.group(1).strip(), "unpartitioned Window in knn path"
+    for spec in window_partition_specs(plan):
+        assert spec.strip(), "unpartitioned Window in knn path"
     assert "CartesianProduct" not in plan
 
 
@@ -770,7 +793,20 @@ def test_gini_windows_are_per_nation(spark):
     from magmapandas_spark.operators.analytics import q_gini_concentration
 
     plan = plan_of(q_gini_concentration(spark, SF))
-    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert m.group(1).strip(), "unpartitioned Window in gini plan"
+    for spec in window_partition_specs(plan):
+        assert spec.strip(), "unpartitioned Window in gini plan"
     assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gini_sketch_histogram_path_windows_are_bounded(spark):
+    """The sketch path's cumulative windows partition by nation over
+    <= 1000 histogram bins; the exact rank window (the measurement
+    twin) also partitions by nation. No window in the plan is
+    unpartitioned."""
+    from magmapandas_spark.operators.analytics import q_gini_sketch
+
+    plan = plan_of(q_gini_sketch(spark, SF))
+    for spec in window_partition_specs(plan):
+        assert spec.strip(), "unpartitioned Window in gini_sketch plan"
     assert "CartesianProduct" not in plan
