@@ -1074,3 +1074,84 @@ def finalize_streaming_cusum(
         )
         .orderBy("event_type")
     )
+
+
+def streaming_seasonal_ingest(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+):
+    """Incremental dow×hour seasonal-profile state: per micro-batch
+    the ≤168-cell (dow, hour, n, Σvalue) relation folds into parquet
+    state by elementwise sum — counts and DECIMAL-exact value sums
+    are the profile's mergeable sufficient statistic; the seasonal
+    index is a finalize-time ratio over the tiny state. Same fold
+    contract as the histogram/HLL/CMS/CUSUM ingests; state schema is
+    pinned (DECIMAL(38,6)) so repeated folds never re-widen."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        days = F.datediff(
+            F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+        )
+        rel = (
+            batch_df.groupBy(
+                ((days + 4) % 7).cast("int").alias("dow"),
+                F.hour("ts").cast("int").alias("hour"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(38,6)")
+                .alias("sv"),
+            )
+        )
+        _fold_sketch_state(
+            rel,
+            state_path,
+            lambda a, b: a.unionByName(b)
+            .groupBy("dow", "hour")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sv").cast("decimal(38,6)").alias("sv"),
+            ),
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def finalize_streaming_seasonal(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Seasonal profile from the merged cell state — bit-equal to the
+    batch ``q_seasonal_profile`` on the union of all micro-batches
+    (the decimal cell sums are exactly the batch sums, so the double
+    divisions run on identical operands)."""
+    cells = spark.read.parquet(state_path)
+    tot = cells.agg(F.sum("n").alias("gn"), F.sum("sv").alias("gsv"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n",
+            F.round(F.col("sv").cast("double") / F.col("n"), 6).alias(
+                "mean_value"
+            ),
+            F.round(
+                (F.col("sv").cast("double") / F.col("n"))
+                / (F.col("gsv").cast("double") / F.col("gn")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -667,3 +667,32 @@ def test_streaming_cusum_matches_batch(spark):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     for d in (src, out_dir):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_seasonal_matches_batch(spark):
+    """Merged dow×hour cell state finalizes to EXACTLY the batch
+    seasonal profile, across micro-batch boundaries that split
+    cells."""
+    from magmapandas_spark.operators.timeseries import q_seasonal_profile
+    from magmapandas_spark.streaming.streams import (
+        finalize_streaming_seasonal,
+        streaming_seasonal_ingest,
+    )
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "ts", "value"
+    )
+    src = _multi_file_stage(spark, batch, 3)
+    out_dir = tempfile.mkdtemp(prefix="stream_seasonal_")
+    state = os.path.join(out_dir, "state.parquet")
+    stream = spark.readStream.schema(
+        "ts timestamp, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    streaming_seasonal_ingest(
+        stream, state, os.path.join(out_dir, "ckpt")
+    )
+    got = normalize(finalize_streaming_seasonal(spark, state).toPandas())
+    exp = normalize(q_seasonal_profile(spark, SF_DIR).toPandas())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    for d in (src, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
