@@ -1233,3 +1233,64 @@ SELECT r.lang, r.n_orig, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
 FROM rates r LEFT JOIN sampled s ON s.lang = r.lang
 ORDER BY r.lang
 """
+
+
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-language vocabulary profile — total tokens,
+    distinct types, hapax legomena (frequency-1 types), type-token
+    ratio and hapax share in integer ppm. The vocabulary-growth /
+    lexical-diversity report a corpus-quality pass publishes; a
+    collapsing TTR or hapax share flags near-duplicate or templated
+    text the dedup tier should have caught.
+
+    Plan: scan-local whitespace tokenize + explode (tokens only, the
+    text never shuffles), one (lang, token) count aggregation
+    (vocabulary-sized, map-side combined), one |langs|-row roll-up —
+    the token_pmi two-phase shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(
+                F.expr("CASE WHEN cnt = 1 THEN 1 ELSE 0 END")
+            ).alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_types",
+            F.col("n_hapax").cast("long").alias("n_hapax"),
+            F.expr("n_types * 1000000 div n_tokens").alias("ttr_ppm"),
+            F.expr("n_hapax * 1000000 div n_types").alias("hapax_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEXT_HAPAX = """
+WITH toks AS (
+  SELECT lang, UNNEST(str_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT lang, tok, COUNT(*) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY lang, tok
+),
+per AS (
+  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_types,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM tf GROUP BY lang
+)
+SELECT lang, n_tokens, n_types, n_hapax,
+       n_types * 1000000 // n_tokens AS ttr_ppm,
+       n_hapax * 1000000 // n_types AS hapax_ppm
+FROM per
+ORDER BY lang
+"""

@@ -65,7 +65,9 @@ the first H.264 codec notch.
   — per-nation Gini of customer revenue via per-group rank windows;
   ``gini_sketch`` — its mergeable twin: 1000-bin Lorenz histogram
   trapezoid Gini in exact BIGINT cents, hashed beside the exact Gini
-  so the estimator error sits under the gate hash.
+  so the estimator error sits under the gate hash; ``text_hapax`` —
+  per-language vocabulary profile (tokens, types, hapax, TTR ppm),
+  the token_pmi two-phase shape.
   All past the 50-slot gate this round.
 """
 
@@ -82,7 +84,10 @@ def queries():
         q_gini_concentration,
         q_gini_sketch,
     )
-    from magmapandas_spark.operators.curation import q_balanced_sample
+    from magmapandas_spark.operators.curation import (
+        q_balanced_sample,
+        q_text_hapax,
+    )
     from magmapandas_spark.operators.dedup import q_dedup_impact
     from magmapandas_spark.operators.evaluation import q_knn_label_noise
     from magmapandas_spark.operators.fuzzy import q_er_golden_multipass
@@ -117,6 +122,7 @@ def queries():
         "seasonal_profile": q_seasonal_profile,
         "gini_concentration": q_gini_concentration,
         "gini_sketch": q_gini_sketch,
+        "text_hapax": q_text_hapax,
     }
 
 
@@ -130,7 +136,10 @@ def oracle_sql():
         SQL_GINI_CONCENTRATION,
         SQL_GINI_SKETCH,
     )
-    from magmapandas_spark.operators.curation import SQL_BALANCED_SAMPLE
+    from magmapandas_spark.operators.curation import (
+        SQL_BALANCED_SAMPLE,
+        SQL_TEXT_HAPAX,
+    )
     from magmapandas_spark.operators.dedup import SQL_DEDUP_IMPACT
     from magmapandas_spark.operators.evaluation import SQL_KNN_LABEL_NOISE
     from magmapandas_spark.operators.fuzzy import SQL_ER_GOLDEN_MULTIPASS
@@ -165,4 +174,5 @@ def oracle_sql():
         "seasonal_profile": SQL_SEASONAL_PROFILE,
         "gini_concentration": SQL_GINI_CONCENTRATION,
         "gini_sketch": SQL_GINI_SKETCH,
+        "text_hapax": SQL_TEXT_HAPAX,
     }

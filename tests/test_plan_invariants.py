@@ -810,3 +810,14 @@ def test_gini_sketch_histogram_path_windows_are_bounded(spark):
     for spec in window_partition_specs(plan):
         assert spec.strip(), "unpartitioned Window in gini_sketch plan"
     assert "CartesianProduct" not in plan
+
+
+def test_text_hapax_is_two_aggregations(spark):
+    """Scan-local tokenize+explode, vocabulary-sized count, |langs|
+    roll-up — no window, no join."""
+    from magmapandas_spark.operators.curation import q_text_hapax
+
+    plan = plan_of(q_text_hapax(spark, SF))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
