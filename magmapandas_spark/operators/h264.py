@@ -597,14 +597,33 @@ def _luma_dc_residuals(zz_coeffs: list[int], qpy: int) -> np.ndarray:
     return (dc + 32) >> 6
 
 
-def _predict_16x16(y: np.ndarray, mbx: int, mby: int, mode: int) -> None:
+def _predict_16x16(
+    y: np.ndarray,
+    mbx: int,
+    mby: int,
+    mode: int,
+    top_ok: bool = True,
+    left_ok: bool = True,
+) -> None:
     """Intra_16x16 luma prediction (spec 8.3.3) from already-
     reconstructed neighbor edges: 0=Vertical, 1=Horizontal, 2=DC,
     3=Plane (spec 8.3.3.4 integer-gradient fit over the top/left
-    edges incl. the above-left corner sample)."""
+    edges incl. the above-left corner sample). ``top_ok``/``left_ok``
+    carry slice-boundary availability (a neighbor in another slice is
+    unavailable, spec 8.3): DC falls back per spec, directional and
+    Plane modes on an unavailable edge raise — an encoder that emits
+    them is non-conformant."""
     x0, y0 = mbx * 16, mby * 16
-    top = y[y0 - 1, x0 : x0 + 16].astype(np.int32) if mby > 0 else None
-    left = y[y0 : y0 + 16, x0 - 1].astype(np.int32) if mbx > 0 else None
+    top = (
+        y[y0 - 1, x0 : x0 + 16].astype(np.int32)
+        if (mby > 0 and top_ok)
+        else None
+    )
+    left = (
+        y[y0 : y0 + 16, x0 - 1].astype(np.int32)
+        if (mbx > 0 and left_ok)
+        else None
+    )
     blk = y[y0 : y0 + 16, x0 : x0 + 16]
     if mode == 0:  # Vertical
         if top is None:
@@ -615,7 +634,7 @@ def _predict_16x16(y: np.ndarray, mbx: int, mby: int, mode: int) -> None:
             raise ValueError("Horizontal prediction without left neighbor")
         blk[:, :] = left[:, None]
     elif mode == 3:  # Plane
-        if top is None or left is None or mby == 0 or mbx == 0:
+        if top is None or left is None:
             raise ValueError("Plane prediction needs top+left neighbors")
         corner = int(y[y0 - 1, x0 - 1])
         edge_t = [corner] + [int(v) for v in top]   # p[x, -1], x=-1..15
@@ -645,14 +664,28 @@ def _predict_16x16(y: np.ndarray, mbx: int, mby: int, mode: int) -> None:
 
 
 def _predict_chroma8x8(
-    c: np.ndarray, mbx: int, mby: int, mode: int
+    c: np.ndarray,
+    mbx: int,
+    mby: int,
+    mode: int,
+    top_ok: bool = True,
+    left_ok: bool = True,
 ) -> None:
     """Chroma 8x8 prediction (spec 8.3.4): 0=DC (per-4x4 corner rule),
     1=Horizontal, 2=Vertical, 3=Plane (8x8 integer-gradient fit,
-    coefficients 17/(>>5))."""
+    coefficients 17/(>>5)). ``top_ok``/``left_ok`` carry
+    slice-boundary availability, as in ``_predict_16x16``."""
     x0, y0 = mbx * 8, mby * 8
-    top = c[y0 - 1, x0 : x0 + 8].astype(np.int32) if mby > 0 else None
-    left = c[y0 : y0 + 8, x0 - 1].astype(np.int32) if mbx > 0 else None
+    top = (
+        c[y0 - 1, x0 : x0 + 8].astype(np.int32)
+        if (mby > 0 and top_ok)
+        else None
+    )
+    left = (
+        c[y0 : y0 + 8, x0 - 1].astype(np.int32)
+        if (mbx > 0 and left_ok)
+        else None
+    )
     blk = c[y0 : y0 + 8, x0 : x0 + 8]
     if mode == 2:  # Vertical
         if top is None:
@@ -663,7 +696,7 @@ def _predict_chroma8x8(
             raise ValueError("Horizontal chroma prediction without left")
         blk[:, :] = left[:, None]
     elif mode == 3:  # Plane
-        if top is None or left is None or mby == 0 or mbx == 0:
+        if top is None or left is None:
             raise ValueError("Plane chroma prediction needs top+left")
         corner = int(c[y0 - 1, x0 - 1])
         edge_t = [corner] + [int(v) for v in top]   # p[x, -1], x=-1..7
@@ -711,17 +744,42 @@ def _predict_chroma8x8(
                 blk[by : by + 4, bx : bx + 4] = dc
 
 
-def decode_h264_iframe(
-    data: bytes,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
-    """Decode one Annex-B IDR picture whose macroblocks are all I_PCM.
-    Returns (Y, Cb, Cr, sps) planes as uint8 arrays.
+def _last_set_bit_pos(rbsp: bytes) -> int:
+    """Bit position (MSB-first reader convention) of the rbsp stop
+    bit — the LAST set bit in the rbsp (rbsp_trailing writes a 1 then
+    zero-pads). ``more_rbsp_data()`` is exactly ``pos < this``."""
+    for bi in range(len(rbsp) - 1, -1, -1):
+        b = rbsp[bi]
+        if b:
+            k = 0
+            while not (b >> k) & 1:
+                k += 1
+            return bi * 8 + (7 - k)
+    raise ValueError("no rbsp stop bit in slice data")
 
-    Any CAVLC-coded macroblock (mb_type != 25) raises
-    ``NotImplementedError`` — intra prediction + IDCT are the next
-    notch of the codec ladder, and the parse boundary is explicit."""
+
+def decode_h264_stream(
+    data: bytes,
+) -> tuple[list[tuple[np.ndarray, np.ndarray, np.ndarray]], dict]:
+    """Decode an Annex-B stream of one or more IDR pictures, each
+    possibly split across multiple slice NALs (``first_mb_in_slice``
+    raster order). Returns ([(Y, Cb, Cr), ...], sps).
+
+    Real multi-slice semantics: a slice's macroblock count is not
+    coded — the MB loop runs while ``more_rbsp_data()`` (bits remain
+    before the trailing stop bit, spec 7.2); a ``first_mb_in_slice``
+    of 0 starts a new picture (the subset's picture-boundary rule:
+    slices arrive in raster order). Intra prediction and CAVLC nC
+    derivation treat macroblocks of OTHER slices as unavailable
+    (spec 8.3/9.2.1 availability: constrained to the current slice) —
+    the DC prediction modes fall back per spec, directional modes on
+    an unavailable edge are an encoder-conformance violation and
+    raise."""
     sps = pps = None
+    pics: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     y = cb = cr = None
+    tc = slice_of = None
+    slice_idx = -1
     for nal_bytes in _split_annexb(data):
         nal_type = nal_bytes[0] & 0x1F
         rbsp = _unescape_ebsp(nal_bytes[1:])
@@ -733,6 +791,7 @@ def decode_h264_iframe(
             if sps is None or pps is None:
                 raise ValueError("slice before SPS/PPS")
             r = _BitReader(rbsp)
+            stop_bit = _last_set_bit_pos(rbsp)
             first_mb = r.ue()
             slice_type = r.ue()
             if slice_type % 5 != 2:  # not an I slice
@@ -756,19 +815,41 @@ def decode_h264_iframe(
                         )
             qp_y = pps["init_qp"] + r.se()  # slice_qp_delta
             mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
-            w, h = mbs_w * 16, mbs_h * 16
-            y = np.zeros((h, w), np.uint8)
-            cb = np.zeros((h // 2, w // 2), np.uint8)
-            cr = np.zeros((h // 2, w // 2), np.uint8)
-            # per-MB TotalCoeff context for CAVLC nC derivation:
-            # I_PCM counts 16; I_16x16 stores its luma 4x4 AC
-            # TotalCoeff (the DC block never contributes to neighbor
-            # nC, spec 9.2.1), which is 0 while cbp_luma == 0 even
-            # when the DC block itself is dense; -1 = unavailable
-            tc = np.full(mbs_w * mbs_h, -1, np.int32)
-            for mb in range(first_mb, mbs_w * mbs_h):
+            if first_mb == 0:
+                # new picture: emit the previous one, allocate fresh
+                if y is not None:
+                    pics.append((y, cb, cr))
+                w, h = mbs_w * 16, mbs_h * 16
+                y = np.zeros((h, w), np.uint8)
+                cb = np.zeros((h // 2, w // 2), np.uint8)
+                cr = np.zeros((h // 2, w // 2), np.uint8)
+                # per-MB TotalCoeff context for CAVLC nC derivation:
+                # I_PCM counts 16; I_16x16 stores its luma 4x4 AC
+                # TotalCoeff (the DC block never contributes to
+                # neighbor nC, spec 9.2.1), which is 0 while
+                # cbp_luma == 0 even when the DC block is dense;
+                # -1 = unavailable. slice_of gates availability to
+                # the current slice.
+                tc = np.full(mbs_w * mbs_h, -1, np.int32)
+                slice_of = np.full(mbs_w * mbs_h, -1, np.int32)
+                slice_idx = 0
+            else:
+                if y is None:
+                    raise ValueError("slice with first_mb > 0 before "
+                                     "a picture-starting slice")
+                slice_idx += 1
+            mb = first_mb
+            while r._pos < stop_bit:
+                if mb >= mbs_w * mbs_h:
+                    raise ValueError("slice data past the last MB")
                 mb_type = r.ue()
                 mbx, mby = mb % mbs_w, mb // mbs_w
+
+                def _avail(nbr: int) -> bool:
+                    return (
+                        tc[nbr] >= 0 and slice_of[nbr] == slice_idx
+                    )
+
                 if mb_type == 25:  # I_PCM
                     r.byte_align()
                     yb = np.frombuffer(r.raw_bytes(256), np.uint8)
@@ -797,10 +878,12 @@ def decode_h264_iframe(
                     chroma_mode = r.ue()  # intra_chroma_pred_mode
                     qp_y += r.se()  # mb_qp_delta (always present here)
                     # Intra16x16DCLevel is always parsed: CAVLC
-                    # coeff_token with nC from neighbors of luma 4x4
-                    # block 0 (left MB / top MB at an MB corner)
-                    n_a = tc[mb - 1] if mbx > 0 else -1
-                    n_b = tc[mb - mbs_w] if mby > 0 else -1
+                    # coeff_token with nC from SAME-SLICE neighbors of
+                    # luma 4x4 block 0 (left MB / top MB at a corner)
+                    left_ok = mbx > 0 and _avail(mb - 1)
+                    top_ok = mby > 0 and _avail(mb - mbs_w)
+                    n_a = tc[mb - 1] if left_ok else -1
+                    n_b = tc[mb - mbs_w] if top_ok else -1
                     if n_a >= 0 and n_b >= 0:
                         n_c = (n_a + n_b + 1) >> 1
                     elif n_a >= 0:
@@ -810,9 +893,15 @@ def decode_h264_iframe(
                     else:
                         n_c = 0
                     dc_zz = _parse_cavlc_luma_dc(r, n_c)
-                    _predict_16x16(y, mbx, mby, pred_mode)
-                    _predict_chroma8x8(cb, mbx, mby, chroma_mode)
-                    _predict_chroma8x8(cr, mbx, mby, chroma_mode)
+                    _predict_16x16(
+                        y, mbx, mby, pred_mode, top_ok, left_ok
+                    )
+                    _predict_chroma8x8(
+                        cb, mbx, mby, chroma_mode, top_ok, left_ok
+                    )
+                    _predict_chroma8x8(
+                        cr, mbx, mby, chroma_mode, top_ok, left_ok
+                    )
                     if any(dc_zz):
                         # luma DC reconstruction: inverse Hadamard +
                         # scaling gives one uniform residual per 4x4
@@ -854,10 +943,26 @@ def decode_h264_iframe(
                         "intra modes + CAVLC residuals are the next "
                         "codec notch"
                     )
+                slice_of[mb] = slice_idx
+                mb += 1
             if r.u(1) != 1:
                 raise ValueError("missing rbsp stop bit after slice data")
     if y is None:
         raise ValueError("no slice NAL in stream")
+    pics.append((y, cb, cr))
+    return pics, sps
+
+
+def decode_h264_iframe(
+    data: bytes,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+    """Decode a single-picture Annex-B stream (the notch-1..5 gate
+    surface). Thin wrapper over ``decode_h264_stream``; raises if the
+    stream carries more than one picture."""
+    pics, sps = decode_h264_stream(data)
+    if len(pics) != 1:
+        raise ValueError(f"expected one picture, stream has {len(pics)}")
+    y, cb, cr = pics[0]
     return y, cb, cr, sps
 
 
@@ -1671,15 +1776,16 @@ def _n5_modes(i: int, mb: int) -> tuple[int, int]:
     return (i + mb) % 4, (i + 2 * mb + 1) % 4
 
 
-def _fixture_notch5(i: int):
-    """Expected reconstruction for the mode-matrix clip ``i``: a
-    (2..4) x (2..3) MB grid where MBs at (odd, odd) coordinates are
-    predicted and everything else is I_PCM — so every predicted MB
-    has PCM left, top, AND above-left corner neighbors (Plane and the
-    H/V gradient sums read all three). Prediction expectations are
-    computed here with explicit integer loops, independent of the
-    decoder's numpy path."""
-    mbs_w, mbs_h = 2 + i % 3, 2 + i % 2
+def _fixture_mode_frame(sd: int, mbs_w: int, mbs_h: int):
+    """One mode-matrix frame with value/mode seed ``sd`` on a given MB
+    grid: MBs at (odd, odd) coordinates are predicted, everything else
+    is I_PCM — so every predicted MB has PCM left, top, AND above-left
+    corner neighbors (Plane and the H/V gradient sums read all three),
+    and for the notch-6 slice split (after MB row 1 when mbs_h >= 3)
+    every predicted MB's neighbors are also in the SAME slice.
+    Prediction expectations are computed with explicit integer loops,
+    independent of the decoder's numpy path."""
+    i = sd
     w, h = 16 * mbs_w, 16 * mbs_h
     y = np.zeros((h, w), np.uint8)
     cb = np.zeros((h // 2, w // 2), np.uint8)
@@ -1783,6 +1889,11 @@ def _fixture_notch5(i: int):
     return y, cb, cr, cls, modes
 
 
+def _fixture_notch5(i: int):
+    """Mode-matrix clip ``i`` (notch 5): one frame, seed = clip id."""
+    return _fixture_mode_frame(i, 2 + i % 3, 2 + i % 2)
+
+
 def synthetic_h264_plane_media(
     spark: SparkSession, n: int = _N_CLIPS
 ) -> DataFrame:
@@ -1811,28 +1922,34 @@ def q_h264_plane_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_h264_plane() -> str:
-    """Closed-form oracle for the mode-matrix corpus: predicted MBs'
+def _sql_h264_mode_matrix(gop: bool) -> str:
+    """Closed-form oracle for the mode-matrix corpora: predicted MBs'
     neighbor edges are PCM formula values, so every prediction mode —
     incl. both Plane fits — replays as integer arithmetic: per-MB
     gradient/DC constants in a ``consts`` CTE (explicit edge-sum
     expansions), then per-sample CASE over the mode. DuckDB's ``>>``
     is an arithmetic shift on BIGINT (verified), matching the spec's
-    floor semantics on the possibly-negative pre-shift operands."""
+    floor semantics on the possibly-negative pre-shift operands.
+
+    ``gop=False`` is the notch-5 single-frame corpus (seed sd =
+    sd); ``gop=True`` the notch-6 GOP corpus: 1 + i%3 frames per
+    clip, frame f seeded sd = 4·i + f (unique, so every intermediate
+    relation keys on sd alone), one output row per (clip, frame) with
+    the slice count derived from the geometry."""
 
     def ft(x: int) -> str:
         return (
-            f"((7 * media_id + 13 * (((mb - mbs_w) * 256 + {240 + x})"
+            f"((7 * sd + 13 * (((mb - mbs_w) * 256 + {240 + x})"
             f" // 4)) % 256)"
         )
 
     def fl(yy: int) -> str:
         return (
-            f"((7 * media_id + 13 * (((mb - 1) * 256 + {16 * yy + 15})"
+            f"((7 * sd + 13 * (((mb - 1) * 256 + {16 * yy + 15})"
             f" // 4)) % 256)"
         )
 
-    fd = "((7 * media_id + 13 * (((mb - mbs_w - 1) * 256 + 255) // 4)) % 256)"
+    fd = "((7 * sd + 13 * (((mb - mbs_w - 1) * 256 + 255) // 4)) % 256)"
     hsum = " + ".join(
         f"({xp + 1}) * ({ft(8 + xp)} - {ft(6 - xp) if 6 - xp >= 0 else fd})"
         for xp in range(8)
@@ -1844,11 +1961,11 @@ def _sql_h264_plane() -> str:
     sum_top = " + ".join(ft(x) for x in range(16))
     sum_left = " + ".join(fl(yy) for yy in range(16))
     ft_var = (
-        "((7 * media_id + 13 * (((mb - mbs_w) * 256 + 240 + (o.o % 16))"
+        "((7 * sd + 13 * (((mb - mbs_w) * 256 + 240 + (o.o % 16))"
         " // 4)) % 256)"
     )
     fl_var = (
-        "((7 * media_id + 13 * (((mb - 1) * 256 + 16 * (o.o // 16) + 15)"
+        "((7 * sd + 13 * (((mb - 1) * 256 + 16 * (o.o // 16) + 15)"
         " // 4)) % 256)"
     )
     v_luma = f"""CASE lm
@@ -1862,17 +1979,17 @@ def _sql_h264_plane() -> str:
     def chroma_parts(k1: int, k2: int, tag: str) -> tuple[str, str]:
         def gt(x: int) -> str:
             return (
-                f"(({k1} * media_id + {k2} * ((mb - mbs_w) * 64"
+                f"(({k1} * sd + {k2} * ((mb - mbs_w) * 64"
                 f" + {56 + x})) % 256)"
             )
 
         def gl(yy: int) -> str:
             return (
-                f"(({k1} * media_id + {k2} * ((mb - 1) * 64"
+                f"(({k1} * sd + {k2} * ((mb - 1) * 64"
                 f" + {8 * yy + 7})) % 256)"
             )
 
-        gd = f"(({k1} * media_id + {k2} * ((mb - mbs_w - 1) * 64 + 63)) % 256)"
+        gd = f"(({k1} * sd + {k2} * ((mb - mbs_w - 1) * 64 + 63)) % 256)"
         hs = " + ".join(
             f"({xp + 1}) * ({gt(4 + xp)} - {gt(2 - xp) if 2 - xp >= 0 else gd})"
             for xp in range(4)
@@ -1890,11 +2007,11 @@ def _sql_h264_plane() -> str:
          ({" + ".join(gl(y) for y in range(4))}) AS {tag}_l0,
          ({" + ".join(gl(y) for y in range(4, 8))}) AS {tag}_l1"""
         gt_var = (
-            f"(({k1} * media_id + {k2} * ((mb - mbs_w) * 64 + 56"
+            f"(({k1} * sd + {k2} * ((mb - mbs_w) * 64 + 56"
             f" + (o.o % 8))) % 256)"
         )
         gl_var = (
-            f"(({k1} * media_id + {k2} * ((mb - 1) * 64 + 8 * (o.o // 8)"
+            f"(({k1} * sd + {k2} * ((mb - 1) * 64 + 8 * (o.o // 8)"
             f" + 7)) % 256)"
         )
         v = f"""CASE cm
@@ -1917,23 +2034,63 @@ def _sql_h264_plane() -> str:
 
     cb_consts, v_cb = chroma_parts(11, 17, "cb")
     cr_consts, v_cr = chroma_parts(19, 23, "cr")
-    y_v = "(7 * media_id + 13 * ((mb * 256 + o.o) // 4)) % 256"
-    cb_v = "(11 * media_id + 17 * (mb * 64 + o.o)) % 256"
-    cr_v = "(19 * media_id + 23 * (mb * 64 + o.o)) % 256"
-    return f"""
-WITH clip AS (
-  SELECT i AS media_id, 2 + i % 3 AS mbs_w, 2 + i % 2 AS mbs_h
+    y_v = "(7 * sd + 13 * ((mb * 256 + o.o) // 4)) % 256"
+    cb_v = "(11 * sd + 17 * (mb * 64 + o.o)) % 256"
+    cr_v = "(19 * sd + 23 * (mb * 64 + o.o)) % 256"
+    if gop:
+        frames_cte = f"""frames AS (
+  SELECT i AS clip_id, fr.f AS f, 4 * i + fr.f AS sd,
+         2 + i % 3 AS mbs_w, 2 + i % 2 AS mbs_h
+  FROM range({_N_CLIPS}) t(i),
+       LATERAL (SELECT UNNEST(range(1 + i % 3)) AS f) fr
+)"""
+        final_select = """SELECT c.clip_id AS media_id,
+       CAST(c.f AS INT) AS frame_idx,
+       CAST(CASE WHEN c.mbs_h >= 3 THEN 2 ELSE 1 END AS INT)
+         AS n_slices,
+       CAST(16 * c.mbs_w AS INT) AS width,
+       CAST(16 * c.mbs_h AS INT) AS height,
+       CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
+       CAST(lp.s + COALESCE(lr.s, 0) AS BIGINT) AS sum_y,
+       CAST(cp.scb + COALESCE(cr2.scb, 0) AS BIGINT) AS sum_cb,
+       CAST(cp.scr + COALESCE(cr2.scr, 0) AS BIGINT) AS sum_cr,
+       CAST((lp.ck + COALESCE(lr.ck, 0)) % {mod} AS BIGINT) AS ck_y
+FROM frames c
+JOIN luma_pcm lp ON lp.sd = c.sd
+LEFT JOIN luma_pred lr ON lr.sd = c.sd
+JOIN chroma_pcm cp ON cp.sd = c.sd
+LEFT JOIN chroma_pred cr2 ON cr2.sd = c.sd
+ORDER BY media_id, frame_idx""".format(mod=_CK_MOD)
+    else:
+        frames_cte = f"""frames AS (
+  SELECT i AS sd, 2 + i % 3 AS mbs_w, 2 + i % 2 AS mbs_h
   FROM range({_N_CLIPS}) t(i)
-),
+)"""
+        final_select = """SELECT c.sd AS media_id,
+       CAST(16 * c.mbs_w AS INT) AS width,
+       CAST(16 * c.mbs_h AS INT) AS height,
+       CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
+       CAST(lp.s + COALESCE(lr.s, 0) AS BIGINT) AS sum_y,
+       CAST(cp.scb + COALESCE(cr2.scb, 0) AS BIGINT) AS sum_cb,
+       CAST(cp.scr + COALESCE(cr2.scr, 0) AS BIGINT) AS sum_cr,
+       CAST((lp.ck + COALESCE(lr.ck, 0)) % {mod} AS BIGINT) AS ck_y
+FROM frames c
+JOIN luma_pcm lp ON lp.sd = c.sd
+LEFT JOIN luma_pred lr ON lr.sd = c.sd
+JOIN chroma_pcm cp ON cp.sd = c.sd
+LEFT JOIN chroma_pred cr2 ON cr2.sd = c.sd
+ORDER BY media_id""".format(mod=_CK_MOD)
+    return f"""
+WITH {frames_cte},
 mbs AS (
-  SELECT media_id, mbs_w, mbs_h, m.m AS mb,
+  SELECT sd, mbs_w, mbs_h, m.m AS mb,
          m.m % mbs_w AS mbx, m.m // mbs_w AS mby
-  FROM clip, LATERAL (SELECT UNNEST(range(mbs_w * mbs_h)) AS m) m
+  FROM frames, LATERAL (SELECT UNNEST(range(mbs_w * mbs_h)) AS m) m
 ),
 consts AS (
-  SELECT media_id, mbs_w, mb,
-         (media_id + mb) % 4 AS lm,
-         (media_id + 2 * mb + 1) % 4 AS cm,
+  SELECT sd, mbs_w, mb,
+         (sd + mb) % 4 AS lm,
+         (sd + 2 * mb + 1) % 4 AS cm,
          16 * ({ft(15)} + {fl(15)}) AS la,
          ((5 * ({hsum}) + 32) >> 6) AS lb,
          ((5 * ({vsum}) + 32) >> 6) AS lc,
@@ -1941,46 +2098,240 @@ consts AS (
   FROM mbs WHERE mbx % 2 = 1 AND mby % 2 = 1
 ),
 luma_pcm AS (
-  SELECT media_id,
+  SELECT sd,
          SUM({y_v}) AS s,
          SUM((mb * 256 + o.o + 1) * ({y_v})) AS ck
   FROM mbs, LATERAL (SELECT UNNEST(range(256)) AS o) o
   WHERE NOT (mbx % 2 = 1 AND mby % 2 = 1)
-  GROUP BY media_id
+  GROUP BY sd
 ),
 luma_pred AS (
-  SELECT media_id,
+  SELECT sd,
          SUM({v_luma}) AS s,
          SUM(({v_luma}) * (mb * 256 + o.o + 1)) AS ck
   FROM consts, LATERAL (SELECT UNNEST(range(256)) AS o) o
-  GROUP BY media_id
+  GROUP BY sd
 ),
 chroma_pcm AS (
-  SELECT media_id, SUM({cb_v}) AS scb, SUM({cr_v}) AS scr
+  SELECT sd, SUM({cb_v}) AS scb, SUM({cr_v}) AS scr
   FROM mbs, LATERAL (SELECT UNNEST(range(64)) AS o) o
   WHERE NOT (mbx % 2 = 1 AND mby % 2 = 1)
-  GROUP BY media_id
+  GROUP BY sd
 ),
 chroma_pred AS (
-  SELECT media_id, SUM({v_cb}) AS scb, SUM({v_cr}) AS scr
+  SELECT sd, SUM({v_cb}) AS scb, SUM({v_cr}) AS scr
   FROM consts, LATERAL (SELECT UNNEST(range(64)) AS o) o
-  GROUP BY media_id
+  GROUP BY sd
 )
-SELECT c.media_id,
-       CAST(16 * c.mbs_w AS INT) AS width,
-       CAST(16 * c.mbs_h AS INT) AS height,
-       CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
-       CAST(lp.s + COALESCE(lr.s, 0) AS BIGINT) AS sum_y,
-       CAST(cp.scb + COALESCE(cr2.scb, 0) AS BIGINT) AS sum_cb,
-       CAST(cp.scr + COALESCE(cr2.scr, 0) AS BIGINT) AS sum_cr,
-       CAST((lp.ck + COALESCE(lr.ck, 0)) % {_CK_MOD} AS BIGINT) AS ck_y
-FROM clip c
-JOIN luma_pcm lp ON lp.media_id = c.media_id
-LEFT JOIN luma_pred lr ON lr.media_id = c.media_id
-JOIN chroma_pcm cp ON cp.media_id = c.media_id
-LEFT JOIN chroma_pred cr2 ON cr2.media_id = c.media_id
-ORDER BY c.media_id
+{final_select}
 """
 
 
-SQL_H264_PLANE_DECODE = _sql_h264_plane()
+SQL_H264_PLANE_DECODE = _sql_h264_mode_matrix(False)
+SQL_H264_GOP_DECODE = _sql_h264_mode_matrix(True)
+
+
+# ---------------------------------------------------------------------
+# Notch 6: multi-picture (GOP), multi-slice streams
+# ---------------------------------------------------------------------
+
+
+def _gop_slice_bounds(mbs_w: int, mbs_h: int) -> list[tuple[int, int]]:
+    """Raster slice split: two slices (rows 0-1, rows 2+) when the
+    picture has 3+ MB rows, else one — chosen so every predicted MB
+    (odd, odd) keeps its left/top/corner neighbors IN-SLICE."""
+    if mbs_h >= 3:
+        return [(0, 2 * mbs_w), (2 * mbs_w, mbs_w * mbs_h)]
+    return [(0, mbs_w * mbs_h)]
+
+
+def encode_gop_annexb(frames: list, qp: int = 26) -> bytes:
+    """Annex-B stream of ``len(frames)`` IDR pictures (each a
+    (y, cb, cr, cls, modes) tuple sharing one SPS geometry), every
+    picture split into raster slices per ``_gop_slice_bounds``. Each
+    slice NAL carries its own header (first_mb_in_slice, idr_pic_id
+    differing between consecutive IDRs per spec 7.4.3) and its own
+    CAVLC nC context — macroblocks of other slices are unavailable,
+    matching the decoder's slice-gated availability."""
+    h, w = frames[0][0].shape
+    mbs_w, mbs_h = w // 16, h // 16
+
+    sps = _BitWriter()
+    sps.u(66, 8); sps.u(0, 8); sps.u(10, 8)
+    sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0)
+    sps.u(0, 1)
+    sps.ue(mbs_w - 1); sps.ue(mbs_h - 1)
+    sps.u(1, 1); sps.u(0, 1); sps.u(0, 1); sps.u(0, 1)
+    sps.rbsp_trailing()
+
+    pps = _BitWriter()
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
+    pps.se(qp - 26); pps.se(0); pps.se(0)
+    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.rbsp_trailing()
+
+    def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
+        header = bytes([(ref_idc << 5) | nal_type])
+        return b"\x00\x00\x00\x01" + header + _escape_ebsp(w_.tobytes())
+
+    out = nal(3, 7, sps) + nal(3, 8, pps)
+    for f, (y, cb, cr, cls, modes) in enumerate(frames):
+        for mb0, mb1 in _gop_slice_bounds(mbs_w, mbs_h):
+            sl = _BitWriter()
+            sl.ue(mb0)  # first_mb_in_slice
+            sl.ue(7)  # slice_type: I (all slices in picture)
+            sl.ue(0)  # pic_parameter_set_id
+            sl.u(0, 4)  # frame_num (0 for every IDR)
+            sl.ue(f % 32)  # idr_pic_id — differs between consecutive IDRs
+            sl.u(0, 4)  # pic_order_cnt_lsb
+            sl.u(0, 1); sl.u(0, 1)  # dec_ref_pic_marking
+            sl.se(0)  # slice_qp_delta
+            tc = np.full(mbs_w * mbs_h, -1, np.int32)
+            for mb in range(mb0, mb1):
+                mbx, mby = mb % mbs_w, mb // mbs_w
+                if cls[mb] == 0:
+                    sl.ue(25)
+                    sl.align_zero()
+                    sl.raw_bytes(
+                        y[mby * 16 : mby * 16 + 16,
+                          mbx * 16 : mbx * 16 + 16]
+                        .astype(np.uint8).tobytes()
+                    )
+                    sl.raw_bytes(
+                        cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+                        .astype(np.uint8).tobytes()
+                    )
+                    sl.raw_bytes(
+                        cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+                        .astype(np.uint8).tobytes()
+                    )
+                    tc[mb] = 16
+                else:
+                    lm, cm = int(modes[mb][0]), int(modes[mb][1])
+                    sl.ue(lm + 1)  # Table 7-11, cbp 0
+                    sl.ue(cm)
+                    sl.se(0)  # mb_qp_delta
+                    # nC from SAME-SLICE neighbors only
+                    n_a = (
+                        tc[mb - 1]
+                        if (mbx > 0 and mb - 1 >= mb0)
+                        else -1
+                    )
+                    n_b = (
+                        tc[mb - mbs_w]
+                        if (mby > 0 and mb - mbs_w >= mb0)
+                        else -1
+                    )
+                    if n_a >= 0 and n_b >= 0:
+                        n_c = (n_a + n_b + 1) >> 1
+                    elif n_a >= 0:
+                        n_c = n_a
+                    elif n_b >= 0:
+                        n_c = n_b
+                    else:
+                        n_c = 0
+                    if n_c < 2:
+                        sl.u(1, 1)
+                    elif n_c < 4:
+                        sl.u(3, 2)
+                    elif n_c < 8:
+                        sl.u(15, 4)
+                    else:
+                        sl.u(3, 6)
+                    tc[mb] = 0
+            sl.rbsp_trailing()
+            out += nal(3, 5, sl)
+    return out
+
+
+def _fixture_notch6(i: int) -> list:
+    """GOP clip ``i``: 1 + i%3 IDR frames on the clip's shared
+    geometry, frame f value/mode-seeded by sd = 4·i + f (unique per
+    (clip, frame), so the oracle can key intermediate relations on sd
+    alone)."""
+    mbs_w, mbs_h = 2 + i % 3, 2 + i % 2
+    return [
+        _fixture_mode_frame(4 * i + f, mbs_w, mbs_h)
+        for f in range(1 + i % 3)
+    ]
+
+
+def synthetic_h264_gop_media(
+    spark: SparkSession, n: int = _N_CLIPS
+) -> DataFrame:
+    rows = []
+    for i in range(n):
+        rows.append((i, bytearray(encode_gop_annexb(_fixture_notch6(i)))))
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+_H264_GOP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_slices", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_mbs", T.LongType()),
+        T.StructField("sum_y", T.LongType()),
+        T.StructField("sum_cb", T.LongType()),
+        T.StructField("sum_cr", T.LongType()),
+        T.StructField("ck_y", T.LongType()),
+    ]
+)
+
+
+def h264_gop_stats(media: DataFrame) -> DataFrame:
+    """Decode every picture of each payload's GOP and emit one exact
+    statistics row per frame (the per-frame plane sums + MB-order
+    luma checksum of ``h264_frame_stats``)."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _H264_GOP_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pics, sps = decode_h264_stream(bytes(payload))
+                mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
+                n_slices = len(_gop_slice_bounds(mbs_w, mbs_h))
+                for fi, (y, cb, cr) in enumerate(pics):
+                    ck = 0
+                    ky = 0
+                    for mb in range(mbs_w * mbs_h):
+                        mbx, mby = mb % mbs_w, mb // mbs_w
+                        blk = y[
+                            mby * 16 : mby * 16 + 16,
+                            mbx * 16 : mbx * 16 + 16,
+                        ].reshape(-1).astype(np.int64)
+                        ks = np.arange(ky + 1, ky + 257, dtype=np.int64)
+                        ck = (ck + int((ks * blk).sum())) % _CK_MOD
+                        ky += 256
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["n_slices"].append(n_slices)
+                    out["width"].append(y.shape[1])
+                    out["height"].append(y.shape[0])
+                    out["n_mbs"].append(mbs_w * mbs_h)
+                    out["sum_y"].append(int(y.sum()))
+                    out["sum_cb"].append(int(cb.sum()))
+                    out["sum_cr"].append(int(cr.sum()))
+                    out["ck_y"].append(ck)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, _H264_GOP_SCHEMA)
+
+
+def q_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: decode 24 multi-picture, multi-slice Annex-B
+    streams (1-3 IDR frames each; pictures with 3+ MB rows split into
+    two raster slice NALs) — real slice semantics: first_mb_in_slice
+    addressing, more_rbsp_data() end-of-slice detection, per-spec
+    idr_pic_id alternation, and slice-gated intra/nC availability —
+    one exact statistics row per frame under the cross-engine hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_gop_stats(synthetic_h264_gop_media(spark)),
+        "media_id",
+        "frame_idx",
+    )

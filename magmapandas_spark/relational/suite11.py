@@ -48,6 +48,12 @@ the first H.264 codec notch.
   chroma (per-4x4 DC corner rule, 17-coefficient chroma Plane) on a
   checkerboard fixture whose predicted MBs always have PCM
   neighbors. Past the 50-slot gate this round.
+- ``h264_gop_decode`` — notch 6: multi-picture, multi-slice streams
+  (1-3 IDR frames per payload; 3-row pictures split into two raster
+  slice NALs) — first_mb_in_slice addressing, more_rbsp_data()
+  end-of-slice detection, idr_pic_id alternation, slice-gated
+  intra/nC availability; one exact stats row per frame. Past the
+  50-slot gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -96,6 +102,7 @@ def queries():
         q_h264_cavlc_decode,
         q_h264_intra_decode,
         q_h264_ipcm_decode,
+        q_h264_gop_decode,
         q_h264_lumadc_decode,
         q_h264_plane_decode,
     )
@@ -115,6 +122,7 @@ def queries():
         "h264_cavlc_decode": q_h264_cavlc_decode,
         "h264_lumadc_decode": q_h264_lumadc_decode,
         "h264_plane_decode": q_h264_plane_decode,
+        "h264_gop_decode": q_h264_gop_decode,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -148,6 +156,7 @@ def oracle_sql():
         SQL_H264_CAVLC_DECODE,
         SQL_H264_INTRA_DECODE,
         SQL_H264_IPCM_DECODE,
+        SQL_H264_GOP_DECODE,
         SQL_H264_LUMADC_DECODE,
         SQL_H264_PLANE_DECODE,
     )
@@ -167,6 +176,7 @@ def oracle_sql():
         "h264_cavlc_decode": SQL_H264_CAVLC_DECODE,
         "h264_lumadc_decode": SQL_H264_LUMADC_DECODE,
         "h264_plane_decode": SQL_H264_PLANE_DECODE,
+        "h264_gop_decode": SQL_H264_GOP_DECODE,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,

@@ -413,3 +413,52 @@ def test_plane_prediction_is_exact_on_a_linear_ramp():
         for x in range(16):
             exp = (a + b * (x - 7) + c * (yy - 7) + 16) >> 5
             assert blk[yy, x] == min(255, max(0, exp)), (x, yy)
+
+
+def test_notch6_gop_multislice_round_trip():
+    from magmapandas_spark.operators.h264 import (
+        _fixture_notch6,
+        _gop_slice_bounds,
+        decode_h264_stream,
+        encode_gop_annexb,
+    )
+
+    multislice_seen = frames_seen = 0
+    for i in (0, 1, 5, 11, 23):
+        frames = _fixture_notch6(i)
+        pics, sps = decode_h264_stream(encode_gop_annexb(frames))
+        assert len(pics) == len(frames)
+        frames_seen += len(pics)
+        if len(_gop_slice_bounds(sps["mbs_w"], sps["mbs_h"])) == 2:
+            multislice_seen += 1
+        for (y, cb, cr), (ye, cbe, cre, _, _) in zip(pics, frames):
+            assert np.array_equal(y, ye)
+            assert np.array_equal(cb, cbe)
+            assert np.array_equal(cr, cre)
+    assert frames_seen > len(list((0, 1, 5, 11, 23)))  # real GOPs
+    assert multislice_seen > 0  # the two-slice path is exercised
+
+
+def test_single_picture_wrapper_rejects_gop():
+    from magmapandas_spark.operators.h264 import (
+        _fixture_notch6,
+        encode_gop_annexb,
+    )
+
+    frames = _fixture_notch6(1)  # 1 + 1%3 = 2 frames
+    assert len(frames) == 2
+    with pytest.raises(ValueError, match="one picture"):
+        decode_h264_iframe(encode_gop_annexb(frames))
+
+
+def test_more_rbsp_data_stop_bit_positions():
+    from magmapandas_spark.operators.h264 import _last_set_bit_pos
+
+    # stop bit as the only content of the last byte's MSB
+    assert _last_set_bit_pos(bytes([0xFF, 0x80])) == 8
+    # stop bit mid-byte: 0b00010000 -> bit index 3 within byte 1
+    assert _last_set_bit_pos(bytes([0x00, 0x10])) == 11
+    # trailing zero PAD bytes after the stop bit
+    assert _last_set_bit_pos(bytes([0xA5, 0x01, 0x00])) == 15
+    with pytest.raises(ValueError):
+        _last_set_bit_pos(bytes([0, 0, 0]))
