@@ -1922,7 +1922,9 @@ def q_h264_plane_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_h264_mode_matrix(gop: bool) -> str:
+def _sql_h264_mode_matrix(
+    gop: bool, seed_off: int = 0, slices_col: str = "n_slices"
+) -> str:
     """Closed-form oracle for the mode-matrix corpora: predicted MBs'
     neighbor edges are PCM formula values, so every prediction mode —
     incl. both Plane fits — replays as integer arithmetic: per-MB
@@ -2039,7 +2041,7 @@ def _sql_h264_mode_matrix(gop: bool) -> str:
     cr_v = "(19 * sd + 23 * (mb * 64 + o.o)) % 256"
     if gop:
         frames_cte = f"""frames AS (
-  SELECT i AS clip_id, fr.f AS f, 4 * i + fr.f AS sd,
+  SELECT i AS clip_id, fr.f AS f, {seed_off} + 4 * i + fr.f AS sd,
          2 + i % 3 AS mbs_w, 2 + i % 2 AS mbs_h
   FROM range({_N_CLIPS}) t(i),
        LATERAL (SELECT UNNEST(range(1 + i % 3)) AS f) fr
@@ -2047,7 +2049,7 @@ def _sql_h264_mode_matrix(gop: bool) -> str:
         final_select = """SELECT c.clip_id AS media_id,
        CAST(c.f AS INT) AS frame_idx,
        CAST(CASE WHEN c.mbs_h >= 3 THEN 2 ELSE 1 END AS INT)
-         AS n_slices,
+         AS """ + slices_col + """,
        CAST(16 * c.mbs_w AS INT) AS width,
        CAST(16 * c.mbs_h AS INT) AS height,
        CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
@@ -2129,6 +2131,9 @@ chroma_pred AS (
 
 SQL_H264_PLANE_DECODE = _sql_h264_mode_matrix(False)
 SQL_H264_GOP_DECODE = _sql_h264_mode_matrix(True)
+SQL_H264_MP4_DECODE = _sql_h264_mode_matrix(
+    True, seed_off=96, slices_col="n_nals"
+)
 
 
 # ---------------------------------------------------------------------
@@ -2145,17 +2150,12 @@ def _gop_slice_bounds(mbs_w: int, mbs_h: int) -> list[tuple[int, int]]:
     return [(0, mbs_w * mbs_h)]
 
 
-def encode_gop_annexb(frames: list, qp: int = 26) -> bytes:
-    """Annex-B stream of ``len(frames)`` IDR pictures (each a
-    (y, cb, cr, cls, modes) tuple sharing one SPS geometry), every
-    picture split into raster slices per ``_gop_slice_bounds``. Each
-    slice NAL carries its own header (first_mb_in_slice, idr_pic_id
-    differing between consecutive IDRs per spec 7.4.3) and its own
-    CAVLC nC context — macroblocks of other slices are unavailable,
-    matching the decoder's slice-gated availability."""
-    h, w = frames[0][0].shape
-    mbs_w, mbs_h = w // 16, h // 16
-
+def _gop_parameter_sets(
+    mbs_w: int, mbs_h: int, qp: int
+) -> tuple[bytes, bytes]:
+    """(SPS, PPS) as complete NAL units (header byte + escaped rbsp)
+    for the GOP/MP4 encoders — baseline profile, CAVLC, the ladder's
+    fixed geometry syntax."""
     sps = _BitWriter()
     sps.u(66, 8); sps.u(0, 8); sps.u(10, 8)
     sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0)
@@ -2170,14 +2170,23 @@ def encode_gop_annexb(frames: list, qp: int = 26) -> bytes:
     pps.se(qp - 26); pps.se(0); pps.se(0)
     pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
     pps.rbsp_trailing()
+    return (
+        bytes([(3 << 5) | 7]) + _escape_ebsp(sps.tobytes()),
+        bytes([(3 << 5) | 8]) + _escape_ebsp(pps.tobytes()),
+    )
 
-    def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
-        header = bytes([(ref_idc << 5) | nal_type])
-        return b"\x00\x00\x00\x01" + header + _escape_ebsp(w_.tobytes())
 
-    out = nal(3, 7, sps) + nal(3, 8, pps)
-    for f, (y, cb, cr, cls, modes) in enumerate(frames):
-        for mb0, mb1 in _gop_slice_bounds(mbs_w, mbs_h):
+def _encode_picture_slices(
+    frame, f: int, mbs_w: int, mbs_h: int
+) -> list[bytes]:
+    """One IDR picture's slice NAL units (header byte + escaped rbsp,
+    no start codes) — raster slices per ``_gop_slice_bounds``, each
+    with its own header (first_mb_in_slice, idr_pic_id alternating
+    per spec 7.4.3) and its own CAVLC nC context (macroblocks of
+    other slices are unavailable, matching the decoder)."""
+    y, cb, cr, cls, modes = frame
+    nals = []
+    for mb0, mb1 in _gop_slice_bounds(mbs_w, mbs_h):
             sl = _BitWriter()
             sl.ue(mb0)  # first_mb_in_slice
             sl.ue(7)  # slice_type: I (all slices in picture)
@@ -2241,7 +2250,21 @@ def encode_gop_annexb(frames: list, qp: int = 26) -> bytes:
                         sl.u(3, 6)
                     tc[mb] = 0
             sl.rbsp_trailing()
-            out += nal(3, 5, sl)
+            nals.append(bytes([(3 << 5) | 5]) + _escape_ebsp(sl.tobytes()))
+    return nals
+
+
+def encode_gop_annexb(frames: list, qp: int = 26) -> bytes:
+    """Annex-B stream of ``len(frames)`` IDR pictures (each a
+    (y, cb, cr, cls, modes) tuple sharing one SPS geometry), every
+    picture split into raster slices per ``_gop_slice_bounds``."""
+    h, w = frames[0][0].shape
+    mbs_w, mbs_h = w // 16, h // 16
+    sps_nal, pps_nal = _gop_parameter_sets(mbs_w, mbs_h, qp)
+    out = b"\x00\x00\x00\x01" + sps_nal + b"\x00\x00\x00\x01" + pps_nal
+    for f, frame in enumerate(frames):
+        for nal in _encode_picture_slices(frame, f, mbs_w, mbs_h):
+            out += b"\x00\x00\x00\x01" + nal
     return out
 
 

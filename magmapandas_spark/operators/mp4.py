@@ -93,10 +93,14 @@ def mp4_encode(
     return ftyp + moov + _box(b"mdat", mdat)
 
 
-def _visual_sample_entry(fourcc: bytes, width: int = 0, height: int = 0) -> bytes:
-    """86-byte VisualSampleEntry (ISO 14496-12 §12.1.3)."""
+def _visual_sample_entry(
+    fourcc: bytes, width: int = 0, height: int = 0, extra: bytes = b""
+) -> bytes:
+    """VisualSampleEntry (ISO 14496-12 §12.1.3): 86 fixed bytes plus
+    optional codec-specific sub-boxes (e.g. avcC) appended inside the
+    entry — the entry's size field covers them."""
     return (
-        struct.pack(">I", 86)
+        struct.pack(">I", 86 + len(extra))
         + fourcc
         + b"\x00" * 6                      # reserved
         + struct.pack(">H", 1)             # data_reference_index
@@ -107,6 +111,7 @@ def _visual_sample_entry(fourcc: bytes, width: int = 0, height: int = 0) -> byte
         + struct.pack(">H", 1)             # frame_count
         + b"\x00" * 32                     # compressorname
         + struct.pack(">Hh", 0x0018, -1)   # depth, pre_defined
+        + extra
     )
 
 
@@ -124,8 +129,60 @@ def mp4_encode_mjpeg(
     MJPEG has no inter-frame prediction, which is exactly why it is
     the honest no-codec-library video format: every sample is decodable
     by the engine's own JPEG decoder."""
+    return _mp4_encode_video(
+        frames, _visual_sample_entry(b"jpeg"), frame_duration_ms, timescale
+    )
+
+
+def avcc_record(sps_nal: bytes, pps_nal: bytes) -> bytes:
+    """AVCDecoderConfigurationRecord (ISO 14496-15 §5.3.3.1) wrapped
+    in its 'avcC' box: configurationVersion 1, profile/compat/level
+    copied from the SPS payload, lengthSizeMinusOne 3 (4-byte sample
+    NAL length prefixes), one SPS + one PPS with 2-byte lengths."""
+    body = (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3]])
+        + bytes([0xFF])        # reserved(6) + lengthSizeMinusOne = 3
+        + bytes([0xE1])        # reserved(3) + numOfSPS = 1
+        + struct.pack(">H", len(sps_nal)) + sps_nal
+        + bytes([1])           # numOfPPS
+        + struct.pack(">H", len(pps_nal)) + pps_nal
+    )
+    return _box(b"avcC", body)
+
+
+def mp4_encode_avc(
+    samples: list[bytes],
+    sps_nal: bytes,
+    pps_nal: bytes,
+    width: int,
+    height: int,
+    frame_duration_ms: int = 100,
+    timescale: int = 1000,
+) -> bytes:
+    """ISO BMFF file whose video track is AVC ('avc1' sample entry
+    with the avcC configuration record): each sample is one access
+    unit of 4-byte-length-prefixed NAL units (AVCC framing — the MP4
+    convention, NOT Annex-B: no start codes, SPS/PPS live in avcC,
+    not in the samples)."""
+    entry = _visual_sample_entry(
+        b"avc1", width, height, avcc_record(sps_nal, pps_nal)
+    )
+    return _mp4_encode_video(samples, entry, frame_duration_ms, timescale)
+
+
+def avc_sample(nals: list[bytes]) -> bytes:
+    """One AVCC access unit: 4-byte big-endian length before each NAL."""
+    return b"".join(struct.pack(">I", len(n)) + n for n in nals)
+
+
+def _mp4_encode_video(
+    frames: list[bytes],
+    entry: bytes,
+    frame_duration_ms: int = 100,
+    timescale: int = 1000,
+) -> bytes:
     if not frames:
-        raise ValueError("MJPEG file needs at least one frame")
+        raise ValueError("video file needs at least one sample")
     n = len(frames)
     delta = frame_duration_ms * timescale // 1000
     duration = n * delta
@@ -133,8 +190,7 @@ def mp4_encode_mjpeg(
 
     def build(chunk_offset: int) -> bytes:
         stsd = _full_box(
-            b"stsd", 0, 0,
-            struct.pack(">I", 1) + _visual_sample_entry(b"jpeg"),
+            b"stsd", 0, 0, struct.pack(">I", 1) + entry
         )
         stts = _full_box(
             b"stts", 0, 0, struct.pack(">III", 1, n, delta)
@@ -214,14 +270,15 @@ def mp4_parse(payload: bytes) -> dict:
     """Parse an ISO BMFF stream → movie metadata dict with keys
     ``brand, timescale, duration_ms, n_tracks, track_kinds (sorted),
     mdat_bytes, mdat_sum`` plus the sample-table fields frame decode
-    needs: ``codec`` (first stsd entry's fourcc), ``sample_sizes``
+    needs: ``codec`` (first stsd entry's fourcc; plus ``avcc``, the
+    raw AVCDecoderConfigurationRecord, for 'avc1'), ``sample_sizes``
     (stsz), ``sample_deltas`` (stts, expanded per sample),
     ``chunk_offsets`` (stco, absolute file offsets)."""
     out = {
         "brand": None, "timescale": None, "duration_ms": None,
         "n_tracks": 0, "track_kinds": [], "mdat_bytes": 0, "mdat_sum": 0,
-        "codec": None, "sample_sizes": [], "sample_deltas": [],
-        "chunk_offsets": [],
+        "codec": None, "avcc": None, "sample_sizes": [],
+        "sample_deltas": [], "chunk_offsets": [],
     }
     saw_ftyp = False
 
@@ -257,6 +314,24 @@ def mp4_parse(payload: bytes) -> dict:
                     out["codec"] = payload[b0 + 12 : b0 + 16].decode(
                         "ascii", errors="replace"
                     )
+                    # avc1 entries carry codec config in an avcC
+                    # sub-box after the 86 fixed VisualSampleEntry
+                    # bytes — scan the entry's sub-boxes for it
+                    (esz,) = struct.unpack(
+                        ">I", payload[b0 + 8 : b0 + 12]
+                    )
+                    e0, e1 = b0 + 8, b0 + 8 + esz
+                    p_ = e0 + 86
+                    while p_ + 8 <= e1:
+                        (bsz,) = struct.unpack(
+                            ">I", payload[p_ : p_ + 4]
+                        )
+                        if bsz < 8:
+                            break
+                        if payload[p_ + 4 : p_ + 8] == b"avcC":
+                            out["avcc"] = payload[p_ + 8 : p_ + bsz]
+                            break
+                        p_ += bsz
             elif btype == b"stsz":
                 size, cnt = struct.unpack(">II", payload[b0 + 4 : b0 + 12])
                 if size != 0:
@@ -618,3 +693,178 @@ JOIN dc ON n.media_id = dc.media_id AND n.frame_idx = dc.frame_idx
 JOIN ac ON n.media_id = ac.media_id AND n.frame_idx = ac.frame_idx
 ORDER BY n.media_id, n.frame_idx
 """
+
+
+# ---------------------------------------------------------------------
+# AVC (H.264) frame decode — the codec ladder meets the container
+# ---------------------------------------------------------------------
+
+_AVC_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_nals", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_mbs", T.LongType()),
+        T.StructField("sum_y", T.LongType()),
+        T.StructField("sum_cb", T.LongType()),
+        T.StructField("sum_cr", T.LongType()),
+        T.StructField("ck_y", T.LongType()),
+    ]
+)
+
+
+def parse_avcc_config(avcc: bytes) -> tuple[list[bytes], list[bytes]]:
+    """SPS / PPS NAL lists from an AVCDecoderConfigurationRecord
+    (ISO 14496-15 §5.3.3.1); asserts the 4-byte NAL length convention
+    this decoder walks."""
+    if not avcc or avcc[0] != 1:
+        raise ValueError("missing/unsupported avcC record")
+    if (avcc[4] & 3) != 3:
+        raise NotImplementedError(
+            "only 4-byte AVCC NAL length prefixes supported"
+        )
+    n_sps = avcc[5] & 0x1F
+    pos = 6
+    sps = []
+    for _ in range(n_sps):
+        (ln,) = struct.unpack(">H", avcc[pos : pos + 2])
+        sps.append(avcc[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln
+    n_pps = avcc[pos]
+    pos += 1
+    pps = []
+    for _ in range(n_pps):
+        (ln,) = struct.unpack(">H", avcc[pos : pos + 2])
+        pps.append(avcc[pos + 2 : pos + 2 + ln])
+        pos += 2 + ln
+    return sps, pps
+
+
+def _avcc_sample_nals(sample: bytes) -> list[bytes]:
+    """NAL units of one AVCC access unit (4-byte length prefixes)."""
+    nals = []
+    pos = 0
+    while pos + 4 <= len(sample):
+        (ln,) = struct.unpack(">I", sample[pos : pos + 4])
+        if pos + 4 + ln > len(sample):
+            raise ValueError("truncated AVCC NAL")
+        nals.append(sample[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    if pos != len(sample):
+        raise ValueError("trailing bytes after last AVCC NAL")
+    return nals
+
+
+def decode_avc_frames(media: DataFrame) -> DataFrame:
+    """REAL H.264-in-MP4 decode: walk the container's sample table,
+    slice each AVCC access unit out of ``mdat``, convert to Annex-B
+    with the avcC parameter sets prepended, and run the engine's own
+    baseline I-frame decoder (operators/h264.py, notches 1-6) — per
+    frame, exact plane statistics + the MB-order luma checksum. One
+    narrow ``mapInPandas`` stage; payload bytes never leave the
+    executor. Inter-predicted samples raise inside the H.264 ladder's
+    honest boundary."""
+    from magmapandas_spark.operators.h264 import (
+        _CK_MOD,
+        decode_h264_stream,
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _AVC_FRAME_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                m = mp4_parse(payload)
+                if m["codec"] != "avc1":
+                    raise ValueError(f"not an AVC track: {m['codec']!r}")
+                sps_l, pps_l = parse_avcc_config(m["avcc"])
+                header = b"".join(
+                    b"\x00\x00\x00\x01" + n for n in sps_l + pps_l
+                )
+                pos = m["chunk_offsets"][0]
+                for idx, size in enumerate(m["sample_sizes"]):
+                    nals = _avcc_sample_nals(payload[pos : pos + size])
+                    pos += size
+                    annexb = header + b"".join(
+                        b"\x00\x00\x00\x01" + n for n in nals
+                    )
+                    pics, sps = decode_h264_stream(annexb)
+                    if len(pics) != 1:
+                        raise ValueError("AVC sample is not one picture")
+                    y, cb, cr = pics[0]
+                    mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
+                    ck = 0
+                    ky = 0
+                    for mb in range(mbs_w * mbs_h):
+                        mbx, mby = mb % mbs_w, mb // mbs_w
+                        blk = y[
+                            mby * 16 : mby * 16 + 16,
+                            mbx * 16 : mbx * 16 + 16,
+                        ].reshape(-1).astype(np.int64)
+                        ks = np.arange(ky + 1, ky + 257, dtype=np.int64)
+                        ck = (ck + int((ks * blk).sum())) % _CK_MOD
+                        ky += 256
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["n_nals"].append(len(nals))
+                    out["width"].append(y.shape[1])
+                    out["height"].append(y.shape[0])
+                    out["n_mbs"].append(mbs_w * mbs_h)
+                    out["sum_y"].append(int(y.sum()))
+                    out["sum_cb"].append(int(cb.sum()))
+                    out["sum_cr"].append(int(cr.sum()))
+                    out["ck_y"].append(ck)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, _AVC_FRAME_SCHEMA)
+
+
+#: value-seed offset for the AVC-in-MP4 corpus: same closed forms as
+#: the GOP corpus, different content (sd = 96 + 4i + f keeps per-frame
+#: seeds unique and disjoint from notch 6's 4i + f)
+_AVC_SEED_OFF = 96
+
+
+def make_synthetic_avc_mp4(i: int) -> bytes:
+    from magmapandas_spark.operators.h264 import (
+        _encode_picture_slices,
+        _fixture_mode_frame,
+        _gop_parameter_sets,
+    )
+
+    mbs_w, mbs_h = 2 + i % 3, 2 + i % 2
+    sps_nal, pps_nal = _gop_parameter_sets(mbs_w, mbs_h, 26)
+    samples = []
+    for f in range(1 + i % 3):
+        frame = _fixture_mode_frame(_AVC_SEED_OFF + 4 * i + f, mbs_w, mbs_h)
+        samples.append(
+            avc_sample(_encode_picture_slices(frame, f, mbs_w, mbs_h))
+        )
+    return mp4_encode_avc(
+        samples, sps_nal, pps_nal, 16 * mbs_w, 16 * mbs_h
+    )
+
+
+def synthetic_avc_media(spark: SparkSession, n: int = 24) -> DataFrame:
+    rows = [
+        (i, bytearray(make_synthetic_avc_mp4(i))) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def q_h264_mp4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: decode 24 AVC-in-MP4 files end to end — ISO BMFF
+    walk (stsd 'avc1' entry, avcC parameter-set record, stsz/stco
+    sample extents), AVCC length-prefixed access units converted to
+    Annex-B, then the engine's own H.264 I-frame ladder per sample —
+    one exact statistics row per frame under the cross-engine hash.
+    The container tier and the codec ladder verified as ONE path."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        decode_avc_frames(synthetic_avc_media(spark)),
+        "media_id",
+        "frame_idx",
+    )

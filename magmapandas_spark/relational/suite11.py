@@ -54,6 +54,11 @@ the first H.264 codec notch.
   end-of-slice detection, idr_pic_id alternation, slice-gated
   intra/nC availability; one exact stats row per frame. Past the
   50-slot gate this round.
+- ``h264_mp4_decode`` — notch 6b: the codec ladder meets the
+  container tier — AVC-in-MP4 end to end ('avc1' sample entry, avcC
+  parameter-set record, AVCC length-prefixed access units from the
+  stsz/stco walk, Annex-B conversion, per-sample I-frame decode).
+  Past the 50-slot gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -107,6 +112,7 @@ def queries():
         q_h264_plane_decode,
     )
     from magmapandas_spark.operators.keywords import q_rake_keywords
+    from magmapandas_spark.operators.mp4 import q_h264_mp4_decode
     from magmapandas_spark.operators.stats import q_corr_matrix
     from magmapandas_spark.operators.timeseries import q_seasonal_profile
 
@@ -123,6 +129,7 @@ def queries():
         "h264_lumadc_decode": q_h264_lumadc_decode,
         "h264_plane_decode": q_h264_plane_decode,
         "h264_gop_decode": q_h264_gop_decode,
+        "h264_mp4_decode": q_h264_mp4_decode,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -160,6 +167,7 @@ def oracle_sql():
         SQL_H264_LUMADC_DECODE,
         SQL_H264_PLANE_DECODE,
     )
+    from magmapandas_spark.operators.h264 import SQL_H264_MP4_DECODE
     from magmapandas_spark.operators.keywords import SQL_RAKE_KEYWORDS
     from magmapandas_spark.operators.stats import SQL_CORR_MATRIX
     from magmapandas_spark.operators.timeseries import SQL_SEASONAL_PROFILE
@@ -177,6 +185,7 @@ def oracle_sql():
         "h264_lumadc_decode": SQL_H264_LUMADC_DECODE,
         "h264_plane_decode": SQL_H264_PLANE_DECODE,
         "h264_gop_decode": SQL_H264_GOP_DECODE,
+        "h264_mp4_decode": SQL_H264_MP4_DECODE,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,

@@ -229,3 +229,54 @@ def test_video_frame_decode_oracle_matches(spark):
         exp.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_avc_in_mp4_full_decode_round_trip():
+    """The codec ladder meets the container: avcC parameter sets +
+    AVCC access units decode to exactly the fixture frames."""
+    import numpy as np
+
+    from magmapandas_spark.operators.h264 import (
+        _fixture_mode_frame,
+        decode_h264_stream,
+    )
+    from magmapandas_spark.operators.mp4 import (
+        _AVC_SEED_OFF,
+        _avcc_sample_nals,
+        make_synthetic_avc_mp4,
+        mp4_parse,
+        parse_avcc_config,
+    )
+
+    for i in (0, 5, 11):
+        payload = make_synthetic_avc_mp4(i)
+        m = mp4_parse(payload)
+        assert m["codec"] == "avc1"
+        sps_l, pps_l = parse_avcc_config(m["avcc"])
+        assert len(sps_l) == 1 and len(pps_l) == 1
+        header = b"".join(b"\x00\x00\x00\x01" + n for n in sps_l + pps_l)
+        mbs_w, mbs_h = 2 + i % 3, 2 + i % 2
+        pos = m["chunk_offsets"][0]
+        for f, size in enumerate(m["sample_sizes"]):
+            nals = _avcc_sample_nals(payload[pos : pos + size])
+            pos += size
+            pics, _ = decode_h264_stream(
+                header + b"".join(b"\x00\x00\x00\x01" + n for n in nals)
+            )
+            y, cb, cr = pics[0]
+            ye, cbe, cre, _, _ = _fixture_mode_frame(
+                _AVC_SEED_OFF + 4 * i + f, mbs_w, mbs_h
+            )
+            assert np.array_equal(y, ye)
+            assert np.array_equal(cb, cbe)
+            assert np.array_equal(cr, cre)
+
+
+def test_avcc_record_rejects_other_length_sizes():
+    import pytest as _pytest
+
+    from magmapandas_spark.operators.mp4 import parse_avcc_config
+
+    bad = bytes([1, 66, 0, 10, 0xFC | 1, 0xE0])  # lengthSizeMinusOne 1
+    with _pytest.raises(NotImplementedError, match="4-byte"):
+        parse_avcc_config(bad)
