@@ -675,3 +675,137 @@ def _sql_corr_matrix() -> str:
 
 
 SQL_CORR_MATRIX = _sql_corr_matrix()
+
+
+# ---------------------------------------------------------------------
+# Population-stability-index drift report (round 8)
+# ---------------------------------------------------------------------
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: PSI drift between two corpus snapshots — the
+    distribution-shift monitor every production data pipeline runs
+    before accepting a rebuilt corpus. Snapshot A is the documents
+    table; snapshot B a deterministic filtered rebuild (docs dropped
+    when doc_id % 3 = 0 AND n_chars >= 800 — a length-skewed
+    deletion, so the drift is real). n_chars is binned into 10
+    equi-width bins from A's extrema; per bin the Laplace-smoothed
+    shares give term = (pA − pB)·ln(pA/pB), and PSI = Σ terms (terms
+    rounded to 9 decimals then DECIMAL-summed, so the total is
+    order-independent; ln agrees across engines at this rounding per
+    the dsir/A-ES precedent).
+
+    Plan: one extrema aggregate broadcast back, two bin-count
+    aggregations (A and the filtered B — both map-side combined, 10
+    rows out), a 10-row assembly against spark.range(10), one 1-row
+    total broadcast. Nothing corpus-sized past the scans."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    b = docs.filter(
+        ~((F.col("doc_id") % 3 == 0) & (F.col("n_chars") >= 800))
+    )
+    ext = docs.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+
+    def bin_counts(df, alias):
+        return (
+            df.crossJoin(F.broadcast(ext))
+            .select(
+                F.when(F.col("mx") == F.col("mn"), F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.expr("(n_chars - mn) * 10 div (mx - mn)"),
+                        F.lit(9),
+                    )
+                )
+                .cast("long")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    grid = spark.range(10).select(F.col("id").alias("bin"))
+    j = (
+        grid.join(F.broadcast(bin_counts(docs, "c_a")), "bin", "left")
+        .join(F.broadcast(bin_counts(b, "c_b")), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    p_a = (F.col("c_a") + F.lit(1.0)) / (F.col("n_a") + F.lit(10.0))
+    p_b = (F.col("c_b") + F.lit(1.0)) / (F.col("n_b") + F.lit(10.0))
+    term = F.round((p_a - p_b) * F.log(p_a / p_b), 9)
+    scored = j.crossJoin(F.broadcast(tot)).select(
+        "bin", "c_a", "c_b", term.alias("term9")
+    )
+    psi = scored.agg(
+        F.sum(F.col("term9").cast("decimal(18,9)"))
+        .cast("double")
+        .alias("psi")
+    )
+    return (
+        scored.crossJoin(F.broadcast(psi))
+        .select(
+            "bin",
+            "c_a",
+            "c_b",
+            F.round("term9", 6).alias("term"),
+            F.round("psi", 6).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_PSI_DRIFT = """
+WITH docs AS (SELECT doc_id, n_chars FROM documents),
+b AS (
+  SELECT * FROM docs
+  WHERE NOT (doc_id % 3 = 0 AND n_chars >= 800)
+),
+ext AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM docs),
+ca AS (
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE LEAST((n_chars - mn) * 10 // (mx - mn), 9) END AS bin,
+         COUNT(*) AS c_a
+  FROM docs CROSS JOIN ext GROUP BY 1
+),
+cb AS (
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE LEAST((n_chars - mn) * 10 // (mx - mn), 9) END AS bin,
+         COUNT(*) AS c_b
+  FROM b CROSS JOIN ext GROUP BY 1
+),
+grid AS (
+  SELECT g.g AS bin, COALESCE(ca.c_a, 0) AS c_a,
+         COALESCE(cb.c_b, 0) AS c_b
+  FROM (SELECT UNNEST(range(10)) AS g) g
+  LEFT JOIN ca ON ca.bin = g.g
+  LEFT JOIN cb ON cb.bin = g.g
+),
+tot AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM grid),
+scored AS (
+  SELECT bin, c_a, c_b,
+         ROUND((CAST(c_a + 1 AS DOUBLE) / (n_a + 10.0)
+                - CAST(c_b + 1 AS DOUBLE) / (n_b + 10.0))
+               * LN((CAST(c_a + 1 AS DOUBLE) / (n_a + 10.0))
+                    / (CAST(c_b + 1 AS DOUBLE) / (n_b + 10.0))), 9)
+           AS term9
+  FROM grid CROSS JOIN tot
+),
+psi AS (
+  SELECT CAST(SUM(CAST(term9 AS DECIMAL(18,9))) AS DOUBLE) AS psi
+  FROM scored
+)
+SELECT bin, c_a, c_b, ROUND(term9, 6) AS term,
+       ROUND(psi, 6) AS psi_total
+FROM scored CROSS JOIN psi
+ORDER BY bin
+"""

@@ -78,7 +78,10 @@ the first H.264 codec notch.
   trapezoid Gini in exact BIGINT cents, hashed beside the exact Gini
   so the estimator error sits under the gate hash; ``text_hapax`` —
   per-language vocabulary profile (tokens, types, hapax, TTR ppm),
-  the token_pmi two-phase shape.
+  the token_pmi two-phase shape; ``psi_drift`` — population
+  stability index between corpus snapshots (10 equi-width bins,
+  Laplace-smoothed shares, 9-decimal-rounded decimal-summed terms),
+  the distribution-shift monitor for corpus rebuilds.
   All past the 50-slot gate this round.
 """
 
@@ -113,7 +116,7 @@ def queries():
     )
     from magmapandas_spark.operators.keywords import q_rake_keywords
     from magmapandas_spark.operators.mp4 import q_h264_mp4_decode
-    from magmapandas_spark.operators.stats import q_corr_matrix
+    from magmapandas_spark.operators.stats import q_corr_matrix, q_psi_drift
     from magmapandas_spark.operators.timeseries import q_seasonal_profile
 
     return {
@@ -136,6 +139,7 @@ def queries():
         "corr_matrix": q_corr_matrix,
         "seasonal_profile": q_seasonal_profile,
         "gini_concentration": q_gini_concentration,
+        "psi_drift": q_psi_drift,
         "gini_sketch": q_gini_sketch,
         "text_hapax": q_text_hapax,
     }
@@ -169,7 +173,10 @@ def oracle_sql():
     )
     from magmapandas_spark.operators.h264 import SQL_H264_MP4_DECODE
     from magmapandas_spark.operators.keywords import SQL_RAKE_KEYWORDS
-    from magmapandas_spark.operators.stats import SQL_CORR_MATRIX
+    from magmapandas_spark.operators.stats import (
+        SQL_CORR_MATRIX,
+        SQL_PSI_DRIFT,
+    )
     from magmapandas_spark.operators.timeseries import SQL_SEASONAL_PROFILE
 
     return {
@@ -192,6 +199,7 @@ def oracle_sql():
         "corr_matrix": SQL_CORR_MATRIX,
         "seasonal_profile": SQL_SEASONAL_PROFILE,
         "gini_concentration": SQL_GINI_CONCENTRATION,
+        "psi_drift": SQL_PSI_DRIFT,
         "gini_sketch": SQL_GINI_SKETCH,
         "text_hapax": SQL_TEXT_HAPAX,
     }

@@ -821,3 +821,13 @@ def test_text_hapax_is_two_aggregations(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_psi_drift_is_bin_bounded(spark):
+    """Two corpus scans into 10-row bin aggregates, everything past
+    them 10-row assembly: no window, no SMJ, no corpus-sized join."""
+    from magmapandas_spark.operators.stats import q_psi_drift
+
+    plan = plan_of(q_psi_drift(spark, SF))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
