@@ -1155,3 +1155,93 @@ def finalize_streaming_seasonal(
         )
         .orderBy("dow", "hour")
     )
+
+
+def streaming_psi_ingest(
+    docs_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    mn: int,
+    mx: int,
+    timeout_s: int = 120,
+):
+    """Incremental drift-monitor state: per micro-batch the arriving
+    snapshot-B documents bin into the BASELINE's 10 equi-width
+    n_chars bins (edges are frozen baseline facts, passed in — drift
+    is measured against A's geometry, never a moving target) and the
+    10 integer counters fold by elementwise sum. PSI itself is a
+    finalize-time formula over the tiny state."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        if mx == mn:
+            bin_c = F.lit(0)
+        else:
+            bin_c = F.least(
+                F.expr(f"(n_chars - {mn}) * 10 div ({mx} - {mn})"),
+                F.lit(9),
+            )
+        rel = (
+            batch_df.groupBy(bin_c.cast("long").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c_b"))
+        )
+        _fold_sketch_state(
+            rel,
+            state_path,
+            lambda a, b: a.unionByName(b)
+            .groupBy("bin")
+            .agg(F.sum("c_b").alias("c_b")),
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def finalize_streaming_psi(
+    spark: SparkSession, state_path: str, baseline: DataFrame
+) -> DataFrame:
+    """PSI report from the merged B-side bin state against the
+    baseline's (bin, c_a) counts — identical formula (and identical
+    doubles) to the batch ``q_psi_drift`` on the union of all
+    micro-batches."""
+    grid = spark.range(10).select(F.col("id").alias("bin"))
+    cb_state = spark.read.parquet(state_path)
+    j = (
+        grid.join(F.broadcast(baseline), "bin", "left")
+        .join(F.broadcast(cb_state), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+    )
+    tot = j.agg(F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"))
+    p_a = (F.col("c_a") + F.lit(1.0)) / (F.col("n_a") + F.lit(10.0))
+    p_b = (F.col("c_b") + F.lit(1.0)) / (F.col("n_b") + F.lit(10.0))
+    term = F.round((p_a - p_b) * F.log(p_a / p_b), 9)
+    scored = j.crossJoin(F.broadcast(tot)).select(
+        "bin", "c_a", "c_b", term.alias("term9")
+    )
+    psi = scored.agg(
+        F.sum(F.col("term9").cast("decimal(18,9)"))
+        .cast("double")
+        .alias("psi")
+    )
+    return (
+        scored.crossJoin(F.broadcast(psi))
+        .select(
+            "bin",
+            "c_a",
+            "c_b",
+            F.round("term9", 6).alias("term"),
+            F.round("psi", 6).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )

@@ -696,3 +696,48 @@ def test_streaming_seasonal_matches_batch(spark):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     for d in (src, out_dir):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_psi_matches_batch(spark):
+    """B-side bin counts folded across micro-batches finalize to
+    EXACTLY the batch PSI report (same doubles, same rounding)."""
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.stats import q_psi_drift
+    from magmapandas_spark.streaming.streams import (
+        finalize_streaming_psi,
+        streaming_psi_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    mn, mx = docs.agg(F.min("n_chars"), F.max("n_chars")).first()
+    b = docs.filter(
+        ~((F.col("doc_id") % 3 == 0) & (F.col("n_chars") >= 800))
+    )
+    src = _multi_file_stage(spark, b, 3)
+    out_dir = tempfile.mkdtemp(prefix="stream_psi_")
+    state = os.path.join(out_dir, "state.parquet")
+    stream = spark.readStream.schema(
+        "doc_id bigint, n_chars bigint"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    streaming_psi_ingest(
+        stream, state, os.path.join(out_dir, "ckpt"), int(mn), int(mx)
+    )
+    if mx == mn:
+        bin_c = F.lit(0)
+    else:
+        bin_c = F.least(
+            F.expr(f"(n_chars - {mn}) * 10 div ({mx} - {mn})"), F.lit(9)
+        )
+    baseline = docs.groupBy(bin_c.cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("c_a")
+    )
+    got = normalize(
+        finalize_streaming_psi(spark, state, baseline).toPandas()
+    )
+    exp = normalize(q_psi_drift(spark, SF_DIR).toPandas())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    for d in (src, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
