@@ -714,6 +714,10 @@ _AVC_FRAME_SCHEMA = T.StructType(
     ]
 )
 
+_AVC_PERMISSIVE_SCHEMA = T.StructType(
+    _AVC_FRAME_SCHEMA.fields + [T.StructField("error", T.StringType())]
+)
+
 
 def parse_avcc_config(avcc: bytes) -> tuple[list[bytes], list[bytes]]:
     """SPS / PPS NAL lists from an AVCDecoderConfigurationRecord
@@ -757,7 +761,9 @@ def _avcc_sample_nals(sample: bytes) -> list[bytes]:
     return nals
 
 
-def decode_avc_frames(media: DataFrame) -> DataFrame:
+def decode_avc_frames(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
     """REAL H.264-in-MP4 decode: walk the container's sample table,
     slice each AVCC access unit out of ``mdat``, convert to Annex-B
     with the avcC parameter sets prepended, and run the engine's own
@@ -765,35 +771,65 @@ def decode_avc_frames(media: DataFrame) -> DataFrame:
     frame, exact plane statistics + the MB-order luma checksum. One
     narrow ``mapInPandas`` stage; payload bytes never leave the
     executor. Inter-predicted samples raise inside the H.264 ladder's
-    honest boundary."""
+    honest boundary (``permissive=True`` quarantines any failing
+    payload as an error row instead — the MJPEG discipline, so one
+    corrupt crawl file never kills the batch)."""
     from magmapandas_spark.operators.h264 import (
         _CK_MOD,
         decode_h264_stream,
     )
 
+    schema = _AVC_PERMISSIVE_SCHEMA if permissive else _AVC_FRAME_SCHEMA
+
     def fn(batches):
         for pdf in batches:
-            out = {f.name: [] for f in _AVC_FRAME_SCHEMA.fields}
+            out = {f.name: [] for f in schema.fields}
+
+            def quarantine(mid, err):
+                out["media_id"].append(mid)
+                for f_ in schema.fields[1:-1]:
+                    out[f_.name].append(None)
+                out["error"].append(err)
+
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                m = mp4_parse(payload)
-                if m["codec"] != "avc1":
-                    raise ValueError(f"not an AVC track: {m['codec']!r}")
-                sps_l, pps_l = parse_avcc_config(m["avcc"])
+                try:
+                    m = mp4_parse(payload)
+                    if m["codec"] != "avc1":
+                        raise ValueError(
+                            f"not an AVC track: {m['codec']!r}"
+                        )
+                    sps_l, pps_l = parse_avcc_config(m["avcc"])
+                except Exception as e:
+                    if not permissive:
+                        raise
+                    quarantine(mid, f"{type(e).__name__}: {e}")
+                    continue
                 header = b"".join(
                     b"\x00\x00\x00\x01" + n for n in sps_l + pps_l
                 )
                 pos = m["chunk_offsets"][0]
                 for idx, size in enumerate(m["sample_sizes"]):
-                    nals = _avcc_sample_nals(payload[pos : pos + size])
+                    try:
+                        nals = _avcc_sample_nals(
+                            payload[pos : pos + size]
+                        )
+                        annexb = header + b"".join(
+                            b"\x00\x00\x00\x01" + n for n in nals
+                        )
+                        pics, sps = decode_h264_stream(annexb)
+                        if len(pics) != 1:
+                            raise ValueError(
+                                "AVC sample is not one picture"
+                            )
+                        y, cb, cr = pics[0]
+                    except Exception as e:
+                        if not permissive:
+                            raise
+                        pos += size
+                        quarantine(mid, f"{type(e).__name__}: {e}")
+                        continue
                     pos += size
-                    annexb = header + b"".join(
-                        b"\x00\x00\x00\x01" + n for n in nals
-                    )
-                    pics, sps = decode_h264_stream(annexb)
-                    if len(pics) != 1:
-                        raise ValueError("AVC sample is not one picture")
-                    y, cb, cr = pics[0]
                     mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
                     ck = 0
                     ky = 0
@@ -816,9 +852,11 @@ def decode_avc_frames(media: DataFrame) -> DataFrame:
                     out["sum_cb"].append(int(cb.sum()))
                     out["sum_cr"].append(int(cr.sum()))
                     out["ck_y"].append(ck)
+                    if permissive:
+                        out["error"].append(None)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(fn, _AVC_FRAME_SCHEMA)
+    return media.mapInPandas(fn, schema)
 
 
 #: value-seed offset for the AVC-in-MP4 corpus: same closed forms as

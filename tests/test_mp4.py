@@ -280,3 +280,32 @@ def test_avcc_record_rejects_other_length_sizes():
     bad = bytes([1, 66, 0, 10, 0xFC | 1, 0xE0])  # lengthSizeMinusOne 1
     with _pytest.raises(NotImplementedError, match="4-byte"):
         parse_avcc_config(bad)
+
+
+def test_avc_permissive_quarantines_corrupt_payloads(spark):
+    """A corrupt AVC payload (and a non-MP4 blob) become error rows
+    instead of failing the stage; intact files still decode exactly."""
+    from magmapandas_spark.operators.mp4 import (
+        decode_avc_frames,
+        make_synthetic_avc_mp4,
+    )
+
+    good = make_synthetic_avc_mp4(0)
+    bad = bytearray(make_synthetic_avc_mp4(1))
+    bad[len(bad) // 2 :] = b"\x00" * (len(bad) - len(bad) // 2)  # truncate mdat
+    media = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bad), (2, bytearray(b"not an mp4"))],
+        "media_id long, payload binary",
+    )
+    rows = decode_avc_frames(media, permissive=True).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert all(r.error is None for r in by_media[0])
+    assert any(r.error is not None for r in by_media[1])
+    assert all(r.error is not None for r in by_media[2])
+    # strict mode still raises
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_avc_frames(media, permissive=False).collect()
