@@ -1079,6 +1079,41 @@ def q_h264_ipcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
+def _write_chroma_dc_level(w_: _BitWriter, level: int) -> None:
+    """One-coefficient (scan position 0) 2x2 chroma DC block."""
+    if level == 0:
+        w_.u(1, 2)  # coeff_token (0,0) = '01'
+        return
+    if abs(level) == 1:
+        w_.u(1, 1)  # coeff_token (1,1) = '1'
+        w_.u(0 if level > 0 else 1, 1)  # trailing-one sign
+    else:
+        w_.u(7, 6)  # coeff_token (0,1) = '000111'
+        level_code = (2 * level - 2 if level > 0 else -2 * level - 1)
+        level_code -= 2  # first-coefficient rule (T1s < 3)
+        w_.u(0, level_code)  # level_prefix zeros
+        w_.u(1, 1)
+    w_.u(1, 1)  # total_zeros = 0 ('1' in the TC=1 2x2 table)
+
+
+def _write_luma_dc_block(sl: _BitWriter, ldc: list[int], n_c: int) -> None:
+    """Dense 16-coefficient Intra16x16DCLevel block (notch-4 syntax):
+    FLC coeff_token (requires the nC >= 8 class — the fixtures
+    guarantee an I_PCM neighbor), trailing-one signs, level machinery.
+    No total_zeros/run_before exist at TotalCoeff == 16."""
+    assert n_c >= 8, "dense DC block outside the FLC class"
+    assert all(v != 0 for v in ldc)
+    dec = [ldc[15 - k] for k in range(16)]
+    t1s = 0
+    for lvl in dec:
+        if abs(lvl) == 1 and t1s < 3:
+            t1s += 1
+        else:
+            break
+    sl.u(4 * 15 + t1s, 6)
+    _write_levels(sl, dec, 16, t1s)
+
+
 def encode_mixed_annexb(
     y: np.ndarray,
     cb: np.ndarray,
@@ -1114,22 +1149,6 @@ def encode_mixed_annexb(
     pps.se(qp - 26); pps.se(0); pps.se(0)
     pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
     pps.rbsp_trailing()
-
-    def write_chroma_dc_level(w_: _BitWriter, level: int) -> None:
-        """One-coefficient (scan position 0) 2x2 chroma DC block."""
-        if level == 0:
-            w_.u(1, 2)  # coeff_token (0,0) = '01'
-            return
-        if abs(level) == 1:
-            w_.u(1, 1)  # coeff_token (1,1) = '1'
-            w_.u(0 if level > 0 else 1, 1)  # trailing-one sign
-        else:
-            w_.u(7, 6)  # coeff_token (0,1) = '000111'
-            level_code = (2 * level - 2 if level > 0 else -2 * level - 1)
-            level_code -= 2  # first-coefficient rule (T1s < 3)
-            w_.u(0, level_code)  # level_prefix zeros
-            w_.u(1, 1)
-        w_.u(1, 1)  # total_zeros = 0 ('1' in the TC=1 2x2 table)
 
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
@@ -1186,21 +1205,7 @@ def encode_mixed_annexb(
                 else [0] * 16
             )
             if any(ldc):
-                # full 16-coefficient DC block: FLC coeff_token (the
-                # fixture guarantees an I_PCM neighbor, so nC >= 8),
-                # trailing-one signs, level machinery — no
-                # total_zeros/run_before exist at TotalCoeff == 16
-                assert n_c >= 8, "dense DC block outside the FLC class"
-                assert all(v != 0 for v in ldc)
-                dec = [ldc[15 - k] for k in range(16)]
-                t1s = 0
-                for lvl in dec:
-                    if abs(lvl) == 1 and t1s < 3:
-                        t1s += 1
-                    else:
-                        break
-                sl.u(4 * 15 + t1s, 6)
-                _write_levels(sl, dec, 16, t1s)
+                _write_luma_dc_block(sl, ldc, n_c)
             elif n_c < 2:
                 sl.u(1, 1)
             elif n_c < 4:
@@ -1210,8 +1215,8 @@ def encode_mixed_annexb(
             else:
                 sl.u(3, 6)
             if has_cdc:
-                write_chroma_dc_level(sl, cdc[0])
-                write_chroma_dc_level(sl, cdc[1])
+                _write_chroma_dc_level(sl, cdc[0])
+                _write_chroma_dc_level(sl, cdc[1])
             tc[mb] = 0
     sl.rbsp_trailing()
 
@@ -1923,7 +1928,10 @@ def q_h264_plane_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_h264_mode_matrix(
-    gop: bool, seed_off: int = 0, slices_col: str = "n_slices"
+    gop: bool,
+    seed_off: int = 0,
+    slices_col: str = "n_slices",
+    residuals: bool = False,
 ) -> str:
     """Closed-form oracle for the mode-matrix corpora: predicted MBs'
     neighbor edges are PCM formula values, so every prediction mode —
@@ -2036,11 +2044,46 @@ def _sql_h264_mode_matrix(
 
     cb_consts, v_cb = chroma_parts(11, 17, "cb")
     cr_consts, v_cr = chroma_parts(19, 23, "cr")
+    extra_cols = ""
+    if residuals:
+        # clip-wrap every predicted-MB sample with its residual: luma
+        # indexed by 4x4-block position, chroma a per-plane scalar
+        v_luma = (
+            "LEAST(255, GREATEST(0, (" + v_luma + ")\n"
+            "      + r_y[4 * ((o.o // 16) // 4) + (o.o % 16) // 4 + 1]))"
+        )
+        v_cb = "LEAST(255, GREATEST(0, (" + v_cb + ") + r_cb))"
+        v_cr = "LEAST(255, GREATEST(0, (" + v_cr + ") + r_cr))"
+        extra_cols = ", r_y, r_cb, r_cr"
     y_v = "(7 * sd + 13 * ((mb * 256 + o.o) // 4)) % 256"
     cb_v = "(11 * sd + 17 * (mb * 64 + o.o)) % 256"
     cr_v = "(19 * sd + 23 * (mb * 64 + o.o)) % 256"
     if gop:
-        frames_cte = f"""frames AS (
+        if residuals:
+            n_sd = 4 * (_N_CLIPS - 1) + 3
+            ry_lists = [
+                _n4_block_residuals(seed_off + j) for j in range(n_sd)
+            ]
+            rcb_list = [_n3_residuals(seed_off + j)[0] for j in range(n_sd)]
+            rcr_list = [_n3_residuals(seed_off + j)[1] for j in range(n_sd)]
+            frames_cte = f"""frames AS (
+  SELECT i AS clip_id, fr.f AS f, {seed_off} + 4 * i + fr.f AS sd,
+         2 + i % 3 AS mbs_w, 2 + i % 2 AS mbs_h,
+         ry.r AS r_y, rcb.r AS r_cb, rcr.r AS r_cr
+  FROM range({_N_CLIPS}) t(i),
+       LATERAL (SELECT UNNEST(range(1 + i % 3)) AS f) fr
+  JOIN (SELECT UNNEST(range({n_sd})) AS j,
+               UNNEST({ry_lists!r}) AS r) ry
+    ON ry.j = 4 * i + fr.f
+  JOIN (SELECT UNNEST(range({n_sd})) AS j,
+               UNNEST({rcb_list!r}) AS r) rcb
+    ON rcb.j = 4 * i + fr.f
+  JOIN (SELECT UNNEST(range({n_sd})) AS j,
+               UNNEST({rcr_list!r}) AS r) rcr
+    ON rcr.j = 4 * i + fr.f
+)"""
+        else:
+            frames_cte = f"""frames AS (
   SELECT i AS clip_id, fr.f AS f, {seed_off} + 4 * i + fr.f AS sd,
          2 + i % 3 AS mbs_w, 2 + i % 2 AS mbs_h
   FROM range({_N_CLIPS}) t(i),
@@ -2086,13 +2129,13 @@ ORDER BY media_id""".format(mod=_CK_MOD)
 WITH {frames_cte},
 mbs AS (
   SELECT sd, mbs_w, mbs_h, m.m AS mb,
-         m.m % mbs_w AS mbx, m.m // mbs_w AS mby
+         m.m % mbs_w AS mbx, m.m // mbs_w AS mby{extra_cols}
   FROM frames, LATERAL (SELECT UNNEST(range(mbs_w * mbs_h)) AS m) m
 ),
 consts AS (
   SELECT sd, mbs_w, mb,
          (sd + mb) % 4 AS lm,
-         (sd + 2 * mb + 1) % 4 AS cm,
+         (sd + 2 * mb + 1) % 4 AS cm{extra_cols},
          16 * ({ft(15)} + {fl(15)}) AS la,
          ((5 * ({hsum}) + 32) >> 6) AS lb,
          ((5 * ({vsum}) + 32) >> 6) AS lc,
@@ -2177,13 +2220,21 @@ def _gop_parameter_sets(
 
 
 def _encode_picture_slices(
-    frame, f: int, mbs_w: int, mbs_h: int
+    frame,
+    f: int,
+    mbs_w: int,
+    mbs_h: int,
+    chroma_dc: np.ndarray | None = None,
+    luma_dc: np.ndarray | None = None,
 ) -> list[bytes]:
     """One IDR picture's slice NAL units (header byte + escaped rbsp,
     no start codes) — raster slices per ``_gop_slice_bounds``, each
     with its own header (first_mb_in_slice, idr_pic_id alternating
     per spec 7.4.3) and its own CAVLC nC context (macroblocks of
-    other slices are unavailable, matching the decoder)."""
+    other slices are unavailable, matching the decoder). Optional
+    per-MB chroma-DC levels (2 per MB, notch-3 syntax) and dense
+    luma-DC zig-zag levels (16 per MB, notch-4 syntax) ride on
+    predicted MBs."""
     y, cb, cr, cls, modes = frame
     nals = []
     for mb0, mb1 in _gop_slice_bounds(mbs_w, mbs_h):
@@ -2218,7 +2269,15 @@ def _encode_picture_slices(
                     tc[mb] = 16
                 else:
                     lm, cm = int(modes[mb][0]), int(modes[mb][1])
-                    sl.ue(lm + 1)  # Table 7-11, cbp 0
+                    cdc = (
+                        (int(chroma_dc[mb][0]), int(chroma_dc[mb][1]))
+                        if chroma_dc is not None
+                        else (0, 0)
+                    )
+                    has_cdc = cdc != (0, 0)
+                    # Table 7-11: mb_type - 1 = 12*cbp_luma_bit
+                    # + 4*cbp_chroma + pred_mode
+                    sl.ue((4 if has_cdc else 0) + lm + 1)
                     sl.ue(cm)
                     sl.se(0)  # mb_qp_delta
                     # nC from SAME-SLICE neighbors only
@@ -2240,7 +2299,14 @@ def _encode_picture_slices(
                         n_c = n_b
                     else:
                         n_c = 0
-                    if n_c < 2:
+                    ldc = (
+                        [int(v) for v in luma_dc[mb]]
+                        if luma_dc is not None
+                        else [0] * 16
+                    )
+                    if any(ldc):
+                        _write_luma_dc_block(sl, ldc, n_c)
+                    elif n_c < 2:
                         sl.u(1, 1)
                     elif n_c < 4:
                         sl.u(3, 2)
@@ -2248,6 +2314,9 @@ def _encode_picture_slices(
                         sl.u(15, 4)
                     else:
                         sl.u(3, 6)
+                    if has_cdc:
+                        _write_chroma_dc_level(sl, cdc[0])
+                        _write_chroma_dc_level(sl, cdc[1])
                     tc[mb] = 0
             sl.rbsp_trailing()
             nals.append(bytes([(3 << 5) | 5]) + _escape_ebsp(sl.tobytes()))
@@ -2358,3 +2427,104 @@ def q_h264_gop_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "frame_idx",
     )
+
+
+# ---------------------------------------------------------------------
+# Notch 7: the composition corpus — GOP × slices × modes × residuals
+# ---------------------------------------------------------------------
+
+#: value-seed offset for the composition corpus (disjoint from the
+#: GOP corpus at 0.. and the AVC-in-MP4 corpus at 96..)
+_N7_SEED_OFF = 192
+
+
+def _fixture_notch7(i: int):
+    """GOP clip ``i`` whose predicted MBs carry BOTH dense luma-DC
+    blocks (notch 4) and chroma-DC residuals (notch 3) on top of the
+    full prediction-mode matrix (notch 5), across multiple slices and
+    pictures (notch 6) — QP 40 throughout so both residual scalings
+    are the exactly-verified 16·f / 20·L forms. Neighbors of
+    predicted MBs are always PCM (checkerboard), so prediction reads
+    residual-free formula edges and the residual add composes per-MB.
+    Returns (frames, cdcs, ldcs): per-frame plane tuples and the
+    per-frame residual level arrays the encoder rides."""
+    mbs_w, mbs_h = 2 + i % 3, 2 + i % 2
+    frames, cdcs, ldcs = [], [], []
+    for f in range(1 + i % 3):
+        sd = _N7_SEED_OFF + 4 * i + f
+        y, cb, cr, cls, modes = _fixture_mode_frame(sd, mbs_w, mbs_h)
+        n_mbs = len(cls)
+        cdc = np.zeros((n_mbs, 2), np.int32)
+        ldc = np.zeros((n_mbs, 16), np.int32)
+        zz = _n4_dc_zz(sd)
+        res_y = _n4_block_residuals(sd)
+        l_cb, l_cr = _n3_levels(sd)
+        r_cb, r_cr = _n3_residuals(sd)
+        for mb in range(n_mbs):
+            if not cls[mb]:
+                continue
+            cdc[mb] = (l_cb, l_cr)
+            ldc[mb] = zz
+            mbx, mby = mb % mbs_w, mb // mbs_w
+            for bi in range(4):
+                for bj in range(4):
+                    y0_, x0_ = mby * 16 + 4 * bi, mbx * 16 + 4 * bj
+                    sub = y[y0_ : y0_ + 4, x0_ : x0_ + 4].astype(np.int32)
+                    y[y0_ : y0_ + 4, x0_ : x0_ + 4] = np.clip(
+                        sub + res_y[bi * 4 + bj], 0, 255
+                    )
+            for pl, r_ in ((cb, r_cb), (cr, r_cr)):
+                sub = pl[
+                    mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+                ].astype(np.int32)
+                pl[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                    np.clip(sub + r_, 0, 255)
+                )
+        frames.append((y, cb, cr, cls, modes))
+        cdcs.append(cdc)
+        ldcs.append(ldc)
+    return frames, cdcs, ldcs
+
+
+def encode_full_annexb(i: int) -> bytes:
+    """Annex-B composition stream for clip ``i`` (QP 40)."""
+    frames, cdcs, ldcs = _fixture_notch7(i)
+    h, w = frames[0][0].shape
+    mbs_w, mbs_h = w // 16, h // 16
+    sps_nal, pps_nal = _gop_parameter_sets(mbs_w, mbs_h, _N3_QP)
+    out = b"\x00\x00\x00\x01" + sps_nal + b"\x00\x00\x00\x01" + pps_nal
+    for f, frame in enumerate(frames):
+        for nal in _encode_picture_slices(
+            frame, f, mbs_w, mbs_h, chroma_dc=cdcs[f], luma_dc=ldcs[f]
+        ):
+            out += b"\x00\x00\x00\x01" + nal
+    return out
+
+
+def synthetic_h264_full_media(
+    spark: SparkSession, n: int = _N_CLIPS
+) -> DataFrame:
+    rows = [(i, bytearray(encode_full_annexb(i))) for i in range(n)]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def q_h264_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: the H.264 ladder's composition corpus — every
+    notch at once: multi-picture multi-slice streams whose predicted
+    macroblocks use the full Intra_16x16 prediction-mode matrix AND
+    carry dense entropy-coded luma-DC blocks AND chroma-DC residuals,
+    at QP 40 with slice-gated availability. One exact statistics row
+    per frame; proves the decoder's features compose, not just pass
+    in isolation."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_gop_stats(synthetic_h264_full_media(spark)),
+        "media_id",
+        "frame_idx",
+    )
+
+
+SQL_H264_FULL_DECODE = _sql_h264_mode_matrix(
+    True, seed_off=_N7_SEED_OFF, residuals=True
+)

@@ -59,6 +59,11 @@ the first H.264 codec notch.
   parameter-set record, AVCC length-prefixed access units from the
   stsz/stco walk, Annex-B conversion, per-sample I-frame decode).
   Past the 50-slot gate this round.
+- ``h264_full_decode`` — notch 7: the composition corpus — every
+  ladder feature at once (GOP × multi-slice × full prediction-mode
+  matrix × dense luma-DC × chroma-DC residuals, QP 40); proves the
+  decoder's features compose, not just pass in isolation. Past the
+  50-slot gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -110,6 +115,7 @@ def queries():
         q_h264_cavlc_decode,
         q_h264_intra_decode,
         q_h264_ipcm_decode,
+        q_h264_full_decode,
         q_h264_gop_decode,
         q_h264_lumadc_decode,
         q_h264_plane_decode,
@@ -133,6 +139,7 @@ def queries():
         "h264_plane_decode": q_h264_plane_decode,
         "h264_gop_decode": q_h264_gop_decode,
         "h264_mp4_decode": q_h264_mp4_decode,
+        "h264_full_decode": q_h264_full_decode,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -167,6 +174,7 @@ def oracle_sql():
         SQL_H264_CAVLC_DECODE,
         SQL_H264_INTRA_DECODE,
         SQL_H264_IPCM_DECODE,
+        SQL_H264_FULL_DECODE,
         SQL_H264_GOP_DECODE,
         SQL_H264_LUMADC_DECODE,
         SQL_H264_PLANE_DECODE,
@@ -193,6 +201,7 @@ def oracle_sql():
         "h264_plane_decode": SQL_H264_PLANE_DECODE,
         "h264_gop_decode": SQL_H264_GOP_DECODE,
         "h264_mp4_decode": SQL_H264_MP4_DECODE,
+        "h264_full_decode": SQL_H264_FULL_DECODE,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,

@@ -462,3 +462,34 @@ def test_more_rbsp_data_stop_bit_positions():
     assert _last_set_bit_pos(bytes([0xA5, 0x01, 0x00])) == 15
     with pytest.raises(ValueError):
         _last_set_bit_pos(bytes([0, 0, 0]))
+
+
+def test_notch7_composition_round_trip():
+    """Every ladder feature in one stream: GOP, slices, all prediction
+    modes, dense luma-DC, chroma-DC — bit-exact reconstruction."""
+    from magmapandas_spark.operators.h264 import (
+        _fixture_mode_frame,
+        _fixture_notch7,
+        _N7_SEED_OFF,
+        decode_h264_stream,
+        encode_full_annexb,
+    )
+
+    for i in (0, 5, 11, 23):
+        frames, cdcs, ldcs = _fixture_notch7(i)
+        pics, sps = decode_h264_stream(encode_full_annexb(i))
+        assert len(pics) == len(frames)
+        for f, ((y, cb, cr), (ye, cbe, cre, cls, _)) in enumerate(
+            zip(pics, frames)
+        ):
+            assert np.array_equal(y, ye)
+            assert np.array_equal(cb, cbe)
+            assert np.array_equal(cr, cre)
+            if cls.any():
+                # residuals genuinely shifted the predicted MBs vs the
+                # residual-free mode frame
+                mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
+                base, _, _, _, _ = _fixture_mode_frame(
+                    _N7_SEED_OFF + 4 * i + f, mbs_w, mbs_h
+                )
+                assert not np.array_equal(y, base)
