@@ -1,47 +1,59 @@
-"""H.264/AVC Annex-B I-frame decode — first notch of the video-codec
-boundary (round 8; see PLANS §22).
+"""H.264/AVC baseline I-frame decoder — the from-scratch video-codec
+ladder (round 8; see PLANS §26b).
 
 The reference video path stops at container parsing + MJPEG
 (operators/mp4.py); inter-frame codecs were the honest stub. This
-module starts the from-scratch H.264 baseline ladder with the pieces
-every later notch reuses, all real:
+module is a real (subset-)conformant H.264 baseline decoder built
+notch by notch, each a strict superset of the last, each a registry
+gate row hashed against a closed-form DuckDB oracle that never
+decodes:
 
-- Annex-B byte-stream framing (start-code scan, 3- and 4-byte codes),
-- emulation-prevention removal (EBSP → RBSP, the 00 00 03 escape),
-- Exp-Golomb bitstream reader (ue(v)/se(v)) and bit-level writer,
-- SPS/PPS parsing (profile/level, frame dimensions in macroblocks,
-  frame_num bit-width, entropy mode, QP offsets),
-- IDR slice-header parsing (slice_type, frame_num, dec_ref_pic
-  marking),
-- the macroblock loop with **I_PCM reconstruction** (mb_type 25 in
-  I slices: byte-aligned raw 4:2:0 samples — the one macroblock class
-  whose reconstruction needs no prediction or transform, so the
-  decoded pixels are exactly checkable under the gate hash).
+1. ``h264_ipcm_decode`` — Annex-B framing (3-/4-byte start codes),
+   EBSP↔RBSP emulation-prevention, Exp-Golomb reader/writer, SPS/PPS
+   parse, IDR slice headers, I_PCM macroblock reconstruction.
+2. ``h264_intra_decode`` — Intra_16x16 V/H/DC prediction (spec
+   8.3.3) + chroma prediction (8.3.4) from reconstructed neighbor
+   edges; CAVLC coeff_token parse in the real spec-9.2.1 nC context.
+3. ``h264_cavlc_decode`` — entropy-coded chroma-DC residuals: the
+   nC = -1 coeff_token table, trailing-one signs, level_prefix/suffix
+   decode, 2x2 total_zeros/run_before, 2x2 inverse Hadamard,
+   Table-8-15 chroma-QP scaling, clipped reconstruction.
+4. ``h264_lumadc_decode`` — dense (all-16-coefficient)
+   Intra16x16DCLevel blocks: the 6-bit FLC coeff_token class, the
+   complete level state machine (first-coefficient +2 rule, TC>10
+   initial suffixLength, both growth steps), 4x4 inverse Hadamard,
+   spec-8.5.10 two-branch luma-DC scaling.
+5. ``h264_plane_decode`` — the COMPLETE prediction-mode matrix incl.
+   spec-8.3.3.4 luma Plane and 8.3.4 chroma Plane integer-gradient
+   fits over top+left+corner edges.
+6. ``h264_gop_decode`` / ``h264_mp4_decode`` — multi-picture,
+   multi-slice streams: first_mb_in_slice addressing,
+   more_rbsp_data() end-of-slice detection, idr_pic_id alternation,
+   slice-gated intra/nC availability; and the container integration
+   (avcC record + AVCC access units out of ISO BMFF sample tables,
+   operators/mp4.py).
+7. ``h264_full_decode`` — the composition corpus: every feature above
+   in one stream, proving they compose.
 
-Round-8 second notch adds **intra-predicted I_16x16 macroblocks**
-(zero residual): real Intra_16x16 prediction (Vertical / Horizontal /
-DC, spec 8.3.3) and spec 8.3.4 chroma prediction from already-
-reconstructed neighbor edges, plus the CAVLC ``coeff_token`` parse of
-the always-present Intra16x16DCLevel block — including the real nC
-context derivation from neighboring blocks' TotalCoeff (I_PCM
-neighbors count 16, zero-residual I_16x16 neighbors 0; spec 9.2.1),
-so the bitstream exercises two of the four coeff_token VLC classes.
-Nonzero CAVLC coefficient levels (and Plane prediction, P/B slices,
-CABAC) remain the honest ``NotImplementedError`` — the boundary is
-now "entropy-coded residuals", three layers deeper than round 7's
-container boundary.
+Honest boundaries (each an explicit ``NotImplementedError`` naming
+the structure that hit it): partially-filled 4x4 blocks (the 4x4
+total_zeros/run_before tables), Table 9-5 VLC0/1/2 nonzero
+coeff_token classes, luma/chroma AC blocks + I_4x4 per-block modes,
+escape-coded levels (level_prefix >= 15). P/B inter prediction,
+CABAC, high profiles, interlace, FMO: permanent scope lines.
 
 Scale posture: identical to every codec in this engine — one narrow
 Arrow ``mapInPandas`` stage per payload; bytes never leave the
 executor; output is a fixed handful of integer statistics per frame.
 
-Cross-engine checkability: the synthetic fixture's PCM samples are
-closed-form functions of (media_id, plane, write-index), so the
-DuckDB oracle recomputes the expected plane sums AND an
-order-sensitive checksum (Σ (k+1)·sample mod 1e9+7) without decoding
-— hash equality proves the decoder recovered every byte in the right
-spatial position, through real NAL/SPS/PPS/slice/MB parsing with
-emulation-prevention escapes exercised (sample value 0 runs occur).
+Cross-engine checkability: every fixture's PCM samples are
+closed-form functions of (seed, plane, write-index), predicted MBs
+always have PCM neighbors, and residual levels come from independent
+closed forms — so the DuckDB oracle recomputes expected plane sums
+AND an order-sensitive checksum (Σ (k+1)·sample mod 1e9+7) by pure
+integer arithmetic; hash equality proves the decoder recovered every
+sample in the right spatial position through the real parse path,
+with emulation-prevention escapes genuinely exercised.
 """
 
 from __future__ import annotations
