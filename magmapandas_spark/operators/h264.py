@@ -66,11 +66,20 @@ from pyspark.sql import types as T
 
 __all__ = [
     "encode_ipcm_annexb",
+    "encode_mixed_annexb",
+    "encode_gop_annexb",
+    "encode_full_annexb",
     "decode_h264_iframe",
-    "synthetic_h264_media",
+    "decode_h264_stream",
     "h264_frame_stats",
+    "h264_gop_stats",
     "q_h264_ipcm_decode",
-    "SQL_H264_IPCM_DECODE",
+    "q_h264_intra_decode",
+    "q_h264_cavlc_decode",
+    "q_h264_lumadc_decode",
+    "q_h264_plane_decode",
+    "q_h264_gop_decode",
+    "q_h264_full_decode",
 ]
 
 _CK_MOD = 1_000_000_007
