@@ -718,3 +718,163 @@ FROM reach r JOIN deg d ON d.a = r.a
 ORDER BY reach_2hop DESC, node
 LIMIT 30
 """
+
+
+# ---------------------------------------------------------------------
+# Personalized PageRank (round 8)
+# ---------------------------------------------------------------------
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Scaled-integer PERSONALIZED PageRank: the 15% teleport mass
+    returns only to the ``seeds`` node set (one ``node`` column), so
+    ranks measure proximity to the seeds — the recommendation /
+    related-items primitive. Same damped integer recurrence,
+    per-round plan and dangling-node convention as :func:`pagerank`;
+    the per-node teleport share is precomputed into the persisted
+    node relation (one broadcast semi-join before the loop, zero
+    extra per-round work)."""
+    spark = edges.sparkSession
+    npart = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    n_seeds = seeds.count()
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .join(
+            F.broadcast(
+                seeds.select(F.col("node"), F.lit(1).alias("is_seed"))
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.when(
+                F.col("is_seed").isNotNull(),
+                F.lit((15 * SCALE) // (100 * n_seeds)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("tp"),
+            F.when(
+                F.col("is_seed").isNotNull(),
+                F.lit(SCALE // n_seeds),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("r0"),
+        )
+        .repartition(npart, "node")
+        .persist()
+    )
+    nodes.count()
+    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    e = (
+        edges.join(outdeg, on=src)
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"), "outdeg")
+        .repartition(npart, "u")
+        .persist()
+    )
+    e.count()
+    ranks = nodes.select("node", F.col("r0").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(
+                ranks.select(F.col("node").alias("u"), "rank"), on="u"
+            )
+            .select(
+                F.col("v").alias("node"),
+                F.expr("(85 * rank) div (100 * outdeg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.col("tp") + F.coalesce(F.col("inflow"), F.lit(0))
+                ).cast("long").alias("rank"),
+            )
+            .repartition(npart, "node")
+            .localCheckpoint(eager=False)
+        )
+    out = ranks
+    out.count()
+    nodes.unpersist()
+    e.unpersist()
+    return out
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: 10 personalized-PageRank iterations over the
+    synthetic link graph with teleport restricted to the 10 seed
+    nodes (node % 50 = 0) — iteration 10's exact bigint
+    proximity-to-seeds ranks under the hash."""
+    seeds = spark.range(0, _N, 50).select(F.col("id").alias("node"))
+    pr = personalized_pagerank(
+        synthetic_link_graph(spark), seeds, iterations=10, n_partitions=2
+    )
+    return pr.orderBy("node").coalesce(1)
+
+
+def sql_personalized_pagerank(iterations: int = 10) -> str:
+    links = " UNION ALL ".join(
+        f"SELECT i AS src, (i * i * {a} + i * {b} + {c}) % {_N} AS dst "
+        f"FROM range({_N}) t(i)"
+        for a, b, c in _LINKS
+    )
+    s = SCALE
+    n_seeds = _N // 50
+    tp = (15 * s) // (100 * n_seeds)
+    rounds = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        rounds.append(f"""r{k} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node % 50 = 0 THEN {tp} ELSE 0 END
+              + COALESCE(SUM(
+                  (85 * p.rank) // (100 * e.outdeg)
+                ), 0) AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN {prev} p ON p.node = e.src
+  GROUP BY n.node
+)""")
+        prev = f"r{k}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH edges AS ({links}),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+e AS (
+  SELECT edges.src, edges.dst, deg.outdeg
+  FROM edges JOIN deg ON edges.src = deg.src
+),
+r0 AS (
+  SELECT node,
+         CAST(CASE WHEN node % 50 = 0 THEN {s // n_seeds} ELSE 0 END
+              AS BIGINT) AS rank
+  FROM nodes
+),
+{rounds_sql}
+SELECT node, rank FROM {prev}
+ORDER BY node
+"""
+
+
+SQL_PERSONALIZED_PAGERANK = sql_personalized_pagerank()

