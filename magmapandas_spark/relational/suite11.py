@@ -89,11 +89,77 @@ the first H.264 codec notch.
   the distribution-shift monitor for corpus rebuilds;
   ``personalized_pagerank`` — seed-teleport PPR (proximity-to-seeds
   ranks, the recommendation primitive), same integer recurrence and
-  iteration-replayed oracle as pagerank.
+  iteration-replayed oracle as pagerank; ``rolling_range_frame`` —
+  VALUE-based window frames (RANGE BETWEEN ±30 days) over a constant
+  customer slice, the last uncovered frame class.
   All past the 50-slot gate this round.
 """
 
 from __future__ import annotations
+
+
+def q_rolling_range_frame(spark, sf_dir):
+    """Gate query: VALUE-based window frames (RANGE BETWEEN k
+    PRECEDING AND k FOLLOWING) — the one frame class the suite had
+    not yet exercised. Per order of a constant customer slice
+    (o_custkey < 300): the customer's ±30-day revenue neighborhood
+    (DECIMAL-exact sum + count over an integer epoch-day RANGE
+    frame). Range frames are set-valued per row, so ties in the
+    ordering column contribute identically in both engines.
+
+    Scale posture: per-customer partitions, frame bounded by the
+    customer's ±30-day order density; the slice cap keeps the gate
+    output constant."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_custkey") < 300
+    )
+    days = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    )
+    src = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        days.alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, 30)
+    )
+    return (
+        src.select(
+            "o_custkey",
+            "o_orderkey",
+            "day",
+            F.round(F.sum("p").over(w).cast("double"), 2).alias(
+                "window_total"
+            ),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+SQL_ROLLING_RANGE_FRAME = """
+WITH src AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_custkey < 300
+)
+SELECT o_custkey, o_orderkey, day,
+       ROUND(CAST(SUM(p) OVER w AS DOUBLE), 2) AS window_total,
+       COUNT(*) OVER w AS n_in_window
+FROM src
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
 
 
 def queries():
@@ -154,6 +220,7 @@ def queries():
         "gini_concentration": q_gini_concentration,
         "psi_drift": q_psi_drift,
         "personalized_pagerank": q_personalized_pagerank,
+        "rolling_range_frame": q_rolling_range_frame,
         "gini_sketch": q_gini_sketch,
         "text_hapax": q_text_hapax,
     }
@@ -220,6 +287,7 @@ def oracle_sql():
         "gini_concentration": SQL_GINI_CONCENTRATION,
         "psi_drift": SQL_PSI_DRIFT,
         "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
+        "rolling_range_frame": SQL_ROLLING_RANGE_FRAME,
         "gini_sketch": SQL_GINI_SKETCH,
         "text_hapax": SQL_TEXT_HAPAX,
     }
