@@ -91,7 +91,9 @@ the first H.264 codec notch.
   ranks, the recommendation primitive), same integer recurrence and
   iteration-replayed oracle as pagerank; ``rolling_range_frame`` —
   VALUE-based window frames (RANGE BETWEEN ±30 days) over a constant
-  customer slice, the last uncovered frame class.
+  customer slice, the last uncovered frame class;
+  ``grouping_sets_revenue`` — explicit GROUPING SETS with GROUPING()
+  bitmask disambiguation (one Expand + hash aggregate).
   All past the 50-slot gate this round.
 """
 
@@ -162,6 +164,42 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def q_grouping_sets_revenue(spark, sf_dir):
+    """Gate query: explicit GROUPING SETS with GROUPING()
+    disambiguation — the generalization of the covered ROLLUP/CUBE
+    operators: four deliberate aggregation grains ((flag, status),
+    (flag), (status), ()) in one pass, grain identified by the
+    grouping bitmask instead of NULL-ambiguity. Declared in SQL on
+    both sides; Catalyst expands to a single Expand + hash aggregate
+    (one scan, map-side combined)."""
+    return spark.sql(f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM parquet.`{sf_dir}/lineitem.parquet`
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus), ())
+ORDER BY gid, flag, status
+""")
+
+
+SQL_GROUPING_SETS_REVENUE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus), ())
+ORDER BY gid, flag, status
+"""
+
+
 def queries():
     from magmapandas_spark.operators.analytics import (
         q_abc_classification,
@@ -221,6 +259,7 @@ def queries():
         "psi_drift": q_psi_drift,
         "personalized_pagerank": q_personalized_pagerank,
         "rolling_range_frame": q_rolling_range_frame,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
         "gini_sketch": q_gini_sketch,
         "text_hapax": q_text_hapax,
     }
@@ -288,6 +327,7 @@ def oracle_sql():
         "psi_drift": SQL_PSI_DRIFT,
         "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
         "rolling_range_frame": SQL_ROLLING_RANGE_FRAME,
+        "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
         "gini_sketch": SQL_GINI_SKETCH,
         "text_hapax": SQL_TEXT_HAPAX,
     }
