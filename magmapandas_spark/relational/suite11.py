@@ -93,7 +93,9 @@ the first H.264 codec notch.
   VALUE-based window frames (RANGE BETWEEN ±30 days) over a constant
   customer slice, the last uncovered frame class;
   ``grouping_sets_revenue`` — explicit GROUPING SETS with GROUPING()
-  bitmask disambiguation (one Expand + hash aggregate).
+  bitmask disambiguation (one Expand + hash aggregate);
+  ``unpivot_profile`` — UNPIVOT/melt of the measure columns with a
+  per-measure exact profile (Expand-based, scan-local).
   All past the 50-slot gate this round.
 """
 
@@ -200,6 +202,56 @@ ORDER BY gid, flag, status
 """
 
 
+def q_unpivot_profile(spark, sf_dir):
+    """Gate query: UNPIVOT (relational melt — the pandas stack/melt
+    the reference's dataframe surface implies) of lineitem's four
+    measure columns to (measure, value) rows, then a per-measure
+    profile: n, DECIMAL-exact sum, extrema. Spark's Expand-based
+    unpivot and DuckDB's UNPIVOT must agree exactly.
+
+    Plan: one scan, Expand (4 rows per input, scan-local), one 4-row
+    aggregation — no join, no window."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    m = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return (
+        m.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+            F.round(F.min("value"), 6).alias("mn"),
+            F.round(F.max("value"), 6).alias("mx"),
+        )
+        .orderBy("measure")
+    )
+
+
+SQL_UNPIVOT_PROFILE = """
+WITH m AS (
+  UNPIVOT (
+    SELECT l_quantity, l_extendedprice, l_discount, l_tax
+    FROM lineitem
+  ) ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE value
+)
+SELECT measure, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       ROUND(MIN(value), 6) AS mn,
+       ROUND(MAX(value), 6) AS mx
+FROM m
+GROUP BY measure
+ORDER BY measure
+"""
+
+
 def queries():
     from magmapandas_spark.operators.analytics import (
         q_abc_classification,
@@ -260,6 +312,7 @@ def queries():
         "personalized_pagerank": q_personalized_pagerank,
         "rolling_range_frame": q_rolling_range_frame,
         "grouping_sets_revenue": q_grouping_sets_revenue,
+        "unpivot_profile": q_unpivot_profile,
         "gini_sketch": q_gini_sketch,
         "text_hapax": q_text_hapax,
     }
@@ -328,6 +381,7 @@ def oracle_sql():
         "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
         "rolling_range_frame": SQL_ROLLING_RANGE_FRAME,
         "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
+        "unpivot_profile": SQL_UNPIVOT_PROFILE,
         "gini_sketch": SQL_GINI_SKETCH,
         "text_hapax": SQL_TEXT_HAPAX,
     }
