@@ -1953,6 +1953,7 @@ def _sql_h264_mode_matrix(
     seed_off: int = 0,
     slices_col: str = "n_slices",
     residuals: bool = False,
+    fingerprint: bool = False,
 ) -> str:
     """Closed-form oracle for the mode-matrix corpora: predicted MBs'
     neighbor edges are PCM formula values, so every prediction mode —
@@ -2146,6 +2147,77 @@ LEFT JOIN luma_pred lr ON lr.sd = c.sd
 JOIN chroma_pcm cp ON cp.sd = c.sd
 LEFT JOIN chroma_pred cr2 ON cr2.sd = c.sd
 ORDER BY media_id""".format(mod=_CK_MOD)
+    if fingerprint:
+        # per-sample luma values (PCM formula + predicted-mode CASE)
+        # -> 16-bin histogram per frame -> ordered count string ->
+        # md5-prefix fingerprint; frames sharing a fingerprint are
+        # near-dup candidates (the video-dedup primitive). Media 24/25
+        # are byte-duplicates of clips 0/5, so the collision path is
+        # NON-vacuous: their frames' fingerprints genuinely collide.
+        fp_frames = f"""frames AS (
+  SELECT i AS clip_id, fr.f AS f,
+         {seed_off} + 4 * ie.ie + fr.f AS sd,
+         2 + ie.ie % 3 AS mbs_w, 2 + ie.ie % 2 AS mbs_h
+  FROM range({_N_CLIPS + 2}) t(i),
+       LATERAL (SELECT CASE WHEN i = {_N_CLIPS} THEN 0
+                            WHEN i = {_N_CLIPS + 1} THEN 5
+                            ELSE i END AS ie) ie,
+       LATERAL (SELECT UNNEST(range(1 + ie.ie % 3)) AS f) fr
+)"""
+        return f"""
+WITH {fp_frames},
+sds AS (SELECT DISTINCT sd, mbs_w, mbs_h FROM frames),
+mbs AS (
+  SELECT sd, mbs_w, mbs_h, m.m AS mb,
+         m.m % mbs_w AS mbx, m.m // mbs_w AS mby
+  FROM sds, LATERAL (SELECT UNNEST(range(mbs_w * mbs_h)) AS m) m
+),
+consts AS (
+  SELECT sd, mbs_w, mb,
+         (sd + mb) % 4 AS lm,
+         (sd + 2 * mb + 1) % 4 AS cm{extra_cols},
+         16 * ({ft(15)} + {fl(15)}) AS la,
+         ((5 * ({hsum}) + 32) >> 6) AS lb,
+         ((5 * ({vsum}) + 32) >> 6) AS lc,
+         (({sum_top}) + ({sum_left}) + 16) >> 5 AS dc16,{cb_consts},{cr_consts}
+  FROM mbs WHERE mbx % 2 = 1 AND mby % 2 = 1
+),
+samples AS (
+  SELECT sd, {y_v} AS v
+  FROM mbs, LATERAL (SELECT UNNEST(range(256)) AS o) o
+  WHERE NOT (mbx % 2 = 1 AND mby % 2 = 1)
+  UNION ALL
+  SELECT sd, {v_luma} AS v
+  FROM consts, LATERAL (SELECT UNNEST(range(256)) AS o) o
+),
+hist AS (
+  SELECT s.sd, b.b AS bin, COUNT(*) FILTER (v // 16 = b.b) AS cnt
+  FROM samples s, LATERAL (SELECT UNNEST(range(16)) AS b) b
+  GROUP BY s.sd, b.b
+),
+fp AS (
+  SELECT sd,
+         string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bin) AS hist,
+         CAST(SUM(cnt) AS BIGINT) AS n_px
+  FROM hist GROUP BY sd
+),
+fp2 AS (
+  SELECT sd, hist, n_px,
+         CAST(('0x' || substr(md5(hist), 1, 15)) AS BIGINT) AS fp
+  FROM fp
+),
+dups AS (
+  SELECT f2.fp, COUNT(*) AS n_frames_with_fp
+  FROM frames c JOIN fp2 f2 ON f2.sd = c.sd
+  GROUP BY f2.fp
+)
+SELECT c.clip_id AS media_id, CAST(c.f AS INT) AS frame_idx,
+       f2.n_px, f2.hist, f2.fp, d.n_frames_with_fp
+FROM frames c
+JOIN fp2 f2 ON f2.sd = c.sd
+JOIN dups d ON d.fp = f2.fp
+ORDER BY media_id, frame_idx
+"""
     return f"""
 WITH {frames_cte},
 mbs AS (
@@ -2549,3 +2621,86 @@ def q_h264_full_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_H264_FULL_DECODE = _sql_h264_mode_matrix(
     True, seed_off=_N7_SEED_OFF, residuals=True
 )
+
+
+SQL_VIDEO_FINGERPRINT = _sql_h264_mode_matrix(True, fingerprint=True)
+
+
+# ---------------------------------------------------------------------
+# Video fingerprint dedup (round 8)
+# ---------------------------------------------------------------------
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("hist", T.StringType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+def h264_frame_fingerprints(media: DataFrame) -> DataFrame:
+    """Per-frame luma-histogram fingerprints: decode each stream,
+    bucket the luma plane into 16 equi-width bins, and hash the
+    ordered count string (md5-prefix BIGINT, the engine-portable
+    convention) — frames sharing a fingerprint are near-duplicate
+    candidates. The video-dedup primitive: one narrow Arrow stage,
+    payload bytes never leave the executor, 5 small columns out."""
+    import hashlib
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _FP_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pics, sps = decode_h264_stream(bytes(payload))
+                for fi, (y, cb, cr) in enumerate(pics):
+                    counts = np.bincount(
+                        (y.reshape(-1) // 16).astype(np.int64),
+                        minlength=16,
+                    )[:16]
+                    hist = ",".join(str(int(c)) for c in counts)
+                    fp = int(
+                        hashlib.md5(hist.encode()).hexdigest()[:15], 16
+                    )
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["n_px"].append(int(y.size))
+                    out["hist"].append(hist)
+                    out["fp"].append(fp)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, _FP_SCHEMA)
+
+
+def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-frame luma-histogram fingerprints over the GOP
+    corpus plus two byte-duplicate clips (media 24/25 repeat clips
+    0/5), then the collision count per fingerprint — the duplicated
+    clips' frames genuinely collide, so the dedup path is
+    non-vacuous. Decode + fingerprint is one narrow Arrow stage; the
+    collision count is a |distinct fp|-sized aggregation broadcast
+    back."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    base = synthetic_h264_gop_media(spark)
+    dups = spark.createDataFrame(
+        [
+            (_N_CLIPS + k, bytearray(encode_gop_annexb(_fixture_notch6(i))))
+            for k, i in ((0, 0), (1, 5))
+        ],
+        "media_id long, payload binary",
+    )
+    fps = h264_frame_fingerprints(base.unionByName(dups))
+    counts = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_frames_with_fp")
+    )
+    return tiny_sorted(
+        fps.join(F.broadcast(counts), "fp").select(
+            "media_id", "frame_idx", "n_px", "hist", "fp",
+            "n_frames_with_fp",
+        ),
+        "media_id",
+        "frame_idx",
+    )

@@ -64,6 +64,10 @@ the first H.264 codec notch.
   matrix × dense luma-DC × chroma-DC residuals, QP 40); proves the
   decoder's features compose, not just pass in isolation. Past the
   50-slot gate this round.
+- ``video_fingerprint`` — per-frame luma-histogram fingerprints
+  (md5-prefix BIGINT) over the GOP corpus + two byte-duplicate clips,
+  with per-fingerprint collision counts: the video-dedup primitive,
+  collision path non-vacuous. Past the 50-slot gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -281,6 +285,7 @@ def queries():
         q_h264_gop_decode,
         q_h264_lumadc_decode,
         q_h264_plane_decode,
+        q_video_fingerprint,
     )
     from magmapandas_spark.operators.keywords import q_rake_keywords
     from magmapandas_spark.operators.mp4 import q_h264_mp4_decode
@@ -302,6 +307,7 @@ def queries():
         "h264_gop_decode": q_h264_gop_decode,
         "h264_mp4_decode": q_h264_mp4_decode,
         "h264_full_decode": q_h264_full_decode,
+        "video_fingerprint": q_video_fingerprint,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -347,6 +353,7 @@ def oracle_sql():
         SQL_H264_GOP_DECODE,
         SQL_H264_LUMADC_DECODE,
         SQL_H264_PLANE_DECODE,
+        SQL_VIDEO_FINGERPRINT,
     )
     from magmapandas_spark.operators.h264 import SQL_H264_MP4_DECODE
     from magmapandas_spark.operators.keywords import SQL_RAKE_KEYWORDS
@@ -371,6 +378,7 @@ def oracle_sql():
         "h264_gop_decode": SQL_H264_GOP_DECODE,
         "h264_mp4_decode": SQL_H264_MP4_DECODE,
         "h264_full_decode": SQL_H264_FULL_DECODE,
+        "video_fingerprint": SQL_VIDEO_FINGERPRINT,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,
