@@ -226,3 +226,118 @@ SELECT media_id,
 FROM chunk
 ORDER BY media_id, chunk_idx
 """
+
+
+# ---------------------------------------------------------------------
+# Audio fingerprint dedup (round 8)
+# ---------------------------------------------------------------------
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("hist", T.StringType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+def wav_fingerprints(media: DataFrame) -> DataFrame:
+    """Per-clip amplitude-histogram fingerprints: decode the PCM
+    samples, bucket into 16 equi-width amplitude bins
+    ((s + 2048) div 256 over the int16 range the fixture spans), and
+    hash the ordered count string (md5-prefix BIGINT) — clips sharing
+    a fingerprint are near-duplicate candidates. The audio leg of the
+    multimodal dedup triad (MinHash text / frame-histogram video /
+    amplitude-histogram audio); one narrow Arrow stage."""
+    import hashlib
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _FP_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, n_ch, samples = wav_decode(bytes(payload))
+                bins = np.clip(
+                    (samples.reshape(-1).astype(np.int64) + 2048) // 256,
+                    0,
+                    15,
+                )
+                counts = np.bincount(bins, minlength=16)[:16]
+                hist = ",".join(str(int(c)) for c in counts)
+                fp = int(
+                    hashlib.md5(hist.encode()).hexdigest()[:15], 16
+                )
+                out["media_id"].append(mid)
+                out["n_frames"].append(int(samples.size))
+                out["hist"].append(hist)
+                out["fp"].append(fp)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, _FP_SCHEMA)
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: amplitude-histogram fingerprints over the 48-clip
+    WAV corpus plus two byte-duplicate clips (media 48/49 repeat
+    clips 3/10) with per-fingerprint collision counts — the audio
+    dedup path, collisions non-vacuous."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    base = synthetic_wav_media(spark, 48)
+    dups = spark.createDataFrame(
+        [(48, make_synthetic_wav(3)), (49, make_synthetic_wav(10))],
+        MEDIA_WAV_SCHEMA,
+    )
+    fps = wav_fingerprints(base.unionByName(dups))
+    counts = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_clips_with_fp")
+    )
+    return tiny_sorted(
+        fps.join(F.broadcast(counts), "fp").select(
+            "media_id", "n_frames", "hist", "fp", "n_clips_with_fp"
+        ),
+        "media_id",
+    )
+
+
+SQL_AUDIO_FINGERPRINT = """
+WITH clip AS (
+  SELECT i AS media_id,
+         CASE WHEN i = 48 THEN 3 WHEN i = 49 THEN 10 ELSE i END AS ie
+  FROM range(50) t(i)
+),
+sds AS (
+  SELECT DISTINCT ie, 400 + (ie % 7) * 100 AS n FROM clip
+),
+frame AS (
+  SELECT ie, n, ((ie * 13 + j.j * j.j) % 4096 - 2048 + 2048) // 256
+           AS bin
+  FROM sds, LATERAL (SELECT UNNEST(range(n)) AS j) j
+),
+hist AS (
+  SELECT f.ie, b.b AS bin, COUNT(*) FILTER (f.bin = b.b) AS cnt
+  FROM frame f, LATERAL (SELECT UNNEST(range(16)) AS b) b
+  GROUP BY f.ie, b.b
+),
+fp AS (
+  SELECT ie,
+         string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bin) AS hist,
+         CAST(SUM(cnt) AS BIGINT) AS n_frames
+  FROM hist GROUP BY ie
+),
+fp2 AS (
+  SELECT ie, hist, n_frames,
+         CAST(('0x' || substr(md5(hist), 1, 15)) AS BIGINT) AS fp
+  FROM fp
+),
+dups AS (
+  SELECT f2.fp, COUNT(*) AS n_clips_with_fp
+  FROM clip c JOIN fp2 f2 ON f2.ie = c.ie
+  GROUP BY f2.fp
+)
+SELECT c.media_id, f2.n_frames, f2.hist, f2.fp, d.n_clips_with_fp
+FROM clip c
+JOIN fp2 f2 ON f2.ie = c.ie
+JOIN dups d ON d.fp = f2.fp
+ORDER BY c.media_id
+"""

@@ -67,7 +67,9 @@ the first H.264 codec notch.
 - ``video_fingerprint`` — per-frame luma-histogram fingerprints
   (md5-prefix BIGINT) over the GOP corpus + two byte-duplicate clips,
   with per-fingerprint collision counts: the video-dedup primitive,
-  collision path non-vacuous. Past the 50-slot gate this round.
+  collision path non-vacuous; ``audio_fingerprint`` — the audio leg
+  (amplitude-histogram fingerprints over the WAV corpus + duplicate
+  clips). Past the 50-slot gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -289,6 +291,7 @@ def queries():
     )
     from magmapandas_spark.operators.keywords import q_rake_keywords
     from magmapandas_spark.operators.mp4 import q_h264_mp4_decode
+    from magmapandas_spark.operators.wav import q_audio_fingerprint
     from magmapandas_spark.operators.stats import q_corr_matrix, q_psi_drift
     from magmapandas_spark.operators.timeseries import q_seasonal_profile
 
@@ -308,6 +311,7 @@ def queries():
         "h264_mp4_decode": q_h264_mp4_decode,
         "h264_full_decode": q_h264_full_decode,
         "video_fingerprint": q_video_fingerprint,
+        "audio_fingerprint": q_audio_fingerprint,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -357,6 +361,7 @@ def oracle_sql():
     )
     from magmapandas_spark.operators.h264 import SQL_H264_MP4_DECODE
     from magmapandas_spark.operators.keywords import SQL_RAKE_KEYWORDS
+    from magmapandas_spark.operators.wav import SQL_AUDIO_FINGERPRINT
     from magmapandas_spark.operators.stats import (
         SQL_CORR_MATRIX,
         SQL_PSI_DRIFT,
@@ -379,6 +384,7 @@ def oracle_sql():
         "h264_mp4_decode": SQL_H264_MP4_DECODE,
         "h264_full_decode": SQL_H264_FULL_DECODE,
         "video_fingerprint": SQL_VIDEO_FINGERPRINT,
+        "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,
