@@ -1395,3 +1395,67 @@ FROM clusters
 GROUP BY sz
 ORDER BY sz
 """
+
+
+# ---------------------------------------------------------------------
+# Cross-document n-gram novelty (round 8)
+# ---------------------------------------------------------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-document NOVELTY — the share (ppm) of a doc's
+    distinct character 3-grams that occur in NO other document. High
+    novelty marks genuinely fresh content; near-zero novelty marks
+    templated/duplicated text the dedup tier should review. The
+    cross-document complement of the within-doc repetition scores.
+
+    Plan: the shingle relation is built scan-locally (distinct 3-gram
+    sets per doc, the dedup-tier discipline), one vocabulary-keyed
+    count (charset³-bounded), broadcast back over the per-doc grams —
+    two aggregations, no window, nothing corpus-sized past the
+    shingle shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingle_df(docs, n=3)
+    df_counts = sh.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    per_doc = (
+        sh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.expr("CASE WHEN n_docs_with = 1 THEN 1 ELSE 0 END")
+            ).alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.expr("n_unique * 1000000 div n_grams").alias("novelty_ppm"),
+    ).orderBy("doc_id")
+
+
+SQL_NGRAM_NOVELTY = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i.i, 3) AS sh
+  FROM documents,
+       LATERAL (SELECT UNNEST(range(1, length(text) - 1)) AS i) i
+  WHERE length(text) >= 3
+),
+counts AS (
+  SELECT sh, COUNT(*) AS n_docs_with FROM sh GROUP BY sh
+),
+per_doc AS (
+  SELECT s.doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN c.n_docs_with = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_unique
+  FROM sh s JOIN counts c ON c.sh = s.sh
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_grams, n_unique,
+       n_unique * 1000000 // n_grams AS novelty_ppm
+FROM per_doc
+ORDER BY doc_id
+"""

@@ -515,3 +515,88 @@ SELECT dow, hour, n,
 FROM cells CROSS JOIN tot
 ORDER BY dow, hour
 """
+
+
+def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: seasonal-residual anomaly flags — each event is
+    compared against ITS OWN (dow, hour) cell's mean and variance
+    (DECIMAL-exact power sums), and flagged when
+    (value − mean)² > 4·variance (the |z| > 2 rule, squared to avoid
+    a sqrt). Output per cell: n, outlier count, outlier ppm — the
+    anomaly-rate report a monitoring pass publishes on top of the
+    seasonal profile.
+
+    Plan: one ≤168-cell aggregation broadcast back over a second scan
+    (scan-local flagging), one cell-grain recount — no window, no
+    corpus-sized join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    src = ev.select(
+        ((days + 4) % 7).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+        "value",
+    )
+
+    def ps(e):
+        return F.sum(e.cast("decimal(28,6)")).cast("double")
+
+    cells = src.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        ps(F.col("value")).alias("s1"),
+        ps(F.col("value") * F.col("value")).alias("s2"),
+    )
+    m = F.col("s1") / F.col("n")
+    v = F.col("s2") / F.col("n") - m * m
+    flagged = (
+        src.join(F.broadcast(cells), ["dow", "hour"])
+        .select(
+            "dow",
+            "hour",
+            F.expr(
+                "CASE WHEN (value - s1 / n) * (value - s1 / n)"
+                " > 4.0 * (s2 / n - (s1 / n) * (s1 / n))"
+                " THEN 1 ELSE 0 END"
+            ).alias("is_outlier"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_outlier").cast("long").alias("n_outliers"),
+        )
+    )
+    return flagged.select(
+        "dow",
+        "hour",
+        "n",
+        "n_outliers",
+        F.expr("n_outliers * 1000000 div n").alias("outlier_ppm"),
+    ).orderBy("dow", "hour")
+
+
+SQL_SEASONAL_OUTLIERS = """
+WITH src AS (
+  SELECT CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4)
+              % 7 AS INT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+         value
+  FROM events
+),
+cells AS (
+  SELECT dow, hour, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+  FROM src GROUP BY dow, hour
+),
+flagged AS (
+  SELECT s.dow, s.hour, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN (s.value - c.s1 / c.n) * (s.value - c.s1 / c.n)
+                            > 4.0 * (c.s2 / c.n - (c.s1 / c.n) * (c.s1 / c.n))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM src s JOIN cells c ON c.dow = s.dow AND c.hour = s.hour
+  GROUP BY s.dow, s.hour
+)
+SELECT dow, hour, n, n_outliers,
+       n_outliers * 1000000 // n AS outlier_ppm
+FROM flagged
+ORDER BY dow, hour
+"""

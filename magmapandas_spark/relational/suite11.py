@@ -69,7 +69,12 @@ the first H.264 codec notch.
   with per-fingerprint collision counts: the video-dedup primitive,
   collision path non-vacuous; ``audio_fingerprint`` — the audio leg
   (amplitude-histogram fingerprints over the WAV corpus + duplicate
-  clips). Past the 50-slot gate this round.
+  clips); ``ngram_novelty`` — per-document share of corpus-unique
+  character 3-grams (the cross-document complement of the repetition
+  scores); ``seasonal_outliers`` — per-(dow, hour)-cell |z| > 2
+  anomaly rates from DECIMAL-exact cell moments (the monitoring pass
+  on top of the seasonal profile). Past the 50-slot gate this
+  round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -272,7 +277,10 @@ def queries():
         q_balanced_sample,
         q_text_hapax,
     )
-    from magmapandas_spark.operators.dedup import q_dedup_impact
+    from magmapandas_spark.operators.dedup import (
+        q_dedup_impact,
+        q_ngram_novelty,
+    )
     from magmapandas_spark.operators.evaluation import q_knn_label_noise
     from magmapandas_spark.operators.fuzzy import q_er_golden_multipass
     from magmapandas_spark.operators.graph import (
@@ -293,7 +301,10 @@ def queries():
     from magmapandas_spark.operators.mp4 import q_h264_mp4_decode
     from magmapandas_spark.operators.wav import q_audio_fingerprint
     from magmapandas_spark.operators.stats import q_corr_matrix, q_psi_drift
-    from magmapandas_spark.operators.timeseries import q_seasonal_profile
+    from magmapandas_spark.operators.timeseries import (
+        q_seasonal_outliers,
+        q_seasonal_profile,
+    )
 
     return {
         "rfm_segments_sketch": q_rfm_segments_sketch,
@@ -312,6 +323,8 @@ def queries():
         "h264_full_decode": q_h264_full_decode,
         "video_fingerprint": q_video_fingerprint,
         "audio_fingerprint": q_audio_fingerprint,
+        "ngram_novelty": q_ngram_novelty,
+        "seasonal_outliers": q_seasonal_outliers,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -342,7 +355,10 @@ def oracle_sql():
         SQL_BALANCED_SAMPLE,
         SQL_TEXT_HAPAX,
     )
-    from magmapandas_spark.operators.dedup import SQL_DEDUP_IMPACT
+    from magmapandas_spark.operators.dedup import (
+        SQL_DEDUP_IMPACT,
+        SQL_NGRAM_NOVELTY,
+    )
     from magmapandas_spark.operators.evaluation import SQL_KNN_LABEL_NOISE
     from magmapandas_spark.operators.fuzzy import SQL_ER_GOLDEN_MULTIPASS
     from magmapandas_spark.operators.graph import (
@@ -366,7 +382,10 @@ def oracle_sql():
         SQL_CORR_MATRIX,
         SQL_PSI_DRIFT,
     )
-    from magmapandas_spark.operators.timeseries import SQL_SEASONAL_PROFILE
+    from magmapandas_spark.operators.timeseries import (
+        SQL_SEASONAL_OUTLIERS,
+        SQL_SEASONAL_PROFILE,
+    )
 
     return {
         "rfm_segments_sketch": SQL_RFM_SEGMENTS_SKETCH,
@@ -385,6 +404,8 @@ def oracle_sql():
         "h264_full_decode": SQL_H264_FULL_DECODE,
         "video_fingerprint": SQL_VIDEO_FINGERPRINT,
         "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
+        "ngram_novelty": SQL_NGRAM_NOVELTY,
+        "seasonal_outliers": SQL_SEASONAL_OUTLIERS,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,
