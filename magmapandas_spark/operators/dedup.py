@@ -1410,10 +1410,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-document complement of the within-doc repetition scores.
 
     Plan: the shingle relation is built scan-locally (distinct 3-gram
-    sets per doc, the dedup-tier discipline), one vocabulary-keyed
-    count (charset³-bounded), broadcast back over the per-doc grams —
-    two aggregations, no window, nothing corpus-sized past the
-    shingle shuffle."""
+    sets per doc, the dedup-tier discipline); the vocabulary count is
+    derived FROM that same relation, so the count-back join reuses
+    the identical sh-keyed hash exchange (AQE broadcasts the
+    charset³-bounded side at gate scale, and at corpus scale both
+    sides are already co-partitioned on sh — the minhash_lsh
+    discipline). Two aggregations, no window."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = shingle_df(docs, n=3)
     df_counts = sh.groupBy("sh").agg(

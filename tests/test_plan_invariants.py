@@ -831,3 +831,15 @@ def test_psi_drift_is_bin_bounded(spark):
     plan = plan_of(q_psi_drift(spark, SF))
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ngram_novelty_join_is_keyed(spark):
+    """The vocabulary count-back join is keyed (broadcast at gate
+    scale via AQE; co-partitioned exchange reuse at corpus scale) —
+    never a cartesian, and every window-free."""
+    from magmapandas_spark.operators.dedup import q_ngram_novelty
+
+    plan = plan_of(q_ngram_novelty(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
