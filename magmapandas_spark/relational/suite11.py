@@ -73,7 +73,9 @@ the first H.264 codec notch.
   character 3-grams (the cross-document complement of the repetition
   scores); ``seasonal_outliers`` — per-(dow, hour)-cell |z| > 2
   anomaly rates from DECIMAL-exact cell moments (the monitoring pass
-  on top of the seasonal profile). Past the 50-slot gate this
+  on top of the seasonal profile); ``l_diversity`` — k-anonymity's
+  companion audit: class census by (size, distinct sensitive values),
+  homogeneous classes flagged as leaks. Past the 50-slot gate this
   round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
@@ -300,6 +302,7 @@ def queries():
     from magmapandas_spark.operators.keywords import q_rake_keywords
     from magmapandas_spark.operators.mp4 import q_h264_mp4_decode
     from magmapandas_spark.operators.wav import q_audio_fingerprint
+    from magmapandas_spark.operators.webcorpus import q_l_diversity
     from magmapandas_spark.operators.stats import q_corr_matrix, q_psi_drift
     from magmapandas_spark.operators.timeseries import (
         q_seasonal_outliers,
@@ -325,6 +328,7 @@ def queries():
         "audio_fingerprint": q_audio_fingerprint,
         "ngram_novelty": q_ngram_novelty,
         "seasonal_outliers": q_seasonal_outliers,
+        "l_diversity": q_l_diversity,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -378,6 +382,7 @@ def oracle_sql():
     from magmapandas_spark.operators.h264 import SQL_H264_MP4_DECODE
     from magmapandas_spark.operators.keywords import SQL_RAKE_KEYWORDS
     from magmapandas_spark.operators.wav import SQL_AUDIO_FINGERPRINT
+    from magmapandas_spark.operators.webcorpus import SQL_L_DIVERSITY
     from magmapandas_spark.operators.stats import (
         SQL_CORR_MATRIX,
         SQL_PSI_DRIFT,
@@ -406,6 +411,7 @@ def oracle_sql():
         "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
         "ngram_novelty": SQL_NGRAM_NOVELTY,
         "seasonal_outliers": SQL_SEASONAL_OUTLIERS,
+        "l_diversity": SQL_L_DIVERSITY,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,
