@@ -75,8 +75,10 @@ the first H.264 codec notch.
   anomaly rates from DECIMAL-exact cell moments (the monitoring pass
   on top of the seasonal profile); ``l_diversity`` — k-anonymity's
   companion audit: class census by (size, distinct sensitive values),
-  homogeneous classes flagged as leaks. Past the 50-slot gate this
-  round.
+  homogeneous classes flagged as leaks; ``t_closeness`` — the third
+  privacy audit: per-class ordinal EMD vs the global sensitive
+  distribution in exact integer numerators (priorities pivoted to
+  columns, no window). Past the 50-slot gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -302,7 +304,10 @@ def queries():
     from magmapandas_spark.operators.keywords import q_rake_keywords
     from magmapandas_spark.operators.mp4 import q_h264_mp4_decode
     from magmapandas_spark.operators.wav import q_audio_fingerprint
-    from magmapandas_spark.operators.webcorpus import q_l_diversity
+    from magmapandas_spark.operators.webcorpus import (
+        q_l_diversity,
+        q_t_closeness,
+    )
     from magmapandas_spark.operators.stats import q_corr_matrix, q_psi_drift
     from magmapandas_spark.operators.timeseries import (
         q_seasonal_outliers,
@@ -329,6 +334,7 @@ def queries():
         "ngram_novelty": q_ngram_novelty,
         "seasonal_outliers": q_seasonal_outliers,
         "l_diversity": q_l_diversity,
+        "t_closeness": q_t_closeness,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -382,7 +388,10 @@ def oracle_sql():
     from magmapandas_spark.operators.h264 import SQL_H264_MP4_DECODE
     from magmapandas_spark.operators.keywords import SQL_RAKE_KEYWORDS
     from magmapandas_spark.operators.wav import SQL_AUDIO_FINGERPRINT
-    from magmapandas_spark.operators.webcorpus import SQL_L_DIVERSITY
+    from magmapandas_spark.operators.webcorpus import (
+        SQL_L_DIVERSITY,
+        SQL_T_CLOSENESS,
+    )
     from magmapandas_spark.operators.stats import (
         SQL_CORR_MATRIX,
         SQL_PSI_DRIFT,
@@ -412,6 +421,7 @@ def oracle_sql():
         "ngram_novelty": SQL_NGRAM_NOVELTY,
         "seasonal_outliers": SQL_SEASONAL_OUTLIERS,
         "l_diversity": SQL_L_DIVERSITY,
+        "t_closeness": SQL_T_CLOSENESS,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,
