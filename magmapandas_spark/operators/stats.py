@@ -809,3 +809,172 @@ SELECT bin, c_a, c_b, ROUND(term9, 6) AS term,
 FROM scored CROSS JOIN psi
 ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------
+# Column-dependency profiling (round 8)
+# ---------------------------------------------------------------------
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: mutual information between customer nation and
+    market segment — the column-dependency signal a profiling pass
+    uses to find redundant or leaking attributes. Contingency and
+    marginal counts are exact integers; each cell's term
+    (c/N)·ln(c·N/(c_a·c_b)) is one fixed-order double chain rounded
+    to 9 decimals, and the total MI is the DECIMAL sum of the rounded
+    terms (order-independent; the ln-rounding precedent of
+    psi_drift/dsir).
+
+    Plan: one contingency aggregation (|nations|×|segments| rows),
+    two marginal roll-ups of it, broadcast assembly — nothing past
+    the cell grain."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").alias("a"), F.col("c_mktsegment").alias("b")
+    )
+    cont = cust.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    ma = cont.groupBy("a").agg(F.sum("c").alias("ca"))
+    mb = cont.groupBy("b").agg(F.sum("c").alias("cb"))
+    tot = cont.agg(F.sum("c").alias("n"))
+    j = (
+        cont.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    c, ca, cb, n = (
+        F.col("c").cast("double"),
+        F.col("ca").cast("double"),
+        F.col("cb").cast("double"),
+        F.col("n").cast("double"),
+    )
+    term = F.round((c / n) * F.log((c * n) / (ca * cb)), 9)
+    scored = j.select("a", "b", F.col("c"), term.alias("term9"))
+    mi = scored.agg(
+        F.sum(F.col("term9").cast("decimal(18,9)"))
+        .cast("double")
+        .alias("mi")
+    )
+    return (
+        scored.crossJoin(F.broadcast(mi))
+        .select(
+            "a",
+            "b",
+            "c",
+            F.round("term9", 6).alias("term"),
+            F.round("mi", 6).alias("mi_total"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+SQL_MUTUAL_INFO = """
+WITH cont AS (
+  SELECT c_nationkey AS a, c_mktsegment AS b, COUNT(*) AS c
+  FROM customer GROUP BY 1, 2
+),
+ma AS (SELECT a, SUM(c) AS ca FROM cont GROUP BY a),
+mb AS (SELECT b, SUM(c) AS cb FROM cont GROUP BY b),
+tot AS (SELECT SUM(c) AS n FROM cont),
+scored AS (
+  SELECT cont.a, cont.b, cont.c,
+         ROUND((CAST(cont.c AS DOUBLE) / CAST(n AS DOUBLE))
+               * LN((CAST(cont.c AS DOUBLE) * CAST(n AS DOUBLE))
+                    / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 9)
+           AS term9
+  FROM cont
+  JOIN ma ON ma.a = cont.a
+  JOIN mb ON mb.b = cont.b
+  CROSS JOIN tot
+),
+mi AS (
+  SELECT CAST(SUM(CAST(term9 AS DECIMAL(18,9))) AS DOUBLE) AS mi
+  FROM scored
+)
+SELECT a, b, c, ROUND(term9, 6) AS term, ROUND(mi, 6) AS mi_total
+FROM scored CROSS JOIN mi
+ORDER BY a, b
+"""
+
+
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: functional-dependency audit — for three candidate
+    FDs over orders/lineitem ((l_orderkey → o_custkey),
+    (l_orderkey, l_linenumber → l_partkey), (l_partkey →
+    l_returnflag)), the exact violation census: determinant groups
+    whose dependent has >1 distinct value. The first two hold by
+    construction (key and FK integrity); the third genuinely fails —
+    the audit's positive AND negative paths are both under the hash.
+
+    Plan: per FD one (determinant → count distinct dependent)
+    aggregation and a 1-row roll-up; FDs evaluated independently and
+    unioned (3 bounded rows out)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def audit(df, det, dep, name):
+        per = df.groupBy(*det).agg(
+            F.count_distinct(F.col(dep)).alias("nd")
+        )
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(
+                F.expr("CASE WHEN nd > 1 THEN 1 ELSE 0 END")
+            ).cast("long").alias("n_violating"),
+            F.max("nd").alias("max_distinct"),
+        )
+    lo = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    out = (
+        audit(lo, ["l_orderkey"], "o_custkey", "orderkey->custkey")
+        .unionByName(
+            audit(
+                li, ["l_orderkey", "l_linenumber"], "l_partkey",
+                "orderkey,line->partkey",
+            )
+        )
+        .unionByName(
+            audit(li, ["l_partkey"], "l_returnflag", "partkey->returnflag")
+        )
+    )
+    return out.orderBy("fd")
+
+
+SQL_FD_CHECK = """
+WITH fd1 AS (
+  SELECT 'orderkey->custkey' AS fd, COUNT(*) AS n_groups,
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         MAX(nd) AS max_distinct
+  FROM (
+    SELECT l_orderkey, COUNT(DISTINCT o_custkey) AS nd
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY l_orderkey
+  )
+),
+fd2 AS (
+  SELECT 'orderkey,line->partkey' AS fd, COUNT(*) AS n_groups,
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         MAX(nd) AS max_distinct
+  FROM (
+    SELECT l_orderkey, l_linenumber, COUNT(DISTINCT l_partkey) AS nd
+    FROM lineitem GROUP BY l_orderkey, l_linenumber
+  )
+),
+fd3 AS (
+  SELECT 'partkey->returnflag' AS fd, COUNT(*) AS n_groups,
+         CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         MAX(nd) AS max_distinct
+  FROM (
+    SELECT l_partkey, COUNT(DISTINCT l_returnflag) AS nd
+    FROM lineitem GROUP BY l_partkey
+  )
+)
+SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL
+SELECT * FROM fd3
+ORDER BY fd
+"""

@@ -78,7 +78,11 @@ the first H.264 codec notch.
   homogeneous classes flagged as leaks; ``t_closeness`` — the third
   privacy audit: per-class ordinal EMD vs the global sensitive
   distribution in exact integer numerators (priorities pivoted to
-  columns, no window). Past the 50-slot gate this round.
+  columns, no window); ``mutual_info`` — nation×segment MI from
+  exact contingency counts (rounded-term decimal total, the ln
+  precedent); ``fd_check`` — functional-dependency audit with
+  holding AND failing candidates under the hash. Past the 50-slot
+  gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -308,7 +312,12 @@ def queries():
         q_l_diversity,
         q_t_closeness,
     )
-    from magmapandas_spark.operators.stats import q_corr_matrix, q_psi_drift
+    from magmapandas_spark.operators.stats import (
+        q_corr_matrix,
+        q_fd_check,
+        q_mutual_info,
+        q_psi_drift,
+    )
     from magmapandas_spark.operators.timeseries import (
         q_seasonal_outliers,
         q_seasonal_profile,
@@ -335,6 +344,8 @@ def queries():
         "seasonal_outliers": q_seasonal_outliers,
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
+        "mutual_info": q_mutual_info,
+        "fd_check": q_fd_check,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -394,6 +405,8 @@ def oracle_sql():
     )
     from magmapandas_spark.operators.stats import (
         SQL_CORR_MATRIX,
+        SQL_FD_CHECK,
+        SQL_MUTUAL_INFO,
         SQL_PSI_DRIFT,
     )
     from magmapandas_spark.operators.timeseries import (
@@ -422,6 +435,8 @@ def oracle_sql():
         "seasonal_outliers": SQL_SEASONAL_OUTLIERS,
         "l_diversity": SQL_L_DIVERSITY,
         "t_closeness": SQL_T_CLOSENESS,
+        "mutual_info": SQL_MUTUAL_INFO,
+        "fd_check": SQL_FD_CHECK,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,
