@@ -878,3 +878,88 @@ ORDER BY node
 
 
 SQL_PERSONALIZED_PAGERANK = sql_personalized_pagerank()
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: IN-degree assortativity of the synthetic link
+    graph — the Pearson correlation of (in-degree of source,
+    in-degree of destination) over edges, the classic mixing-pattern
+    summary (assortative crawl graphs behave differently under
+    sampling and PageRank than disassortative ones). Out-degree is
+    constant by construction (3 links per node), so the in-degree
+    pairing is the one with signal. Degrees are exact integers; the
+    correlation comes from DECIMAL-exact power sums with one shared
+    closed form (the corr_matrix discipline).
+
+    Plan: one in-degree aggregation, two keyed joins back to edges
+    (left on the source side — in-degree-0 sources count as 0), one
+    1-row power-sum aggregate — no window."""
+    edges = synthetic_link_graph(spark)
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        edges.join(
+            ind.select(F.col("dst").alias("src"), F.col("d").alias("du")),
+            "src",
+            "left",
+        )
+        .join(
+            ind.select("dst", F.col("d").alias("dv")),
+            "dst",
+        )
+        .select(
+            F.coalesce("du", F.lit(0)).alias("du"), F.col("dv")
+        )
+    )
+
+    def ps(expr):
+        return F.sum(expr.cast("decimal(28,6)")).cast("double")
+
+    g = e.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        ps(F.col("du")).alias("su"),
+        ps(F.col("dv")).alias("sv"),
+        ps(F.col("du") * F.col("du")).alias("suu"),
+        ps(F.col("dv") * F.col("dv")).alias("svv"),
+        ps(F.col("du") * F.col("dv")).alias("suv"),
+    )
+    n, su, sv = F.col("n"), F.col("su"), F.col("sv")
+    num = n * F.col("suv") - su * sv
+    den = F.sqrt(n * F.col("suu") - su * su) * F.sqrt(
+        n * F.col("svv") - sv * sv
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(su / n, 6).alias("mean_src_indeg"),
+        F.round(sv / n, 6).alias("mean_dst_indeg"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH edges AS ({' UNION ALL '.join(
+    f"SELECT i AS src, (i * i * {a} + i * {b} + {c}) % {_N} AS dst "
+    f"FROM range({_N}) t(i)" for a, b, c in _LINKS)}),
+ind AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst),
+e AS (
+  SELECT COALESCE(iu.d, 0) AS du, iv.d AS dv
+  FROM edges
+  LEFT JOIN ind iu ON iu.dst = edges.src
+  JOIN ind iv ON iv.dst = edges.dst
+),
+g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(du AS DECIMAL(28,6))) AS DOUBLE) AS su,
+         CAST(SUM(CAST(dv AS DECIMAL(28,6))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(du * du AS DECIMAL(28,6))) AS DOUBLE) AS suu,
+         CAST(SUM(CAST(dv * dv AS DECIMAL(28,6))) AS DOUBLE) AS svv,
+         CAST(SUM(CAST(du * dv AS DECIMAL(28,6))) AS DOUBLE) AS suv
+  FROM e
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       ROUND(su / n, 6) AS mean_src_indeg,
+       ROUND(sv / n, 6) AS mean_dst_indeg,
+       ROUND((n * suv - su * sv)
+             / (SQRT(n * suu - su * su) * SQRT(n * svv - sv * sv)), 6)
+         AS assortativity
+FROM g
+"""

@@ -81,8 +81,10 @@ the first H.264 codec notch.
   columns, no window); ``mutual_info`` — nation×segment MI from
   exact contingency counts (rounded-term decimal total, the ln
   precedent); ``fd_check`` — functional-dependency audit with
-  holding AND failing candidates under the hash. Past the 50-slot
-  gate this round.
+  holding AND failing candidates under the hash;
+  ``degree_assortativity`` — Pearson degree correlation over edges
+  from DECIMAL-exact power sums (the graph mixing-pattern summary).
+  Past the 50-slot gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -292,6 +294,7 @@ def queries():
     from magmapandas_spark.operators.evaluation import q_knn_label_noise
     from magmapandas_spark.operators.fuzzy import q_er_golden_multipass
     from magmapandas_spark.operators.graph import (
+        q_degree_assortativity,
         q_personalized_pagerank,
         q_two_hop_reach,
     )
@@ -346,6 +349,7 @@ def queries():
         "t_closeness": q_t_closeness,
         "mutual_info": q_mutual_info,
         "fd_check": q_fd_check,
+        "degree_assortativity": q_degree_assortativity,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -383,6 +387,7 @@ def oracle_sql():
     from magmapandas_spark.operators.evaluation import SQL_KNN_LABEL_NOISE
     from magmapandas_spark.operators.fuzzy import SQL_ER_GOLDEN_MULTIPASS
     from magmapandas_spark.operators.graph import (
+        SQL_DEGREE_ASSORTATIVITY,
         SQL_PERSONALIZED_PAGERANK,
         SQL_TWO_HOP_REACH,
     )
@@ -437,6 +442,7 @@ def oracle_sql():
         "t_closeness": SQL_T_CLOSENESS,
         "mutual_info": SQL_MUTUAL_INFO,
         "fd_check": SQL_FD_CHECK,
+        "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,
