@@ -1294,3 +1294,57 @@ SELECT lang, n_tokens, n_types, n_hapax,
 FROM per
 ORDER BY lang
 """
+
+
+def q_length_lognormal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: per-language log-normal fit of document lengths —
+    μ and σ of ln(n_chars), the standard parametrization of corpus
+    length distributions (a rebuilt corpus whose (μ, σ) moves is
+    length-shifted even when mean length looks stable). Per-row
+    ln(n_chars) is rounded to 9 decimals and the moments come from
+    DECIMAL sums of the rounded terms — order-independent under any
+    partitioning (the psi_drift/dsir ln-rounding precedent).
+
+    Plan: one scan-local projection + one |langs|-row aggregation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("n_chars") > 0
+    )
+    lx = F.round(F.log(F.col("n_chars").cast("double")), 9)
+    src = docs.select("lang", lx.alias("lx"))
+    g = src.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("lx").cast("decimal(28,9)")).cast("double").alias("s1"),
+        F.sum(
+            (F.col("lx") * F.col("lx")).cast("decimal(28,9)")
+        ).cast("double").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    var = F.col("s2") / n - mu * mu
+    return g.select(
+        "lang",
+        "n",
+        F.round(mu, 6).alias("mu"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+    ).orderBy("lang")
+
+
+SQL_LENGTH_LOGNORMAL = """
+WITH src AS (
+  SELECT lang, ROUND(LN(CAST(n_chars AS DOUBLE)), 9) AS lx
+  FROM documents WHERE n_chars > 0
+),
+g AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(SUM(CAST(lx AS DECIMAL(28,9))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(lx * lx AS DECIMAL(28,9))) AS DOUBLE) AS s2
+  FROM src GROUP BY lang
+)
+SELECT lang, n,
+       ROUND(s1 / CAST(n AS DOUBLE), 6) AS mu,
+       ROUND(SQRT(s2 / CAST(n AS DOUBLE)
+                  - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))),
+             6) AS sigma
+FROM g
+ORDER BY lang
+"""

@@ -83,8 +83,10 @@ the first H.264 codec notch.
   precedent); ``fd_check`` — functional-dependency audit with
   holding AND failing candidates under the hash;
   ``degree_assortativity`` — Pearson degree correlation over edges
-  from DECIMAL-exact power sums (the graph mixing-pattern summary).
-  Past the 50-slot gate this round.
+  from DECIMAL-exact power sums (the graph mixing-pattern summary);
+  ``length_lognormal`` — per-language (μ, σ) of ln(n_chars) from
+  decimal sums of 9-decimal-rounded terms (corpus length-distribution
+  profiling). Past the 50-slot gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -285,6 +287,7 @@ def queries():
     )
     from magmapandas_spark.operators.curation import (
         q_balanced_sample,
+        q_length_lognormal,
         q_text_hapax,
     )
     from magmapandas_spark.operators.dedup import (
@@ -350,6 +353,7 @@ def queries():
         "mutual_info": q_mutual_info,
         "fd_check": q_fd_check,
         "degree_assortativity": q_degree_assortativity,
+        "length_lognormal": q_length_lognormal,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -378,6 +382,7 @@ def oracle_sql():
     )
     from magmapandas_spark.operators.curation import (
         SQL_BALANCED_SAMPLE,
+        SQL_LENGTH_LOGNORMAL,
         SQL_TEXT_HAPAX,
     )
     from magmapandas_spark.operators.dedup import (
@@ -443,6 +448,7 @@ def oracle_sql():
         "mutual_info": SQL_MUTUAL_INFO,
         "fd_check": SQL_FD_CHECK,
         "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
+        "length_lognormal": SQL_LENGTH_LOGNORMAL,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,
