@@ -843,3 +843,28 @@ def test_ngram_novelty_join_is_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "l_diversity",
+        "t_closeness",
+        "mutual_info",
+        "fd_check",
+        "degree_assortativity",
+        "length_lognormal",
+        "seasonal_outliers",
+        "grouping_sets_revenue",
+        "unpivot_profile",
+    ],
+)
+def test_late_round8_aggregation_shapes(spark, qname):
+    """The late-round-8 profiling/audit tier is aggregation-shaped:
+    no window anywhere, no cartesian product, no Python eval node."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()[qname](spark, SF))
+    assert "Window" not in plan, qname
+    assert "CartesianProduct" not in plan, qname
+    assert "BatchEvalPython" not in plan, qname
