@@ -29,6 +29,7 @@ import zlib
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _SIG = b"\x89PNG\r\n\x1a\n"
@@ -325,4 +326,115 @@ SELECT media_id,
 FROM px
 GROUP BY media_id, w, h
 ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------
+# Image fingerprint dedup (round 8)
+# ---------------------------------------------------------------------
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("hist", T.StringType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+def png_fingerprints(media: DataFrame) -> DataFrame:
+    """Per-image pixel-histogram fingerprints: decode (real inflate +
+    per-row unfilter), bucket all channel bytes into 16 equi-width
+    bins, hash the ordered count string (md5-prefix BIGINT) — images
+    sharing a fingerprint are near-duplicate candidates. The image
+    leg of the multimodal dedup quad (text / video / audio / image);
+    one narrow Arrow stage."""
+    import hashlib
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _FP_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = png_decode(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                counts = np.bincount(flat // 16, minlength=16)[:16]
+                hist = ",".join(str(int(c)) for c in counts)
+                fp = int(
+                    hashlib.md5(hist.encode()).hexdigest()[:15], 16
+                )
+                out["media_id"].append(mid)
+                out["n_px"].append(int(flat.size))
+                out["hist"].append(hist)
+                out["fp"].append(fp)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, _FP_SCHEMA)
+
+
+def q_image_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: pixel-histogram fingerprints over the 40-image PNG
+    corpus plus two byte-duplicate images (media 40/41 repeat images
+    2/7) with per-fingerprint collision counts — the image-dedup
+    path, collisions non-vacuous, through the REAL inflate/unfilter
+    decode."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    base = synthetic_png_media(spark, 40)
+    dups = spark.createDataFrame(
+        [(40, make_synthetic_png(2)), (41, make_synthetic_png(7))],
+        MEDIA_PNG_SCHEMA,
+    )
+    fps = png_fingerprints(base.unionByName(dups))
+    counts = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_images_with_fp")
+    )
+    return tiny_sorted(
+        fps.join(F.broadcast(counts), "fp").select(
+            "media_id", "n_px", "hist", "fp", "n_images_with_fp"
+        ),
+        "media_id",
+    )
+
+
+SQL_IMAGE_FINGERPRINT = """
+WITH clip AS (
+  SELECT i AS media_id,
+         CASE WHEN i = 40 THEN 2 WHEN i = 41 THEN 7 ELSE i END AS ie
+  FROM range(42) t(i)
+),
+sds AS (
+  SELECT DISTINCT ie,
+         (16 + ie % 13) * (12 + ie % 11) * 3 AS n FROM clip
+),
+pix AS (
+  SELECT ie, n, ((ie * 7 + j.j * j.j) % 256) // 16 AS bin
+  FROM sds, LATERAL (SELECT UNNEST(range(n)) AS j) j
+),
+hist AS (
+  SELECT p.ie, b.b AS bin, COUNT(*) FILTER (p.bin = b.b) AS cnt
+  FROM pix p, LATERAL (SELECT UNNEST(range(16)) AS b) b
+  GROUP BY p.ie, b.b
+),
+fp AS (
+  SELECT ie,
+         string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bin) AS hist,
+         CAST(SUM(cnt) AS BIGINT) AS n_px
+  FROM hist GROUP BY ie
+),
+fp2 AS (
+  SELECT ie, hist, n_px,
+         CAST(('0x' || substr(md5(hist), 1, 15)) AS BIGINT) AS fp
+  FROM fp
+),
+dups AS (
+  SELECT f2.fp, COUNT(*) AS n_images_with_fp
+  FROM clip c JOIN fp2 f2 ON f2.ie = c.ie
+  GROUP BY f2.fp
+)
+SELECT c.media_id, f2.n_px, f2.hist, f2.fp, d.n_images_with_fp
+FROM clip c
+JOIN fp2 f2 ON f2.ie = c.ie
+JOIN dups d ON d.fp = f2.fp
+ORDER BY c.media_id
 """

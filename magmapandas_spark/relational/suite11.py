@@ -86,7 +86,10 @@ the first H.264 codec notch.
   from DECIMAL-exact power sums (the graph mixing-pattern summary);
   ``length_lognormal`` — per-language (μ, σ) of ln(n_chars) from
   decimal sums of 9-decimal-rounded terms (corpus length-distribution
-  profiling). Past the 50-slot gate this round.
+  profiling); ``image_fingerprint`` — the image leg of the multimodal
+  dedup quad (pixel-histogram fingerprints through the real PNG
+  inflate/unfilter decode + duplicate images). Past the 50-slot gate
+  this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -313,6 +316,7 @@ def queries():
     )
     from magmapandas_spark.operators.keywords import q_rake_keywords
     from magmapandas_spark.operators.mp4 import q_h264_mp4_decode
+    from magmapandas_spark.operators.png import q_image_fingerprint
     from magmapandas_spark.operators.wav import q_audio_fingerprint
     from magmapandas_spark.operators.webcorpus import (
         q_l_diversity,
@@ -354,6 +358,7 @@ def queries():
         "fd_check": q_fd_check,
         "degree_assortativity": q_degree_assortativity,
         "length_lognormal": q_length_lognormal,
+        "image_fingerprint": q_image_fingerprint,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -408,6 +413,7 @@ def oracle_sql():
     )
     from magmapandas_spark.operators.h264 import SQL_H264_MP4_DECODE
     from magmapandas_spark.operators.keywords import SQL_RAKE_KEYWORDS
+    from magmapandas_spark.operators.png import SQL_IMAGE_FINGERPRINT
     from magmapandas_spark.operators.wav import SQL_AUDIO_FINGERPRINT
     from magmapandas_spark.operators.webcorpus import (
         SQL_L_DIVERSITY,
@@ -449,6 +455,7 @@ def oracle_sql():
         "fd_check": SQL_FD_CHECK,
         "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
         "length_lognormal": SQL_LENGTH_LOGNORMAL,
+        "image_fingerprint": SQL_IMAGE_FINGERPRINT,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,
