@@ -796,7 +796,8 @@ def decode_h264_stream(
     the DC prediction modes fall back per spec, directional modes on
     an unavailable edge are an encoder-conformance violation and
     raise."""
-    sps = pps = None
+    sps = None
+    ppss: dict[int, dict] = {}
     pics: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     y = cb = cr = None
     tc = slice_of = None
@@ -807,9 +808,10 @@ def decode_h264_stream(
         if nal_type == 7:
             sps = _parse_sps(rbsp)
         elif nal_type == 8:
-            pps = _parse_pps(rbsp)
+            p_ = _parse_pps(rbsp)
+            ppss[p_["pps_id"]] = p_  # parameter-set registry
         elif nal_type in (1, 5):
-            if sps is None or pps is None:
+            if sps is None or not ppss:
                 raise ValueError("slice before SPS/PPS")
             r = _BitReader(rbsp)
             stop_bit = _last_set_bit_pos(rbsp)
@@ -819,7 +821,10 @@ def decode_h264_stream(
                 raise NotImplementedError(
                     "P/B slices need inter prediction — not supported"
                 )
-            r.ue()  # pic_parameter_set_id
+            pps_id = r.ue()  # pic_parameter_set_id — selects the PPS
+            if pps_id not in ppss:
+                raise ValueError(f"slice references unknown PPS {pps_id}")
+            pps = ppss[pps_id]
             r.u(sps["log2_max_frame_num"])  # frame_num
             if nal_type == 5:
                 r.ue()  # idr_pic_id
@@ -1325,16 +1330,18 @@ def _n3_levels(i: int) -> tuple[int, int]:
     return 2 + i % 5, -(2 + i % 3)
 
 
-def _n3_residuals(i: int) -> tuple[int, int]:
+def _n3_residuals(i: int, qp: int = _N3_QP) -> tuple[int, int]:
     """Uniform per-8x8 chroma residuals for clip ``i`` — independent
-    closed form for the oracle generator: QPc 36 gives dcC = 20·L and
-    residual floor((20·L + 32) / 64)."""
-    import math
-
+    closed form for the oracle generator: dcC = (L·LS[QPc%6] <<
+    QPc div 6) >> 5 then floor((dcC + 32) / 64). At QP 40 (QPc 36,
+    LS 10) that is 20·L; at QP 28 (QPc 28, LS 16) it is 8·L — the
+    below-30 identity branch of Table 8-15."""
+    qpc = qp if qp < 30 else _QPC_TABLE[qp]
+    ls = _LS00[qpc % 6]
     l_cb, l_cr = _n3_levels(i)
     return (
-        math.floor((20 * l_cb + 32) / 64),
-        math.floor((20 * l_cr + 32) / 64),
+        (((l_cb * ls << (qpc // 6)) >> 5) + 32) >> 6,
+        (((l_cr * ls << (qpc // 6)) >> 5) + 32) >> 6,
     )
 
 
@@ -1611,17 +1618,19 @@ def _n4_dc_zz(i: int) -> list[int]:
     return out
 
 
-def _n4_block_residuals(i: int) -> list[int]:
+def _n4_block_residuals(i: int, qp: int = _N3_QP) -> list[int]:
     """Independent closed form for the oracle generator: inverse 4x4
-    Hadamard of the clip's zig-zag DC levels, QP-40 luma scaling
-    (LevelScale 16, shift 0 -> dcY = 16·f), DC-only block residual
-    (dcY + 32) >> 6. Returns 16 residuals in (block row, block col)
-    raster order — written with explicit loops, not the decoder's
-    numpy path."""
+    Hadamard of the clip's zig-zag DC levels, spec-8.5.10 luma-DC
+    scaling at ``qp`` (the >= 36 shift branch at QP 40: dcY = 16·f;
+    the rounding branch below 36, e.g. QP 28: dcY = (16·f + 2) >> 2),
+    DC-only block residual (dcY + 32) >> 6. Returns 16 residuals in
+    (block row, block col) raster order — explicit loops, not the
+    decoder's numpy path."""
     zz = _n4_dc_zz(i)
     c = [[0] * 4 for _ in range(4)]
     for k, (r_, c_) in enumerate(_ZZ4):
         c[r_][c_] = zz[k]
+    ls = _LS00[qp % 6]
     out = []
     for bi in range(4):
         for bj in range(4):
@@ -1630,7 +1639,11 @@ def _n4_block_residuals(i: int) -> list[int]:
                 for k in range(4)
                 for l in range(4)
             )
-            out.append((16 * f + 32) >> 6)
+            if qp >= 36:
+                dc = (f * ls) << (qp // 6 - 6)
+            else:
+                dc = (f * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+            out.append((dc + 32) >> 6)
     return out
 
 
@@ -1954,6 +1967,7 @@ def _sql_h264_mode_matrix(
     slices_col: str = "n_slices",
     residuals: bool = False,
     fingerprint: bool = False,
+    residual_qp=None,
 ) -> str:
     """Closed-form oracle for the mode-matrix corpora: predicted MBs'
     neighbor edges are PCM formula values, so every prediction mode —
@@ -2083,11 +2097,19 @@ def _sql_h264_mode_matrix(
     if gop:
         if residuals:
             n_sd = 4 * (_N_CLIPS - 1) + 3
+            qp_of = residual_qp or (lambda j: _N3_QP)
             ry_lists = [
-                _n4_block_residuals(seed_off + j) for j in range(n_sd)
+                _n4_block_residuals(seed_off + j, qp_of(j))
+                for j in range(n_sd)
             ]
-            rcb_list = [_n3_residuals(seed_off + j)[0] for j in range(n_sd)]
-            rcr_list = [_n3_residuals(seed_off + j)[1] for j in range(n_sd)]
+            rcb_list = [
+                _n3_residuals(seed_off + j, qp_of(j))[0]
+                for j in range(n_sd)
+            ]
+            rcr_list = [
+                _n3_residuals(seed_off + j, qp_of(j))[1]
+                for j in range(n_sd)
+            ]
             frames_cte = f"""frames AS (
   SELECT i AS clip_id, fr.f AS f, {seed_off} + 4 * i + fr.f AS sd,
          2 + i % 3 AS mbs_w, 2 + i % 2 AS mbs_h,
@@ -2319,6 +2341,7 @@ def _encode_picture_slices(
     mbs_h: int,
     chroma_dc: np.ndarray | None = None,
     luma_dc: np.ndarray | None = None,
+    pps_id: int = 0,
 ) -> list[bytes]:
     """One IDR picture's slice NAL units (header byte + escaped rbsp,
     no start codes) — raster slices per ``_gop_slice_bounds``, each
@@ -2334,7 +2357,7 @@ def _encode_picture_slices(
             sl = _BitWriter()
             sl.ue(mb0)  # first_mb_in_slice
             sl.ue(7)  # slice_type: I (all slices in picture)
-            sl.ue(0)  # pic_parameter_set_id
+            sl.ue(pps_id)  # pic_parameter_set_id — PPS selection
             sl.u(0, 4)  # frame_num (0 for every IDR)
             sl.ue(f % 32)  # idr_pic_id — differs between consecutive IDRs
             sl.u(0, 4)  # pic_order_cnt_lsb
@@ -2704,3 +2727,135 @@ def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "frame_idx",
     )
+
+
+# ---------------------------------------------------------------------
+# Notch 8: multi-parameter-set streams (per-slice PPS selection)
+# ---------------------------------------------------------------------
+
+#: seed offset for the multi-QP corpus (disjoint from 0/96/192)
+_N8_SEED_OFF = 288
+
+#: the two parameter sets: PPS 0 at QP 40 (the >= 36 shift branch of
+#: spec 8.5.10, QPc 36 via Table 8-15) and PPS 1 at QP 28 (the
+#: below-36 rounding branch; QPc = QP identity below 30)
+_N8_QPS = (40, 28)
+
+
+def _n8_qp(f: int) -> int:
+    return _N8_QPS[f % 2]
+
+
+def _pps_nal(pps_id: int, qp: int) -> bytes:
+    """One PPS NAL (header byte + escaped rbsp) with its own id and
+    pic_init_qp — the parameter-set registry entry real streams
+    switch between."""
+    pps = _BitWriter()
+    pps.ue(pps_id)
+    pps.ue(0)  # seq_parameter_set_id
+    pps.u(0, 1); pps.u(0, 1); pps.ue(0)
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
+    pps.se(qp - 26); pps.se(0); pps.se(0)
+    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.rbsp_trailing()
+    return bytes([(3 << 5) | 8]) + _escape_ebsp(pps.tobytes())
+
+
+def _fixture_notch8(i: int):
+    """Multi-QP GOP clip ``i``: frames alternate between the two
+    parameter sets (frame f uses PPS f%2), so the SAME entropy-coded
+    residual levels reconstruct through DIFFERENT dequantization
+    branches — QP 40 exercises the >= 36 shift path, QP 28 the
+    rounding path of spec 8.5.10 and the sub-30 QPc identity of
+    Table 8-15. Returns (frames, cdcs, ldcs, qps)."""
+    mbs_w, mbs_h = 2 + i % 3, 2 + i % 2
+    frames, cdcs, ldcs, qps = [], [], [], []
+    for f in range(1 + i % 3):
+        sd = _N8_SEED_OFF + 4 * i + f
+        qp = _n8_qp(f)
+        y, cb, cr, cls, modes = _fixture_mode_frame(sd, mbs_w, mbs_h)
+        n_mbs = len(cls)
+        cdc = np.zeros((n_mbs, 2), np.int32)
+        ldc = np.zeros((n_mbs, 16), np.int32)
+        zz = _n4_dc_zz(sd)
+        res_y = _n4_block_residuals(sd, qp)
+        l_cb, l_cr = _n3_levels(sd)
+        r_cb, r_cr = _n3_residuals(sd, qp)
+        for mb in range(n_mbs):
+            if not cls[mb]:
+                continue
+            cdc[mb] = (l_cb, l_cr)
+            ldc[mb] = zz
+            mbx, mby = mb % mbs_w, mb // mbs_w
+            for bi in range(4):
+                for bj in range(4):
+                    y0_, x0_ = mby * 16 + 4 * bi, mbx * 16 + 4 * bj
+                    sub = y[y0_ : y0_ + 4, x0_ : x0_ + 4].astype(np.int32)
+                    y[y0_ : y0_ + 4, x0_ : x0_ + 4] = np.clip(
+                        sub + res_y[bi * 4 + bj], 0, 255
+                    )
+            for pl, r_ in ((cb, r_cb), (cr, r_cr)):
+                sub = pl[
+                    mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+                ].astype(np.int32)
+                pl[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                    np.clip(sub + r_, 0, 255)
+                )
+        frames.append((y, cb, cr, cls, modes))
+        cdcs.append(cdc)
+        ldcs.append(ldc)
+        qps.append(qp)
+    return frames, cdcs, ldcs, qps
+
+
+def encode_multiqp_annexb(i: int) -> bytes:
+    """Annex-B multi-parameter-set stream for clip ``i``: one SPS,
+    TWO PPS NALs (ids 0/1 at QPs 40/28), frames' slices selecting
+    their PPS via pic_parameter_set_id."""
+    frames, cdcs, ldcs, qps = _fixture_notch8(i)
+    h, w = frames[0][0].shape
+    mbs_w, mbs_h = w // 16, h // 16
+    sps_nal, _ = _gop_parameter_sets(mbs_w, mbs_h, _N8_QPS[0])
+    out = b"\x00\x00\x00\x01" + sps_nal
+    for pid, qp in enumerate(_N8_QPS):
+        out += b"\x00\x00\x00\x01" + _pps_nal(pid, qp)
+    for f, frame in enumerate(frames):
+        for nal in _encode_picture_slices(
+            frame, f, mbs_w, mbs_h,
+            chroma_dc=cdcs[f], luma_dc=ldcs[f], pps_id=f % 2,
+        ):
+            out += b"\x00\x00\x00\x01" + nal
+    return out
+
+
+def synthetic_h264_multiqp_media(
+    spark: SparkSession, n: int = _N_CLIPS
+) -> DataFrame:
+    rows = [(i, bytearray(encode_multiqp_annexb(i))) for i in range(n)]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def q_h264_multiqp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: multi-parameter-set streams — one SPS, two PPS at
+    different pic_init_qp, each frame's slices selecting their PPS
+    via pic_parameter_set_id (the parameter-set registry every real
+    decoder manages). The SAME entropy-coded residual levels
+    reconstruct through BOTH dequantization branches: QP 40 hits the
+    spec-8.5.10 >= 36 shift path, QP 28 the rounding path and the
+    sub-30 Table-8-15 identity — per-frame exact statistics under the
+    cross-engine hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_gop_stats(synthetic_h264_multiqp_media(spark)),
+        "media_id",
+        "frame_idx",
+    )
+
+
+SQL_H264_MULTIQP_DECODE = _sql_h264_mode_matrix(
+    True,
+    seed_off=_N8_SEED_OFF,
+    residuals=True,
+    residual_qp=lambda j: _n8_qp(j % 4),
+)

@@ -64,6 +64,11 @@ the first H.264 codec notch.
   matrix × dense luma-DC × chroma-DC residuals, QP 40); proves the
   decoder's features compose, not just pass in isolation. Past the
   50-slot gate this round.
+- ``h264_multiqp_decode`` — notch 8: multi-parameter-set streams
+  (two PPS at QP 40/28 selected per slice via pic_parameter_set_id);
+  the same residual levels reconstruct through BOTH spec-8.5.10
+  dequantization branches and both Table-8-15 regimes. Past the
+  50-slot gate this round.
 - ``video_fingerprint`` — per-frame luma-histogram fingerprints
   (md5-prefix BIGINT) over the GOP corpus + two byte-duplicate clips,
   with per-fingerprint collision counts: the video-dedup primitive,
@@ -311,6 +316,7 @@ def queries():
         q_h264_full_decode,
         q_h264_gop_decode,
         q_h264_lumadc_decode,
+        q_h264_multiqp_decode,
         q_h264_plane_decode,
         q_video_fingerprint,
     )
@@ -348,6 +354,7 @@ def queries():
         "h264_gop_decode": q_h264_gop_decode,
         "h264_mp4_decode": q_h264_mp4_decode,
         "h264_full_decode": q_h264_full_decode,
+        "h264_multiqp_decode": q_h264_multiqp_decode,
         "video_fingerprint": q_video_fingerprint,
         "audio_fingerprint": q_audio_fingerprint,
         "ngram_novelty": q_ngram_novelty,
@@ -408,6 +415,7 @@ def oracle_sql():
         SQL_H264_FULL_DECODE,
         SQL_H264_GOP_DECODE,
         SQL_H264_LUMADC_DECODE,
+        SQL_H264_MULTIQP_DECODE,
         SQL_H264_PLANE_DECODE,
         SQL_VIDEO_FINGERPRINT,
     )
@@ -445,6 +453,7 @@ def oracle_sql():
         "h264_gop_decode": SQL_H264_GOP_DECODE,
         "h264_mp4_decode": SQL_H264_MP4_DECODE,
         "h264_full_decode": SQL_H264_FULL_DECODE,
+        "h264_multiqp_decode": SQL_H264_MULTIQP_DECODE,
         "video_fingerprint": SQL_VIDEO_FINGERPRINT,
         "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
         "ngram_novelty": SQL_NGRAM_NOVELTY,

@@ -493,3 +493,46 @@ def test_notch7_composition_round_trip():
                     _N7_SEED_OFF + 4 * i + f, mbs_w, mbs_h
                 )
                 assert not np.array_equal(y, base)
+
+
+def test_notch8_multiqp_round_trip_and_branches():
+    """Two PPS at QP 40/28 selected per slice: the same levels
+    reconstruct through both 8.5.10 dequant branches — and the two
+    branches genuinely differ (a QP-28 frame's planes are not the
+    QP-40 reconstruction of the same levels)."""
+    from magmapandas_spark.operators.h264 import (
+        _fixture_notch8,
+        _n4_block_residuals,
+        decode_h264_stream,
+        encode_multiqp_annexb,
+    )
+
+    both_qps_seen = set()
+    for i in (1, 5, 11, 23):
+        frames, cdcs, ldcs, qps = _fixture_notch8(i)
+        both_qps_seen.update(qps)
+        pics, _ = decode_h264_stream(encode_multiqp_annexb(i))
+        assert len(pics) == len(frames)
+        for (y, cb, cr), (ye, cbe, cre, _, _) in zip(pics, frames):
+            assert np.array_equal(y, ye)
+            assert np.array_equal(cb, cbe)
+            assert np.array_equal(cr, cre)
+    assert both_qps_seen == {40, 28}
+    # the dequant branches differ for the same levels
+    sd = 288 + 4 * 1 + 0
+    assert _n4_block_residuals(sd, 40) != _n4_block_residuals(sd, 28)
+
+
+def test_unknown_pps_id_raises():
+    from magmapandas_spark.operators.h264 import (
+        _fixture_notch6,
+        encode_gop_annexb,
+    )
+
+    data = bytearray(encode_gop_annexb(_fixture_notch6(0)))
+    # strip the PPS NAL (id 0): slices then reference an unknown PPS
+    idx = bytes(data).find(b"\x00\x00\x00\x01\x68")
+    end = bytes(data).find(b"\x00\x00\x00\x01", idx + 4)
+    stripped = bytes(data[:idx]) + bytes(data[end:])
+    with pytest.raises(ValueError, match="SPS/PPS|unknown PPS"):
+        decode_h264_iframe(stripped)
