@@ -1968,6 +1968,7 @@ def _sql_h264_mode_matrix(
     residuals: bool = False,
     fingerprint: bool = False,
     residual_qp=None,
+    qp_cycle: tuple[int, int] | None = None,
 ) -> str:
     """Closed-form oracle for the mode-matrix corpora: predicted MBs'
     neighbor edges are PCM formula values, so every prediction mode —
@@ -2083,48 +2084,82 @@ def _sql_h264_mode_matrix(
     extra_cols = ""
     if residuals:
         # clip-wrap every predicted-MB sample with its residual: luma
-        # indexed by 4x4-block position, chroma a per-plane scalar
-        v_luma = (
-            "LEAST(255, GREATEST(0, (" + v_luma + ")\n"
-            "      + r_y[4 * ((o.o // 16) // 4) + (o.o % 16) // 4 + 1]))"
-        )
-        v_cb = "LEAST(255, GREATEST(0, (" + v_cb + ") + r_cb))"
-        v_cr = "LEAST(255, GREATEST(0, (" + v_cr + ") + r_cr))"
-        extra_cols = ", r_y, r_cb, r_cr"
+        # indexed by 4x4-block position, chroma a per-plane scalar.
+        # Under qp_cycle the residual set is picked per MB by its
+        # in-slice predicted ordinal parity (((mb % mbs_w) - 1) // 2)
+        if qp_cycle is not None:
+            par = "((((mb % mbs_w) - 1) // 2) % 2)"
+            idx = "[4 * ((o.o // 16) // 4) + (o.o % 16) // 4 + 1]"
+            v_luma = (
+                "LEAST(255, GREATEST(0, (" + v_luma + ")\n"
+                f"      + CASE WHEN {par} = 0 THEN r_y{idx}"
+                f" ELSE r_y1{idx} END))"
+            )
+            v_cb = (
+                "LEAST(255, GREATEST(0, (" + v_cb + ")"
+                f" + CASE WHEN {par} = 0 THEN r_cb ELSE r_cb1 END))"
+            )
+            v_cr = (
+                "LEAST(255, GREATEST(0, (" + v_cr + ")"
+                f" + CASE WHEN {par} = 0 THEN r_cr ELSE r_cr1 END))"
+            )
+            extra_cols = ", r_y, r_cb, r_cr, r_y1, r_cb1, r_cr1"
+        else:
+            v_luma = (
+                "LEAST(255, GREATEST(0, (" + v_luma + ")\n"
+                "      + r_y[4 * ((o.o // 16) // 4) + (o.o % 16) // 4 + 1]))"
+            )
+            v_cb = "LEAST(255, GREATEST(0, (" + v_cb + ") + r_cb))"
+            v_cr = "LEAST(255, GREATEST(0, (" + v_cr + ") + r_cr))"
+            extra_cols = ", r_y, r_cb, r_cr"
     y_v = "(7 * sd + 13 * ((mb * 256 + o.o) // 4)) % 256"
     cb_v = "(11 * sd + 17 * (mb * 64 + o.o)) % 256"
     cr_v = "(19 * sd + 23 * (mb * 64 + o.o)) % 256"
     if gop:
         if residuals:
             n_sd = 4 * (_N_CLIPS - 1) + 3
-            qp_of = residual_qp or (lambda j: _N3_QP)
-            ry_lists = [
-                _n4_block_residuals(seed_off + j, qp_of(j))
-                for j in range(n_sd)
-            ]
-            rcb_list = [
-                _n3_residuals(seed_off + j, qp_of(j))[0]
-                for j in range(n_sd)
-            ]
-            rcr_list = [
-                _n3_residuals(seed_off + j, qp_of(j))[1]
-                for j in range(n_sd)
-            ]
+            if qp_cycle is not None:
+                # two residual sets per seed, selected per predicted
+                # MB by its in-slice ordinal parity (notch 9)
+                qps = [lambda j: qp_cycle[0], lambda j: qp_cycle[1]]
+            else:
+                qps = [residual_qp or (lambda j: _N3_QP)]
+            joins, cols = [], []
+            for si, qf in enumerate(qps):
+                sfx = "" if si == 0 else "1"
+                ry_lists = [
+                    _n4_block_residuals(seed_off + j, qf(j))
+                    for j in range(n_sd)
+                ]
+                rcb_list = [
+                    _n3_residuals(seed_off + j, qf(j))[0]
+                    for j in range(n_sd)
+                ]
+                rcr_list = [
+                    _n3_residuals(seed_off + j, qf(j))[1]
+                    for j in range(n_sd)
+                ]
+                cols.append(
+                    f"ry{sfx}.r AS r_y{sfx}, rcb{sfx}.r AS r_cb{sfx},"
+                    f" rcr{sfx}.r AS r_cr{sfx}"
+                )
+                joins.append(f"""
+  JOIN (SELECT UNNEST(range({n_sd})) AS j,
+               UNNEST({ry_lists!r}) AS r) ry{sfx}
+    ON ry{sfx}.j = 4 * i + fr.f
+  JOIN (SELECT UNNEST(range({n_sd})) AS j,
+               UNNEST({rcb_list!r}) AS r) rcb{sfx}
+    ON rcb{sfx}.j = 4 * i + fr.f
+  JOIN (SELECT UNNEST(range({n_sd})) AS j,
+               UNNEST({rcr_list!r}) AS r) rcr{sfx}
+    ON rcr{sfx}.j = 4 * i + fr.f"""
+                )
             frames_cte = f"""frames AS (
   SELECT i AS clip_id, fr.f AS f, {seed_off} + 4 * i + fr.f AS sd,
          2 + i % 3 AS mbs_w, 2 + i % 2 AS mbs_h,
-         ry.r AS r_y, rcb.r AS r_cb, rcr.r AS r_cr
+         {", ".join(cols)}
   FROM range({_N_CLIPS}) t(i),
-       LATERAL (SELECT UNNEST(range(1 + i % 3)) AS f) fr
-  JOIN (SELECT UNNEST(range({n_sd})) AS j,
-               UNNEST({ry_lists!r}) AS r) ry
-    ON ry.j = 4 * i + fr.f
-  JOIN (SELECT UNNEST(range({n_sd})) AS j,
-               UNNEST({rcb_list!r}) AS r) rcb
-    ON rcb.j = 4 * i + fr.f
-  JOIN (SELECT UNNEST(range({n_sd})) AS j,
-               UNNEST({rcr_list!r}) AS r) rcr
-    ON rcr.j = 4 * i + fr.f
+       LATERAL (SELECT UNNEST(range(1 + i % 3)) AS f) fr{"".join(joins)}
 )"""
         else:
             frames_cte = f"""frames AS (
@@ -2342,6 +2377,7 @@ def _encode_picture_slices(
     chroma_dc: np.ndarray | None = None,
     luma_dc: np.ndarray | None = None,
     pps_id: int = 0,
+    qp_deltas: np.ndarray | None = None,
 ) -> list[bytes]:
     """One IDR picture's slice NAL units (header byte + escaped rbsp,
     no start codes) — raster slices per ``_gop_slice_bounds``, each
@@ -2395,7 +2431,11 @@ def _encode_picture_slices(
                     # + 4*cbp_chroma + pred_mode
                     sl.ue((4 if has_cdc else 0) + lm + 1)
                     sl.ue(cm)
-                    sl.se(0)  # mb_qp_delta
+                    # mb_qp_delta: QP_Y accumulates across the
+                    # slice's coded MBs (spec 7.4.5) — notch 9
+                    sl.se(
+                        int(qp_deltas[mb]) if qp_deltas is not None else 0
+                    )
                     # nC from SAME-SLICE neighbors only
                     n_a = (
                         tc[mb - 1]
@@ -2858,4 +2898,119 @@ SQL_H264_MULTIQP_DECODE = _sql_h264_mode_matrix(
     seed_off=_N8_SEED_OFF,
     residuals=True,
     residual_qp=lambda j: _n8_qp(j % 4),
+)
+
+
+# ---------------------------------------------------------------------
+# Notch 9: intra-slice MB-level QP tracking (mb_qp_delta accumulation)
+# ---------------------------------------------------------------------
+
+_N9_SEED_OFF = 384
+_N9_BASE_QP = 34  # deltas lift alternate MBs to 36: BOTH 8.5.10 branches
+                  # inside ONE slice
+
+
+def _n9_qp_of_ordinal(k: int) -> int:
+    """QP_Y at the k-th predicted MB of a slice: deltas alternate
+    +2/−2, so even ordinals run at 36 (the shift branch) and odd ones
+    back at 34 (the rounding branch)."""
+    return _N9_BASE_QP + 2 if k % 2 == 0 else _N9_BASE_QP
+
+
+def _fixture_notch9(i: int):
+    """QP-tracking GOP clip ``i``: every predicted MB carries a
+    nonzero mb_qp_delta (+2 on even predicted ordinals, −2 on odd),
+    so QP_Y ACCUMULATES across the slice and the dequantization
+    branch flips MB-to-MB within one slice — the within-slice QP
+    bookkeeping real encoders exercise constantly. Returns
+    (frames, cdcs, ldcs, deltas)."""
+    mbs_w, mbs_h = 2 + i % 3, 2 + i % 2
+    frames, cdcs, ldcs, deltas = [], [], [], []
+    for f in range(1 + i % 3):
+        sd = _N9_SEED_OFF + 4 * i + f
+        y, cb, cr, cls, modes = _fixture_mode_frame(sd, mbs_w, mbs_h)
+        n_mbs = len(cls)
+        cdc = np.zeros((n_mbs, 2), np.int32)
+        ldc = np.zeros((n_mbs, 16), np.int32)
+        dq = np.zeros(n_mbs, np.int32)
+        zz = _n4_dc_zz(sd)
+        l_cb, l_cr = _n3_levels(sd)
+        k = 0
+        for mb in range(n_mbs):
+            if not cls[mb]:
+                continue
+            qp = _n9_qp_of_ordinal(k)
+            dq[mb] = 2 if k % 2 == 0 else -2
+            k += 1
+            cdc[mb] = (l_cb, l_cr)
+            ldc[mb] = zz
+            res_y = _n4_block_residuals(sd, qp)
+            r_cb, r_cr = _n3_residuals(sd, qp)
+            mbx, mby = mb % mbs_w, mb // mbs_w
+            for bi in range(4):
+                for bj in range(4):
+                    y0_, x0_ = mby * 16 + 4 * bi, mbx * 16 + 4 * bj
+                    sub = y[y0_ : y0_ + 4, x0_ : x0_ + 4].astype(np.int32)
+                    y[y0_ : y0_ + 4, x0_ : x0_ + 4] = np.clip(
+                        sub + res_y[bi * 4 + bj], 0, 255
+                    )
+            for pl, r_ in ((cb, r_cb), (cr, r_cr)):
+                sub = pl[
+                    mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+                ].astype(np.int32)
+                pl[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
+                    np.clip(sub + r_, 0, 255)
+                )
+        frames.append((y, cb, cr, cls, modes))
+        cdcs.append(cdc)
+        ldcs.append(ldc)
+        deltas.append(dq)
+    return frames, cdcs, ldcs, deltas
+
+
+def encode_qptrack_annexb(i: int) -> bytes:
+    """Annex-B QP-tracking stream for clip ``i`` (base QP 34 in the
+    PPS, per-MB deltas in the slice data)."""
+    frames, cdcs, ldcs, deltas = _fixture_notch9(i)
+    h, w = frames[0][0].shape
+    mbs_w, mbs_h = w // 16, h // 16
+    sps_nal, pps_nal = _gop_parameter_sets(mbs_w, mbs_h, _N9_BASE_QP)
+    out = b"\x00\x00\x00\x01" + sps_nal + b"\x00\x00\x00\x01" + pps_nal
+    for f, frame in enumerate(frames):
+        for nal in _encode_picture_slices(
+            frame, f, mbs_w, mbs_h,
+            chroma_dc=cdcs[f], luma_dc=ldcs[f], qp_deltas=deltas[f],
+        ):
+            out += b"\x00\x00\x00\x01" + nal
+    return out
+
+
+def synthetic_h264_qptrack_media(
+    spark: SparkSession, n: int = _N_CLIPS
+) -> DataFrame:
+    rows = [(i, bytearray(encode_qptrack_annexb(i))) for i in range(n)]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def q_h264_qptrack_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: intra-slice QP tracking — every predicted MB
+    carries a nonzero mb_qp_delta, QP_Y accumulates across the slice
+    (spec 7.4.5), and the dequantization branch flips MB-to-MB (34 =
+    rounding path, 36 = shift path) — the within-slice QP bookkeeping
+    real rate-controlled streams exercise on every macroblock.
+    Per-frame exact statistics under the cross-engine hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_gop_stats(synthetic_h264_qptrack_media(spark)),
+        "media_id",
+        "frame_idx",
+    )
+
+
+SQL_H264_QPTRACK_DECODE = _sql_h264_mode_matrix(
+    True,
+    seed_off=_N9_SEED_OFF,
+    residuals=True,
+    qp_cycle=(_N9_BASE_QP + 2, _N9_BASE_QP),
 )

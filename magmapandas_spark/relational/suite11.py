@@ -67,7 +67,10 @@ the first H.264 codec notch.
 - ``h264_multiqp_decode`` — notch 8: multi-parameter-set streams
   (two PPS at QP 40/28 selected per slice via pic_parameter_set_id);
   the same residual levels reconstruct through BOTH spec-8.5.10
-  dequantization branches and both Table-8-15 regimes. Past the
+  dequantization branches and both Table-8-15 regimes;
+  ``h264_qptrack_decode`` — notch 9: intra-slice QP tracking (every
+  predicted MB carries a nonzero mb_qp_delta, QP_Y accumulates per
+  spec 7.4.5 and the dequant branch flips MB-to-MB). Past the
   50-slot gate this round.
 - ``video_fingerprint`` — per-frame luma-histogram fingerprints
   (md5-prefix BIGINT) over the GOP corpus + two byte-duplicate clips,
@@ -318,6 +321,7 @@ def queries():
         q_h264_lumadc_decode,
         q_h264_multiqp_decode,
         q_h264_plane_decode,
+        q_h264_qptrack_decode,
         q_video_fingerprint,
     )
     from magmapandas_spark.operators.keywords import q_rake_keywords
@@ -355,6 +359,7 @@ def queries():
         "h264_mp4_decode": q_h264_mp4_decode,
         "h264_full_decode": q_h264_full_decode,
         "h264_multiqp_decode": q_h264_multiqp_decode,
+        "h264_qptrack_decode": q_h264_qptrack_decode,
         "video_fingerprint": q_video_fingerprint,
         "audio_fingerprint": q_audio_fingerprint,
         "ngram_novelty": q_ngram_novelty,
@@ -417,6 +422,7 @@ def oracle_sql():
         SQL_H264_LUMADC_DECODE,
         SQL_H264_MULTIQP_DECODE,
         SQL_H264_PLANE_DECODE,
+        SQL_H264_QPTRACK_DECODE,
         SQL_VIDEO_FINGERPRINT,
     )
     from magmapandas_spark.operators.h264 import SQL_H264_MP4_DECODE
@@ -454,6 +460,7 @@ def oracle_sql():
         "h264_mp4_decode": SQL_H264_MP4_DECODE,
         "h264_full_decode": SQL_H264_FULL_DECODE,
         "h264_multiqp_decode": SQL_H264_MULTIQP_DECODE,
+        "h264_qptrack_decode": SQL_H264_QPTRACK_DECODE,
         "video_fingerprint": SQL_VIDEO_FINGERPRINT,
         "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
         "ngram_novelty": SQL_NGRAM_NOVELTY,

@@ -536,3 +536,29 @@ def test_unknown_pps_id_raises():
     stripped = bytes(data[:idx]) + bytes(data[end:])
     with pytest.raises(ValueError, match="SPS/PPS|unknown PPS"):
         decode_h264_iframe(stripped)
+
+
+def test_notch9_qp_tracking_round_trip():
+    """mb_qp_delta accumulation: QP flips 36/34 across a slice's
+    predicted MBs and the two dequant branches genuinely differ."""
+    from magmapandas_spark.operators.h264 import (
+        _fixture_notch9,
+        _n4_block_residuals,
+        _N9_SEED_OFF,
+        decode_h264_stream,
+        encode_qptrack_annexb,
+    )
+
+    deltas_seen = set()
+    for i in (2, 5, 11, 23):
+        frames, cdcs, ldcs, deltas = _fixture_notch9(i)
+        for dq in deltas:
+            deltas_seen.update(int(v) for v in dq if v != 0)
+        pics, _ = decode_h264_stream(encode_qptrack_annexb(i))
+        for (y, cb, cr), (ye, cbe, cre, _, _) in zip(pics, frames):
+            assert np.array_equal(y, ye)
+            assert np.array_equal(cb, cbe)
+            assert np.array_equal(cr, cre)
+    assert deltas_seen == {2, -2}  # both signs of mb_qp_delta decoded
+    sd = _N9_SEED_OFF + 4 * 5
+    assert _n4_block_residuals(sd, 36) != _n4_block_residuals(sd, 34)
