@@ -96,8 +96,10 @@ the first H.264 codec notch.
   decimal sums of 9-decimal-rounded terms (corpus length-distribution
   profiling); ``image_fingerprint`` — the image leg of the multimodal
   dedup quad (pixel-histogram fingerprints through the real PNG
-  inflate/unfilter decode + duplicate images). Past the 50-slot gate
-  this round.
+  inflate/unfilter decode + duplicate images); ``null_semantics`` —
+  NULL-semantics parity probe (NULL group keys, COUNT/DISTINCT/SUM
+  under NULLs, null-safe equality: Spark <=> vs DuckDB IS NOT
+  DISTINCT FROM). Past the 50-slot gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -286,6 +288,77 @@ ORDER BY measure
 """
 
 
+def q_null_semantics(spark, sf_dir):
+    """Gate query: NULL-semantics parity probe — the places engines
+    classically diverge, all under one hash: NULL group keys (one
+    group, not dropped), COUNT(*) vs COUNT(col) vs COUNT(DISTINCT)
+    under NULLs, null-skipping SUM/AVG, null-propagating arithmetic,
+    and NULL-SAFE equality (Spark <=> vs DuckDB IS NOT DISTINCT
+    FROM). NULLs are derived deterministically with NULLIF so the
+    probe runs on any snapshot."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.expr("NULLIF(o_orderpriority, '3-MEDIUM')").alias("x"),
+        F.expr("NULLIF(o_custkey % 5, 2)").alias("y"),
+    )
+    return (
+        o.groupBy("x")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("y").alias("n_y"),
+            F.count_distinct(F.col("y")).alias("nd_y"),
+            F.sum("y").alias("sum_y"),
+            F.sum(F.expr("y + 1")).alias("sum_y_plus1"),
+            F.sum(
+                F.expr("CASE WHEN y <=> 3 THEN 1 ELSE 0 END")
+            ).alias("n_eq3_nullsafe"),
+            F.sum(
+                F.expr("CASE WHEN y <=> NULL THEN 1 ELSE 0 END")
+            ).alias("n_is_null_nullsafe"),
+        )
+        .select(
+            F.coalesce("x", F.lit("<NULL>")).alias("x_key"),
+            "n_rows",
+            "n_y",
+            "nd_y",
+            F.coalesce("sum_y", F.lit(0)).cast("long").alias("sum_y"),
+            F.coalesce("sum_y_plus1", F.lit(0))
+            .cast("long")
+            .alias("sum_y_plus1"),
+            F.col("n_eq3_nullsafe").cast("long"),
+            F.col("n_is_null_nullsafe").cast("long"),
+        )
+        .orderBy("x_key")
+    )
+
+
+SQL_NULL_SEMANTICS = """
+WITH o AS (
+  SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS x,
+         NULLIF(o_custkey % 5, 2) AS y
+  FROM orders
+),
+g AS (
+  SELECT x, COUNT(*) AS n_rows, COUNT(y) AS n_y,
+         COUNT(DISTINCT y) AS nd_y,
+         SUM(y) AS sum_y, SUM(y + 1) AS sum_y_plus1,
+         SUM(CASE WHEN y IS NOT DISTINCT FROM 3 THEN 1 ELSE 0 END)
+           AS n_eq3_nullsafe,
+         SUM(CASE WHEN y IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+           AS n_is_null_nullsafe
+  FROM o GROUP BY x
+)
+SELECT COALESCE(x, '<NULL>') AS x_key, n_rows, n_y, nd_y,
+       CAST(COALESCE(sum_y, 0) AS BIGINT) AS sum_y,
+       CAST(COALESCE(sum_y_plus1, 0) AS BIGINT) AS sum_y_plus1,
+       CAST(n_eq3_nullsafe AS BIGINT) AS n_eq3_nullsafe,
+       CAST(n_is_null_nullsafe AS BIGINT) AS n_is_null_nullsafe
+FROM g
+ORDER BY x_key
+"""
+
+
 def queries():
     from magmapandas_spark.operators.analytics import (
         q_abc_classification,
@@ -371,6 +444,7 @@ def queries():
         "degree_assortativity": q_degree_assortativity,
         "length_lognormal": q_length_lognormal,
         "image_fingerprint": q_image_fingerprint,
+        "null_semantics": q_null_semantics,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -472,6 +546,7 @@ def oracle_sql():
         "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
         "length_lognormal": SQL_LENGTH_LOGNORMAL,
         "image_fingerprint": SQL_IMAGE_FINGERPRINT,
+        "null_semantics": SQL_NULL_SEMANTICS,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,
