@@ -438,3 +438,39 @@ JOIN fp2 f2 ON f2.ie = c.ie
 JOIN dups d ON d.fp = f2.fp
 ORDER BY c.media_id
 """
+
+
+def write_fp_index(
+    media: DataFrame, table: str, n_buckets: int = 32
+) -> None:
+    """Persist the corpus's image fingerprints as a table BUCKETED on
+    fp — the incremental multimodal-dedup shape (the write_lsh_index
+    pattern on the fingerprint tier): the index is written once and
+    every arriving media batch probes it with an equi-join in which
+    ONLY the new batch's fingerprints shuffle; the stored side reads
+    its buckets with no exchange. At crawl scale the index is one
+    ~40-byte row per image."""
+    (
+        png_fingerprints(media)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "fp")
+        .sortBy("fp")
+        .saveAsTable(table, format="parquet")
+    )
+
+
+def incremental_fp_duplicates(
+    new_media: DataFrame, table: str
+) -> DataFrame:
+    """Fingerprint-duplicate candidates between an arriving media
+    batch and the persisted index: decode + fingerprint the batch
+    (one narrow Arrow stage), equi-join the bucketed index on fp —
+    only the batch side shuffles."""
+    spark = new_media.sparkSession
+    idx = spark.table(table).select(
+        F.col("media_id").alias("idx_media_id"), "fp"
+    )
+    batch = png_fingerprints(new_media).select("media_id", "fp")
+    return batch.join(idx, "fp").select(
+        "media_id", "idx_media_id", "fp"
+    )

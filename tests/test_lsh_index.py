@@ -77,3 +77,47 @@ def test_index_side_reads_bucketed_without_exchange(spark, corpus_index):
         ) or "+- Exchange" in ln
     )
     assert n_exchanges == 4, plan
+
+
+def test_fp_index_side_reads_bucketed_without_exchange(spark, tmp_path):
+    """The fingerprint index (write_lsh_index pattern on the
+    multimodal dedup tier): stored side reads its buckets straight
+    into the join; only the arriving batch shuffles."""
+    from magmapandas_spark.operators.png import (
+        incremental_fp_duplicates,
+        make_synthetic_png,
+        synthetic_png_media,
+        write_fp_index,
+    )
+
+    base = synthetic_png_media(spark, 20)
+    write_fp_index(base, "fp_idx_test")
+    # batch: two dups of indexed images + one fresh image
+    batch = spark.createDataFrame(
+        [
+            (100, make_synthetic_png(3)),
+            (101, make_synthetic_png(7)),
+            (102, make_synthetic_png(25)),
+        ],
+        "media_id long, payload binary",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_fp_duplicates(batch, "fp_idx_test")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        rows = {(r.media_id, r.idx_media_id) for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert rows == {(100, 3), (101, 7)}  # dups found, fresh image not
+    scan_line = next(
+        ln for ln in plan.splitlines() if "fp_idx_test" in ln
+    )
+    assert "Bucketed: true" in scan_line, scan_line
+    # the only exchange aligns the BATCH side's fingerprints to the
+    # index buckets — the stored side never re-shuffles
+    n_exchanges = sum(
+        1 for ln in plan.splitlines()
+        if "+- Exchange" in ln or ":- Exchange" in ln
+    )
+    assert n_exchanges == 1, plan
