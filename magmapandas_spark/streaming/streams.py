@@ -1245,3 +1245,63 @@ def finalize_streaming_psi(
         )
         .orderBy("bin")
     )
+
+
+def streaming_fp_ingest(
+    media_stream: DataFrame,
+    index_table: str,
+    accepted_path: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+):
+    """Streaming MEDIA ingestion with cross-batch fingerprint dedup
+    against the persisted fp index — the multimodal twin of
+    :func:`streaming_dedup_ingest`:
+
+    per micro-batch (``foreachBatch``):
+      1. decode + fingerprint the batch (one narrow Arrow stage) and
+         probe the bucketed index: images whose fingerprint collides
+         with an already-accepted one are dropped;
+      2. within-batch self-dedup (keep the min media_id per
+         fingerprint);
+      3. append survivors' fingerprint rows to ``accepted_path`` and
+         to the index, so batch N+1 dedups against everything batch N
+         accepted.
+
+    Same accept-set semantics and foreachBatch rationale as the LSH
+    loop; the stored index side never re-shuffles (write_fp_index's
+    bucketing, plan-tested in tests/test_lsh_index.py)."""
+    from pyspark.sql import Window
+
+    from magmapandas_spark.operators.png import png_fingerprints
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            return
+        fps = png_fingerprints(batch_df).localCheckpoint(eager=True)
+        idx = spark.table(index_table).select("fp").distinct()
+        fresh = fps.join(idx, "fp", "anti")
+        # within-batch: keep the min media_id per fingerprint
+        w = Window.partitionBy("fp").orderBy("media_id")
+        keep = (
+            fresh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        keep.write.mode("append").parquet(accepted_path)
+        # insertInto is POSITIONAL: restore the index table's column
+        # order (the fp join key moved to the front)
+        keep.select("media_id", "n_px", "hist", "fp").write.mode(
+            "append"
+        ).insertInto(index_table)
+
+    q = (
+        media_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

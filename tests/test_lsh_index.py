@@ -90,6 +90,10 @@ def test_fp_index_side_reads_bucketed_without_exchange(spark, tmp_path):
         write_fp_index,
     )
 
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS fp_idx_test")
+    shutil.rmtree("spark-warehouse/fp_idx_test", ignore_errors=True)
     base = synthetic_png_media(spark, 20)
     write_fp_index(base, "fp_idx_test")
     # batch: two dups of indexed images + one fresh image

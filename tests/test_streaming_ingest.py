@@ -95,3 +95,59 @@ def test_streaming_ingest_matches_batch_dedup(spark, workdir):
         assert len(got) < len(b0) + len(b1)
     finally:
         spark.sql("DROP TABLE IF EXISTS ingest_idx")
+
+
+def test_streaming_fp_ingest_dedups_across_batches(spark, tmp_path):
+    """Cross-batch fingerprint dedup: a later batch's byte-duplicate
+    of an earlier accepted image is dropped; within-batch dups keep
+    the min media_id; fresh images always land."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.png import (
+        make_synthetic_png,
+        synthetic_png_media,
+        write_fp_index,
+    )
+    from magmapandas_spark.streaming.streams import streaming_fp_ingest
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS fp_ingest_idx")
+    shutil.rmtree("spark-warehouse/fp_ingest_idx", ignore_errors=True)
+    write_fp_index(synthetic_png_media(spark, 10), "fp_ingest_idx")
+    # batch 1: fresh 20 + dup of indexed 3; batch 2: dup of indexed 5,
+    # dup of batch-1's 20, within-batch dup pair of fresh 21
+    b1 = [(100, make_synthetic_png(20)), (101, make_synthetic_png(3))]
+    b2 = [
+        (200, make_synthetic_png(5)),
+        (201, make_synthetic_png(20)),
+        (202, make_synthetic_png(21)),
+        (203, make_synthetic_png(21)),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "media_id long, payload binary"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/b1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/b2")
+    # one file per trigger -> two micro-batches in filename order
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/b*")
+    accepted = str(tmp_path / "accepted")
+    streaming_fp_ingest(
+        stream, "fp_ingest_idx", accepted, str(tmp_path / "ckpt")
+    )
+    got = sorted(
+        r.media_id
+        for r in spark.read.parquet(accepted).collect()
+    )
+    # 100 (fresh), 202 (min of the within-batch dup pair); 101/200
+    # collide with the index, 201 with batch 1's accepted 100, 203
+    # with 202
+    assert got == [100, 202], got
