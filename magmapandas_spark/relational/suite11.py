@@ -99,7 +99,9 @@ the first H.264 codec notch.
   inflate/unfilter decode + duplicate images); ``null_semantics`` —
   NULL-semantics parity probe (NULL group keys, COUNT/DISTINCT/SUM
   under NULLs, null-safe equality: Spark <=> vs DuckDB IS NOT
-  DISTINCT FROM). Past the 50-slot gate this round.
+  DISTINCT FROM); ``date_semantics`` — native calendar-function
+  parity (month truncation, last_day clamping, quarter, integer
+  month arithmetic). Past the 50-slot gate this round.
 - ``balanced_sample`` — class-balanced deterministic downsampling of
   the documents corpus to the smallest language class (ppm acceptance
   rates, md5-uniform survival); two |classes|-row aggregations, one
@@ -359,6 +361,51 @@ ORDER BY x_key
 """
 
 
+def q_date_semantics(spark, sf_dir):
+    """Gate query: date-function parity probe — each engine's NATIVE
+    calendar functions under one hash: month truncation, last-day
+    (month-end clamping), quarter extraction, and integer month
+    arithmetic against a fixed epoch. Monthly order census with all
+    four beside the counts."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    return (
+        o.groupBy(F.date_trunc("month", "d").cast("date").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("month").cast("string").alias("month"),
+            "n",
+            F.last_day("month").cast("string").alias("month_end"),
+            F.quarter("month").alias("q"),
+            (
+                (F.year("month") - F.lit(1990)) * 12
+                + F.month("month") - F.lit(1)
+            ).alias("months_since_1990"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_DATE_SEMANTICS = """
+WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+g AS (
+  SELECT CAST(date_trunc('month', d) AS DATE) AS month, COUNT(*) AS n
+  FROM o GROUP BY 1
+)
+SELECT CAST(month AS VARCHAR) AS month, n,
+       CAST(last_day(month) AS VARCHAR) AS month_end,
+       CAST(EXTRACT(quarter FROM month) AS INT) AS q,
+       CAST((EXTRACT(year FROM month) - 1990) * 12
+            + EXTRACT(month FROM month) - 1 AS INT)
+         AS months_since_1990
+FROM g
+ORDER BY month
+"""
+
+
 def queries():
     from magmapandas_spark.operators.analytics import (
         q_abc_classification,
@@ -445,6 +492,7 @@ def queries():
         "length_lognormal": q_length_lognormal,
         "image_fingerprint": q_image_fingerprint,
         "null_semantics": q_null_semantics,
+        "date_semantics": q_date_semantics,
         "balanced_sample": q_balanced_sample,
         "dedup_impact": q_dedup_impact,
         "knn_label_noise": q_knn_label_noise,
@@ -547,6 +595,7 @@ def oracle_sql():
         "length_lognormal": SQL_LENGTH_LOGNORMAL,
         "image_fingerprint": SQL_IMAGE_FINGERPRINT,
         "null_semantics": SQL_NULL_SEMANTICS,
+        "date_semantics": SQL_DATE_SEMANTICS,
         "balanced_sample": SQL_BALANCED_SAMPLE,
         "dedup_impact": SQL_DEDUP_IMPACT,
         "knn_label_noise": SQL_KNN_LABEL_NOISE,

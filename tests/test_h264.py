@@ -562,3 +562,22 @@ def test_notch9_qp_tracking_round_trip():
     assert deltas_seen == {2, -2}  # both signs of mb_qp_delta decoded
     sd = _N9_SEED_OFF + 4 * 5
     assert _n4_block_residuals(sd, 36) != _n4_block_residuals(sd, 34)
+
+
+def test_ladder_corpora_seed_ranges_are_disjoint():
+    """The four GOP-shaped corpora must keep disjoint value-seed
+    ranges (0.. / 96.. / 192.. / 288..) — an overlap would silently
+    alias gate-row content across notches."""
+    from magmapandas_spark.operators.h264 import (
+        _N8_SEED_OFF,
+        _N9_SEED_OFF,
+        _N_CLIPS,
+        _N7_SEED_OFF,
+    )
+    from magmapandas_spark.operators.mp4 import _AVC_SEED_OFF
+
+    span = 4 * (_N_CLIPS - 1) + 3  # max sd offset within a corpus
+    offs = [0, _AVC_SEED_OFF, _N7_SEED_OFF, _N9_SEED_OFF, _N8_SEED_OFF]
+    ranges = sorted((o, o + span) for o in offs)
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        assert a1 < b0, (a0, a1, b0, b1)
