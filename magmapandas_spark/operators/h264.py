@@ -2747,6 +2747,8 @@ def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     back."""
     from magmapandas_spark.operators.multimodal import tiny_sorted
 
+    from pyspark.sql import Window
+
     base = synthetic_h264_gop_media(spark)
     dups = spark.createDataFrame(
         [
@@ -2756,13 +2758,15 @@ def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, payload binary",
     )
     fps = h264_frame_fingerprints(base.unionByName(dups))
-    counts = fps.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("n_frames_with_fp")
-    )
+    # collision count as an fp-partitioned window, NOT a groupBy +
+    # join back: the join's two subtrees would each re-run the Arrow
+    # decode stage — at corpus scale that doubles the dominant cost.
+    # One decode, one fp-keyed shuffle, bounded partitions.
+    n = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     return tiny_sorted(
-        fps.join(F.broadcast(counts), "fp").select(
+        fps.select(
             "media_id", "frame_idx", "n_px", "hist", "fp",
-            "n_frames_with_fp",
+            n.alias("n_frames_with_fp"),
         ),
         "media_id",
         "frame_idx",

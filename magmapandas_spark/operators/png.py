@@ -385,13 +385,16 @@ def q_image_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(40, make_synthetic_png(2)), (41, make_synthetic_png(7))],
         MEDIA_PNG_SCHEMA,
     )
+    from pyspark.sql import Window
+
     fps = png_fingerprints(base.unionByName(dups))
-    counts = fps.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("n_images_with_fp")
-    )
+    # fp-partitioned window, not groupBy+join: a join would re-run
+    # the Arrow decode stage on both subtrees (see q_video_fingerprint)
+    n = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     return tiny_sorted(
-        fps.join(F.broadcast(counts), "fp").select(
-            "media_id", "n_px", "hist", "fp", "n_images_with_fp"
+        fps.select(
+            "media_id", "n_px", "hist", "fp",
+            n.alias("n_images_with_fp"),
         ),
         "media_id",
     )

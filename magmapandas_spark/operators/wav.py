@@ -288,13 +288,16 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(48, make_synthetic_wav(3)), (49, make_synthetic_wav(10))],
         MEDIA_WAV_SCHEMA,
     )
+    from pyspark.sql import Window
+
     fps = wav_fingerprints(base.unionByName(dups))
-    counts = fps.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("n_clips_with_fp")
-    )
+    # fp-partitioned window, not groupBy+join: a join would re-run
+    # the Arrow decode stage on both subtrees (see q_video_fingerprint)
+    n = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     return tiny_sorted(
-        fps.join(F.broadcast(counts), "fp").select(
-            "media_id", "n_frames", "hist", "fp", "n_clips_with_fp"
+        fps.select(
+            "media_id", "n_frames", "hist", "fp",
+            n.alias("n_clips_with_fp"),
         ),
         "media_id",
     )

@@ -868,3 +868,19 @@ def test_late_round8_aggregation_shapes(spark, qname):
     assert "Window" not in plan, qname
     assert "CartesianProduct" not in plan, qname
     assert "BatchEvalPython" not in plan, qname
+
+
+@pytest.mark.parametrize(
+    "qname", ["video_fingerprint", "audio_fingerprint", "image_fingerprint"]
+)
+def test_fingerprint_queries_decode_exactly_once(spark, qname):
+    """The collision count is an fp-partitioned window over the ONE
+    Arrow decode stage — a groupBy+join-back would re-run the decode
+    on both join subtrees (2x the dominant cost at corpus scale).
+    Every Window partitions by fp."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()[qname](spark, SF))
+    assert plan.count("MapInPandas") == 1, qname
+    for spec in window_partition_specs(plan):
+        assert spec.strip(), qname
