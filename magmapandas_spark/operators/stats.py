@@ -695,47 +695,44 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent; ln agrees across engines at this rounding per
     the dsir/A-ES precedent).
 
-    Plan: one extrema aggregate broadcast back, two bin-count
-    aggregations (A and the filtered B — both map-side combined, 10
-    rows out), a 10-row assembly against spark.range(10), one 1-row
-    total broadcast. Nothing corpus-sized past the scans."""
+    Plan: one extrema aggregate broadcast back, then ONE bin-count
+    aggregation emitting BOTH snapshots' counts (B is a filtered
+    subset of A, so c_b is a conditional count in the same pass — not
+    a second scan), a 10-row assembly against spark.range(10), one
+    1-row total broadcast. Exactly two structural passes over the
+    corpus."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "n_chars"
-    )
-    b = docs.filter(
-        ~((F.col("doc_id") % 3 == 0) & (F.col("n_chars") >= 800))
     )
     ext = docs.agg(
         F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
     )
-
-    def bin_counts(df, alias):
-        return (
-            df.crossJoin(F.broadcast(ext))
-            .select(
-                F.when(F.col("mx") == F.col("mn"), F.lit(0))
-                .otherwise(
-                    F.least(
-                        F.expr("(n_chars - mn) * 10 div (mx - mn)"),
-                        F.lit(9),
-                    )
-                )
-                .cast("long")
-                .alias("bin")
-            )
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(alias))
-        )
-
-    grid = spark.range(10).select(F.col("id").alias("bin"))
-    j = (
-        grid.join(F.broadcast(bin_counts(docs, "c_a")), "bin", "left")
-        .join(F.broadcast(bin_counts(b, "c_b")), "bin", "left")
+    in_b = ~((F.col("doc_id") % 3 == 0) & (F.col("n_chars") >= 800))
+    counts = (
+        docs.crossJoin(F.broadcast(ext))
         .select(
-            "bin",
-            F.coalesce("c_a", F.lit(0)).alias("c_a"),
-            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.expr("(n_chars - mn) * 10 div (mx - mn)"),
+                    F.lit(9),
+                )
+            )
+            .cast("long")
+            .alias("bin"),
+            in_b.cast("long").alias("in_b"),
         )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("c_a"),
+            F.sum("in_b").alias("c_b"),
+        )
+    )
+    grid = spark.range(10).select(F.col("id").alias("bin"))
+    j = grid.join(F.broadcast(counts), "bin", "left").select(
+        "bin",
+        F.coalesce("c_a", F.lit(0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
     )
     tot = j.agg(
         F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
@@ -766,29 +763,20 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PSI_DRIFT = """
 WITH docs AS (SELECT doc_id, n_chars FROM documents),
-b AS (
-  SELECT * FROM docs
-  WHERE NOT (doc_id % 3 = 0 AND n_chars >= 800)
-),
 ext AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM docs),
-ca AS (
+counts AS (
   SELECT CASE WHEN mx = mn THEN 0
               ELSE LEAST((n_chars - mn) * 10 // (mx - mn), 9) END AS bin,
-         COUNT(*) AS c_a
+         COUNT(*) AS c_a,
+         SUM(CASE WHEN NOT (doc_id % 3 = 0 AND n_chars >= 800)
+                  THEN 1 ELSE 0 END) AS c_b
   FROM docs CROSS JOIN ext GROUP BY 1
 ),
-cb AS (
-  SELECT CASE WHEN mx = mn THEN 0
-              ELSE LEAST((n_chars - mn) * 10 // (mx - mn), 9) END AS bin,
-         COUNT(*) AS c_b
-  FROM b CROSS JOIN ext GROUP BY 1
-),
 grid AS (
-  SELECT g.g AS bin, COALESCE(ca.c_a, 0) AS c_a,
-         COALESCE(cb.c_b, 0) AS c_b
+  SELECT g.g AS bin, COALESCE(c.c_a, 0) AS c_a,
+         CAST(COALESCE(c.c_b, 0) AS BIGINT) AS c_b
   FROM (SELECT UNNEST(range(10)) AS g) g
-  LEFT JOIN ca ON ca.bin = g.g
-  LEFT JOIN cb ON cb.bin = g.g
+  LEFT JOIN counts c ON c.bin = g.g
 ),
 tot AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM grid),
 scored AS (
