@@ -151,3 +151,27 @@ def test_warc_roundtrip_property(bodies, uri_n):
        level=st.integers(1, 9))
 def test_gzip_roundtrip_property(data, level):
     assert gunzip_payload(gzip_payload(data, level)) == data
+
+
+def test_md5_prefix_fingerprint_convention_cross_engine():
+    """The fingerprint legs hash hist strings with Python
+    int(md5hex[:15], 16); the oracles use DuckDB
+    ('0x' || substr(md5(s), 1, 15))::BIGINT — pin that the two
+    conventions agree on representative and adversarial strings."""
+    import hashlib
+
+    import duckdb
+
+    cases = [
+        "0,1,2,3",
+        "",
+        "1024," * 15 + "1024",
+        "999999999,0,0,0,0,0,0,0,0,0,0,0,0,0,0,1",
+    ]
+    con = duckdb.connect()
+    for s in cases:
+        py = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        duck = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [s]
+        ).fetchone()[0]
+        assert py == duck, s
