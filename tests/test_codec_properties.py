@@ -175,3 +175,23 @@ def test_md5_prefix_fingerprint_convention_cross_engine():
             "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [s]
         ).fetchone()[0]
         assert py == duck, s
+
+
+def test_fingerprint_collision_paths_are_nonvacuous():
+    """Each fingerprint leg's corpus must keep genuine duplicate
+    content: if a fixture edit ever removes the byte-duplicate
+    clips/images, the collision column degrades to all-1s and the
+    dedup path goes vacuous — pin the expected dup row counts via
+    the closed-form oracles (no Spark needed)."""
+    import duckdb
+
+    from magmapandas_spark.operators.h264 import SQL_VIDEO_FINGERPRINT
+    from magmapandas_spark.operators.png import SQL_IMAGE_FINGERPRINT
+    from magmapandas_spark.operators.wav import SQL_AUDIO_FINGERPRINT
+
+    vid = duckdb.sql(SQL_VIDEO_FINGERPRINT).df()
+    assert int((vid.n_frames_with_fp > 1).sum()) == 8  # clips 0<->24, 5<->25
+    aud = duckdb.sql(SQL_AUDIO_FINGERPRINT).df()
+    assert int((aud.n_clips_with_fp > 1).sum()) == 4  # 3<->48, 10<->49
+    img = duckdb.sql(SQL_IMAGE_FINGERPRINT).df()
+    assert int((img.n_images_with_fp > 1).sum()) == 4  # 2<->40, 7<->41
