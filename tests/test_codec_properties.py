@@ -195,3 +195,48 @@ def test_fingerprint_collision_paths_are_nonvacuous():
     assert int((aud.n_clips_with_fp > 1).sum()) == 4  # 3<->48, 10<->49
     img = duckdb.sql(SQL_IMAGE_FINGERPRINT).df()
     assert int((img.n_images_with_fp > 1).sum()) == 4  # 2<->40, 7<->41
+
+
+def test_cavlc_level_round_trip_property():
+    """Property: _write_levels/_read_levels round-trip ANY legal
+    level sequence within the no-escape envelope — randomized
+    TrailingOnes counts, signs, magnitudes and TotalCoeff, including
+    the TC>10 initial-suffixLength rule and every growth step the
+    magnitudes can reach."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from magmapandas_spark.operators.h264 import (
+        _BitReader,
+        _BitWriter,
+        _read_levels,
+        _write_levels,
+    )
+
+    @st.composite
+    def level_seqs(draw):
+        tc = draw(st.integers(min_value=1, max_value=16))
+        t1s = draw(st.integers(min_value=0, max_value=min(3, tc)))
+        levels = [
+            draw(st.sampled_from([1, -1])) for _ in range(t1s)
+        ]
+        for _ in range(tc - t1s):
+            mag = draw(st.integers(min_value=2, max_value=7))
+            sign = draw(st.sampled_from([1, -1]))
+            levels.append(sign * mag)
+        return levels, tc, t1s
+
+    @given(level_seqs())
+    @settings(max_examples=200, deadline=None)
+    def check(case):
+        levels, tc, t1s = case
+        w = _BitWriter()
+        try:
+            _write_levels(w, levels, tc, t1s)
+        except AssertionError:
+            return  # outside the no-escape envelope: writer refuses
+        w.rbsp_trailing()
+        r = _BitReader(w.tobytes())
+        assert _read_levels(r, tc, t1s) == levels
+
+    check()
