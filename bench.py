@@ -100,9 +100,11 @@ def main() -> None:
         ),
         key=lambda n: -timings[n],
     )[:15]
-    retried = 0
+    retried = 0  # suspects re-timed
+    replaced = 0  # retries that actually beat (and replaced) the record
     for name in suspects:
         dt = run_once(name, qmap[name])
+        retried += 1
         if dt < timings[name]:
             print(
                 f"# retry {name}: {timings[name]:.3f}s -> {dt:.3f}s "
@@ -110,7 +112,7 @@ def main() -> None:
                 file=sys.stderr,
             )
             timings[name] = round(dt, 4)
-        retried += 1
+            replaced += 1
 
     total = sum(timings.values())
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -121,6 +123,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "retried": retried,
+        "replaced": replaced,
     }
     # The complete per-query map, for humans/the judge
     with open(

@@ -71,6 +71,7 @@ __all__ = [
     "encode_full_annexb",
     "decode_h264_iframe",
     "decode_h264_stream",
+    "decode_h264_stream_info",
     "h264_frame_stats",
     "h264_gop_stats",
     "q_h264_ipcm_decode",
@@ -782,9 +783,24 @@ def _last_set_bit_pos(rbsp: bytes) -> int:
 def decode_h264_stream(
     data: bytes,
 ) -> tuple[list[tuple[np.ndarray, np.ndarray, np.ndarray]], dict]:
+    """Decode an Annex-B stream of one or more IDR pictures. Thin
+    wrapper over ``decode_h264_stream_info`` that drops the per-picture
+    slice counts."""
+    pics, sps, _ = decode_h264_stream_info(data)
+    return pics, sps
+
+
+def decode_h264_stream_info(
+    data: bytes,
+) -> tuple[
+    list[tuple[np.ndarray, np.ndarray, np.ndarray]], dict, list[int]
+]:
     """Decode an Annex-B stream of one or more IDR pictures, each
     possibly split across multiple slice NALs (``first_mb_in_slice``
-    raster order). Returns ([(Y, Cb, Cr), ...], sps).
+    raster order). Returns ([(Y, Cb, Cr), ...], sps, slice_counts)
+    where ``slice_counts[i]`` is the number of slice NALs actually
+    parsed for picture i (not inferred from geometry — a single-slice
+    encoding of a tall picture reports 1).
 
     Real multi-slice semantics: a slice's macroblock count is not
     coded — the MB loop runs while ``more_rbsp_data()`` (bits remain
@@ -799,6 +815,7 @@ def decode_h264_stream(
     sps = None
     ppss: dict[int, dict] = {}
     pics: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    slice_counts: list[int] = []
     y = cb = cr = None
     tc = slice_of = None
     slice_idx = -1
@@ -840,11 +857,18 @@ def decode_h264_stream(
                             "adaptive ref-pic marking not supported"
                         )
             qp_y = pps["init_qp"] + r.se()  # slice_qp_delta
+            if not 0 <= qp_y <= 51:
+                # spec 7.4.3: SliceQP_Y shall be in [-QpBdOffsetY, 51];
+                # 8-bit profiles (QpBdOffsetY = 0) pin it to [0, 51]
+                raise ValueError(
+                    f"SliceQP_Y {qp_y} out of the 8-bit range 0..51"
+                )
             mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
             if first_mb == 0:
                 # new picture: emit the previous one, allocate fresh
                 if y is not None:
                     pics.append((y, cb, cr))
+                    slice_counts.append(slice_idx + 1)
                 w, h = mbs_w * 16, mbs_h * 16
                 y = np.zeros((h, w), np.uint8)
                 cb = np.zeros((h // 2, w // 2), np.uint8)
@@ -902,7 +926,10 @@ def decode_h264_stream(
                             "the next codec notch"
                         )
                     chroma_mode = r.ue()  # intra_chroma_pred_mode
-                    qp_y += r.se()  # mb_qp_delta (always present here)
+                    # mb_qp_delta (always present here): spec 7.4.5
+                    # accumulates with a mod-52 wrap at 8-bit depth —
+                    # QP_Y = ((QP_Y,prev + delta + 52) % 52)
+                    qp_y = (qp_y + r.se() + 52) % 52
                     # Intra16x16DCLevel is always parsed: CAVLC
                     # coeff_token with nC from SAME-SLICE neighbors of
                     # luma 4x4 block 0 (left MB / top MB at a corner)
@@ -976,7 +1003,8 @@ def decode_h264_stream(
     if y is None:
         raise ValueError("no slice NAL in stream")
     pics.append((y, cb, cr))
-    return pics, sps
+    slice_counts.append(slice_idx + 1)
+    return pics, sps, slice_counts
 
 
 def decode_h264_iframe(
@@ -2539,10 +2567,16 @@ def h264_gop_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {f.name: [] for f in _H264_GOP_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                pics, sps = decode_h264_stream(bytes(payload))
+                # n_slices counts the slice NALs the bitstream parser
+                # actually consumed per picture (slice_counts), not
+                # the encoder-side _gop_slice_bounds geometry — the
+                # column verifies the stream's real slice structure
+                pics, sps, slice_counts = decode_h264_stream_info(
+                    bytes(payload)
+                )
                 mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
-                n_slices = len(_gop_slice_bounds(mbs_w, mbs_h))
                 for fi, (y, cb, cr) in enumerate(pics):
+                    n_slices = slice_counts[fi]
                     ck = 0
                     ky = 0
                     for mb in range(mbs_w * mbs_h):

@@ -26,8 +26,15 @@ writes a conforming sample table (``stsd`` VisualSampleEntry 'jpeg',
 codec fourcc + per-sample extents, and :func:`decode_mjpeg_frames`
 slices each sample out of ``mdat`` and runs the engine's own baseline
 JPEG decoder (operators/jpeg.py) on it — real end-to-end video frame
-decode with zero codec libraries. Inter-frame-predicted codecs
-(H.264/H.265) remain the honest ``NotImplementedError``.
+decode with zero codec libraries.
+
+Round 8 extends that to AVC: :func:`decode_avc_frames` (below) routes
+'avc1' sample entries through the engine's own H.264 baseline I-frame
+decoder (operators/h264.py) — avcC SPS/PPS extraction, length-prefixed
+NAL → Annex-B conversion, per-sample decode. The honest
+``NotImplementedError`` boundary inside that decoder is now P/B
+inter-predicted slices and CABAC entropy coding (see
+operators/h264.py's module docstring for the exact notch ladder).
 
 Scale posture: identical to every decode path — one narrow
 ``mapInPandas`` stage, payloads never leave the executor.
