@@ -632,19 +632,31 @@ SQL_KCORE = _sql_kcore()
 # ---------------------------------------------------------------------
 
 
-def two_hop_reach(edges: DataFrame, top_k: int = 30) -> DataFrame:
+def two_hop_reach(
+    edges: DataFrame, top_k: int = 30, max_degree: int | None = None
+) -> DataFrame:
     """Per-node count of distinct nodes within ≤ 2 undirected hops
     (friend-of-friend reach, excluding the node itself), with the
-    one-hop degree beside it; top-k by reach.
+    one-hop degree and a ``capped`` flag beside it; top-k by reach.
 
     Scale posture: the 2-hop pair generation is ONE equi-join of the
     symmetrized edge list with itself keyed on the middle node — its
-    fan-out is Σ deg(v)², bounded on degree-capped graphs (this link
-    graph caps at 6 generator maps per node; real pipelines cap
-    supernodes first, the standard friend-of-friend discipline). The
-    distinct + count aggregate is keyed on the source node, and the
-    top-k is orderBy().limit() (TakeOrderedAndProject), never a
-    global rank window.
+    raw fan-out is Σ deg(v)², which a single power-law hub turns
+    quadratic (the classic skewed shuffle-key killer). ``max_degree``
+    is the supernode guard (the SemDeDup ``max_cell_rows``
+    discipline): a middle node's adjacency is deterministically
+    truncated to its ``max_degree`` lowest-``xxhash64`` neighbors
+    before the join, bounding per-key fan-out at max_degree² — a
+    documented approximation that can only MISS 2-hop reach routed
+    through a capped hub, never invent it. The per-key truncation is
+    a row_number window PARTITIONED BY the middle node (per-key sort
+    is deg·log deg, output ≤ max_degree — not the deg² pair blow-up).
+    ``capped`` marks nodes whose own adjacency was truncated in the
+    middle role (deg > max_degree); with ``max_degree=None`` (or a
+    bound above the graph's max degree) results are exact and every
+    flag is false. The distinct + count aggregate is keyed on the
+    source node, and the top-k is orderBy().limit()
+    (TakeOrderedAndProject), never a global rank window.
     """
     und = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -658,11 +670,28 @@ def two_hop_reach(edges: DataFrame, top_k: int = 30) -> DataFrame:
         F.col("u").alias("a"), F.col("v").alias("b")
     ).unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    if max_degree is None:
+        mid = sym
+    else:
+        # supernode guard: keep each middle node's max_degree
+        # lowest-hash neighbors (deterministic, order-free)
+        w = Window.partitionBy("b").orderBy(F.xxhash64("a"), "a")
+        mid = (
+            sym.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_degree)
+            .drop("_rn")
+        )
+    # mid rows are (a = neighbor, b = middle) with the MIDDLE node's
+    # adjacency capped; e2 swaps the same relation to (b = middle,
+    # c = neighbor) so both sides of a middle draw from the identical
+    # capped neighbor set — per-key fan-out ≤ max_degree² by
+    # construction (renaming a→b instead would key e2 on the UNCAPPED
+    # per-source adjacency and reopen the hub blow-up)
     hop2 = (
-        sym.alias("e1")
+        mid.alias("e1")
         .join(
-            sym.select(
-                F.col("a").alias("b"), F.col("b").alias("c")
+            mid.select(
+                F.col("b"), F.col("a").alias("c")
             ).alias("e2"),
             "b",
         )
@@ -676,9 +705,19 @@ def two_hop_reach(edges: DataFrame, top_k: int = 30) -> DataFrame:
         .groupBy("a")
         .agg(F.count(F.lit(1)).alias("reach_2hop"))
     )
+    capped = (
+        F.lit(False)
+        if max_degree is None
+        else (F.col("deg") > F.lit(max_degree))
+    )
     return (
         reach.join(deg, "a")
-        .select(F.col("a").alias("node"), "deg", "reach_2hop")
+        .select(
+            F.col("a").alias("node"),
+            "deg",
+            "reach_2hop",
+            capped.alias("capped"),
+        )
         .orderBy(F.desc("reach_2hop"), "node")
         .limit(top_k)
     )
@@ -686,8 +725,11 @@ def two_hop_reach(edges: DataFrame, top_k: int = 30) -> DataFrame:
 
 def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: top-30 nodes of the 400-node synthetic link graph
-    by distinct ≤ 2-hop reach, exact integers."""
-    return two_hop_reach(synthetic_tri_graph(spark))
+    by distinct ≤ 2-hop reach, exact integers. max_degree=1000 sits
+    above the graph's max degree, so the supernode guard is engaged
+    (the capped plan shape runs) while every reach stays exact and
+    every ``capped`` flag is provably false under the oracle hash."""
+    return two_hop_reach(synthetic_tri_graph(spark), max_degree=1000)
 
 
 SQL_TWO_HOP_REACH = f"""
@@ -713,7 +755,7 @@ reach AS (
     SELECT a, r FROM hop2
   ) GROUP BY a
 )
-SELECT r.a AS node, d.deg, r.reach_2hop
+SELECT r.a AS node, d.deg, r.reach_2hop, d.deg > 1000 AS capped
 FROM reach r JOIN deg d ON d.a = r.a
 ORDER BY reach_2hop DESC, node
 LIMIT 30

@@ -74,3 +74,52 @@ def test_personalized_pagerank_mass_concentrates_on_seeds(spark):
     nonzero_nonseed = j.filter("is_seed IS NULL AND ppr > 0").count()
     assert nonzero_nonseed > 0  # mass genuinely propagates off-seed
     assert zero >= 0
+
+
+def test_two_hop_supernode_cap_bounds_a_one_hub_graph(spark):
+    """The max_degree guard truncates a star hub's middle-role
+    adjacency: exactly max_degree spokes keep their 2-hop reach, the
+    rest fall back to their (uncapped) 1-hop reach, and the hub is
+    the only node flagged capped."""
+    from magmapandas_spark.operators.graph import two_hop_reach
+
+    n_spokes, k = 200, 10
+    edges = spark.range(1, n_spokes + 1).selectExpr(
+        "CAST(0 AS BIGINT) AS src", "id AS dst"
+    )
+    out = (
+        two_hop_reach(edges, top_k=n_spokes + 1, max_degree=k)
+        .toPandas()
+        .set_index("node")
+    )
+    # hub: degree n_spokes, reach unaffected (1-hop side is uncapped)
+    assert bool(out.loc[0, "capped"]) is True
+    assert int(out.loc[0, "reach_2hop"]) == n_spokes
+    spokes = out.drop(index=0)
+    assert not spokes["capped"].any()
+    # kept spokes reach hub + (k-1) surviving siblings; dropped
+    # spokes reach only the hub — the deg² fan-out is gone
+    counts = spokes["reach_2hop"].value_counts().to_dict()
+    assert counts == {k: k, 1: n_spokes - k}
+    # determinism of the hash-truncated adjacency
+    again = (
+        two_hop_reach(edges, top_k=n_spokes + 1, max_degree=k)
+        .toPandas()
+        .set_index("node")
+    )
+    assert out.equals(again)
+
+
+def test_two_hop_cap_above_max_degree_is_exact(spark):
+    """A bound above the graph's max degree keeps results identical
+    to the uncapped run (gate posture: max_degree=1000)."""
+    from magmapandas_spark.operators.graph import (
+        synthetic_tri_graph,
+        two_hop_reach,
+    )
+
+    edges = synthetic_tri_graph(spark)
+    exact = two_hop_reach(edges).drop("capped").toPandas()
+    capped = two_hop_reach(edges, max_degree=1000).toPandas()
+    assert not capped["capped"].any()
+    assert exact.equals(capped.drop(columns=["capped"]))
