@@ -2133,3 +2133,185 @@ SELECT sk.n_name, sk.n AS n_customers, sk.bins_used,
 FROM sk JOIN ex ON ex.n_name = sk.n_name
 ORDER BY sk.n_name
 """
+
+
+# ---------------------------------------------------------------------
+# ABC classification — histogram-sketch twin (round 9)
+# ---------------------------------------------------------------------
+
+
+def abc_classification_sketch(lineitem: DataFrame) -> DataFrame:
+    """The mergeable scale twin of ``abc_classification`` — Pareto
+    A/B/C classes from a 1000-bin equi-width revenue histogram
+    (the ``gini_sketch`` Lorenz-binning pairing): whole bins are
+    classed by their top-down cumulative revenue share against the
+    70/90% marks, so a part's class is its BIN's class — a
+    catalog-scale approximation whose error vs the exact rank-window
+    classes is hashed BESIDE it (``*_sk`` vs ``*_ex`` columns).
+
+    Plan: one fact-table scan to the part-grain aggregate, a 1-row
+    extrema broadcast, scan-local bin assignment, a ≤1000-row
+    histogram with map-side combine, bin-bounded cumulative windows —
+    sketch state is B counters, mergeable across partitions/days.
+    The exact branch (the catalog-grain global sort window) is the
+    measurement twin and is dropped at outsized-catalog scale.
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = lineitem.groupBy("l_partkey").agg(
+        (F.sum(rev.cast("decimal(18,6)")) * 1_000_000)
+        .cast("bigint")
+        .alias("rev_u")
+    )
+    per_part = per_part.localCheckpoint(eager=False)
+    stats = per_part.agg(
+        F.min("rev_u").alias("mn"),
+        F.max("rev_u").alias("mx"),
+        F.sum("rev_u").alias("total_u"),
+    )
+    _B = 1000
+    binned = per_part.crossJoin(F.broadcast(stats)).select(
+        "rev_u",
+        "total_u",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.expr(f"(rev_u - mn) * {_B} div (mx - mn)"),
+                F.lit(_B - 1),
+            )
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("total_u", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("rev_u").alias("sb"),
+    )
+    # top-down (descending revenue) cumulative share classes the bin
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sk = (
+        hist.withColumn("cum", F.sum("sb").over(w))
+        .withColumn(
+            "cls",
+            F.when(F.expr("cum * 100 <= 70 * total_u"), "A")
+            .when(F.expr("cum * 100 <= 90 * total_u"), "B")
+            .otherwise("C"),
+        )
+        .groupBy("cls")
+        .agg(
+            F.sum("cnt").alias("n_parts_sk"),
+            F.sum("sb").alias("rev_micros_sk"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * sum(sb)"
+                " div max(total_u) AS BIGINT)"
+            ).alias("share_ppm_sk"),
+        )
+    )
+    we = Window.orderBy(F.desc("rev_u"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ex = (
+        per_part.crossJoin(F.broadcast(stats))
+        .withColumn("cum_u", F.sum("rev_u").over(we))
+        .withColumn(
+            "cls",
+            F.when(F.expr("cum_u * 100 <= 70 * total_u"), "A")
+            .when(F.expr("cum_u * 100 <= 90 * total_u"), "B")
+            .otherwise("C"),
+        )
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_ex"),
+            F.sum("rev_u").alias("rev_micros_ex"),
+        )
+    )
+    return (
+        sk.join(ex, "cls", "full")
+        .select(
+            "cls",
+            "n_parts_sk",
+            "rev_micros_sk",
+            "share_ppm_sk",
+            "n_parts_ex",
+            "rev_micros_ex",
+            (F.col("n_parts_sk") - F.col("n_parts_ex")).alias(
+                "n_parts_err"
+            ),
+        )
+        .orderBy("cls")
+    )
+
+
+def q_abc_classification_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gate query: histogram-binned ABC classes beside the exact
+    rank-window classes, estimator error under the hash."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return abc_classification_sketch(li)
+
+
+SQL_ABC_CLASSIFICATION_SKETCH = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_u
+  FROM lineitem GROUP BY l_partkey
+),
+stats AS (
+  SELECT MIN(rev_u) AS mn, MAX(rev_u) AS mx,
+         CAST(SUM(rev_u) AS BIGINT) AS total_u
+  FROM per_part
+),
+binned AS (
+  SELECT p.rev_u, st.total_u,
+         CASE WHEN st.mx = st.mn THEN 0
+              ELSE LEAST((p.rev_u - st.mn) * 1000 // (st.mx - st.mn),
+                         999)
+         END AS bin
+  FROM per_part p, stats st
+),
+hist AS (
+  SELECT total_u, bin, COUNT(*) AS cnt, CAST(SUM(rev_u) AS BIGINT) AS sb
+  FROM binned GROUP BY total_u, bin
+),
+sk AS (
+  SELECT cls, CAST(SUM(cnt) AS BIGINT) AS n_parts_sk,
+         CAST(SUM(sb) AS BIGINT) AS rev_micros_sk,
+         CAST(CAST(1000000 AS HUGEINT) * SUM(sb) // MAX(total_u)
+              AS BIGINT) AS share_ppm_sk
+  FROM (
+    SELECT cnt, sb, total_u,
+           CASE WHEN SUM(sb) OVER (ORDER BY bin DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * 100 <= 70 * total_u THEN 'A'
+                WHEN SUM(sb) OVER (ORDER BY bin DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * 100 <= 90 * total_u THEN 'B'
+                ELSE 'C' END AS cls
+    FROM hist
+  ) GROUP BY cls
+),
+ex AS (
+  SELECT cls, COUNT(*) AS n_parts_ex,
+         CAST(SUM(rev_u) AS BIGINT) AS rev_micros_ex
+  FROM (
+    SELECT rev_u,
+           CASE WHEN SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * 100 <= 70 * st.total_u THEN 'A'
+                WHEN SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * 100 <= 90 * st.total_u THEN 'B'
+                ELSE 'C' END AS cls
+    FROM per_part, stats st
+  ) GROUP BY cls
+)
+SELECT COALESCE(sk.cls, ex.cls) AS cls,
+       sk.n_parts_sk, sk.rev_micros_sk, sk.share_ppm_sk,
+       ex.n_parts_ex, ex.rev_micros_ex,
+       sk.n_parts_sk - ex.n_parts_ex AS n_parts_err
+FROM sk FULL JOIN ex ON ex.cls = sk.cls
+ORDER BY cls
+"""

@@ -477,3 +477,85 @@ def incremental_fp_duplicates(
     return batch.join(idx, "fp").select(
         "media_id", "idx_media_id", "fp"
     )
+
+
+def q_fp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: REPLAY the bucketed fingerprint index path under
+    the oracle hash — ``write_fp_index`` persists the 40-image
+    corpus's fingerprints bucketed on fp, then
+    ``incremental_fp_duplicates`` probes it with a 3-image batch (two
+    byte-duplicates of indexed images 2/7 plus one fresh image). The
+    result is the real build+probe output (batch side shuffles once,
+    stored side reads its buckets with no exchange —
+    tests/test_lsh_index.py pins the plan); the oracle recomputes the
+    same fingerprint join in closed form. Completes the verified-index
+    pattern: LSH and IVF probes already have hashed relational twins."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    table = "fp_index_gate"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a table dir left by a PRIOR session isn't in this catalog, and
+    # saveAsTable refuses to reuse the location — clear it too
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    write_fp_index(synthetic_png_media(spark, 40), table)
+    batch = spark.createDataFrame(
+        [
+            (100, make_synthetic_png(2)),
+            (101, make_synthetic_png(7)),
+            (102, make_synthetic_png(45)),
+        ],
+        MEDIA_PNG_SCHEMA,
+    )
+    return tiny_sorted(
+        incremental_fp_duplicates(batch, table),
+        "media_id",
+        "idx_media_id",
+    )
+
+
+SQL_FP_INDEX_PROBE = """
+WITH batch AS (
+  SELECT * FROM (VALUES (100, 2), (101, 7), (102, 45)) t(media_id, ie)
+),
+idx AS (SELECT i AS media_id, i AS ie FROM range(40) t(i)),
+seeds AS (
+  SELECT DISTINCT ie FROM (
+    SELECT ie FROM batch UNION ALL SELECT ie FROM idx
+  )
+),
+sds AS (
+  SELECT ie, (16 + ie % 13) * (12 + ie % 11) * 3 AS n FROM seeds
+),
+pix AS (
+  SELECT ie, ((ie * 7 + j.j * j.j) % 256) // 16 AS bin
+  FROM sds, LATERAL (SELECT UNNEST(range(n)) AS j) j
+),
+hist AS (
+  SELECT p.ie, b.b AS bin, COUNT(*) FILTER (p.bin = b.b) AS cnt
+  FROM pix p, LATERAL (SELECT UNNEST(range(16)) AS b) b
+  GROUP BY p.ie, b.b
+),
+fp AS (
+  SELECT ie,
+         string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bin) AS hist
+  FROM hist GROUP BY ie
+),
+fp2 AS (
+  SELECT ie, CAST(('0x' || substr(md5(hist), 1, 15)) AS BIGINT) AS fp
+  FROM fp
+),
+bj AS (
+  SELECT b.media_id, f.fp FROM batch b JOIN fp2 f ON f.ie = b.ie
+),
+ij AS (
+  SELECT i.media_id AS idx_media_id, f.fp
+  FROM idx i JOIN fp2 f ON f.ie = i.ie
+)
+SELECT bj.media_id, ij.idx_media_id, bj.fp
+FROM bj JOIN ij ON ij.fp = bj.fp
+ORDER BY media_id, idx_media_id
+"""

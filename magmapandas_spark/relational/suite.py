@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         suite9,
         suite10,
         suite11,
+        suite12,
     )
 
     out = {
@@ -451,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(suite9.queries())
     out.update(suite10.queries())
     out.update(suite11.queries())
+    out.update(suite12.queries())
     return {k: _wrap(v) for k, v in _gate_sorted(out).items()}
 
 
@@ -466,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         suite9,
         suite10,
         suite11,
+        suite12,
     )
 
     out = {
@@ -484,4 +487,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(suite9.oracle_sql())
     out.update(suite10.oracle_sql())
     out.update(suite11.oracle_sql())
+    out.update(suite12.oracle_sql())
     return _gate_sorted(out)
