@@ -438,14 +438,24 @@ def _read_levels(r: _BitReader, tc: int, t1s: int) -> list[int]:
         prefix = 0
         while r.u(1) == 0:
             prefix += 1
-            if prefix > 14:
+            if prefix > 15:
                 raise NotImplementedError(
-                    "level_prefix >= 15 (escape levels) not needed for "
-                    "the fixture magnitudes — next notch"
+                    "level_prefix >= 16 (extended escape range, spec "
+                    "9.2.2.1) exceeds 8-bit-residual magnitudes — "
+                    "out of subset scope"
                 )
-        level_code = prefix << suffix_len
-        if suffix_len:
-            level_code += r.u(suffix_len)
+        # spec 9.2.2.1 escape sizes: prefix 14 at suffixLength 0
+        # carries a 4-bit suffix; prefix 15 always carries 12 bits
+        if prefix == 14 and suffix_len == 0:
+            level_code = 14 + r.u(4)
+        elif prefix == 15:
+            level_code = (15 << suffix_len) + r.u(12)
+            if suffix_len == 0:
+                level_code += 15
+        else:
+            level_code = prefix << suffix_len
+            if suffix_len:
+                level_code += r.u(suffix_len)
         if i == t1s and t1s < 3:
             level_code += 2
         level = (
@@ -463,8 +473,9 @@ def _read_levels(r: _BitReader, tc: int, t1s: int) -> list[int]:
 
 def _write_levels(w_: _BitWriter, levels: list[int], tc: int, t1s: int) -> None:
     """Bit-exact inverse of ``_read_levels`` (the fixture encoder's
-    half of the CAVLC round trip); asserts the no-escape envelope the
-    decoder enforces."""
+    half of the CAVLC round trip), incl. the spec-9.2.2.1 escape
+    forms (prefix 14 + 4-bit suffix at suffixLength 0; prefix 15 +
+    12-bit suffix)."""
     for k in range(t1s):
         w_.u(0 if levels[k] > 0 else 1, 1)
     suffix_len = 1 if (tc > 10 and t1s < 3) else 0
@@ -473,12 +484,37 @@ def _write_levels(w_: _BitWriter, levels: list[int], tc: int, t1s: int) -> None:
         level_code = 2 * lvl - 2 if lvl > 0 else -2 * lvl - 1
         if i == t1s and t1s < 3:
             level_code -= 2
-        prefix = level_code >> suffix_len
-        assert prefix < 14, "level magnitude needs escape coding"
-        w_.u(0, prefix)
-        w_.u(1, 1)
-        if suffix_len:
-            w_.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+        if suffix_len == 0:
+            if level_code < 14:
+                w_.u(0, level_code)
+                w_.u(1, 1)
+            elif level_code < 30:
+                w_.u(0, 14)
+                w_.u(1, 1)
+                w_.u(level_code - 14, 4)
+            else:
+                assert level_code - 30 < 4096, (
+                    "level magnitude needs the prefix >= 16 extended "
+                    "escape range"
+                )
+                w_.u(0, 15)
+                w_.u(1, 1)
+                w_.u(level_code - 30, 12)
+        else:
+            prefix = level_code >> suffix_len
+            if prefix < 15:
+                w_.u(0, prefix)
+                w_.u(1, 1)
+                w_.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+            else:
+                esc = level_code - (15 << suffix_len)
+                assert esc < 4096, (
+                    "level magnitude needs the prefix >= 16 extended "
+                    "escape range"
+                )
+                w_.u(0, 15)
+                w_.u(1, 1)
+                w_.u(esc, 12)
         if suffix_len == 0:
             suffix_len = 1
         if abs(lvl) > (3 << (suffix_len - 1)) and suffix_len < 6:
@@ -555,58 +591,21 @@ _H4 = np.array(
 
 
 def _parse_cavlc_luma_dc(r: _BitReader, n_c: int) -> list[int]:
-    """CAVLC residual_block for the 4x4 Intra16x16DCLevel block.
-
-    The nC >= 8 class (6-bit FLC coeff_token: code = 4·(TotalCoeff-1)
-    + TrailingOnes, TotalCoeff 0 -> code 3) is implemented in full —
-    the fixture's I_PCM neighborhoods put every DC block there (left
-    or top neighbor counts 16, spec 9.2.1). The VLC0/1/2 token
-    classes of Table 9-5 decode only their zero tokens, and
-    partially-filled blocks (0 < TotalCoeff < 16) stop at the 4x4
-    total_zeros / run_before tables — each an explicit next-notch
-    boundary. Returns 16 coefficients in zig-zag scan order."""
-    if n_c < 2:
-        if r.u(1):
-            return [0] * 16
-        raise NotImplementedError(
-            "Table 9-5 VLC0 nonzero coeff_token — next codec notch"
-        )
-    if n_c < 4:
-        if r.u(2) == 3:
-            return [0] * 16
-        raise NotImplementedError(
-            "Table 9-5 VLC1 nonzero coeff_token — next codec notch"
-        )
-    if n_c < 8:
-        if r.u(4) == 15:
-            return [0] * 16
-        raise NotImplementedError(
-            "Table 9-5 VLC2 nonzero coeff_token — next codec notch"
-        )
-    code = r.u(6)
-    if code == 3:  # TotalCoeff 0
-        return [0] * 16
-    tc, t1s = code // 4 + 1, code % 4
-    if tc < 16:
-        raise NotImplementedError(
-            "partial 4x4 DC blocks need the 4x4 total_zeros (Table "
-            "9-7) and run_before decode — next codec notch"
-        )
-    levels = _read_levels(r, tc, t1s)
-    # all 16 scan positions filled: decode order is highest-first,
-    # no total_zeros / run_before syntax elements exist (spec 9.2.3:
-    # zerosLeft = 0 when TotalCoeff == maxNumCoeff)
-    coeffs = [0] * 16
-    for idx, lvl in enumerate(levels):
-        coeffs[15 - idx] = lvl
-    return coeffs
+    """CAVLC residual_block for the 4x4 Intra16x16DCLevel block —
+    since round 9 a thin alias of the complete ``_parse_residual_4x4``
+    (every Table 9-5 sub-table, Table 9-7 total_zeros, Table 9-10
+    run_before, escape levels). Returns 16 coefficients in zig-zag
+    scan order."""
+    return _parse_residual_4x4(r, n_c, 16)
 
 
-def _luma_dc_residuals(zz_coeffs: list[int], qpy: int) -> np.ndarray:
-    """4x4 inverse Hadamard + luma-DC scaling (spec 8.5.10), then the
-    per-4x4-block uniform residual of a DC-only block
-    ((dcY + 32) >> 6). Returns a 4x4 int array indexed by
-    (block row, block col) within the macroblock."""
+def _luma_dc_scaled(zz_coeffs: list[int], qpy: int) -> np.ndarray:
+    """4x4 inverse Hadamard + luma-DC scaling (spec 8.5.10): returns
+    the raw dcY values, a 4x4 int array indexed by (block row, block
+    col) within the macroblock. For a DC-only block the per-block
+    residual is the uniform (dcY + 32) >> 6; with AC coefficients
+    present (cbp_luma = 15) each dcY lands at d[0][0] of its block's
+    4x4 inverse core transform (spec 8.5.8)."""
     c = np.zeros((4, 4), np.int64)
     for k, (i_, j_) in enumerate(_ZZ4):
         c[i_, j_] = zz_coeffs[k]
@@ -616,7 +615,347 @@ def _luma_dc_residuals(zz_coeffs: list[int], qpy: int) -> np.ndarray:
         dc = (f * ls) << (qpy // 6 - 6)
     else:
         dc = (f * ls + (1 << (5 - qpy // 6))) >> (6 - qpy // 6)
-    return (dc + 32) >> 6
+    return dc
+
+
+def _luma_dc_residuals(zz_coeffs: list[int], qpy: int) -> np.ndarray:
+    """Per-4x4-block uniform residual of a DC-only I_16x16 macroblock:
+    (dcY + 32) >> 6 over the spec-8.5.10 scaled DC matrix."""
+    return (_luma_dc_scaled(zz_coeffs, qpy) + 32) >> 6
+
+
+# ---------------------------------------------------------------------
+# 4x4 residual entropy + transform layer (round 9, notch 10/11):
+# the complete CAVLC residual_block syntax (Table 9-5 coeff_token for
+# every nC class, Table 9-7 4x4 total_zeros, Table 9-10 run_before,
+# spec-9.2.2.1 escape levels) and the spec-8.5.12 AC scaling + 4x4
+# inverse core transform.
+#
+# The VLC tables below are transcribed from the published spec tables
+# (ITU-T H.264 Tables 9-5 / 9-7 / 9-10). Transcription is guarded by
+# structural tests (tests/test_h264_ac.py): every sub-table must be
+# prefix-free, cover exactly its symbol set, and agree with the
+# zero-token codes the earlier notches already pinned ('1', '11',
+# '1111'); encoder/decoder share the tables, so fixtures round-trip
+# every symbol class they exercise.
+# ---------------------------------------------------------------------
+
+
+def _ct(spec: str) -> dict:
+    """Parse 'code:t1s,tc' whitespace-separated entries into the
+    _read_vlc dict form code -> (t1s, tc)."""
+    out = {}
+    for ent in spec.split():
+        code, pair = ent.split(":")
+        t1s, tc = pair.split(",")
+        out[code] = (int(t1s), int(tc))
+    return out
+
+
+#: Table 9-5, 0 <= nC < 2
+_COEFF_TOKEN_VLC0 = _ct("""
+1:0,0
+000101:0,1 01:1,1
+00000111:0,2 000100:1,2 001:2,2
+000000111:0,3 00000110:1,3 0000101:2,3 00011:3,3
+0000000111:0,4 000000110:1,4 00000101:2,4 000011:3,4
+00000000111:0,5 0000000110:1,5 000000101:2,5 0000100:3,5
+0000000001111:0,6 00000000110:1,6 0000000101:2,6 00000100:3,6
+0000000001011:0,7 0000000001110:1,7 00000000101:2,7 000000100:3,7
+0000000001000:0,8 0000000001010:1,8 0000000001101:2,8 0000000100:3,8
+00000000001111:0,9 00000000001110:1,9 0000000001001:2,9 00000000100:3,9
+00000000001011:0,10 00000000001010:1,10 00000000001101:2,10 0000000001100:3,10
+000000000001111:0,11 000000000001110:1,11 00000000001001:2,11 00000000001100:3,11
+000000000001011:0,12 000000000001010:1,12 000000000001101:2,12 00000000001000:3,12
+0000000000001111:0,13 000000000000001:1,13 000000000001001:2,13 000000000001100:3,13
+0000000000001011:0,14 0000000000001110:1,14 0000000000001101:2,14 000000000001000:3,14
+0000000000000111:0,15 0000000000001010:1,15 0000000000001001:2,15 0000000000001100:3,15
+0000000000000100:0,16 0000000000000110:1,16 0000000000000101:2,16 0000000000001000:3,16
+""")
+
+#: Table 9-5, 2 <= nC < 4
+_COEFF_TOKEN_VLC1 = _ct("""
+11:0,0
+001011:0,1 10:1,1
+000111:0,2 00111:1,2 011:2,2
+0000111:0,3 001010:1,3 001001:2,3 0101:3,3
+00000111:0,4 000110:1,4 000101:2,4 0100:3,4
+00000100:0,5 0000110:1,5 0000101:2,5 00110:3,5
+000000111:0,6 00000110:1,6 00000101:2,6 001000:3,6
+00000001111:0,7 000000110:1,7 000000101:2,7 000100:3,7
+00000001011:0,8 00000001110:1,8 00000001101:2,8 0000100:3,8
+000000001111:0,9 00000001010:1,9 00000001001:2,9 000000100:3,9
+000000001011:0,10 000000001110:1,10 000000001101:2,10 00000001100:3,10
+000000001000:0,11 000000001010:1,11 000000001001:2,11 00000001000:3,11
+0000000001111:0,12 0000000001110:1,12 0000000001101:2,12 000000001100:3,12
+0000000001011:0,13 0000000001010:1,13 0000000001001:2,13 0000000001100:3,13
+0000000000111:0,14 00000000001011:1,14 0000000000110:2,14 0000000001000:3,14
+00000000001001:0,15 00000000001000:1,15 00000000001010:2,15 0000000000001:3,15
+00000000000111:0,16 00000000000110:1,16 00000000000101:2,16 00000000000100:3,16
+""")
+
+#: Table 9-5, 4 <= nC < 8
+_COEFF_TOKEN_VLC2 = _ct("""
+1111:0,0
+001111:0,1 1110:1,1
+001011:0,2 01111:1,2 1101:2,2
+001000:0,3 01100:1,3 01110:2,3 1100:3,3
+0001111:0,4 01010:1,4 01011:2,4 1011:3,4
+0001011:0,5 01000:1,5 01001:2,5 1010:3,5
+0001001:0,6 001110:1,6 001101:2,6 1001:3,6
+0001000:0,7 001010:1,7 001001:2,7 1000:3,7
+00001111:0,8 0001110:1,8 0001101:2,8 01101:3,8
+00001011:0,9 00001110:1,9 0001010:2,9 001100:3,9
+000001111:0,10 00001010:1,10 00001101:2,10 0001100:3,10
+000001011:0,11 000001110:1,11 00001001:2,11 00001100:3,11
+000001000:0,12 000001010:1,12 000001101:2,12 00001000:3,12
+0000001101:0,13 000000111:1,13 000001001:2,13 000001100:3,13
+0000001001:0,14 0000001100:1,14 0000001011:2,14 0000001010:3,14
+0000000101:0,15 0000001000:1,15 0000000111:2,15 0000000110:3,15
+0000000001:0,16 0000000100:1,16 0000000011:2,16 0000000010:3,16
+""")
+
+
+def _tz(spec: str) -> dict:
+    out = {}
+    for ent in spec.split():
+        code, v = ent.split(":")
+        out[code] = int(v)
+    return out
+
+
+#: Table 9-7/9-8: total_zeros for 4x4 blocks, keyed by TotalCoeff
+#: (tzVlcIndex) 1..15; values 0..(maxNumCoeff - TotalCoeff)
+_TOTAL_ZEROS_4X4 = {
+    1: _tz("""1:0 011:1 010:2 0011:3 0010:4 00011:5 00010:6 000011:7
+              000010:8 0000011:9 0000010:10 00000011:11 00000010:12
+              000000011:13 000000010:14 000000001:15"""),
+    2: _tz("""111:0 110:1 101:2 100:3 011:4 0101:5 0100:6 0011:7
+              0010:8 00011:9 00010:10 000011:11 000010:12 000001:13
+              000000:14"""),
+    3: _tz("""0101:0 111:1 110:2 101:3 0100:4 0011:5 100:6 011:7
+              0010:8 00011:9 00010:10 000001:11 00001:12 000000:13"""),
+    4: _tz("""00011:0 111:1 0101:2 0100:3 110:4 101:5 100:6 0011:7
+              011:8 0010:9 00010:10 00001:11 00000:12"""),
+    5: _tz("""0101:0 0100:1 0011:2 111:3 110:4 101:5 100:6 011:7
+              0010:8 00001:9 0001:10 00000:11"""),
+    6: _tz("""000001:0 00001:1 111:2 110:3 101:4 100:5 011:6 010:7
+              0001:8 001:9 000000:10"""),
+    7: _tz("""000001:0 00001:1 101:2 100:3 011:4 11:5 010:6 0001:7
+              001:8 000000:9"""),
+    8: _tz("""000001:0 0001:1 00001:2 011:3 11:4 10:5 010:6 001:7
+              000000:8"""),
+    9: _tz("""000001:0 000000:1 0001:2 11:3 10:4 001:5 01:6
+              00001:7"""),
+    10: _tz("00001:0 00000:1 001:2 11:3 10:4 01:5 0001:6"),
+    11: _tz("0000:0 0001:1 001:2 010:3 1:4 011:5"),
+    12: _tz("0000:0 0001:1 01:2 1:3 001:4"),
+    13: _tz("000:0 001:1 1:2 01:3"),
+    14: _tz("00:0 01:1 1:2"),
+    15: _tz("0:0 1:1"),
+}
+
+#: Table 9-10 run_before, keyed by min(zerosLeft, 7); 7 = the > 6 row
+_RUN_BEFORE_FULL = {
+    1: _tz("1:0 0:1"),
+    2: _tz("1:0 01:1 00:2"),
+    3: _tz("11:0 10:1 01:2 00:3"),
+    4: _tz("11:0 10:1 01:2 001:3 000:4"),
+    5: _tz("11:0 10:1 011:2 010:3 001:4 000:5"),
+    6: _tz("11:0 000:1 001:2 011:3 010:4 101:5 100:6"),
+    7: _tz("""111:0 110:1 101:2 100:3 011:4 010:5 001:6 0001:7
+              00001:8 000001:9 0000001:10 00000001:11 000000001:12
+              0000000001:13 00000000001:14"""),
+}
+
+
+def _coeff_token_table(n_c: int) -> dict:
+    if n_c < 2:
+        return _COEFF_TOKEN_VLC0
+    if n_c < 4:
+        return _COEFF_TOKEN_VLC1
+    return _COEFF_TOKEN_VLC2
+
+
+def _parse_residual_4x4(
+    r: _BitReader, n_c: int, max_coeff: int = 16
+) -> list[int]:
+    """CAVLC residual_block for a 4x4 luma/chroma block (spec 9.2):
+    coeff_token from the nC-selected Table 9-5 sub-table (VLC0/1/2 or
+    the nC >= 8 6-bit FLC), trailing-one signs, the complete level
+    state machine incl. spec-9.2.2.1 escape levels, Table 9-7
+    total_zeros and Table 9-10 run_before. ``max_coeff`` is 16 for
+    LumaLevel4x4 blocks and 15 for Intra16x16ACLevel / ChromaACLevel
+    blocks (whose scan skips the DC position). Returns ``max_coeff``
+    coefficients in (AC-offset) zig-zag scan order."""
+    if n_c >= 8:
+        code = r.u(6)
+        if code == 3:
+            return [0] * max_coeff
+        tc, t1s = code // 4 + 1, code % 4
+    else:
+        t1s, tc = _read_vlc(
+            r, _coeff_token_table(n_c), f"coeff_token nC={n_c}",
+            max_bits=16,
+        )
+        if tc == 0:
+            return [0] * max_coeff
+    if tc > max_coeff:
+        raise ValueError(
+            f"coeff_token TotalCoeff {tc} > maxNumCoeff {max_coeff}"
+        )
+    levels = _read_levels(r, tc, t1s)
+    if tc < max_coeff:
+        tz = _read_vlc(
+            r, _TOTAL_ZEROS_4X4[tc], "4x4 total_zeros", max_bits=9
+        )
+        if tz > max_coeff - tc:
+            raise ValueError(
+                f"total_zeros {tz} > maxNumCoeff - TotalCoeff "
+                f"({max_coeff} - {tc})"
+            )
+    else:
+        tz = 0
+    coeffs = [0] * max_coeff
+    zeros_left = tz
+    pos = tc + tz - 1
+    for idx, lvl in enumerate(levels):
+        coeffs[pos] = lvl
+        if idx == tc - 1:
+            break
+        run = (
+            _read_vlc(
+                r, _RUN_BEFORE_FULL[min(zeros_left, 7)], "run_before",
+                max_bits=11,
+            )
+            if zeros_left > 0
+            else 0
+        )
+        zeros_left -= run
+        pos -= 1 + run
+    return coeffs
+
+
+def _write_residual_4x4(
+    w_: _BitWriter, coeffs: list[int], n_c: int, max_coeff: int = 16
+) -> int:
+    """Bit-exact encoder inverse of ``_parse_residual_4x4``: derives
+    (TotalCoeff, TrailingOnes, total_zeros, run_before) from the
+    coefficient array, picks the nC-matched coeff_token sub-table,
+    and writes the block. Returns TotalCoeff (the caller's per-4x4
+    nC bookkeeping)."""
+    nz = [k for k, v in enumerate(coeffs) if v != 0]
+    tc = len(nz)
+    # TrailingOnes: up to 3 consecutive +-1 at the highest scan
+    # positions of the nonzero set
+    t1s = 0
+    for k in reversed(nz):
+        if abs(coeffs[k]) == 1 and t1s < 3:
+            t1s += 1
+        else:
+            break
+    if n_c >= 8:
+        if tc == 0:
+            w_.u(3, 6)
+        else:
+            w_.u(4 * (tc - 1) + t1s, 6)
+    else:
+        table = _coeff_token_table(n_c)
+        inv = {v: k for k, v in table.items()}
+        code = inv[(t1s, tc)]
+        w_.u(int(code, 2) if set(code) != {"0"} else 0, len(code))
+    if tc == 0:
+        return 0
+    levels = [coeffs[k] for k in reversed(nz)]
+    _write_levels(w_, levels, tc, t1s)
+    tz = nz[-1] + 1 - tc
+    if tc < max_coeff:
+        inv_tz = {v: k for k, v in _TOTAL_ZEROS_4X4[tc].items()}
+        code = inv_tz[tz]
+        w_.u(int(code, 2) if set(code) != {"0"} else 0, len(code))
+    zeros_left = tz
+    for i in range(tc - 1):
+        if zeros_left <= 0:
+            break
+        run = nz[tc - 1 - i] - nz[tc - 2 - i] - 1
+        inv_rb = {
+            v: k for k, v in _RUN_BEFORE_FULL[min(zeros_left, 7)].items()
+        }
+        code = inv_rb[run]
+        w_.u(int(code, 2) if set(code) != {"0"} else 0, len(code))
+        zeros_left -= run
+    return tc
+
+
+#: LevelScale4x4 weights (spec 8.5.9): rows = qP % 6, columns = the
+#: (i, j)-class: 0 = both even, 1 = both odd, 2 = mixed
+_V4 = [
+    [10, 16, 13],
+    [11, 18, 14],
+    [13, 20, 16],
+    [14, 23, 18],
+    [16, 25, 20],
+    [18, 29, 23],
+]
+
+
+def _dequant4x4(
+    zz_coeffs: list[int], qp: int, dc: int | None = None
+) -> np.ndarray:
+    """Spec 8.5.12.1 scaling of a 4x4 residual block. With ``dc``
+    given, ``zz_coeffs`` are the 15 AC levels (scan positions 1..15)
+    and d[0][0] is set to the externally-scaled DC (the Intra16x16 /
+    chroma-DC substitution of spec 8.5.8); otherwise all 16 scan
+    positions scale here."""
+    d = np.zeros((4, 4), np.int64)
+    off = 0 if dc is None else 1
+    for k, lvl in enumerate(zz_coeffs):
+        if lvl == 0:
+            continue
+        i_, j_ = _ZZ4[k + off]
+        cls_ = 0 if (i_ % 2 == 0 and j_ % 2 == 0) else (
+            1 if (i_ % 2 == 1 and j_ % 2 == 1) else 2
+        )
+        v = _V4[qp % 6][cls_]
+        if qp >= 24:
+            d[i_, j_] = (lvl * v) << (qp // 6 - 4)
+        else:
+            d[i_, j_] = (lvl * v + (1 << (3 - qp // 6))) >> (
+                4 - qp // 6
+            )
+    if dc is not None:
+        d[0, 0] = dc
+    return d
+
+
+def _itransform4x4(d: np.ndarray) -> np.ndarray:
+    """Spec 8.5.12.2 4x4 inverse core transform (integer butterflies,
+    rows then columns) + the final (f + 32) >> 6 rounding. Returns the
+    4x4 residual array."""
+    f = np.zeros((4, 4), np.int64)
+    for i in range(4):
+        e0 = d[i, 0] + d[i, 2]
+        e1 = d[i, 0] - d[i, 2]
+        e2 = (d[i, 1] >> 1) - d[i, 3]
+        e3 = d[i, 1] + (d[i, 3] >> 1)
+        f[i] = (e0 + e3, e1 + e2, e1 - e2, e0 - e3)
+    h = np.zeros((4, 4), np.int64)
+    for j in range(4):
+        g0 = f[0, j] + f[2, j]
+        g1 = f[0, j] - f[2, j]
+        g2 = (f[1, j] >> 1) - f[3, j]
+        g3 = f[1, j] + (f[3, j] >> 1)
+        h[:, j] = (g0 + g3, g1 + g2, g1 - g2, g0 - g3)
+    return (h + 32) >> 6
+
+
+#: luma4x4BlkIdx -> (block row, block col) in 4x4 units (spec figure
+#: 6-10: 8x8 quadrants in raster order, 2x2 raster within each)
+_BLK4_POS = [
+    (2 * (q // 2) + w // 2, 2 * (q % 2) + w % 2)
+    for q in range(4)
+    for w in range(4)
+]
 
 
 def _predict_16x16(

@@ -334,11 +334,14 @@ def test_luma_dc_hadamard_and_scaling():
     assert (res == (((3 * 16 + 2) >> 2) + 32 >> 6)).all()
 
 
-def test_partial_dc_block_is_honest_boundary():
+def test_partial_dc_blocks_decode_in_every_nc_class():
+    """Round 9 closed the former boundary: partial 4x4 blocks and the
+    Table 9-5 VLC0/1/2 nonzero tokens now decode in full."""
     from magmapandas_spark.operators.h264 import (
         _BitReader,
         _BitWriter,
         _parse_cavlc_luma_dc,
+        _write_residual_4x4,
     )
 
     # zero tokens decode in all four nC classes
@@ -347,20 +350,14 @@ def test_partial_dc_block_is_honest_boundary():
         w.u(bits, width)
         w.rbsp_trailing()
         assert _parse_cavlc_luma_dc(_BitReader(w.tobytes()), n_c) == [0] * 16
-    # nonzero token in a low-nC class: Table 9-5 VLC tables are the
-    # explicit next notch
-    w = _BitWriter()
-    w.u(0, 1)
-    w.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="VLC0"):
-        _parse_cavlc_luma_dc(_BitReader(w.tobytes()), 0)
-    # partial block (TotalCoeff < 16) in the FLC class: needs the 4x4
-    # total_zeros table
-    w = _BitWriter()
-    w.u(4 * (2 - 1) + 0, 6)  # TC=2, T1s=0
-    w.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="total_zeros"):
-        _parse_cavlc_luma_dc(_BitReader(w.tobytes()), 8)
+    # partial blocks (TotalCoeff < 16) round-trip through every
+    # coeff_token class incl. total_zeros + run_before
+    coeffs = [0, 3, 0, 0, -1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0]
+    for n_c in (0, 2, 4, 8):
+        w = _BitWriter()
+        _write_residual_4x4(w, coeffs, n_c, 16)
+        w.rbsp_trailing()
+        assert _parse_cavlc_luma_dc(_BitReader(w.tobytes()), n_c) == coeffs
 
 
 def test_notch5_mode_matrix_round_trip():
