@@ -140,7 +140,12 @@ class _BitReader:
     def u(self, n: int) -> int:
         out = 0
         for _ in range(n):
-            byte = self._d[self._pos >> 3]
+            idx = self._pos >> 3
+            if idx >= len(self._d):
+                raise ValueError(
+                    "truncated RBSP: bitstream ended mid-syntax-element"
+                )
+            byte = self._d[idx]
             out = (out << 1) | ((byte >> (7 - (self._pos & 7))) & 1)
             self._pos += 1
         return out
@@ -958,6 +963,206 @@ _BLK4_POS = [
 ]
 
 
+def _mb_of4(r4: int, c4: int, mbs_w: int) -> int:
+    """Raster MB address owning the 4x4-grid position (r4, c4)."""
+    return (r4 // 4) * mbs_w + (c4 // 4)
+
+
+def _chroma_dc_scaled(coeffs: list[int], qpc: int) -> list[int]:
+    """2x2 inverse Hadamard + chroma-DC scaling (spec 8.5.11): the
+    raw dcC values in chroma4x4BlkIdx raster order. DC-only blocks
+    add the uniform (dcC + 32) >> 6; with chroma AC present each dcC
+    lands at d[0][0] of its block's inverse core transform."""
+    c00, c01, c10, c11 = coeffs
+    f = [
+        c00 + c01 + c10 + c11,
+        c00 - c01 + c10 - c11,
+        c00 + c01 - c10 - c11,
+        c00 - c01 - c10 + c11,
+    ]
+    ls = _LS00[qpc % 6]
+    return [(fv * ls << (qpc // 6)) >> 5 for fv in f]
+
+
+#: Table 9-4 (me(v) coded_block_pattern), Intra_4x4 column:
+#: codeNum -> coded_block_pattern; a permutation of 0..47
+#: (tests/test_h264_ac.py pins that)
+_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_INV = {v: k for k, v in enumerate(_CBP_INTRA)}
+
+
+def _predict_4x4_block(
+    y: np.ndarray,
+    r4: int,
+    c4: int,
+    mode: int,
+    left_ok: bool,
+    top_ok: bool,
+    tl_ok: bool,
+    tr_ok: bool,
+) -> np.ndarray:
+    """Intra_4x4 luma prediction (spec 8.3.1.2, all nine modes) from
+    already-reconstructed neighbor samples of the 4x4 block at
+    absolute 4x4-grid position (r4, c4). Unavailable top-right
+    samples substitute p[3, -1] per spec when the top edge is
+    available; a directional mode whose required edge is unavailable
+    raises (emitting it is an encoder-conformance violation, the
+    _predict_16x16 discipline). Returns the 4x4 prediction array."""
+    y0, x0 = 4 * r4, 4 * c4
+    l = [int(y[y0 + k, x0 - 1]) for k in range(4)] if left_ok else None
+    t = [int(y[y0 - 1, x0 + k]) for k in range(4)] if top_ok else None
+    m = int(y[y0 - 1, x0 - 1]) if tl_ok else None
+    if top_ok:
+        if tr_ok:
+            tr = [int(y[y0 - 1, x0 + 4 + k]) for k in range(4)]
+        else:
+            tr = [t[3]] * 4
+        t8 = t + tr
+    else:
+        t8 = None
+    pred = np.zeros((4, 4), np.int32)
+
+    def need(cond: bool, what: str) -> None:
+        if not cond:
+            raise ValueError(
+                f"Intra_4x4 mode {mode} without {what} neighbor "
+                "(non-conformant stream)"
+            )
+
+    if mode == 0:  # Vertical
+        need(top_ok, "top")
+        for yy in range(4):
+            pred[yy] = t
+    elif mode == 1:  # Horizontal
+        need(left_ok, "left")
+        for yy in range(4):
+            pred[yy] = l[yy]
+    elif mode == 2:  # DC
+        if top_ok and left_ok:
+            pred[:] = (sum(t) + sum(l) + 4) >> 3
+        elif left_ok:
+            pred[:] = (sum(l) + 2) >> 2
+        elif top_ok:
+            pred[:] = (sum(t) + 2) >> 2
+        else:
+            pred[:] = 128
+    elif mode == 3:  # Diagonal-Down-Left
+        need(top_ok, "top")
+        for yy in range(4):
+            for x in range(4):
+                if x == 3 and yy == 3:
+                    pred[yy, x] = (t8[6] + 3 * t8[7] + 2) >> 2
+                else:
+                    pred[yy, x] = (
+                        t8[x + yy] + 2 * t8[x + yy + 1] + t8[x + yy + 2]
+                        + 2
+                    ) >> 2
+    elif mode == 4:  # Diagonal-Down-Right
+        need(top_ok and left_ok and tl_ok, "top+left+corner")
+        for yy in range(4):
+            for x in range(4):
+                if x > yy:
+                    a = m if x - yy - 2 < 0 else t[x - yy - 2]
+                    pred[yy, x] = (
+                        a + 2 * (m if x - yy - 1 < 0 else t[x - yy - 1])
+                        + t[x - yy] + 2
+                    ) >> 2
+                elif x < yy:
+                    a = m if yy - x - 2 < 0 else l[yy - x - 2]
+                    pred[yy, x] = (
+                        a + 2 * (m if yy - x - 1 < 0 else l[yy - x - 1])
+                        + l[yy - x] + 2
+                    ) >> 2
+                else:
+                    pred[yy, x] = (t[0] + 2 * m + l[0] + 2) >> 2
+    elif mode == 5:  # Vertical-Right
+        need(top_ok and left_ok and tl_ok, "top+left+corner")
+        tt = [m] + t  # tt[k+1] = p[k, -1], tt[0] = p[-1, -1]
+        for yy in range(4):
+            for x in range(4):
+                z = 2 * x - yy
+                if z >= 0 and z % 2 == 0:
+                    pred[yy, x] = (
+                        tt[x - (yy >> 1)] + tt[x - (yy >> 1) + 1] + 1
+                    ) >> 1
+                elif z >= 0:
+                    pred[yy, x] = (
+                        tt[x - (yy >> 1) - 1]
+                        + 2 * tt[x - (yy >> 1)]
+                        + tt[x - (yy >> 1) + 1] + 2
+                    ) >> 2
+                elif z == -1:
+                    pred[yy, x] = (l[0] + 2 * m + t[0] + 2) >> 2
+                else:
+                    pred[yy, x] = (
+                        l[yy - 1] + 2 * l[yy - 2]
+                        + (l[yy - 3] if yy - 3 >= 0 else m) + 2
+                    ) >> 2
+    elif mode == 6:  # Horizontal-Down
+        need(top_ok and left_ok and tl_ok, "top+left+corner")
+        ll = [m] + l  # ll[k+1] = p[-1, k]
+        for yy in range(4):
+            for x in range(4):
+                z = 2 * yy - x
+                if z >= 0 and z % 2 == 0:
+                    pred[yy, x] = (
+                        ll[yy - (x >> 1)] + ll[yy - (x >> 1) + 1] + 1
+                    ) >> 1
+                elif z >= 0:
+                    pred[yy, x] = (
+                        ll[yy - (x >> 1) - 1]
+                        + 2 * ll[yy - (x >> 1)]
+                        + ll[yy - (x >> 1) + 1] + 2
+                    ) >> 2
+                elif z == -1:
+                    pred[yy, x] = (l[0] + 2 * m + t[0] + 2) >> 2
+                else:
+                    pred[yy, x] = (
+                        t[x - 1] + 2 * t[x - 2]
+                        + (t[x - 3] if x - 3 >= 0 else m) + 2
+                    ) >> 2
+    elif mode == 7:  # Vertical-Left
+        need(top_ok, "top")
+        for yy in range(4):
+            for x in range(4):
+                if yy % 2 == 0:
+                    pred[yy, x] = (
+                        t8[x + (yy >> 1)] + t8[x + (yy >> 1) + 1] + 1
+                    ) >> 1
+                else:
+                    pred[yy, x] = (
+                        t8[x + (yy >> 1)]
+                        + 2 * t8[x + (yy >> 1) + 1]
+                        + t8[x + (yy >> 1) + 2] + 2
+                    ) >> 2
+    elif mode == 8:  # Horizontal-Up
+        need(left_ok, "left")
+        for yy in range(4):
+            for x in range(4):
+                z = x + 2 * yy
+                if z in (0, 2, 4):
+                    pred[yy, x] = (
+                        l[yy + (x >> 1)] + l[yy + (x >> 1) + 1] + 1
+                    ) >> 1
+                elif z in (1, 3):
+                    pred[yy, x] = (
+                        l[yy + (x >> 1)]
+                        + 2 * l[yy + (x >> 1) + 1]
+                        + l[yy + (x >> 1) + 2] + 2
+                    ) >> 2
+                elif z == 5:
+                    pred[yy, x] = (l[2] + 3 * l[3] + 2) >> 2
+                else:
+                    pred[yy, x] = l[3]
+    else:
+        raise ValueError(f"Intra_4x4 prediction mode {mode} out of range")
+    return pred
+
+
 def _predict_16x16(
     y: np.ndarray,
     mbx: int,
@@ -1156,7 +1361,7 @@ def decode_h264_stream_info(
     pics: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     slice_counts: list[int] = []
     y = cb = cr = None
-    tc = slice_of = None
+    tc4 = ctc4 = mode4 = mb_done = slice_of = None
     slice_idx = -1
     for nal_bytes in _split_annexb(data):
         nal_type = nal_bytes[0] & 0x1F
@@ -1206,20 +1411,34 @@ def decode_h264_stream_info(
             if first_mb == 0:
                 # new picture: emit the previous one, allocate fresh
                 if y is not None:
+                    if not mb_done.all():
+                        raise ValueError(
+                            "picture ended with undecoded macroblocks "
+                            "(slices do not tile the picture)"
+                        )
                     pics.append((y, cb, cr))
                     slice_counts.append(slice_idx + 1)
                 w, h = mbs_w * 16, mbs_h * 16
                 y = np.zeros((h, w), np.uint8)
                 cb = np.zeros((h // 2, w // 2), np.uint8)
                 cr = np.zeros((h // 2, w // 2), np.uint8)
-                # per-MB TotalCoeff context for CAVLC nC derivation:
-                # I_PCM counts 16; I_16x16 stores its luma 4x4 AC
-                # TotalCoeff (the DC block never contributes to
-                # neighbor nC, spec 9.2.1), which is 0 while
-                # cbp_luma == 0 even when the DC block is dense;
-                # -1 = unavailable. slice_of gates availability to
-                # the current slice.
-                tc = np.full(mbs_w * mbs_h, -1, np.int32)
+                # per-4x4-block TotalCoeff context for CAVLC nC
+                # derivation (spec 9.2.1): I_PCM blocks count 16;
+                # I_16x16 blocks carry their luma AC TotalCoeff (the
+                # DC block never contributes to neighbor nC), which
+                # is 0 while cbp_luma == 0 even when the DC block is
+                # dense; I_4x4 blocks their LumaLevel4x4 TotalCoeff.
+                # -1 = not yet decoded. ctc4 is the chroma twin (per
+                # plane); mode4 records Intra4x4PredMode for the mode
+                # inference of later blocks (-1 = not an I_4x4
+                # block). slice_of/mb_done gate every lookup to the
+                # current slice.
+                tc4 = np.full((mbs_h * 4, mbs_w * 4), -1, np.int32)
+                ctc4 = np.full(
+                    (2, mbs_h * 2, mbs_w * 2), -1, np.int32
+                )
+                mode4 = np.full((mbs_h * 4, mbs_w * 4), -1, np.int32)
+                mb_done = np.zeros(mbs_w * mbs_h, bool)
                 slice_of = np.full(mbs_w * mbs_h, -1, np.int32)
                 slice_idx = 0
             else:
@@ -1236,8 +1455,84 @@ def decode_h264_stream_info(
 
                 def _avail(nbr: int) -> bool:
                     return (
-                        tc[nbr] >= 0 and slice_of[nbr] == slice_idx
+                        mb_done[nbr] and slice_of[nbr] == slice_idx
                     )
+
+                def _blk(arr, rr: int, cc: int, bs: int) -> int:
+                    """Per-block lookup with spec-9.2.1 availability:
+                    outside the picture, not yet decoded, or in
+                    another slice -> -1."""
+                    if (
+                        rr < 0 or cc < 0
+                        or rr >= arr.shape[0] or cc >= arr.shape[1]
+                    ):
+                        return -1
+                    v = int(arr[rr, cc])
+                    if v < 0:
+                        return -1
+                    omb = (rr // bs) * mbs_w + (cc // bs)
+                    return v if (omb == mb or _avail(omb)) else -1
+
+                def _nc(arr, rr: int, cc: int, bs: int) -> int:
+                    na = _blk(arr, rr, cc - 1, bs)
+                    nb = _blk(arr, rr - 1, cc, bs)
+                    if na >= 0 and nb >= 0:
+                        return (na + nb + 1) >> 1
+                    if na >= 0:
+                        return na
+                    if nb >= 0:
+                        return nb
+                    return 0
+
+                def _chroma_residuals(cbp_chroma: int) -> None:
+                    """Chroma residual parse + reconstruction shared
+                    by I_16x16 and I_4x4: spec 7.3.5.3.3 order (DC Cb,
+                    DC Cr, then all Cb AC, then all Cr AC)."""
+                    if cbp_chroma == 0:
+                        ctc4[
+                            :, 2 * mby : 2 * mby + 2,
+                            2 * mbx : 2 * mbx + 2,
+                        ] = 0
+                        return
+                    qpc = _qpc_of(qp_y)
+                    dcs = [
+                        _chroma_dc_scaled(_parse_cavlc_chroma_dc(r), qpc)
+                        for _ in range(2)
+                    ]
+                    acs: list = [[None] * 4, [None] * 4]
+                    for pi in range(2):
+                        for bk in range(4):
+                            rr = 2 * mby + bk // 2
+                            cc = 2 * mbx + bk % 2
+                            if cbp_chroma == 2:
+                                n_c = _nc(ctc4[pi], rr, cc, 2)
+                                ac = _parse_residual_4x4(r, n_c, 15)
+                                ctc4[pi, rr, cc] = sum(
+                                    1 for v in ac if v
+                                )
+                                acs[pi][bk] = ac
+                            else:
+                                ctc4[pi, rr, cc] = 0
+                    for pi, plane in enumerate((cb, cr)):
+                        for bk in range(4):
+                            by, bx = 4 * (bk // 2), 4 * (bk % 2)
+                            sl_ = np.s_[
+                                mby * 8 + by : mby * 8 + by + 4,
+                                mbx * 8 + bx : mbx * 8 + bx + 4,
+                            ]
+                            if cbp_chroma == 2:
+                                res = _itransform4x4(
+                                    _dequant4x4(
+                                        acs[pi][bk], qpc,
+                                        dc=int(dcs[pi][bk]),
+                                    )
+                                )
+                            else:
+                                res = (dcs[pi][bk] + 32) >> 6
+                            plane[sl_] = np.clip(
+                                plane[sl_].astype(np.int32) + res,
+                                0, 255,
+                            )
 
                 if mb_type == 25:  # I_PCM
                     r.byte_align()
@@ -1253,38 +1548,116 @@ def decode_h264_stream_info(
                     cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = (
                         crb.reshape(8, 8)
                     )
-                    tc[mb] = 16
+                    tc4[
+                        4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+                    ] = 16
+                    ctc4[
+                        :, 2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2
+                    ] = 16
+                elif mb_type == 0:  # I_4x4 (I_NxN, baseline: no 8x8)
+                    # per-block mode syntax (spec 7.3.5.1 + 8.3.1.1
+                    # mode inference from min(left, above))
+                    blk_modes = []
+                    for blk in range(16):
+                        bi, bj = _BLK4_POS[blk]
+                        r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                        am = _mb_of4(r4, c4 - 1, mbs_w)
+                        bm = _mb_of4(r4 - 1, c4, mbs_w)
+                        avail_a = c4 > 0 and (
+                            am == mb or _avail(am)
+                        )
+                        avail_b = r4 > 0 and (
+                            bm == mb or _avail(bm)
+                        )
+                        if not (avail_a and avail_b):
+                            pred = 2
+                        else:
+                            ma = int(mode4[r4, c4 - 1])
+                            mb_ = int(mode4[r4 - 1, c4])
+                            pred = min(
+                                ma if ma >= 0 else 2,
+                                mb_ if mb_ >= 0 else 2,
+                            )
+                        if r.u(1):  # prev_intra4x4_pred_mode_flag
+                            mode = pred
+                        else:
+                            rem = r.u(3)
+                            mode = rem if rem < pred else rem + 1
+                        blk_modes.append(mode)
+                    chroma_mode = r.ue()  # intra_chroma_pred_mode
+                    cbp = _CBP_INTRA[r.ue()]  # me(v), Table 9-4
+                    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                    if cbp:
+                        qp_y = (qp_y + r.se() + 52) % 52
+                    # luma: per-block residual parse + prediction +
+                    # reconstruction interleaved in luma4x4BlkIdx
+                    # order (neighbors of a block decode before it)
+                    for blk in range(16):
+                        bi, bj = _BLK4_POS[blk]
+                        r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                        if cbp_luma & (1 << (blk // 4)):
+                            n_c = _nc(tc4, r4, c4, 4)
+                            lv = _parse_residual_4x4(r, n_c, 16)
+                        else:
+                            lv = [0] * 16
+                        pred = _predict_4x4_block(
+                            y, r4, c4, blk_modes[blk],
+                            _blk(tc4, r4, c4 - 1, 4) >= 0,
+                            _blk(tc4, r4 - 1, c4, 4) >= 0,
+                            _blk(tc4, r4 - 1, c4 - 1, 4) >= 0,
+                            _blk(tc4, r4 - 1, c4 + 1, 4) >= 0,
+                        )
+                        if any(lv):
+                            res = _itransform4x4(_dequant4x4(lv, qp_y))
+                            pred = pred + res
+                        y[
+                            4 * r4 : 4 * r4 + 4, 4 * c4 : 4 * c4 + 4
+                        ] = np.clip(pred, 0, 255)
+                        tc4[r4, c4] = sum(1 for v in lv if v)
+                        mode4[r4, c4] = blk_modes[blk]
+                    mb_left_ok = mbx > 0 and _avail(mb - 1)
+                    mb_top_ok = mby > 0 and _avail(mb - mbs_w)
+                    _predict_chroma8x8(
+                        cb, mbx, mby, chroma_mode, mb_top_ok,
+                        mb_left_ok,
+                    )
+                    _predict_chroma8x8(
+                        cr, mbx, mby, chroma_mode, mb_top_ok,
+                        mb_left_ok,
+                    )
+                    _chroma_residuals(cbp_chroma)
                 elif 1 <= mb_type <= 24:  # I_16x16 family (Table 7-11)
                     pred_mode = (mb_type - 1) % 4
                     cbp_chroma = ((mb_type - 1) // 4) % 3
                     cbp_luma = 15 if mb_type - 1 >= 12 else 0
-                    if cbp_luma or cbp_chroma == 2:
-                        raise NotImplementedError(
-                            f"mb_type {mb_type}: AC coefficient blocks "
-                            "(4x4 CAVLC + inverse core transform) are "
-                            "the next codec notch"
-                        )
                     chroma_mode = r.ue()  # intra_chroma_pred_mode
                     # mb_qp_delta (always present here): spec 7.4.5
                     # accumulates with a mod-52 wrap at 8-bit depth —
                     # QP_Y = ((QP_Y,prev + delta + 52) % 52)
                     qp_y = (qp_y + r.se() + 52) % 52
                     # Intra16x16DCLevel is always parsed: CAVLC
-                    # coeff_token with nC from SAME-SLICE neighbors of
-                    # luma 4x4 block 0 (left MB / top MB at a corner)
+                    # coeff_token with nC from SAME-SLICE per-4x4
+                    # neighbors of luma 4x4 block 0 (spec 9.2.1)
                     left_ok = mbx > 0 and _avail(mb - 1)
                     top_ok = mby > 0 and _avail(mb - mbs_w)
-                    n_a = tc[mb - 1] if left_ok else -1
-                    n_b = tc[mb - mbs_w] if top_ok else -1
-                    if n_a >= 0 and n_b >= 0:
-                        n_c = (n_a + n_b + 1) >> 1
-                    elif n_a >= 0:
-                        n_c = n_a
-                    elif n_b >= 0:
-                        n_c = n_b
-                    else:
-                        n_c = 0
+                    n_c = _nc(tc4, 4 * mby, 4 * mbx, 4)
                     dc_zz = _parse_cavlc_luma_dc(r, n_c)
+                    # Intra16x16ACLevel blocks (cbp_luma is 0 or 15
+                    # for I_16x16 by Table 7-11 construction)
+                    ac_blocks = [None] * 16
+                    if cbp_luma:
+                        for blk in range(16):
+                            bi, bj = _BLK4_POS[blk]
+                            r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                            n_c = _nc(tc4, r4, c4, 4)
+                            ac = _parse_residual_4x4(r, n_c, 15)
+                            ac_blocks[blk] = ac
+                            tc4[r4, c4] = sum(1 for v in ac if v)
+                    else:
+                        tc4[
+                            4 * mby : 4 * mby + 4,
+                            4 * mbx : 4 * mbx + 4,
+                        ] = 0
                     _predict_16x16(
                         y, mbx, mby, pred_mode, top_ok, left_ok
                     )
@@ -1294,8 +1667,29 @@ def decode_h264_stream_info(
                     _predict_chroma8x8(
                         cr, mbx, mby, chroma_mode, top_ok, left_ok
                     )
-                    if any(dc_zz):
-                        # luma DC reconstruction: inverse Hadamard +
+                    if cbp_luma:
+                        # full reconstruction: each block's scaled DC
+                        # (spec 8.5.10) lands at d[0][0] of its 4x4
+                        # inverse core transform beside the AC levels
+                        dcy = _luma_dc_scaled(dc_zz, qp_y)
+                        for blk in range(16):
+                            bi, bj = _BLK4_POS[blk]
+                            y0_ = mby * 16 + 4 * bi
+                            x0_ = mbx * 16 + 4 * bj
+                            res = _itransform4x4(
+                                _dequant4x4(
+                                    ac_blocks[blk], qp_y,
+                                    dc=int(dcy[bi, bj]),
+                                )
+                            )
+                            sub = y[
+                                y0_ : y0_ + 4, x0_ : x0_ + 4
+                            ].astype(np.int32)
+                            y[y0_ : y0_ + 4, x0_ : x0_ + 4] = np.clip(
+                                sub + res, 0, 255
+                            )
+                    elif any(dc_zz):
+                        # DC-only reconstruction: inverse Hadamard +
                         # scaling gives one uniform residual per 4x4
                         # block (AC all zero here), added clipped
                         res = _luma_dc_residuals(dc_zz, qp_y)
@@ -1308,39 +1702,25 @@ def decode_h264_stream_info(
                                 y[y0_ : y0_ + 4, x0_ : x0_ + 4] = np.clip(
                                     sub + int(res[bi, bj]), 0, 255
                                 )
-                    if cbp_chroma == 1:
-                        # chroma DC residuals: Cb then Cr (spec
-                        # residual() order), 2x2 CAVLC each, inverse
-                        # Hadamard + scaling, clipped add per 4x4
-                        qpc = _qpc_of(qp_y)
-                        for plane in (cb, cr):
-                            res = _chroma_dc_residuals(
-                                _parse_cavlc_chroma_dc(r), qpc
-                            )
-                            for bi, (by, bx) in enumerate(
-                                ((0, 0), (0, 4), (4, 0), (4, 4))
-                            ):
-                                sub = plane[
-                                    mby * 8 + by : mby * 8 + by + 4,
-                                    mbx * 8 + bx : mbx * 8 + bx + 4,
-                                ].astype(np.int32)
-                                plane[
-                                    mby * 8 + by : mby * 8 + by + 4,
-                                    mbx * 8 + bx : mbx * 8 + bx + 4,
-                                ] = np.clip(sub + res[bi], 0, 255)
-                    tc[mb] = 0
+                    _chroma_residuals(cbp_chroma)
                 else:
                     raise NotImplementedError(
-                        f"mb_type {mb_type} (I_4x4/I_8x8): per-block "
-                        "intra modes + CAVLC residuals are the next "
-                        "codec notch"
+                        f"mb_type {mb_type} (I_8x8 / out of I-slice "
+                        "range): transform_size_8x8 is a High-profile "
+                        "tool — out of baseline subset scope"
                     )
                 slice_of[mb] = slice_idx
+                mb_done[mb] = True
                 mb += 1
             if r.u(1) != 1:
                 raise ValueError("missing rbsp stop bit after slice data")
     if y is None:
         raise ValueError("no slice NAL in stream")
+    if not mb_done.all():
+        raise ValueError(
+            "picture ended with undecoded macroblocks "
+            "(slices do not tile the picture)"
+        )
     pics.append((y, cb, cr))
     slice_counts.append(slice_idx + 1)
     return pics, sps, slice_counts

@@ -79,26 +79,25 @@ def test_escapes_are_actually_exercised():
     assert total > 0, "fixture no longer produces emulation escapes"
 
 
-def test_cavlc_macroblock_is_honest_boundary():
-    """A non-I_PCM mb_type must raise NotImplementedError — the next
-    codec notch, not a silent wrong answer."""
+def test_truncated_i4x4_slice_is_clean_error():
+    """Since notch 10, mb_type 0 (I_4x4) is a REAL decode path: a
+    slice that announces it but carries no per-block mode / residual
+    syntax must fail with a clean truncation ValueError, never an
+    IndexError out of the bit reader."""
     y, cb, cr = _fixture_planes(0)
     data = bytearray(encode_ipcm_annexb(y, cb, cr))
-    # find the slice NAL (type 5) and corrupt the first mb_type:
-    # ue(25) = 000011010...; flip to ue(0) = '1' by setting the first
-    # slice-data bit. Easier: rebuild a stream whose slice says mb_type 0.
     from magmapandas_spark.operators.h264 import _BitWriter, _escape_ebsp
 
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
     sl.u(0, 1); sl.u(0, 1); sl.se(0)
-    sl.ue(0)  # mb_type 0: I_4x4 — CAVLC territory
+    sl.ue(0)  # mb_type 0: I_4x4 — now parsed for real
     sl.rbsp_trailing()
     idx = bytes(data).rfind(b"\x00\x00\x00\x01\x65")
     stream = bytes(data[:idx]) + b"\x00\x00\x00\x01\x65" + _escape_ebsp(
         sl.tobytes()
     )
-    with pytest.raises(NotImplementedError, match="codec notch"):
+    with pytest.raises(ValueError, match="truncated RBSP|undecoded"):
         decode_h264_iframe(stream)
 
 
@@ -169,9 +168,11 @@ def test_dc_and_horizontal_prediction_helpers():
     assert int(c[14, 14]) == (200 * 4 + 40 * 4 + 4) >> 3  # (4,4) both
 
 
-def test_nonzero_cbp_is_honest_boundary():
-    """I_16x16 with a nonzero coded_block_pattern (mb_type 13: cbp
-    luma 15) must raise — residual levels are the next notch."""
+def test_truncated_i16x16_ac_slice_is_clean_error():
+    """Since notch 10, a nonzero I_16x16 coded_block_pattern (mb_type
+    13: cbp_luma 15) is a REAL decode path: a slice that announces it
+    but carries no residual bits must fail with a clean truncation
+    ValueError, never an IndexError out of the bit reader."""
     from magmapandas_spark.operators.h264 import (
         _escape_ebsp,
         _fixture_mixed,
@@ -183,13 +184,13 @@ def test_nonzero_cbp_is_honest_boundary():
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
     sl.u(0, 1); sl.u(0, 1); sl.se(0)
-    sl.ue(13)  # I_16x16, pred 0, cbp_luma 15
+    sl.ue(13)  # I_16x16, pred 0, cbp_luma 15 — AC residuals follow
     sl.rbsp_trailing()
     idx = data.rfind(b"\x00\x00\x00\x01\x65")
     stream = data[:idx] + b"\x00\x00\x00\x01\x65" + _escape_ebsp(
         sl.tobytes()
     )
-    with pytest.raises(NotImplementedError, match="AC coefficient"):
+    with pytest.raises(ValueError, match="truncated RBSP|undecoded"):
         decode_h264_iframe(stream)
 
 
