@@ -34,13 +34,25 @@ decodes:
    operators/mp4.py).
 7. ``h264_full_decode`` — the composition corpus: every feature above
    in one stream, proving they compose.
+8. (round 9) ``h264_ac_decode`` — the complete CAVLC 4x4 residual
+   layer: every Table 9-5 coeff_token class (VLC0/1/2, FLC, chroma
+   nC = -1), Table 9-7 total_zeros, Table 9-10 run_before,
+   spec-9.2.2.1 escape levels, Intra16x16ACLevel blocks under the
+   scaled DC (8.5.8), the full chroma residual matrix (cbp_chroma
+   0/1/2), spec-8.5.12 AC scaling + 4x4 inverse core transform.
+9. (round 9) ``h264_i4x4_decode`` — Intra_4x4 macroblocks: per-block
+   mode syntax with the sequential spec-8.3.1.1 most-probable-mode
+   inference, ALL NINE spec-8.3.1.2 prediction modes with
+   decode-order top-right availability/substitution, Table 9-4 me(v)
+   coded_block_pattern, LumaLevel4x4 residuals in the real per-4x4
+   CAVLC nC context.
 
-Honest boundaries (each an explicit ``NotImplementedError`` naming
-the structure that hit it): partially-filled 4x4 blocks (the 4x4
-total_zeros/run_before tables), Table 9-5 VLC0/1/2 nonzero
-coeff_token classes, luma/chroma AC blocks + I_4x4 per-block modes,
-escape-coded levels (level_prefix >= 15). P/B inter prediction,
-CABAC, high profiles, interlace, FMO: permanent scope lines.
+With notches 10/11 the decoder accepts the full baseline I-frame
+toolbox (I_PCM + I_16x16 + I_4x4, any CAVLC residual). Honest
+boundaries that remain (explicit errors naming the structure):
+level_prefix >= 16 extended escapes (a corner of later spec
+editions), P/B inter prediction, CABAC, transform_size_8x8 / high
+profiles, interlace, FMO: permanent scope lines.
 
 Scale posture: identical to every codec in this engine — one narrow
 Arrow ``mapInPandas`` stage per payload; bytes never leave the
@@ -69,6 +81,7 @@ __all__ = [
     "encode_mixed_annexb",
     "encode_gop_annexb",
     "encode_full_annexb",
+    "encode_ac_annexb",
     "decode_h264_iframe",
     "decode_h264_stream",
     "decode_h264_stream_info",
@@ -81,6 +94,8 @@ __all__ = [
     "q_h264_plane_decode",
     "q_h264_gop_decode",
     "q_h264_full_decode",
+    "q_h264_ac_decode",
+    "q_h264_i4x4_decode",
 ]
 
 _CK_MOD = 1_000_000_007
@@ -397,6 +412,9 @@ _LS00 = [10, 11, 13, 14, 16, 18]
 
 #: chroma-DC coeff_token (nC == -1) prefix codes we can prove from the
 #: fixture corpus; TotalCoeff >= 3 rows raise (not yet needed)
+#: Table 9-5, nC == -1 (chroma DC) column — complete: all 14
+#: (TrailingOnes, TotalCoeff) symbols; prefix-free with Kraft sum 1
+#: (pinned by tests/test_h264_ac.py)
 _CHROMA_DC_TOKENS = {
     "01": (0, 0),
     "1": (1, 1),
@@ -404,6 +422,14 @@ _CHROMA_DC_TOKENS = {
     "001": (2, 2),
     "000100": (0, 2),
     "000110": (1, 2),
+    "000011": (0, 3),
+    "0000011": (1, 3),
+    "0000010": (2, 3),
+    "000101": (3, 3),
+    "000010": (0, 4),
+    "00000011": (1, 4),
+    "00000010": (2, 4),
+    "0000000": (3, 4),
 }
 
 _TOTAL_ZEROS_2X2 = {
@@ -1584,6 +1610,10 @@ def decode_h264_stream_info(
                             rem = r.u(3)
                             mode = rem if rem < pred else rem + 1
                         blk_modes.append(mode)
+                        # spec 8.3.1.1 derives Intra4x4PredMode
+                        # SEQUENTIALLY: later blocks of this same MB
+                        # infer from this block's actual mode
+                        mode4[r4, c4] = mode
                     chroma_mode = r.ue()  # intra_chroma_pred_mode
                     cbp = _CBP_INTRA[r.ue()]  # me(v), Table 9-4
                     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
@@ -1614,7 +1644,6 @@ def decode_h264_stream_info(
                             4 * r4 : 4 * r4 + 4, 4 * c4 : 4 * c4 + 4
                         ] = np.clip(pred, 0, 255)
                         tc4[r4, c4] = sum(1 for v in lv if v)
-                        mode4[r4, c4] = blk_modes[blk]
                     mb_left_ok = mbx > 0 and _avail(mb - 1)
                     mb_top_ok = mby > 0 and _avail(mb - mbs_w)
                     _predict_chroma8x8(
@@ -3771,3 +3800,905 @@ SQL_H264_QPTRACK_DECODE = _sql_h264_mode_matrix(
     residuals=True,
     qp_cycle=(_N9_BASE_QP + 2, _N9_BASE_QP),
 )
+
+
+# ---------------------------------------------------------------------
+# Notches 10/11 (round 9): 4x4 AC residuals + Intra_4x4 prediction —
+# the boundary between the conformant-subset ladder and real encoder
+# output. Notch 10 decodes I_16x16 macroblocks with cbp_luma = 15
+# (Intra16x16ACLevel blocks under the scaled DC, spec 8.5.8/8.5.10)
+# and the full chroma residual matrix (cbp_chroma 0/1/2, DC-only and
+# DC+AC reconstruction). Notch 11 adds I_4x4 macroblocks: per-block
+# prediction-mode syntax (spec 7.3.5.1, most-probable-mode inference
+# of 8.3.1.1), all nine 4x4 prediction modes (8.3.1.2), me(v)-coded
+# coded_block_pattern (Table 9-4), and LumaLevel4x4 residuals with
+# per-4x4 CAVLC nC context.
+#
+# Correctness discipline (the notch-4/5 pattern): fixture planes are
+# reconstructed by the EXPLICIT-LOOP twins below (`_x_*` — plain
+# integer loops written from the published spec equations, sharing
+# only constant tables with the decoder's numpy path), the encoder
+# derives every syntax element from independent closed forms keyed on
+# (clip, mb, blk), and the DuckDB oracle recomputes PCM sums from the
+# closed-form sample formulas while the predicted-MB samples enter as
+# embedded twin-generated arrays whose spatial/checksum arithmetic
+# happens in SQL. Hash equality therefore proves the decoder
+# recovered every sample through the real parse path.
+# ---------------------------------------------------------------------
+
+
+def _write_chroma_dc_block(w_: _BitWriter, coeffs: list[int]) -> int:
+    """General 2x2 chroma-DC writer — the bit-exact inverse of
+    ``_parse_cavlc_chroma_dc`` for ANY coefficient vector (the
+    notch-3 ``_write_chroma_dc_level`` only emits single-coefficient
+    blocks). Returns TotalCoeff."""
+    nz = [k for k, v in enumerate(coeffs) if v != 0]
+    tc = len(nz)
+    t1s = 0
+    for k in reversed(nz):
+        if abs(coeffs[k]) == 1 and t1s < 3:
+            t1s += 1
+        else:
+            break
+    inv = {v: k for k, v in _CHROMA_DC_TOKENS.items()}
+    code = inv[(t1s, tc)]
+    w_.u(int(code, 2) if set(code) != {"0"} else 0, len(code))
+    if tc == 0:
+        return 0
+    _write_levels(w_, [coeffs[k] for k in reversed(nz)], tc, t1s)
+    tz = nz[-1] + 1 - tc
+    if tc < 4:
+        inv_tz = {v: k for k, v in _TOTAL_ZEROS_2X2[tc].items()}
+        code = inv_tz[tz]
+        w_.u(int(code, 2) if set(code) != {"0"} else 0, len(code))
+    zeros_left = tz
+    for idx in range(tc - 1):
+        if zeros_left <= 0:
+            break
+        run = nz[tc - 1 - idx] - nz[tc - 2 - idx] - 1
+        inv_rb = {v: k for k, v in _RUN_BEFORE[min(zeros_left, 3)].items()}
+        code = inv_rb[run]
+        w_.u(int(code, 2) if set(code) != {"0"} else 0, len(code))
+        zeros_left -= run
+    return tc
+
+
+# -- closed-form syntax generators (shared by encoder, twin, oracle) --
+
+
+def _n10_qp(i: int) -> int:
+    """Per-clip QP sweeping 20..31 — both spec-8.5.12.1 scaling
+    branches (rounding below 24, shift at >= 24) and, via Table 8-15,
+    QPc values on both sides of the identity region."""
+    return 20 + (i % 12)
+
+
+def _n10_dc(i: int, mb: int) -> list[int]:
+    """Intra16x16DCLevel zig-zag vector: 4..16 nonzeros at the low
+    scan band — sweeps coeff_token TotalCoeff classes and, at
+    TotalCoeff < 16, the 4x4 total_zeros tables."""
+    n = 4 + (i + mb) % 13
+    return [
+        (1 + (i + 3 * mb + 5 * k) % 7)
+        * (1 if (i + mb + k) % 2 == 0 else -1)
+        if k < n
+        else 0
+        for k in range(16)
+    ]
+
+
+def _n10_ac15(i: int, mb: int, blk: int, tag: int) -> list[int]:
+    """15-coefficient AC vector (Intra16x16ACLevel / ChromaACLevel):
+    0..6 nonzeros at alternating scan positions (run_before > 0 on
+    every gap), magnitudes 1..19 (exercises suffix-length growth).
+    ``tag`` separates the luma (0) / Cb (1) / Cr (2) streams."""
+    n = (i + 2 * mb + 3 * blk + tag) % 7
+    out = [0] * 15
+    for j in range(n):
+        pos = (2 * j + (i + blk + tag) % 2) % 15
+        out[pos] = (1 + (i + mb + 2 * blk + 5 * j + tag) % 19) * (
+            1 if (i + blk + j + tag) % 2 == 0 else -1
+        )
+    return out
+
+
+def _n10_lv16(i: int, mb: int, blk: int) -> list[int]:
+    """16-coefficient LumaLevel4x4 vector for coded I_4x4 blocks:
+    1..8 nonzeros, magnitudes 1..23."""
+    n = 1 + (i + mb + 2 * blk) % 8
+    out = [0] * 16
+    for j in range(n):
+        pos = (2 * j + (i + blk) % 2) % 16
+        out[pos] = (1 + (i + 3 * mb + blk + 7 * j) % 23) * (
+            1 if (mb + blk + j) % 2 == 0 else -1
+        )
+    return out
+
+
+def _n10_cdc(i: int, mb: int, p: int) -> list[int]:
+    """2x2 ChromaDCLevel vector (plane ``p``): values in -2..2 —
+    sweeps TotalCoeff 0..4 of the nC = -1 coeff_token table."""
+    return [((i + 2 * mb + 3 * k + 5 * p) % 5) - 2 for k in range(4)]
+
+
+def _n10_kind(i: int, mbx: int, with_i4x4: bool) -> int:
+    """Predicted-MB kind: 1 = I_16x16 with AC, 2 = I_4x4."""
+    if with_i4x4 and (i + mbx) % 2 == 1:
+        return 2
+    return 1
+
+
+def _n10_i16_params(i: int, mbx: int) -> tuple[int, int, int]:
+    """(luma pred mode, chroma pred mode, cbp_chroma) for an I_16x16
+    AC macroblock — all four luma and chroma modes and all three
+    chroma CBP classes occur across the corpus."""
+    return (i + mbx) % 4, (i + 2 * mbx + 1) % 4, (i + mbx) % 3
+
+
+def _n10_i4_params(i: int, mbx: int) -> tuple[int, int, int]:
+    """(cbp_luma, chroma pred mode, cbp_chroma) for an I_4x4
+    macroblock. cbp_luma mixes ``i >> 1`` so it is parity-free under
+    the kind selector's (i + mbx) % 2 == 1 constraint — the corpus
+    sweeps ALL 16 luma CBP patterns (tests/test_h264_ac.py pins
+    that)."""
+    return (
+        (5 * (i >> 1) + 3 * mbx) % 16,
+        (i + 2 * mbx) % 4,
+        (i + mbx + 1) % 3,
+    )
+
+
+def _n10_i4_mode(i: int, mb: int, blk: int) -> int:
+    """Intra4x4PredMode for luma block ``blk`` — cycles all nine
+    spec-8.3.1.2 modes."""
+    return (i + mb + blk) % 9
+
+
+# -- explicit-loop reconstruction twins (independent of the decoder) --
+
+
+def _x_clip1(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _x_dequant4(zz: list[int], qp: int, dc: int | None = None):
+    """Spec 8.5.12.1 scaling, explicit loops: returns a 4x4 list of
+    lists. With ``dc`` the 15 entries are AC scan positions 1..15 and
+    d[0][0] is the externally-scaled DC."""
+    d = [[0] * 4 for _ in range(4)]
+    off = 0 if dc is None else 1
+    for k, lvl in enumerate(zz):
+        if lvl == 0:
+            continue
+        i_, j_ = _ZZ4[k + off]
+        if i_ % 2 == 0 and j_ % 2 == 0:
+            v = _V4[qp % 6][0]
+        elif i_ % 2 == 1 and j_ % 2 == 1:
+            v = _V4[qp % 6][1]
+        else:
+            v = _V4[qp % 6][2]
+        if qp >= 24:
+            d[i_][j_] = (lvl * v) << (qp // 6 - 4)
+        else:
+            d[i_][j_] = (lvl * v + (1 << (3 - qp // 6))) >> (4 - qp // 6)
+    if dc is not None:
+        d[0][0] = dc
+    return d
+
+
+def _x_itrans4(d) -> list:
+    """Spec 8.5.12.2 inverse core transform, explicit butterflies on
+    plain lists; returns the 4x4 residual."""
+    f = [[0] * 4 for _ in range(4)]
+    for i_ in range(4):
+        e0 = d[i_][0] + d[i_][2]
+        e1 = d[i_][0] - d[i_][2]
+        e2 = (d[i_][1] >> 1) - d[i_][3]
+        e3 = d[i_][1] + (d[i_][3] >> 1)
+        f[i_] = [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    out = [[0] * 4 for _ in range(4)]
+    for j_ in range(4):
+        g0 = f[0][j_] + f[2][j_]
+        g1 = f[0][j_] - f[2][j_]
+        g2 = (f[1][j_] >> 1) - f[3][j_]
+        g3 = f[1][j_] + (f[3][j_] >> 1)
+        col = [g0 + g3, g1 + g2, g1 - g2, g0 - g3]
+        for i_ in range(4):
+            out[i_][j_] = (col[i_] + 32) >> 6
+    return out
+
+
+def _x_luma_dcmat(zz: list[int], qp: int) -> list:
+    """Spec 8.5.10 luma-DC: explicit 4x4 Hadamard + scaling; returns
+    the raw dcY matrix (block row x block col)."""
+    c = [[0] * 4 for _ in range(4)]
+    for k, (r_, c_) in enumerate(_ZZ4):
+        c[r_][c_] = zz[k]
+    ls = _LS00[qp % 6]
+    out = [[0] * 4 for _ in range(4)]
+    for bi in range(4):
+        for bj in range(4):
+            f = sum(
+                _H4_LIST[bi][k] * c[k][l] * _H4_LIST[l][bj]
+                for k in range(4)
+                for l in range(4)
+            )
+            if qp >= 36:
+                out[bi][bj] = (f * ls) << (qp // 6 - 6)
+            else:
+                out[bi][bj] = (f * ls + (1 << (5 - qp // 6))) >> (
+                    6 - qp // 6
+                )
+    return out
+
+
+def _x_chroma_dcraw(coeffs: list[int], qpc: int) -> list[int]:
+    """Spec 8.5.11 chroma-DC: explicit 2x2 inverse Hadamard +
+    scaling; returns the 4 raw dcC values in block raster order."""
+    c00, c01, c10, c11 = coeffs
+    f = [
+        c00 + c01 + c10 + c11,
+        c00 - c01 + c10 - c11,
+        c00 + c01 - c10 - c11,
+        c00 - c01 - c10 + c11,
+    ]
+    ls = _LS00[qpc % 6]
+    return [(fv * ls << (qpc // 6)) >> 5 for fv in f]
+
+
+def _x_pred4(
+    y: np.ndarray,
+    r4: int,
+    c4: int,
+    mode: int,
+    a_l: bool,
+    a_t: bool,
+    a_tl: bool,
+    a_tr: bool,
+) -> list:
+    """Explicit-loop twin of the nine Intra_4x4 prediction modes,
+    written directly from the spec-8.3.1.2 sample equations with
+    p[x, -1] / p[-1, y] / p[-1, -1] accessors (the decoder's numpy
+    kernel derives the same equations through zVR/zHD branch
+    grouping). Unavailable top-right samples substitute p[3, -1]."""
+    y0, x0 = 4 * r4, 4 * c4
+    lft = [int(y[y0 + k, x0 - 1]) for k in range(4)] if a_l else None
+    top = [int(y[y0 - 1, x0 + k]) for k in range(4)] if a_t else None
+    cor = int(y[y0 - 1, x0 - 1]) if a_tl else None
+    if a_t:
+        ext = top + (
+            [int(y[y0 - 1, x0 + 4 + k]) for k in range(4)]
+            if a_tr
+            else [top[3]] * 4
+        )
+    else:
+        ext = None
+
+    def pt(xx: int) -> int:  # p[xx, -1], xx in -1..7
+        return cor if xx < 0 else ext[xx]
+
+    def pl(yy: int) -> int:  # p[-1, yy], yy in -1..3
+        return cor if yy < 0 else lft[yy]
+
+    p = [[0] * 4 for _ in range(4)]
+    for yy in range(4):
+        for xx in range(4):
+            if mode == 0:
+                v = top[xx]
+            elif mode == 1:
+                v = lft[yy]
+            elif mode == 2:
+                if a_t and a_l:
+                    v = (sum(top) + sum(lft) + 4) >> 3
+                elif a_l:
+                    v = (sum(lft) + 2) >> 2
+                elif a_t:
+                    v = (sum(top) + 2) >> 2
+                else:
+                    v = 128
+            elif mode == 3:  # Diagonal Down-Left (8.3.1.2.4)
+                if xx == 3 and yy == 3:
+                    v = (ext[6] + 3 * ext[7] + 2) >> 2
+                else:
+                    v = (
+                        ext[xx + yy]
+                        + 2 * ext[xx + yy + 1]
+                        + ext[xx + yy + 2]
+                        + 2
+                    ) >> 2
+            elif mode == 4:  # Diagonal Down-Right (8.3.1.2.5)
+                if xx > yy:
+                    v = (
+                        pt(xx - yy - 2) + 2 * pt(xx - yy - 1)
+                        + pt(xx - yy) + 2
+                    ) >> 2
+                elif xx < yy:
+                    v = (
+                        pl(yy - xx - 2) + 2 * pl(yy - xx - 1)
+                        + pl(yy - xx) + 2
+                    ) >> 2
+                else:
+                    v = (pt(0) + 2 * cor + pl(0) + 2) >> 2
+            elif mode == 5:  # Vertical-Right (8.3.1.2.6)
+                z = 2 * xx - yy
+                if z >= 0 and z % 2 == 0:
+                    v = (
+                        pt(xx - (yy >> 1) - 1) + pt(xx - (yy >> 1)) + 1
+                    ) >> 1
+                elif z >= 0:
+                    v = (
+                        pt(xx - (yy >> 1) - 2)
+                        + 2 * pt(xx - (yy >> 1) - 1)
+                        + pt(xx - (yy >> 1))
+                        + 2
+                    ) >> 2
+                elif z == -1:
+                    v = (pl(0) + 2 * cor + pt(0) + 2) >> 2
+                else:
+                    v = (
+                        pl(yy - 1) + 2 * pl(yy - 2) + pl(yy - 3) + 2
+                    ) >> 2
+            elif mode == 6:  # Horizontal-Down (8.3.1.2.7)
+                z = 2 * yy - xx
+                if z >= 0 and z % 2 == 0:
+                    v = (
+                        pl(yy - (xx >> 1) - 1) + pl(yy - (xx >> 1)) + 1
+                    ) >> 1
+                elif z >= 0:
+                    v = (
+                        pl(yy - (xx >> 1) - 2)
+                        + 2 * pl(yy - (xx >> 1) - 1)
+                        + pl(yy - (xx >> 1))
+                        + 2
+                    ) >> 2
+                elif z == -1:
+                    v = (pl(0) + 2 * cor + pt(0) + 2) >> 2
+                else:
+                    v = (
+                        pt(xx - 1) + 2 * pt(xx - 2) + pt(xx - 3) + 2
+                    ) >> 2
+            elif mode == 7:  # Vertical-Left (8.3.1.2.8)
+                if yy % 2 == 0:
+                    v = (
+                        ext[xx + (yy >> 1)] + ext[xx + (yy >> 1) + 1] + 1
+                    ) >> 1
+                else:
+                    v = (
+                        ext[xx + (yy >> 1)]
+                        + 2 * ext[xx + (yy >> 1) + 1]
+                        + ext[xx + (yy >> 1) + 2]
+                        + 2
+                    ) >> 2
+            else:  # mode 8, Horizontal-Up (8.3.1.2.9)
+                z = xx + 2 * yy
+                if z < 5 and z % 2 == 0:
+                    v = (
+                        lft[yy + (xx >> 1)] + lft[yy + (xx >> 1) + 1] + 1
+                    ) >> 1
+                elif z < 5:
+                    v = (
+                        lft[yy + (xx >> 1)]
+                        + 2 * lft[yy + (xx >> 1) + 1]
+                        + lft[yy + (xx >> 1) + 2]
+                        + 2
+                    ) >> 2
+                elif z == 5:
+                    v = (lft[2] + 3 * lft[3] + 2) >> 2
+                else:
+                    v = lft[3]
+            p[yy][xx] = v
+    return p
+
+
+def _n10_frame(i: int, with_i4x4: bool):
+    """Expected reconstruction for AC clip ``i`` via the explicit
+    twins: a (3 + i%2) x 2 MB grid, PCM everywhere except MB row 1
+    columns >= 1 (every predicted MB has PCM/earlier-reconstructed
+    left, top, corner and top-right context). Returns
+    (Y, Cb, Cr, kinds) with kinds[mb] in {0: I_PCM, 1: I_16x16-AC,
+    2: I_4x4}."""
+    qp = _n10_qp(i)
+    qpc = _qpc_of(qp)
+    mbs_w, mbs_h = 3 + i % 2, 2
+    n_mbs = mbs_w * mbs_h
+    y = np.zeros((16 * mbs_h, 16 * mbs_w), np.uint8)
+    cb = np.zeros((8 * mbs_h, 8 * mbs_w), np.uint8)
+    cr = np.zeros((8 * mbs_h, 8 * mbs_w), np.uint8)
+    kinds = [0] * n_mbs
+    for mb in range(n_mbs):
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        for o in range(256):
+            y[mby * 16 + o // 16, mbx * 16 + o % 16] = (
+                7 * i + 13 * ((mb * 256 + o) // 4)
+            ) % 256
+        for o in range(64):
+            cb[mby * 8 + o // 8, mbx * 8 + o % 8] = (
+                11 * i + 17 * (mb * 64 + o)
+            ) % 256
+            cr[mby * 8 + o // 8, mbx * 8 + o % 8] = (
+                19 * i + 23 * (mb * 64 + o)
+            ) % 256
+        if mby == 1 and mbx >= 1:
+            kinds[mb] = _n10_kind(i, mbx, with_i4x4)
+
+    # per-4x4 luma decode state for availability (the twin's analogue
+    # of the decoder's tc4 >= 0 check); PCM MBs complete atomically
+    done4 = np.zeros((4 * mbs_h, 4 * mbs_w), bool)
+
+    def add_clip(plane, y0: int, x0: int, res) -> None:
+        for yy in range(4):
+            for xx in range(4):
+                plane[y0 + yy, x0 + xx] = _x_clip1(
+                    int(plane[y0 + yy, x0 + xx]) + res[yy][xx]
+                )
+
+    def chroma_recon(mb: int, mbx: int, mby: int, cm: int, cc: int):
+        for pl_ in (cb, cr):
+            cy0, cx0 = mby * 8, mbx * 8
+            ct = [int(pl_[cy0 - 1, cx0 + x]) for x in range(8)]
+            cl = [int(pl_[cy0 + yy, cx0 - 1]) for yy in range(8)]
+            cco = int(pl_[cy0 - 1, cx0 - 1])
+            for yy in range(8):
+                for x in range(8):
+                    if cm == 1:
+                        v = cl[yy]
+                    elif cm == 2:
+                        v = ct[x]
+                    elif cm == 3:
+                        hs = sum(
+                            (xp + 1)
+                            * (
+                                ([cco] + ct)[5 + xp]
+                                - ([cco] + ct)[3 - xp]
+                            )
+                            for xp in range(4)
+                        )
+                        vs = sum(
+                            (yp + 1)
+                            * (
+                                ([cco] + cl)[5 + yp]
+                                - ([cco] + cl)[3 - yp]
+                            )
+                            for yp in range(4)
+                        )
+                        a = 16 * (ct[7] + cl[7])
+                        b = (17 * hs + 16) >> 5
+                        c_ = (17 * vs + 16) >> 5
+                        v = _x_clip1(
+                            (a + b * (x - 3) + c_ * (yy - 3) + 16) >> 5
+                        )
+                    else:  # DC, per-4x4 corner rule
+                        if x < 4 and yy < 4:
+                            v = (sum(ct[:4]) + sum(cl[:4]) + 4) >> 3
+                        elif x >= 4 and yy < 4:
+                            v = (sum(ct[4:]) + 2) >> 2
+                        elif x < 4 and yy >= 4:
+                            v = (sum(cl[4:]) + 2) >> 2
+                        else:
+                            v = (sum(ct[4:]) + sum(cl[4:]) + 4) >> 3
+                    pl_[cy0 + yy, cx0 + x] = v
+        if cc == 0:
+            return
+        for p_, pl_ in ((0, cb), (1, cr)):
+            raw = _x_chroma_dcraw(_n10_cdc(i, mb, p_), qpc)
+            for bk in range(4):
+                by, bx = 4 * (bk // 2), 4 * (bk % 2)
+                y0_, x0_ = mby * 8 + by, mbx * 8 + bx
+                if cc == 2:
+                    res = _x_itrans4(
+                        _x_dequant4(
+                            _n10_ac15(i, mb, bk, 1 + p_), qpc,
+                            dc=raw[bk],
+                        )
+                    )
+                    add_clip(pl_, y0_, x0_, res)
+                else:
+                    u = (raw[bk] + 32) >> 6
+                    add_clip(pl_, y0_, x0_, [[u] * 4] * 4)
+
+    for mb in range(n_mbs):
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        if kinds[mb] == 0:
+            done4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = True
+            continue
+        y0, x0 = mby * 16, mbx * 16
+        if kinds[mb] == 1:
+            pm16, cm, cc = _n10_i16_params(i, mbx)
+            top = [int(y[y0 - 1, x0 + x]) for x in range(16)]
+            left = [int(y[y0 + yy, x0 - 1]) for yy in range(16)]
+            corner = int(y[y0 - 1, x0 - 1])
+            for yy in range(16):
+                for x in range(16):
+                    if pm16 == 0:
+                        v = top[x]
+                    elif pm16 == 1:
+                        v = left[yy]
+                    elif pm16 == 2:
+                        v = (sum(top) + sum(left) + 16) >> 5
+                    else:
+                        et = [corner] + top
+                        el = [corner] + left
+                        hs = sum(
+                            (xp + 1) * (et[9 + xp] - et[7 - xp])
+                            for xp in range(8)
+                        )
+                        vs = sum(
+                            (yp + 1) * (el[9 + yp] - el[7 - yp])
+                            for yp in range(8)
+                        )
+                        a = 16 * (et[16] + el[16])
+                        b = (5 * hs + 32) >> 6
+                        c_ = (5 * vs + 32) >> 6
+                        v = _x_clip1(
+                            (a + b * (x - 7) + c_ * (yy - 7) + 16) >> 5
+                        )
+                    y[y0 + yy, x0 + x] = v
+            dcm = _x_luma_dcmat(_n10_dc(i, mb), qp)
+            for blk in range(16):
+                bi, bj = _BLK4_POS[blk]
+                res = _x_itrans4(
+                    _x_dequant4(
+                        _n10_ac15(i, mb, blk, 0), qp, dc=dcm[bi][bj]
+                    )
+                )
+                add_clip(y, y0 + 4 * bi, x0 + 4 * bj, res)
+            chroma_recon(mb, mbx, mby, cm, cc)
+            done4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = True
+        else:  # I_4x4
+            cbp_luma, cm, cc = _n10_i4_params(i, mbx)
+            for blk in range(16):
+                bi, bj = _BLK4_POS[blk]
+                r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                a_l = c4 > 0 and done4[r4, c4 - 1]
+                a_t = r4 > 0 and done4[r4 - 1, c4]
+                a_tl = r4 > 0 and c4 > 0 and done4[r4 - 1, c4 - 1]
+                a_tr = (
+                    r4 > 0
+                    and c4 + 1 < 4 * mbs_w
+                    and done4[r4 - 1, c4 + 1]
+                )
+                pred = _x_pred4(
+                    y, r4, c4, _n10_i4_mode(i, mb, blk),
+                    a_l, a_t, a_tl, a_tr,
+                )
+                if cbp_luma & (1 << (blk // 4)):
+                    res = _x_itrans4(
+                        _x_dequant4(_n10_lv16(i, mb, blk), qp)
+                    )
+                    for yy in range(4):
+                        for xx in range(4):
+                            pred[yy][xx] = _x_clip1(
+                                pred[yy][xx] + res[yy][xx]
+                            )
+                for yy in range(4):
+                    for xx in range(4):
+                        y[4 * r4 + yy, 4 * c4 + xx] = _x_clip1(
+                            pred[yy][xx]
+                        )
+                done4[r4, c4] = True
+            chroma_recon(mb, mbx, mby, cm, cc)
+    return y, cb, cr, kinds
+
+
+def encode_ac_annexb(i: int, with_i4x4: bool = False) -> bytes:
+    """Annex-B encoder for the notch-10/11 corpora: I_PCM context
+    macroblocks (samples from the closed-form planes), I_16x16
+    macroblocks with cbp_luma = 15 (dense-or-sparse DC + 16
+    Intra16x16ACLevel blocks), optional I_4x4 macroblocks (per-block
+    mode syntax with most-probable-mode inference, Table 9-4 me(v)
+    CBP, LumaLevel4x4 residuals), and the full chroma residual matrix
+    — every residual block written through the general CAVLC writers
+    in the real per-4x4 nC context."""
+    y, cb, cr, kinds = _n10_frame(i, with_i4x4)
+    qp = _n10_qp(i)
+    mbs_w, mbs_h = 3 + i % 2, 2
+
+    sps = _BitWriter()
+    sps.u(66, 8); sps.u(0, 8); sps.u(10, 8)
+    sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0)
+    sps.u(0, 1)
+    sps.ue(mbs_w - 1); sps.ue(mbs_h - 1)
+    sps.u(1, 1); sps.u(0, 1); sps.u(0, 1); sps.u(0, 1)
+    sps.rbsp_trailing()
+
+    pps = _BitWriter()
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
+    pps.se(qp - 26); pps.se(0); pps.se(0)
+    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.rbsp_trailing()
+
+    sl = _BitWriter()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+
+    tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
+    ctc4 = np.full((2, 2 * mbs_h, 2 * mbs_w), -1, np.int32)
+    mode4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
+
+    def ncof(arr, rr: int, cc_: int) -> int:
+        def g(r_, c_):
+            if (
+                r_ < 0 or c_ < 0
+                or r_ >= arr.shape[0] or c_ >= arr.shape[1]
+            ):
+                return -1
+            return int(arr[r_, c_])
+
+        na, nb = g(rr, cc_ - 1), g(rr - 1, cc_)
+        if na >= 0 and nb >= 0:
+            return (na + nb + 1) >> 1
+        if na >= 0:
+            return na
+        if nb >= 0:
+            return nb
+        return 0
+
+    def write_chroma(mb: int, mbx: int, mby: int, cc: int) -> None:
+        if cc == 0:
+            ctc4[:, 2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+            return
+        _write_chroma_dc_block(sl, _n10_cdc(i, mb, 0))
+        _write_chroma_dc_block(sl, _n10_cdc(i, mb, 1))
+        for p_ in range(2):
+            for bk in range(4):
+                rr = 2 * mby + bk // 2
+                cc_ = 2 * mbx + bk % 2
+                if cc == 2:
+                    n_c = ncof(ctc4[p_], rr, cc_)
+                    ctc4[p_, rr, cc_] = _write_residual_4x4(
+                        sl, _n10_ac15(i, mb, bk, 1 + p_), n_c, 15
+                    )
+                else:
+                    ctc4[p_, rr, cc_] = 0
+
+    for mb in range(mbs_w * mbs_h):
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        if kinds[mb] == 0:
+            sl.ue(25)
+            sl.align_zero()
+            sl.raw_bytes(
+                y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16]
+                .astype(np.uint8).tobytes()
+            )
+            sl.raw_bytes(
+                cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+                .astype(np.uint8).tobytes()
+            )
+            sl.raw_bytes(
+                cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+                .astype(np.uint8).tobytes()
+            )
+            tc4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 16
+            ctc4[:, 2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
+        elif kinds[mb] == 1:
+            pm16, cm, cc = _n10_i16_params(i, mbx)
+            sl.ue(1 + pm16 + 4 * cc + 12)  # Table 7-11, cbp_luma 15
+            sl.ue(cm)
+            sl.se(0)  # mb_qp_delta
+            n_c = ncof(tc4, 4 * mby, 4 * mbx)
+            _write_residual_4x4(sl, _n10_dc(i, mb), n_c, 16)
+            for blk in range(16):
+                bi, bj = _BLK4_POS[blk]
+                r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                n_c = ncof(tc4, r4, c4)
+                tc4[r4, c4] = _write_residual_4x4(
+                    sl, _n10_ac15(i, mb, blk, 0), n_c, 15
+                )
+            write_chroma(mb, mbx, mby, cc)
+        else:  # I_4x4
+            cbp_luma, cm, cc = _n10_i4_params(i, mbx)
+            sl.ue(0)
+            for blk in range(16):
+                bi, bj = _BLK4_POS[blk]
+                r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                a_a = c4 > 0 and (
+                    tc4[r4, c4 - 1] >= 0 or mode4[r4, c4 - 1] >= 0
+                )
+                a_b = r4 > 0 and (
+                    tc4[r4 - 1, c4] >= 0 or mode4[r4 - 1, c4] >= 0
+                )
+                if not (a_a and a_b):
+                    pred = 2
+                else:
+                    ma = int(mode4[r4, c4 - 1])
+                    mb_ = int(mode4[r4 - 1, c4])
+                    pred = min(
+                        ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2
+                    )
+                md = _n10_i4_mode(i, mb, blk)
+                if md == pred:
+                    sl.u(1, 1)
+                else:
+                    sl.u(0, 1)
+                    sl.u(md - (1 if md > pred else 0), 3)
+                mode4[r4, c4] = md
+            sl.ue(cm)
+            sl.ue(_CBP_INTRA_INV[cbp_luma + 16 * cc])
+            if cbp_luma + 16 * cc:
+                sl.se(0)  # mb_qp_delta
+            for blk in range(16):
+                bi, bj = _BLK4_POS[blk]
+                r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                if cbp_luma & (1 << (blk // 4)):
+                    n_c = ncof(tc4, r4, c4)
+                    tc4[r4, c4] = _write_residual_4x4(
+                        sl, _n10_lv16(i, mb, blk), n_c, 16
+                    )
+                else:
+                    tc4[r4, c4] = 0
+            write_chroma(mb, mbx, mby, cc)
+    sl.rbsp_trailing()
+
+    def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
+        header = bytes([(ref_idc << 5) | nal_type])
+        return b"\x00\x00\x00\x01" + header + _escape_ebsp(w_.tobytes())
+
+    return nal(3, 7, sps) + nal(3, 8, pps) + nal(3, 5, sl)
+
+
+def synthetic_h264_ac_media(
+    spark: SparkSession, n: int = _N_CLIPS
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, bytearray(encode_ac_annexb(i, False))) for i in range(n)],
+        "media_id long, payload binary",
+    )
+
+
+def synthetic_h264_i4x4_media(
+    spark: SparkSession, n: int = _N_CLIPS
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, bytearray(encode_ac_annexb(i, True))) for i in range(n)],
+        "media_id long, payload binary",
+    )
+
+
+def q_h264_ac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query (notch 10): decode 24 streams whose I_16x16
+    macroblocks carry FULL 4x4 AC residuals — cbp_luma 15
+    (Intra16x16ACLevel under the spec-8.5.8 scaled DC), the complete
+    chroma residual matrix (cbp_chroma 0/1/2 with general 2x2 DC
+    blocks and ChromaACLevel), Table 9-7 total_zeros / Table 9-10
+    run_before on every block, the spec-8.5.12 AC scaling + 4x4
+    inverse core transform, across QP 20..31 (both scaling branches)
+    — plane sums and the MB-order luma checksum under the
+    cross-engine hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_frame_stats(synthetic_h264_ac_media(spark)), "media_id"
+    )
+
+
+def q_h264_i4x4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query (notch 11): notch 10 plus Intra_4x4 macroblocks —
+    per-block prediction-mode syntax with the spec-8.3.1.1
+    most-probable-mode inference, ALL NINE spec-8.3.1.2 4x4 modes
+    (incl. decode-order top-right availability + substitution),
+    Table 9-4 me(v) coded_block_pattern, and LumaLevel4x4 residuals
+    in the real per-4x4 CAVLC nC context — the last structure between
+    this ladder and real baseline-encoder I-frame output."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_frame_stats(synthetic_h264_i4x4_media(spark)), "media_id"
+    )
+
+
+def _n10_pred_arrays(i: int, with_i4x4: bool):
+    """Oracle embedding for clip ``i``: predicted-MB addresses and
+    their twin-reconstructed samples (flattened raster per MB)."""
+    y, cb, cr, kinds = _n10_frame(i, with_i4x4)
+    mbs_w = 3 + i % 2
+    pm: list[int] = []
+    py: list[int] = []
+    pcb: list[int] = []
+    pcr: list[int] = []
+    for mb, k in enumerate(kinds):
+        if k == 0:
+            continue
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        pm.append(mb)
+        py.extend(
+            int(v)
+            for v in y[
+                mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16
+            ].reshape(-1)
+        )
+        pcb.extend(
+            int(v)
+            for v in cb[
+                mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+            ].reshape(-1)
+        )
+        pcr.extend(
+            int(v)
+            for v in cr[
+                mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+            ].reshape(-1)
+        )
+    return pm, py, pcb, pcr
+
+
+def _sql_h264_ac(with_i4x4: bool) -> str:
+    """DuckDB oracle for the notch-10/11 corpora: PCM plane sums and
+    checksum terms from the closed-form sample formulas (pure SQL
+    integer arithmetic, as every earlier notch); predicted-MB samples
+    from the embedded explicit-twin arrays (``_n10_pred_arrays``) with
+    the spatial position mapping, MB-order checksum weights, and all
+    aggregation recomputed in SQL."""
+    pm_l, py_l, pcb_l, pcr_l = [], [], [], []
+    for i in range(_N_CLIPS):
+        pm, py, pcb, pcr = _n10_pred_arrays(i, with_i4x4)
+        pm_l.append(pm)
+        py_l.append(py)
+        pcb_l.append(pcb)
+        pcr_l.append(pcr)
+    y_v = "(7 * media_id + 13 * ((mb * 256 + o.o) // 4)) % 256"
+    cb_v = "(11 * media_id + 17 * (mb * 64 + o.o)) % 256"
+    cr_v = "(19 * media_id + 23 * (mb * 64 + o.o)) % 256"
+    return f"""
+WITH clip AS (
+  SELECT i AS media_id, 3 + i % 2 AS mbs_w, 2 AS mbs_h,
+         pm.v AS pm, py.v AS py, pcb.v AS pcb, pcr.v AS pcr
+  FROM range({_N_CLIPS}) t(i)
+  JOIN (SELECT UNNEST(range({_N_CLIPS})) AS j,
+               UNNEST({pm_l!r}) AS v) pm ON pm.j = i
+  JOIN (SELECT UNNEST(range({_N_CLIPS})) AS j,
+               UNNEST({py_l!r}) AS v) py ON py.j = i
+  JOIN (SELECT UNNEST(range({_N_CLIPS})) AS j,
+               UNNEST({pcb_l!r}) AS v) pcb ON pcb.j = i
+  JOIN (SELECT UNNEST(range({_N_CLIPS})) AS j,
+               UNNEST({pcr_l!r}) AS v) pcr ON pcr.j = i
+),
+mbs AS (
+  SELECT media_id, mbs_w, mbs_h, m.m AS mb,
+         m.m % mbs_w AS mbx, m.m // mbs_w AS mby
+  FROM clip, LATERAL (SELECT UNNEST(range(mbs_w * mbs_h)) AS m) m
+),
+luma_pcm AS (
+  SELECT media_id, SUM({y_v}) AS s,
+         SUM((mb * 256 + o.o + 1) * ({y_v})) AS ck
+  FROM mbs, LATERAL (SELECT UNNEST(range(256)) AS o) o
+  WHERE NOT (mbx > 0 AND mby > 0)
+  GROUP BY media_id
+),
+luma_pred AS (
+  SELECT media_id, SUM(py[k.k + 1]) AS s,
+         SUM((pm[k.k // 256 + 1] * 256 + k.k % 256 + 1)
+             * py[k.k + 1]) AS ck
+  FROM clip, LATERAL (SELECT UNNEST(range(len(py))) AS k) k
+  GROUP BY media_id
+),
+chroma_pcm AS (
+  SELECT media_id, SUM({cb_v}) AS scb, SUM({cr_v}) AS scr
+  FROM mbs, LATERAL (SELECT UNNEST(range(64)) AS o) o
+  WHERE NOT (mbx > 0 AND mby > 0)
+  GROUP BY media_id
+),
+chroma_pred AS (
+  SELECT media_id, SUM(pcb[k.k + 1]) AS scb, SUM(pcr[k.k + 1]) AS scr
+  FROM clip, LATERAL (SELECT UNNEST(range(len(pcb))) AS k) k
+  GROUP BY media_id
+)
+SELECT c.media_id,
+       CAST(16 * c.mbs_w AS INT) AS width,
+       CAST(16 * c.mbs_h AS INT) AS height,
+       CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
+       CAST(lp.s + lr.s AS BIGINT) AS sum_y,
+       CAST(cp.scb + cr2.scb AS BIGINT) AS sum_cb,
+       CAST(cp.scr + cr2.scr AS BIGINT) AS sum_cr,
+       CAST((lp.ck + lr.ck) % {_CK_MOD} AS BIGINT) AS ck_y
+FROM clip c
+JOIN luma_pcm lp ON lp.media_id = c.media_id
+JOIN luma_pred lr ON lr.media_id = c.media_id
+JOIN chroma_pcm cp ON cp.media_id = c.media_id
+JOIN chroma_pred cr2 ON cr2.media_id = c.media_id
+ORDER BY c.media_id
+"""
+
+
+SQL_H264_AC_DECODE = _sql_h264_ac(False)
+SQL_H264_I4X4_DECODE = _sql_h264_ac(True)

@@ -10,8 +10,17 @@ the ABC sketch twin, and the H.264 AC/I_4x4 codec notch.
   (the ``gini_sketch`` exact↔mergeable pairing); estimator error is a
   hashed column.
 
-Round-9 codec notches and the cross-modal dedup report register here
-as they land.
+- ``h264_ac_decode`` — codec notch 10: I_16x16 macroblocks with FULL
+  4x4 AC residuals (Intra16x16ACLevel under the scaled DC, chroma
+  DC+AC, Table 9-7/9-10 total_zeros/run_before, spec-8.5.12 AC
+  scaling + inverse core transform) across QP 20..31.
+- ``h264_i4x4_decode`` — codec notch 11: Intra_4x4 macroblocks (all
+  nine spec-8.3.1.2 modes, sequential most-probable-mode inference,
+  Table 9-4 me(v) CBP, LumaLevel4x4 in the real per-4x4 nC context)
+  — the last structure between the ladder and real baseline-encoder
+  I-frame output.
+
+The cross-modal dedup report registers here as it lands.
 """
 
 from __future__ import annotations
@@ -21,11 +30,17 @@ def queries():
     from magmapandas_spark.operators.analytics import (
         q_abc_classification_sketch,
     )
+    from magmapandas_spark.operators.h264 import (
+        q_h264_ac_decode,
+        q_h264_i4x4_decode,
+    )
     from magmapandas_spark.operators.png import q_fp_index_probe
 
     return {
         "fp_index_probe": q_fp_index_probe,
         "abc_classification_sketch": q_abc_classification_sketch,
+        "h264_ac_decode": q_h264_ac_decode,
+        "h264_i4x4_decode": q_h264_i4x4_decode,
     }
 
 
@@ -33,9 +48,15 @@ def oracle_sql():
     from magmapandas_spark.operators.analytics import (
         SQL_ABC_CLASSIFICATION_SKETCH,
     )
+    from magmapandas_spark.operators.h264 import (
+        SQL_H264_AC_DECODE,
+        SQL_H264_I4X4_DECODE,
+    )
     from magmapandas_spark.operators.png import SQL_FP_INDEX_PROBE
 
     return {
         "fp_index_probe": SQL_FP_INDEX_PROBE,
         "abc_classification_sketch": SQL_ABC_CLASSIFICATION_SKETCH,
+        "h264_ac_decode": SQL_H264_AC_DECODE,
+        "h264_i4x4_decode": SQL_H264_I4X4_DECODE,
     }

@@ -1,0 +1,221 @@
+"""Notch 10/11 (4x4 AC residuals + Intra_4x4) — table structure,
+codec round trips, and the decode == explicit-twin plane equality
+that backs the ``h264_ac_decode`` / ``h264_i4x4_decode`` gate rows.
+
+Spark-free: everything here runs at the byte/bit level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from magmapandas_spark.operators.h264 import (
+    _BitReader,
+    _BitWriter,
+    _CBP_INTRA,
+    _CBP_INTRA_INV,
+    _CHROMA_DC_TOKENS,
+    _RUN_BEFORE_FULL,
+    _TOTAL_ZEROS_4X4,
+    _coeff_token_table,
+    _n10_frame,
+    _parse_cavlc_chroma_dc,
+    _parse_residual_4x4,
+    _write_chroma_dc_block,
+    _write_residual_4x4,
+    decode_h264_iframe,
+    encode_ac_annexb,
+)
+
+
+def _assert_prefix_free(table: dict, what: str) -> None:
+    codes = sorted(table, key=len)
+    for i, a in enumerate(codes):
+        for b in codes[i + 1 :]:
+            assert not b.startswith(a), f"{what}: {a!r} prefixes {b!r}"
+
+
+def _kraft(table: dict) -> float:
+    return sum(2.0 ** -len(c) for c in table)
+
+
+def test_chroma_dc_token_table_structure():
+    _assert_prefix_free(_CHROMA_DC_TOKENS, "chroma-DC coeff_token")
+    # complete: all (t1s <= min(tc, 3), tc <= 4) symbols, Kraft sum 1
+    syms = set(_CHROMA_DC_TOKENS.values())
+    assert syms == {
+        (t, c) for c in range(5) for t in range(min(c, 3) + 1)
+    } - {(1, 0), (2, 0), (3, 0)} | {(0, 0)}
+    assert _kraft(_CHROMA_DC_TOKENS) == 1.0
+
+
+@pytest.mark.parametrize("n_c", [0, 2, 4])
+def test_coeff_token_tables_structure(n_c):
+    table = _coeff_token_table(n_c)
+    _assert_prefix_free(table, f"coeff_token nC={n_c}")
+    syms = set(table.values())
+    expected = {(0, 0)} | {
+        (t, c) for c in range(1, 17) for t in range(min(c, 3) + 1)
+    }
+    assert syms == expected, f"nC={n_c}: symbol set incomplete"
+    # the published Table 9-5 codes are prefix-free but NOT complete
+    # (a few codewords are reserved) — Kraft sum < 1, never > 1
+    assert 0.999 <= _kraft(table) <= 1.0
+
+
+def test_total_zeros_and_run_before_structure():
+    for tc, table in _TOTAL_ZEROS_4X4.items():
+        _assert_prefix_free(table, f"total_zeros tc={tc}")
+        assert set(table.values()) == set(range(16 - tc + 1))
+        assert 0.99 <= _kraft(table) <= 1.0
+    for zl, table in _RUN_BEFORE_FULL.items():
+        _assert_prefix_free(table, f"run_before zl={zl}")
+        if zl < 7:
+            assert set(table.values()) == set(range(zl + 1))
+            assert _kraft(table) == 1.0
+        else:
+            assert set(table.values()) == set(range(15))
+
+
+def test_cbp_intra_table_is_permutation():
+    assert sorted(_CBP_INTRA) == list(range(48))
+    for cbp, code in _CBP_INTRA_INV.items():
+        assert _CBP_INTRA[code] == cbp
+
+
+def _roundtrip_residual(coeffs, n_c, max_coeff):
+    w = _BitWriter()
+    _write_residual_4x4(w, coeffs, n_c, max_coeff)
+    w.rbsp_trailing()
+    r = _BitReader(w.tobytes())
+    return _parse_residual_4x4(r, n_c, max_coeff)
+
+
+def test_residual_roundtrip_sweeps_every_nc_class():
+    rng = np.random.default_rng(109)
+    for trial in range(400):
+        max_coeff = 16 if trial % 2 == 0 else 15
+        n_c = int(rng.integers(0, 12))
+        n = int(rng.integers(0, max_coeff + 1))
+        pos = rng.choice(max_coeff, size=n, replace=False)
+        coeffs = [0] * max_coeff
+        for p in pos:
+            v = int(rng.integers(1, 40)) * (1 if rng.random() < 0.5 else -1)
+            coeffs[p] = v
+        assert _roundtrip_residual(coeffs, n_c, max_coeff) == coeffs
+
+
+def test_residual_roundtrip_escape_levels():
+    # |level| large enough to force level_prefix == 15 escape coding
+    # at low suffix length (the prefix >= 16 extended range is an
+    # honest boundary, asserted below)
+    coeffs = [0] * 16
+    coeffs[0] = -300
+    coeffs[3] = 250
+    coeffs[7] = 1
+    assert _roundtrip_residual(coeffs, 0, 16) == coeffs
+    with pytest.raises(AssertionError, match="prefix >= 16"):
+        _roundtrip_residual([50000] + [0] * 15, 0, 16)
+
+
+def test_chroma_dc_block_roundtrip_all_shapes():
+    # every TotalCoeff 0..4 at every position/sign layout over -2..2
+    for a in range(-2, 3):
+        for b in range(-2, 3):
+            for c in range(-2, 3):
+                for d in range(-2, 3):
+                    coeffs = [a, b, c, d]
+                    w = _BitWriter()
+                    _write_chroma_dc_block(w, coeffs)
+                    w.rbsp_trailing()
+                    r = _BitReader(w.tobytes())
+                    assert _parse_cavlc_chroma_dc(r) == coeffs
+
+
+@pytest.mark.parametrize("with_i4x4", [False, True])
+@pytest.mark.parametrize("i", [0, 3, 7, 11, 17, 23])
+def test_decode_matches_explicit_twin(with_i4x4, i):
+    """decode(encode(clip)) must reproduce the explicit-loop twin's
+    planes sample-exactly — three independent implementations
+    (closed-form syntax -> CAVLC writer, the numpy decoder, the
+    explicit-loop reconstruction) agreeing bit-for-bit."""
+    y, cb, cr, kinds = _n10_frame(i, with_i4x4)
+    dy, dcb, dcr, sps = decode_h264_iframe(encode_ac_annexb(i, with_i4x4))
+    assert np.array_equal(y, dy)
+    assert np.array_equal(cb, dcb)
+    assert np.array_equal(cr, dcr)
+    if with_i4x4:
+        assert 2 in kinds, "i4x4 corpus must contain I_4x4 MBs"
+    assert 1 in kinds and 0 in kinds
+
+
+def test_i4x4_corpus_exercises_all_nine_modes_and_cbp_range():
+    from magmapandas_spark.operators.h264 import (
+        _n10_i4_mode,
+        _n10_i4_params,
+        _n10_kind,
+    )
+
+    modes = set()
+    cbps = set()
+    for i in range(24):
+        mbs_w = 3 + i % 2
+        for mbx in range(1, mbs_w):
+            if _n10_kind(i, mbx, True) != 2:
+                continue
+            mb = mbs_w + mbx
+            for blk in range(16):
+                modes.add(_n10_i4_mode(i, mb, blk))
+            cbps.add(_n10_i4_params(i, mbx)[0])
+    assert modes == set(range(9))
+    assert 0 in cbps and 15 in cbps
+
+
+def test_oracles_match_decoder_stats():
+    """DuckDB oracle rows == decoder-derived stats for both corpora
+    (the same comparison the driver gate performs, minus Spark)."""
+    import duckdb
+    import pandas as pd
+
+    from magmapandas_spark.operators.h264 import (
+        _CK_MOD,
+        SQL_H264_AC_DECODE,
+        SQL_H264_I4X4_DECODE,
+    )
+
+    for with4, sql in (
+        (False, SQL_H264_AC_DECODE),
+        (True, SQL_H264_I4X4_DECODE),
+    ):
+        rows = []
+        for i in range(24):
+            y, cb, cr, sps = decode_h264_iframe(encode_ac_annexb(i, with4))
+            mbs_w = sps["mbs_w"]
+            ck = 0
+            ky = 0
+            for mb in range(mbs_w * sps["mbs_h"]):
+                mbx, mby = mb % mbs_w, mb // mbs_w
+                blk = (
+                    y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16]
+                    .reshape(-1)
+                    .astype(np.int64)
+                )
+                ks = np.arange(ky + 1, ky + 257, dtype=np.int64)
+                ck = (ck + int((ks * blk).sum())) % _CK_MOD
+                ky += 256
+            rows.append(
+                (
+                    i, y.shape[1], y.shape[0], mbs_w * sps["mbs_h"],
+                    int(y.sum()), int(cb.sum()), int(cr.sum()), ck,
+                )
+            )
+        got = pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "width", "height", "n_mbs",
+                "sum_y", "sum_cb", "sum_cr", "ck_y",
+            ],
+        ).astype("int64")
+        want = duckdb.sql(sql).df().astype("int64")
+        assert got.equals(want), f"oracle mismatch (i4x4={with4})"
