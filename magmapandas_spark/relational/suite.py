@@ -347,71 +347,71 @@ def _wrap(fn: Callable) -> Callable:
 # The correctness driver hash-verifies only the FIRST 50 entries of
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
-# Round-8 rotation — exactly 50 entries, ordered by the round-7
-# verdict's priority: (a) the 37 registry entries that have NEVER had
-# a driver-green CORRECTNESS row (round 6 produced no driver check;
-# list = registry minus the union of all CORRECTNESS_r0N keys), (b)
-# queries whose CODE changed this round (setsim CTE-generator
-# refactor, lsh_recall_eval sample_pred factoring, random_projection
-# TakeOrdered top-k, retrieval_eval slice cap, winsorized_stats true
-# ceil ranks, kcore isolated-survivor left-join fix), then (c)
-# queries NEW this round (suite11). Everything
-# past slot 50 stays covered by tests/test_oracle.py (the identical
-# rows+schema+values check over the whole registry).
+# Round-9 rotation — exactly 50 entries, ordered by the round-8
+# verdict's priority: (a) the 39 registry entries that have NEVER had
+# a driver-green CORRECTNESS row (the late-round-8 cohort — h264
+# ladder notches 2-9, multimodal fingerprints, privacy/profiling/
+# drift tier — plus the four new round-9 rows; list = registry minus
+# the union of all CORRECTNESS_r0N keys), (b) the one query whose
+# CODE changed this round (two_hop_reach max_degree supernode cap),
+# then (c) the stalest driver rows (latest green in r3/r4) so
+# long-unrotated queries re-verify. Everything past slot 50 stays
+# covered by tests/test_oracle.py (the identical rows+schema+values
+# check over the whole registry).
 _GATE_ORDER = [
-    # (a) never driver-verified (the round-6 cohort + r5 stragglers)
-    "semdedup_sharded",
-    "video_frame_decode",
-    "bm25_search",
-    "line_dedup",
-    "quality_classifier",
-    "dsir_importance",
-    "weighted_sample",
-    "jsonl_ingest",
-    "domain_topk",
-    "inverted_index",
-    "table_stats",
-    "kmeans_refine",
-    "stratified_weighted_sample",
-    "ann_recall",
-    "binary_topk",
-    "curated_sample",
-    "hll_join_card",
-    "validate_lineitem",
-    "skew_report",
-    "linreg_normal",
-    "triangle_count",
-    "scd2_build",
-    "funnel_conversion",
-    "token_pmi",
-    "incremental_agg",
-    "cohort_retention",
-    "event_transitions",
-    "ab_chi2",
-    "kmv_setops",
-    "ols_multi",
-    "session_paths",
-    "incremental_join",
-    "hybrid_search",
-    "fuzzy_join",
-    "table_diff",
-    "hard_negatives",
-    "k_anonymity",
+    # (a) never driver-verified — h264 ladder first (notch order)
+    "h264_intra_decode",
+    "h264_cavlc_decode",
+    "h264_lumadc_decode",
+    "h264_plane_decode",
+    "h264_gop_decode",
+    "h264_mp4_decode",
+    "h264_full_decode",
+    "h264_multiqp_decode",
+    "h264_qptrack_decode",
+    "h264_ac_decode",
+    "h264_i4x4_decode",
+    "video_fingerprint",
+    "audio_fingerprint",
+    "image_fingerprint",
+    "fp_index_probe",
+    "l_diversity",
+    "t_closeness",
+    "psi_drift",
+    "mutual_info",
+    "fd_check",
+    "corr_matrix",
+    "personalized_pagerank",
+    "degree_assortativity",
+    "rolling_range_frame",
+    "grouping_sets_revenue",
+    "unpivot_profile",
+    "ngram_novelty",
+    "seasonal_profile",
+    "seasonal_outliers",
+    "length_lognormal",
+    "null_semantics",
+    "date_semantics",
+    "balanced_sample",
+    "dedup_impact",
+    "knn_label_noise",
+    "gini_concentration",
+    "gini_sketch",
+    "text_hapax",
+    "abc_classification_sketch",
     # (b) code changed this round
-    "setsim_join",
-    "lsh_recall_eval",
-    "random_projection",
-    "retrieval_eval",
-    "winsorized_stats",
-    "kcore",
-    # (c) new this round (suite11)
-    "rfm_segments_sketch",
-    "er_golden_multipass",
     "two_hop_reach",
-    "budget_allocation",
-    "abc_classification",
-    "rake_keywords",
-    "h264_ipcm_decode",
+    # (c) stalest driver rows (r3/r4)
+    "feo_fe2o3_split",
+    "fo2_buffers",
+    "ilmenite_speciation",
+    "thermometers_multi",
+    "thermometers_multi2",
+    "unit_conversions",
+    "asof_purchase_view",
+    "minhash_lsh_candidates",
+    "order_rollup",
+    "jpeg_decode",
 ]
 
 
