@@ -46,6 +46,11 @@ decodes:
    decode-order top-right availability/substitution, Table 9-4 me(v)
    coded_block_pattern, LumaLevel4x4 residuals in the real per-4x4
    CAVLC nC context.
+10. (round 9) ``h264_ladder_decode`` — the REGENERATED composition
+   corpus: GOP x multi-PPS x multi-slice x AC x I_4x4 in one stream,
+   with row-2 predicted macroblocks decoding against a slice
+   boundary (top edge gated away: left-only CAVLC nC,
+   left-constrained prediction modes, chroma DC fallbacks).
 
 With notches 10/11 the decoder accepts the full baseline I-frame
 toolbox (I_PCM + I_16x16 + I_4x4, any CAVLC residual). Honest
@@ -96,6 +101,8 @@ __all__ = [
     "q_h264_full_decode",
     "q_h264_ac_decode",
     "q_h264_i4x4_decode",
+    "q_h264_ladder_decode",
+    "encode_ladder_annexb",
 ]
 
 _CK_MOD = 1_000_000_007
@@ -4702,3 +4709,665 @@ ORDER BY c.media_id
 
 SQL_H264_AC_DECODE = _sql_h264_ac(False)
 SQL_H264_I4X4_DECODE = _sql_h264_ac(True)
+
+
+# ---------------------------------------------------------------------
+# Notch 12: the regenerated composition corpus — GOP x multi-PPS x
+# multi-slice x AC x I_4x4 in ONE stream. Each clip is 2-3 IDR
+# pictures on a (2 + i%2) x 3 MB grid; pictures alternate between two
+# PPSs with different init_qp; every picture is split into two slices
+# (rows 0-1 / row 2), so row-2 predicted macroblocks decode with
+# their top edge SLICE-GATED away (spec 8.3/9.2.1 availability):
+# left-constrained prediction modes, left-only CAVLC nC, chroma DC
+# fallbacks — composed with the full notch-10/11 residual machinery.
+# ---------------------------------------------------------------------
+
+_N12_CLIPS = 12
+
+
+def _n12_geom(i: int) -> tuple[int, int, int]:
+    """(mbs_w, mbs_h, n_frames) for ladder clip ``i``."""
+    return 2 + i % 2, 3, 2 + i % 2
+
+
+def _n12_qp(i: int, f: int) -> int:
+    """Picture f's QP: PPS ``f % 2`` selects init_qp or init_qp+4."""
+    return _n10_qp(i) + 4 * (f % 2)
+
+
+def _n12_kind(i: int, f: int, mbx: int, mby: int) -> int:
+    return 2 if (i + f + mbx + mby) % 2 else 1
+
+
+def _n12_i16_mode(i: int, f: int, mbx: int, mby: int) -> int:
+    """Luma I_16x16 mode; row 2 (top edge in the other slice) is
+    restricted to Horizontal / DC."""
+    if mby == 2:
+        return 1 + (i + f + mbx) % 2
+    return (i + f + mbx) % 4
+
+
+def _n12_cmode(i: int, f: int, mbx: int, mby: int) -> int:
+    """Chroma mode; row 2 restricted to DC / Horizontal."""
+    if mby == 2:
+        return (i + mbx + f) % 2
+    return (i + 2 * mbx + f) % 4
+
+
+def _n12_cc(i: int, f: int, mbx: int, mby: int) -> int:
+    return (i + f + mbx + mby) % 3
+
+
+def _n12_i4_mode(i: int, km: int, blk: int, top_gated: bool) -> int:
+    """I_4x4 block mode; blocks on the macroblock's top row of a
+    slice-gated MB only get left-legal modes (H / DC /
+    Horizontal-Up)."""
+    if top_gated:
+        return (1, 2, 8)[(i + km + blk) % 3]
+    return (i + km + blk) % 9
+
+
+def _n12_i4_cbp(i: int, f: int, mbx: int, mby: int) -> int:
+    return (5 * (i >> 1) + 3 * mbx + 7 * f + mby) % 16
+
+
+def _n12_frame(i: int, f: int):
+    """Explicit-twin reconstruction of ladder picture (clip i, frame
+    f): PCM on row 0 and column 0, notch-10/11 predicted MBs on rows
+    1-2 columns >= 1, with row 2 in its OWN slice — every
+    availability lookup (prediction edges, most-probable-mode, CAVLC
+    nC) is gated to the slice, mirroring spec 8.3/9.2.1."""
+    qp = _n12_qp(i, f)
+    qpc = _qpc_of(qp)
+    mbs_w, mbs_h, _ = _n12_geom(i)
+    n_mbs = mbs_w * mbs_h
+    y = np.zeros((16 * mbs_h, 16 * mbs_w), np.uint8)
+    cb = np.zeros((8 * mbs_h, 8 * mbs_w), np.uint8)
+    cr = np.zeros((8 * mbs_h, 8 * mbs_w), np.uint8)
+    kinds = [0] * n_mbs
+    for mb in range(n_mbs):
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        for o in range(256):
+            y[mby * 16 + o // 16, mbx * 16 + o % 16] = (
+                7 * i + 31 * f + 13 * ((mb * 256 + o) // 4)
+            ) % 256
+        for o in range(64):
+            cb[mby * 8 + o // 8, mbx * 8 + o % 8] = (
+                11 * i + 29 * f + 17 * (mb * 64 + o)
+            ) % 256
+            cr[mby * 8 + o // 8, mbx * 8 + o % 8] = (
+                19 * i + 37 * f + 23 * (mb * 64 + o)
+            ) % 256
+        if mby >= 1 and mbx >= 1:
+            kinds[mb] = _n12_kind(i, f, mbx, mby)
+
+    def slice_of_mb(mb: int) -> int:
+        return 0 if mb // mbs_w < 2 else 1
+
+    # done + slice id per 4x4 luma cell; availability requires BOTH
+    done4 = np.zeros((4 * mbs_h, 4 * mbs_w), bool)
+    sl4 = np.zeros((4 * mbs_h, 4 * mbs_w), np.int32)
+
+    def avail4(r4: int, c4: int, cur_slice: int) -> bool:
+        if r4 < 0 or c4 < 0 or r4 >= 4 * mbs_h or c4 >= 4 * mbs_w:
+            return False
+        return bool(done4[r4, c4]) and int(sl4[r4, c4]) == cur_slice
+
+    def add_clip(plane, y0: int, x0: int, res) -> None:
+        for yy in range(4):
+            for xx in range(4):
+                plane[y0 + yy, x0 + xx] = _x_clip1(
+                    int(plane[y0 + yy, x0 + xx]) + res[yy][xx]
+                )
+
+    def chroma_recon(
+        mb: int, mbx: int, mby: int, km: int,
+        cm: int, cc: int, top_ok: bool, left_ok: bool,
+    ) -> None:
+        for pl_ in (cb, cr):
+            cy0, cx0 = mby * 8, mbx * 8
+            ct = (
+                [int(pl_[cy0 - 1, cx0 + x]) for x in range(8)]
+                if top_ok
+                else None
+            )
+            cl = (
+                [int(pl_[cy0 + yy, cx0 - 1]) for yy in range(8)]
+                if left_ok
+                else None
+            )
+            for yy in range(8):
+                for x in range(8):
+                    if cm == 1:
+                        v = cl[yy]
+                    elif cm == 2:
+                        v = ct[x]
+                    elif cm == 3:
+                        cco = int(pl_[cy0 - 1, cx0 - 1])
+                        hs = sum(
+                            (xp + 1)
+                            * (([cco] + ct)[5 + xp] - ([cco] + ct)[3 - xp])
+                            for xp in range(4)
+                        )
+                        vs = sum(
+                            (yp + 1)
+                            * (([cco] + cl)[5 + yp] - ([cco] + cl)[3 - yp])
+                            for yp in range(4)
+                        )
+                        a = 16 * (ct[7] + cl[7])
+                        b = (17 * hs + 16) >> 5
+                        c_ = (17 * vs + 16) >> 5
+                        v = _x_clip1(
+                            (a + b * (x - 3) + c_ * (yy - 3) + 16) >> 5
+                        )
+                    else:  # DC, per-4x4 corner rule with edge fallback
+                        qx, qy = x >= 4, yy >= 4
+                        ts = sum(ct[4:] if qx else ct[:4]) if top_ok else None
+                        ls = sum(cl[4:] if qy else cl[:4]) if left_ok else None
+                        if not qx and not qy or (qx and qy):
+                            if top_ok and left_ok:
+                                v = (ts + ls + 4) >> 3
+                            elif left_ok:
+                                v = (ls + 2) >> 2
+                            elif top_ok:
+                                v = (ts + 2) >> 2
+                            else:
+                                v = 128
+                        elif qx:  # (4, 0) corner: top preferred
+                            if top_ok:
+                                v = (ts + 2) >> 2
+                            elif left_ok:
+                                v = (ls + 2) >> 2
+                            else:
+                                v = 128
+                        else:  # (0, 4) corner: left preferred
+                            if left_ok:
+                                v = (ls + 2) >> 2
+                            elif top_ok:
+                                v = (ts + 2) >> 2
+                            else:
+                                v = 128
+                    pl_[cy0 + yy, cx0 + x] = v
+        if cc == 0:
+            return
+        for p_, pl_ in ((0, cb), (1, cr)):
+            raw = _x_chroma_dcraw(_n10_cdc(i, km, p_), qpc)
+            for bk in range(4):
+                y0_, x0_ = mby * 8 + 4 * (bk // 2), mbx * 8 + 4 * (bk % 2)
+                if cc == 2:
+                    res = _x_itrans4(
+                        _x_dequant4(
+                            _n10_ac15(i, km, bk, 1 + p_), qpc, dc=raw[bk]
+                        )
+                    )
+                    add_clip(pl_, y0_, x0_, res)
+                else:
+                    u = (raw[bk] + 32) >> 6
+                    add_clip(pl_, y0_, x0_, [[u] * 4] * 4)
+
+    for mb in range(n_mbs):
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        cur = slice_of_mb(mb)
+        km = mb + 32 * f
+        if kinds[mb] == 0:
+            done4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = True
+            sl4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = cur
+            continue
+        y0, x0 = mby * 16, mbx * 16
+        top_ok = mby > 0 and slice_of_mb(mb - mbs_w) == cur
+        left_ok = mbx > 0 and slice_of_mb(mb - 1) == cur
+        if kinds[mb] == 1:
+            pm16 = _n12_i16_mode(i, f, mbx, mby)
+            cm = _n12_cmode(i, f, mbx, mby)
+            cc = _n12_cc(i, f, mbx, mby)
+            top = (
+                [int(y[y0 - 1, x0 + x]) for x in range(16)]
+                if top_ok
+                else None
+            )
+            left = (
+                [int(y[y0 + yy, x0 - 1]) for yy in range(16)]
+                if left_ok
+                else None
+            )
+            for yy in range(16):
+                for x in range(16):
+                    if pm16 == 0:
+                        v = top[x]
+                    elif pm16 == 1:
+                        v = left[yy]
+                    elif pm16 == 2:
+                        if top_ok and left_ok:
+                            v = (sum(top) + sum(left) + 16) >> 5
+                        elif left_ok:
+                            v = (sum(left) + 8) >> 4
+                        elif top_ok:
+                            v = (sum(top) + 8) >> 4
+                        else:
+                            v = 128
+                    else:
+                        corner = int(y[y0 - 1, x0 - 1])
+                        et = [corner] + top
+                        el = [corner] + left
+                        hs = sum(
+                            (xp + 1) * (et[9 + xp] - et[7 - xp])
+                            for xp in range(8)
+                        )
+                        vs = sum(
+                            (yp + 1) * (el[9 + yp] - el[7 - yp])
+                            for yp in range(8)
+                        )
+                        a = 16 * (et[16] + el[16])
+                        b = (5 * hs + 32) >> 6
+                        c_ = (5 * vs + 32) >> 6
+                        v = _x_clip1(
+                            (a + b * (x - 7) + c_ * (yy - 7) + 16) >> 5
+                        )
+                    y[y0 + yy, x0 + x] = v
+            dcm = _x_luma_dcmat(_n10_dc(i, km), qp)
+            for blk in range(16):
+                bi, bj = _BLK4_POS[blk]
+                res = _x_itrans4(
+                    _x_dequant4(
+                        _n10_ac15(i, km, blk, 0), qp, dc=dcm[bi][bj]
+                    )
+                )
+                add_clip(y, y0 + 4 * bi, x0 + 4 * bj, res)
+            chroma_recon(mb, mbx, mby, km, cm, cc, top_ok, left_ok)
+            done4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = True
+            sl4[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = cur
+        else:  # I_4x4
+            cbp_luma = _n12_i4_cbp(i, f, mbx, mby)
+            cm = _n12_cmode(i, f, mbx, mby)
+            cc = _n12_cc(i, f, mbx, mby)
+            for blk in range(16):
+                bi, bj = _BLK4_POS[blk]
+                r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                a_l = avail4(r4, c4 - 1, cur)
+                a_t = avail4(r4 - 1, c4, cur)
+                a_tl = avail4(r4 - 1, c4 - 1, cur)
+                a_tr = avail4(r4 - 1, c4 + 1, cur)
+                md = _n12_i4_mode(i, km, blk, not a_t)
+                pred = _x_pred4(y, r4, c4, md, a_l, a_t, a_tl, a_tr)
+                if cbp_luma & (1 << (blk // 4)):
+                    res = _x_itrans4(
+                        _x_dequant4(_n10_lv16(i, km, blk), qp)
+                    )
+                    for yy in range(4):
+                        for xx in range(4):
+                            pred[yy][xx] = _x_clip1(
+                                pred[yy][xx] + res[yy][xx]
+                            )
+                for yy in range(4):
+                    for xx in range(4):
+                        y[4 * r4 + yy, 4 * c4 + xx] = _x_clip1(
+                            pred[yy][xx]
+                        )
+                done4[r4, c4] = True
+                sl4[r4, c4] = cur
+            chroma_recon(mb, mbx, mby, km, cm, cc, top_ok, left_ok)
+    return y, cb, cr, kinds
+
+
+def encode_ladder_annexb(i: int) -> bytes:
+    """Annex-B composition stream for ladder clip ``i``: one SPS, TWO
+    PPSs (init_qp and init_qp + 4), 2-3 IDR pictures each split into
+    two slices (rows 0-1 / row 2), macroblocks mixing I_PCM,
+    I_16x16-with-AC, and I_4x4 — with every CAVLC nC lookup,
+    most-probable-mode inference, and prediction edge gated to the
+    emitting slice (mirroring the decoder's spec-8.3/9.2.1
+    availability)."""
+    mbs_w, mbs_h, n_f = _n12_geom(i)
+    qp0 = _n10_qp(i)
+
+    sps = _BitWriter()
+    sps.u(66, 8); sps.u(0, 8); sps.u(10, 8)
+    sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0)
+    sps.u(0, 1)
+    sps.ue(mbs_w - 1); sps.ue(mbs_h - 1)
+    sps.u(1, 1); sps.u(0, 1); sps.u(0, 1); sps.u(0, 1)
+    sps.rbsp_trailing()
+    out = (
+        b"\x00\x00\x00\x01"
+        + bytes([(3 << 5) | 7])
+        + _escape_ebsp(sps.tobytes())
+    )
+    out += b"\x00\x00\x00\x01" + _pps_nal(0, qp0)
+    out += b"\x00\x00\x00\x01" + _pps_nal(1, qp0 + 4)
+
+    for f in range(n_f):
+        y, cb, cr, kinds = _n12_frame(i, f)
+        pps_id = f % 2
+        tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
+        ctc4 = np.full((2, 2 * mbs_h, 2 * mbs_w), -1, np.int32)
+        mode4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
+        sl4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
+
+        for s_idx, (mb0, mb1) in enumerate(
+            ((0, 2 * mbs_w), (2 * mbs_w, 3 * mbs_w))
+        ):
+            sl = _BitWriter()
+            sl.ue(mb0)  # first_mb_in_slice
+            sl.ue(7)  # slice_type I
+            sl.ue(pps_id)
+            sl.u(0, 4)  # frame_num
+            sl.ue(f % 32)  # idr_pic_id
+            sl.u(0, 4)  # pic_order_cnt_lsb
+            sl.u(0, 1); sl.u(0, 1)  # dec_ref_pic_marking
+            sl.se(0)  # slice_qp_delta
+
+            def gated(arr, rr: int, cc_: int) -> int:
+                if (
+                    rr < 0 or cc_ < 0
+                    or rr >= arr.shape[-2] or cc_ >= arr.shape[-1]
+                ):
+                    return -1
+                # chroma arrays index at half resolution of sl4
+                scale = sl4.shape[0] // arr.shape[-2]
+                if sl4[rr * scale, cc_ * scale] != s_idx:
+                    return -1
+                return int(arr[rr, cc_])
+
+            def ncof(arr, rr: int, cc_: int) -> int:
+                na, nb = gated(arr, rr, cc_ - 1), gated(arr, rr - 1, cc_)
+                if na >= 0 and nb >= 0:
+                    return (na + nb + 1) >> 1
+                if na >= 0:
+                    return na
+                if nb >= 0:
+                    return nb
+                return 0
+
+            def write_chroma(
+                mb: int, mbx: int, mby: int, km: int, cc: int
+            ) -> None:
+                if cc == 0:
+                    ctc4[
+                        :, 2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2
+                    ] = 0
+                    return
+                _write_chroma_dc_block(sl, _n10_cdc(i, km, 0))
+                _write_chroma_dc_block(sl, _n10_cdc(i, km, 1))
+                for p_ in range(2):
+                    for bk in range(4):
+                        rr = 2 * mby + bk // 2
+                        cc_ = 2 * mbx + bk % 2
+                        if cc == 2:
+                            n_c = ncof(ctc4[p_], rr, cc_)
+                            ctc4[p_, rr, cc_] = _write_residual_4x4(
+                                sl, _n10_ac15(i, km, bk, 1 + p_), n_c, 15
+                            )
+                        else:
+                            ctc4[p_, rr, cc_] = 0
+
+            for mb in range(mb0, mb1):
+                mbx, mby = mb % mbs_w, mb // mbs_w
+                km = mb + 32 * f
+                # claim the MB's cells for this slice up front: the
+                # gated lookups treat current-MB cells as same-slice
+                # (the decoder's ``omb == mb`` rule); values stay -1
+                # until actually written
+                sl4[
+                    4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+                ] = s_idx
+                if kinds[mb] == 0:
+                    sl.ue(25)
+                    sl.align_zero()
+                    sl.raw_bytes(
+                        y[
+                            mby * 16 : mby * 16 + 16,
+                            mbx * 16 : mbx * 16 + 16,
+                        ].astype(np.uint8).tobytes()
+                    )
+                    sl.raw_bytes(
+                        cb[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+                        .astype(np.uint8).tobytes()
+                    )
+                    sl.raw_bytes(
+                        cr[mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8]
+                        .astype(np.uint8).tobytes()
+                    )
+                    tc4[
+                        4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+                    ] = 16
+                    ctc4[
+                        :, 2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2
+                    ] = 16
+                elif kinds[mb] == 1:
+                    pm16 = _n12_i16_mode(i, f, mbx, mby)
+                    cm = _n12_cmode(i, f, mbx, mby)
+                    cc = _n12_cc(i, f, mbx, mby)
+                    sl.ue(1 + pm16 + 4 * cc + 12)
+                    sl.ue(cm)
+                    sl.se(0)  # mb_qp_delta
+                    n_c = ncof(tc4, 4 * mby, 4 * mbx)
+                    _write_residual_4x4(sl, _n10_dc(i, km), n_c, 16)
+                    for blk in range(16):
+                        bi, bj = _BLK4_POS[blk]
+                        r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                        n_c = ncof(tc4, r4, c4)
+                        tc4[r4, c4] = _write_residual_4x4(
+                            sl, _n10_ac15(i, km, blk, 0), n_c, 15
+                        )
+                    write_chroma(mb, mbx, mby, km, cc)
+                else:  # I_4x4
+                    cbp_luma = _n12_i4_cbp(i, f, mbx, mby)
+                    cm = _n12_cmode(i, f, mbx, mby)
+                    cc = _n12_cc(i, f, mbx, mby)
+                    sl.ue(0)
+
+                    def avail_cell(r4_: int, c4_: int) -> bool:
+                        """Same-slice decoded-cell availability: a
+                        residual-carrying cell (tc4 >= 0) or an
+                        already-moded I_4x4 cell of the current MB."""
+                        if gated(tc4, r4_, c4_) >= 0:
+                            return True
+                        return (
+                            0 <= r4_ < 4 * mbs_h
+                            and 0 <= c4_ < 4 * mbs_w
+                            and sl4[r4_, c4_] == s_idx
+                            and mode4[r4_, c4_] >= 0
+                        )
+
+                    for blk in range(16):
+                        bi, bj = _BLK4_POS[blk]
+                        r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                        a_a = c4 > 0 and avail_cell(r4, c4 - 1)
+                        a_b = r4 > 0 and avail_cell(r4 - 1, c4)
+                        if not (a_a and a_b):
+                            pred = 2
+                        else:
+                            ma = (
+                                int(mode4[r4, c4 - 1])
+                                if sl4[r4, c4 - 1] == s_idx
+                                else -1
+                            )
+                            mb_ = (
+                                int(mode4[r4 - 1, c4])
+                                if sl4[r4 - 1, c4] == s_idx
+                                else -1
+                            )
+                            pred = min(
+                                ma if ma >= 0 else 2,
+                                mb_ if mb_ >= 0 else 2,
+                            )
+                        md = _n12_i4_mode(i, km, blk, not a_b)
+                        if md == pred:
+                            sl.u(1, 1)
+                        else:
+                            sl.u(0, 1)
+                            sl.u(md - (1 if md > pred else 0), 3)
+                        mode4[r4, c4] = md
+                    sl.ue(cm)
+                    sl.ue(_CBP_INTRA_INV[cbp_luma + 16 * cc])
+                    if cbp_luma + 16 * cc:
+                        sl.se(0)
+                    for blk in range(16):
+                        bi, bj = _BLK4_POS[blk]
+                        r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                        if cbp_luma & (1 << (blk // 4)):
+                            n_c = ncof(tc4, r4, c4)
+                            tc4[r4, c4] = _write_residual_4x4(
+                                sl, _n10_lv16(i, km, blk), n_c, 16
+                            )
+                        else:
+                            tc4[r4, c4] = 0
+                    write_chroma(mb, mbx, mby, km, cc)
+            sl.rbsp_trailing()
+            out += (
+                b"\x00\x00\x00\x01"
+                + bytes([(3 << 5) | 5])
+                + _escape_ebsp(sl.tobytes())
+            )
+    return out
+
+
+def synthetic_h264_ladder_media(
+    spark: SparkSession, n: int = _N12_CLIPS
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, bytearray(encode_ladder_annexb(i))) for i in range(n)],
+        "media_id long, payload binary",
+    )
+
+
+def q_h264_ladder_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query (notch 12): the REGENERATED composition corpus —
+    multi-picture GOPs referencing two PPSs at different QPs, every
+    picture split into two slices, macroblocks mixing I_PCM,
+    I_16x16-with-full-AC, and I_4x4, with row-2 predicted MBs
+    decoding against a slice boundary (top edge gated away: CAVLC nC
+    from the left only, left-constrained prediction modes, chroma DC
+    fallbacks). Proves notches 1-11 compose in one bitstream.
+    Per-frame exact statistics (incl. the PARSED slice count) under
+    the cross-engine hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_gop_stats(synthetic_h264_ladder_media(spark)),
+        "media_id",
+        "frame_idx",
+    )
+
+
+def _sql_h264_ladder() -> str:
+    """DuckDB oracle for the ladder corpus: PCM sums/checksum terms
+    from the closed-form (clip, frame, mb, offset) sample formulas in
+    pure SQL; predicted-MB samples from the embedded explicit-twin
+    arrays with position mapping, per-frame checksum weights, and
+    aggregation in SQL; n_slices pinned to the stream's real
+    two-slice structure."""
+    pm_l, pf_l, py_l, pcb_l, pcr_l = [], [], [], [], []
+    for i in range(_N12_CLIPS):
+        mbs_w, mbs_h, n_f = _n12_geom(i)
+        pm, pf, py, pcb, pcr = [], [], [], [], []
+        for f in range(n_f):
+            y, cb, cr, kinds = _n12_frame(i, f)
+            for mb, k in enumerate(kinds):
+                if k == 0:
+                    continue
+                mbx, mby = mb % mbs_w, mb // mbs_w
+                pm.append(mb)
+                pf.append(f)
+                py.extend(
+                    int(v)
+                    for v in y[
+                        mby * 16 : mby * 16 + 16,
+                        mbx * 16 : mbx * 16 + 16,
+                    ].reshape(-1)
+                )
+                pcb.extend(
+                    int(v)
+                    for v in cb[
+                        mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+                    ].reshape(-1)
+                )
+                pcr.extend(
+                    int(v)
+                    for v in cr[
+                        mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+                    ].reshape(-1)
+                )
+        pm_l.append(pm)
+        pf_l.append(pf)
+        py_l.append(py)
+        pcb_l.append(pcb)
+        pcr_l.append(pcr)
+    y_v = (
+        "(7 * media_id + 31 * f + 13 * ((mb * 256 + o.o) // 4)) % 256"
+    )
+    cb_v = "(11 * media_id + 29 * f + 17 * (mb * 64 + o.o)) % 256"
+    cr_v = "(19 * media_id + 37 * f + 23 * (mb * 64 + o.o)) % 256"
+    return f"""
+WITH clip AS (
+  SELECT i AS media_id, 2 + i % 2 AS mbs_w, 3 AS mbs_h,
+         2 + i % 2 AS n_f,
+         pm.v AS pm, pf.v AS pf, py.v AS py,
+         pcb.v AS pcb, pcr.v AS pcr
+  FROM range({_N12_CLIPS}) t(i)
+  JOIN (SELECT UNNEST(range({_N12_CLIPS})) AS j,
+               UNNEST({pm_l!r}) AS v) pm ON pm.j = i
+  JOIN (SELECT UNNEST(range({_N12_CLIPS})) AS j,
+               UNNEST({pf_l!r}) AS v) pf ON pf.j = i
+  JOIN (SELECT UNNEST(range({_N12_CLIPS})) AS j,
+               UNNEST({py_l!r}) AS v) py ON py.j = i
+  JOIN (SELECT UNNEST(range({_N12_CLIPS})) AS j,
+               UNNEST({pcb_l!r}) AS v) pcb ON pcb.j = i
+  JOIN (SELECT UNNEST(range({_N12_CLIPS})) AS j,
+               UNNEST({pcr_l!r}) AS v) pcr ON pcr.j = i
+),
+frames AS (
+  SELECT media_id, mbs_w, mbs_h, pm, pf, py, pcb, pcr, ff.f AS f
+  FROM clip, LATERAL (SELECT UNNEST(range(n_f)) AS f) ff
+),
+mbs AS (
+  SELECT media_id, mbs_w, mbs_h, f, m.m AS mb,
+         m.m % mbs_w AS mbx, m.m // mbs_w AS mby
+  FROM frames, LATERAL (SELECT UNNEST(range(mbs_w * mbs_h)) AS m) m
+),
+luma_pcm AS (
+  SELECT media_id, f, SUM({y_v}) AS s,
+         SUM((mb * 256 + o.o + 1) * ({y_v})) AS ck
+  FROM mbs, LATERAL (SELECT UNNEST(range(256)) AS o) o
+  WHERE mbx = 0 OR mby = 0
+  GROUP BY media_id, f
+),
+luma_pred AS (
+  SELECT media_id, pf[k.k // 256 + 1] AS f, SUM(py[k.k + 1]) AS s,
+         SUM((pm[k.k // 256 + 1] * 256 + k.k % 256 + 1)
+             * py[k.k + 1]) AS ck
+  FROM clip, LATERAL (SELECT UNNEST(range(len(py))) AS k) k
+  GROUP BY media_id, pf[k.k // 256 + 1]
+),
+chroma_pcm AS (
+  SELECT media_id, f, SUM({cb_v}) AS scb, SUM({cr_v}) AS scr
+  FROM mbs, LATERAL (SELECT UNNEST(range(64)) AS o) o
+  WHERE mbx = 0 OR mby = 0
+  GROUP BY media_id, f
+),
+chroma_pred AS (
+  SELECT media_id, pf[k.k // 64 + 1] AS f,
+         SUM(pcb[k.k + 1]) AS scb, SUM(pcr[k.k + 1]) AS scr
+  FROM clip, LATERAL (SELECT UNNEST(range(len(pcb))) AS k) k
+  GROUP BY media_id, pf[k.k // 64 + 1]
+)
+SELECT c.media_id,
+       CAST(lp.f AS INT) AS frame_idx,
+       CAST(2 AS INT) AS n_slices,
+       CAST(16 * c.mbs_w AS INT) AS width,
+       CAST(16 * c.mbs_h AS INT) AS height,
+       CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
+       CAST(lp.s + lr.s AS BIGINT) AS sum_y,
+       CAST(cp.scb + cr2.scb AS BIGINT) AS sum_cb,
+       CAST(cp.scr + cr2.scr AS BIGINT) AS sum_cr,
+       CAST((lp.ck + lr.ck) % {_CK_MOD} AS BIGINT) AS ck_y
+FROM clip c
+JOIN luma_pcm lp ON lp.media_id = c.media_id
+JOIN luma_pred lr ON lr.media_id = c.media_id AND lr.f = lp.f
+JOIN chroma_pcm cp ON cp.media_id = c.media_id AND cp.f = lp.f
+JOIN chroma_pred cr2 ON cr2.media_id = c.media_id AND cr2.f = lp.f
+ORDER BY c.media_id, frame_idx
+"""
+
+
+SQL_H264_LADDER_DECODE = _sql_h264_ladder()

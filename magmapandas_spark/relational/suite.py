@@ -371,6 +371,7 @@ _GATE_ORDER = [
     "h264_qptrack_decode",
     "h264_ac_decode",
     "h264_i4x4_decode",
+    "h264_ladder_decode",
     "video_fingerprint",
     "audio_fingerprint",
     "image_fingerprint",
@@ -411,7 +412,6 @@ _GATE_ORDER = [
     "asof_purchase_view",
     "minhash_lsh_candidates",
     "order_rollup",
-    "jpeg_decode",
 ]
 
 

@@ -19,6 +19,9 @@ the ABC sketch twin, and the H.264 AC/I_4x4 codec notch.
   Table 9-4 me(v) CBP, LumaLevel4x4 in the real per-4x4 nC context)
   — the last structure between the ladder and real baseline-encoder
   I-frame output.
+- ``h264_ladder_decode`` — codec notch 12: the REGENERATED
+  composition corpus (GOP x multi-PPS x multi-slice x AC x I_4x4 in
+  one stream, with slice-gated availability on row-2 predicted MBs).
 
 The cross-modal dedup report registers here as it lands.
 """
@@ -33,6 +36,7 @@ def queries():
     from magmapandas_spark.operators.h264 import (
         q_h264_ac_decode,
         q_h264_i4x4_decode,
+        q_h264_ladder_decode,
     )
     from magmapandas_spark.operators.png import q_fp_index_probe
 
@@ -41,6 +45,7 @@ def queries():
         "abc_classification_sketch": q_abc_classification_sketch,
         "h264_ac_decode": q_h264_ac_decode,
         "h264_i4x4_decode": q_h264_i4x4_decode,
+        "h264_ladder_decode": q_h264_ladder_decode,
     }
 
 
@@ -51,6 +56,7 @@ def oracle_sql():
     from magmapandas_spark.operators.h264 import (
         SQL_H264_AC_DECODE,
         SQL_H264_I4X4_DECODE,
+        SQL_H264_LADDER_DECODE,
     )
     from magmapandas_spark.operators.png import SQL_FP_INDEX_PROBE
 
@@ -59,4 +65,5 @@ def oracle_sql():
         "abc_classification_sketch": SQL_ABC_CLASSIFICATION_SKETCH,
         "h264_ac_decode": SQL_H264_AC_DECODE,
         "h264_i4x4_decode": SQL_H264_I4X4_DECODE,
+        "h264_ladder_decode": SQL_H264_LADDER_DECODE,
     }

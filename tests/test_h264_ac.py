@@ -172,6 +172,82 @@ def test_i4x4_corpus_exercises_all_nine_modes_and_cbp_range():
     assert 0 in cbps and 15 in cbps
 
 
+@pytest.mark.parametrize("i", [0, 1, 5, 10])
+def test_ladder_composition_roundtrip(i):
+    """Notch 12: the composition stream (GOP x multi-PPS x
+    multi-slice x AC x I_4x4) decodes to the explicit twin's planes,
+    with the parsed slice structure pinned (2 slices per picture) —
+    incl. row-2 predicted MBs whose top edge is slice-gated away."""
+    from magmapandas_spark.operators.h264 import (
+        _n12_frame,
+        _n12_geom,
+        decode_h264_stream_info,
+        encode_ladder_annexb,
+    )
+
+    mbs_w, mbs_h, n_f = _n12_geom(i)
+    pics, sps, slice_counts = decode_h264_stream_info(
+        encode_ladder_annexb(i)
+    )
+    assert len(pics) == n_f
+    assert slice_counts == [2] * n_f
+    assert sps["mbs_w"] == mbs_w and sps["mbs_h"] == mbs_h
+    for f, (dy, dcb, dcr) in enumerate(pics):
+        y, cb, cr, kinds = _n12_frame(i, f)
+        assert np.array_equal(y, dy), f"frame {f} luma"
+        assert np.array_equal(cb, dcb) and np.array_equal(cr, dcr)
+        # composition really mixes the kinds
+        assert 0 in kinds and (1 in kinds or 2 in kinds)
+
+
+def test_ladder_oracle_matches_decoder_stats():
+    import duckdb
+    import pandas as pd
+
+    from magmapandas_spark.operators.h264 import (
+        _CK_MOD,
+        SQL_H264_LADDER_DECODE,
+        decode_h264_stream_info,
+        encode_ladder_annexb,
+    )
+
+    rows = []
+    for i in range(12):
+        pics, sps, slice_counts = decode_h264_stream_info(
+            encode_ladder_annexb(i)
+        )
+        mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
+        for f, (y, cb, cr) in enumerate(pics):
+            ck = 0
+            ky = 0
+            for mb in range(mbs_w * mbs_h):
+                mbx, mby = mb % mbs_w, mb // mbs_w
+                blk = (
+                    y[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16]
+                    .reshape(-1)
+                    .astype(np.int64)
+                )
+                ks = np.arange(ky + 1, ky + 257, dtype=np.int64)
+                ck = (ck + int((ks * blk).sum())) % _CK_MOD
+                ky += 256
+            rows.append(
+                (
+                    i, f, slice_counts[f], y.shape[1], y.shape[0],
+                    mbs_w * mbs_h, int(y.sum()), int(cb.sum()),
+                    int(cr.sum()), ck,
+                )
+            )
+    got = pd.DataFrame(
+        rows,
+        columns=[
+            "media_id", "frame_idx", "n_slices", "width", "height",
+            "n_mbs", "sum_y", "sum_cb", "sum_cr", "ck_y",
+        ],
+    ).astype("int64")
+    want = duckdb.sql(SQL_H264_LADDER_DECODE).df().astype("int64")
+    assert got.equals(want)
+
+
 def test_oracles_match_decoder_stats():
     """DuckDB oracle rows == decoder-derived stats for both corpora
     (the same comparison the driver gate performs, minus Spark)."""
