@@ -698,3 +698,186 @@ SELECT fmt,
 FROM fam
 ORDER BY fmt
 """
+
+
+# ---------------------------------------------------------------------
+# Cross-modal dedup report (round 9): the multimodal quad composed
+# ---------------------------------------------------------------------
+
+
+def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: ONE per-asset dedup verdict joining all four
+    fingerprint legs of the multimodal quad — text (winnowing-style
+    shingle bottom-1, suite3 ``doc_fingerprint``), video (per-frame
+    luma histograms through the real H.264 decode, h264.py), audio
+    (amplitude histograms through the real WAV/PCM decode, wav.py),
+    image (pixel histograms through the real PNG inflate/unfilter,
+    png.py). Each leg's media map to a 12-asset spine
+    (``media_id % 12`` / ``doc_id % 12``); a file is duplicate
+    evidence when its fingerprint collides across the corpus; the
+    verdict counts modalities with evidence and flags assets
+    duplicated in >= 2 modalities. Proves the four separately
+    verified legs COMPOSE in one plan.
+
+    Scale posture: each leg stays one narrow Arrow decode stage (the
+    fp-window pattern of the leg queries, decode runs once); the
+    composition aggregates every leg to the tiny asset grain before
+    joining, so the final joins are broadcast-sized regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    from magmapandas_spark.operators.h264 import q_video_fingerprint
+    from magmapandas_spark.operators.png import q_image_fingerprint
+    from magmapandas_spark.operators.wav import q_audio_fingerprint
+    from magmapandas_spark.relational.suite3 import q_doc_fingerprint
+
+    aid = (F.col("media_id") % 12).alias("asset_id")
+
+    vm = (
+        q_video_fingerprint(spark, sf_dir)
+        .groupBy("media_id")
+        .agg(F.max("n_frames_with_fp").alias("mx"))
+        .groupBy(aid)
+        .agg(
+            F.sum(F.when(F.col("mx") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_video_dup")
+        )
+    )
+    am = (
+        q_audio_fingerprint(spark, sf_dir)
+        .groupBy(aid)
+        .agg(
+            F.sum(F.when(F.col("n_clips_with_fp") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_audio_dup")
+        )
+    )
+    im = (
+        q_image_fingerprint(spark, sf_dir)
+        .groupBy(aid)
+        .agg(
+            F.sum(F.when(F.col("n_images_with_fp") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_image_dup")
+        )
+    )
+    tx = (
+        q_doc_fingerprint(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("fp_min"))
+            .alias("cnt"),
+        )
+        .groupBy((F.col("doc_id") % 12).alias("asset_id"))
+        .agg(
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_text_dup")
+        )
+    )
+    spine = spark.range(12).select(F.col("id").alias("asset_id"))
+    rep = (
+        spine.join(vm, "asset_id", "left")
+        .join(am, "asset_id", "left")
+        .join(im, "asset_id", "left")
+        .join(tx, "asset_id", "left")
+        .select(
+            "asset_id",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in (
+                    "n_video_dup",
+                    "n_audio_dup",
+                    "n_image_dup",
+                    "n_text_dup",
+                )
+            ],
+        )
+    )
+    n_mod = sum(
+        F.when(F.col(c) > 0, 1).otherwise(0)
+        for c in ("n_video_dup", "n_audio_dup", "n_image_dup", "n_text_dup")
+    )
+    return (
+        rep.select(
+            "asset_id",
+            "n_video_dup",
+            "n_audio_dup",
+            "n_image_dup",
+            "n_text_dup",
+            n_mod.cast("int").alias("n_dup_modalities"),
+            F.when(n_mod >= 2, 1).otherwise(0).cast("int").alias(
+                "cross_modal_dup"
+            ),
+        )
+        .orderBy("asset_id")
+    )
+
+
+def _sql_crossmodal() -> str:
+    """Compose the four legs' own oracles (each a full WITH...SELECT
+    statement, embedded as parenthesized subqueries) and redo the
+    asset-grain arithmetic in SQL."""
+    from magmapandas_spark.operators.h264 import SQL_VIDEO_FINGERPRINT
+    from magmapandas_spark.operators.png import SQL_IMAGE_FINGERPRINT
+    from magmapandas_spark.operators.wav import SQL_AUDIO_FINGERPRINT
+    from magmapandas_spark.relational.suite3 import SQL_DOC_FINGERPRINT
+
+    return f"""
+WITH vm AS (
+  SELECT media_id % 12 AS asset_id,
+         SUM(CASE WHEN mx >= 2 THEN 1 ELSE 0 END) AS n_video_dup
+  FROM (SELECT media_id, MAX(n_frames_with_fp) AS mx
+        FROM ({SQL_VIDEO_FINGERPRINT}) vq GROUP BY media_id) m
+  GROUP BY media_id % 12
+),
+am AS (
+  SELECT media_id % 12 AS asset_id,
+         SUM(CASE WHEN n_clips_with_fp >= 2 THEN 1 ELSE 0 END)
+           AS n_audio_dup
+  FROM ({SQL_AUDIO_FINGERPRINT}) aq
+  GROUP BY media_id % 12
+),
+im AS (
+  SELECT media_id % 12 AS asset_id,
+         SUM(CASE WHEN n_images_with_fp >= 2 THEN 1 ELSE 0 END)
+           AS n_image_dup
+  FROM ({SQL_IMAGE_FINGERPRINT}) iq
+  GROUP BY media_id % 12
+),
+tx AS (
+  SELECT doc_id % 12 AS asset_id,
+         SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_text_dup
+  FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY fp_min) AS cnt
+        FROM ({SQL_DOC_FINGERPRINT}) tq) t
+  GROUP BY doc_id % 12
+),
+spine AS (SELECT UNNEST(range(12)) AS asset_id),
+rep AS (
+  SELECT s.asset_id,
+         CAST(COALESCE(v.n_video_dup, 0) AS BIGINT) AS n_video_dup,
+         CAST(COALESCE(a.n_audio_dup, 0) AS BIGINT) AS n_audio_dup,
+         CAST(COALESCE(i.n_image_dup, 0) AS BIGINT) AS n_image_dup,
+         CAST(COALESCE(t.n_text_dup, 0) AS BIGINT) AS n_text_dup
+  FROM spine s
+  LEFT JOIN vm v ON v.asset_id = s.asset_id
+  LEFT JOIN am a ON a.asset_id = s.asset_id
+  LEFT JOIN im i ON i.asset_id = s.asset_id
+  LEFT JOIN tx t ON t.asset_id = s.asset_id
+)
+SELECT asset_id, n_video_dup, n_audio_dup, n_image_dup, n_text_dup,
+       CAST((CASE WHEN n_video_dup > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_audio_dup > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_image_dup > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_text_dup > 0 THEN 1 ELSE 0 END) AS INT)
+         AS n_dup_modalities,
+       CAST(CASE WHEN (CASE WHEN n_video_dup > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_audio_dup > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_image_dup > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_text_dup > 0 THEN 1 ELSE 0 END) >= 2
+                 THEN 1 ELSE 0 END AS INT) AS cross_modal_dup
+FROM rep
+ORDER BY asset_id
+"""

@@ -23,7 +23,10 @@ the ABC sketch twin, and the H.264 AC/I_4x4 codec notch.
   composition corpus (GOP x multi-PPS x multi-slice x AC x I_4x4 in
   one stream, with slice-gated availability on row-2 predicted MBs).
 
-The cross-modal dedup report registers here as it lands.
+- ``crossmodal_dedup`` — the multimodal quad COMPOSED: one
+  per-asset verdict joining the text/video/audio/image fingerprint
+  collision sets (each leg aggregated to the 12-asset grain before a
+  broadcast-sized join; every decode still one narrow Arrow stage).
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ def queries():
         q_h264_i4x4_decode,
         q_h264_ladder_decode,
     )
+    from magmapandas_spark.operators.multimodal import q_crossmodal_dedup
     from magmapandas_spark.operators.png import q_fp_index_probe
 
     return {
@@ -46,6 +50,7 @@ def queries():
         "h264_ac_decode": q_h264_ac_decode,
         "h264_i4x4_decode": q_h264_i4x4_decode,
         "h264_ladder_decode": q_h264_ladder_decode,
+        "crossmodal_dedup": q_crossmodal_dedup,
     }
 
 
@@ -58,6 +63,7 @@ def oracle_sql():
         SQL_H264_I4X4_DECODE,
         SQL_H264_LADDER_DECODE,
     )
+    from magmapandas_spark.operators.multimodal import _sql_crossmodal
     from magmapandas_spark.operators.png import SQL_FP_INDEX_PROBE
 
     return {
@@ -66,4 +72,5 @@ def oracle_sql():
         "h264_ac_decode": SQL_H264_AC_DECODE,
         "h264_i4x4_decode": SQL_H264_I4X4_DECODE,
         "h264_ladder_decode": SQL_H264_LADDER_DECODE,
+        "crossmodal_dedup": _sql_crossmodal(),
     }
