@@ -2140,7 +2140,9 @@ ORDER BY sk.n_name
 # ---------------------------------------------------------------------
 
 
-def abc_classification_sketch(lineitem: DataFrame) -> DataFrame:
+def abc_classification_sketch(
+    lineitem: DataFrame, with_exact: bool = True
+) -> DataFrame:
     """The mergeable scale twin of ``abc_classification`` — Pareto
     A/B/C classes from a 1000-bin equi-width revenue histogram
     (the ``gini_sketch`` Lorenz-binning pairing): whole bins are
@@ -2154,7 +2156,9 @@ def abc_classification_sketch(lineitem: DataFrame) -> DataFrame:
     histogram with map-side combine, bin-bounded cumulative windows —
     sketch state is B counters, mergeable across partitions/days.
     The exact branch (the catalog-grain global sort window) is the
-    measurement twin and is dropped at outsized-catalog scale.
+    measurement twin and is dropped at outsized-catalog scale —
+    ``with_exact=False`` is that production posture (the scale probe's
+    ``abc_sketch_only`` shape runs it at 10x).
     """
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = lineitem.groupBy("l_partkey").agg(
@@ -2208,6 +2212,8 @@ def abc_classification_sketch(lineitem: DataFrame) -> DataFrame:
             ).alias("share_ppm_sk"),
         )
     )
+    if not with_exact:
+        return sk.orderBy("cls")
     we = Window.orderBy(F.desc("rev_u"), "l_partkey").rowsBetween(
         Window.unboundedPreceding, 0
     )

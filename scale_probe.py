@@ -167,6 +167,7 @@ SHAPES = [
     "corr_power_sums",
     "knn_broadcast_scoring",
     "balanced_resample",
+    "abc_sketch_only",
 ]
 
 
@@ -261,6 +262,15 @@ def _lsh_recall_sampled_shape(spark, sf_dir: str):
     )
 
 
+def _abc_sketch_only_shape(spark, sf_dir: str):
+    from magmapandas_spark.operators.analytics import (
+        abc_classification_sketch,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return abc_classification_sketch(li, with_exact=False)
+
+
 def run_shapes(spark, sf_dir: str) -> dict[str, float]:
     from magmapandas_spark.relational import suite
 
@@ -320,6 +330,12 @@ def run_shapes(spark, sf_dir: str) -> dict[str, float]:
         "corr_power_sums": qs["corr_matrix"],
         "knn_broadcast_scoring": qs["knn_label_noise"],
         "balanced_resample": qs["balanced_sample"],
+        # round-9 shape: the ABC histogram sketch WITHOUT its exact
+        # measurement twin — the production posture (one fact scan to
+        # the part grain, 1-row extrema broadcast, <=1000-row
+        # histogram + bounded cumulative window); wall must track the
+        # scan while sketch state stays B counters
+        "abc_sketch_only": _abc_sketch_only_shape,
     }
     out: dict[str, float] = {}
 
