@@ -53,11 +53,11 @@ decodes:
    left-constrained prediction modes, chroma DC fallbacks).
 
 With notches 10/11 the decoder accepts the full baseline I-frame
-toolbox (I_PCM + I_16x16 + I_4x4, any CAVLC residual). Honest
-boundaries that remain (explicit errors naming the structure):
-level_prefix >= 16 extended escapes (a corner of later spec
-editions), P/B inter prediction, CABAC, transform_size_8x8 / high
-profiles, interlace, FMO: permanent scope lines.
+toolbox (I_PCM + I_16x16 + I_4x4, any CAVLC residual, incl. the
+level_prefix >= 16 extended escape range of the 2005+ spec
+editions). Honest boundaries that remain: P/B inter prediction,
+CABAC, transform_size_8x8 / high profiles, interlace, FMO —
+permanent scope lines.
 
 Scale posture: identical to every codec in this engine — one narrow
 Arrow ``mapInPandas`` stage per payload; bytes never leave the
@@ -476,16 +476,22 @@ def _read_levels(r: _BitReader, tc: int, t1s: int) -> list[int]:
         prefix = 0
         while r.u(1) == 0:
             prefix += 1
-            if prefix > 15:
-                raise NotImplementedError(
-                    "level_prefix >= 16 (extended escape range, spec "
-                    "9.2.2.1) exceeds 8-bit-residual magnitudes — "
-                    "out of subset scope"
+            if prefix > 40:
+                raise ValueError(
+                    "level_prefix > 40: malformed stream (levels this "
+                    "large cannot arise from any conformant residual)"
                 )
         # spec 9.2.2.1 escape sizes: prefix 14 at suffixLength 0
-        # carries a 4-bit suffix; prefix 15 always carries 12 bits
+        # carries a 4-bit suffix; prefix 15 carries 12 bits; prefix
+        # >= 16 (the 2005+ extended range) carries prefix - 3 bits
+        # with the (1 << (prefix - 3)) - 4096 offset
         if prefix == 14 and suffix_len == 0:
             level_code = 14 + r.u(4)
+        elif prefix >= 16:
+            level_code = (15 << suffix_len) + r.u(prefix - 3)
+            if suffix_len == 0:
+                level_code += 15
+            level_code += (1 << (prefix - 3)) - 4096
         elif prefix == 15:
             level_code = (15 << suffix_len) + r.u(12)
             if suffix_len == 0:
@@ -509,11 +515,29 @@ def _read_levels(r: _BitReader, tc: int, t1s: int) -> list[int]:
     return levels
 
 
+def _write_level_escape(w_: _BitWriter, esc: int) -> None:
+    """Escape-coded level remainder (spec 9.2.2.1): prefix 15 + 12
+    bits while it fits, else the smallest prefix p >= 16 whose
+    (p - 3)-bit suffix + (1 << (p - 3)) - 4096 offset covers it —
+    the 2005+ extended escape range (the offsets make consecutive
+    prefixes cover contiguous, non-overlapping level_code bands)."""
+    if esc < 4096:
+        w_.u(0, 15)
+        w_.u(1, 1)
+        w_.u(esc, 12)
+        return
+    v = esc + 4096  # >= 8192, so p3 >= 13 and prefix >= 16
+    p3 = v.bit_length() - 1
+    w_.u(0, p3 + 3)
+    w_.u(1, 1)
+    w_.u(v - (1 << p3), p3)
+
+
 def _write_levels(w_: _BitWriter, levels: list[int], tc: int, t1s: int) -> None:
     """Bit-exact inverse of ``_read_levels`` (the fixture encoder's
     half of the CAVLC round trip), incl. the spec-9.2.2.1 escape
     forms (prefix 14 + 4-bit suffix at suffixLength 0; prefix 15 +
-    12-bit suffix)."""
+    12-bit suffix; the prefix >= 16 extended range)."""
     for k in range(t1s):
         w_.u(0 if levels[k] > 0 else 1, 1)
     suffix_len = 1 if (tc > 10 and t1s < 3) else 0
@@ -531,13 +555,7 @@ def _write_levels(w_: _BitWriter, levels: list[int], tc: int, t1s: int) -> None:
                 w_.u(1, 1)
                 w_.u(level_code - 14, 4)
             else:
-                assert level_code - 30 < 4096, (
-                    "level magnitude needs the prefix >= 16 extended "
-                    "escape range"
-                )
-                w_.u(0, 15)
-                w_.u(1, 1)
-                w_.u(level_code - 30, 12)
+                _write_level_escape(w_, level_code - 30)
         else:
             prefix = level_code >> suffix_len
             if prefix < 15:
@@ -545,14 +563,7 @@ def _write_levels(w_: _BitWriter, levels: list[int], tc: int, t1s: int) -> None:
                 w_.u(1, 1)
                 w_.u(level_code & ((1 << suffix_len) - 1), suffix_len)
             else:
-                esc = level_code - (15 << suffix_len)
-                assert esc < 4096, (
-                    "level magnitude needs the prefix >= 16 extended "
-                    "escape range"
-                )
-                w_.u(0, 15)
-                w_.u(1, 1)
-                w_.u(esc, 12)
+                _write_level_escape(w_, level_code - (15 << suffix_len))
         if suffix_len == 0:
             suffix_len = 1
         if abs(lvl) > (3 << (suffix_len - 1)) and suffix_len < 6:

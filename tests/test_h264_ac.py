@@ -107,16 +107,32 @@ def test_residual_roundtrip_sweeps_every_nc_class():
 
 
 def test_residual_roundtrip_escape_levels():
-    # |level| large enough to force level_prefix == 15 escape coding
-    # at low suffix length (the prefix >= 16 extended range is an
-    # honest boundary, asserted below)
+    # prefix == 15 escapes at low suffix length
     coeffs = [0] * 16
     coeffs[0] = -300
     coeffs[3] = 250
     coeffs[7] = 1
     assert _roundtrip_residual(coeffs, 0, 16) == coeffs
-    with pytest.raises(AssertionError, match="prefix >= 16"):
-        _roundtrip_residual([50000] + [0] * 15, 0, 16)
+
+
+def test_residual_roundtrip_extended_escape_range():
+    """level_prefix >= 16 (the 2005+ extended escape range): exact
+    round trips across the prefix-15/16 band boundary and far beyond,
+    at several suffix lengths (driven by preceding level magnitudes)."""
+    # suffix_len 0 path: band boundary at level_code 4125/4126
+    for mag in (2063, 2064, 8000, 50000, 1_000_000):
+        for sign in (1, -1):
+            coeffs = [sign * mag] + [0] * 15
+            assert _roundtrip_residual(coeffs, 0, 16) == coeffs
+    # growing suffix lengths: a run of large levels walks suffixLength
+    # up while later levels still need prefix >= 16
+    coeffs = [123456, -654321, 99999, -4096, 777, -5, 1, 0, 0, 0,
+              0, 0, 0, 0, 0, 0]
+    assert _roundtrip_residual(coeffs, 0, 16) == coeffs
+    # dense block (TotalCoeff > 10 initial suffixLength rule) with
+    # extended escapes inside
+    coeffs = [(-1) ** k * (40000 + 1000 * k) for k in range(12)] + [0] * 4
+    assert _roundtrip_residual(coeffs, 4, 16) == coeffs
 
 
 def test_chroma_dc_block_roundtrip_all_shapes():
