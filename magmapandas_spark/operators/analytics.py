@@ -1799,12 +1799,14 @@ def abc_classification(lineitem: DataFrame) -> DataFrame:
     )
     tot = per_part.agg(F.sum("rev_u").alias("total_u"))
     classed = (
-        per_part.withColumn("cum_u", F.sum("rev_u").over(w))
+        per_part.withColumn(
+            "cum_u", F.sum(F.col("rev_u").cast("decimal(38,0)")).over(w)
+        )
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "cls",
-            F.when(F.expr("cum_u * 100 <= 70 * total_u"), "A")
-            .when(F.expr("cum_u * 100 <= 90 * total_u"), "B")
+            F.when(F.expr("CAST(cum_u AS DECIMAL(38,0)) * 100 <= CAST(total_u AS DECIMAL(38,0)) * 70"), "A")
+            .when(F.expr("CAST(cum_u AS DECIMAL(38,0)) * 100 <= CAST(total_u AS DECIMAL(38,0)) * 90"), "B")
             .otherwise("C"),
         )
     )
@@ -1843,10 +1845,10 @@ classed AS (
   SELECT rev_u,
          CASE WHEN SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                * 100 <= 70 * total_u THEN 'A'
+                * 100 <= 70 * CAST(total_u AS HUGEINT) THEN 'A'
               WHEN SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                * 100 <= 90 * total_u THEN 'B'
+                * 100 <= 90 * CAST(total_u AS HUGEINT) THEN 'B'
               ELSE 'C' END AS cls,
          total_u
   FROM per_part, tot
@@ -2195,11 +2197,13 @@ def abc_classification_sketch(
         Window.unboundedPreceding, 0
     )
     sk = (
-        hist.withColumn("cum", F.sum("sb").over(w))
+        hist.withColumn(
+            "cum", F.sum(F.col("sb").cast("decimal(38,0)")).over(w)
+        )
         .withColumn(
             "cls",
-            F.when(F.expr("cum * 100 <= 70 * total_u"), "A")
-            .when(F.expr("cum * 100 <= 90 * total_u"), "B")
+            F.when(F.expr("CAST(cum AS DECIMAL(38,0)) * 100 <= CAST(total_u AS DECIMAL(38,0)) * 70"), "A")
+            .when(F.expr("CAST(cum AS DECIMAL(38,0)) * 100 <= CAST(total_u AS DECIMAL(38,0)) * 90"), "B")
             .otherwise("C"),
         )
         .groupBy("cls")
@@ -2219,11 +2223,13 @@ def abc_classification_sketch(
     )
     ex = (
         per_part.crossJoin(F.broadcast(stats))
-        .withColumn("cum_u", F.sum("rev_u").over(we))
+        .withColumn(
+            "cum_u", F.sum(F.col("rev_u").cast("decimal(38,0)")).over(we)
+        )
         .withColumn(
             "cls",
-            F.when(F.expr("cum_u * 100 <= 70 * total_u"), "A")
-            .when(F.expr("cum_u * 100 <= 90 * total_u"), "B")
+            F.when(F.expr("CAST(cum_u AS DECIMAL(38,0)) * 100 <= CAST(total_u AS DECIMAL(38,0)) * 70"), "A")
+            .when(F.expr("CAST(cum_u AS DECIMAL(38,0)) * 100 <= CAST(total_u AS DECIMAL(38,0)) * 90"), "B")
             .otherwise("C"),
         )
         .groupBy("cls")
@@ -2291,10 +2297,10 @@ sk AS (
     SELECT cnt, sb, total_u,
            CASE WHEN SUM(sb) OVER (ORDER BY bin DESC
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  * 100 <= 70 * total_u THEN 'A'
+                  * 100 <= 70 * CAST(total_u AS HUGEINT) THEN 'A'
                 WHEN SUM(sb) OVER (ORDER BY bin DESC
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  * 100 <= 90 * total_u THEN 'B'
+                  * 100 <= 90 * CAST(total_u AS HUGEINT) THEN 'B'
                 ELSE 'C' END AS cls
     FROM hist
   ) GROUP BY cls
@@ -2306,10 +2312,10 @@ ex AS (
     SELECT rev_u,
            CASE WHEN SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  * 100 <= 70 * st.total_u THEN 'A'
+                  * 100 <= 70 * CAST(st.total_u AS HUGEINT) THEN 'A'
                 WHEN SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  * 100 <= 90 * st.total_u THEN 'B'
+                  * 100 <= 90 * CAST(st.total_u AS HUGEINT) THEN 'B'
                 ELSE 'C' END AS cls
     FROM per_part, stats st
   ) GROUP BY cls

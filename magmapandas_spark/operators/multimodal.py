@@ -778,11 +778,14 @@ def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     spine = spark.range(12).select(F.col("id").alias("asset_id"))
+    # the legs are asset-grain (12 rows) but sit behind aggregates the
+    # static planner has no stats for — broadcast them explicitly so
+    # the composition never plans a sort-merge join
     rep = (
-        spine.join(vm, "asset_id", "left")
-        .join(am, "asset_id", "left")
-        .join(im, "asset_id", "left")
-        .join(tx, "asset_id", "left")
+        spine.join(F.broadcast(vm), "asset_id", "left")
+        .join(F.broadcast(am), "asset_id", "left")
+        .join(F.broadcast(im), "asset_id", "left")
+        .join(F.broadcast(tx), "asset_id", "left")
         .select(
             "asset_id",
             *[

@@ -884,3 +884,35 @@ def test_fingerprint_queries_decode_exactly_once(spark, qname):
     assert plan.count("MapInPandas") == 1, qname
     for spec in window_partition_specs(plan):
         assert spec.strip(), qname
+
+
+@pytest.mark.parametrize(
+    "qname", ["h264_ac_decode", "h264_i4x4_decode", "h264_ladder_decode"]
+)
+def test_round9_codec_notches_single_decode_stage(spark, qname):
+    """The round-9 codec notches keep the ladder's posture: exactly
+    ONE Arrow decode stage, no join, no window — payload bytes never
+    leave the executor, a fixed handful of integer stats per frame
+    come out."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()[qname](spark, SF))
+    assert plan.count("MapInPandas") == 1, qname
+    assert "Join" not in plan, qname
+    assert "Window" not in plan, qname
+
+
+def test_crossmodal_dedup_legs_decode_once_and_join_broadcast(spark):
+    """The cross-modal report composes the four fingerprint legs:
+    each codec leg keeps its single Arrow decode stage (3 MapInPandas
+    total — text is pure expressions), every window partitions by a
+    fingerprint key, and the asset-grain joins are ALL broadcast
+    (never a shuffled/sort-merge join: the legs aggregate to the
+    12-asset spine before joining)."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()["crossmodal_dedup"](spark, SF))
+    assert plan.count("MapInPandas") == 3
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
