@@ -311,3 +311,35 @@ def test_oracles_match_decoder_stats():
         ).astype("int64")
         want = duckdb.sql(sql).df().astype("int64")
         assert got.equals(want), f"oracle mismatch (i4x4={with4})"
+
+
+def test_twin_and_decoder_4x4_prediction_agree_on_random_context():
+    """Property: the explicit-loop twin (_x_pred4) and the decoder's
+    numpy kernel (_predict_4x4_block) — two independent derivations
+    of spec 8.3.1.2 — agree on every mode over random neighbor
+    contexts and every availability combination each mode permits."""
+    from magmapandas_spark.operators.h264 import (
+        _predict_4x4_block,
+        _x_pred4,
+    )
+
+    rng = np.random.default_rng(911)
+    for trial in range(300):
+        y = rng.integers(0, 256, size=(12, 12), dtype=np.uint8).copy()
+        r4, c4 = 1, 1  # block at (4, 4) with a full neighbor ring
+        for mode in range(9):
+            for a_tr in (True, False):
+                # full neighbor ring; top-right toggles substitution
+                tw = _x_pred4(y, r4, c4, mode, True, True, True, a_tr)
+                dec = _predict_4x4_block(
+                    y, r4, c4, mode, True, True, True, a_tr
+                )
+                assert (np.array(tw) == np.array(dec)).all(), (
+                    trial, mode, a_tr,
+                )
+    # DC fallbacks: single-edge and no-edge
+    y = rng.integers(0, 256, size=(12, 12), dtype=np.uint8).copy()
+    for a_l, a_t in ((True, False), (False, True), (False, False)):
+        tw = _x_pred4(y, 1, 1, 2, a_l, a_t, False, False)
+        dec = _predict_4x4_block(y, 1, 1, 2, a_l, a_t, False, False)
+        assert (np.array(tw) == np.array(dec)).all()
