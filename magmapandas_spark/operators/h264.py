@@ -366,6 +366,13 @@ def _parse_sps(rbsp: bytes) -> dict:
     r.u(1)  # gaps_in_frame_num_value_allowed_flag
     mbs_w = r.ue() + 1
     mbs_h = r.ue() + 1
+    if mbs_w > 1024 or mbs_h > 1024:
+        # spec Table A-1 caps PicWidthInMbs at 543 even at level 6.2;
+        # a corrupt SPS must raise, not drive a multi-GB allocation
+        raise ValueError(
+            f"SPS dimensions {mbs_w}x{mbs_h} MBs exceed any "
+            "conformant level (corrupt stream?)"
+        )
     frame_mbs_only = r.u(1)
     if not frame_mbs_only:
         raise NotImplementedError("interlaced streams not supported")
@@ -1633,7 +1640,13 @@ def decode_h264_stream_info(
                         # infer from this block's actual mode
                         mode4[r4, c4] = mode
                     chroma_mode = r.ue()  # intra_chroma_pred_mode
-                    cbp = _CBP_INTRA[r.ue()]  # me(v), Table 9-4
+                    cbp_code = r.ue()  # me(v), Table 9-4
+                    if cbp_code > 47:
+                        raise ValueError(
+                            f"coded_block_pattern codeNum {cbp_code} "
+                            "out of Table 9-4 range (corrupt stream?)"
+                        )
+                    cbp = _CBP_INTRA[cbp_code]
                     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
                     if cbp:
                         qp_y = (qp_y + r.se() + 52) % 52

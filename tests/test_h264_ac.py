@@ -343,3 +343,37 @@ def test_twin_and_decoder_4x4_prediction_agree_on_random_context():
         tw = _x_pred4(y, 1, 1, 2, a_l, a_t, False, False)
         dec = _predict_4x4_block(y, 1, 1, 2, a_l, a_t, False, False)
         assert (np.array(tw) == np.array(dec)).all()
+
+
+def test_corrupt_streams_fail_cleanly():
+    """Quarantine contract for 100-TB ingest: a corrupted payload
+    must either still decode or raise ValueError /
+    NotImplementedError — never an IndexError/KeyError out of the bit
+    machinery, a multi-GB allocation from corrupt SPS dimensions, or
+    a hang. 600 deterministic single-byte corruptions over the AC,
+    I_4x4, and composition corpora."""
+    from magmapandas_spark.operators.h264 import (
+        decode_h264_stream_info,
+        encode_ladder_annexb,
+    )
+
+    rng = np.random.default_rng(42)
+    streams = [
+        encode_ac_annexb(3, False),
+        encode_ac_annexb(8, True),
+        encode_ladder_annexb(5),
+    ]
+    n_ok = n_err = 0
+    for data in streams:
+        for _ in range(200):
+            pos = int(rng.integers(5, len(data)))
+            val = int(rng.integers(0, 256))
+            mutated = data[:pos] + bytes([val]) + data[pos + 1 :]
+            try:
+                decode_h264_stream_info(mutated)
+                n_ok += 1
+            except (ValueError, NotImplementedError):
+                n_err += 1
+    # the corruption harness must be non-vacuous in both directions
+    assert n_err > 50, (n_ok, n_err)
+    assert n_ok + n_err == 600
