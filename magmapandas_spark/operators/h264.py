@@ -5033,14 +5033,13 @@ def _n12_frame(i: int, f: int):
     return y, cb, cr, kinds
 
 
-def encode_ladder_annexb(i: int) -> bytes:
-    """Annex-B composition stream for ladder clip ``i``: one SPS, TWO
-    PPSs (init_qp and init_qp + 4), 2-3 IDR pictures each split into
-    two slices (rows 0-1 / row 2), macroblocks mixing I_PCM,
-    I_16x16-with-AC, and I_4x4 — with every CAVLC nC lookup,
-    most-probable-mode inference, and prediction edge gated to the
-    emitting slice (mirroring the decoder's spec-8.3/9.2.1
-    availability)."""
+def _ladder_nals(
+    i: int,
+) -> tuple[bytes, list[bytes], list[list[bytes]]]:
+    """Raw NAL units (header byte + EBSP payload, NO start codes) of
+    the ladder composition for clip ``i``: (sps_nal, [pps0, pps1],
+    [[slice NALs of picture f], ...]) — so the Annex-B stream and the
+    AVCC/MP4 sample builder share one encoder."""
     mbs_w, mbs_h, n_f = _n12_geom(i)
     qp0 = _n10_qp(i)
 
@@ -5051,15 +5050,12 @@ def encode_ladder_annexb(i: int) -> bytes:
     sps.ue(mbs_w - 1); sps.ue(mbs_h - 1)
     sps.u(1, 1); sps.u(0, 1); sps.u(0, 1); sps.u(0, 1)
     sps.rbsp_trailing()
-    out = (
-        b"\x00\x00\x00\x01"
-        + bytes([(3 << 5) | 7])
-        + _escape_ebsp(sps.tobytes())
-    )
-    out += b"\x00\x00\x00\x01" + _pps_nal(0, qp0)
-    out += b"\x00\x00\x00\x01" + _pps_nal(1, qp0 + 4)
+    sps_nal = bytes([(3 << 5) | 7]) + _escape_ebsp(sps.tobytes())
+    pps_nals = [_pps_nal(0, qp0), _pps_nal(1, qp0 + 4)]
+    pictures: list[list[bytes]] = []
 
     for f in range(n_f):
+        pictures.append([])
         y, cb, cr, kinds = _n12_frame(i, f)
         pps_id = f % 2
         tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
@@ -5238,11 +5234,26 @@ def encode_ladder_annexb(i: int) -> bytes:
                             tc4[r4, c4] = 0
                     write_chroma(mb, mbx, mby, km, cc)
             sl.rbsp_trailing()
-            out += (
-                b"\x00\x00\x00\x01"
-                + bytes([(3 << 5) | 5])
-                + _escape_ebsp(sl.tobytes())
+            pictures[f].append(
+                bytes([(3 << 5) | 5]) + _escape_ebsp(sl.tobytes())
             )
+    return sps_nal, pps_nals, pictures
+
+
+def encode_ladder_annexb(i: int) -> bytes:
+    """Annex-B composition stream for ladder clip ``i``: one SPS, TWO
+    PPSs (init_qp and init_qp + 4), 2-3 IDR pictures each split into
+    two slices (rows 0-1 / row 2), macroblocks mixing I_PCM,
+    I_16x16-with-AC, and I_4x4 — with every CAVLC nC lookup,
+    most-probable-mode inference, and prediction edge gated to the
+    emitting slice (mirroring the decoder's spec-8.3/9.2.1
+    availability)."""
+    sps_nal, pps_nals, pictures = _ladder_nals(i)
+    out = b"".join(
+        b"\x00\x00\x00\x01" + n for n in [sps_nal] + pps_nals
+    )
+    for nals in pictures:
+        out += b"".join(b"\x00\x00\x00\x01" + n for n in nals)
     return out
 
 
@@ -5274,7 +5285,7 @@ def q_h264_ladder_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_h264_ladder() -> str:
+def _sql_h264_ladder(slice_col: str = "n_slices") -> str:
     """DuckDB oracle for the ladder corpus: PCM sums/checksum terms
     from the closed-form (clip, frame, mb, offset) sample formulas in
     pure SQL; predicted-MB samples from the embedded explicit-twin
@@ -5377,7 +5388,7 @@ chroma_pred AS (
 )
 SELECT c.media_id,
        CAST(lp.f AS INT) AS frame_idx,
-       CAST(2 AS INT) AS n_slices,
+       CAST(2 AS INT) AS {slice_col},
        CAST(16 * c.mbs_w AS INT) AS width,
        CAST(16 * c.mbs_h AS INT) AS height,
        CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
@@ -5395,3 +5406,6 @@ ORDER BY c.media_id, frame_idx
 
 
 SQL_H264_LADDER_DECODE = _sql_h264_ladder()
+#: the AVC-in-MP4 twin of the ladder corpus reports the per-sample
+#: NAL count (== the picture's slice count) under the mp4 schema name
+SQL_H264_MP4_AC_DECODE = _sql_h264_ladder(slice_col="n_nals")

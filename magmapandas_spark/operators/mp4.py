@@ -913,3 +913,69 @@ def q_h264_mp4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "frame_idx",
     )
+
+
+def avcc_record_multi(
+    sps_nals: list[bytes], pps_nals: list[bytes]
+) -> bytes:
+    """AVCDecoderConfigurationRecord carrying MULTIPLE parameter sets
+    (ISO 14496-15 allows up to 31 SPS / 255 PPS) — the form real
+    multi-QP encodes ship, and what the notch-12 composition corpus
+    needs (two PPSs at different init_qp)."""
+    body = (
+        bytes([1, sps_nals[0][1], sps_nals[0][2], sps_nals[0][3]])
+        + bytes([0xFF])  # reserved(6) + lengthSizeMinusOne = 3
+        + bytes([0xE0 | len(sps_nals)])
+        + b"".join(
+            struct.pack(">H", len(n)) + n for n in sps_nals
+        )
+        + bytes([len(pps_nals)])
+        + b"".join(
+            struct.pack(">H", len(n)) + n for n in pps_nals
+        )
+    )
+    return _box(b"avcC", body)
+
+
+def make_synthetic_avc_ac_mp4(i: int) -> bytes:
+    """Ladder clip ``i`` (notch 12: AC + I_4x4 + multi-slice +
+    multi-PPS pictures) as a conforming AVC-in-MP4 file: the avcC
+    record carries the SPS and BOTH PPSs, each sample is one access
+    unit of two 4-byte-length-prefixed slice NALs."""
+    from magmapandas_spark.operators.h264 import _ladder_nals, _n12_geom
+
+    sps_nal, pps_nals, pictures = _ladder_nals(i)
+    mbs_w, mbs_h, _ = _n12_geom(i)
+    entry = _visual_sample_entry(
+        b"avc1", 16 * mbs_w, 16 * mbs_h,
+        avcc_record_multi([sps_nal], pps_nals),
+    )
+    return _mp4_encode_video(
+        [avc_sample(nals) for nals in pictures], entry
+    )
+
+
+def synthetic_avc_ac_media(
+    spark: SparkSession, n: int = 12
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, bytearray(make_synthetic_avc_ac_mp4(i))) for i in range(n)],
+        "media_id long, payload binary",
+    )
+
+
+def q_h264_mp4_ac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query (the container x AC capstone): the notch-12
+    composition corpus shipped as AVC-in-MP4 — ISO BMFF walk, a
+    MULTI-parameter-set avcC record (two PPSs at different init_qp),
+    two-slice access units, then full AC / I_4x4 / slice-gated decode
+    per sample. Every composition axis the ladder has, through the
+    container path, one exact statistics row per frame under the
+    cross-engine hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        decode_avc_frames(synthetic_avc_ac_media(spark)),
+        "media_id",
+        "frame_idx",
+    )

@@ -372,6 +372,7 @@ _GATE_ORDER = [
     "h264_ac_decode",
     "h264_i4x4_decode",
     "h264_ladder_decode",
+    "h264_mp4_ac_decode",
     "crossmodal_dedup",
     "video_fingerprint",
     "audio_fingerprint",
@@ -411,7 +412,6 @@ _GATE_ORDER = [
     "thermometers_multi2",
     "unit_conversions",
     "asof_purchase_view",
-    "minhash_lsh_candidates",
 ]
 
 

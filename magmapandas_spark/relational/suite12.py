@@ -23,6 +23,9 @@ the ABC sketch twin, and the H.264 AC/I_4x4 codec notch.
   composition corpus (GOP x multi-PPS x multi-slice x AC x I_4x4 in
   one stream, with slice-gated availability on row-2 predicted MBs).
 
+- ``h264_mp4_ac_decode`` — the container x AC capstone: the notch-12
+  corpus shipped as AVC-in-MP4 (multi-parameter-set avcC, two-slice
+  access units) through the ISO BMFF walk + full AC/I_4x4 decode.
 - ``crossmodal_dedup`` — the multimodal quad COMPOSED: one
   per-asset verdict joining the text/video/audio/image fingerprint
   collision sets (each leg aggregated to the 12-asset grain before a
@@ -41,6 +44,7 @@ def queries():
         q_h264_i4x4_decode,
         q_h264_ladder_decode,
     )
+    from magmapandas_spark.operators.mp4 import q_h264_mp4_ac_decode
     from magmapandas_spark.operators.multimodal import q_crossmodal_dedup
     from magmapandas_spark.operators.png import q_fp_index_probe
 
@@ -51,6 +55,7 @@ def queries():
         "h264_i4x4_decode": q_h264_i4x4_decode,
         "h264_ladder_decode": q_h264_ladder_decode,
         "crossmodal_dedup": q_crossmodal_dedup,
+        "h264_mp4_ac_decode": q_h264_mp4_ac_decode,
     }
 
 
@@ -62,6 +67,7 @@ def oracle_sql():
         SQL_H264_AC_DECODE,
         SQL_H264_I4X4_DECODE,
         SQL_H264_LADDER_DECODE,
+        SQL_H264_MP4_AC_DECODE,
     )
     from magmapandas_spark.operators.multimodal import _sql_crossmodal
     from magmapandas_spark.operators.png import SQL_FP_INDEX_PROBE
@@ -73,4 +79,5 @@ def oracle_sql():
         "h264_i4x4_decode": SQL_H264_I4X4_DECODE,
         "h264_ladder_decode": SQL_H264_LADDER_DECODE,
         "crossmodal_dedup": _sql_crossmodal(),
+        "h264_mp4_ac_decode": SQL_H264_MP4_AC_DECODE,
     }

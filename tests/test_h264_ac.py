@@ -377,3 +377,45 @@ def test_corrupt_streams_fail_cleanly():
     # the corruption harness must be non-vacuous in both directions
     assert n_err > 50, (n_ok, n_err)
     assert n_ok + n_err == 600
+
+
+def test_mp4_ac_capstone_roundtrip():
+    """Container x AC capstone: the notch-12 corpus wrapped in
+    AVC-in-MP4 with a MULTI-parameter-set avcC (two PPSs) decodes
+    through the container path to the explicit twin's planes; each
+    sample carries exactly the picture's two slice NALs."""
+    from magmapandas_spark.operators.h264 import (
+        _n12_frame,
+        _n12_geom,
+        decode_h264_stream,
+    )
+    from magmapandas_spark.operators.mp4 import (
+        _avcc_sample_nals,
+        make_synthetic_avc_ac_mp4,
+        mp4_parse,
+        parse_avcc_config,
+    )
+
+    for i in (0, 4, 11):
+        payload = make_synthetic_avc_ac_mp4(i)
+        m = mp4_parse(payload)
+        assert m["codec"] == "avc1"
+        sps_l, pps_l = parse_avcc_config(m["avcc"])
+        assert len(sps_l) == 1 and len(pps_l) == 2
+        header = b"".join(b"\x00\x00\x00\x01" + n for n in sps_l + pps_l)
+        _, _, n_f = _n12_geom(i)
+        assert len(m["sample_sizes"]) == n_f
+        pos = m["chunk_offsets"][0]
+        for f, size in enumerate(m["sample_sizes"]):
+            nals = _avcc_sample_nals(payload[pos : pos + size])
+            assert len(nals) == 2
+            pics, _ = decode_h264_stream(
+                header
+                + b"".join(b"\x00\x00\x00\x01" + n for n in nals)
+            )
+            assert len(pics) == 1
+            y, cb, cr = pics[0]
+            ty, tcb, tcr, _ = _n12_frame(i, f)
+            assert np.array_equal(y, ty)
+            assert np.array_equal(cb, tcb) and np.array_equal(cr, tcr)
+            pos += size
