@@ -1348,3 +1348,221 @@ SELECT lang, n,
 FROM g
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------
+# Corpus-build funnel (round 9): the pipeline legs COMPOSED
+# ---------------------------------------------------------------------
+
+
+def corpus_build_funnel(spark, docs: DataFrame) -> DataFrame:
+    """ONE end-to-end corpus build — the report a real training-data
+    pipeline publishes per snapshot. Five stages over the documents
+    table, each the engine's separately-verified leg:
+
+    1. ``ingest``        — the raw corpus.
+    2. ``quality``       — keep docs with >= 20 whitespace tokens
+                           (the text_quality signal).
+    3. ``langid``        — keep docs the marker-token heuristic
+                           classifies 'en' (the langid_heuristic leg).
+    4. ``dedup_prefix``  — keep-first per md5 of the first five
+                           tokens (boilerplate/title-prefix dedup; the
+                           dedup_keep_best discipline).
+    5. ``decontaminate`` — drop the held-out eval slice
+                           (doc_id % 11 = 0) and every doc the Bloom
+                           probe flags against it (the
+                           bloom_decontaminate leg).
+
+    Emits one row per stage: (stage, stage_name, n_docs,
+    n_ws_tokens) — the survival funnel plus the token budget that
+    survives to training.
+
+    Scale posture: stages 1-3 are conditional aggregates over ONE
+    scan (no per-stage re-filtering passes); stage 4 is one
+    hash-partitioned keep-first window (bounded groups — prefix-hash
+    cardinality ~= |corpus|); stage 5 is the Bloom chain's k broadcast
+    semi joins (benchmark-sized build sides) + one anti join. No
+    stage materializes an intermediate corpus."""
+    from magmapandas_spark.operators.bloom import bloom_flag_docs
+
+    tokens = F.split(F.col("text"), " ")
+    ws = F.size(tokens)
+    q = ws >= 20
+    l_ = (
+        F.size(
+            F.filter(tokens, lambda x: x.isin("the", "a", "and", "of"))
+        )
+        >= 1
+    )
+    h = F.md5(F.concat_ws(" ", F.slice(tokens, 1, 5)))
+    base = docs.select(
+        "doc_id",
+        "text",
+        ws.alias("ws"),
+        q.alias("q"),
+        l_.alias("l"),
+        h.alias("h"),
+        (F.col("doc_id") % 11 == 0).alias("bench"),
+    )
+    head = base.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("ws").alias("t1"),
+        F.sum(F.when(F.col("q"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("q"), F.col("ws"))).alias("t2"),
+        F.sum(F.when(F.col("q") & F.col("l"), 1).otherwise(0)).alias(
+            "n3"
+        ),
+        F.sum(F.when(F.col("q") & F.col("l"), F.col("ws"))).alias("t3"),
+    ).selectExpr(
+        "stack(3, 1, 'ingest', n1, t1, 2, 'quality', n2, t2,"
+        " 3, 'langid', n3, t3)"
+        " AS (stage, stage_name, n_docs, n_ws_tokens)"
+    )
+    surv = base.filter(F.col("q") & F.col("l")).withColumn(
+        "keep",
+        F.row_number().over(
+            Window.partitionBy("h").orderBy("doc_id")
+        )
+        == 1,
+    )
+    cand = surv.filter(F.col("keep") & ~F.col("bench")).select(
+        "doc_id", "text"
+    )
+    bench_docs = docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id", "text"
+    )
+    flagged = bloom_flag_docs(cand, bench_docs).select(
+        "doc_id", F.lit(True).alias("contaminated")
+    )
+    tail = (
+        surv.join(F.broadcast(flagged), "doc_id", "left")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n4"),
+            F.sum(F.when(F.col("keep"), F.col("ws"))).alias("t4"),
+            F.sum(
+                F.when(
+                    F.col("keep")
+                    & ~F.col("bench")
+                    & F.col("contaminated").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n5"),
+            F.sum(
+                F.when(
+                    F.col("keep")
+                    & ~F.col("bench")
+                    & F.col("contaminated").isNull(),
+                    F.col("ws"),
+                )
+            ).alias("t5"),
+        )
+        .selectExpr(
+            "stack(2, 4, 'dedup_prefix', n4, t4,"
+            " 5, 'decontaminate', n5, t5)"
+            " AS (stage, stage_name, n_docs, n_ws_tokens)"
+        )
+    )
+    return (
+        head.unionByName(tail)
+        .select(
+            F.col("stage").cast("int"),
+            "stage_name",
+            F.col("n_docs").cast("long"),
+            F.col("n_ws_tokens").cast("long"),
+        )
+        .orderBy("stage")
+    )
+
+
+def q_corpus_build_funnel(spark, sf_dir: str) -> DataFrame:
+    """Gate query: the five-stage corpus-build funnel (quality ->
+    langid -> prefix dedup -> Bloom decontamination) with per-stage
+    doc and token survival counts under the cross-engine hash — the
+    engine's separately-verified pipeline legs composed into one
+    corpus snapshot report."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_build_funnel(spark, docs)
+
+
+SQL_CORPUS_BUILD_FUNNEL = """
+WITH base AS (
+  SELECT doc_id, text,
+         len(str_split(text, ' ')) AS ws,
+         len(str_split(text, ' ')) >= 20 AS q,
+         len(list_filter(str_split(text, ' '),
+                         x -> x IN ('the','a','and','of'))) >= 1 AS l,
+         md5(array_to_string(str_split(text, ' ')[1:5], ' ')) AS h,
+         doc_id % 11 = 0 AS bench
+  FROM documents
+),
+surv AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1 AS keep
+  FROM base WHERE q AND l
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM surv WHERE keep AND NOT bench
+),
+ng AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS ng
+  FROM tok, UNNEST(range(1, len(t) - 3)) AS r(i)
+  WHERE len(t) >= 5
+),
+btok AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE doc_id % 11 = 0
+),
+bng AS (
+  SELECT DISTINCT
+         array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS ng
+  FROM btok, UNNEST(range(1, len(t) - 3)) AS r(i)
+  WHERE len(t) >= 5
+),
+bench_pos AS (
+  SELECT DISTINCT
+    (((('0x' || substr(md5(ng), 1, 15))::BIGINT % 2147483647)
+      + j.j * (('0x' || substr(md5(ng), 17, 15))::BIGINT % 2147483647))
+     % 2147483647) % 131072 AS p
+  FROM bng, (SELECT UNNEST([0, 1, 2]) AS j) j
+),
+probes AS (
+  SELECT doc_id, ng,
+    (((('0x' || substr(md5(ng), 1, 15))::BIGINT % 2147483647)
+      + j.j * (('0x' || substr(md5(ng), 17, 15))::BIGINT % 2147483647))
+     % 2147483647) % 131072 AS p
+  FROM ng, (SELECT UNNEST([0, 1, 2]) AS j) j
+),
+flagged AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, ng FROM probes
+    WHERE p IN (SELECT p FROM bench_pos)
+    GROUP BY doc_id, ng HAVING COUNT(*) = 3
+  )
+)
+SELECT CAST(1 AS INT) AS stage, 'ingest' AS stage_name,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS n_ws_tokens FROM base
+UNION ALL
+SELECT 2, 'quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(ws) AS BIGINT)
+FROM base WHERE q
+UNION ALL
+SELECT 3, 'langid', CAST(COUNT(*) AS BIGINT), CAST(SUM(ws) AS BIGINT)
+FROM base WHERE q AND l
+UNION ALL
+SELECT 4, 'dedup_prefix', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(ws) AS BIGINT)
+FROM surv WHERE keep
+UNION ALL
+SELECT 5, 'decontaminate', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(ws) AS BIGINT)
+FROM surv
+WHERE keep AND NOT bench
+  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+ORDER BY stage
+"""

@@ -374,6 +374,7 @@ _GATE_ORDER = [
     "h264_ladder_decode",
     "h264_mp4_ac_decode",
     "crossmodal_dedup",
+    "corpus_build_funnel",
     "video_fingerprint",
     "audio_fingerprint",
     "image_fingerprint",
@@ -411,7 +412,6 @@ _GATE_ORDER = [
     "thermometers_multi",
     "thermometers_multi2",
     "unit_conversions",
-    "asof_purchase_view",
 ]
 
 

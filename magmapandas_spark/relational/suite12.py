@@ -26,6 +26,9 @@ the ABC sketch twin, and the H.264 AC/I_4x4 codec notch.
 - ``h264_mp4_ac_decode`` — the container x AC capstone: the notch-12
   corpus shipped as AVC-in-MP4 (multi-parameter-set avcC, two-slice
   access units) through the ISO BMFF walk + full AC/I_4x4 decode.
+- ``corpus_build_funnel`` — the pipeline legs COMPOSED: one
+  five-stage corpus snapshot report (quality -> langid -> prefix
+  dedup -> Bloom decontamination) with per-stage doc/token survival.
 - ``crossmodal_dedup`` — the multimodal quad COMPOSED: one
   per-asset verdict joining the text/video/audio/image fingerprint
   collision sets (each leg aggregated to the 12-asset grain before a
@@ -44,6 +47,9 @@ def queries():
         q_h264_i4x4_decode,
         q_h264_ladder_decode,
     )
+    from magmapandas_spark.operators.curation import (
+        q_corpus_build_funnel,
+    )
     from magmapandas_spark.operators.mp4 import q_h264_mp4_ac_decode
     from magmapandas_spark.operators.multimodal import q_crossmodal_dedup
     from magmapandas_spark.operators.png import q_fp_index_probe
@@ -56,6 +62,7 @@ def queries():
         "h264_ladder_decode": q_h264_ladder_decode,
         "crossmodal_dedup": q_crossmodal_dedup,
         "h264_mp4_ac_decode": q_h264_mp4_ac_decode,
+        "corpus_build_funnel": q_corpus_build_funnel,
     }
 
 
@@ -69,6 +76,9 @@ def oracle_sql():
         SQL_H264_LADDER_DECODE,
         SQL_H264_MP4_AC_DECODE,
     )
+    from magmapandas_spark.operators.curation import (
+        SQL_CORPUS_BUILD_FUNNEL,
+    )
     from magmapandas_spark.operators.multimodal import _sql_crossmodal
     from magmapandas_spark.operators.png import SQL_FP_INDEX_PROBE
 
@@ -80,4 +90,5 @@ def oracle_sql():
         "h264_ladder_decode": SQL_H264_LADDER_DECODE,
         "crossmodal_dedup": _sql_crossmodal(),
         "h264_mp4_ac_decode": SQL_H264_MP4_AC_DECODE,
+        "corpus_build_funnel": SQL_CORPUS_BUILD_FUNNEL,
     }
