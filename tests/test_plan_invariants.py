@@ -916,3 +916,18 @@ def test_crossmodal_dedup_legs_decode_once_and_join_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_build_funnel_shape(spark):
+    """The corpus-build funnel: no sort-merge or cartesian joins
+    (Bloom chain = broadcast semi joins, flag attach = broadcast
+    left join), and every window partitions by the dedup prefix
+    hash."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()["corpus_build_funnel"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for spec in window_partition_specs(plan):
+        assert spec.strip()
