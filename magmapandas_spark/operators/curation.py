@@ -1355,7 +1355,7 @@ ORDER BY lang
 # ---------------------------------------------------------------------
 
 
-def corpus_build_funnel(spark, docs: DataFrame) -> DataFrame:
+def corpus_build_funnel(docs: DataFrame) -> DataFrame:
     """ONE end-to-end corpus build — the report a real training-data
     pipeline publishes per snapshot. Five stages over the documents
     table, each the engine's separately-verified leg:
@@ -1481,7 +1481,7 @@ def q_corpus_build_funnel(spark, sf_dir: str) -> DataFrame:
     engine's separately-verified pipeline legs composed into one
     corpus snapshot report."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return corpus_build_funnel(spark, docs)
+    return corpus_build_funnel(docs)
 
 
 SQL_CORPUS_BUILD_FUNNEL = """
