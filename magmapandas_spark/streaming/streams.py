@@ -1305,3 +1305,157 @@ def streaming_fp_ingest(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def streaming_funnel_ingest(
+    docs_stream: DataFrame,
+    bench_words: list[int],
+    state_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+):
+    """Streaming twin of the corpus-build funnel
+    (operators/curation.py): per micro-batch (``foreachBatch``)
+
+      1. stage flags in one projection — quality (>= 20 ws tokens),
+         langid (marker tokens), the prefix-5 dedup hash, the eval
+         (bench) slice flag;
+      2. cross-batch keep-first dedup: within-batch min doc_id per
+         hash, then an anti join against the persisted hash set (the
+         streaming_fp_ingest discipline), survivors' hashes appended
+         so batch N+1 dedups against everything accepted so far;
+      3. Bloom decontamination against the FIXED packed benchmark
+         filter (``bench_words`` from build_bloom_bits — the filter
+         rides every batch plan as one array<bigint> literal, no
+         bench-side recompute per batch);
+      4. additive per-stage (docs, tokens) counters appended to
+         ``{state_dir}/counters``.
+
+    When batches arrive in doc_id order (first occurrence = min
+    doc_id), the folded totals are BIT-EQUAL to the batch funnel —
+    pinned by tests/test_streaming_oracle.py."""
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    from magmapandas_spark.operators.bloom import bloom_flag_docs_bitset
+
+    hashes_path = f"{state_dir}/hashes"
+    counters_path = f"{state_dir}/counters"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            return
+        tokens = F.split(F.col("text"), " ")
+        base = batch_df.select(
+            "doc_id",
+            "text",
+            F.size(tokens).alias("ws"),
+            (F.size(tokens) >= 20).alias("q"),
+            (
+                F.size(
+                    F.filter(
+                        tokens,
+                        lambda x: x.isin("the", "a", "and", "of"),
+                    )
+                )
+                >= 1
+            ).alias("l"),
+            F.md5(F.concat_ws(" ", F.slice(tokens, 1, 5))).alias("h"),
+            (F.col("doc_id") % 11 == 0).alias("bench"),
+        ).localCheckpoint(eager=True)
+        surv = base.filter(F.col("q") & F.col("l"))
+        w = Window.partitionBy("h").orderBy("doc_id")
+        firsts = (
+            surv.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        try:
+            seen = spark.read.parquet(hashes_path).select("h")
+            kept = firsts.join(seen, "h", "anti")
+        except AnalysisException:
+            kept = firsts
+        kept = kept.localCheckpoint(eager=True)
+        kept.select("h").write.mode("append").parquet(hashes_path)
+        flagged = bloom_flag_docs_bitset(
+            kept.filter(~F.col("bench")).select("doc_id", "text"),
+            bench_words,
+        ).select("doc_id", F.lit(True).alias("contaminated"))
+        final = kept.join(F.broadcast(flagged), "doc_id", "left")
+        row = base.agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum("ws").alias("t1"),
+            F.sum(F.when(F.col("q"), 1).otherwise(0)).alias("n2"),
+            F.sum(F.when(F.col("q"), F.col("ws"))).alias("t2"),
+            F.sum(
+                F.when(F.col("q") & F.col("l"), 1).otherwise(0)
+            ).alias("n3"),
+            F.sum(F.when(F.col("q") & F.col("l"), F.col("ws"))).alias(
+                "t3"
+            ),
+        ).crossJoin(
+            final.agg(
+                F.count(F.lit(1)).alias("n4"),
+                F.coalesce(F.sum("ws"), F.lit(0)).alias("t4"),
+                F.sum(
+                    F.when(
+                        ~F.col("bench")
+                        & F.col("contaminated").isNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias("n5"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            ~F.col("bench")
+                            & F.col("contaminated").isNull(),
+                            F.col("ws"),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("t5"),
+            )
+        )
+        row.write.mode("append").parquet(counters_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def finalize_streaming_funnel(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Fold the per-batch counters into the funnel report — the same
+    (stage, stage_name, n_docs, n_ws_tokens) rows the batch
+    ``corpus_build_funnel`` emits."""
+    c = spark.read.parquet(f"{state_dir}/counters").agg(
+        *[
+            F.sum(col).alias(col)
+            for col in (
+                "n1", "t1", "n2", "t2", "n3", "t3",
+                "n4", "t4", "n5", "t5",
+            )
+        ]
+    )
+    return (
+        c.selectExpr(
+            "stack(5, 1, 'ingest', n1, t1, 2, 'quality', n2, t2,"
+            " 3, 'langid', n3, t3, 4, 'dedup_prefix', n4, t4,"
+            " 5, 'decontaminate', n5, t5)"
+            " AS (stage, stage_name, n_docs, n_ws_tokens)"
+        )
+        .select(
+            F.col("stage").cast("int"),
+            "stage_name",
+            F.col("n_docs").cast("long"),
+            F.col("n_ws_tokens").cast("long"),
+        )
+        .orderBy("stage")
+    )

@@ -168,6 +168,7 @@ SHAPES = [
     "knn_broadcast_scoring",
     "balanced_resample",
     "abc_sketch_only",
+    "corpus_build_funnel",
 ]
 
 
@@ -336,6 +337,12 @@ def run_shapes(spark, sf_dir: str) -> dict[str, float]:
         # histogram + bounded cumulative window); wall must track the
         # scan while sketch state stays B counters
         "abc_sketch_only": _abc_sketch_only_shape,
+        # round-9 shape: the five-stage corpus-build funnel — one
+        # conditional-aggregate scan + a hash-partitioned keep-first
+        # window + the Bloom broadcast-semi-join chain; the bench
+        # (eval-set) side is corpus-INDEPENDENT, so wall must track
+        # the documents scan
+        "corpus_build_funnel": qs["corpus_build_funnel"],
     }
     out: dict[str, float] = {}
 

@@ -741,3 +741,74 @@ def test_streaming_psi_matches_batch(spark):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     for d in (src, out_dir):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_funnel_matches_batch(spark):
+    """The streaming corpus-build funnel (cross-batch prefix-hash
+    keep-first + fixed packed Bloom filter + additive counters)
+    finalizes to EXACTLY the batch funnel's five stage rows. Batches
+    are doc_id-contiguous and processed in ascending order (staggered
+    mtimes pin the FileStreamSource order), matching the batch
+    keep-first's min-doc_id semantics."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.bloom import build_bloom_bits
+    from magmapandas_spark.operators.curation import (
+        corpus_build_funnel,
+    )
+    from magmapandas_spark.streaming.streams import (
+        finalize_streaming_funnel,
+        streaming_funnel_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    cut1, cut2 = mx // 3, 2 * mx // 3
+    src = tempfile.mkdtemp(prefix="stream_funnel_src_")
+    for k, pred in enumerate(
+        (
+            F.col("doc_id") <= cut1,
+            (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+            F.col("doc_id") > cut2,
+        )
+    ):
+        part = os.path.join(src, f"part_{k}.parquet")
+        docs.filter(pred).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part + ".dir")
+        # single data file out of the dir, mtime ascending with k
+        data = [
+            f
+            for f in os.listdir(part + ".dir")
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(os.path.join(part + ".dir", data), part)
+        t = _time.time() + k * 10
+        os.utime(part, (t, t))
+    bench_words = build_bloom_bits(
+        docs.filter(F.col("doc_id") % 11 == 0)
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_funnel_")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    streaming_funnel_ingest(
+        stream,
+        bench_words,
+        os.path.join(out_dir, "state"),
+        os.path.join(out_dir, "ckpt"),
+    )
+    got = normalize(
+        finalize_streaming_funnel(
+            spark, os.path.join(out_dir, "state")
+        ).toPandas()
+    )
+    exp = normalize(corpus_build_funnel(docs).toPandas())
+    pd.testing.assert_frame_equal(got, exp)
