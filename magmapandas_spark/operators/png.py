@@ -492,10 +492,20 @@ def q_fp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: LSH and IVF probes already have hashed relational twins."""
     from magmapandas_spark.operators.multimodal import tiny_sorted
 
-    table = "fp_index_gate"
+    import re
+
+    # per-session table name: two sessions (a bench run racing a test
+    # run) must not DROP/rmtree/saveAsTable the same location — every
+    # other registry query is a pure read, this one builds an index
+    app = re.sub(
+        r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId
+    )
+    table = f"fp_index_gate_{app}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a table dir left by a PRIOR session isn't in this catalog, and
-    # saveAsTable refuses to reuse the location — clear it too
+    # a table dir left by a PRIOR run of this same app isn't in a
+    # fresh catalog, and saveAsTable refuses to reuse the location —
+    # clear it too (stale other-app dirs stay; the warehouse is
+    # gitignored scratch)
     import shutil
     from urllib.parse import urlparse
 

@@ -1331,6 +1331,13 @@ def streaming_funnel_ingest(
       4. additive per-stage (docs, tokens) counters appended to
          ``{state_dir}/counters``.
 
+    IDEMPOTENT under foreachBatch's at-least-once re-execution: hash
+    rows carry their batch_id and the seen-set read EXCLUDES the
+    current batch (a retry that already appended its hashes doesn't
+    dedup against itself), and counter rows are batch_id-keyed with a
+    dropDuplicates fold at finalize (a retried batch recomputes the
+    identical row; double appends collapse).
+
     When batches arrive in doc_id order (first occurrence = min
     doc_id), the folded totals are BIT-EQUAL to the batch funnel —
     pinned by tests/test_streaming_oracle.py."""
@@ -1372,12 +1379,18 @@ def streaming_funnel_ingest(
             .drop("rn")
         )
         try:
-            seen = spark.read.parquet(hashes_path).select("h")
+            seen = (
+                spark.read.parquet(hashes_path)
+                .filter(F.col("batch_id") != batch_id)
+                .select("h")
+            )
             kept = firsts.join(seen, "h", "anti")
         except AnalysisException:
             kept = firsts
         kept = kept.localCheckpoint(eager=True)
-        kept.select("h").write.mode("append").parquet(hashes_path)
+        kept.select(
+            "h", F.lit(batch_id).alias("batch_id")
+        ).write.mode("append").parquet(hashes_path)
         flagged = bloom_flag_docs_bitset(
             kept.filter(~F.col("bench")).select("doc_id", "text"),
             bench_words,
@@ -1417,7 +1430,9 @@ def streaming_funnel_ingest(
                 ).alias("t5"),
             )
         )
-        row.write.mode("append").parquet(counters_path)
+        row.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(counters_path)
 
     q = (
         docs_stream.writeStream.foreachBatch(process)
@@ -1435,7 +1450,9 @@ def finalize_streaming_funnel(
     """Fold the per-batch counters into the funnel report — the same
     (stage, stage_name, n_docs, n_ws_tokens) rows the batch
     ``corpus_build_funnel`` emits."""
-    c = spark.read.parquet(f"{state_dir}/counters").agg(
+    c = spark.read.parquet(f"{state_dir}/counters").dropDuplicates(
+        ["batch_id"]
+    ).agg(
         *[
             F.sum(col).alias(col)
             for col in (

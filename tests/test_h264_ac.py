@@ -419,3 +419,54 @@ def test_mp4_ac_capstone_roundtrip():
             assert np.array_equal(y, ty)
             assert np.array_equal(cb, tcb) and np.array_equal(cr, tcr)
             pos += size
+
+
+def test_run_before_overshoot_raises():
+    """spec 9.2.3: run_before > zerosLeft must raise — the corrupt
+    pattern that would otherwise wrap ``pos`` into Python negative
+    indexing and emit plausible garbage (found by review probe)."""
+    from magmapandas_spark.operators.h264 import (
+        _TOTAL_ZEROS_4X4,
+        _write_levels,
+    )
+
+    def put_code(w, code: str) -> None:
+        w.u(int(code, 2) if set(code) != {"0"} else 0, len(code))
+
+    # TC=8, T1s=0 (nC >= 8 FLC class), eight levels, total_zeros=8
+    # (legal: 8 <= 16 - 8), then run_before = 14 from the
+    # zerosLeft >= 7 table while only 8 zeros remain
+    w = _BitWriter()
+    w.u(4 * 7 + 0, 6)
+    _write_levels(w, [2] * 8, 8, 0)
+    put_code(w, {v: k for k, v in _TOTAL_ZEROS_4X4[8].items()}[8])
+    put_code(w, {v: k for k, v in _RUN_BEFORE_FULL[7].items()}[14])
+    w.rbsp_trailing()
+    r = _BitReader(w.tobytes())
+    with pytest.raises(ValueError, match="run_before"):
+        _parse_residual_4x4(r, 8, 16)
+
+
+def test_chroma_mode_out_of_range_raises():
+    """intra_chroma_pred_mode > 3 must raise, not silently decode as
+    DC (the cbp codeNum discipline)."""
+    from magmapandas_spark.operators.h264 import (
+        _escape_ebsp,
+        _fixture_mixed,
+        encode_mixed_annexb,
+    )
+
+    y, cb, cr, cls = _fixture_mixed(0)
+    data = encode_mixed_annexb(y, cb, cr, cls)
+    sl = _BitWriter()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.ue(1)   # I_16x16, pred 0, cbp 0
+    sl.ue(7)   # intra_chroma_pred_mode = 7: out of range
+    sl.rbsp_trailing()
+    idx = data.rfind(b"\x00\x00\x00\x01\x65")
+    stream = data[:idx] + b"\x00\x00\x00\x01\x65" + _escape_ebsp(
+        sl.tobytes()
+    )
+    with pytest.raises(ValueError, match="intra_chroma_pred_mode"):
+        decode_h264_iframe(stream)
