@@ -52,12 +52,26 @@ decodes:
    boundary (top edge gated away: left-only CAVLC nC,
    left-constrained prediction modes, chroma DC fallbacks).
 
+11. (round 9) ``h264_p_decode`` — P-slice INTER prediction
+   (operators/h264p.py): quarter-sample luma motion compensation
+   (spec 8.4.2.2.1 6-tap half-pel filters, the center ``j`` through
+   un-rounded intermediates, Table 8-12 quarter averages, Clip3
+   edge-coordinate clamping), eighth-sample bilinear chroma
+   (8.4.2.2.2), median motion-vector prediction with the
+   neighbor-C -> D substitution and special cases (8.4.1.3), P_Skip
+   motion derivation (8.4.1.1) via mb_skip_run, Table 9-4 INTER
+   coded_block_pattern + inter 4x4 residuals, and intra-in-P
+   macroblocks (Table 7-13 mb_type offset 5) predicting from
+   inter-reconstructed neighbors — across a real I->P->P reference
+   chain.
+
 With notches 10/11 the decoder accepts the full baseline I-frame
 toolbox (I_PCM + I_16x16 + I_4x4, any CAVLC residual, incl. the
 level_prefix >= 16 extended escape range of the 2005+ spec
-editions). Honest boundaries that remain: P/B inter prediction,
-CABAC, transform_size_8x8 / high profiles, interlace, FMO —
-permanent scope lines.
+editions); notch 13 adds single-reference P slices (P_L0_16x16 +
+P_Skip + intra-in-P). Honest boundaries that remain: P 16x8/8x16/8x8
+partitions, multiple reference frames, weighted prediction, B
+slices, CABAC, transform_size_8x8 / high profiles, interlace, FMO.
 
 Scale posture: identical to every codec in this engine — one narrow
 Arrow ``mapInPandas`` stage per payload; bytes never leave the
@@ -401,9 +415,9 @@ def _parse_pps(rbsp: bytes) -> dict:
     r.u(1)  # bottom_field_pic_order_in_frame_present_flag
     if r.ue() != 0:  # num_slice_groups_minus1
         raise NotImplementedError("slice groups (FMO) not supported")
-    r.ue()  # num_ref_idx_l0_default_active_minus1
+    num_ref_l0 = r.ue() + 1  # num_ref_idx_l0_default_active_minus1
     r.ue()  # num_ref_idx_l1_default_active_minus1
-    r.u(1)  # weighted_pred_flag
+    weighted_pred = r.u(1)  # weighted_pred_flag
     r.u(2)  # weighted_bipred_idc
     init_qp = r.se() + 26
     r.se()  # pic_init_qs_minus26
@@ -411,7 +425,13 @@ def _parse_pps(rbsp: bytes) -> dict:
     r.u(1)  # deblocking_filter_control_present_flag
     r.u(1)  # constrained_intra_pred_flag
     r.u(1)  # redundant_pic_cnt_present_flag
-    return {"pps_id": pps_id, "sps_id": sps_id, "init_qp": init_qp}
+    return {
+        "pps_id": pps_id,
+        "sps_id": sps_id,
+        "init_qp": init_qp,
+        "num_ref_l0": num_ref_l0,
+        "weighted_pred": weighted_pred,
+    }
 
 
 # chroma QP mapping (spec Table 8-15) for qPi >= 30; below 30 QPc = qPi
@@ -1074,6 +1094,18 @@ _CBP_INTRA = [
 ]
 _CBP_INTRA_INV = {v: k for k, v in enumerate(_CBP_INTRA)}
 
+# Table 9-4, Inter column: me(v) codeNum -> coded_block_pattern for
+# macroblock prediction modes other than Intra_4x4/Intra_8x8 (P MBs).
+# Transcribed from the published spec table; tests/test_h264_p.py
+# pins that it is a permutation of 0..47 and that the two columns
+# agree on the shared tail entries (codeNum 46/47 -> 38/41).
+_CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+_CBP_INTER_INV = {v: k for k, v in enumerate(_CBP_INTER)}
+
 
 def _predict_4x4_block(
     y: np.ndarray,
@@ -1390,6 +1422,183 @@ def _predict_chroma8x8(
                 blk[by : by + 4, bx : bx + 4] = dc
 
 
+# ---------------------------------------------------------------------
+# P-slice inter prediction (round 9, notch 13): quarter-sample luma /
+# eighth-sample chroma motion compensation (spec 8.4.2.2) and the
+# median motion-vector predictor + P_Skip derivation (spec 8.4.1).
+# The fixture/encoder/twin side lives in operators/h264p.py; these are
+# the DECODER's kernels (vectorized numpy), independent of the
+# explicit-loop twins the oracle embeds.
+# ---------------------------------------------------------------------
+
+
+def _mc_luma_block(
+    ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int
+) -> np.ndarray:
+    """Spec 8.4.2.2.1 quarter-sample luma interpolation of the 16x16
+    partition at (x0, y0) under quarter-pel motion (mvx, mvy): 6-tap
+    (1,-5,20,20,-5,1) half-sample filters, the center position ``j``
+    filtered from UN-rounded intermediates ((j1+512)>>10), quarter
+    positions as +1>>1 averages of the already-clipped neighbors
+    (Table 8-12), and every integer reference coordinate Clip3'd to
+    the picture independently (edge replication for unrestricted
+    vectors)."""
+    xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    xf, yf = mvx & 3, mvy & 3
+    h_, w_ = ref.shape
+    ys = np.clip(np.arange(yi - 2, yi + 20), 0, h_ - 1)
+    xs = np.clip(np.arange(xi - 2, xi + 20), 0, w_ - 1)
+    p = ref[np.ix_(ys, xs)].astype(np.int64)  # 22x22, origin at [2,2]
+    if xf == 0 and yf == 0:
+        return p[2:18, 2:18]
+    g = p[2:19, 2:19]  # integer samples at offsets 0..16
+    b1 = (
+        p[:, 0:17] - 5 * p[:, 1:18] + 20 * p[:, 2:19]
+        + 20 * p[:, 3:20] - 5 * p[:, 4:21] + p[:, 5:22]
+    )  # un-rounded horizontal half-pel, rows -2..19, col offsets 0..16
+    b = np.clip((b1[2:19, :] + 16) >> 5, 0, 255)
+    h1 = (
+        p[0:17, :] - 5 * p[1:18, :] + 20 * p[2:19, :]
+        + 20 * p[3:20, :] - 5 * p[4:21, :] + p[5:22, :]
+    )
+    hv = np.clip((h1[:, 2:19] + 16) >> 5, 0, 255)
+    j1 = (
+        b1[0:17, :] - 5 * b1[1:18, :] + 20 * b1[2:19, :]
+        + 20 * b1[3:20, :] - 5 * b1[4:21, :] + b1[5:22, :]
+    )
+    jc = np.clip((j1 + 512) >> 10, 0, 255)
+    g00, gx1, gy1 = g[0:16, 0:16], g[0:16, 1:17], g[1:17, 0:16]
+    b00, s00 = b[0:16, 0:16], b[1:17, 0:16]   # s: b one row below
+    h00, m00 = hv[0:16, 0:16], hv[0:16, 1:17]  # m: h one col right
+    j00 = jc[0:16, 0:16]
+    sel = {
+        (1, 0): (g00 + b00 + 1) >> 1,
+        (2, 0): b00,
+        (3, 0): (b00 + gx1 + 1) >> 1,
+        (0, 1): (g00 + h00 + 1) >> 1,
+        (1, 1): (b00 + h00 + 1) >> 1,
+        (2, 1): (b00 + j00 + 1) >> 1,
+        (3, 1): (b00 + m00 + 1) >> 1,
+        (0, 2): h00,
+        (1, 2): (h00 + j00 + 1) >> 1,
+        (2, 2): j00,
+        (3, 2): (j00 + m00 + 1) >> 1,
+        (0, 3): (h00 + gy1 + 1) >> 1,
+        (1, 3): (h00 + s00 + 1) >> 1,
+        (2, 3): (j00 + s00 + 1) >> 1,
+        (3, 3): (m00 + s00 + 1) >> 1,
+    }
+    return sel[(xf, yf)]
+
+
+def _mc_chroma_block(
+    ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int
+) -> np.ndarray:
+    """Spec 8.4.2.2.2 eighth-sample bilinear chroma interpolation of
+    the 8x8 block at chroma coordinates (x0, y0): for 4:2:0 frame
+    coding the chroma vector equals the luma vector with eighth-pel
+    precision (mv >> 3 integer part, mv & 7 fraction); coordinates
+    Clip3'd to the chroma plane."""
+    xi, yi = x0 + (mvx >> 3), y0 + (mvy >> 3)
+    xf, yf = mvx & 7, mvy & 7
+    h_, w_ = ref.shape
+    ys = np.clip(np.arange(yi, yi + 9), 0, h_ - 1)
+    xs = np.clip(np.arange(xi, xi + 9), 0, w_ - 1)
+    c = ref[np.ix_(ys, xs)].astype(np.int64)
+    a_, b_ = c[0:8, 0:8], c[0:8, 1:9]
+    c_, d_ = c[1:9, 0:8], c[1:9, 1:9]
+    return (
+        (8 - xf) * (8 - yf) * a_ + xf * (8 - yf) * b_
+        + (8 - xf) * yf * c_ + xf * yf * d_ + 32
+    ) >> 6
+
+
+def _mc_16x16_into(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    ref_y: np.ndarray,
+    ref_cb: np.ndarray,
+    ref_cr: np.ndarray,
+    mbx: int,
+    mby: int,
+    mvx: int,
+    mvy: int,
+) -> None:
+    """Motion-compensate one 16x16 macroblock (luma + both chroma
+    planes) from the reference picture into the current picture."""
+    y0, x0 = 16 * mby, 16 * mbx
+    y[y0 : y0 + 16, x0 : x0 + 16] = _mc_luma_block(
+        ref_y, x0, y0, mvx, mvy
+    )
+    cy, cx = 8 * mby, 8 * mbx
+    cb[cy : cy + 8, cx : cx + 8] = _mc_chroma_block(
+        ref_cb, cx, cy, mvx, mvy
+    )
+    cr[cy : cy + 8, cx : cx + 8] = _mc_chroma_block(
+        ref_cr, cx, cy, mvx, mvy
+    )
+
+
+def _median3(a: int, b: int, c: int) -> int:
+    return a + b + c - min(a, b, c) - max(a, b, c)
+
+
+def _mvp_16x16(mb, mbs_w, mvxa, mvya, refa, avail):
+    """Spec 8.4.1.3 motion-vector prediction for a 16x16 partition
+    with a single L0 reference: gather neighbors A (left), B (above),
+    C (above-right, replaced by D above-left when unavailable); an
+    unavailable or intra neighbor contributes mv (0,0) with
+    refIdx -1; then (8.4.1.3.1) mvA when B and C are both unavailable
+    MBs and A is available, the single neighbor whose refIdx matches
+    when exactly one does, else the component-wise median.
+    ``avail(n)`` is MB availability (decoded, same slice)."""
+    mbx, mby = mb % mbs_w, mb // mbs_w
+
+    def nbr(n: int, ok: bool):
+        # (mvx, mvy, refIdx, mb_available)
+        if not ok:
+            return 0, 0, -1, False
+        if refa[n] < 0:  # intra-coded neighbor
+            return 0, 0, -1, True
+        return int(mvxa[n]), int(mvya[n]), 0, True
+
+    a = nbr(mb - 1, mbx > 0 and avail(mb - 1))
+    b = nbr(mb - mbs_w, mby > 0 and avail(mb - mbs_w))
+    if mby > 0 and mbx < mbs_w - 1 and avail(mb - mbs_w + 1):
+        c = nbr(mb - mbs_w + 1, True)
+    else:  # C unavailable: substitute D (above-left)
+        c = nbr(
+            mb - mbs_w - 1,
+            mby > 0 and mbx > 0 and avail(mb - mbs_w - 1),
+        )
+    if not b[3] and not c[3] and a[3]:
+        return a[0], a[1]
+    hits = [n for n in (a, b, c) if n[2] == 0]
+    if len(hits) == 1:
+        return hits[0][0], hits[0][1]
+    return (
+        _median3(a[0], b[0], c[0]),
+        _median3(a[1], b[1], c[1]),
+    )
+
+
+def _skip_mv_16x16(mb, mbs_w, mvxa, mvya, refa, avail):
+    """Spec 8.4.1.1 P_Skip motion derivation: the zero vector when
+    the left or top neighbor MB is unavailable or is an inter MB
+    with refIdx 0 and a zero vector; otherwise the 16x16 median
+    predictor."""
+    mbx, mby = mb % mbs_w, mb // mbs_w
+    if not (mbx > 0 and avail(mb - 1)):
+        return 0, 0
+    if not (mby > 0 and avail(mb - mbs_w)):
+        return 0, 0
+    for n in (mb - 1, mb - mbs_w):
+        if refa[n] == 0 and mvxa[n] == 0 and mvya[n] == 0:
+            return 0, 0
+    return _mvp_16x16(mb, mbs_w, mvxa, mvya, refa, avail)
+
+
 def _last_set_bit_pos(rbsp: bytes) -> int:
     """Bit position (MSB-first reader convention) of the rbsp stop
     bit — the LAST set bit in the rbsp (rbsp_trailing writes a 1 then
@@ -1440,8 +1649,11 @@ def decode_h264_stream_info(
     ppss: dict[int, dict] = {}
     pics: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     slice_counts: list[int] = []
+    ref_flags: list[bool] = []  # was each decoded picture a reference?
+    cur_ref = False
     y = cb = cr = None
     tc4 = ctc4 = mode4 = mb_done = slice_of = None
+    mvxa = mvya = refa = None
     slice_idx = -1
     for nal_bytes in _split_annexb(data):
         nal_type = nal_bytes[0] & 0x1F
@@ -1458,19 +1670,49 @@ def decode_h264_stream_info(
             stop_bit = _last_set_bit_pos(rbsp)
             first_mb = r.ue()
             slice_type = r.ue()
-            if slice_type % 5 != 2:  # not an I slice
+            st5 = slice_type % 5
+            if st5 == 1:
                 raise NotImplementedError(
-                    "P/B slices need inter prediction — not supported"
+                    "B slices need bi-prediction — not supported"
+                )
+            if st5 in (3, 4):
+                raise NotImplementedError(
+                    "SP/SI switching slices not supported"
+                )
+            is_p = st5 == 0
+            if is_p and nal_type == 5:
+                raise ValueError(
+                    "IDR picture with a P slice (spec 7.4.3: IDR "
+                    "pictures carry only I/SI slices)"
                 )
             pps_id = r.ue()  # pic_parameter_set_id — selects the PPS
             if pps_id not in ppss:
                 raise ValueError(f"slice references unknown PPS {pps_id}")
             pps = ppss[pps_id]
+            if is_p and pps["weighted_pred"]:
+                raise NotImplementedError(
+                    "weighted prediction not supported"
+                )
             r.u(sps["log2_max_frame_num"])  # frame_num
             if nal_type == 5:
                 r.ue()  # idr_pic_id
             if sps["poc_type"] == 0:
                 r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+            if is_p:
+                # spec 7.3.3: L0 size override + reordering syntax
+                # precede dec_ref_pic_marking for P/SP slices
+                n_ref = pps["num_ref_l0"]
+                if r.u(1):  # num_ref_idx_active_override_flag
+                    n_ref = r.ue() + 1  # num_ref_idx_l0_active_minus1
+                if n_ref != 1:
+                    raise NotImplementedError(
+                        "multiple L0 reference pictures not supported "
+                        "(single-reference P slices only)"
+                    )
+                if r.u(1):  # ref_pic_list_modification_flag_l0
+                    raise NotImplementedError(
+                        "ref_pic_list_modification not supported"
+                    )
             if (nal_bytes[0] >> 5) & 3:  # nal_ref_idc != 0
                 if nal_type == 5:
                     r.u(1)  # no_output_of_prior_pics_flag
@@ -1498,6 +1740,8 @@ def decode_h264_stream_info(
                         )
                     pics.append((y, cb, cr))
                     slice_counts.append(slice_idx + 1)
+                    ref_flags.append(cur_ref)
+                cur_ref = bool((nal_bytes[0] >> 5) & 3)
                 w, h = mbs_w * 16, mbs_h * 16
                 y = np.zeros((h, w), np.uint8)
                 cb = np.zeros((h // 2, w // 2), np.uint8)
@@ -1520,16 +1764,69 @@ def decode_h264_stream_info(
                 mode4 = np.full((mbs_h * 4, mbs_w * 4), -1, np.int32)
                 mb_done = np.zeros(mbs_w * mbs_h, bool)
                 slice_of = np.full(mbs_w * mbs_h, -1, np.int32)
+                # per-MB motion state for P slices / MV prediction:
+                # refa -1 = intra or undecoded, 0 = inter (single ref)
+                mvxa = np.zeros(mbs_w * mbs_h, np.int32)
+                mvya = np.zeros(mbs_w * mbs_h, np.int32)
+                refa = np.full(mbs_w * mbs_h, -1, np.int32)
                 slice_idx = 0
             else:
                 if y is None:
                     raise ValueError("slice with first_mb > 0 before "
                                      "a picture-starting slice")
                 slice_idx += 1
+            if is_p:
+                if not pics:
+                    raise ValueError(
+                        "P slice with no prior decoded picture"
+                    )
+                if not ref_flags[-1]:
+                    raise NotImplementedError(
+                        "P slice whose previous picture is a "
+                        "non-reference picture (nal_ref_idc 0) — DPB "
+                        "reordering not supported"
+                    )
+                ref_y, ref_cb, ref_cr = pics[-1]
+
+            def _avail_sl(nbr: int) -> bool:
+                return mb_done[nbr] and slice_of[nbr] == slice_idx
+
             mb = first_mb
             while r._pos < stop_bit:
                 if mb >= mbs_w * mbs_h:
                     raise ValueError("slice data past the last MB")
+                if is_p:
+                    # spec 7.3.4: mb_skip_run precedes every coded MB
+                    skip_run = r.ue()
+                    if mb + skip_run > mbs_w * mbs_h:
+                        raise ValueError("mb_skip_run past the last MB")
+                    for _ in range(skip_run):
+                        sx, sy = mb % mbs_w, mb // mbs_w
+                        mvx, mvy = _skip_mv_16x16(
+                            mb, mbs_w, mvxa, mvya, refa, _avail_sl
+                        )
+                        _mc_16x16_into(
+                            y, cb, cr, ref_y, ref_cb, ref_cr,
+                            sx, sy, mvx, mvy,
+                        )
+                        tc4[
+                            4 * sy : 4 * sy + 4, 4 * sx : 4 * sx + 4
+                        ] = 0
+                        ctc4[
+                            :, 2 * sy : 2 * sy + 2, 2 * sx : 2 * sx + 2
+                        ] = 0
+                        mvxa[mb] = mvx
+                        mvya[mb] = mvy
+                        refa[mb] = 0
+                        slice_of[mb] = slice_idx
+                        mb_done[mb] = True
+                        mb += 1
+                    if r._pos >= stop_bit:
+                        break  # slice ends in a trailing skip run
+                    if mb >= mbs_w * mbs_h:
+                        raise ValueError(
+                            "coded macroblock past the last MB"
+                        )
                 mb_type = r.ue()
                 mbx, mby = mb % mbs_w, mb // mbs_w
 
@@ -1614,7 +1911,70 @@ def decode_h264_stream_info(
                                 0, 255,
                             )
 
-                if mb_type == 25:  # I_PCM
+                inter_mb = False
+                if is_p and mb_type <= 4:
+                    if mb_type != 0:
+                        raise NotImplementedError(
+                            f"P macroblock type {mb_type} (16x8 / "
+                            "8x16 / 8x8 partitions) not supported — "
+                            "P_L0_16x16, P_Skip and intra-in-P only"
+                        )
+                    # P_L0_16x16: ref_idx_l0 absent (te(v) with a
+                    # single active reference), then mvd_l0 x/y
+                    mvd_x = r.se()
+                    mvd_y = r.se()
+                    pmx, pmy = _mvp_16x16(
+                        mb, mbs_w, mvxa, mvya, refa, _avail_sl
+                    )
+                    mvx, mvy = pmx + mvd_x, pmy + mvd_y
+                    _mc_16x16_into(
+                        y, cb, cr, ref_y, ref_cb, ref_cr,
+                        mbx, mby, mvx, mvy,
+                    )
+                    mvxa[mb] = mvx
+                    mvya[mb] = mvy
+                    refa[mb] = 0
+                    cbp_code = r.ue()  # me(v), Table 9-4 INTER column
+                    if cbp_code > 47:
+                        raise ValueError(
+                            f"coded_block_pattern codeNum {cbp_code} "
+                            "out of Table 9-4 range (corrupt stream?)"
+                        )
+                    cbp = _CBP_INTER[cbp_code]
+                    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                    if cbp:
+                        qp_y = (qp_y + r.se() + 52) % 52
+                    for blk in range(16):
+                        bi, bj = _BLK4_POS[blk]
+                        r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                        if cbp_luma & (1 << (blk // 4)):
+                            n_c = _nc(tc4, r4, c4, 4)
+                            lv = _parse_residual_4x4(r, n_c, 16)
+                            tc4[r4, c4] = sum(1 for v in lv if v)
+                            if any(lv):
+                                res = _itransform4x4(
+                                    _dequant4x4(lv, qp_y)
+                                )
+                                sl_ = np.s_[
+                                    4 * r4 : 4 * r4 + 4,
+                                    4 * c4 : 4 * c4 + 4,
+                                ]
+                                y[sl_] = np.clip(
+                                    y[sl_].astype(np.int32) + res,
+                                    0, 255,
+                                )
+                        else:
+                            tc4[r4, c4] = 0
+                    _chroma_residuals(cbp_chroma)
+                    inter_mb = True
+                elif is_p:
+                    # Table 7-13: intra mb_types in P slices are
+                    # offset by 5 past the P types
+                    mb_type -= 5
+
+                if inter_mb:
+                    pass
+                elif mb_type == 25:  # I_PCM
                     r.byte_align()
                     yb = np.frombuffer(r.raw_bytes(256), np.uint8)
                     cbb = np.frombuffer(r.raw_bytes(64), np.uint8)
@@ -1822,6 +2182,7 @@ def decode_h264_stream_info(
         )
     pics.append((y, cb, cr))
     slice_counts.append(slice_idx + 1)
+    ref_flags.append(cur_ref)
     return pics, sps, slice_counts
 
 

@@ -31,9 +31,11 @@ decode with zero codec libraries.
 Round 8 extends that to AVC: :func:`decode_avc_frames` (below) routes
 'avc1' sample entries through the engine's own H.264 baseline I-frame
 decoder (operators/h264.py) — avcC SPS/PPS extraction, length-prefixed
-NAL → Annex-B conversion, per-sample decode. The honest
-``NotImplementedError`` boundary inside that decoder is now P/B
-inter-predicted slices and CABAC entropy coding (see
+NAL → Annex-B conversion, per-sample decode. Round 9's notch 13
+(operators/h264p.py) added single-reference P slices, so the honest
+``NotImplementedError`` boundary inside that decoder is now P
+macroblock partitions (16x8/8x16/8x8), multiple reference frames,
+weighted prediction, B slices, and CABAC entropy coding (see
 operators/h264.py's module docstring for the exact notch ladder).
 
 Scale posture: identical to every decode path — one narrow

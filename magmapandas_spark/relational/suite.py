@@ -403,15 +403,17 @@ _GATE_ORDER = [
     "gini_sketch",
     "text_hapax",
     "abc_classification_sketch",
-    # (b) code changed this round
+    # (b) code changed this round — the P-slice notch is new AND its
+    # decoder branches touch the shared h264 decode loop
+    "h264_p_decode",
     "two_hop_reach",
-    # (c) stalest driver rows (r3/r4)
+    # (c) stalest driver rows (r3/r4); unit_conversions rotated out to
+    # keep the 50-slot gate budget after (b) grew by one
     "feo_fe2o3_split",
     "fo2_buffers",
     "ilmenite_speciation",
     "thermometers_multi",
     "thermometers_multi2",
-    "unit_conversions",
 ]
 
 
@@ -434,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         suite10,
         suite11,
         suite12,
+        suite13,
     )
 
     out = {
@@ -453,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(suite10.queries())
     out.update(suite11.queries())
     out.update(suite12.queries())
+    out.update(suite13.queries())
     return {k: _wrap(v) for k, v in _gate_sorted(out).items()}
 
 
@@ -469,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         suite10,
         suite11,
         suite12,
+        suite13,
     )
 
     out = {
@@ -488,4 +493,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(suite10.oracle_sql())
     out.update(suite11.oracle_sql())
     out.update(suite12.oracle_sql())
+    out.update(suite13.oracle_sql())
     return _gate_sorted(out)

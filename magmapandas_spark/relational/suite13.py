@@ -1,0 +1,29 @@
+"""Correctness-suite part 13 (round 9, continued): the H.264
+P-slice inter-prediction notch.
+
+- ``h264_p_decode`` — codec notch 13: single-reference P slices over
+  a real I->P->P chain — quarter-sample luma motion compensation
+  (spec 8.4.2.2.1: 6-tap half-pel filters, the center ``j`` through
+  un-rounded intermediates, Table 8-12 quarter averages, Clip3 edge
+  clamping on unrestricted vectors), eighth-sample bilinear chroma
+  (8.4.2.2.2), median motion-vector prediction with the C -> D
+  substitution and both special cases (8.4.1.3), P_Skip derivation
+  via mb_skip_run (8.4.1.1), Table 9-4 INTER coded_block_pattern with
+  4x4 residuals over motion-compensated prediction, and intra-in-P
+  macroblocks (Table 7-13 offset) predicting from
+  inter-reconstructed neighbors.
+"""
+
+from __future__ import annotations
+
+
+def queries():
+    from magmapandas_spark.operators.h264p import q_h264_p_decode
+
+    return {"h264_p_decode": q_h264_p_decode}
+
+
+def oracle_sql():
+    from magmapandas_spark.operators.h264p import SQL_H264_P_DECODE
+
+    return {"h264_p_decode": SQL_H264_P_DECODE}
