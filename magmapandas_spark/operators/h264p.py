@@ -587,12 +587,15 @@ def _n13_clip(i: int):
 # -- the Annex-B encoder (syntax driven by the same closed forms) --
 
 
-def encode_p_annexb(i: int) -> bytes:
-    """Annex-B encoder for the notch-13 corpus: SPS (one reference
-    frame), PPS, an IDR all-PCM base picture, then two P pictures
-    (frame_num 1, 2) whose macroblocks are P_Skip runs, P_L0_16x16
-    with median-predicted mvd and optional Table 9-4 inter CBP
-    residuals, or intra-in-P I_16x16 (mb_type offset 5)."""
+def _p_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
+    """Notch-13 NAL units for clip ``i`` — (sps_nal, pps_nal,
+    per-picture slice-NAL lists), each NAL as header byte + EBSP
+    payload WITHOUT start codes, so the Annex-B and AVC-in-MP4 paths
+    consume one encoder (the ``_ladder_nals`` pattern): SPS (one
+    reference frame), PPS, an IDR all-PCM base picture, then two P
+    pictures (frame_num 1, 2) whose macroblocks are P_Skip runs,
+    P_L0_16x16 with median-predicted mvd and optional Table 9-4 inter
+    CBP residuals, or intra-in-P I_16x16 (mb_type offset 5)."""
     qp = _n13_qp(i)
     mbs_w, mbs_h = _n13_geom(i)
     n_mbs = mbs_w * mbs_h
@@ -625,7 +628,7 @@ def encode_p_annexb(i: int) -> bytes:
 
     def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
         header = bytes([(ref_idc << 5) | nal_type])
-        return b"\x00\x00\x00\x01" + header + _escape_ebsp(w_.tobytes())
+        return header + _escape_ebsp(w_.tobytes())
 
     # picture 0: IDR, all I_PCM from the closed-form planes
     sl = _BitWriter()
@@ -657,7 +660,8 @@ def encode_p_annexb(i: int) -> bytes:
             )
         )
     sl.rbsp_trailing()
-    nals = [nal(3, 7, sps), nal(3, 8, pps), nal(3, 5, sl)]
+    sps_nal, pps_nal = nal(3, 7, sps), nal(3, 8, pps)
+    pictures = [[nal(3, 5, sl)]]
 
     for f in (1, 2):
         sl = _BitWriter()
@@ -780,8 +784,15 @@ def encode_p_annexb(i: int) -> bytes:
         if skip_run:
             sl.ue(skip_run)  # trailing skip run ends the slice
         sl.rbsp_trailing()
-        nals.append(nal(2, 1, sl))
-    return b"".join(nals)
+        pictures.append([nal(2, 1, sl)])
+    return sps_nal, pps_nal, pictures
+
+
+def encode_p_annexb(i: int) -> bytes:
+    """The notch-13 clip as one Annex-B stream (the gate corpus)."""
+    sps_nal, pps_nal, pictures = _p_nals(i)
+    flat = [sps_nal, pps_nal] + [n for pic in pictures for n in pic]
+    return b"".join(b"\x00\x00\x00\x01" + n for n in flat)
 
 
 def synthetic_h264_p_media(
@@ -814,7 +825,7 @@ def q_h264_p_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_h264_p() -> str:
+def _sql_h264_p(slice_col: str = "n_slices") -> str:
     """DuckDB oracle for the notch-13 corpus: picture-0 PCM sums and
     checksum terms from the closed-form sample formulas in pure SQL;
     pictures 1-2 re-aggregated in SQL from the embedded explicit-twin
@@ -914,12 +925,12 @@ chroma_p AS (
   FROM clip, LATERAL (SELECT UNNEST(range(len(pcb))) AS k) k
   GROUP BY media_id, pf[k.k // 64 + 1]
 )
-SELECT media_id, frame_idx, n_slices, width, height, n_mbs,
+SELECT media_id, frame_idx, {slice_col}, width, height, n_mbs,
        sum_y, sum_cb, sum_cr, ck_y
 FROM (
   SELECT c.media_id,
          CAST(0 AS INT) AS frame_idx,
-         CAST(1 AS INT) AS n_slices,
+         CAST(1 AS INT) AS {slice_col},
          CAST(16 * c.mbs_w AS INT) AS width,
          CAST(16 * c.mbs_h AS INT) AS height,
          CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
@@ -933,7 +944,7 @@ FROM (
   UNION ALL
   SELECT c.media_id,
          CAST(lp.f AS INT) AS frame_idx,
-         CAST(1 AS INT) AS n_slices,
+         CAST(1 AS INT) AS {slice_col},
          CAST(16 * c.mbs_w AS INT) AS width,
          CAST(16 * c.mbs_h AS INT) AS height,
          CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
@@ -952,7 +963,10 @@ ORDER BY media_id, frame_idx
 
 # SQL_H264_P_DECODE resolves lazily: building it runs the explicit
 # twins over the whole corpus, which only the oracle harness needs.
-_LAZY_SQL = {"SQL_H264_P_DECODE": _sql_h264_p}
+_LAZY_SQL = {
+    "SQL_H264_P_DECODE": lambda: _sql_h264_p(),
+    "SQL_H264_MP4_P_DECODE": lambda: _sql_h264_p(slice_col="n_nals"),
+}
 
 
 def __getattr__(name: str) -> str:

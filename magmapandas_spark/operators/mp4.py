@@ -981,3 +981,150 @@ def q_h264_mp4_ac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "frame_idx",
     )
+
+
+def decode_avc_track(
+    media: DataFrame, permissive: bool = False
+) -> DataFrame:
+    """SEQUENTIAL AVC track decode — the inter-prediction twin of
+    :func:`decode_avc_frames`: a P picture references the previously
+    decoded picture, so samples cannot be decoded in isolation; the
+    whole sample list is converted to ONE Annex-B stream (parameter
+    sets from avcC, then every access unit in track order) and decoded
+    stateful through the H.264 ladder. One statistics row per frame;
+    ``n_nals`` counts the sample's own NALs. Still one narrow
+    ``mapInPandas`` stage per payload — reference state lives inside
+    the decode call, never across rows, so the stage parallelizes
+    across payloads exactly like the per-sample path. With
+    ``permissive=True`` a failing payload quarantines WHOLE (an error
+    row): a broken reference chain poisons every later frame, so
+    per-sample salvage would report garbage as decoded."""
+    from magmapandas_spark.operators.h264 import (
+        _CK_MOD,
+        decode_h264_stream_info,
+    )
+
+    schema = _AVC_PERMISSIVE_SCHEMA if permissive else _AVC_FRAME_SCHEMA
+
+    def fn(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+
+            def quarantine(mid, err):
+                out["media_id"].append(mid)
+                for f_ in schema.fields[1:-1]:
+                    out[f_.name].append(None)
+                out["error"].append(err)
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    m = mp4_parse(payload)
+                    if m["codec"] != "avc1":
+                        raise ValueError(
+                            f"not an AVC track: {m['codec']!r}"
+                        )
+                    sps_l, pps_l = parse_avcc_config(m["avcc"])
+                    pos = m["chunk_offsets"][0]
+                    sample_nals = []
+                    for size in m["sample_sizes"]:
+                        sample_nals.append(
+                            _avcc_sample_nals(payload[pos : pos + size])
+                        )
+                        pos += size
+                    annexb = b"".join(
+                        b"\x00\x00\x00\x01" + n
+                        for n in sps_l + pps_l
+                    ) + b"".join(
+                        b"\x00\x00\x00\x01" + n
+                        for nals in sample_nals
+                        for n in nals
+                    )
+                    pics, sps, _counts = decode_h264_stream_info(
+                        annexb
+                    )
+                    if len(pics) != len(sample_nals):
+                        raise ValueError(
+                            f"track decoded {len(pics)} pictures from "
+                            f"{len(sample_nals)} samples — access "
+                            "units do not map 1:1 to pictures"
+                        )
+                except Exception as e:
+                    if not permissive:
+                        raise
+                    quarantine(mid, f"{type(e).__name__}: {e}")
+                    continue
+                mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
+                for idx, (y, cb, cr) in enumerate(pics):
+                    ck = 0
+                    ky = 0
+                    for mb in range(mbs_w * mbs_h):
+                        mbx, mby = mb % mbs_w, mb // mbs_w
+                        blk = y[
+                            mby * 16 : mby * 16 + 16,
+                            mbx * 16 : mbx * 16 + 16,
+                        ].reshape(-1).astype(np.int64)
+                        ks = np.arange(ky + 1, ky + 257, dtype=np.int64)
+                        ck = (ck + int((ks * blk).sum())) % _CK_MOD
+                        ky += 256
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["n_nals"].append(len(sample_nals[idx]))
+                    out["width"].append(y.shape[1])
+                    out["height"].append(y.shape[0])
+                    out["n_mbs"].append(mbs_w * mbs_h)
+                    out["sum_y"].append(int(y.sum()))
+                    out["sum_cb"].append(int(cb.sum()))
+                    out["sum_cr"].append(int(cr.sum()))
+                    out["ck_y"].append(ck)
+                    if permissive:
+                        out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema)
+
+
+def make_synthetic_avc_p_mp4(i: int) -> bytes:
+    """Notch-13 clip ``i`` (I->P->P inter-prediction chain) as a
+    conforming AVC-in-MP4 file: one access unit per picture, 4-byte
+    length prefixes, parameter sets in the avcC record."""
+    from magmapandas_spark.operators.h264p import _n13_geom, _p_nals
+
+    sps_nal, pps_nal, pictures = _p_nals(i)
+    mbs_w, mbs_h = _n13_geom(i)
+    entry = _visual_sample_entry(
+        b"avc1", 16 * mbs_w, 16 * mbs_h,
+        avcc_record(sps_nal, pps_nal),
+    )
+    return _mp4_encode_video(
+        [avc_sample(nals) for nals in pictures], entry
+    )
+
+
+def synthetic_avc_p_media(
+    spark: SparkSession, n: int | None = None
+) -> DataFrame:
+    from magmapandas_spark.operators.h264p import _N13_CLIPS
+
+    n = _N13_CLIPS if n is None else n
+    return spark.createDataFrame(
+        [(i, bytearray(make_synthetic_avc_p_mp4(i))) for i in range(n)],
+        "media_id long, payload binary",
+    )
+
+
+def q_h264_mp4_p_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query (the container x INTER capstone): the notch-13
+    P-slice corpus shipped as AVC-in-MP4 — ISO BMFF walk, avcC
+    parameter sets, one access unit per picture — decoded as a
+    SEQUENTIAL track so every P picture motion-compensates from the
+    previously reconstructed sample, one exact statistics row per
+    frame under the cross-engine hash. Proves the container tier and
+    the inter-prediction ladder compose."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        decode_avc_track(synthetic_avc_p_media(spark)),
+        "media_id",
+        "frame_idx",
+    )

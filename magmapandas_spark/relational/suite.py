@@ -406,14 +406,15 @@ _GATE_ORDER = [
     # (b) code changed this round — the P-slice notch is new AND its
     # decoder branches touch the shared h264 decode loop
     "h264_p_decode",
+    "h264_mp4_p_decode",
     "two_hop_reach",
-    # (c) stalest driver rows (r3/r4); unit_conversions rotated out to
-    # keep the 50-slot gate budget after (b) grew by one
+    # (c) stalest driver rows (r3/r4); unit_conversions and
+    # thermometers_multi2 rotated out to keep the 50-slot gate budget
+    # after (b) grew by two
     "feo_fe2o3_split",
     "fo2_buffers",
     "ilmenite_speciation",
     "thermometers_multi",
-    "thermometers_multi2",
 ]
 
 

@@ -12,6 +12,11 @@ P-slice inter-prediction notch.
   4x4 residuals over motion-compensated prediction, and intra-in-P
   macroblocks (Table 7-13 offset) predicting from
   inter-reconstructed neighbors.
+- ``h264_mp4_p_decode`` — the container x INTER capstone: the same
+  corpus shipped as AVC-in-MP4 and decoded as a SEQUENTIAL track
+  (``decode_avc_track``), so every P picture motion-compensates from
+  the previously reconstructed sample out of the ISO BMFF sample
+  table.
 """
 
 from __future__ import annotations
@@ -19,11 +24,21 @@ from __future__ import annotations
 
 def queries():
     from magmapandas_spark.operators.h264p import q_h264_p_decode
+    from magmapandas_spark.operators.mp4 import q_h264_mp4_p_decode
 
-    return {"h264_p_decode": q_h264_p_decode}
+    return {
+        "h264_p_decode": q_h264_p_decode,
+        "h264_mp4_p_decode": q_h264_mp4_p_decode,
+    }
 
 
 def oracle_sql():
-    from magmapandas_spark.operators.h264p import SQL_H264_P_DECODE
+    from magmapandas_spark.operators.h264p import (
+        SQL_H264_MP4_P_DECODE,
+        SQL_H264_P_DECODE,
+    )
 
-    return {"h264_p_decode": SQL_H264_P_DECODE}
+    return {
+        "h264_p_decode": SQL_H264_P_DECODE,
+        "h264_mp4_p_decode": SQL_H264_MP4_P_DECODE,
+    }

@@ -349,6 +349,80 @@ def test_p_slice_without_reference_raises():
         decode_h264_stream_info(stream)
 
 
+# ------------------------------------------------------------------
+# AVC-in-MP4 sequential track decode (the container x INTER capstone)
+# ------------------------------------------------------------------
+
+
+def test_mp4_track_decode_matches_twin():
+    from magmapandas_spark.operators import mp4
+
+    for i in (0, 7):
+        payload = mp4.make_synthetic_avc_p_mp4(i)
+        m = mp4.mp4_parse(payload)
+        assert m["codec"] == "avc1" and len(m["sample_sizes"]) == 3
+        sps_l, pps_l = mp4.parse_avcc_config(m["avcc"])
+        pos = m["chunk_offsets"][0]
+        nals = []
+        for size in m["sample_sizes"]:
+            nals.extend(
+                mp4._avcc_sample_nals(payload[pos : pos + size])
+            )
+            pos += size
+        annexb = b"".join(
+            b"\x00\x00\x00\x01" + n for n in sps_l + pps_l + nals
+        )
+        pics, _, _ = decode_h264_stream_info(annexb)
+        twin = _n13_clip(i)
+        for f in range(3):
+            for pi in range(3):
+                assert np.array_equal(pics[f][pi], twin[f][pi])
+
+
+def test_mp4_per_sample_decode_rejects_p_samples():
+    # the isolation path must NOT silently mis-decode inter samples:
+    # a P access unit decoded alone has no reference picture
+    from magmapandas_spark.operators import mp4
+    from magmapandas_spark.operators.h264 import decode_h264_stream
+
+    payload = mp4.make_synthetic_avc_p_mp4(0)
+    m = mp4.mp4_parse(payload)
+    sps_l, pps_l = mp4.parse_avcc_config(m["avcc"])
+    pos = m["chunk_offsets"][0] + m["sample_sizes"][0]
+    p_sample = mp4._avcc_sample_nals(
+        payload[pos : pos + m["sample_sizes"][1]]
+    )
+    annexb = b"".join(
+        b"\x00\x00\x00\x01" + n for n in sps_l + pps_l + p_sample
+    )
+    with pytest.raises(ValueError, match="no prior decoded picture"):
+        decode_h264_stream(annexb)
+
+
+def test_mp4_track_permissive_quarantines_whole_payload(spark):
+    # a poisoned reference chain must not report later frames as
+    # decoded: the permissive track path quarantines the whole file
+    from magmapandas_spark.operators import mp4
+
+    good = mp4.make_synthetic_avc_p_mp4(1)
+    bad = mp4.make_synthetic_avc_p_mp4(0)[:-100]  # truncated mdat
+    media = spark.createDataFrame(
+        [(0, bad), (1, good)],
+        "media_id long, payload binary",
+    )
+    rows = (
+        mp4.decode_avc_track(media, permissive=True)
+        .toPandas()
+        .sort_values(["media_id", "frame_idx"])
+    )
+    bad_rows = rows[rows.media_id == 0]
+    good_rows = rows[rows.media_id == 1]
+    assert len(good_rows) == 3 and good_rows.error.isna().all()
+    # the truncated payload yields exactly one quarantine row —
+    # decode-or-error, never partially-decoded garbage frames
+    assert len(bad_rows) == 1 and bad_rows.error.notna().all()
+
+
 def test_weighted_pred_pps_raises_for_p():
     sps = _BitWriter()
     sps.u(66, 8); sps.u(0, 8); sps.u(10, 8)
