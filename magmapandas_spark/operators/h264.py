@@ -65,13 +65,25 @@ decodes:
    inter-reconstructed neighbors — across a real I->P->P reference
    chain.
 
+12. (round 9) ``h264_pparts_decode`` — notch 14: 16x8 / 8x16
+   macroblock PARTITIONS across TWO-slice P pictures — per-partition
+   mvd pairs, partition-granular neighbor state (spec 6.4.11.7), the
+   directional MVP shortcuts (8.4.1.3: 16x8 top takes B, bottom
+   takes A; 8x16 left takes A, right takes C), slice-gated predictor
+   derivation, partition-sized quarter-pel motion compensation.
+   Also ``h264_mp4_p_decode`` — the notch-13 corpus as AVC-in-MP4
+   through the SEQUENTIAL track decoder (operators/mp4.py
+   ``decode_avc_track``: inter prediction breaks per-sample
+   isolation, so the sample list decodes as one stateful stream).
+
 With notches 10/11 the decoder accepts the full baseline I-frame
 toolbox (I_PCM + I_16x16 + I_4x4, any CAVLC residual, incl. the
 level_prefix >= 16 extended escape range of the 2005+ spec
-editions); notch 13 adds single-reference P slices (P_L0_16x16 +
-P_Skip + intra-in-P). Honest boundaries that remain: P 16x8/8x16/8x8
-partitions, multiple reference frames, weighted prediction, B
-slices, CABAC, transform_size_8x8 / high profiles, interlace, FMO.
+editions); notches 13/14 add single-reference P slices (P_L0_16x16,
+16x8/8x16 partitions, P_Skip, intra-in-P). Honest boundaries that
+remain: P_8x8 sub-macroblock partitions, multiple reference frames,
+weighted prediction, B slices, CABAC, transform_size_8x8 / high
+profiles, interlace, FMO.
 
 Scale posture: identical to every codec in this engine — one narrow
 Arrow ``mapInPandas`` stage per payload; bytes never leave the
@@ -1433,44 +1445,54 @@ def _predict_chroma8x8(
 
 
 def _mc_luma_block(
-    ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int
+    ref: np.ndarray,
+    x0: int,
+    y0: int,
+    mvx: int,
+    mvy: int,
+    bw: int = 16,
+    bh: int = 16,
 ) -> np.ndarray:
-    """Spec 8.4.2.2.1 quarter-sample luma interpolation of the 16x16
-    partition at (x0, y0) under quarter-pel motion (mvx, mvy): 6-tap
-    (1,-5,20,20,-5,1) half-sample filters, the center position ``j``
-    filtered from UN-rounded intermediates ((j1+512)>>10), quarter
-    positions as +1>>1 averages of the already-clipped neighbors
-    (Table 8-12), and every integer reference coordinate Clip3'd to
-    the picture independently (edge replication for unrestricted
-    vectors)."""
+    """Spec 8.4.2.2.1 quarter-sample luma interpolation of the
+    bw x bh partition at (x0, y0) under quarter-pel motion
+    (mvx, mvy): 6-tap (1,-5,20,20,-5,1) half-sample filters, the
+    center position ``j`` filtered from UN-rounded intermediates
+    ((j1+512)>>10), quarter positions as +1>>1 averages of the
+    already-clipped neighbors (Table 8-12), and every integer
+    reference coordinate Clip3'd to the picture independently (edge
+    replication for unrestricted vectors)."""
     xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
     xf, yf = mvx & 3, mvy & 3
     h_, w_ = ref.shape
-    ys = np.clip(np.arange(yi - 2, yi + 20), 0, h_ - 1)
-    xs = np.clip(np.arange(xi - 2, xi + 20), 0, w_ - 1)
-    p = ref[np.ix_(ys, xs)].astype(np.int64)  # 22x22, origin at [2,2]
+    ys = np.clip(np.arange(yi - 2, yi + bh + 4), 0, h_ - 1)
+    xs = np.clip(np.arange(xi - 2, xi + bw + 4), 0, w_ - 1)
+    p = ref[np.ix_(ys, xs)].astype(np.int64)  # origin at [2,2]
     if xf == 0 and yf == 0:
-        return p[2:18, 2:18]
-    g = p[2:19, 2:19]  # integer samples at offsets 0..16
+        return p[2 : 2 + bh, 2 : 2 + bw]
+    g = p[2 : 3 + bh, 2 : 3 + bw]  # integer samples, offsets 0..bw
     b1 = (
-        p[:, 0:17] - 5 * p[:, 1:18] + 20 * p[:, 2:19]
-        + 20 * p[:, 3:20] - 5 * p[:, 4:21] + p[:, 5:22]
-    )  # un-rounded horizontal half-pel, rows -2..19, col offsets 0..16
-    b = np.clip((b1[2:19, :] + 16) >> 5, 0, 255)
+        p[:, 0 : bw + 1] - 5 * p[:, 1 : bw + 2]
+        + 20 * p[:, 2 : bw + 3] + 20 * p[:, 3 : bw + 4]
+        - 5 * p[:, 4 : bw + 5] + p[:, 5 : bw + 6]
+    )  # un-rounded horizontal half-pel intermediates
+    b = np.clip((b1[2 : 3 + bh, :] + 16) >> 5, 0, 255)
     h1 = (
-        p[0:17, :] - 5 * p[1:18, :] + 20 * p[2:19, :]
-        + 20 * p[3:20, :] - 5 * p[4:21, :] + p[5:22, :]
+        p[0 : bh + 1, :] - 5 * p[1 : bh + 2, :]
+        + 20 * p[2 : bh + 3, :] + 20 * p[3 : bh + 4, :]
+        - 5 * p[4 : bh + 5, :] + p[5 : bh + 6, :]
     )
-    hv = np.clip((h1[:, 2:19] + 16) >> 5, 0, 255)
+    hv = np.clip((h1[:, 2 : 3 + bw] + 16) >> 5, 0, 255)
     j1 = (
-        b1[0:17, :] - 5 * b1[1:18, :] + 20 * b1[2:19, :]
-        + 20 * b1[3:20, :] - 5 * b1[4:21, :] + b1[5:22, :]
+        b1[0 : bh + 1, :] - 5 * b1[1 : bh + 2, :]
+        + 20 * b1[2 : bh + 3, :] + 20 * b1[3 : bh + 4, :]
+        - 5 * b1[4 : bh + 5, :] + b1[5 : bh + 6, :]
     )
     jc = np.clip((j1 + 512) >> 10, 0, 255)
-    g00, gx1, gy1 = g[0:16, 0:16], g[0:16, 1:17], g[1:17, 0:16]
-    b00, s00 = b[0:16, 0:16], b[1:17, 0:16]   # s: b one row below
-    h00, m00 = hv[0:16, 0:16], hv[0:16, 1:17]  # m: h one col right
-    j00 = jc[0:16, 0:16]
+    g00 = g[0:bh, 0:bw]
+    gx1, gy1 = g[0:bh, 1 : bw + 1], g[1 : bh + 1, 0:bw]
+    b00, s00 = b[0:bh, 0:bw], b[1 : bh + 1, 0:bw]  # s: b a row below
+    h00, m00 = hv[0:bh, 0:bw], hv[0:bh, 1 : bw + 1]  # m: h a col right
+    j00 = jc[0:bh, 0:bw]
     sel = {
         (1, 0): (g00 + b00 + 1) >> 1,
         (2, 0): b00,
@@ -1492,51 +1514,66 @@ def _mc_luma_block(
 
 
 def _mc_chroma_block(
-    ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int
+    ref: np.ndarray,
+    x0: int,
+    y0: int,
+    mvx: int,
+    mvy: int,
+    bw: int = 8,
+    bh: int = 8,
 ) -> np.ndarray:
     """Spec 8.4.2.2.2 eighth-sample bilinear chroma interpolation of
-    the 8x8 block at chroma coordinates (x0, y0): for 4:2:0 frame
+    the bw x bh block at chroma coordinates (x0, y0): for 4:2:0 frame
     coding the chroma vector equals the luma vector with eighth-pel
     precision (mv >> 3 integer part, mv & 7 fraction); coordinates
     Clip3'd to the chroma plane."""
     xi, yi = x0 + (mvx >> 3), y0 + (mvy >> 3)
     xf, yf = mvx & 7, mvy & 7
     h_, w_ = ref.shape
-    ys = np.clip(np.arange(yi, yi + 9), 0, h_ - 1)
-    xs = np.clip(np.arange(xi, xi + 9), 0, w_ - 1)
+    ys = np.clip(np.arange(yi, yi + bh + 1), 0, h_ - 1)
+    xs = np.clip(np.arange(xi, xi + bw + 1), 0, w_ - 1)
     c = ref[np.ix_(ys, xs)].astype(np.int64)
-    a_, b_ = c[0:8, 0:8], c[0:8, 1:9]
-    c_, d_ = c[1:9, 0:8], c[1:9, 1:9]
+    a_, b_ = c[0:bh, 0:bw], c[0:bh, 1 : bw + 1]
+    c_, d_ = c[1 : bh + 1, 0:bw], c[1 : bh + 1, 1 : bw + 1]
     return (
         (8 - xf) * (8 - yf) * a_ + xf * (8 - yf) * b_
         + (8 - xf) * yf * c_ + xf * yf * d_ + 32
     ) >> 6
 
 
-def _mc_16x16_into(
+def _mc_part_into(
     y: np.ndarray,
     cb: np.ndarray,
     cr: np.ndarray,
     ref_y: np.ndarray,
     ref_cb: np.ndarray,
     ref_cr: np.ndarray,
-    mbx: int,
-    mby: int,
+    x0: int,
+    y0: int,
+    bw: int,
+    bh: int,
     mvx: int,
     mvy: int,
 ) -> None:
-    """Motion-compensate one 16x16 macroblock (luma + both chroma
-    planes) from the reference picture into the current picture."""
-    y0, x0 = 16 * mby, 16 * mbx
-    y[y0 : y0 + 16, x0 : x0 + 16] = _mc_luma_block(
-        ref_y, x0, y0, mvx, mvy
+    """Motion-compensate one luma partition (bw x bh at (x0, y0))
+    plus its chroma halves from the reference picture into the
+    current picture."""
+    y[y0 : y0 + bh, x0 : x0 + bw] = _mc_luma_block(
+        ref_y, x0, y0, mvx, mvy, bw, bh
     )
-    cy, cx = 8 * mby, 8 * mbx
-    cb[cy : cy + 8, cx : cx + 8] = _mc_chroma_block(
-        ref_cb, cx, cy, mvx, mvy
+    cx, cy, cw, ch = x0 // 2, y0 // 2, bw // 2, bh // 2
+    cb[cy : cy + ch, cx : cx + cw] = _mc_chroma_block(
+        ref_cb, cx, cy, mvx, mvy, cw, ch
     )
-    cr[cy : cy + 8, cx : cx + 8] = _mc_chroma_block(
-        ref_cr, cx, cy, mvx, mvy
+    cr[cy : cy + ch, cx : cx + cw] = _mc_chroma_block(
+        ref_cr, cx, cy, mvx, mvy, cw, ch
+    )
+
+
+def _mc_16x16_into(y, cb, cr, ref_y, ref_cb, ref_cr, mbx, mby, mvx, mvy):
+    _mc_part_into(
+        y, cb, cr, ref_y, ref_cb, ref_cr,
+        16 * mbx, 16 * mby, 16, 16, mvx, mvy,
     )
 
 
@@ -1544,34 +1581,53 @@ def _median3(a: int, b: int, c: int) -> int:
     return a + b + c - min(a, b, c) - max(a, b, c)
 
 
-def _mvp_16x16(mb, mbs_w, mvxa, mvya, refa, avail):
-    """Spec 8.4.1.3 motion-vector prediction for a 16x16 partition
-    with a single L0 reference: gather neighbors A (left), B (above),
-    C (above-right, replaced by D above-left when unavailable); an
-    unavailable or intra neighbor contributes mv (0,0) with
-    refIdx -1; then (8.4.1.3.1) mvA when B and C are both unavailable
-    MBs and A is available, the single neighbor whose refIdx matches
-    when exactly one does, else the component-wise median.
-    ``avail(n)`` is MB availability (decoded, same slice)."""
-    mbx, mby = mb % mbs_w, mb // mbs_w
+def _nbr4(bx, by, mv4x, mv4y, ref4, avail_mb, mbs_w):
+    """Neighboring-PARTITION lookup at 4x4-block coordinates
+    (spec 6.4.11.7 granularity): returns (mvx, mvy, refIdx,
+    mb_available). Outside the picture, not yet decoded, or
+    slice-gated -> unavailable; an intra block -> available MB with
+    refIdx -1 and a zero vector. ``ref4`` uses -2 = undecoded,
+    -1 = intra, 0 = inter (single L0 reference)."""
+    if bx < 0 or by < 0 or by >= ref4.shape[0] or bx >= ref4.shape[1]:
+        return 0, 0, -1, False
+    rf = int(ref4[by, bx])
+    if rf == -2:
+        return 0, 0, -1, False
+    if not avail_mb((by // 4) * mbs_w + (bx // 4)):
+        return 0, 0, -1, False
+    if rf < 0:
+        return 0, 0, -1, True
+    return int(mv4x[by, bx]), int(mv4y[by, bx]), 0, True
 
-    def nbr(n: int, ok: bool):
-        # (mvx, mvy, refIdx, mb_available)
-        if not ok:
-            return 0, 0, -1, False
-        if refa[n] < 0:  # intra-coded neighbor
-            return 0, 0, -1, True
-        return int(mvxa[n]), int(mvya[n]), 0, True
 
-    a = nbr(mb - 1, mbx > 0 and avail(mb - 1))
-    b = nbr(mb - mbs_w, mby > 0 and avail(mb - mbs_w))
-    if mby > 0 and mbx < mbs_w - 1 and avail(mb - mbs_w + 1):
-        c = nbr(mb - mbs_w + 1, True)
-    else:  # C unavailable: substitute D (above-left)
-        c = nbr(
-            mb - mbs_w - 1,
-            mby > 0 and mbx > 0 and avail(mb - mbs_w - 1),
-        )
+def _mvp_part(bx, by, w4, h4, shape, idx, mv4x, mv4y, ref4,
+              avail_mb, mbs_w):
+    """Spec 8.4.1.3 motion-vector prediction for the w4 x h4 (in 4x4
+    units) partition whose top-left block is (bx, by): gather
+    partition neighbors A (left), B (above), C (above-right of the
+    partition, replaced by D above-left when unavailable); the
+    directional 16x8 / 8x16 shortcuts when the corresponding
+    neighbor's refIdx matches; else (8.4.1.3.1) mvA when B and C are
+    both unavailable MBs and A is available, the single
+    matching-refIdx neighbor when exactly one matches, else the
+    component-wise median. ``avail_mb(n)`` is MB availability
+    (decoded and same slice, with the current MB's own earlier
+    partitions visible)."""
+    a = _nbr4(bx - 1, by, mv4x, mv4y, ref4, avail_mb, mbs_w)
+    b = _nbr4(bx, by - 1, mv4x, mv4y, ref4, avail_mb, mbs_w)
+    c = _nbr4(bx + w4, by - 1, mv4x, mv4y, ref4, avail_mb, mbs_w)
+    if not c[3]:  # C unavailable: substitute D (above-left)
+        c = _nbr4(bx - 1, by - 1, mv4x, mv4y, ref4, avail_mb, mbs_w)
+    if shape == "16x8":
+        if idx == 0 and b[2] == 0:
+            return b[0], b[1]
+        if idx == 1 and a[2] == 0:
+            return a[0], a[1]
+    elif shape == "8x16":
+        if idx == 0 and a[2] == 0:
+            return a[0], a[1]
+        if idx == 1 and c[2] == 0:
+            return c[0], c[1]
     if not b[3] and not c[3] and a[3]:
         return a[0], a[1]
     hits = [n for n in (a, b, c) if n[2] == 0]
@@ -1583,20 +1639,21 @@ def _mvp_16x16(mb, mbs_w, mvxa, mvya, refa, avail):
     )
 
 
-def _skip_mv_16x16(mb, mbs_w, mvxa, mvya, refa, avail):
-    """Spec 8.4.1.1 P_Skip motion derivation: the zero vector when
-    the left or top neighbor MB is unavailable or is an inter MB
-    with refIdx 0 and a zero vector; otherwise the 16x16 median
-    predictor."""
-    mbx, mby = mb % mbs_w, mb // mbs_w
-    if not (mbx > 0 and avail(mb - 1)):
+def _skip_mv_part(bx, by, mv4x, mv4y, ref4, avail_mb, mbs_w):
+    """Spec 8.4.1.1 P_Skip motion derivation at (bx, by) = the MB's
+    top-left 4x4 block: the zero vector when the left or top
+    neighbor is unavailable or is an inter block with refIdx 0 and a
+    zero vector; otherwise the 16x16 median predictor."""
+    a = _nbr4(bx - 1, by, mv4x, mv4y, ref4, avail_mb, mbs_w)
+    b = _nbr4(bx, by - 1, mv4x, mv4y, ref4, avail_mb, mbs_w)
+    if not a[3] or not b[3]:
         return 0, 0
-    if not (mby > 0 and avail(mb - mbs_w)):
-        return 0, 0
-    for n in (mb - 1, mb - mbs_w):
-        if refa[n] == 0 and mvxa[n] == 0 and mvya[n] == 0:
+    for n in (a, b):
+        if n[2] == 0 and n[0] == 0 and n[1] == 0:
             return 0, 0
-    return _mvp_16x16(mb, mbs_w, mvxa, mvya, refa, avail)
+    return _mvp_part(
+        bx, by, 4, 4, "16x16", 0, mv4x, mv4y, ref4, avail_mb, mbs_w
+    )
 
 
 def _last_set_bit_pos(rbsp: bytes) -> int:
@@ -1653,7 +1710,7 @@ def decode_h264_stream_info(
     cur_ref = False
     y = cb = cr = None
     tc4 = ctc4 = mode4 = mb_done = slice_of = None
-    mvxa = mvya = refa = None
+    mv4x = mv4y = ref4 = None
     slice_idx = -1
     for nal_bytes in _split_annexb(data):
         nal_type = nal_bytes[0] & 0x1F
@@ -1764,11 +1821,12 @@ def decode_h264_stream_info(
                 mode4 = np.full((mbs_h * 4, mbs_w * 4), -1, np.int32)
                 mb_done = np.zeros(mbs_w * mbs_h, bool)
                 slice_of = np.full(mbs_w * mbs_h, -1, np.int32)
-                # per-MB motion state for P slices / MV prediction:
-                # refa -1 = intra or undecoded, 0 = inter (single ref)
-                mvxa = np.zeros(mbs_w * mbs_h, np.int32)
-                mvya = np.zeros(mbs_w * mbs_h, np.int32)
-                refa = np.full(mbs_w * mbs_h, -1, np.int32)
+                # per-4x4-block motion state for P slices / MV
+                # prediction (partition granularity, spec 6.4.11.7):
+                # ref4 -2 = undecoded, -1 = intra, 0 = inter
+                mv4x = np.zeros((mbs_h * 4, mbs_w * 4), np.int32)
+                mv4y = np.zeros((mbs_h * 4, mbs_w * 4), np.int32)
+                ref4 = np.full((mbs_h * 4, mbs_w * 4), -2, np.int32)
                 slice_idx = 0
             else:
                 if y is None:
@@ -1802,8 +1860,9 @@ def decode_h264_stream_info(
                         raise ValueError("mb_skip_run past the last MB")
                     for _ in range(skip_run):
                         sx, sy = mb % mbs_w, mb // mbs_w
-                        mvx, mvy = _skip_mv_16x16(
-                            mb, mbs_w, mvxa, mvya, refa, _avail_sl
+                        mvx, mvy = _skip_mv_part(
+                            4 * sx, 4 * sy,
+                            mv4x, mv4y, ref4, _avail_sl, mbs_w,
                         )
                         _mc_16x16_into(
                             y, cb, cr, ref_y, ref_cb, ref_cr,
@@ -1815,9 +1874,12 @@ def decode_h264_stream_info(
                         ctc4[
                             :, 2 * sy : 2 * sy + 2, 2 * sx : 2 * sx + 2
                         ] = 0
-                        mvxa[mb] = mvx
-                        mvya[mb] = mvy
-                        refa[mb] = 0
+                        sl4 = np.s_[
+                            4 * sy : 4 * sy + 4, 4 * sx : 4 * sx + 4
+                        ]
+                        mv4x[sl4] = mvx
+                        mv4y[sl4] = mvy
+                        ref4[sl4] = 0
                         slice_of[mb] = slice_idx
                         mb_done[mb] = True
                         mb += 1
@@ -1913,27 +1975,59 @@ def decode_h264_stream_info(
 
                 inter_mb = False
                 if is_p and mb_type <= 4:
-                    if mb_type != 0:
+                    if mb_type in (3, 4):
                         raise NotImplementedError(
-                            f"P macroblock type {mb_type} (16x8 / "
-                            "8x16 / 8x8 partitions) not supported — "
-                            "P_L0_16x16, P_Skip and intra-in-P only"
+                            f"P macroblock type {mb_type} (P_8x8 "
+                            "sub-macroblock partitions) not supported "
+                            "— 16x16/16x8/8x16 partitions, P_Skip and "
+                            "intra-in-P only"
                         )
-                    # P_L0_16x16: ref_idx_l0 absent (te(v) with a
-                    # single active reference), then mvd_l0 x/y
-                    mvd_x = r.se()
-                    mvd_y = r.se()
-                    pmx, pmy = _mvp_16x16(
-                        mb, mbs_w, mvxa, mvya, refa, _avail_sl
-                    )
-                    mvx, mvy = pmx + mvd_x, pmy + mvd_y
-                    _mc_16x16_into(
-                        y, cb, cr, ref_y, ref_cb, ref_cr,
-                        mbx, mby, mvx, mvy,
-                    )
-                    mvxa[mb] = mvx
-                    mvya[mb] = mvy
-                    refa[mb] = 0
+                    # Table 7-13: 0 = P_L0_16x16, 1 = P_L0_L0_16x8,
+                    # 2 = P_L0_L0_8x16. Partition tuples:
+                    # (shape, partIdx, x-offset, y-offset, w, h)
+                    if mb_type == 0:
+                        parts = [("16x16", 0, 0, 0, 16, 16)]
+                    elif mb_type == 1:
+                        parts = [
+                            ("16x8", 0, 0, 0, 16, 8),
+                            ("16x8", 1, 0, 8, 16, 8),
+                        ]
+                    else:
+                        parts = [
+                            ("8x16", 0, 0, 0, 8, 16),
+                            ("8x16", 1, 8, 0, 8, 16),
+                        ]
+                    # spec 7.3.5.2: ref_idx_l0 absent (te(v) with a
+                    # single active reference); all mvd pairs parse
+                    # before reconstruction, partition order
+                    mvds = [(r.se(), r.se()) for _ in parts]
+
+                    def _avail_cur(o: int) -> bool:
+                        # the current MB's own earlier partitions are
+                        # visible to later ones (spec 6.4.11.7)
+                        return o == mb or _avail_sl(o)
+
+                    for (shp, pidx, ox, oy, pw, ph), (dx_, dy_) in zip(
+                        parts, mvds
+                    ):
+                        bx = 4 * mbx + ox // 4
+                        by = 4 * mby + oy // 4
+                        pmx, pmy = _mvp_part(
+                            bx, by, pw // 4, ph // 4, shp, pidx,
+                            mv4x, mv4y, ref4, _avail_cur, mbs_w,
+                        )
+                        mvx, mvy = pmx + dx_, pmy + dy_
+                        _mc_part_into(
+                            y, cb, cr, ref_y, ref_cb, ref_cr,
+                            16 * mbx + ox, 16 * mby + oy,
+                            pw, ph, mvx, mvy,
+                        )
+                        sl4 = np.s_[
+                            by : by + ph // 4, bx : bx + pw // 4
+                        ]
+                        mv4x[sl4] = mvx
+                        mv4y[sl4] = mvy
+                        ref4[sl4] = 0
                     cbp_code = r.ue()  # me(v), Table 9-4 INTER column
                     if cbp_code > 47:
                         raise ValueError(
@@ -2168,6 +2262,12 @@ def decode_h264_stream_info(
                         "range): transform_size_8x8 is a High-profile "
                         "tool — out of baseline subset scope"
                     )
+                if not inter_mb:
+                    # intra / I_PCM macroblock: available for MV
+                    # prediction with refIdx -1 and a zero vector
+                    ref4[
+                        4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+                    ] = -1
                 slice_of[mb] = slice_idx
                 mb_done[mb] = True
                 mb += 1

@@ -54,8 +54,11 @@ from magmapandas_spark.operators.h264 import (
 
 __all__ = [
     "encode_p_annexb",
+    "encode_pparts_annexb",
     "synthetic_h264_p_media",
+    "synthetic_h264_pparts_media",
     "q_h264_p_decode",
+    "q_h264_pparts_decode",
 ]
 
 _N13_CLIPS = 12
@@ -179,28 +182,62 @@ def _n13_dc(i: int, f: int, mb: int) -> list[int]:
 # -- explicit-loop twins (independent of the decoder's numpy path) --
 
 
-def _x_mvp(mb, mbs_w, mvxa, mvya, refa, done):
-    """Explicit twin of spec 8.4.1.3 / 8.4.1.3.1 for 16x16 partitions
-    with one L0 reference (single-slice pictures: availability is
-    decode order)."""
-    mbx, mby = mb % mbs_w, mb // mbs_w
+def _x_new_mvstate(mbs_w: int, mbs_h: int, avail) -> dict:
+    """Twin motion state: per-4x4-block mv/ref grids (plain lists,
+    ref -2 = undecoded, -1 = intra, 0 = inter) plus the MB
+    availability predicate (decode order and slice gating)."""
+    return {
+        "mv4x": [[0] * (4 * mbs_w) for _ in range(4 * mbs_h)],
+        "mv4y": [[0] * (4 * mbs_w) for _ in range(4 * mbs_h)],
+        "ref4": [[-2] * (4 * mbs_w) for _ in range(4 * mbs_h)],
+        "mbs_w": mbs_w,
+        "avail": avail,
+    }
 
-    def nbr(n, ok):
-        if not ok:
-            return 0, 0, -1, False
-        if refa[n] < 0:
-            return 0, 0, -1, True
-        return mvxa[n], mvya[n], 0, True
 
-    a = nbr(mb - 1, mbx > 0 and done[mb - 1])
-    b = nbr(mb - mbs_w, mby > 0 and done[mb - mbs_w])
-    if mby > 0 and mbx < mbs_w - 1 and done[mb - mbs_w + 1]:
-        c = nbr(mb - mbs_w + 1, True)
-    else:
-        c = nbr(
-            mb - mbs_w - 1,
-            mby > 0 and mbx > 0 and done[mb - mbs_w - 1],
-        )
+def _x_fill4(st, bx, by, w4, h4, mvx, mvy, rf) -> None:
+    for r in range(by, by + h4):
+        for c in range(bx, bx + w4):
+            st["mv4x"][r][c] = mvx
+            st["mv4y"][r][c] = mvy
+            st["ref4"][r][c] = rf
+
+
+def _x_nbr4(bx, by, st):
+    """Explicit twin of the partition-neighbor lookup at 4x4
+    granularity (spec 6.4.11.7): (mvx, mvy, refIdx, mb_available)."""
+    ref4 = st["ref4"]
+    if bx < 0 or by < 0 or by >= len(ref4) or bx >= len(ref4[0]):
+        return 0, 0, -1, False
+    rf = ref4[by][bx]
+    if rf == -2:
+        return 0, 0, -1, False
+    if not st["avail"]((by // 4) * st["mbs_w"] + (bx // 4)):
+        return 0, 0, -1, False
+    if rf < 0:
+        return 0, 0, -1, True
+    return st["mv4x"][by][bx], st["mv4y"][by][bx], 0, True
+
+
+def _x_mvp_part(bx, by, w4, h4, shape, idx, st):
+    """Explicit twin of spec 8.4.1.3 / 8.4.1.3.1 with one L0
+    reference: directional 16x8/8x16 shortcuts, C -> D substitution,
+    both median special cases."""
+    a = _x_nbr4(bx - 1, by, st)
+    b = _x_nbr4(bx, by - 1, st)
+    c = _x_nbr4(bx + w4, by - 1, st)
+    if not c[3]:
+        c = _x_nbr4(bx - 1, by - 1, st)
+    if shape == "16x8":
+        if idx == 0 and b[2] == 0:
+            return b[0], b[1]
+        if idx == 1 and a[2] == 0:
+            return a[0], a[1]
+    elif shape == "8x16":
+        if idx == 0 and a[2] == 0:
+            return a[0], a[1]
+        if idx == 1 and c[2] == 0:
+            return c[0], c[1]
     if not b[3] and not c[3] and a[3]:
         return a[0], a[1]
     hits = [n for n in (a, b, c) if n[2] == 0]
@@ -211,24 +248,26 @@ def _x_mvp(mb, mbs_w, mvxa, mvya, refa, done):
     return xs[1], ys[1]
 
 
-def _x_skip_mv(mb, mbs_w, mvxa, mvya, refa, done):
+def _x_skip_part(bx, by, st):
     """Explicit twin of the spec-8.4.1.1 P_Skip motion derivation."""
-    mbx, mby = mb % mbs_w, mb // mbs_w
-    if not (mbx > 0 and done[mb - 1]):
+    a = _x_nbr4(bx - 1, by, st)
+    b = _x_nbr4(bx, by - 1, st)
+    if not a[3] or not b[3]:
         return 0, 0
-    if not (mby > 0 and done[mb - mbs_w]):
-        return 0, 0
-    for n in (mb - 1, mb - mbs_w):
-        if refa[n] == 0 and mvxa[n] == 0 and mvya[n] == 0:
+    for n in (a, b):
+        if n[2] == 0 and n[0] == 0 and n[1] == 0:
             return 0, 0
-    return _x_mvp(mb, mbs_w, mvxa, mvya, refa, done)
+    return _x_mvp_part(bx, by, 4, 4, "16x16", 0, st)
 
 
-def _x_mc_luma16(ref, x0: int, y0: int, mvx: int, mvy: int) -> list:
+def _x_mc_luma(
+    ref, x0: int, y0: int, bw: int, bh: int, mvx: int, mvy: int
+) -> list:
     """Explicit-loop twin of the spec-8.4.2.2.1 quarter-pel luma
-    interpolation for one 16x16 partition: per-sample 6-tap sums with
-    per-tap Clip3 coordinate access, ``j`` filtered from un-rounded
-    horizontal intermediates, Table 8-12 quarter averages."""
+    interpolation for one bw x bh partition: per-sample 6-tap sums
+    with per-tap Clip3 coordinate access, ``j`` filtered from
+    un-rounded horizontal intermediates, Table 8-12 quarter
+    averages."""
     h_, w_ = ref.shape
 
     def p(xx: int, yy: int) -> int:
@@ -268,9 +307,9 @@ def _x_mc_luma16(ref, x0: int, y0: int, mvx: int, mvy: int) -> list:
 
     xi0, yi0 = x0 + (mvx >> 2), y0 + (mvy >> 2)
     xf, yf = mvx & 3, mvy & 3
-    out = [[0] * 16 for _ in range(16)]
-    for dy in range(16):
-        for dx in range(16):
+    out = [[0] * bw for _ in range(bh)]
+    for dy in range(bh):
+        for dx in range(bw):
             xx, yy = xi0 + dx, yi0 + dy
             if (xf, yf) == (0, 0):
                 v = p(xx, yy)
@@ -308,9 +347,11 @@ def _x_mc_luma16(ref, x0: int, y0: int, mvx: int, mvy: int) -> list:
     return out
 
 
-def _x_mc_chroma8(ref, x0: int, y0: int, mvx: int, mvy: int) -> list:
+def _x_mc_chroma(
+    ref, x0: int, y0: int, bw: int, bh: int, mvx: int, mvy: int
+) -> list:
     """Explicit twin of the spec-8.4.2.2.2 eighth-sample bilinear
-    chroma interpolation for one 8x8 block."""
+    chroma interpolation for one bw x bh block."""
     h_, w_ = ref.shape
 
     def p(xx: int, yy: int) -> int:
@@ -320,9 +361,9 @@ def _x_mc_chroma8(ref, x0: int, y0: int, mvx: int, mvy: int) -> list:
 
     xi0, yi0 = x0 + (mvx >> 3), y0 + (mvy >> 3)
     xf, yf = mvx & 7, mvy & 7
-    out = [[0] * 8 for _ in range(8)]
-    for dy in range(8):
-        for dx in range(8):
+    out = [[0] * bw for _ in range(bh)]
+    for dy in range(bh):
+        for dx in range(bw):
             xx, yy = xi0 + dx, yi0 + dy
             out[dy][dx] = (
                 (8 - xf) * (8 - yf) * p(xx, yy)
@@ -484,10 +525,8 @@ def _n13_clip(i: int):
         yp = np.zeros((h, w), np.uint8)
         cbp_ = np.zeros((h // 2, w // 2), np.uint8)
         crp_ = np.zeros((h // 2, w // 2), np.uint8)
-        mvxa = [0] * n_mbs
-        mvya = [0] * n_mbs
-        refa = [-1] * n_mbs
         done = [False] * n_mbs
+        st = _x_new_mvstate(mbs_w, mbs_h, lambda o: done[o])
 
         def add_luma_block(r4, c4, lv):
             if not any(lv):
@@ -535,6 +574,7 @@ def _n13_clip(i: int):
                 pm16, cm, cc_ = _n13_intra(i, f, mb)
                 at = mby > 0 and done[mb - mbs_w]
                 al = mbx > 0 and done[mb - 1]
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, 0, 0, -1)
                 pred = _x_pred16(yp, mbx, mby, pm16, at, al)
                 dcm = _x_luma_dcmat(_n13_dc(i, f, mb), qp)
                 for r in range(16):
@@ -552,17 +592,21 @@ def _n13_clip(i: int):
                 add_chroma(mb, mbx, mby, cc_)
             else:
                 if kind == 0:
-                    mvx, mvy = _x_skip_mv(
-                        mb, mbs_w, mvxa, mvya, refa, done
-                    )
+                    mvx, mvy = _x_skip_part(4 * mbx, 4 * mby, st)
                 else:
                     mvx, mvy = _n13_mv(i, f, mb)
-                pred = _x_mc_luma16(ry, 16 * mbx, 16 * mby, mvx, mvy)
+                pred = _x_mc_luma(
+                    ry, 16 * mbx, 16 * mby, 16, 16, mvx, mvy
+                )
                 for r in range(16):
                     for c in range(16):
                         yp[16 * mby + r, 16 * mbx + c] = pred[r][c]
-                pcb = _x_mc_chroma8(rcb, 8 * mbx, 8 * mby, mvx, mvy)
-                pcr = _x_mc_chroma8(rcr, 8 * mbx, 8 * mby, mvx, mvy)
+                pcb = _x_mc_chroma(
+                    rcb, 8 * mbx, 8 * mby, 8, 8, mvx, mvy
+                )
+                pcr = _x_mc_chroma(
+                    rcr, 8 * mbx, 8 * mby, 8, 8, mvx, mvy
+                )
                 for r in range(8):
                     for c in range(8):
                         cbp_[8 * mby + r, 8 * mbx + c] = pcb[r][c]
@@ -578,7 +622,7 @@ def _n13_clip(i: int):
                                 _n13_lv16(i, f, mb, blk),
                             )
                     add_chroma(mb, mbx, mby, cbp_chroma)
-                mvxa[mb], mvya[mb], refa[mb] = mvx, mvy, 0
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, mvx, mvy, 0)
             done[mb] = True
         pics.append((yp, cbp_, crp_))
     return pics
@@ -677,10 +721,8 @@ def _p_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
 
         tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
         ctc4 = np.full((2, 2 * mbs_h, 2 * mbs_w), -1, np.int32)
-        mvxa = [0] * n_mbs
-        mvya = [0] * n_mbs
-        refa = [-1] * n_mbs
         done = [False] * n_mbs
+        st = _x_new_mvstate(mbs_w, mbs_h, lambda o: done[o])
 
         def ncof(arr, rr: int, cc_: int) -> int:
             def g(r_, c_):
@@ -728,10 +770,8 @@ def _p_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
             mbx, mby = mb % mbs_w, mb // mbs_w
             kind = _n13_kind(i, f, mb, mbs_w)
             if kind == 0:
-                mvx, mvy = _x_skip_mv(
-                    mb, mbs_w, mvxa, mvya, refa, done
-                )
-                mvxa[mb], mvya[mb], refa[mb] = mvx, mvy, 0
+                mvx, mvy = _x_skip_part(4 * mbx, 4 * mby, st)
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, mvx, mvy, 0)
                 tc4[
                     4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
                 ] = 0
@@ -756,9 +796,12 @@ def _p_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
                     4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
                 ] = 0
                 wchroma(mb, mbx, mby, cc_)
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, 0, 0, -1)
             else:
                 mvx, mvy = _n13_mv(i, f, mb)
-                pmx, pmy = _x_mvp(mb, mbs_w, mvxa, mvya, refa, done)
+                pmx, pmy = _x_mvp_part(
+                    4 * mbx, 4 * mby, 4, 4, "16x16", 0, st
+                )
                 sl.ue(0)  # mb_type P_L0_16x16
                 sl.se(mvx - pmx)
                 sl.se(mvy - pmy)
@@ -779,7 +822,7 @@ def _p_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
                     else:
                         tc4[r4, c4] = 0
                 wchroma(mb, mbx, mby, cbp_chroma)
-                mvxa[mb], mvya[mb], refa[mb] = mvx, mvy, 0
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, mvx, mvy, 0)
             done[mb] = True
         if skip_run:
             sl.ue(skip_run)  # trailing skip run ends the slice
@@ -825,16 +868,29 @@ def q_h264_p_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_h264_p(slice_col: str = "n_slices") -> str:
-    """DuckDB oracle for the notch-13 corpus: picture-0 PCM sums and
-    checksum terms from the closed-form sample formulas in pure SQL;
-    pictures 1-2 re-aggregated in SQL from the embedded explicit-twin
-    samples (position mapping, per-frame checksum weights, plane sums
-    all recomputed in SQL)."""
+def _sql_p_corpus(
+    n_clips: int,
+    geom_fn,
+    clip_fn,
+    mbs_h_sql: str,
+    y0_sql: str,
+    cb0_sql: str,
+    cr0_sql: str,
+    p_nsl: str,
+    slice_col: str,
+) -> str:
+    """Shared DuckDB oracle builder for the P-slice corpora
+    (notches 13/14, Annex-B and MP4 schemas): picture-0 PCM sums and
+    checksum terms from the closed-form sample formulas in pure SQL
+    (``y0_sql``/``cb0_sql``/``cr0_sql`` with ``{r}``/``{c}``
+    placeholders); P pictures re-aggregated in SQL from the embedded
+    explicit-twin samples (position mapping, per-frame checksum
+    weights, plane sums all recomputed in SQL). ``p_nsl`` is the
+    P-picture slice count the stream is pinned to."""
     pm_l, pf_l, py_l, pcb_l, pcr_l = [], [], [], [], []
-    for i in range(_N13_CLIPS):
-        mbs_w, mbs_h = _n13_geom(i)
-        pics = _n13_clip(i)
+    for i in range(n_clips):
+        mbs_w, mbs_h = geom_fn(i)
+        pics = clip_fn(i)
         pm, pf, py, pcb, pcr = [], [], [], [], []
         for f in (1, 2):
             yp, cbp_, crp_ = pics[f]
@@ -866,21 +922,26 @@ def _sql_h264_p(slice_col: str = "n_slices") -> str:
         py_l.append(py)
         pcb_l.append(pcb)
         pcr_l.append(pcr)
+    y0v = y0_sql.format(
+        r="(mby * 16 + o.o // 16)", c="(mbx * 16 + o.o % 16)"
+    )
+    cb0v = cb0_sql.format(r="r", c="c")
+    cr0v = cr0_sql.format(r="r", c="c")
     return f"""
 WITH clip AS (
-  SELECT i AS media_id, 3 + i % 2 AS mbs_w, 2 AS mbs_h,
+  SELECT i AS media_id, 3 + i % 2 AS mbs_w, {mbs_h_sql} AS mbs_h,
          pm.v AS pm, pf.v AS pf, py.v AS py,
          pcb.v AS pcb, pcr.v AS pcr
-  FROM range({_N13_CLIPS}) t(i)
-  JOIN (SELECT UNNEST(range({_N13_CLIPS})) AS j,
+  FROM range({n_clips}) t(i)
+  JOIN (SELECT UNNEST(range({n_clips})) AS j,
                UNNEST({pm_l!r}) AS v) pm ON pm.j = i
-  JOIN (SELECT UNNEST(range({_N13_CLIPS})) AS j,
+  JOIN (SELECT UNNEST(range({n_clips})) AS j,
                UNNEST({pf_l!r}) AS v) pf ON pf.j = i
-  JOIN (SELECT UNNEST(range({_N13_CLIPS})) AS j,
+  JOIN (SELECT UNNEST(range({n_clips})) AS j,
                UNNEST({py_l!r}) AS v) py ON py.j = i
-  JOIN (SELECT UNNEST(range({_N13_CLIPS})) AS j,
+  JOIN (SELECT UNNEST(range({n_clips})) AS j,
                UNNEST({pcb_l!r}) AS v) pcb ON pcb.j = i
-  JOIN (SELECT UNNEST(range({_N13_CLIPS})) AS j,
+  JOIN (SELECT UNNEST(range({n_clips})) AS j,
                UNNEST({pcr_l!r}) AS v) pcr ON pcr.j = i
 ),
 mbs AS (
@@ -891,21 +952,13 @@ mbs AS (
 luma0 AS (
   SELECT media_id, SUM(v) AS s, SUM((mb * 256 + o + 1) * v) AS ck
   FROM (
-    SELECT media_id, mb, o.o AS o,
-           (7 * media_id + 5 * (mby * 16 + o.o // 16)
-            + 3 * (mbx * 16 + o.o % 16)
-            + (((mby * 16 + o.o // 16)
-                * (mbx * 16 + o.o % 16)) % 11)) % 256 AS v
+    SELECT media_id, mb, o.o AS o, {y0v} AS v
     FROM mbs, LATERAL (SELECT UNNEST(range(256)) AS o) o
   )
   GROUP BY media_id
 ),
 chroma0 AS (
-  SELECT media_id,
-         SUM((11 * media_id + 3 * r + 5 * c
-              + ((r + 2 * c) % 7)) % 256) AS scb,
-         SUM((19 * media_id + 2 * r + 7 * c
-              + ((3 * r + c) % 5)) % 256) AS scr
+  SELECT media_id, SUM({cb0v}) AS scb, SUM({cr0v}) AS scr
   FROM (
     SELECT media_id, mby * 8 + o.o // 8 AS r, mbx * 8 + o.o % 8 AS c
     FROM mbs, LATERAL (SELECT UNNEST(range(64)) AS o) o
@@ -944,7 +997,7 @@ FROM (
   UNION ALL
   SELECT c.media_id,
          CAST(lp.f AS INT) AS frame_idx,
-         CAST(1 AS INT) AS {slice_col},
+         CAST({p_nsl} AS INT) AS {slice_col},
          CAST(16 * c.mbs_w AS INT) AS width,
          CAST(16 * c.mbs_h AS INT) AS height,
          CAST(c.mbs_w * c.mbs_h AS BIGINT) AS n_mbs,
@@ -961,11 +1014,41 @@ ORDER BY media_id, frame_idx
 """
 
 
+def _sql_h264_p(slice_col: str = "n_slices") -> str:
+    """DuckDB oracle for the notch-13 corpus."""
+    return _sql_p_corpus(
+        _N13_CLIPS, _n13_geom, _n13_clip, "2",
+        "(7 * media_id + 5 * {r} + 3 * {c} + (({r} * {c}) % 11)) "
+        "% 256",
+        "(11 * media_id + 3 * {r} + 5 * {c} + (({r} + 2 * {c}) % 7))"
+        " % 256",
+        "(19 * media_id + 2 * {r} + 7 * {c} + ((3 * {r} + {c}) % 5))"
+        " % 256",
+        "1", slice_col,
+    )
+
+
+def _sql_h264_pparts(slice_col: str = "n_slices") -> str:
+    """DuckDB oracle for the notch-14 partition corpus (two-slice P
+    pictures: the n_slices column pins the stream's real structure)."""
+    return _sql_p_corpus(
+        _N14_CLIPS, _n14_geom, _n14_clip, "3",
+        "(13 * media_id + 5 * {r} + 3 * {c} + (({r} * {c}) % 11)) "
+        "% 256",
+        "(17 * media_id + 3 * {r} + 5 * {c} + (({r} + 2 * {c}) % 7))"
+        " % 256",
+        "(23 * media_id + 2 * {r} + 7 * {c} + ((3 * {r} + {c}) % 5))"
+        " % 256",
+        "2", slice_col,
+    )
+
+
 # SQL_H264_P_DECODE resolves lazily: building it runs the explicit
 # twins over the whole corpus, which only the oracle harness needs.
 _LAZY_SQL = {
     "SQL_H264_P_DECODE": lambda: _sql_h264_p(),
     "SQL_H264_MP4_P_DECODE": lambda: _sql_h264_p(slice_col="n_nals"),
+    "SQL_H264_PPARTS_DECODE": lambda: _sql_h264_pparts(),
 }
 
 
@@ -976,4 +1059,523 @@ def __getattr__(name: str) -> str:
         return value
     raise AttributeError(
         f"module {__name__!r} has no attribute {name!r}"
+    )
+
+
+# ---------------------------------------------------------------------
+# Notch 14: P macroblock PARTITIONS (16x8 / 8x16) x two-slice P
+# pictures. Each clip: IDR PCM base (one slice), then two P pictures
+# each split into TWO slices (MB rows 0-1 / row 2), so row-2 inter
+# macroblocks derive their MV predictors with the top edge
+# SLICE-GATED away (spec 8.4.1.3 neighbor availability) — composed
+# with per-partition motion (two mvd pairs per MB, the directional
+# 16x8/8x16 MVP shortcuts, partition-granular neighbor state),
+# inter residuals, skip runs, and intra-in-P.
+# ---------------------------------------------------------------------
+
+_N14_CLIPS = 12
+_N14_SEED = 64  # value-seed offset: decouples residuals from notch 13
+
+
+def _n14_geom(i: int) -> tuple[int, int]:
+    return 3 + i % 2, 3
+
+
+def _n14_y0(i: int, r: int, c: int) -> int:
+    return (13 * i + 5 * r + 3 * c + ((r * c) % 11)) % 256
+
+
+def _n14_cb0(i: int, r: int, c: int) -> int:
+    return (17 * i + 3 * r + 5 * c + ((r + 2 * c) % 7)) % 256
+
+
+def _n14_cr0(i: int, r: int, c: int) -> int:
+    return (23 * i + 2 * r + 7 * c + ((3 * r + c) % 5)) % 256
+
+
+def _n14_kind(i: int, f: int, mb: int, mbs_w: int) -> int:
+    """0 = P_Skip, 1 = P_L0_16x16 + residuals, 2 = P_L0_L0_16x8,
+    3 = P_L0_L0_8x16, 4 = intra-in-P (only at slice-A interior
+    positions where left+top are same-slice available; elsewhere the
+    slot degrades to 16x8)."""
+    k = (i + 2 * f + 3 * mb) % 5
+    mbx, mby = mb % mbs_w, mb // mbs_w
+    if k == 4 and not (mby == 1 and mbx > 0):
+        return 2
+    return k
+
+
+def _n14_mv(i: int, f: int, mb: int, part: int) -> tuple[int, int]:
+    """Per-PARTITION quarter-pel motion vector (part 0/1): phase pair
+    driven directly, integer part -3..3 px, every fifth (i, mb, f)
+    scaled 8x for edge clamping."""
+    qx = (i + mb + 2 * f + part) % 4
+    qy = (2 * i + 3 * mb + f + 2 * part) % 4
+    ix = ((i + 5 * mb + 7 * f + 3 * part) % 7) - 3
+    iy = ((3 * i + 7 * mb + 5 * f + part) % 7) - 3
+    if (i + mb + f) % 5 == 0:
+        ix, iy = 8 * ix, 8 * iy
+    return 4 * ix + qx, 4 * iy + qy
+
+
+def _n14_parts(mb_kind: int) -> list[tuple]:
+    """Partition tuples (shape, partIdx, ox, oy, w, h) for inter
+    kinds 1/2/3."""
+    if mb_kind == 1:
+        return [("16x16", 0, 0, 0, 16, 16)]
+    if mb_kind == 2:
+        return [("16x8", 0, 0, 0, 16, 8), ("16x8", 1, 0, 8, 16, 8)]
+    return [("8x16", 0, 0, 0, 8, 16), ("8x16", 1, 8, 0, 8, 16)]
+
+
+def _n14_clip(i: int):
+    """Expected reconstruction of notch-14 clip ``i`` via the
+    explicit twins: IDR PCM base, then two P pictures decoded with
+    TWO slices each (rows 0-1 / row 2) — MV prediction, CAVLC nC and
+    intra availability all slice-gated exactly as the decoder's."""
+    qp = _n13_qp(i)
+    qpc = _qpc_of(qp)
+    mbs_w, mbs_h = _n14_geom(i)
+    w, h = 16 * mbs_w, 16 * mbs_h
+    sj = _N14_SEED + i  # residual-generator seed
+    y0p = np.array(
+        [[_n14_y0(i, r, c) for c in range(w)] for r in range(h)],
+        np.uint8,
+    )
+    cb0 = np.array(
+        [
+            [_n14_cb0(i, r, c) for c in range(w // 2)]
+            for r in range(h // 2)
+        ],
+        np.uint8,
+    )
+    cr0 = np.array(
+        [
+            [_n14_cr0(i, r, c) for c in range(w // 2)]
+            for r in range(h // 2)
+        ],
+        np.uint8,
+    )
+    pics = [(y0p, cb0, cr0)]
+    n_mbs = mbs_w * mbs_h
+    for f in (1, 2):
+        ry, rcb, rcr = pics[-1]
+        yp = np.zeros((h, w), np.uint8)
+        cbp_ = np.zeros((h // 2, w // 2), np.uint8)
+        crp_ = np.zeros((h // 2, w // 2), np.uint8)
+        done = [False] * n_mbs
+        slice_of = [-1] * n_mbs
+        cur_sl = [0]
+        st = _x_new_mvstate(
+            mbs_w,
+            mbs_h,
+            lambda o: done[o] and slice_of[o] == cur_sl[0],
+        )
+
+        def add_luma_block(r4, c4, lv):
+            if not any(lv):
+                return
+            res = _x_itrans4(_x_dequant4(lv, qp))
+            for rr in range(4):
+                for cc in range(4):
+                    v = int(yp[4 * r4 + rr, 4 * c4 + cc]) + res[rr][cc]
+                    yp[4 * r4 + rr, 4 * c4 + cc] = _x_clip1(v)
+
+        def add_chroma(mb, mbx, mby, cc_):
+            if cc_ == 0:
+                return
+            for pi, plane in enumerate((cbp_, crp_)):
+                dcs = _x_chroma_dcraw(_n13_cdc(sj, f, mb, pi), qpc)
+                for bk in range(4):
+                    by, bx = 4 * (bk // 2), 4 * (bk % 2)
+                    oy, ox = 8 * mby + by, 8 * mbx + bx
+                    if cc_ == 2:
+                        res = _x_itrans4(
+                            _x_dequant4(
+                                _n13_ac15(sj, f, mb, bk, 1 + pi),
+                                qpc,
+                                dc=int(dcs[bk]),
+                            )
+                        )
+                        for rr in range(4):
+                            for ccc in range(4):
+                                v = (
+                                    int(plane[oy + rr, ox + ccc])
+                                    + res[rr][ccc]
+                                )
+                                plane[oy + rr, ox + ccc] = _x_clip1(v)
+                    else:
+                        u = (int(dcs[bk]) + 32) >> 6
+                        for rr in range(4):
+                            for ccc in range(4):
+                                v = int(plane[oy + rr, ox + ccc]) + u
+                                plane[oy + rr, ox + ccc] = _x_clip1(v)
+
+        for mb in range(n_mbs):
+            mbx, mby = mb % mbs_w, mb // mbs_w
+            cur_sl[0] = 0 if mby < 2 else 1
+            kind = _n14_kind(i, f, mb, mbs_w)
+            if kind == 4:
+                pm16, cm, cc_ = _n13_intra(sj, f, mb)
+                at = (
+                    mby > 0
+                    and done[mb - mbs_w]
+                    and slice_of[mb - mbs_w] == cur_sl[0]
+                )
+                al = (
+                    mbx > 0
+                    and done[mb - 1]
+                    and slice_of[mb - 1] == cur_sl[0]
+                )
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, 0, 0, -1)
+                pred = _x_pred16(yp, mbx, mby, pm16, at, al)
+                dcm = _x_luma_dcmat(_n13_dc(sj, f, mb), qp)
+                for r in range(16):
+                    for c in range(16):
+                        v = pred[r][c] + (
+                            (dcm[r // 4][c // 4] + 32) >> 6
+                        )
+                        yp[16 * mby + r, 16 * mbx + c] = _x_clip1(v)
+                pcb = _x_predc8(cbp_, mbx, mby, cm, at, al)
+                pcr = _x_predc8(crp_, mbx, mby, cm, at, al)
+                for r in range(8):
+                    for c in range(8):
+                        cbp_[8 * mby + r, 8 * mbx + c] = pcb[r][c]
+                        crp_[8 * mby + r, 8 * mbx + c] = pcr[r][c]
+                add_chroma(mb, mbx, mby, cc_)
+            elif kind == 0:
+                mvx, mvy = _x_skip_part(4 * mbx, 4 * mby, st)
+                pred = _x_mc_luma(
+                    ry, 16 * mbx, 16 * mby, 16, 16, mvx, mvy
+                )
+                for r in range(16):
+                    for c in range(16):
+                        yp[16 * mby + r, 16 * mbx + c] = pred[r][c]
+                for plane, refp in ((cbp_, rcb), (crp_, rcr)):
+                    pc = _x_mc_chroma(
+                        refp, 8 * mbx, 8 * mby, 8, 8, mvx, mvy
+                    )
+                    for r in range(8):
+                        for c in range(8):
+                            plane[8 * mby + r, 8 * mbx + c] = pc[r][c]
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, mvx, mvy, 0)
+            else:
+                # twin reconstructs from the closed-form target mvs
+                # (the encoder derives mvd via _x_mvp_part; the
+                # decoder re-derives the predictor independently)
+                for shp, pidx, ox, oy, pw, ph in _n14_parts(kind):
+                    bx = 4 * mbx + ox // 4
+                    by = 4 * mby + oy // 4
+                    mvx, mvy = _n14_mv(i, f, mb, pidx)
+                    pred = _x_mc_luma(
+                        ry, 16 * mbx + ox, 16 * mby + oy,
+                        pw, ph, mvx, mvy,
+                    )
+                    for r in range(ph):
+                        for c in range(pw):
+                            yp[
+                                16 * mby + oy + r, 16 * mbx + ox + c
+                            ] = pred[r][c]
+                    for plane, refp in ((cbp_, rcb), (crp_, rcr)):
+                        pc = _x_mc_chroma(
+                            refp,
+                            (16 * mbx + ox) // 2,
+                            (16 * mby + oy) // 2,
+                            pw // 2, ph // 2, mvx, mvy,
+                        )
+                        for r in range(ph // 2):
+                            for c in range(pw // 2):
+                                plane[
+                                    (16 * mby + oy) // 2 + r,
+                                    (16 * mbx + ox) // 2 + c,
+                                ] = pc[r][c]
+                    _x_fill4(
+                        st, bx, by, pw // 4, ph // 4, mvx, mvy, 0
+                    )
+                cbp_luma, cbp_chroma = _n13_cbp(sj, f, mb)
+                for blk in range(16):
+                    bi, bj = _BLK4_POS[blk]
+                    if cbp_luma & (1 << (blk // 4)):
+                        add_luma_block(
+                            4 * mby + bi,
+                            4 * mbx + bj,
+                            _n13_lv16(sj, f, mb, blk),
+                        )
+                add_chroma(mb, mbx, mby, cbp_chroma)
+            slice_of[mb] = cur_sl[0]
+            done[mb] = True
+        pics.append((yp, cbp_, crp_))
+    return pics
+
+
+def _p14_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
+    """Notch-14 NAL units for clip ``i``: SPS/PPS, one-slice IDR PCM
+    base picture, then two P pictures of TWO slice NALs each (rows
+    0-1 at first_mb 0, row 2 at first_mb 2*mbs_w) — per-slice
+    mb_skip_run, slice-gated MVP / CAVLC-nC availability mirrored
+    encoder-side, per-partition mvd derived through the twin
+    predictor."""
+    qp = _n13_qp(i)
+    mbs_w, mbs_h = _n14_geom(i)
+    n_mbs = mbs_w * mbs_h
+    sj = _N14_SEED + i
+
+    sps = _BitWriter()
+    sps.u(66, 8)
+    sps.u(0, 8)
+    sps.u(10, 8)
+    sps.ue(0)
+    sps.ue(0)
+    sps.ue(0)
+    sps.ue(0)
+    sps.ue(1)  # max_num_ref_frames = 1
+    sps.u(0, 1)
+    sps.ue(mbs_w - 1)
+    sps.ue(mbs_h - 1)
+    sps.u(1, 1)
+    sps.u(0, 1)
+    sps.u(0, 1)
+    sps.u(0, 1)
+    sps.rbsp_trailing()
+
+    pps = _BitWriter()
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
+    pps.se(qp - 26); pps.se(0); pps.se(0)
+    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.rbsp_trailing()
+
+    def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
+        header = bytes([(ref_idc << 5) | nal_type])
+        return header + _escape_ebsp(w_.tobytes())
+
+    # picture 0: IDR, all I_PCM, one slice
+    sl = _BitWriter()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    for mb in range(n_mbs):
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        sl.ue(25)
+        sl.align_zero()
+        sl.raw_bytes(
+            bytes(
+                _n14_y0(i, 16 * mby + r, 16 * mbx + c)
+                for r in range(16)
+                for c in range(16)
+            )
+        )
+        sl.raw_bytes(
+            bytes(
+                _n14_cb0(i, 8 * mby + r, 8 * mbx + c)
+                for r in range(8)
+                for c in range(8)
+            )
+        )
+        sl.raw_bytes(
+            bytes(
+                _n14_cr0(i, 8 * mby + r, 8 * mbx + c)
+                for r in range(8)
+                for c in range(8)
+            )
+        )
+    sl.rbsp_trailing()
+    sps_nal, pps_nal = nal(3, 7, sps), nal(3, 8, pps)
+    pictures = [[nal(3, 5, sl)]]
+
+    for f in (1, 2):
+        # per-picture state shared across the picture's two slices
+        tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
+        ctc4 = np.full((2, 2 * mbs_h, 2 * mbs_w), -1, np.int32)
+        done = [False] * n_mbs
+        slice_of = [-1] * n_mbs
+        cur_sl = [0]
+        cur_mb = [-1]
+        # the current MB's own earlier partitions are visible to its
+        # later ones (spec 6.4.11.7), exactly as the decoder sees them
+        st = _x_new_mvstate(
+            mbs_w,
+            mbs_h,
+            lambda o: o == cur_mb[0]
+            or (done[o] and slice_of[o] == cur_sl[0]),
+        )
+        pic_nals: list[bytes] = []
+        for s_idx, (mb_lo, mb_hi) in enumerate(
+            ((0, 2 * mbs_w), (2 * mbs_w, n_mbs))
+        ):
+            cur_sl[0] = s_idx
+            sl = _BitWriter()
+            sl.ue(mb_lo)  # first_mb_in_slice
+            sl.ue(5)  # slice_type P
+            sl.ue(0)  # pic_parameter_set_id
+            sl.u(f, 4)  # frame_num
+            sl.u((2 * f) % 16, 4)  # pic_order_cnt_lsb
+            sl.u(0, 1)  # num_ref_idx_active_override_flag
+            sl.u(0, 1)  # ref_pic_list_modification_flag_l0
+            sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+            sl.se(0)  # slice_qp_delta
+
+            def visible(omb: int, mb: int) -> bool:
+                return omb == mb or (
+                    done[omb] and slice_of[omb] == cur_sl[0]
+                )
+
+            def ncof(arr, rr: int, cc_: int, bs: int, mb: int) -> int:
+                def g(r_, c_):
+                    if (
+                        r_ < 0 or c_ < 0
+                        or r_ >= arr.shape[0] or c_ >= arr.shape[1]
+                    ):
+                        return -1
+                    v = int(arr[r_, c_])
+                    if v < 0:
+                        return -1
+                    omb = (r_ // bs) * mbs_w + (c_ // bs)
+                    return v if visible(omb, mb) else -1
+
+                na, nb = g(rr, cc_ - 1), g(rr - 1, cc_)
+                if na >= 0 and nb >= 0:
+                    return (na + nb + 1) >> 1
+                if na >= 0:
+                    return na
+                if nb >= 0:
+                    return nb
+                return 0
+
+            def wchroma(mb: int, mbx: int, mby: int, cc_: int) -> None:
+                if cc_ == 0:
+                    ctc4[
+                        :, 2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2
+                    ] = 0
+                    return
+                _write_chroma_dc_block(sl, _n13_cdc(sj, f, mb, 0))
+                _write_chroma_dc_block(sl, _n13_cdc(sj, f, mb, 1))
+                for p_ in range(2):
+                    for bk in range(4):
+                        rr = 2 * mby + bk // 2
+                        cx = 2 * mbx + bk % 2
+                        if cc_ == 2:
+                            n_c = ncof(ctc4[p_], rr, cx, 2, mb)
+                            ctc4[p_, rr, cx] = _write_residual_4x4(
+                                sl,
+                                _n13_ac15(sj, f, mb, bk, 1 + p_),
+                                n_c,
+                                15,
+                            )
+                        else:
+                            ctc4[p_, rr, cx] = 0
+
+            skip_run = 0
+            for mb in range(mb_lo, mb_hi):
+                mbx, mby = mb % mbs_w, mb // mbs_w
+                cur_mb[0] = mb
+                kind = _n14_kind(i, f, mb, mbs_w)
+                if kind == 0:
+                    mvx, mvy = _x_skip_part(4 * mbx, 4 * mby, st)
+                    _x_fill4(
+                        st, 4 * mbx, 4 * mby, 4, 4, mvx, mvy, 0
+                    )
+                    tc4[
+                        4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+                    ] = 0
+                    ctc4[
+                        :, 2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2
+                    ] = 0
+                    slice_of[mb] = s_idx
+                    done[mb] = True
+                    skip_run += 1
+                    continue
+                sl.ue(skip_run)
+                skip_run = 0
+                if kind == 4:
+                    pm16, cm, cc_ = _n13_intra(sj, f, mb)
+                    sl.ue(5 + 1 + pm16 + 4 * cc_)
+                    sl.ue(cm)
+                    sl.se(0)  # mb_qp_delta
+                    _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, 0, 0, -1)
+                    n_c = ncof(tc4, 4 * mby, 4 * mbx, 4, mb)
+                    _write_residual_4x4(
+                        sl, _n13_dc(sj, f, mb), n_c, 16
+                    )
+                    tc4[
+                        4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+                    ] = 0
+                    wchroma(mb, mbx, mby, cc_)
+                else:
+                    sl.ue(kind - 1)  # mb_type 0/1/2 (Table 7-13)
+                    parts = _n14_parts(kind)
+                    # all mvd pairs precede reconstruction; each
+                    # predictor sees the earlier partition's mv
+                    fills = []
+                    for shp, pidx, ox, oy, pw, ph in parts:
+                        bx = 4 * mbx + ox // 4
+                        by = 4 * mby + oy // 4
+                        pmx, pmy = _x_mvp_part(
+                            bx, by, pw // 4, ph // 4, shp, pidx, st
+                        )
+                        mvx, mvy = _n14_mv(i, f, mb, pidx)
+                        sl.se(mvx - pmx)
+                        sl.se(mvy - pmy)
+                        _x_fill4(
+                            st, bx, by, pw // 4, ph // 4,
+                            mvx, mvy, 0,
+                        )
+                        fills.append((bx, by, pw, ph))
+                    cbp_luma, cbp_chroma = _n13_cbp(sj, f, mb)
+                    sl.ue(_CBP_INTER_INV[cbp_luma + 16 * cbp_chroma])
+                    if cbp_luma or cbp_chroma:
+                        sl.se(0)  # mb_qp_delta
+                    for blk in range(16):
+                        bi, bj = _BLK4_POS[blk]
+                        r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                        if cbp_luma & (1 << (blk // 4)):
+                            n_c = ncof(tc4, r4, c4, 4, mb)
+                            tc4[r4, c4] = _write_residual_4x4(
+                                sl, _n13_lv16(sj, f, mb, blk), n_c, 16
+                            )
+                        else:
+                            tc4[r4, c4] = 0
+                    wchroma(mb, mbx, mby, cbp_chroma)
+                slice_of[mb] = s_idx
+                done[mb] = True
+            if skip_run:
+                sl.ue(skip_run)
+            sl.rbsp_trailing()
+            pic_nals.append(nal(2, 1, sl))
+        pictures.append(pic_nals)
+    return sps_nal, pps_nal, pictures
+
+
+def encode_pparts_annexb(i: int) -> bytes:
+    """The notch-14 clip as one Annex-B stream (the gate corpus)."""
+    sps_nal, pps_nal, pictures = _p14_nals(i)
+    flat = [sps_nal, pps_nal] + [n for pic in pictures for n in pic]
+    return b"".join(b"\x00\x00\x00\x01" + n for n in flat)
+
+
+def synthetic_h264_pparts_media(
+    spark: SparkSession, n: int = _N14_CLIPS
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, bytearray(encode_pparts_annexb(i))) for i in range(n)],
+        "media_id long, payload binary",
+    )
+
+
+def q_h264_pparts_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query (notch 14): decode 12 Annex-B streams whose P
+    pictures carry 16x8 / 8x16 macroblock PARTITIONS across TWO
+    slices each — per-partition mvd pairs, partition-granular
+    neighbor state (spec 6.4.11.7), the directional MVP shortcuts
+    (8.4.1.3: 16x8 top takes B, bottom takes A; 8x16 left takes A,
+    right takes C), row-2 macroblocks deriving predictors with the
+    top edge SLICE-GATED away, 16x8/8x16-sized quarter-pel motion
+    compensation, inter residuals and intra-in-P over the partitioned
+    neighborhood — one exact statistics row per frame (n_slices pins
+    the real two-slice structure) under the cross-engine hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_gop_stats(synthetic_h264_pparts_media(spark)),
+        "media_id",
+        "frame_idx",
     )

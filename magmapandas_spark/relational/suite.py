@@ -407,14 +407,14 @@ _GATE_ORDER = [
     # decoder branches touch the shared h264 decode loop
     "h264_p_decode",
     "h264_mp4_p_decode",
+    "h264_pparts_decode",
     "two_hop_reach",
-    # (c) stalest driver rows (r3/r4); unit_conversions and
-    # thermometers_multi2 rotated out to keep the 50-slot gate budget
-    # after (b) grew by two
+    # (c) stalest driver rows (r3/r4); unit_conversions,
+    # thermometers_multi2 and thermometers_multi rotated out to keep
+    # the 50-slot gate budget after (b) grew by three
     "feo_fe2o3_split",
     "fo2_buffers",
     "ilmenite_speciation",
-    "thermometers_multi",
 ]
 
 

@@ -17,18 +17,27 @@ P-slice inter-prediction notch.
   (``decode_avc_track``), so every P picture motion-compensates from
   the previously reconstructed sample out of the ISO BMFF sample
   table.
+- ``h264_pparts_decode`` — codec notch 14: 16x8 / 8x16 macroblock
+  PARTITIONS across TWO-slice P pictures — per-partition mvd pairs,
+  partition-granular neighbor state (spec 6.4.11.7), the directional
+  MVP shortcuts (8.4.1.3), slice-gated predictor derivation on row-2
+  macroblocks, partition-sized quarter-pel motion compensation.
 """
 
 from __future__ import annotations
 
 
 def queries():
-    from magmapandas_spark.operators.h264p import q_h264_p_decode
+    from magmapandas_spark.operators.h264p import (
+        q_h264_p_decode,
+        q_h264_pparts_decode,
+    )
     from magmapandas_spark.operators.mp4 import q_h264_mp4_p_decode
 
     return {
         "h264_p_decode": q_h264_p_decode,
         "h264_mp4_p_decode": q_h264_mp4_p_decode,
+        "h264_pparts_decode": q_h264_pparts_decode,
     }
 
 
@@ -36,9 +45,11 @@ def oracle_sql():
     from magmapandas_spark.operators.h264p import (
         SQL_H264_MP4_P_DECODE,
         SQL_H264_P_DECODE,
+        SQL_H264_PPARTS_DECODE,
     )
 
     return {
         "h264_p_decode": SQL_H264_P_DECODE,
         "h264_mp4_p_decode": SQL_H264_MP4_P_DECODE,
+        "h264_pparts_decode": SQL_H264_PPARTS_DECODE,
     }

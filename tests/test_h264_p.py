@@ -13,8 +13,8 @@ from magmapandas_spark.operators.h264 import (
     _CBP_INTRA,
     _mc_chroma_block,
     _mc_luma_block,
-    _mvp_16x16,
-    _skip_mv_16x16,
+    _mvp_part,
+    _skip_mv_part,
     _BitWriter,
     _escape_ebsp,
     decode_h264_stream_info,
@@ -27,10 +27,11 @@ from magmapandas_spark.operators.h264p import (
     _n13_kind,
     _n13_mv,
     _N13_CLIPS,
-    _x_mc_chroma8,
-    _x_mc_luma16,
-    _x_mvp,
-    _x_skip_mv,
+    _x_fill4,
+    _x_mc_chroma,
+    _x_mc_luma,
+    _x_new_mvstate,
+    _x_skip_part,
     encode_p_annexb,
 )
 
@@ -75,7 +76,7 @@ def test_luma_quarter_pel_decoder_equals_twin():
                 _mc_luma_block(ref, x0, y0, mvx, mvy), np.int64
             )
             b = np.asarray(
-                _x_mc_luma16(ref, x0, y0, mvx, mvy), np.int64
+                _x_mc_luma(ref, x0, y0, 16, 16, mvx, mvy), np.int64
             )
             assert np.array_equal(a, b), (mvx, mvy, x0, y0)
 
@@ -90,7 +91,7 @@ def test_chroma_eighth_pel_decoder_equals_twin():
                     _mc_chroma_block(ref, x0, y0, mvx, mvy), np.int64
                 )
                 b = np.asarray(
-                    _x_mc_chroma8(ref, x0, y0, mvx, mvy), np.int64
+                    _x_mc_chroma(ref, x0, y0, 8, 8, mvx, mvy), np.int64
                 )
                 assert np.array_equal(a, b), (mvx, mvy, x0, y0)
 
@@ -114,68 +115,111 @@ def test_luma_integer_motion_is_edge_replicated_copy():
 # ------------------------------------------------------------------
 
 
-def _state(mbs, mvs, refs, done):
-    mvxa = np.array([m[0] for m in mvs], np.int32)
-    mvya = np.array([m[1] for m in mvs], np.int32)
-    refa = np.array(refs, np.int32)
-    return mvxa, mvya, refa, (lambda n: done[n])
+def _grid_state(mbs_w, mbs_h, mb_state):
+    """Build 4x4-block grids from per-MB (mvx, mvy, ref) specs; ref
+    -2 marks an undecoded MB (its avail is False)."""
+    mv4x = np.zeros((4 * mbs_h, 4 * mbs_w), np.int32)
+    mv4y = np.zeros((4 * mbs_h, 4 * mbs_w), np.int32)
+    ref4 = np.full((4 * mbs_h, 4 * mbs_w), -2, np.int32)
+    avail = []
+    for mb, (mx, my, rf) in enumerate(mb_state):
+        x, yv = mb % mbs_w, mb // mbs_w
+        sl = np.s_[4 * yv : 4 * yv + 4, 4 * x : 4 * x + 4]
+        mv4x[sl], mv4y[sl], ref4[sl] = mx, my, rf
+        avail.append(rf != -2)
+    return mv4x, mv4y, ref4, (lambda o: avail[o])
+
+
+def _mvp16(mb, mbs_w, grids):
+    mv4x, mv4y, ref4, avail = grids
+    x, yv = mb % mbs_w, mb // mbs_w
+    return _mvp_part(
+        4 * x, 4 * yv, 4, 4, "16x16", 0,
+        mv4x, mv4y, ref4, avail, mbs_w,
+    )
+
+
+def _skip16(mb, mbs_w, grids):
+    mv4x, mv4y, ref4, avail = grids
+    x, yv = mb % mbs_w, mb // mbs_w
+    return _skip_mv_part(
+        4 * x, 4 * yv, mv4x, mv4y, ref4, avail, mbs_w
+    )
+
+
+_U = (0, 0, -2)  # undecoded MB
+_I = (0, 0, -1)  # intra MB
 
 
 def test_mvp_b_and_c_unavailable_takes_a():
-    # 1x? row: mb 1 with only A decoded (row 0 of a 4-wide picture)
-    mvxa, mvya, refa, avail = _state(
-        4, [(12, -8), (0, 0), (0, 0), (0, 0)],
-        [0, -1, -1, -1], [True, False, False, False],
-    )
-    assert _mvp_16x16(1, 4, mvxa, mvya, refa, avail) == (12, -8)
-    assert _x_mvp(1, 4, list(mvxa), list(mvya), list(refa),
-                  [True, False, False, False]) == (12, -8)
+    # row 0 of a 4-wide picture: mb 1 with only A decoded
+    g = _grid_state(4, 2, [(12, -8, 0), _U, _U, _U,
+                           _U, _U, _U, _U])
+    assert _mvp16(1, 4, g) == (12, -8)
 
 
 def test_mvp_exactly_one_matching_ref_takes_it():
-    # 4-wide, mb 5 (middle): A intra, B inter, C inter-intra mix
-    done = [True] * 8
-    mvxa, mvya, refa, avail = _state(
-        8,
-        [(0, 0)] * 4 + [(0, 0), (0, 0), (0, 0), (0, 0)],
-        [-1] * 8, done,
-    )
-    mvxa[1], mvya[1], refa[1] = 20, 4, 0  # B = mb 1
-    # A (mb 4) intra, C (mb 2) intra -> exactly one inter ref: B
-    assert _mvp_16x16(5, 4, mvxa, mvya, refa, avail) == (20, 4)
+    # mb 5 (middle of row 1): A intra, B inter, C intra
+    st = [_I] * 8
+    st[1] = (20, 4, 0)  # B
+    g = _grid_state(4, 2, st)
+    assert _mvp16(5, 4, g) == (20, 4)
 
 
 def test_mvp_median_of_three_inter_neighbors():
-    done = [True] * 8
-    mvxa, mvya, refa, avail = _state(8, [(0, 0)] * 8, [-1] * 8, done)
-    for n, (mx, my) in zip((4, 1, 2), [(10, -2), (30, 6), (20, 50)]):
-        mvxa[n], mvya[n], refa[n] = mx, my, 0
+    st = [_I] * 8
+    st[4], st[1], st[2] = (10, -2, 0), (30, 6, 0), (20, 50, 0)
+    g = _grid_state(4, 2, st)
     # A=(10,-2) B=(30,6) C=(20,50) -> median (20, 6)
-    assert _mvp_16x16(5, 4, mvxa, mvya, refa, avail) == (20, 6)
+    assert _mvp16(5, 4, g) == (20, 6)
 
 
 def test_mvp_c_unavailable_substitutes_d():
-    done = [True] * 8
-    mvxa, mvya, refa, avail = _state(8, [(0, 0)] * 8, [-1] * 8, done)
-    # mb 7 (last col of row 1, 4-wide): C out of picture -> D (mb 2)
-    for n, (mx, my) in zip((6, 3, 2), [(8, 8), (16, 16), (24, 24)]):
-        mvxa[n], mvya[n], refa[n] = mx, my, 0
-    assert _mvp_16x16(7, 4, mvxa, mvya, refa, avail) == (16, 16)
+    st = [_I] * 8
+    # mb 7 (last col of row 1): C out of picture -> D (mb 2)
+    st[6], st[3], st[2] = (8, 8, 0), (16, 16, 0), (24, 24, 0)
+    g = _grid_state(4, 2, st)
+    assert _mvp16(7, 4, g) == (16, 16)
+
+
+def test_mvp_directional_16x8_8x16_shortcuts():
+    # partitioned neighbors: top 16x8 partition takes B when B is
+    # inter; bottom takes A; 8x16 left takes A, right takes C
+    st = [_I] * 8
+    st[1] = (40, 8, 0)   # B of mb 5
+    st[4] = (-12, 4, 0)  # A of mb 5
+    st[2] = (24, -4, 0)  # C of mb 5
+    mv4x, mv4y, ref4, avail = _grid_state(4, 2, st)
+    args = (mv4x, mv4y, ref4, avail, 4)
+    # mb 5 -> top-left block (4, 4)
+    assert _mvp_part(4, 4, 4, 2, "16x8", 0, *args) == (40, 8)
+    assert _mvp_part(4, 6, 4, 2, "16x8", 1, *args) == (-12, 4)
+    assert _mvp_part(4, 4, 2, 4, "8x16", 0, *args) == (-12, 4)
+    assert _mvp_part(6, 4, 2, 4, "8x16", 1, *args) == (24, -4)
+    # when the directional neighbor is intra, fall through to median:
+    # A=(-12,4) B=intra(0,0) C=(24,-4) -> (0, 0)
+    st2 = list(st)
+    st2[1] = _I
+    g2 = _grid_state(4, 2, st2)
+    assert _mvp_part(
+        4, 4, 4, 2, "16x8", 0, g2[0], g2[1], g2[2], g2[3], 4
+    ) == (0, 0)
 
 
 def test_skip_mv_zero_when_top_missing_or_zero_neighbor():
-    done = [True] * 8
-    mvxa, mvya, refa, avail = _state(8, [(0, 0)] * 8, [-1] * 8, done)
+    st = [_I] * 8
+    g = _grid_state(4, 2, st)
     # top row: no B neighbor -> zero
-    assert _skip_mv_16x16(1, 4, mvxa, mvya, refa, avail) == (0, 0)
+    assert _skip16(1, 4, g) == (0, 0)
     # interior with a zero-mv ref-0 left neighbor -> zero
-    for n, (mx, my) in zip((4, 1, 2), [(0, 0), (12, 4), (6, 2)]):
-        mvxa[n], mvya[n], refa[n] = mx, my, 0
-    assert _skip_mv_16x16(5, 4, mvxa, mvya, refa, avail) == (0, 0)
+    st[4], st[1], st[2] = (0, 0, 0), (12, 4, 0), (6, 2, 0)
+    g = _grid_state(4, 2, st)
+    assert _skip16(5, 4, g) == (0, 0)
     # non-zero neighbors -> the median predictor over
     # A=(10,-2) B=(12,4) C=(6,2): (10, 2)
-    mvxa[4], mvya[4] = 10, -2
-    assert _skip_mv_16x16(5, 4, mvxa, mvya, refa, avail) == (10, 2)
+    st[4] = (10, -2, 0)
+    g = _grid_state(4, 2, st)
+    assert _skip16(5, 4, g) == (10, 2)
 
 
 # ------------------------------------------------------------------
@@ -204,10 +248,8 @@ def test_corpus_coverage_is_complete():
         n_mbs = mbs_w * mbs_h
         w, h = 16 * mbs_w, 16 * mbs_h
         for f in (1, 2):
-            mvxa = [0] * n_mbs
-            mvya = [0] * n_mbs
-            refa = [-1] * n_mbs
             done = [False] * n_mbs
+            st = _x_new_mvstate(mbs_w, mbs_h, lambda o: done[o])
             for mb in range(n_mbs):
                 k = _n13_kind(i, f, mb, mbs_w)
                 mbx, mby = mb % mbs_w, mb // mbs_w
@@ -216,10 +258,11 @@ def test_corpus_coverage_is_complete():
                     pms.add(pm)
                     cms.add(cm)
                     ccs.add(cc)
+                    _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, 0, 0, -1)
                     done[mb] = True
                     continue
                 if k == 0:
-                    mv = _x_skip_mv(mb, mbs_w, mvxa, mvya, refa, done)
+                    mv = _x_skip_part(4 * mbx, 4 * mby, st)
                     if mv != (0, 0):
                         nonzero_skip += 1
                     skip_pos.add(
@@ -237,7 +280,7 @@ def test_corpus_coverage_is_complete():
                         cl, cc = _n13_cbp(i, f, mb)
                         cbps.add(cl)
                         ccs.add(cc)
-                mvxa[mb], mvya[mb], refa[mb] = mv[0], mv[1], 0
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, mv[0], mv[1], 0)
                 done[mb] = True
     assert len(phases) == 16, phases  # every quarter-pel phase pair
     assert cbps == set(range(16))  # every Table 9-4 luma pattern
@@ -303,9 +346,9 @@ def test_p_partition_types_raise():
     sl.u(0, 1)  # no adaptive marking
     sl.se(0)  # qp delta
     sl.ue(0)  # mb_skip_run = 0
-    sl.ue(1)  # mb_type P_L0_L0_16x8
+    sl.ue(3)  # mb_type P_8x8
     sl.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="16x8"):
+    with pytest.raises(NotImplementedError, match="P_8x8"):
         decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
 
 
@@ -445,3 +488,126 @@ def test_weighted_pred_pps_raises_for_p():
     with pytest.raises(NotImplementedError, match="weighted"):
         decode_h264_stream_info(stream)
 
+
+
+# ------------------------------------------------------------------
+# notch 14: 16x8 / 8x16 partitions x two-slice P pictures
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("i", range(h264p._N14_CLIPS))
+def test_pparts_corpus_decoder_equals_twin(i):
+    pics, sps, slice_counts = decode_h264_stream_info(
+        h264p.encode_pparts_annexb(i)
+    )
+    twin = h264p._n14_clip(i)
+    # P pictures really decode through TWO slice NALs each
+    assert len(pics) == 3 and slice_counts == [1, 2, 2]
+    for f in range(3):
+        for pi in range(3):
+            assert np.array_equal(pics[f][pi], twin[f][pi]), (i, f, pi)
+
+
+def test_pparts_corpus_coverage():
+    shapes, shapes_row2 = set(), set()
+    shortcut_fired = 0
+    gating_changed = 0
+    for i in range(h264p._N14_CLIPS):
+        mbs_w, mbs_h = h264p._n14_geom(i)
+        n_mbs = mbs_w * mbs_h
+        for f in (1, 2):
+            done = [False] * n_mbs
+            slice_of = [-1] * n_mbs
+            cur_sl, cur_mb = [0], [-1]
+            st = _x_new_mvstate(
+                mbs_w, mbs_h,
+                lambda o: o == cur_mb[0]
+                or (done[o] and slice_of[o] == cur_sl[0]),
+            )
+            stu = dict(st)  # ungated comparison view (same grids)
+            stu["avail"] = lambda o: o == cur_mb[0] or done[o]
+            for mb in range(n_mbs):
+                mbx, mby = mb % mbs_w, mb // mbs_w
+                cur_sl[0] = 0 if mby < 2 else 1
+                cur_mb[0] = mb
+                kind = h264p._n14_kind(i, f, mb, mbs_w)
+                if kind == 4:
+                    _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, 0, 0, -1)
+                elif kind == 0:
+                    mv = _x_skip_part(4 * mbx, 4 * mby, st)
+                    _x_fill4(
+                        st, 4 * mbx, 4 * mby, 4, 4, mv[0], mv[1], 0
+                    )
+                else:
+                    for shp, pidx, ox, oy, pw, ph in h264p._n14_parts(
+                        kind
+                    ):
+                        bx = 4 * mbx + ox // 4
+                        by = 4 * mby + oy // 4
+                        pm = h264p._x_mvp_part(
+                            bx, by, pw // 4, ph // 4, shp, pidx, st
+                        )
+                        pmu = h264p._x_mvp_part(
+                            bx, by, pw // 4, ph // 4, shp, pidx, stu
+                        )
+                        if pm != pmu:
+                            gating_changed += 1
+                        if shp in ("16x8", "8x16"):
+                            shapes.add((shp, pidx))
+                            if mby == 2:
+                                shapes_row2.add((shp, pidx))
+                            a = h264p._x_nbr4(bx - 1, by, st)
+                            b = h264p._x_nbr4(bx, by - 1, st)
+                            c = h264p._x_nbr4(bx + pw // 4, by - 1, st)
+                            if not c[3]:
+                                c = h264p._x_nbr4(bx - 1, by - 1, st)
+                            key = {
+                                ("16x8", 0): b,
+                                ("16x8", 1): a,
+                                ("8x16", 0): a,
+                                ("8x16", 1): c,
+                            }[(shp, pidx)]
+                            if key[2] == 0:
+                                shortcut_fired += 1
+                        mv = h264p._n14_mv(i, f, mb, pidx)
+                        _x_fill4(
+                            st, bx, by, pw // 4, ph // 4,
+                            mv[0], mv[1], 0,
+                        )
+                slice_of[mb] = cur_sl[0]
+                done[mb] = True
+    # all four (shape, partIdx) combos occur, including in the
+    # slice-gated bottom row; the directional shortcuts really fire;
+    # slice gating really changes predictors vs a single-slice read
+    assert shapes == {("16x8", 0), ("16x8", 1),
+                      ("8x16", 0), ("8x16", 1)}
+    assert shapes_row2 == shapes
+    assert shortcut_fired > 50
+    assert gating_changed > 20
+
+
+def test_partition_sized_mc_kernels_match_twin():
+    rng = np.random.RandomState(17)
+    ref = rng.randint(0, 256, (48, 64), np.uint8)
+    for bw, bh in ((16, 8), (8, 16)):
+        for mvx, mvy in ((-9, 13), (6, -11), (121, -130), (2, 3)):
+            a = np.asarray(
+                _mc_luma_block(ref, 16, 8, mvx, mvy, bw, bh), np.int64
+            )
+            b = np.asarray(
+                h264p._x_mc_luma(ref, 16, 8, bw, bh, mvx, mvy),
+                np.int64,
+            )
+            assert np.array_equal(a, b), (bw, bh, mvx, mvy)
+    cref = rng.randint(0, 256, (24, 32), np.uint8)
+    for bw, bh in ((8, 4), (4, 8)):
+        for mvx, mvy in ((-9, 13), (6, -11), (121, -130)):
+            a = np.asarray(
+                _mc_chroma_block(cref, 8, 4, mvx, mvy, bw, bh),
+                np.int64,
+            )
+            b = np.asarray(
+                h264p._x_mc_chroma(cref, 8, 4, bw, bh, mvx, mvy),
+                np.int64,
+            )
+            assert np.array_equal(a, b), (bw, bh, mvx, mvy)
