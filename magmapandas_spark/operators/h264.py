@@ -75,15 +75,22 @@ decodes:
    through the SEQUENTIAL track decoder (operators/mp4.py
    ``decode_avc_track``: inter prediction breaks per-sample
    isolation, so the sample list decodes as one stateful stream).
+13. (round 9) ``h264_p8x8_decode`` — notch 15: P_8x8 / P_8x8ref0
+   SUB-macroblock partitions — per-8x8 sub_mb_type (all four Table
+   7-17 shapes, mixed within one MB), per-sub-partition mvd pairs,
+   median MVP at sub-partition granularity (C -> D substitution
+   against not-yet-decoded same-MB blocks), 8x4 / 4x8 / 4x4
+   quarter-pel MC with 2x2-tier chroma — the P-slice partition tree
+   COMPLETE.
 
 With notches 10/11 the decoder accepts the full baseline I-frame
 toolbox (I_PCM + I_16x16 + I_4x4, any CAVLC residual, incl. the
 level_prefix >= 16 extended escape range of the 2005+ spec
-editions); notches 13/14 add single-reference P slices (P_L0_16x16,
-16x8/8x16 partitions, P_Skip, intra-in-P). Honest boundaries that
-remain: P_8x8 sub-macroblock partitions, multiple reference frames,
-weighted prediction, B slices, CABAC, transform_size_8x8 / high
-profiles, interlace, FMO.
+editions); notches 13-15 add single-reference P slices with the
+COMPLETE partition tree (P_L0_16x16, 16x8/8x16, P_8x8/P_8x8ref0 with
+every sub-partition shape, P_Skip, intra-in-P). Honest boundaries
+that remain: multiple reference frames, weighted prediction, B
+slices, CABAC, transform_size_8x8 / high profiles, interlace, FMO.
 
 Scale posture: identical to every codec in this engine — one narrow
 Arrow ``mapInPandas`` stage per payload; bytes never leave the
@@ -1581,6 +1588,17 @@ def _median3(a: int, b: int, c: int) -> int:
     return a + b + c - min(a, b, c) - max(a, b, c)
 
 
+# sub-macroblock partition geometry (Table 7-17, P slices): offsets
+# and sizes within one 8x8 block per sub_mb_type — 0 = P_L0_8x8,
+# 1 = P_L0_8x4, 2 = P_L0_4x8, 3 = P_L0_4x4
+_SUB_MB_GEOM = {
+    0: [(0, 0, 8, 8)],
+    1: [(0, 0, 8, 4), (0, 4, 8, 4)],
+    2: [(0, 0, 4, 8), (4, 0, 4, 8)],
+    3: [(0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)],
+}
+
+
 def _nbr4(bx, by, mv4x, mv4y, ref4, avail_mb, mbs_w):
     """Neighboring-PARTITION lookup at 4x4-block coordinates
     (spec 6.4.11.7 granularity): returns (mvx, mvy, refIdx,
@@ -1975,15 +1993,10 @@ def decode_h264_stream_info(
 
                 inter_mb = False
                 if is_p and mb_type <= 4:
-                    if mb_type in (3, 4):
-                        raise NotImplementedError(
-                            f"P macroblock type {mb_type} (P_8x8 "
-                            "sub-macroblock partitions) not supported "
-                            "— 16x16/16x8/8x16 partitions, P_Skip and "
-                            "intra-in-P only"
-                        )
                     # Table 7-13: 0 = P_L0_16x16, 1 = P_L0_L0_16x8,
-                    # 2 = P_L0_L0_8x16. Partition tuples:
+                    # 2 = P_L0_L0_8x16, 3 = P_8x8, 4 = P_8x8ref0
+                    # (identical with one active reference: ref_idx
+                    # is never coded). Partition tuples:
                     # (shape, partIdx, x-offset, y-offset, w, h)
                     if mb_type == 0:
                         parts = [("16x16", 0, 0, 0, 16, 16)]
@@ -1992,11 +2005,32 @@ def decode_h264_stream_info(
                             ("16x8", 0, 0, 0, 16, 8),
                             ("16x8", 1, 0, 8, 16, 8),
                         ]
-                    else:
+                    elif mb_type == 2:
                         parts = [
                             ("8x16", 0, 0, 0, 8, 16),
                             ("8x16", 1, 8, 0, 8, 16),
                         ]
+                    else:
+                        # sub_mb_pred (spec 7.3.5.2): four sub_mb_type
+                        # elements, then every mvd pair in (8x8 block,
+                        # sub-partition) order; sub-partitions use the
+                        # general median MVP (no directional
+                        # shortcuts, spec 8.4.1.3)
+                        parts = []
+                        for b8 in range(4):
+                            smt = r.ue()
+                            if smt > 3:
+                                raise ValueError(
+                                    f"sub_mb_type {smt} out of the "
+                                    "P-slice Table 7-17 range "
+                                    "(corrupt stream?)"
+                                )
+                            ox8, oy8 = 8 * (b8 % 2), 8 * (b8 // 2)
+                            for sx, sy, pw, ph in _SUB_MB_GEOM[smt]:
+                                parts.append((
+                                    "8x8", 0,
+                                    ox8 + sx, oy8 + sy, pw, ph,
+                                ))
                     # spec 7.3.5.2: ref_idx_l0 absent (te(v) with a
                     # single active reference); all mvd pairs parse
                     # before reconstruction, partition order

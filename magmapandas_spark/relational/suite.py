@@ -408,13 +408,12 @@ _GATE_ORDER = [
     "h264_p_decode",
     "h264_mp4_p_decode",
     "h264_pparts_decode",
+    "h264_p8x8_decode",
     "two_hop_reach",
-    # (c) stalest driver rows (r3/r4); unit_conversions,
-    # thermometers_multi2 and thermometers_multi rotated out to keep
-    # the 50-slot gate budget after (b) grew by three
+    # (c) stalest driver rows (r3/r4); four rotated out to keep the
+    # 50-slot gate budget after (b) grew by four
     "feo_fe2o3_split",
     "fo2_buffers",
-    "ilmenite_speciation",
 ]
 
 

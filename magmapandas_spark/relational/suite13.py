@@ -22,6 +22,11 @@ P-slice inter-prediction notch.
   partition-granular neighbor state (spec 6.4.11.7), the directional
   MVP shortcuts (8.4.1.3), slice-gated predictor derivation on row-2
   macroblocks, partition-sized quarter-pel motion compensation.
+- ``h264_p8x8_decode`` — codec notch 15: P_8x8 / P_8x8ref0
+  SUB-macroblock partitions (per-8x8 sub_mb_type, all four Table
+  7-17 shapes mixed within one MB, per-sub-partition mvds, median
+  MVP at sub-partition granularity, 8x4/4x8/4x4 MC) — the P-slice
+  partition tree complete.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ from __future__ import annotations
 def queries():
     from magmapandas_spark.operators.h264p import (
         q_h264_p_decode,
+        q_h264_p8x8_decode,
         q_h264_pparts_decode,
     )
     from magmapandas_spark.operators.mp4 import q_h264_mp4_p_decode
@@ -38,6 +44,7 @@ def queries():
         "h264_p_decode": q_h264_p_decode,
         "h264_mp4_p_decode": q_h264_mp4_p_decode,
         "h264_pparts_decode": q_h264_pparts_decode,
+        "h264_p8x8_decode": q_h264_p8x8_decode,
     }
 
 
@@ -45,6 +52,7 @@ def oracle_sql():
     from magmapandas_spark.operators.h264p import (
         SQL_H264_MP4_P_DECODE,
         SQL_H264_P_DECODE,
+        SQL_H264_P8X8_DECODE,
         SQL_H264_PPARTS_DECODE,
     )
 
@@ -52,4 +60,5 @@ def oracle_sql():
         "h264_p_decode": SQL_H264_P_DECODE,
         "h264_mp4_p_decode": SQL_H264_MP4_P_DECODE,
         "h264_pparts_decode": SQL_H264_PPARTS_DECODE,
+        "h264_p8x8_decode": SQL_H264_P8X8_DECODE,
     }

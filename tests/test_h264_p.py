@@ -338,7 +338,9 @@ def test_b_slice_raises():
         decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
 
 
-def test_p_partition_types_raise():
+def test_p_mb_type_out_of_range_raises():
+    # every P partition type 0..4 now decodes; an mb_type past the
+    # intra range must still hit the explicit boundary error
     sl = _BitWriter()
     _p_header(sl)
     sl.u(0, 1)  # no override
@@ -346,9 +348,9 @@ def test_p_partition_types_raise():
     sl.u(0, 1)  # no adaptive marking
     sl.se(0)  # qp delta
     sl.ue(0)  # mb_skip_run = 0
-    sl.ue(3)  # mb_type P_8x8
+    sl.ue(31)  # mb_type 31 -> intra offset 26: out of Table 7-11
     sl.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="P_8x8"):
+    with pytest.raises(NotImplementedError, match="mb_type"):
         decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
 
 
@@ -611,3 +613,84 @@ def test_partition_sized_mc_kernels_match_twin():
                 np.int64,
             )
             assert np.array_equal(a, b), (bw, bh, mvx, mvy)
+
+
+# ------------------------------------------------------------------
+# notch 15: P_8x8 / P_8x8ref0 sub-macroblock partitions
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("i", range(h264p._N15_CLIPS))
+def test_p8x8_corpus_decoder_equals_twin(i):
+    pics, sps, slice_counts = decode_h264_stream_info(
+        h264p.encode_p8x8_annexb(i)
+    )
+    twin = h264p._n15_clip(i)
+    assert len(pics) == 3 and slice_counts == [1, 1, 1]
+    for f in range(3):
+        for pi in range(3):
+            assert np.array_equal(pics[f][pi], twin[f][pi]), (i, f, pi)
+
+
+def test_p8x8_corpus_coverage():
+    smts, sizes, phases = set(), set(), set()
+    mb_types, mixed_mbs = set(), 0
+    for i in range(h264p._N15_CLIPS):
+        mbs_w, mbs_h = h264p._n15_geom(i)
+        for f in (1, 2):
+            for mb in range(mbs_w * mbs_h):
+                kind = h264p._n15_kind(i, f, mb, mbs_w)
+                if kind not in (1, 2):
+                    continue
+                mb_types.add(3 + ((i + mb) % 2))
+                block_smts = {
+                    h264p._n15_smt(i, f, mb, b8) for b8 in range(4)
+                }
+                smts |= block_smts
+                if len(block_smts) > 1:
+                    mixed_mbs += 1
+                for ox, oy, pw, ph, mvx, mvy in h264p._n15_plan(
+                    i, f, mb
+                ):
+                    sizes.add((pw, ph))
+                    phases.add((mvx & 3, mvy & 3))
+    assert smts == {0, 1, 2, 3}  # every Table 7-17 sub_mb_type
+    assert sizes == {(8, 8), (8, 4), (4, 8), (4, 4)}
+    assert mb_types == {3, 4}  # P_8x8 AND P_8x8ref0 both parsed
+    assert mixed_mbs > 40  # shapes genuinely mix within one MB
+    assert len(phases) == 16
+
+
+def test_sub_partition_mvp_uses_decoded_same_mb_neighbors():
+    # a 4x4 sub-partition's A neighbor is the previously decoded
+    # sub-partition of the SAME 8x8; its C above-right inside the
+    # not-yet-decoded right 8x8 must substitute D
+    st = _x_new_mvstate(2, 2, lambda o: True)
+    # above MB row fully decoded inter with distinct mvs
+    _x_fill4(st, 0, 0, 8, 4, 7, 3, 0)
+    # current MB (mb 2, at block row 4): left 8x8's first 4x4 decoded
+    _x_fill4(st, 0, 4, 1, 1, 20, -8, 0)
+    # sub-partition at (1, 4): A = (0,4) decoded same-MB block;
+    # C at (2, 3)? no — C = (1+1, 4-1) = (2, 3) above MB (decoded).
+    mv = h264p._x_mvp_part(1, 4, 1, 1, "8x8", 0, st)
+    # A=(20,-8) B=(7,3) C=(7,3): median = (7, 3)
+    assert mv == (7, 3)
+    # block at (1, 5): B = (1, 4) undecoded (-2) -> unavailable;
+    # C = (2, 4) undecoded -> D = (0, 4) decoded
+    mv = h264p._x_mvp_part(1, 5, 1, 1, "8x8", 0, st)
+    # A undecoded(-2 at (0,5)) -> unavail; B unavail; D=(20,-8)
+    # exactly one matching refIdx (D as C) -> (20, -8)
+    assert mv == (20, -8)
+
+
+def test_corrupt_sub_mb_type_raises():
+    sl = _BitWriter()
+    _p_header(sl)
+    sl.u(0, 1); sl.u(0, 1); sl.u(0, 1)
+    sl.se(0)
+    sl.ue(0)  # mb_skip_run
+    sl.ue(3)  # P_8x8
+    sl.ue(4)  # sub_mb_type out of P range (B-slice value)
+    sl.rbsp_trailing()
+    with pytest.raises(ValueError, match="sub_mb_type"):
+        decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
