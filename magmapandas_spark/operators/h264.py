@@ -82,15 +82,23 @@ decodes:
    against not-yet-decoded same-MB blocks), 8x4 / 4x8 / 4x4
    quarter-pel MC with 2x2-tier chroma — the P-slice partition tree
    COMPLETE.
+14. (round 9) ``h264_multiref_decode`` — notch 16: MULTIPLE
+   reference frames — a real DPB (decoded reference pictures,
+   RefPicList0 in PicNum order), te(v) ref_idx_l0 per partition /
+   per 8x8 block (absent for P_8x8ref0), the
+   num_ref_idx_active_override path, and refIdx-aware MV prediction
+   (different-reference neighbors feed the median but are excluded
+   from the exactly-one rule and the directional shortcuts).
 
 With notches 10/11 the decoder accepts the full baseline I-frame
 toolbox (I_PCM + I_16x16 + I_4x4, any CAVLC residual, incl. the
 level_prefix >= 16 extended escape range of the 2005+ spec
-editions); notches 13-15 add single-reference P slices with the
-COMPLETE partition tree (P_L0_16x16, 16x8/8x16, P_8x8/P_8x8ref0 with
-every sub-partition shape, P_Skip, intra-in-P). Honest boundaries
-that remain: multiple reference frames, weighted prediction, B
-slices, CABAC, transform_size_8x8 / high profiles, interlace, FMO.
+editions); notches 13-16 add P slices with the COMPLETE partition
+tree (P_L0_16x16, 16x8/8x16, P_8x8/P_8x8ref0 with every
+sub-partition shape, P_Skip, intra-in-P) and multiple reference
+frames. Honest boundaries that remain: ref_pic_list_modification and
+adaptive (MMCO) reference marking, weighted prediction, B slices,
+CABAC, transform_size_8x8 / high profiles, interlace, FMO.
 
 Scale posture: identical to every codec in this engine — one narrow
 Arrow ``mapInPandas`` stage per payload; bytes never leave the
@@ -1615,11 +1623,21 @@ def _nbr4(bx, by, mv4x, mv4y, ref4, avail_mb, mbs_w):
         return 0, 0, -1, False
     if rf < 0:
         return 0, 0, -1, True
-    return int(mv4x[by, bx]), int(mv4y[by, bx]), 0, True
+    return int(mv4x[by, bx]), int(mv4y[by, bx]), rf, True
+
+
+def _read_te(r: "_BitReader", cmax: int) -> int:
+    """te(v) truncated Exp-Golomb (spec 9.1.1): single inverted bit
+    when the range is 0..1, plain ue(v) above."""
+    if cmax == 0:
+        return 0
+    if cmax == 1:
+        return 1 - r.u(1)
+    return r.ue()
 
 
 def _mvp_part(bx, by, w4, h4, shape, idx, mv4x, mv4y, ref4,
-              avail_mb, mbs_w):
+              avail_mb, mbs_w, cur_ref=0):
     """Spec 8.4.1.3 motion-vector prediction for the w4 x h4 (in 4x4
     units) partition whose top-left block is (bx, by): gather
     partition neighbors A (left), B (above), C (above-right of the
@@ -1637,18 +1655,18 @@ def _mvp_part(bx, by, w4, h4, shape, idx, mv4x, mv4y, ref4,
     if not c[3]:  # C unavailable: substitute D (above-left)
         c = _nbr4(bx - 1, by - 1, mv4x, mv4y, ref4, avail_mb, mbs_w)
     if shape == "16x8":
-        if idx == 0 and b[2] == 0:
+        if idx == 0 and b[2] == cur_ref:
             return b[0], b[1]
-        if idx == 1 and a[2] == 0:
+        if idx == 1 and a[2] == cur_ref:
             return a[0], a[1]
     elif shape == "8x16":
-        if idx == 0 and a[2] == 0:
+        if idx == 0 and a[2] == cur_ref:
             return a[0], a[1]
-        if idx == 1 and c[2] == 0:
+        if idx == 1 and c[2] == cur_ref:
             return c[0], c[1]
     if not b[3] and not c[3] and a[3]:
         return a[0], a[1]
-    hits = [n for n in (a, b, c) if n[2] == 0]
+    hits = [n for n in (a, b, c) if n[2] == cur_ref]
     if len(hits) == 1:
         return hits[0][0], hits[0][1]
     return (
@@ -1724,7 +1742,7 @@ def decode_h264_stream_info(
     ppss: dict[int, dict] = {}
     pics: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     slice_counts: list[int] = []
-    ref_flags: list[bool] = []  # was each decoded picture a reference?
+    dpb: list = []  # decoded REFERENCE pictures, most recent last
     cur_ref = False
     y = cb = cr = None
     tc4 = ctc4 = mode4 = mb_done = slice_of = None
@@ -1779,10 +1797,10 @@ def decode_h264_stream_info(
                 n_ref = pps["num_ref_l0"]
                 if r.u(1):  # num_ref_idx_active_override_flag
                     n_ref = r.ue() + 1  # num_ref_idx_l0_active_minus1
-                if n_ref != 1:
-                    raise NotImplementedError(
-                        "multiple L0 reference pictures not supported "
-                        "(single-reference P slices only)"
+                if not 1 <= n_ref <= 16:
+                    raise ValueError(
+                        f"num_ref_idx_l0_active {n_ref} out of the "
+                        "spec range 1..16 (corrupt stream?)"
                     )
                 if r.u(1):  # ref_pic_list_modification_flag_l0
                     raise NotImplementedError(
@@ -1815,7 +1833,8 @@ def decode_h264_stream_info(
                         )
                     pics.append((y, cb, cr))
                     slice_counts.append(slice_idx + 1)
-                    ref_flags.append(cur_ref)
+                    if cur_ref:
+                        dpb.append((y, cb, cr))
                 cur_ref = bool((nal_bytes[0] >> 5) & 3)
                 w, h = mbs_w * 16, mbs_h * 16
                 y = np.zeros((h, w), np.uint8)
@@ -1852,17 +1871,15 @@ def decode_h264_stream_info(
                                      "a picture-starting slice")
                 slice_idx += 1
             if is_p:
-                if not pics:
+                if len(dpb) < n_ref:
                     raise ValueError(
-                        "P slice with no prior decoded picture"
+                        f"P slice with {n_ref} active references but "
+                        f"only {len(dpb)} decoded reference pictures"
                     )
-                if not ref_flags[-1]:
-                    raise NotImplementedError(
-                        "P slice whose previous picture is a "
-                        "non-reference picture (nal_ref_idc 0) — DPB "
-                        "reordering not supported"
-                    )
-                ref_y, ref_cb, ref_cr = pics[-1]
+                # RefPicList0 (spec 8.2.4.2.1): short-term references
+                # by descending PicNum — with sliding-window marking
+                # and no frame_num gaps, decode recency order
+                ref_list = [dpb[-1 - k] for k in range(n_ref)]
 
             def _avail_sl(nbr: int) -> bool:
                 return mb_done[nbr] and slice_of[nbr] == slice_idx
@@ -1883,7 +1900,7 @@ def decode_h264_stream_info(
                             mv4x, mv4y, ref4, _avail_sl, mbs_w,
                         )
                         _mc_16x16_into(
-                            y, cb, cr, ref_y, ref_cb, ref_cr,
+                            y, cb, cr, *ref_list[0],
                             sx, sy, mvx, mvy,
                         )
                         tc4[
@@ -2031,9 +2048,33 @@ def decode_h264_stream_info(
                                     "8x8", 0,
                                     ox8 + sx, oy8 + sy, pw, ph,
                                 ))
-                    # spec 7.3.5.2: ref_idx_l0 absent (te(v) with a
-                    # single active reference); all mvd pairs parse
-                    # before reconstruction, partition order
+                    # ref_idx_l0 elements (spec 7.3.5.1 / 7.3.5.2):
+                    # one te(v) per partition for mb_type 0-2, one
+                    # per 8x8 block for P_8x8; absent entirely with a
+                    # single active reference and for P_8x8ref0
+                    # (every refIdx inferred 0). All ref_idx parse
+                    # before all mvd pairs.
+                    if mb_type <= 2:
+                        unit_of = list(range(len(parts)))
+                        n_units = len(parts)
+                    else:
+                        unit_of = [
+                            2 * (oy >= 8) + (ox >= 8)
+                            for (_s, _i, ox, oy, _w, _h) in parts
+                        ]
+                        n_units = 4
+                    if n_ref > 1 and mb_type != 4:
+                        unit_ref = [
+                            _read_te(r, n_ref - 1)
+                            for _ in range(n_units)
+                        ]
+                        if any(u >= n_ref for u in unit_ref):
+                            raise ValueError(
+                                "ref_idx_l0 past the active reference "
+                                "list (corrupt stream?)"
+                            )
+                    else:
+                        unit_ref = [0] * n_units
                     mvds = [(r.se(), r.se()) for _ in parts]
 
                     def _avail_cur(o: int) -> bool:
@@ -2041,18 +2082,19 @@ def decode_h264_stream_info(
                         # visible to later ones (spec 6.4.11.7)
                         return o == mb or _avail_sl(o)
 
-                    for (shp, pidx, ox, oy, pw, ph), (dx_, dy_) in zip(
-                        parts, mvds
-                    ):
+                    for k_, ((shp, pidx, ox, oy, pw, ph), (dx_, dy_)) \
+                            in enumerate(zip(parts, mvds)):
+                        ridx = unit_ref[unit_of[k_]]
                         bx = 4 * mbx + ox // 4
                         by = 4 * mby + oy // 4
                         pmx, pmy = _mvp_part(
                             bx, by, pw // 4, ph // 4, shp, pidx,
                             mv4x, mv4y, ref4, _avail_cur, mbs_w,
+                            cur_ref=ridx,
                         )
                         mvx, mvy = pmx + dx_, pmy + dy_
                         _mc_part_into(
-                            y, cb, cr, ref_y, ref_cb, ref_cr,
+                            y, cb, cr, *ref_list[ridx],
                             16 * mbx + ox, 16 * mby + oy,
                             pw, ph, mvx, mvy,
                         )
@@ -2061,7 +2103,7 @@ def decode_h264_stream_info(
                         ]
                         mv4x[sl4] = mvx
                         mv4y[sl4] = mvy
-                        ref4[sl4] = 0
+                        ref4[sl4] = ridx
                     cbp_code = r.ue()  # me(v), Table 9-4 INTER column
                     if cbp_code > 47:
                         raise ValueError(
@@ -2316,7 +2358,6 @@ def decode_h264_stream_info(
         )
     pics.append((y, cb, cr))
     slice_counts.append(slice_idx + 1)
-    ref_flags.append(cur_ref)
     return pics, sps, slice_counts
 
 

@@ -56,12 +56,15 @@ __all__ = [
     "encode_p_annexb",
     "encode_pparts_annexb",
     "encode_p8x8_annexb",
+    "encode_multiref_annexb",
     "synthetic_h264_p_media",
     "synthetic_h264_pparts_media",
     "synthetic_h264_p8x8_media",
+    "synthetic_h264_multiref_media",
     "q_h264_p_decode",
     "q_h264_pparts_decode",
     "q_h264_p8x8_decode",
+    "q_h264_multiref_decode",
 ]
 
 _N13_CLIPS = 12
@@ -219,31 +222,32 @@ def _x_nbr4(bx, by, st):
         return 0, 0, -1, False
     if rf < 0:
         return 0, 0, -1, True
-    return st["mv4x"][by][bx], st["mv4y"][by][bx], 0, True
+    return st["mv4x"][by][bx], st["mv4y"][by][bx], rf, True
 
 
-def _x_mvp_part(bx, by, w4, h4, shape, idx, st):
-    """Explicit twin of spec 8.4.1.3 / 8.4.1.3.1 with one L0
-    reference: directional 16x8/8x16 shortcuts, C -> D substitution,
-    both median special cases."""
+def _x_mvp_part(bx, by, w4, h4, shape, idx, st, cur_ref=0):
+    """Explicit twin of spec 8.4.1.3 / 8.4.1.3.1: directional
+    16x8/8x16 shortcuts and the exactly-one rule against the
+    partition's own refIdx, C -> D substitution, both median special
+    cases."""
     a = _x_nbr4(bx - 1, by, st)
     b = _x_nbr4(bx, by - 1, st)
     c = _x_nbr4(bx + w4, by - 1, st)
     if not c[3]:
         c = _x_nbr4(bx - 1, by - 1, st)
     if shape == "16x8":
-        if idx == 0 and b[2] == 0:
+        if idx == 0 and b[2] == cur_ref:
             return b[0], b[1]
-        if idx == 1 and a[2] == 0:
+        if idx == 1 and a[2] == cur_ref:
             return a[0], a[1]
     elif shape == "8x16":
-        if idx == 0 and a[2] == 0:
+        if idx == 0 and a[2] == cur_ref:
             return a[0], a[1]
-        if idx == 1 and c[2] == 0:
+        if idx == 1 and c[2] == cur_ref:
             return c[0], c[1]
     if not b[3] and not c[3] and a[3]:
         return a[0], a[1]
-    hits = [n for n in (a, b, c) if n[2] == 0]
+    hits = [n for n in (a, b, c) if n[2] == cur_ref]
     if len(hits) == 1:
         return hits[0][0], hits[0][1]
     xs = sorted([a[0], b[0], c[0]])
@@ -881,6 +885,7 @@ def _sql_p_corpus(
     cr0_sql: str,
     p_nsl: str,
     slice_col: str,
+    p_frames: tuple = (1, 2),
 ) -> str:
     """Shared DuckDB oracle builder for the P-slice corpora
     (notches 13/14, Annex-B and MP4 schemas): picture-0 PCM sums and
@@ -895,7 +900,7 @@ def _sql_p_corpus(
         mbs_w, mbs_h = geom_fn(i)
         pics = clip_fn(i)
         pm, pf, py, pcb, pcr = [], [], [], [], []
-        for f in (1, 2):
+        for f in p_frames:
             yp, cbp_, crp_ = pics[f]
             for mb in range(mbs_w * mbs_h):
                 mbx, mby = mb % mbs_w, mb // mbs_w
@@ -1053,6 +1058,7 @@ _LAZY_SQL = {
     "SQL_H264_MP4_P_DECODE": lambda: _sql_h264_p(slice_col="n_nals"),
     "SQL_H264_PPARTS_DECODE": lambda: _sql_h264_pparts(),
     "SQL_H264_P8X8_DECODE": lambda: _sql_h264_p8x8(),
+    "SQL_H264_MULTIREF_DECODE": lambda: _sql_h264_multiref(),
 }
 
 
@@ -2074,4 +2080,516 @@ def _sql_h264_p8x8(slice_col: str = "n_slices") -> str:
         "(37 * media_id + 2 * {r} + 7 * {c} + ((3 * {r} + {c}) % 5))"
         " % 256",
         "1", slice_col,
+    )
+
+
+# ---------------------------------------------------------------------
+# Notch 16: MULTIPLE REFERENCE FRAMES. Four-picture clips
+# (I -> P1 -> P2 -> P3): P1 decodes with one active reference via the
+# num_ref_idx_active_override path; P2/P3 decode with TWO (the PPS
+# default), choosing per-partition / per-8x8 references through real
+# te(v) ref_idx_l0 elements. The MV predictor's refIdx machinery is
+# exercised non-vacuously: neighbors with a DIFFERENT refIdx still
+# feed the median but are excluded from the exactly-one rule and the
+# directional shortcuts. P_8x8ref0 macroblocks appear beside P_8x8 in
+# the same pictures (their refIdx inferred 0, no te(v) coded).
+# ---------------------------------------------------------------------
+
+_N16_CLIPS = 12
+_N16_SEED = 192
+
+
+def _n16_geom(i: int) -> tuple[int, int]:
+    return 3 + i % 2, 2
+
+
+def _n16_y0(i: int, r: int, c: int) -> int:
+    return (41 * i + 5 * r + 3 * c + ((r * c) % 11)) % 256
+
+
+def _n16_cb0(i: int, r: int, c: int) -> int:
+    return (43 * i + 3 * r + 5 * c + ((r + 2 * c) % 7)) % 256
+
+
+def _n16_cr0(i: int, r: int, c: int) -> int:
+    return (47 * i + 2 * r + 7 * c + ((3 * r + c) % 5)) % 256
+
+
+def _n16_kind(i: int, f: int, mb: int, mbs_w: int) -> int:
+    """0 = P_Skip, 1 = P_L0_16x16 + residuals, 2 = 16x8 partitions,
+    3 = P_8x8/P_8x8ref0, 4 = intra-in-P (interior; edge slots degrade
+    to 1)."""
+    k = (i + 2 * f + 3 * mb) % 5
+    mbx, mby = mb % mbs_w, mb // mbs_w
+    if k == 4 and (mbx == 0 or mby == 0):
+        return 1
+    return k
+
+
+def _n16_ref(i: int, f: int, mb: int, unit: int, mb_type: int) -> int:
+    """Reference index for partition/8x8 unit ``unit``: 0 on the
+    single-reference picture (f == 1) and for P_8x8ref0; otherwise
+    alternates between the two active references."""
+    if f < 2 or mb_type == 4:
+        return 0
+    return (i + f + mb + unit) % 2
+
+
+def _n16_mv(i, f, mb, j) -> tuple[int, int]:
+    """Per-partition quarter-pel motion (flat part index ``j``)."""
+    qx = (i + mb + 2 * f + j) % 4
+    qy = (2 * i + 3 * mb + f + 3 * j) % 4
+    ix = ((i + 5 * mb + 7 * f + 3 * j) % 7) - 3
+    iy = ((3 * i + 7 * mb + 5 * f + 2 * j) % 7) - 3
+    if (i + mb + f) % 5 == 0:
+        ix, iy = 8 * ix, 8 * iy
+    return 4 * ix + qx, 4 * iy + qy
+
+
+def _n16_mbtype(i: int, mb: int) -> int:
+    return 3 + ((i + mb) % 2)  # P_8x8 / P_8x8ref0
+
+
+def _n16_parts(i: int, f: int, mb: int, kind: int) -> list[tuple]:
+    """(shape, partIdx, ox, oy, pw, ph, unit) plan for inter kinds."""
+    from magmapandas_spark.operators.h264 import _SUB_MB_GEOM
+
+    if kind == 1:
+        return [("16x16", 0, 0, 0, 16, 16, 0)]
+    if kind == 2:
+        return [
+            ("16x8", 0, 0, 0, 16, 8, 0),
+            ("16x8", 1, 0, 8, 16, 8, 1),
+        ]
+    plan = []
+    for b8 in range(4):
+        smt = (i + f + mb + b8) % 4
+        ox8, oy8 = 8 * (b8 % 2), 8 * (b8 // 2)
+        for sx, sy, pw, ph in _SUB_MB_GEOM[smt]:
+            plan.append(("8x8", 0, ox8 + sx, oy8 + sy, pw, ph, b8))
+    return plan
+
+
+def _n16_clip(i: int):
+    """Expected reconstruction of notch-16 clip ``i`` via the
+    explicit twins: IDR PCM base, then THREE P pictures — the first
+    single-reference, the next two choosing per-unit references from
+    a two-picture DPB."""
+    qp = _n13_qp(i)
+    qpc = _qpc_of(qp)
+    mbs_w, mbs_h = _n16_geom(i)
+    w, h = 16 * mbs_w, 16 * mbs_h
+    sj = _N16_SEED + i
+    y0p = np.array(
+        [[_n16_y0(i, r, c) for c in range(w)] for r in range(h)],
+        np.uint8,
+    )
+    cb0 = np.array(
+        [
+            [_n16_cb0(i, r, c) for c in range(w // 2)]
+            for r in range(h // 2)
+        ],
+        np.uint8,
+    )
+    cr0 = np.array(
+        [
+            [_n16_cr0(i, r, c) for c in range(w // 2)]
+            for r in range(h // 2)
+        ],
+        np.uint8,
+    )
+    pics = [(y0p, cb0, cr0)]
+    n_mbs = mbs_w * mbs_h
+    for f in (1, 2, 3):
+        refs = [pics[f - 1 - k] for k in range(min(f, 2))]
+        yp = np.zeros((h, w), np.uint8)
+        cbp_ = np.zeros((h // 2, w // 2), np.uint8)
+        crp_ = np.zeros((h // 2, w // 2), np.uint8)
+        done = [False] * n_mbs
+        st = _x_new_mvstate(mbs_w, mbs_h, lambda o: done[o])
+
+        def mc_into(ox, oy, pw, ph, mvx, mvy, mbx, mby, ridx):
+            ry, rcb, rcr = refs[ridx]
+            pred = _x_mc_luma(
+                ry, 16 * mbx + ox, 16 * mby + oy, pw, ph, mvx, mvy
+            )
+            for r in range(ph):
+                for c in range(pw):
+                    yp[
+                        16 * mby + oy + r, 16 * mbx + ox + c
+                    ] = pred[r][c]
+            for plane, refp in ((cbp_, rcb), (crp_, rcr)):
+                pc = _x_mc_chroma(
+                    refp,
+                    (16 * mbx + ox) // 2,
+                    (16 * mby + oy) // 2,
+                    pw // 2, ph // 2, mvx, mvy,
+                )
+                for r in range(ph // 2):
+                    for c in range(pw // 2):
+                        plane[
+                            (16 * mby + oy) // 2 + r,
+                            (16 * mbx + ox) // 2 + c,
+                        ] = pc[r][c]
+
+        def add_luma_block(r4, c4, lv):
+            if not any(lv):
+                return
+            res = _x_itrans4(_x_dequant4(lv, qp))
+            for rr in range(4):
+                for cc in range(4):
+                    v = int(yp[4 * r4 + rr, 4 * c4 + cc]) + res[rr][cc]
+                    yp[4 * r4 + rr, 4 * c4 + cc] = _x_clip1(v)
+
+        def add_chroma(mb, mbx, mby, cc_):
+            if cc_ == 0:
+                return
+            for pi, plane in enumerate((cbp_, crp_)):
+                dcs = _x_chroma_dcraw(_n13_cdc(sj, f, mb, pi), qpc)
+                for bk in range(4):
+                    by, bx = 4 * (bk // 2), 4 * (bk % 2)
+                    oy, ox = 8 * mby + by, 8 * mbx + bx
+                    if cc_ == 2:
+                        res = _x_itrans4(
+                            _x_dequant4(
+                                _n13_ac15(sj, f, mb, bk, 1 + pi),
+                                qpc,
+                                dc=int(dcs[bk]),
+                            )
+                        )
+                        for rr in range(4):
+                            for ccc in range(4):
+                                v = (
+                                    int(plane[oy + rr, ox + ccc])
+                                    + res[rr][ccc]
+                                )
+                                plane[oy + rr, ox + ccc] = _x_clip1(v)
+                    else:
+                        u = (int(dcs[bk]) + 32) >> 6
+                        for rr in range(4):
+                            for ccc in range(4):
+                                v = int(plane[oy + rr, ox + ccc]) + u
+                                plane[oy + rr, ox + ccc] = _x_clip1(v)
+
+        for mb in range(n_mbs):
+            mbx, mby = mb % mbs_w, mb // mbs_w
+            kind = _n16_kind(i, f, mb, mbs_w)
+            if kind == 4:
+                pm16, cm, cc_ = _n13_intra(sj, f, mb)
+                at = mby > 0 and done[mb - mbs_w]
+                al = mbx > 0 and done[mb - 1]
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, 0, 0, -1)
+                pred = _x_pred16(yp, mbx, mby, pm16, at, al)
+                dcm = _x_luma_dcmat(_n13_dc(sj, f, mb), qp)
+                for r in range(16):
+                    for c in range(16):
+                        v = pred[r][c] + (
+                            (dcm[r // 4][c // 4] + 32) >> 6
+                        )
+                        yp[16 * mby + r, 16 * mbx + c] = _x_clip1(v)
+                pcb = _x_predc8(cbp_, mbx, mby, cm, at, al)
+                pcr = _x_predc8(crp_, mbx, mby, cm, at, al)
+                for r in range(8):
+                    for c in range(8):
+                        cbp_[8 * mby + r, 8 * mbx + c] = pcb[r][c]
+                        crp_[8 * mby + r, 8 * mbx + c] = pcr[r][c]
+                add_chroma(mb, mbx, mby, cc_)
+            elif kind == 0:
+                mvx, mvy = _x_skip_part(4 * mbx, 4 * mby, st)
+                mc_into(0, 0, 16, 16, mvx, mvy, mbx, mby, 0)
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, mvx, mvy, 0)
+            else:
+                mb_type = _n16_mbtype(i, mb) if kind == 3 else kind - 1
+                for j, (shp, pidx, ox, oy, pw, ph, unit) in enumerate(
+                    _n16_parts(i, f, mb, kind)
+                ):
+                    ridx = _n16_ref(i, f, mb, unit, mb_type)
+                    mvx, mvy = _n16_mv(i, f, mb, j)
+                    mc_into(ox, oy, pw, ph, mvx, mvy, mbx, mby, ridx)
+                    _x_fill4(
+                        st,
+                        4 * mbx + ox // 4, 4 * mby + oy // 4,
+                        pw // 4, ph // 4, mvx, mvy, ridx,
+                    )
+                if kind in (1, 2, 3):
+                    cbp_luma, cbp_chroma = _n13_cbp(sj, f, mb)
+                    for blk in range(16):
+                        bi, bj = _BLK4_POS[blk]
+                        if cbp_luma & (1 << (blk // 4)):
+                            add_luma_block(
+                                4 * mby + bi,
+                                4 * mbx + bj,
+                                _n13_lv16(sj, f, mb, blk),
+                            )
+                    add_chroma(mb, mbx, mby, cbp_chroma)
+            done[mb] = True
+        pics.append((yp, cbp_, crp_))
+    return pics
+
+
+def _p16_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
+    """Notch-16 NAL units: SPS (max_num_ref_frames 2), PPS with TWO
+    default active references, IDR PCM base, then three P pictures —
+    P1 overriding to one reference, P2/P3 coding per-unit te(v)
+    ref_idx_l0 against the two-picture DPB."""
+    qp = _n13_qp(i)
+    mbs_w, mbs_h = _n16_geom(i)
+    n_mbs = mbs_w * mbs_h
+    sj = _N16_SEED + i
+
+    sps = _BitWriter()
+    sps.u(66, 8); sps.u(0, 8); sps.u(10, 8)
+    sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0)
+    sps.ue(2)  # max_num_ref_frames = 2
+    sps.u(0, 1)
+    sps.ue(mbs_w - 1); sps.ue(mbs_h - 1)
+    sps.u(1, 1); sps.u(0, 1); sps.u(0, 1); sps.u(0, 1)
+    sps.rbsp_trailing()
+
+    pps = _BitWriter()
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
+    pps.ue(1)  # num_ref_idx_l0_default_active_minus1 = 1 (two refs)
+    pps.ue(0); pps.u(0, 1); pps.u(0, 2)
+    pps.se(qp - 26); pps.se(0); pps.se(0)
+    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.rbsp_trailing()
+
+    def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
+        header = bytes([(ref_idc << 5) | nal_type])
+        return header + _escape_ebsp(w_.tobytes())
+
+    sl = _BitWriter()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    for mb in range(n_mbs):
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        sl.ue(25)
+        sl.align_zero()
+        sl.raw_bytes(
+            bytes(
+                _n16_y0(i, 16 * mby + r, 16 * mbx + c)
+                for r in range(16)
+                for c in range(16)
+            )
+        )
+        sl.raw_bytes(
+            bytes(
+                _n16_cb0(i, 8 * mby + r, 8 * mbx + c)
+                for r in range(8)
+                for c in range(8)
+            )
+        )
+        sl.raw_bytes(
+            bytes(
+                _n16_cr0(i, 8 * mby + r, 8 * mbx + c)
+                for r in range(8)
+                for c in range(8)
+            )
+        )
+    sl.rbsp_trailing()
+    sps_nal, pps_nal = nal(3, 7, sps), nal(3, 8, pps)
+    pictures = [[nal(3, 5, sl)]]
+
+    for f in (1, 2, 3):
+        n_ref = 1 if f == 1 else 2
+        sl = _BitWriter()
+        sl.ue(0); sl.ue(5); sl.ue(0)
+        sl.u(f % 16, 4); sl.u((2 * f) % 16, 4)
+        if f == 1:
+            sl.u(1, 1)  # num_ref_idx_active_override_flag
+            sl.ue(0)  # num_ref_idx_l0_active_minus1 = 0 (one ref)
+        else:
+            sl.u(0, 1)  # keep the PPS default of two
+        sl.u(0, 1)  # ref_pic_list_modification_flag_l0
+        sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+        sl.se(0)
+
+        tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
+        ctc4 = np.full((2, 2 * mbs_h, 2 * mbs_w), -1, np.int32)
+        done = [False] * n_mbs
+        cur_mb = [-1]
+        st = _x_new_mvstate(
+            mbs_w, mbs_h,
+            lambda o: o == cur_mb[0] or done[o],
+        )
+
+        def ncof(arr, rr: int, cc_: int) -> int:
+            def g(r_, c_):
+                if (
+                    r_ < 0 or c_ < 0
+                    or r_ >= arr.shape[0] or c_ >= arr.shape[1]
+                ):
+                    return -1
+                return int(arr[r_, c_])
+
+            na, nb = g(rr, cc_ - 1), g(rr - 1, cc_)
+            if na >= 0 and nb >= 0:
+                return (na + nb + 1) >> 1
+            if na >= 0:
+                return na
+            if nb >= 0:
+                return nb
+            return 0
+
+        def wchroma(mb: int, mbx: int, mby: int, cc_: int) -> None:
+            if cc_ == 0:
+                ctc4[
+                    :, 2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2
+                ] = 0
+                return
+            _write_chroma_dc_block(sl, _n13_cdc(sj, f, mb, 0))
+            _write_chroma_dc_block(sl, _n13_cdc(sj, f, mb, 1))
+            for p_ in range(2):
+                for bk in range(4):
+                    rr = 2 * mby + bk // 2
+                    cx = 2 * mbx + bk % 2
+                    if cc_ == 2:
+                        n_c = ncof(ctc4[p_], rr, cx)
+                        ctc4[p_, rr, cx] = _write_residual_4x4(
+                            sl,
+                            _n13_ac15(sj, f, mb, bk, 1 + p_),
+                            n_c,
+                            15,
+                        )
+                    else:
+                        ctc4[p_, rr, cx] = 0
+
+        def write_inter_residuals(mb, mbx, mby, cbp_luma, cbp_chroma):
+            sl.ue(_CBP_INTER_INV[cbp_luma + 16 * cbp_chroma])
+            if cbp_luma or cbp_chroma:
+                sl.se(0)
+            for blk in range(16):
+                bi, bj = _BLK4_POS[blk]
+                r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                if cbp_luma & (1 << (blk // 4)):
+                    n_c = ncof(tc4, r4, c4)
+                    tc4[r4, c4] = _write_residual_4x4(
+                        sl, _n13_lv16(sj, f, mb, blk), n_c, 16
+                    )
+                else:
+                    tc4[r4, c4] = 0
+            wchroma(mb, mbx, mby, cbp_chroma)
+
+        skip_run = 0
+        for mb in range(n_mbs):
+            mbx, mby = mb % mbs_w, mb // mbs_w
+            cur_mb[0] = mb
+            kind = _n16_kind(i, f, mb, mbs_w)
+            if kind == 0:
+                mvx, mvy = _x_skip_part(4 * mbx, 4 * mby, st)
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, mvx, mvy, 0)
+                tc4[
+                    4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+                ] = 0
+                ctc4[
+                    :, 2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2
+                ] = 0
+                done[mb] = True
+                skip_run += 1
+                continue
+            sl.ue(skip_run)
+            skip_run = 0
+            if kind == 4:
+                pm16, cm, cc_ = _n13_intra(sj, f, mb)
+                sl.ue(5 + 1 + pm16 + 4 * cc_)
+                sl.ue(cm)
+                sl.se(0)
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, 0, 0, -1)
+                n_c = ncof(tc4, 4 * mby, 4 * mbx)
+                _write_residual_4x4(sl, _n13_dc(sj, f, mb), n_c, 16)
+                tc4[
+                    4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+                ] = 0
+                wchroma(mb, mbx, mby, cc_)
+            else:
+                mb_type = _n16_mbtype(i, mb) if kind == 3 else kind - 1
+                parts = _n16_parts(i, f, mb, kind)
+                sl.ue(mb_type)
+                if mb_type >= 3:
+                    for b8 in range(4):
+                        sl.ue((i + f + mb + b8) % 4)  # sub_mb_type
+                # ref_idx_l0 elements before every mvd pair
+                if n_ref > 1 and mb_type != 4:
+                    n_units = (
+                        4 if mb_type == 3 else len(parts)
+                    )
+                    for u in range(n_units):
+                        ridx = _n16_ref(i, f, mb, u, mb_type)
+                        sl.u(1 - ridx, 1)  # te(v), cMax = 1
+                for j, (shp, pidx, ox, oy, pw, ph, unit) in enumerate(
+                    parts
+                ):
+                    ridx = _n16_ref(i, f, mb, unit, mb_type)
+                    bx = 4 * mbx + ox // 4
+                    by = 4 * mby + oy // 4
+                    pmx, pmy = _x_mvp_part(
+                        bx, by, pw // 4, ph // 4, shp, pidx, st,
+                        cur_ref=ridx,
+                    )
+                    mvx, mvy = _n16_mv(i, f, mb, j)
+                    sl.se(mvx - pmx)
+                    sl.se(mvy - pmy)
+                    _x_fill4(
+                        st, bx, by, pw // 4, ph // 4, mvx, mvy, ridx
+                    )
+                cbp_luma, cbp_chroma = _n13_cbp(sj, f, mb)
+                write_inter_residuals(
+                    mb, mbx, mby, cbp_luma, cbp_chroma
+                )
+            done[mb] = True
+        if skip_run:
+            sl.ue(skip_run)
+        sl.rbsp_trailing()
+        pictures.append([nal(2, 1, sl)])
+    return sps_nal, pps_nal, pictures
+
+
+def encode_multiref_annexb(i: int) -> bytes:
+    """The notch-16 clip as one Annex-B stream (the gate corpus)."""
+    sps_nal, pps_nal, pictures = _p16_nals(i)
+    flat = [sps_nal, pps_nal] + [n for pic in pictures for n in pic]
+    return b"".join(b"\x00\x00\x00\x01" + n for n in flat)
+
+
+def synthetic_h264_multiref_media(
+    spark: SparkSession, n: int = _N16_CLIPS
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, bytearray(encode_multiref_annexb(i))) for i in range(n)],
+        "media_id long, payload binary",
+    )
+
+
+def q_h264_multiref_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query (notch 16): decode 12 Annex-B streams whose P
+    pictures choose among MULTIPLE reference frames — a real DPB of
+    two decoded reference pictures (RefPicList0 in PicNum order),
+    te(v) ref_idx_l0 elements per partition (16x16/16x8) and per 8x8
+    block (P_8x8; P_8x8ref0 infers 0 with no element), the
+    num_ref_idx_active_override path (picture 1 decodes
+    single-reference against a two-reference PPS default), and
+    refIdx-aware MV prediction (different-reference neighbors feed
+    the median but are excluded from the exactly-one rule and the
+    directional shortcuts) — one exact statistics row per frame under
+    the cross-engine hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_gop_stats(synthetic_h264_multiref_media(spark)),
+        "media_id",
+        "frame_idx",
+    )
+
+
+def _sql_h264_multiref(slice_col: str = "n_slices") -> str:
+    """DuckDB oracle for the notch-16 multi-reference corpus."""
+    return _sql_p_corpus(
+        _N16_CLIPS, _n16_geom, _n16_clip, "2",
+        "(41 * media_id + 5 * {r} + 3 * {c} + (({r} * {c}) % 11)) "
+        "% 256",
+        "(43 * media_id + 3 * {r} + 5 * {c} + (({r} + 2 * {c}) % 7))"
+        " % 256",
+        "(47 * media_id + 2 * {r} + 7 * {c} + ((3 * {r} + {c}) % 5))"
+        " % 256",
+        "1", slice_col, p_frames=(1, 2, 3),
     )

@@ -1,12 +1,14 @@
 """ISO BMFF (MP4) container parsing — the real layer of the video
 path (beyond-reference surface).
 
-Codec-level frame decode (H.264/H.265) is genuinely infeasible without
-a codec library and stays stubbed in multimodal.py; the CONTAINER,
-however, is a plain big-endian box grammar defined by the public
+The CONTAINER is a plain big-endian box grammar defined by the public
 ISO/IEC 14496-12 spec, and everything a pipeline planner needs —
 duration, timescale, track inventory, payload extents — lives there.
-This module implements it in both directions:
+Codec-level frame decode is real too: MJPEG through the engine's own
+JPEG decoder, and AVC/H.264 through the from-scratch ladder in
+operators/h264.py (see the round-8/9 paragraphs below; only the
+generic multimodal.py entry points remain deliberately stubbed).
+This module implements the container in both directions:
 
 - :func:`mp4_encode` — writes a conforming minimal file: ``ftyp``,
   ``moov`` ( ``mvhd`` + per-track ``trak``/``tkhd``/``mdia``/``mdhd``/
@@ -33,10 +35,11 @@ Round 8 extends that to AVC: :func:`decode_avc_frames` (below) routes
 decoder (operators/h264.py) — avcC SPS/PPS extraction, length-prefixed
 NAL → Annex-B conversion, per-sample decode. Round 9's notch 13
 (operators/h264p.py) added single-reference P slices, so the honest
-``NotImplementedError`` boundary inside that decoder is now P
-macroblock partitions (16x8/8x16/8x8), multiple reference frames,
-weighted prediction, B slices, and CABAC entropy coding (see
-operators/h264.py's module docstring for the exact notch ladder).
+``NotImplementedError`` boundary inside that decoder is now
+ref-list modification / MMCO marking, weighted prediction, B slices,
+and CABAC entropy coding — the complete P partition tree and
+multi-reference prediction decode (see operators/h264.py's module
+docstring for the exact notch ladder).
 
 Scale posture: identical to every decode path — one narrow
 ``mapInPandas`` stage, payloads never leave the executor.

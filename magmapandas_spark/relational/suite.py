@@ -409,11 +409,11 @@ _GATE_ORDER = [
     "h264_mp4_p_decode",
     "h264_pparts_decode",
     "h264_p8x8_decode",
+    "h264_multiref_decode",
     "two_hop_reach",
-    # (c) stalest driver rows (r3/r4); four rotated out to keep the
-    # 50-slot gate budget after (b) grew by four
+    # (c) stalest driver row (r3/r4); five rotated out to keep the
+    # 50-slot gate budget after (b) grew by five
     "feo_fe2o3_split",
-    "fo2_buffers",
 ]
 
 

@@ -27,6 +27,10 @@ P-slice inter-prediction notch.
   7-17 shapes mixed within one MB, per-sub-partition mvds, median
   MVP at sub-partition granularity, 8x4/4x8/4x4 MC) — the P-slice
   partition tree complete.
+- ``h264_multiref_decode`` — codec notch 16: MULTIPLE reference
+  frames — a real two-picture DPB (RefPicList0 in PicNum order),
+  te(v) ref_idx_l0 per partition / per 8x8 block, the
+  num_ref_idx_active_override path, refIdx-aware MV prediction.
 """
 
 from __future__ import annotations
@@ -34,6 +38,7 @@ from __future__ import annotations
 
 def queries():
     from magmapandas_spark.operators.h264p import (
+        q_h264_multiref_decode,
         q_h264_p_decode,
         q_h264_p8x8_decode,
         q_h264_pparts_decode,
@@ -45,12 +50,14 @@ def queries():
         "h264_mp4_p_decode": q_h264_mp4_p_decode,
         "h264_pparts_decode": q_h264_pparts_decode,
         "h264_p8x8_decode": q_h264_p8x8_decode,
+        "h264_multiref_decode": q_h264_multiref_decode,
     }
 
 
 def oracle_sql():
     from magmapandas_spark.operators.h264p import (
         SQL_H264_MP4_P_DECODE,
+        SQL_H264_MULTIREF_DECODE,
         SQL_H264_P_DECODE,
         SQL_H264_P8X8_DECODE,
         SQL_H264_PPARTS_DECODE,
@@ -61,4 +68,5 @@ def oracle_sql():
         "h264_mp4_p_decode": SQL_H264_MP4_P_DECODE,
         "h264_pparts_decode": SQL_H264_PPARTS_DECODE,
         "h264_p8x8_decode": SQL_H264_P8X8_DECODE,
+        "h264_multiref_decode": SQL_H264_MULTIREF_DECODE,
     }

@@ -354,13 +354,18 @@ def test_p_mb_type_out_of_range_raises():
         decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
 
 
-def test_multi_reference_override_raises():
+def test_more_active_refs_than_decoded_raises():
+    # the override path itself decodes now (notch 16); overriding to
+    # two references with only one decoded picture is the error
     sl = _BitWriter()
     _p_header(sl)
     sl.u(1, 1)  # num_ref_idx_active_override_flag
     sl.ue(1)  # num_ref_idx_l0_active_minus1 = 1 -> two refs
+    sl.u(0, 1)
+    sl.u(0, 1)
+    sl.se(0)
     sl.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="reference"):
+    with pytest.raises(ValueError, match="reference pictures"):
         decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
 
 
@@ -390,7 +395,7 @@ def test_p_slice_without_reference_raises():
     stream = b"\x00\x00\x00\x01" + b"\x00\x00\x00\x01".join(
         parts[:2] + [parts[3]]
     )
-    with pytest.raises(ValueError, match="no prior decoded picture"):
+    with pytest.raises(ValueError, match="reference pictures"):
         decode_h264_stream_info(stream)
 
 
@@ -440,7 +445,7 @@ def test_mp4_per_sample_decode_rejects_p_samples():
     annexb = b"".join(
         b"\x00\x00\x00\x01" + n for n in sps_l + pps_l + p_sample
     )
-    with pytest.raises(ValueError, match="no prior decoded picture"):
+    with pytest.raises(ValueError, match="reference pictures"):
         decode_h264_stream(annexb)
 
 
@@ -693,4 +698,82 @@ def test_corrupt_sub_mb_type_raises():
     sl.ue(4)  # sub_mb_type out of P range (B-slice value)
     sl.rbsp_trailing()
     with pytest.raises(ValueError, match="sub_mb_type"):
+        decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
+
+
+# ------------------------------------------------------------------
+# notch 16: multiple reference frames
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("i", range(h264p._N16_CLIPS))
+def test_multiref_corpus_decoder_equals_twin(i):
+    pics, sps, slice_counts = decode_h264_stream_info(
+        h264p.encode_multiref_annexb(i)
+    )
+    twin = h264p._n16_clip(i)
+    assert len(pics) == 4 and slice_counts == [1, 1, 1, 1]
+    for f in range(4):
+        for pi in range(3):
+            assert np.array_equal(pics[f][pi], twin[f][pi]), (i, f, pi)
+
+
+def test_multiref_corpus_really_uses_the_older_reference():
+    ref1 = 0
+    for i in range(h264p._N16_CLIPS):
+        mbs_w, mbs_h = h264p._n16_geom(i)
+        for f in (2, 3):
+            for mb in range(mbs_w * mbs_h):
+                kind = h264p._n16_kind(i, f, mb, mbs_w)
+                if kind not in (1, 2, 3):
+                    continue
+                mbt = (
+                    h264p._n16_mbtype(i, mb) if kind == 3 else kind - 1
+                )
+                units = 4 if mbt == 3 else (2 if kind == 2 else 1)
+                ref1 += sum(
+                    h264p._n16_ref(i, f, mb, u, mbt) == 1
+                    for u in range(units)
+                )
+    assert ref1 > 50
+    # and the candidate reference pictures are genuinely distinct, so
+    # a wrong-reference decode could not have matched the twin
+    tw = h264p._n16_clip(3)
+    assert not np.array_equal(tw[1][0], tw[2][0])
+
+
+def test_mvp_exactly_one_rule_is_refidx_aware():
+    # neighbors: A inter ref 1, B inter ref 0, C intra. For a
+    # partition with refIdx 0 the exactly-one rule picks B; with
+    # refIdx 1 it picks A; different-ref neighbors still feed the
+    # median when no rule fires.
+    st = [_I] * 8
+    g = _grid_state(4, 2, st)
+    mv4x, mv4y, ref4, avail = g
+    sl = np.s_[4:8, 0:4]  # mb 4 (A of mb 5)
+    mv4x[sl], mv4y[sl], ref4[sl] = 11, -7, 1
+    sl = np.s_[0:4, 4:8]  # mb 1 (B of mb 5)
+    mv4x[sl], mv4y[sl], ref4[sl] = -3, 9, 0
+    args = (mv4x, mv4y, ref4, avail, 4)
+    assert _mvp_part(4, 4, 4, 4, "16x16", 0, *args, cur_ref=0) == (-3, 9)
+    assert _mvp_part(4, 4, 4, 4, "16x16", 0, *args, cur_ref=1) == (11, -7)
+    # make C inter ref 0 too: with refIdx 0 TWO neighbors match ->
+    # median over A=(11,-7) B=(-3,9) C=(5,2) -> (5, 2)
+    sl = np.s_[0:4, 8:12]  # mb 2 (C of mb 5)
+    mv4x[sl], mv4y[sl], ref4[sl] = 5, 2, 0
+    assert _mvp_part(4, 4, 4, 4, "16x16", 0, *args, cur_ref=0) == (5, 2)
+
+
+def test_ref_idx_out_of_range_raises():
+    # three active references would make ref_idx a ue(v); craft a
+    # stream claiming 3 refs with only 1 decoded -> explicit error
+    sl = _BitWriter()
+    _p_header(sl)
+    sl.u(1, 1)  # override
+    sl.ue(2)  # num_ref_idx_l0_active_minus1 = 2 -> three refs
+    sl.u(0, 1)
+    sl.u(0, 1)
+    sl.se(0)
+    sl.rbsp_trailing()
+    with pytest.raises(ValueError, match="reference pictures"):
         decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
