@@ -89,16 +89,23 @@ decodes:
    num_ref_idx_active_override path, and refIdx-aware MV prediction
    (different-reference neighbors feed the median but are excluded
    from the exactly-one rule and the directional shortcuts).
+15. (round 9) ``h264_weighted_decode`` — notch 17: EXPLICIT WEIGHTED
+   prediction — pred_weight_table parsing (7.3.3.2: logWD, per-ref
+   luma/chroma flags with 1<<logWD defaults), the spec-8.4.2.3.2
+   scaling Clip1(((pred*w + 2^(logWD-1)) >> logWD) + o) on every MC
+   partition and P_Skip macroblock, per-plane chroma weights,
+   large-offset clipping, a negative-weight (inverted-fade)
+   reference.
 
 With notches 10/11 the decoder accepts the full baseline I-frame
 toolbox (I_PCM + I_16x16 + I_4x4, any CAVLC residual, incl. the
 level_prefix >= 16 extended escape range of the 2005+ spec
-editions); notches 13-16 add P slices with the COMPLETE partition
+editions); notches 13-17 add P slices with the COMPLETE partition
 tree (P_L0_16x16, 16x8/8x16, P_8x8/P_8x8ref0 with every
-sub-partition shape, P_Skip, intra-in-P) and multiple reference
-frames. Honest boundaries that remain: ref_pic_list_modification and
-adaptive (MMCO) reference marking, weighted prediction, B slices,
-CABAC, transform_size_8x8 / high profiles, interlace, FMO.
+sub-partition shape, P_Skip, intra-in-P), multiple reference frames,
+and explicit weighted prediction. Honest boundaries that remain:
+ref_pic_list_modification and adaptive (MMCO) reference marking, B
+slices, CABAC, transform_size_8x8 / high profiles, interlace, FMO.
 
 Scale posture: identical to every codec in this engine — one narrow
 Arrow ``mapInPandas`` stage per payload; bytes never leave the
@@ -1556,6 +1563,58 @@ def _mc_chroma_block(
     ) >> 6
 
 
+def _parse_pred_weights(r: "_BitReader", n_ref: int) -> dict:
+    """pred_weight_table (spec 7.3.3.2) for P slices, list 0 only:
+    per-reference explicit luma/chroma weights and offsets; absent
+    flags take the default weight 1 << logWD, offset 0."""
+    logy = r.ue()  # luma_log2_weight_denom
+    logc = r.ue()  # chroma_log2_weight_denom
+    if logy > 7 or logc > 7:
+        raise ValueError(
+            f"log2_weight_denom {max(logy, logc)} out of the spec "
+            "range 0..7 (corrupt stream?)"
+        )
+    wt = {
+        "logy": logy, "logc": logc,
+        "wy": [1 << logy] * n_ref, "oy": [0] * n_ref,
+        "wcb": [1 << logc] * n_ref, "ocb": [0] * n_ref,
+        "wcr": [1 << logc] * n_ref, "ocr": [0] * n_ref,
+    }
+    def cod(what: str) -> int:
+        # spec 7.4.3.2: every CODED weight/offset is in -128..127
+        # (inferred defaults 1 << logWD may exceed this and are fine)
+        v = r.se()
+        if not -128 <= v <= 127:
+            raise ValueError(
+                f"{what} {v} out of the spec range -128..127 "
+                "(corrupt stream?)"
+            )
+        return v
+
+    for k in range(n_ref):
+        if r.u(1):  # luma_weight_l0_flag
+            wt["wy"][k] = cod("luma_weight_l0")
+            wt["oy"][k] = cod("luma_offset_l0")
+        if r.u(1):  # chroma_weight_l0_flag
+            wt["wcb"][k] = cod("chroma_weight_l0")
+            wt["ocb"][k] = cod("chroma_offset_l0")
+            wt["wcr"][k] = cod("chroma_weight_l0")
+            wt["ocr"][k] = cod("chroma_offset_l0")
+    return wt
+
+
+def _apply_weight(pred, w: int, o: int, logwd: int):
+    """Spec 8.4.2.3.2 explicit uni-prediction weighting:
+    Clip1(((pred * w + 2^(logWD-1)) >> logWD) + o), degenerating to
+    Clip1(pred * w + o) at logWD == 0."""
+    pred = np.asarray(pred, np.int64)
+    if logwd >= 1:
+        return np.clip(
+            ((pred * w + (1 << (logwd - 1))) >> logwd) + o, 0, 255
+        )
+    return np.clip(pred * w + o, 0, 255)
+
+
 def _mc_part_into(
     y: np.ndarray,
     cb: np.ndarray,
@@ -1569,26 +1628,35 @@ def _mc_part_into(
     bh: int,
     mvx: int,
     mvy: int,
+    wt: dict | None = None,
+    ridx: int = 0,
 ) -> None:
     """Motion-compensate one luma partition (bw x bh at (x0, y0))
     plus its chroma halves from the reference picture into the
-    current picture."""
-    y[y0 : y0 + bh, x0 : x0 + bw] = _mc_luma_block(
-        ref_y, x0, y0, mvx, mvy, bw, bh
-    )
+    current picture; with ``wt`` (a parsed pred_weight_table) the
+    spec-8.4.2.3.2 explicit weighting applies per plane."""
+    py = _mc_luma_block(ref_y, x0, y0, mvx, mvy, bw, bh)
     cx, cy, cw, ch = x0 // 2, y0 // 2, bw // 2, bh // 2
-    cb[cy : cy + ch, cx : cx + cw] = _mc_chroma_block(
-        ref_cb, cx, cy, mvx, mvy, cw, ch
-    )
-    cr[cy : cy + ch, cx : cx + cw] = _mc_chroma_block(
-        ref_cr, cx, cy, mvx, mvy, cw, ch
-    )
+    pcb = _mc_chroma_block(ref_cb, cx, cy, mvx, mvy, cw, ch)
+    pcr = _mc_chroma_block(ref_cr, cx, cy, mvx, mvy, cw, ch)
+    if wt is not None:
+        py = _apply_weight(py, wt["wy"][ridx], wt["oy"][ridx], wt["logy"])
+        pcb = _apply_weight(
+            pcb, wt["wcb"][ridx], wt["ocb"][ridx], wt["logc"]
+        )
+        pcr = _apply_weight(
+            pcr, wt["wcr"][ridx], wt["ocr"][ridx], wt["logc"]
+        )
+    y[y0 : y0 + bh, x0 : x0 + bw] = py
+    cb[cy : cy + ch, cx : cx + cw] = pcb
+    cr[cy : cy + ch, cx : cx + cw] = pcr
 
 
-def _mc_16x16_into(y, cb, cr, ref_y, ref_cb, ref_cr, mbx, mby, mvx, mvy):
+def _mc_16x16_into(y, cb, cr, ref_y, ref_cb, ref_cr, mbx, mby,
+                   mvx, mvy, wt=None, ridx=0):
     _mc_part_into(
         y, cb, cr, ref_y, ref_cb, ref_cr,
-        16 * mbx, 16 * mby, 16, 16, mvx, mvy,
+        16 * mbx, 16 * mby, 16, 16, mvx, mvy, wt, ridx,
     )
 
 
@@ -1782,10 +1850,6 @@ def decode_h264_stream_info(
             if pps_id not in ppss:
                 raise ValueError(f"slice references unknown PPS {pps_id}")
             pps = ppss[pps_id]
-            if is_p and pps["weighted_pred"]:
-                raise NotImplementedError(
-                    "weighted prediction not supported"
-                )
             r.u(sps["log2_max_frame_num"])  # frame_num
             if nal_type == 5:
                 r.ue()  # idr_pic_id
@@ -1806,6 +1870,13 @@ def decode_h264_stream_info(
                     raise NotImplementedError(
                         "ref_pic_list_modification not supported"
                     )
+                # pred_weight_table sits between the reordering
+                # syntax and dec_ref_pic_marking (spec 7.3.3)
+                wt = (
+                    _parse_pred_weights(r, n_ref)
+                    if pps["weighted_pred"]
+                    else None
+                )
             if (nal_bytes[0] >> 5) & 3:  # nal_ref_idc != 0
                 if nal_type == 5:
                     r.u(1)  # no_output_of_prior_pics_flag
@@ -1901,7 +1972,7 @@ def decode_h264_stream_info(
                         )
                         _mc_16x16_into(
                             y, cb, cr, *ref_list[0],
-                            sx, sy, mvx, mvy,
+                            sx, sy, mvx, mvy, wt, 0,
                         )
                         tc4[
                             4 * sy : 4 * sy + 4, 4 * sx : 4 * sx + 4
@@ -2096,7 +2167,7 @@ def decode_h264_stream_info(
                         _mc_part_into(
                             y, cb, cr, *ref_list[ridx],
                             16 * mbx + ox, 16 * mby + oy,
-                            pw, ph, mvx, mvy,
+                            pw, ph, mvx, mvy, wt, ridx,
                         )
                         sl4 = np.s_[
                             by : by + ph // 4, bx : bx + pw // 4

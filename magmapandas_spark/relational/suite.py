@@ -410,10 +410,10 @@ _GATE_ORDER = [
     "h264_pparts_decode",
     "h264_p8x8_decode",
     "h264_multiref_decode",
+    "h264_weighted_decode",
     "two_hop_reach",
-    # (c) stalest driver row (r3/r4); five rotated out to keep the
-    # 50-slot gate budget after (b) grew by five
-    "feo_fe2o3_split",
+    # (c) all six stale r3/r4 refresh rows rotated out: the 50-slot
+    # budget is fully consumed by never-verified rows + (b)
 ]
 
 

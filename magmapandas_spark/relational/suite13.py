@@ -31,6 +31,11 @@ P-slice inter-prediction notch.
   frames — a real two-picture DPB (RefPicList0 in PicNum order),
   te(v) ref_idx_l0 per partition / per 8x8 block, the
   num_ref_idx_active_override path, refIdx-aware MV prediction.
+- ``h264_weighted_decode`` — codec notch 17: EXPLICIT WEIGHTED
+  prediction — pred_weight_table parsing with per-reference
+  flags/defaults, spec-8.4.2.3.2 scaling on every MC partition and
+  P_Skip macroblock, per-plane chroma weights, clipping and a
+  negative-weight (inverted-fade) reference.
 """
 
 from __future__ import annotations
@@ -40,6 +45,7 @@ def queries():
     from magmapandas_spark.operators.h264p import (
         q_h264_multiref_decode,
         q_h264_p_decode,
+        q_h264_weighted_decode,
         q_h264_p8x8_decode,
         q_h264_pparts_decode,
     )
@@ -51,6 +57,7 @@ def queries():
         "h264_pparts_decode": q_h264_pparts_decode,
         "h264_p8x8_decode": q_h264_p8x8_decode,
         "h264_multiref_decode": q_h264_multiref_decode,
+        "h264_weighted_decode": q_h264_weighted_decode,
     }
 
 
@@ -61,6 +68,7 @@ def oracle_sql():
         SQL_H264_P_DECODE,
         SQL_H264_P8X8_DECODE,
         SQL_H264_PPARTS_DECODE,
+        SQL_H264_WEIGHTED_DECODE,
     )
 
     return {
@@ -69,4 +77,5 @@ def oracle_sql():
         "h264_pparts_decode": SQL_H264_PPARTS_DECODE,
         "h264_p8x8_decode": SQL_H264_P8X8_DECODE,
         "h264_multiref_decode": SQL_H264_MULTIREF_DECODE,
+        "h264_weighted_decode": SQL_H264_WEIGHTED_DECODE,
     }

@@ -473,30 +473,6 @@ def test_mp4_track_permissive_quarantines_whole_payload(spark):
     assert len(bad_rows) == 1 and bad_rows.error.notna().all()
 
 
-def test_weighted_pred_pps_raises_for_p():
-    sps = _BitWriter()
-    sps.u(66, 8); sps.u(0, 8); sps.u(10, 8)
-    sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(1)
-    sps.u(0, 1); sps.ue(2); sps.ue(1)
-    sps.u(1, 1); sps.u(0, 1); sps.u(0, 1); sps.u(0, 1)
-    sps.rbsp_trailing()
-    pps = _BitWriter()
-    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
-    pps.ue(0); pps.ue(0)
-    pps.u(1, 1)  # weighted_pred_flag = 1
-    pps.u(0, 2)
-    pps.se(0); pps.se(0); pps.se(0)
-    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
-    pps.rbsp_trailing()
-    sl = _BitWriter()
-    _p_header(sl)
-    sl.rbsp_trailing()
-    stream = _nal(3, 7, sps) + _nal(3, 8, pps) + _nal(2, 1, sl)
-    with pytest.raises(NotImplementedError, match="weighted"):
-        decode_h264_stream_info(stream)
-
-
-
 # ------------------------------------------------------------------
 # notch 14: 16x8 / 8x16 partitions x two-slice P pictures
 # ------------------------------------------------------------------
@@ -777,3 +753,112 @@ def test_ref_idx_out_of_range_raises():
     sl.rbsp_trailing()
     with pytest.raises(ValueError, match="reference pictures"):
         decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
+
+
+# ------------------------------------------------------------------
+# notch 17: explicit weighted prediction
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("i", range(h264p._N17_CLIPS))
+def test_weighted_corpus_decoder_equals_twin(i):
+    pics, sps, slice_counts = decode_h264_stream_info(
+        h264p.encode_weighted_annexb(i)
+    )
+    twin = h264p._n17_clip(i)
+    assert len(pics) == 3 and slice_counts == [1, 1, 1]
+    for f in range(3):
+        for pi in range(3):
+            assert np.array_equal(pics[f][pi], twin[f][pi]), (i, f, pi)
+
+
+def test_weighted_corpus_coverage():
+    logys, logcs = set(), set()
+    defaults = negw = bigoff = 0
+    for i in range(h264p._N17_CLIPS):
+        for n_ref in (1, 2):
+            wt = h264p._n17_weights(i, n_ref)
+            logys.add(wt["logy"])
+            logcs.add(wt["logc"])
+            for k in range(n_ref):
+                if not wt["lflag"][k]:
+                    defaults += 1
+                if wt["wy"][k] < 0:
+                    negw += 1
+                if wt["oy"][k] >= 40:
+                    bigoff += 1
+                assert all(
+                    -128 <= wt[key][k] <= 127
+                    for key in ("oy", "wcb", "ocb", "wcr", "ocr")
+                )
+                if wt["lflag"][k]:
+                    assert -128 <= wt["wy"][k] <= 127
+    assert logys == {5, 6, 7} and logcs == {4, 5, 6}
+    assert defaults > 3  # unset flags exercise the 1<<logWD default
+    assert negw >= 2  # inverted-fade reference occurs
+    assert bigoff >= 3  # large offsets force Clip1
+
+
+def test_weighting_applies_to_skip_macroblocks():
+    # clip 0 codes luma offset +40 on flagged references: some skip
+    # macroblock must brighten well past any plain reference copy
+    i = 0
+    twin = h264p._n17_clip(i)
+    mbs_w, _ = h264p._n17_geom(i)
+    found = False
+    for f in (1, 2):
+        for mb in range(mbs_w * 2):
+            if h264p._n17_kind(i, f, mb, mbs_w) == 0:
+                mbx, mby = mb % mbs_w, mb // mbs_w
+                cur = twin[f][0][
+                    16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16
+                ]
+                ref = twin[f - 1][0][
+                    16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16
+                ]
+                if cur.astype(int).mean() > ref.astype(int).mean() + 10:
+                    found = True
+    assert found
+
+
+def test_weight_scaling_formula_decoder_equals_twin():
+    from magmapandas_spark.operators.h264 import _apply_weight
+
+    rng = np.random.RandomState(5)
+    block = rng.randint(0, 256, (8, 8), np.int64)
+    for w, o, logwd in [(64, 0, 6), (56, -10, 6), (-128, 127, 7),
+                        (3, 5, 0), (120, 40, 5), (24, -8, 5)]:
+        a = _apply_weight(block, w, o, logwd)
+        b = np.array(
+            [
+                [
+                    h264p._x_weight(int(block[r, c]), w, o, logwd)
+                    for c in range(8)
+                ]
+                for r in range(8)
+            ],
+            np.int64,
+        )
+        assert np.array_equal(a, b), (w, o, logwd)
+
+
+def test_out_of_range_coded_weight_raises():
+    from magmapandas_spark.operators import h264p as P
+
+    sps_nal, pps_nal, pics = P._p17_nals(0)
+    base = (
+        b"\x00\x00\x00\x01" + sps_nal
+        + b"\x00\x00\x00\x01" + pps_nal
+        + b"\x00\x00\x00\x01" + pics[0][0]  # the IDR reference
+    )
+    sl = _BitWriter()
+    _p_header(sl)
+    sl.u(1, 1); sl.ue(0)  # override to one reference
+    sl.u(0, 1)  # no reordering
+    sl.ue(6)  # luma_log2_weight_denom
+    sl.ue(5)  # chroma_log2_weight_denom
+    sl.u(1, 1)  # luma_weight_l0_flag
+    sl.se(130)  # out of -128..127
+    sl.rbsp_trailing()
+    with pytest.raises(ValueError, match="-128..127"):
+        decode_h264_stream_info(base + _nal(2, 1, sl))
