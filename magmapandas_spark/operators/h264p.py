@@ -38,7 +38,6 @@ from magmapandas_spark.operators.h264 import (
     _BLK4_POS,
     _CBP_INTER_INV,
     _CK_MOD,
-    _N_CLIPS,
     _escape_ebsp,
     _qpc_of,
     _write_chroma_dc_block,

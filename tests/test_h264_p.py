@@ -1,8 +1,10 @@
-"""Notch 13 — P-slice inter prediction: decoder-vs-twin bit
-equality over the corpus, kernel equivalence on randomized motion,
-MV-prediction/skip rule cases, corpus coverage pins, and the honest
-boundaries (B slices, P partitions, weighted / multi-reference
-prediction)."""
+"""Notches 13-17 — P-slice inter prediction: decoder-vs-twin bit
+equality over five corpora (16x16 / partitioned / sub-partitioned /
+multi-reference / weighted), kernel equivalence on randomized
+motion, MV-prediction and skip rule cases, corpus coverage pins,
+the sequential AVC-in-MP4 track path, a 600-mutation quarantine
+fuzz, and the honest boundaries (B slices, ref-list modification,
+CABAC)."""
 
 import numpy as np
 import pytest
@@ -862,3 +864,31 @@ def test_out_of_range_coded_weight_raises():
     sl.rbsp_trailing()
     with pytest.raises(ValueError, match="-128..127"):
         decode_h264_stream_info(base + _nal(2, 1, sl))
+
+
+def test_corrupt_inter_streams_fail_cleanly():
+    """Quarantine contract over the INTER corpora: 600 deterministic
+    single-byte corruptions across the P-partition, multi-reference
+    and weighted-prediction streams must decode or raise ValueError /
+    NotImplementedError — never an IndexError/KeyError out of the MV
+    prediction grids, the DPB, the te(v) reader, or the weight
+    tables."""
+    rng = np.random.default_rng(43)
+    streams = [
+        h264p.encode_p8x8_annexb(4),
+        h264p.encode_multiref_annexb(7),
+        h264p.encode_weighted_annexb(3),
+    ]
+    n_ok = n_err = 0
+    for data in streams:
+        for _ in range(200):
+            pos = int(rng.integers(5, len(data)))
+            val = int(rng.integers(0, 256))
+            mutated = data[:pos] + bytes([val]) + data[pos + 1 :]
+            try:
+                decode_h264_stream_info(mutated)
+                n_ok += 1
+            except (ValueError, NotImplementedError):
+                n_err += 1
+    assert n_err > 50, (n_ok, n_err)
+    assert n_ok + n_err == 600
