@@ -96,16 +96,23 @@ decodes:
    partition and P_Skip macroblock, per-plane chroma weights,
    large-offset clipping, a negative-weight (inverted-fade)
    reference.
+16. (round 9) ``h264_reorder_decode`` — notch 18:
+   ref_pic_list_modification — the spec-7.3.3.1 command syntax and
+   the spec-8.2.4.3.1 reordering process (FrameNumWrap ordering,
+   picNumLXPred chaining, insertion at the running refIdx with
+   duplicate elision and truncation); IDR pictures flush the DPB.
 
 With notches 10/11 the decoder accepts the full baseline I-frame
 toolbox (I_PCM + I_16x16 + I_4x4, any CAVLC residual, incl. the
 level_prefix >= 16 extended escape range of the 2005+ spec
-editions); notches 13-17 add P slices with the COMPLETE partition
+editions); notches 13-18 add P slices with the COMPLETE partition
 tree (P_L0_16x16, 16x8/8x16, P_8x8/P_8x8ref0 with every
 sub-partition shape, P_Skip, intra-in-P), multiple reference frames,
-and explicit weighted prediction. Honest boundaries that remain:
-ref_pic_list_modification and adaptive (MMCO) reference marking, B
-slices, CABAC, transform_size_8x8 / high profiles, interlace, FMO.
+explicit weighted prediction, and reference-list modification —
+every P-slice tool of the baseline/main CAVLC toolbox except
+long-term references. Honest boundaries that remain: long-term /
+adaptive (MMCO) reference marking, B slices, CABAC,
+transform_size_8x8 / high profiles, interlace, FMO.
 
 Scale posture: identical to every codec in this engine — one narrow
 Arrow ``mapInPandas`` stage per payload; bytes never leave the
@@ -1563,6 +1570,50 @@ def _mc_chroma_block(
     ) >> 6
 
 
+def _reorder_l0(dpb, mods, n_ref, cur_fnum, max_pic):
+    """RefPicList0 construction (spec 8.2.4.2.1 + 8.2.4.3.1):
+    initial order by descending FrameNumWrap (fn - MaxFrameNum when
+    fn > CurrPicNum), then the short-term modification loop —
+    picNumLXNoWrap chaining through picNumLXPred, insertion at the
+    running refIdx with the duplicate dropped, final truncation to
+    the active size. ``dpb`` entries are (frame_num, planes)."""
+
+    def wrapnum(fn: int) -> int:
+        return fn - max_pic if fn > cur_fnum else fn
+
+    lst = sorted(dpb, key=lambda e: wrapnum(e[0]), reverse=True)
+    lst = lst[: n_ref if not mods else n_ref + 1]
+    pred = cur_fnum
+    for ridx, (idc, val) in enumerate(mods):
+        if idc == 0:
+            pic_no_wrap = pred - (val + 1)
+            if pic_no_wrap < 0:
+                pic_no_wrap += max_pic
+        else:
+            pic_no_wrap = pred + (val + 1)
+            if pic_no_wrap >= max_pic:
+                pic_no_wrap -= max_pic
+        pred = pic_no_wrap
+        pic_num = (
+            pic_no_wrap
+            if pic_no_wrap <= cur_fnum
+            else pic_no_wrap - max_pic
+        )
+        matches = [e for e in dpb if wrapnum(e[0]) == pic_num]
+        if not matches:
+            raise ValueError(
+                f"ref_pic_list_modification names PicNum {pic_num} "
+                "absent from the decoded reference pictures"
+            )
+        ent = matches[-1]
+        lst = (
+            lst[:ridx]
+            + [ent]
+            + [e for e in lst[ridx:] if wrapnum(e[0]) != pic_num]
+        )[: n_ref + 1]
+    return lst[:n_ref]
+
+
 def _parse_pred_weights(r: "_BitReader", n_ref: int) -> dict:
     """pred_weight_table (spec 7.3.3.2) for P slices, list 0 only:
     per-reference explicit luma/chroma weights and offsets; absent
@@ -1810,8 +1861,9 @@ def decode_h264_stream_info(
     ppss: dict[int, dict] = {}
     pics: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     slice_counts: list[int] = []
-    dpb: list = []  # decoded REFERENCE pictures, most recent last
+    dpb: list = []  # (frame_num, planes) reference pictures
     cur_ref = False
+    cur_fnum = 0
     y = cb = cr = None
     tc4 = ctc4 = mode4 = mb_done = slice_of = None
     mv4x = mv4y = ref4 = None
@@ -1850,7 +1902,7 @@ def decode_h264_stream_info(
             if pps_id not in ppss:
                 raise ValueError(f"slice references unknown PPS {pps_id}")
             pps = ppss[pps_id]
-            r.u(sps["log2_max_frame_num"])  # frame_num
+            frame_num = r.u(sps["log2_max_frame_num"])
             if nal_type == 5:
                 r.ue()  # idr_pic_id
             if sps["poc_type"] == 0:
@@ -1866,10 +1918,29 @@ def decode_h264_stream_info(
                         f"num_ref_idx_l0_active {n_ref} out of the "
                         "spec range 1..16 (corrupt stream?)"
                     )
+                mods = []
                 if r.u(1):  # ref_pic_list_modification_flag_l0
-                    raise NotImplementedError(
-                        "ref_pic_list_modification not supported"
-                    )
+                    while True:
+                        idc = r.ue()  # modification_of_pic_nums_idc
+                        if idc == 3:
+                            break
+                        if idc == 2:
+                            raise NotImplementedError(
+                                "long-term reference pictures not "
+                                "supported"
+                            )
+                        if idc > 3:
+                            raise ValueError(
+                                f"modification_of_pic_nums_idc {idc} "
+                                "out of range (corrupt stream?)"
+                            )
+                        mods.append((idc, r.ue()))
+                        if len(mods) > 32:
+                            raise ValueError(
+                                "ref_pic_list_modification runs past "
+                                "any conformant list size (corrupt "
+                                "stream?)"
+                            )
                 # pred_weight_table sits between the reordering
                 # syntax and dec_ref_pic_marking (spec 7.3.3)
                 wt = (
@@ -1905,8 +1976,11 @@ def decode_h264_stream_info(
                     pics.append((y, cb, cr))
                     slice_counts.append(slice_idx + 1)
                     if cur_ref:
-                        dpb.append((y, cb, cr))
+                        dpb.append((cur_fnum, (y, cb, cr)))
+                if nal_type == 5:
+                    dpb.clear()  # IDR flushes the reference buffer
                 cur_ref = bool((nal_bytes[0] >> 5) & 3)
+                cur_fnum = frame_num
                 w, h = mbs_w * 16, mbs_h * 16
                 y = np.zeros((h, w), np.uint8)
                 cb = np.zeros((h // 2, w // 2), np.uint8)
@@ -1947,10 +2021,13 @@ def decode_h264_stream_info(
                         f"P slice with {n_ref} active references but "
                         f"only {len(dpb)} decoded reference pictures"
                     )
-                # RefPicList0 (spec 8.2.4.2.1): short-term references
-                # by descending PicNum — with sliding-window marking
-                # and no frame_num gaps, decode recency order
-                ref_list = [dpb[-1 - k] for k in range(n_ref)]
+                ref_list = [
+                    e[1]
+                    for e in _reorder_l0(
+                        dpb, mods, n_ref, frame_num,
+                        1 << sps["log2_max_frame_num"],
+                    )
+                ]
 
             def _avail_sl(nbr: int) -> bool:
                 return mb_done[nbr] and slice_of[nbr] == slice_idx

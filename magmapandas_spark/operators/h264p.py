@@ -57,16 +57,19 @@ __all__ = [
     "encode_p8x8_annexb",
     "encode_multiref_annexb",
     "encode_weighted_annexb",
+    "encode_reorder_annexb",
     "synthetic_h264_p_media",
     "synthetic_h264_pparts_media",
     "synthetic_h264_p8x8_media",
     "synthetic_h264_multiref_media",
     "synthetic_h264_weighted_media",
+    "synthetic_h264_reorder_media",
     "q_h264_p_decode",
     "q_h264_pparts_decode",
     "q_h264_p8x8_decode",
     "q_h264_multiref_decode",
     "q_h264_weighted_decode",
+    "q_h264_reorder_decode",
 ]
 
 _N13_CLIPS = 12
@@ -1062,6 +1065,7 @@ _LAZY_SQL = {
     "SQL_H264_P8X8_DECODE": lambda: _sql_h264_p8x8(),
     "SQL_H264_MULTIREF_DECODE": lambda: _sql_h264_multiref(),
     "SQL_H264_WEIGHTED_DECODE": lambda: _sql_h264_weighted(),
+    "SQL_H264_REORDER_DECODE": lambda: _sql_h264_reorder(),
 }
 
 
@@ -3148,4 +3152,487 @@ def _sql_h264_weighted(slice_col: str = "n_slices") -> str:
         "(61 * media_id + 2 * {r} + 7 * {c} + ((3 * {r} + {c}) % 5))"
         " % 256",
         "1", slice_col,
+    )
+
+
+# ---------------------------------------------------------------------
+# Notch 18: ref_pic_list_modification — explicit RefPicList0
+# reordering (spec 7.3.3.1 syntax + 8.2.4.3.1 process). P2 swaps its
+# two references with one idc-0 modification; P3 rebuilds its list
+# with an idc-0 + idc-1 chain through picNumLXPred — in both cases
+# ref_idx 0 resolves to the OLDEST decoded picture, the exact
+# opposite of the initial descending-PicNum order, so a decoder that
+# ignored the modification cannot hash-match.
+# ---------------------------------------------------------------------
+
+_N18_CLIPS = 12
+_N18_SEED = 320
+
+
+def _n18_geom(i: int) -> tuple[int, int]:
+    return 3 + i % 2, 2
+
+
+def _n18_y0(i: int, r: int, c: int) -> int:
+    return (67 * i + 5 * r + 3 * c + ((r * c) % 11)) % 256
+
+
+def _n18_cb0(i: int, r: int, c: int) -> int:
+    return (71 * i + 3 * r + 5 * c + ((r + 2 * c) % 7)) % 256
+
+
+def _n18_cr0(i: int, r: int, c: int) -> int:
+    return (73 * i + 2 * r + 7 * c + ((3 * r + c) % 5)) % 256
+
+
+#: per-P-picture modification commands (idc, value): P2 one idc-0
+#: swap; P3 an idc-0 + idc-1 chain. Both yield [oldest, second-oldest].
+_N18_MODS = {1: [], 2: [(0, 1)], 3: [(0, 2), (1, 0)]}
+
+
+def _n18_kind(i: int, f: int, mb: int, mbs_w: int) -> int:
+    k = (i + 2 * f + 3 * mb) % 4
+    mbx, mby = mb % mbs_w, mb // mbs_w
+    if k == 3 and (mbx == 0 or mby == 0):
+        return 1
+    return k
+
+
+def _n18_ref(i: int, f: int, mb: int, unit: int) -> int:
+    return 0 if f < 2 else (i + f + mb + unit) % 2
+
+
+def _n18_mv(i, f, mb, j) -> tuple[int, int]:
+    qx = (i + mb + 2 * f + j) % 4
+    qy = (2 * i + 3 * mb + f + 3 * j) % 4
+    ix = ((i + 5 * mb + 7 * f + 3 * j) % 7) - 3
+    iy = ((3 * i + 7 * mb + 5 * f + 2 * j) % 7) - 3
+    if (i + mb + f) % 5 == 0:
+        ix, iy = 8 * ix, 8 * iy
+    return 4 * ix + qx, 4 * iy + qy
+
+
+def _n18_clip(i: int):
+    """Expected reconstruction via the explicit twins: the MODIFIED
+    reference lists ([pic0] / [pic0, pic1] / [pic0, pic1]) replace
+    the recency order the earlier notches used."""
+    qp = _n13_qp(i)
+    qpc = _qpc_of(qp)
+    mbs_w, mbs_h = _n18_geom(i)
+    w, h = 16 * mbs_w, 16 * mbs_h
+    sj = _N18_SEED + i
+    y0p = np.array(
+        [[_n18_y0(i, r, c) for c in range(w)] for r in range(h)],
+        np.uint8,
+    )
+    cb0 = np.array(
+        [
+            [_n18_cb0(i, r, c) for c in range(w // 2)]
+            for r in range(h // 2)
+        ],
+        np.uint8,
+    )
+    cr0 = np.array(
+        [
+            [_n18_cr0(i, r, c) for c in range(w // 2)]
+            for r in range(h // 2)
+        ],
+        np.uint8,
+    )
+    pics = [(y0p, cb0, cr0)]
+    n_mbs = mbs_w * mbs_h
+    for f in (1, 2, 3):
+        # the REORDERED RefPicList0 (oldest first for f >= 2)
+        refs = [pics[0]] if f == 1 else [pics[0], pics[1]]
+        yp = np.zeros((h, w), np.uint8)
+        cbp_ = np.zeros((h // 2, w // 2), np.uint8)
+        crp_ = np.zeros((h // 2, w // 2), np.uint8)
+        done = [False] * n_mbs
+        st = _x_new_mvstate(mbs_w, mbs_h, lambda o: done[o])
+
+        def mc_into(ox, oy, pw, ph, mvx, mvy, mbx, mby, ridx):
+            ry, rcb, rcr = refs[ridx]
+            pred = _x_mc_luma(
+                ry, 16 * mbx + ox, 16 * mby + oy, pw, ph, mvx, mvy
+            )
+            for r in range(ph):
+                for c in range(pw):
+                    yp[
+                        16 * mby + oy + r, 16 * mbx + ox + c
+                    ] = pred[r][c]
+            for plane, refp in ((cbp_, rcb), (crp_, rcr)):
+                pc = _x_mc_chroma(
+                    refp,
+                    (16 * mbx + ox) // 2,
+                    (16 * mby + oy) // 2,
+                    pw // 2, ph // 2, mvx, mvy,
+                )
+                for r in range(ph // 2):
+                    for c in range(pw // 2):
+                        plane[
+                            (16 * mby + oy) // 2 + r,
+                            (16 * mbx + ox) // 2 + c,
+                        ] = pc[r][c]
+
+        def add_luma_block(r4, c4, lv):
+            if not any(lv):
+                return
+            res = _x_itrans4(_x_dequant4(lv, qp))
+            for rr in range(4):
+                for cc in range(4):
+                    v = int(yp[4 * r4 + rr, 4 * c4 + cc]) + res[rr][cc]
+                    yp[4 * r4 + rr, 4 * c4 + cc] = _x_clip1(v)
+
+        def add_chroma(mb, mbx, mby, cc_):
+            if cc_ == 0:
+                return
+            for pi, plane in enumerate((cbp_, crp_)):
+                dcs = _x_chroma_dcraw(_n13_cdc(sj, f, mb, pi), qpc)
+                for bk in range(4):
+                    by, bx = 4 * (bk // 2), 4 * (bk % 2)
+                    oy, ox = 8 * mby + by, 8 * mbx + bx
+                    if cc_ == 2:
+                        res = _x_itrans4(
+                            _x_dequant4(
+                                _n13_ac15(sj, f, mb, bk, 1 + pi),
+                                qpc,
+                                dc=int(dcs[bk]),
+                            )
+                        )
+                        for rr in range(4):
+                            for ccc in range(4):
+                                v = (
+                                    int(plane[oy + rr, ox + ccc])
+                                    + res[rr][ccc]
+                                )
+                                plane[oy + rr, ox + ccc] = _x_clip1(v)
+                    else:
+                        u = (int(dcs[bk]) + 32) >> 6
+                        for rr in range(4):
+                            for ccc in range(4):
+                                v = int(plane[oy + rr, ox + ccc]) + u
+                                plane[oy + rr, ox + ccc] = _x_clip1(v)
+
+        for mb in range(n_mbs):
+            mbx, mby = mb % mbs_w, mb // mbs_w
+            kind = _n18_kind(i, f, mb, mbs_w)
+            if kind == 3:
+                pm16, cm, cc_ = _n13_intra(sj, f, mb)
+                at = mby > 0 and done[mb - mbs_w]
+                al = mbx > 0 and done[mb - 1]
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, 0, 0, -1)
+                pred = _x_pred16(yp, mbx, mby, pm16, at, al)
+                dcm = _x_luma_dcmat(_n13_dc(sj, f, mb), qp)
+                for r in range(16):
+                    for c in range(16):
+                        v = pred[r][c] + (
+                            (dcm[r // 4][c // 4] + 32) >> 6
+                        )
+                        yp[16 * mby + r, 16 * mbx + c] = _x_clip1(v)
+                pcb = _x_predc8(cbp_, mbx, mby, cm, at, al)
+                pcr = _x_predc8(crp_, mbx, mby, cm, at, al)
+                for r in range(8):
+                    for c in range(8):
+                        cbp_[8 * mby + r, 8 * mbx + c] = pcb[r][c]
+                        crp_[8 * mby + r, 8 * mbx + c] = pcr[r][c]
+                add_chroma(mb, mbx, mby, cc_)
+            elif kind == 0:
+                mvx, mvy = _x_skip_part(4 * mbx, 4 * mby, st)
+                mc_into(0, 0, 16, 16, mvx, mvy, mbx, mby, 0)
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, mvx, mvy, 0)
+            else:
+                units = (
+                    [("16x16", 0, 0, 0, 16, 16, 0)]
+                    if kind == 1
+                    else [
+                        ("16x8", 0, 0, 0, 16, 8, 0),
+                        ("16x8", 1, 0, 8, 16, 8, 1),
+                    ]
+                )
+                for j, (shp, pidx, ox, oy, pw, ph, unit) in enumerate(
+                    units
+                ):
+                    ridx = _n18_ref(i, f, mb, unit)
+                    mvx, mvy = _n18_mv(i, f, mb, j)
+                    mc_into(ox, oy, pw, ph, mvx, mvy, mbx, mby, ridx)
+                    _x_fill4(
+                        st,
+                        4 * mbx + ox // 4, 4 * mby + oy // 4,
+                        pw // 4, ph // 4, mvx, mvy, ridx,
+                    )
+                cbp_luma, cbp_chroma = _n13_cbp(sj, f, mb)
+                for blk in range(16):
+                    bi, bj = _BLK4_POS[blk]
+                    if cbp_luma & (1 << (blk // 4)):
+                        add_luma_block(
+                            4 * mby + bi,
+                            4 * mbx + bj,
+                            _n13_lv16(sj, f, mb, blk),
+                        )
+                add_chroma(mb, mbx, mby, cbp_chroma)
+            done[mb] = True
+        pics.append((yp, cbp_, crp_))
+    return pics
+
+
+def _p18_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
+    """Notch-18 NAL units: P2/P3 set ref_pic_list_modification_flag_l0
+    and write the _N18_MODS command sequences (idc-0/idc-1 +
+    abs_diff_pic_num_minus1, closed by idc 3)."""
+    qp = _n13_qp(i)
+    mbs_w, mbs_h = _n18_geom(i)
+    n_mbs = mbs_w * mbs_h
+    sj = _N18_SEED + i
+
+    sps = _BitWriter()
+    sps.u(66, 8); sps.u(0, 8); sps.u(10, 8)
+    sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(2)
+    sps.u(0, 1)
+    sps.ue(mbs_w - 1); sps.ue(mbs_h - 1)
+    sps.u(1, 1); sps.u(0, 1); sps.u(0, 1); sps.u(0, 1)
+    sps.rbsp_trailing()
+
+    pps = _BitWriter()
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
+    pps.ue(1); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
+    pps.se(qp - 26); pps.se(0); pps.se(0)
+    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.rbsp_trailing()
+
+    def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
+        header = bytes([(ref_idc << 5) | nal_type])
+        return header + _escape_ebsp(w_.tobytes())
+
+    sl = _BitWriter()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    for mb in range(n_mbs):
+        mbx, mby = mb % mbs_w, mb // mbs_w
+        sl.ue(25)
+        sl.align_zero()
+        sl.raw_bytes(
+            bytes(
+                _n18_y0(i, 16 * mby + r, 16 * mbx + c)
+                for r in range(16)
+                for c in range(16)
+            )
+        )
+        sl.raw_bytes(
+            bytes(
+                _n18_cb0(i, 8 * mby + r, 8 * mbx + c)
+                for r in range(8)
+                for c in range(8)
+            )
+        )
+        sl.raw_bytes(
+            bytes(
+                _n18_cr0(i, 8 * mby + r, 8 * mbx + c)
+                for r in range(8)
+                for c in range(8)
+            )
+        )
+    sl.rbsp_trailing()
+    sps_nal, pps_nal = nal(3, 7, sps), nal(3, 8, pps)
+    pictures = [[nal(3, 5, sl)]]
+
+    for f in (1, 2, 3):
+        n_ref = 1 if f == 1 else 2
+        sl = _BitWriter()
+        sl.ue(0); sl.ue(5); sl.ue(0)
+        sl.u(f % 16, 4); sl.u((2 * f) % 16, 4)
+        if f == 1:
+            sl.u(1, 1); sl.ue(0)  # override to one reference
+        else:
+            sl.u(0, 1)
+        mods = _N18_MODS[f]
+        if mods:
+            sl.u(1, 1)  # ref_pic_list_modification_flag_l0
+            for idc, val in mods:
+                sl.ue(idc)
+                sl.ue(val)
+            sl.ue(3)  # end of modification commands
+        else:
+            sl.u(0, 1)
+        sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+        sl.se(0)
+
+        tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
+        ctc4 = np.full((2, 2 * mbs_h, 2 * mbs_w), -1, np.int32)
+        done = [False] * n_mbs
+        cur_mb = [-1]
+        st = _x_new_mvstate(
+            mbs_w, mbs_h,
+            lambda o: o == cur_mb[0] or done[o],
+        )
+
+        def ncof(arr, rr: int, cc_: int) -> int:
+            def g(r_, c_):
+                if (
+                    r_ < 0 or c_ < 0
+                    or r_ >= arr.shape[0] or c_ >= arr.shape[1]
+                ):
+                    return -1
+                return int(arr[r_, c_])
+
+            na, nb = g(rr, cc_ - 1), g(rr - 1, cc_)
+            if na >= 0 and nb >= 0:
+                return (na + nb + 1) >> 1
+            if na >= 0:
+                return na
+            if nb >= 0:
+                return nb
+            return 0
+
+        def wchroma(mb: int, mbx: int, mby: int, cc_: int) -> None:
+            if cc_ == 0:
+                ctc4[
+                    :, 2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2
+                ] = 0
+                return
+            _write_chroma_dc_block(sl, _n13_cdc(sj, f, mb, 0))
+            _write_chroma_dc_block(sl, _n13_cdc(sj, f, mb, 1))
+            for p_ in range(2):
+                for bk in range(4):
+                    rr = 2 * mby + bk // 2
+                    cx = 2 * mbx + bk % 2
+                    if cc_ == 2:
+                        n_c = ncof(ctc4[p_], rr, cx)
+                        ctc4[p_, rr, cx] = _write_residual_4x4(
+                            sl,
+                            _n13_ac15(sj, f, mb, bk, 1 + p_),
+                            n_c,
+                            15,
+                        )
+                    else:
+                        ctc4[p_, rr, cx] = 0
+
+        skip_run = 0
+        for mb in range(n_mbs):
+            mbx, mby = mb % mbs_w, mb // mbs_w
+            cur_mb[0] = mb
+            kind = _n18_kind(i, f, mb, mbs_w)
+            if kind == 0:
+                mvx, mvy = _x_skip_part(4 * mbx, 4 * mby, st)
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, mvx, mvy, 0)
+                tc4[
+                    4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+                ] = 0
+                ctc4[
+                    :, 2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2
+                ] = 0
+                done[mb] = True
+                skip_run += 1
+                continue
+            sl.ue(skip_run)
+            skip_run = 0
+            if kind == 3:
+                pm16, cm, cc_ = _n13_intra(sj, f, mb)
+                sl.ue(5 + 1 + pm16 + 4 * cc_)
+                sl.ue(cm)
+                sl.se(0)
+                _x_fill4(st, 4 * mbx, 4 * mby, 4, 4, 0, 0, -1)
+                n_c = ncof(tc4, 4 * mby, 4 * mbx)
+                _write_residual_4x4(sl, _n13_dc(sj, f, mb), n_c, 16)
+                tc4[
+                    4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4
+                ] = 0
+                wchroma(mb, mbx, mby, cc_)
+            else:
+                units = (
+                    [("16x16", 0, 0, 0, 16, 16, 0)]
+                    if kind == 1
+                    else [
+                        ("16x8", 0, 0, 0, 16, 8, 0),
+                        ("16x8", 1, 0, 8, 16, 8, 1),
+                    ]
+                )
+                sl.ue(0 if kind == 1 else 1)  # mb_type
+                if n_ref > 1:
+                    for _s, _p, _ox, _oy, _w, _h, unit in units:
+                        sl.u(1 - _n18_ref(i, f, mb, unit), 1)
+                for j, (shp, pidx, ox, oy, pw, ph, unit) in enumerate(
+                    units
+                ):
+                    ridx = _n18_ref(i, f, mb, unit)
+                    bx = 4 * mbx + ox // 4
+                    by = 4 * mby + oy // 4
+                    pmx, pmy = _x_mvp_part(
+                        bx, by, pw // 4, ph // 4, shp, pidx, st,
+                        cur_ref=ridx,
+                    )
+                    mvx, mvy = _n18_mv(i, f, mb, j)
+                    sl.se(mvx - pmx)
+                    sl.se(mvy - pmy)
+                    _x_fill4(
+                        st, bx, by, pw // 4, ph // 4, mvx, mvy, ridx
+                    )
+                cbp_luma, cbp_chroma = _n13_cbp(sj, f, mb)
+                sl.ue(_CBP_INTER_INV[cbp_luma + 16 * cbp_chroma])
+                if cbp_luma or cbp_chroma:
+                    sl.se(0)
+                for blk in range(16):
+                    bi, bj = _BLK4_POS[blk]
+                    r4, c4 = 4 * mby + bi, 4 * mbx + bj
+                    if cbp_luma & (1 << (blk // 4)):
+                        n_c = ncof(tc4, r4, c4)
+                        tc4[r4, c4] = _write_residual_4x4(
+                            sl, _n13_lv16(sj, f, mb, blk), n_c, 16
+                        )
+                    else:
+                        tc4[r4, c4] = 0
+                wchroma(mb, mbx, mby, cbp_chroma)
+            done[mb] = True
+        if skip_run:
+            sl.ue(skip_run)
+        sl.rbsp_trailing()
+        pictures.append([nal(2, 1, sl)])
+    return sps_nal, pps_nal, pictures
+
+
+def encode_reorder_annexb(i: int) -> bytes:
+    """The notch-18 clip as one Annex-B stream (the gate corpus)."""
+    sps_nal, pps_nal, pictures = _p18_nals(i)
+    flat = [sps_nal, pps_nal] + [n for pic in pictures for n in pic]
+    return b"".join(b"\x00\x00\x00\x01" + n for n in flat)
+
+
+def synthetic_h264_reorder_media(
+    spark: SparkSession, n: int = _N18_CLIPS
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, bytearray(encode_reorder_annexb(i))) for i in range(n)],
+        "media_id long, payload binary",
+    )
+
+
+def q_h264_reorder_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query (notch 18): decode 12 Annex-B streams whose P
+    slices REORDER RefPicList0 — the spec-7.3.3.1 modification syntax
+    (idc 0/1 + abs_diff_pic_num_minus1 chains closed by idc 3) and
+    the spec-8.2.4.3.1 process (picNumLXPred chaining, insertion at
+    the running refIdx, duplicate elision, truncation), placing the
+    OLDEST picture at ref_idx 0 — the exact opposite of the initial
+    descending-PicNum order, so ignoring the modification cannot
+    hash-match. One exact statistics row per frame under the
+    cross-engine hash."""
+    from magmapandas_spark.operators.multimodal import tiny_sorted
+
+    return tiny_sorted(
+        h264_gop_stats(synthetic_h264_reorder_media(spark)),
+        "media_id",
+        "frame_idx",
+    )
+
+
+def _sql_h264_reorder(slice_col: str = "n_slices") -> str:
+    """DuckDB oracle for the notch-18 list-modification corpus."""
+    return _sql_p_corpus(
+        _N18_CLIPS, _n18_geom, _n18_clip, "2",
+        "(67 * media_id + 5 * {r} + 3 * {c} + (({r} * {c}) % 11)) "
+        "% 256",
+        "(71 * media_id + 3 * {r} + 5 * {c} + (({r} + 2 * {c}) % 7))"
+        " % 256",
+        "(73 * media_id + 2 * {r} + 7 * {c} + ((3 * {r} + {c}) % 5))"
+        " % 256",
+        "1", slice_col, p_frames=(1, 2, 3),
     )

@@ -36,10 +36,10 @@ decoder (operators/h264.py) — avcC SPS/PPS extraction, length-prefixed
 NAL → Annex-B conversion, per-sample decode. Round 9's notch 13
 (operators/h264p.py) added single-reference P slices, so the honest
 ``NotImplementedError`` boundary inside that decoder is now
-ref-list modification / MMCO marking, B slices, and CABAC entropy
-coding — the complete P partition tree, multi-reference and
-explicit weighted prediction all decode (see operators/h264.py's
-module docstring for the exact notch ladder).
+long-term / MMCO reference marking, B slices, and CABAC entropy
+coding — the complete P partition tree, multi-reference, explicit
+weighted prediction and reference-list modification all decode (see
+operators/h264.py's module docstring for the exact notch ladder).
 
 Scale posture: identical to every decode path — one narrow
 ``mapInPandas`` stage, payloads never leave the executor.

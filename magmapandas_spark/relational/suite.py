@@ -411,9 +411,10 @@ _GATE_ORDER = [
     "h264_p8x8_decode",
     "h264_multiref_decode",
     "h264_weighted_decode",
-    "two_hop_reach",
-    # (c) all six stale r3/r4 refresh rows rotated out: the 50-slot
-    # budget is fully consumed by never-verified rows + (b)
+    "h264_reorder_decode",
+    # the 50-slot budget is now EXACTLY the 50 never-driver-verified
+    # registry rows; two_hop_reach (code changed, hash-stable by
+    # design) and the stale r3/r4 refresh rows all rotated out
 ]
 
 

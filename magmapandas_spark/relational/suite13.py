@@ -36,6 +36,10 @@ P-slice inter-prediction notch.
   flags/defaults, spec-8.4.2.3.2 scaling on every MC partition and
   P_Skip macroblock, per-plane chroma weights, clipping and a
   negative-weight (inverted-fade) reference.
+- ``h264_reorder_decode`` — codec notch 18: ref_pic_list_modification
+  — the spec-7.3.3.1 command syntax and spec-8.2.4.3.1 reordering
+  process (picNumLXPred chains, insertion/elision/truncation),
+  placing the OLDEST picture at ref_idx 0.
 """
 
 from __future__ import annotations
@@ -45,6 +49,7 @@ def queries():
     from magmapandas_spark.operators.h264p import (
         q_h264_multiref_decode,
         q_h264_p_decode,
+        q_h264_reorder_decode,
         q_h264_weighted_decode,
         q_h264_p8x8_decode,
         q_h264_pparts_decode,
@@ -58,6 +63,7 @@ def queries():
         "h264_p8x8_decode": q_h264_p8x8_decode,
         "h264_multiref_decode": q_h264_multiref_decode,
         "h264_weighted_decode": q_h264_weighted_decode,
+        "h264_reorder_decode": q_h264_reorder_decode,
     }
 
 
@@ -68,6 +74,7 @@ def oracle_sql():
         SQL_H264_P_DECODE,
         SQL_H264_P8X8_DECODE,
         SQL_H264_PPARTS_DECODE,
+        SQL_H264_REORDER_DECODE,
         SQL_H264_WEIGHTED_DECODE,
     )
 
@@ -78,4 +85,5 @@ def oracle_sql():
         "h264_p8x8_decode": SQL_H264_P8X8_DECODE,
         "h264_multiref_decode": SQL_H264_MULTIREF_DECODE,
         "h264_weighted_decode": SQL_H264_WEIGHTED_DECODE,
+        "h264_reorder_decode": SQL_H264_REORDER_DECODE,
     }

@@ -371,16 +371,6 @@ def test_more_active_refs_than_decoded_raises():
         decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
 
 
-def test_ref_list_modification_raises():
-    sl = _BitWriter()
-    _p_header(sl)
-    sl.u(0, 1)
-    sl.u(1, 1)  # ref_pic_list_modification_flag_l0
-    sl.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="modification"):
-        decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
-
-
 def test_p_slice_in_idr_raises():
     sl = _BitWriter()
     _p_header(sl)
@@ -892,3 +882,81 @@ def test_corrupt_inter_streams_fail_cleanly():
                 n_err += 1
     assert n_err > 50, (n_ok, n_err)
     assert n_ok + n_err == 600
+
+
+# ------------------------------------------------------------------
+# notch 18: ref_pic_list_modification
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("i", range(h264p._N18_CLIPS))
+def test_reorder_corpus_decoder_equals_twin(i):
+    pics, sps, slice_counts = decode_h264_stream_info(
+        h264p.encode_reorder_annexb(i)
+    )
+    twin = h264p._n18_clip(i)
+    assert len(pics) == 4 and slice_counts == [1, 1, 1, 1]
+    for f in range(4):
+        for pi in range(3):
+            assert np.array_equal(pics[f][pi], twin[f][pi]), (i, f, pi)
+
+
+def test_reorder_process_unit_cases():
+    from magmapandas_spark.operators.h264 import _reorder_l0
+
+    dpb = [(0, "p0"), (1, "p1"), (2, "p2")]
+    # no modifications: descending PicNum (recency)
+    assert [e[1] for e in _reorder_l0(dpb, [], 2, 3, 16)] == [
+        "p2", "p1",
+    ]
+    # the corpus P3 chain: idc-0 to PicNum 0, then idc-1 back to 1
+    assert [
+        e[1] for e in _reorder_l0(dpb, [(0, 2), (1, 0)], 2, 3, 16)
+    ] == ["p0", "p1"]
+    # frame_num WRAP: current fn 1 with refs fn 15 (wraps to -1) and
+    # fn 0 — initial order [p0, p15]; an idc-0 jump of 2 from pred 1
+    # names picNum -1 = fn 15
+    dpbw = [(15, "p15"), (0, "p0")]
+    assert [e[1] for e in _reorder_l0(dpbw, [], 2, 1, 16)] == [
+        "p0", "p15",
+    ]
+    assert [e[1] for e in _reorder_l0(dpbw, [(0, 1)], 2, 1, 16)] == [
+        "p15", "p0",
+    ]
+    # naming an absent PicNum raises
+    with pytest.raises(ValueError, match="absent"):
+        _reorder_l0(dpb, [(0, 4)], 2, 3, 16)
+
+
+def test_reorder_syntax_boundaries():
+    # long-term command (idc 2) is the honest boundary
+    sl = _BitWriter()
+    _p_header(sl)
+    sl.u(0, 1)  # no override
+    sl.u(1, 1)  # ref_pic_list_modification_flag_l0
+    sl.ue(2)  # modification_of_pic_nums_idc = 2 (long-term)
+    sl.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="long-term"):
+        decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
+    # a command loop that never terminates with idc 3 must error out
+    sl = _BitWriter()
+    _p_header(sl)
+    sl.u(0, 1)
+    sl.u(1, 1)
+    for _ in range(40):
+        sl.ue(0)
+        sl.ue(0)
+    sl.ue(3)
+    sl.rbsp_trailing()
+    with pytest.raises(ValueError, match="conformant list size"):
+        decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
+
+
+def test_reorder_really_changes_the_prediction():
+    # decoding clip 0's P2 with the modification stripped from the
+    # twin's expectation would mismatch: ref 0 is the OLDEST picture
+    twin = h264p._n18_clip(0)
+    assert not np.array_equal(twin[1][0], twin[0][0])
+    # the two candidate references for P2 are distinct, so the
+    # reordered choice is observable
+    assert not np.array_equal(twin[0][0], twin[1][0])
