@@ -71,10 +71,17 @@ def test_write_ivf_index_bucketed_probe(spark):
 
     from magmapandas_spark.operators import similarity as sim
 
+    import shutil
+
     emb = spark.read.parquet(
         "/root/testdata/sf0.01/embeddings.parquet"
     ).limit(400)
     assigned, centroids = sim.ivf_index(emb, n_cells=8, seed=42)
+    # pre-clean residue from a killed earlier run: a leftover
+    # warehouse DIRECTORY without a catalog entry fails saveAsTable
+    # with LOCATION_ALREADY_EXISTS (the test_lsh_index discipline)
+    spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+    shutil.rmtree("spark-warehouse/ivf_idx_test", ignore_errors=True)
     sim.write_ivf_index(assigned, "ivf_idx_test")
     try:
         queries = emb.limit(10)
