@@ -259,6 +259,22 @@ class _BitReader:
 # ---------------------------------------------------------------------
 
 
+def _frame_ck(y: np.ndarray, mbs_w: int, mbs_h: int) -> int:
+    """The cross-engine luma checksum: samples flattened in
+    (macroblock raster, within-MB raster) order, Σ (k+1)·sample
+    mod 1e9+7 — ONE definition shared by every stats path so the
+    engines can never drift. Vectorized: terms stay far below 2^63
+    for any conformant frame size."""
+    blocks = (
+        y.reshape(mbs_h, 16, mbs_w, 16)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+        .astype(np.int64)
+    )
+    ks = np.arange(1, blocks.size + 1, dtype=np.int64)
+    return int((ks * blocks).sum() % _CK_MOD)
+
+
 def _escape_ebsp(rbsp: bytes) -> bytes:
     """Insert emulation-prevention 0x03 after any 00 00 preceding a
     byte <= 0x03 (spec 7.4.1.1)."""
@@ -417,7 +433,7 @@ def _parse_sps(rbsp: bytes) -> dict:
         raise NotImplementedError("pic_order_cnt_type 1 not supported")
     else:
         log2_max_poc_lsb = 0
-    r.ue()  # max_num_ref_frames
+    max_num_ref = r.ue()  # max_num_ref_frames
     r.u(1)  # gaps_in_frame_num_value_allowed_flag
     mbs_w = r.ue() + 1
     mbs_h = r.ue() + 1
@@ -443,6 +459,7 @@ def _parse_sps(rbsp: bytes) -> dict:
         "log2_max_frame_num": log2_max_frame_num,
         "poc_type": poc_type,
         "log2_max_poc_lsb": log2_max_poc_lsb,
+        "max_num_ref": max_num_ref,
     }
 
 
@@ -464,7 +481,7 @@ def _parse_pps(rbsp: bytes) -> dict:
     r.se()  # pic_init_qs_minus26
     r.se()  # chroma_qp_index_offset
     r.u(1)  # deblocking_filter_control_present_flag
-    r.u(1)  # constrained_intra_pred_flag
+    constrained_intra = r.u(1)  # constrained_intra_pred_flag
     r.u(1)  # redundant_pic_cnt_present_flag
     return {
         "pps_id": pps_id,
@@ -472,6 +489,7 @@ def _parse_pps(rbsp: bytes) -> dict:
         "init_qp": init_qp,
         "num_ref_l0": num_ref_l0,
         "weighted_pred": weighted_pred,
+        "constrained_intra": constrained_intra,
     }
 
 
@@ -1883,6 +1901,11 @@ def decode_h264_stream_info(
             stop_bit = _last_set_bit_pos(rbsp)
             first_mb = r.ue()
             slice_type = r.ue()
+            if slice_type > 9:
+                raise ValueError(
+                    f"slice_type {slice_type} out of the spec range "
+                    "0..9 (corrupt stream?)"
+                )
             st5 = slice_type % 5
             if st5 == 1:
                 raise NotImplementedError(
@@ -1902,6 +1925,15 @@ def decode_h264_stream_info(
             if pps_id not in ppss:
                 raise ValueError(f"slice references unknown PPS {pps_id}")
             pps = ppss[pps_id]
+            if is_p and pps["constrained_intra"]:
+                # intra-in-P under constrained_intra_pred_flag must
+                # treat inter neighbors as unavailable (spec 8.3);
+                # this decoder predicts from them — raise rather than
+                # decode wrong samples
+                raise NotImplementedError(
+                    "constrained_intra_pred_flag not supported for "
+                    "P slices"
+                )
             frame_num = r.u(sps["log2_max_frame_num"])
             if nal_type == 5:
                 r.ue()  # idr_pic_id
@@ -1977,6 +2009,13 @@ def decode_h264_stream_info(
                     slice_counts.append(slice_idx + 1)
                     if cur_ref:
                         dpb.append((cur_fnum, (y, cb, cr)))
+                        # sliding-window marking (spec 8.2.5.3):
+                        # evict the oldest short-term reference past
+                        # max_num_ref_frames — bounds memory on long
+                        # tracks and keeps PicNum unambiguous across
+                        # frame_num wraps (window <= MaxFrameNum)
+                        while len(dpb) > sps["max_num_ref"]:
+                            dpb.pop(0)
                 if nal_type == 5:
                     dpb.clear()  # IDR flushes the reference buffer
                 cur_ref = bool((nal_bytes[0] >> 5) & 3)
@@ -2595,16 +2634,7 @@ def h264_frame_stats(media: DataFrame) -> DataFrame:
                 y, cb, cr, sps = decode_h264_iframe(bytes(payload))
                 h, w = y.shape
                 mbs_w = sps["mbs_w"]
-                ck = 0
-                ky = 0
-                for mb in range(mbs_w * sps["mbs_h"]):
-                    mbx, mby = mb % mbs_w, mb // mbs_w
-                    blk = y[
-                        mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16
-                    ].reshape(-1).astype(np.int64)
-                    ks = np.arange(ky + 1, ky + 257, dtype=np.int64)
-                    ck = (ck + int((ks * blk).sum())) % _CK_MOD
-                    ky += 256
+                ck = _frame_ck(y, mbs_w, sps["mbs_h"])
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -4079,17 +4109,7 @@ def h264_gop_stats(media: DataFrame) -> DataFrame:
                 mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
                 for fi, (y, cb, cr) in enumerate(pics):
                     n_slices = slice_counts[fi]
-                    ck = 0
-                    ky = 0
-                    for mb in range(mbs_w * mbs_h):
-                        mbx, mby = mb % mbs_w, mb // mbs_w
-                        blk = y[
-                            mby * 16 : mby * 16 + 16,
-                            mbx * 16 : mbx * 16 + 16,
-                        ].reshape(-1).astype(np.int64)
-                        ks = np.arange(ky + 1, ky + 257, dtype=np.int64)
-                        ck = (ck + int((ks * blk).sum())) % _CK_MOD
-                        ky += 256
+                    ck = _frame_ck(y, mbs_w, mbs_h)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(fi)
                     out["n_slices"].append(n_slices)

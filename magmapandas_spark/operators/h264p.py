@@ -3386,7 +3386,8 @@ def _p18_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
 
     sps = _BitWriter()
     sps.u(66, 8); sps.u(0, 8); sps.u(10, 8)
-    sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(2)
+    sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0)
+    sps.ue(3)  # room for pic0 under sliding-window eviction
     sps.u(0, 1)
     sps.ue(mbs_w - 1); sps.ue(mbs_h - 1)
     sps.u(1, 1); sps.u(0, 1); sps.u(0, 1); sps.u(0, 1)

@@ -787,7 +787,7 @@ def decode_avc_frames(
     payload as an error row instead — the MJPEG discipline, so one
     corrupt crawl file never kills the batch)."""
     from magmapandas_spark.operators.h264 import (
-        _CK_MOD,
+        _frame_ck,
         decode_h264_stream,
     )
 
@@ -843,17 +843,7 @@ def decode_avc_frames(
                         continue
                     pos += size
                     mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
-                    ck = 0
-                    ky = 0
-                    for mb in range(mbs_w * mbs_h):
-                        mbx, mby = mb % mbs_w, mb // mbs_w
-                        blk = y[
-                            mby * 16 : mby * 16 + 16,
-                            mbx * 16 : mbx * 16 + 16,
-                        ].reshape(-1).astype(np.int64)
-                        ks = np.arange(ky + 1, ky + 257, dtype=np.int64)
-                        ck = (ck + int((ks * blk).sum())) % _CK_MOD
-                        ky += 256
+                    ck = _frame_ck(y, mbs_w, mbs_h)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
                     out["n_nals"].append(len(nals))
@@ -1003,7 +993,7 @@ def decode_avc_track(
     row): a broken reference chain poisons every later frame, so
     per-sample salvage would report garbage as decoded."""
     from magmapandas_spark.operators.h264 import (
-        _CK_MOD,
+        _frame_ck,
         decode_h264_stream_info,
     )
 
@@ -1059,17 +1049,7 @@ def decode_avc_track(
                     continue
                 mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
                 for idx, (y, cb, cr) in enumerate(pics):
-                    ck = 0
-                    ky = 0
-                    for mb in range(mbs_w * mbs_h):
-                        mbx, mby = mb % mbs_w, mb // mbs_w
-                        blk = y[
-                            mby * 16 : mby * 16 + 16,
-                            mbx * 16 : mbx * 16 + 16,
-                        ].reshape(-1).astype(np.int64)
-                        ks = np.arange(ky + 1, ky + 257, dtype=np.int64)
-                        ck = (ck + int((ks * blk).sum())) % _CK_MOD
-                        ky += 256
+                    ck = _frame_ck(y, mbs_w, mbs_h)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
                     out["n_nals"].append(len(sample_nals[idx]))

@@ -960,3 +960,68 @@ def test_reorder_really_changes_the_prediction():
     # the two candidate references for P2 are distinct, so the
     # reordered choice is observable
     assert not np.array_equal(twin[0][0], twin[1][0])
+
+
+# ------------------------------------------------------------------
+# review-pass guards: slice_type range, constrained intra, sliding
+# window eviction
+# ------------------------------------------------------------------
+
+
+def test_nonconformant_slice_type_raises():
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(10)  # slice_type past the spec range 0..9
+    sl.rbsp_trailing()
+    with pytest.raises(ValueError, match="slice_type"):
+        decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
+
+
+def test_constrained_intra_pred_p_slice_raises():
+    # a PPS with constrained_intra_pred_flag = 1: intra-in-P would
+    # need inter neighbors masked off — honest boundary, not wrong
+    # pixels
+    sps = _BitWriter()
+    sps.u(66, 8); sps.u(0, 8); sps.u(10, 8)
+    sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(0); sps.ue(1)
+    sps.u(0, 1); sps.ue(2); sps.ue(1)
+    sps.u(1, 1); sps.u(0, 1); sps.u(0, 1); sps.u(0, 1)
+    sps.rbsp_trailing()
+    pps = _BitWriter()
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
+    pps.se(0); pps.se(0); pps.se(0)
+    pps.u(0, 1)
+    pps.u(1, 1)  # constrained_intra_pred_flag = 1
+    pps.u(0, 1)
+    pps.rbsp_trailing()
+    sl = _BitWriter()
+    _p_header(sl)
+    sl.rbsp_trailing()
+    stream = _nal(3, 7, sps) + _nal(3, 8, pps) + _nal(2, 1, sl)
+    with pytest.raises(NotImplementedError, match="constrained"):
+        decode_h264_stream_info(stream)
+
+
+def test_sliding_window_evicts_past_max_num_ref_frames():
+    # notch-13 SPS declares max_num_ref_frames = 1: after the I and
+    # P1 pictures decode, only P1 remains in the DPB — a slice
+    # claiming two active references must fail with ONE decoded
+    # reference, proving the window really evicted the IDR picture
+    full = h264p.encode_p_annexb(0)
+    parts = full.split(b"\x00\x00\x00\x01")[1:]
+    base = b"\x00\x00\x00\x01" + b"\x00\x00\x00\x01".join(parts[:4])
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(5)
+    sl.ue(0)
+    sl.u(2, 4)  # frame_num
+    sl.u(4, 4)  # poc
+    sl.u(1, 1)  # override
+    sl.ue(1)  # two active references
+    sl.u(0, 1)
+    sl.u(0, 1)
+    sl.se(0)
+    sl.rbsp_trailing()
+    with pytest.raises(ValueError, match="only 1 decoded"):
+        decode_h264_stream_info(base + _nal(2, 1, sl))
