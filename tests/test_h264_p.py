@@ -1025,3 +1025,86 @@ def test_sliding_window_evicts_past_max_num_ref_frames():
     sl.rbsp_trailing()
     with pytest.raises(ValueError, match="only 1 decoded"):
         decode_h264_stream_info(base + _nal(2, 1, sl))
+
+
+# ------------------------------------------------------------------
+# property tests: randomized kernel equivalence (decoder vs twin)
+# ------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    mvx=st.integers(-300, 300),
+    mvy=st.integers(-300, 300),
+    x0=st.integers(0, 48),
+    y0=st.integers(0, 32),
+    bw=st.sampled_from([4, 8, 16]),
+    bh=st.sampled_from([4, 8, 16]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_luma_mc_decoder_equals_twin(
+    mvx, mvy, x0, y0, bw, bh, seed
+):
+    ref = np.random.RandomState(seed).randint(
+        0, 256, (48, 64), np.uint8
+    )
+    a = np.asarray(
+        _mc_luma_block(ref, x0, y0, mvx, mvy, bw, bh), np.int64
+    )
+    b = np.asarray(
+        h264p._x_mc_luma(ref, x0, y0, bw, bh, mvx, mvy), np.int64
+    )
+    assert np.array_equal(a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    mvx=st.integers(-300, 300),
+    mvy=st.integers(-300, 300),
+    x0=st.integers(0, 24),
+    y0=st.integers(0, 16),
+    bw=st.sampled_from([2, 4, 8]),
+    bh=st.sampled_from([2, 4, 8]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_chroma_mc_decoder_equals_twin(
+    mvx, mvy, x0, y0, bw, bh, seed
+):
+    ref = np.random.RandomState(seed).randint(
+        0, 256, (24, 32), np.uint8
+    )
+    a = np.asarray(
+        _mc_chroma_block(ref, x0, y0, mvx, mvy, bw, bh), np.int64
+    )
+    b = np.asarray(
+        h264p._x_mc_chroma(ref, x0, y0, bw, bh, mvx, mvy), np.int64
+    )
+    assert np.array_equal(a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(-128, 127),
+    o=st.integers(-128, 127),
+    logwd=st.integers(0, 7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_weight_scaling_decoder_equals_twin(w, o, logwd, seed):
+    from magmapandas_spark.operators.h264 import _apply_weight
+
+    block = np.random.RandomState(seed).randint(0, 256, (4, 4), np.int64)
+    a = _apply_weight(block, w, o, logwd)
+    b = np.array(
+        [
+            [
+                h264p._x_weight(int(block[r, c]), w, o, logwd)
+                for c in range(4)
+            ]
+            for r in range(4)
+        ],
+        np.int64,
+    )
+    assert np.array_equal(a, b)
