@@ -1517,47 +1517,64 @@ def _mc_luma_block(
     if xf == 0 and yf == 0:
         return p[2 : 2 + bh, 2 : 2 + bw]
     g = p[2 : 3 + bh, 2 : 3 + bw]  # integer samples, offsets 0..bw
-    b1 = (
-        p[:, 0 : bw + 1] - 5 * p[:, 1 : bw + 2]
-        + 20 * p[:, 2 : bw + 3] + 20 * p[:, 3 : bw + 4]
-        - 5 * p[:, 4 : bw + 5] + p[:, 5 : bw + 6]
-    )  # un-rounded horizontal half-pel intermediates
-    b = np.clip((b1[2 : 3 + bh, :] + 16) >> 5, 0, 255)
-    h1 = (
-        p[0 : bh + 1, :] - 5 * p[1 : bh + 2, :]
-        + 20 * p[2 : bh + 3, :] + 20 * p[3 : bh + 4, :]
-        - 5 * p[4 : bh + 5, :] + p[5 : bh + 6, :]
-    )
-    hv = np.clip((h1[:, 2 : 3 + bw] + 16) >> 5, 0, 255)
-    j1 = (
-        b1[0 : bh + 1, :] - 5 * b1[1 : bh + 2, :]
-        + 20 * b1[2 : bh + 3, :] + 20 * b1[3 : bh + 4, :]
-        - 5 * b1[4 : bh + 5, :] + b1[5 : bh + 6, :]
-    )
-    jc = np.clip((j1 + 512) >> 10, 0, 255)
-    g00 = g[0:bh, 0:bw]
-    gx1, gy1 = g[0:bh, 1 : bw + 1], g[1 : bh + 1, 0:bw]
-    b00, s00 = b[0:bh, 0:bw], b[1 : bh + 1, 0:bw]  # s: b a row below
-    h00, m00 = hv[0:bh, 0:bw], hv[0:bh, 1 : bw + 1]  # m: h a col right
-    j00 = jc[0:bh, 0:bw]
-    sel = {
-        (1, 0): (g00 + b00 + 1) >> 1,
-        (2, 0): b00,
-        (3, 0): (b00 + gx1 + 1) >> 1,
-        (0, 1): (g00 + h00 + 1) >> 1,
-        (1, 1): (b00 + h00 + 1) >> 1,
-        (2, 1): (b00 + j00 + 1) >> 1,
-        (3, 1): (b00 + m00 + 1) >> 1,
-        (0, 2): h00,
-        (1, 2): (h00 + j00 + 1) >> 1,
-        (2, 2): j00,
-        (3, 2): (j00 + m00 + 1) >> 1,
-        (0, 3): (h00 + gy1 + 1) >> 1,
-        (1, 3): (h00 + s00 + 1) >> 1,
-        (2, 3): (j00 + s00 + 1) >> 1,
-        (3, 3): (m00 + s00 + 1) >> 1,
-    }
-    return sel[(xf, yf)]
+    # Exactly one Table 8-12 position is needed per call; with P_8x8
+    # sub-partitions this runs per 4x4 block, so compute only the
+    # half-pel intermediates that position reads (b: horizontal, hv:
+    # vertical, jc: center — jc needs the full-height un-rounded b1).
+    need_b = xf != 0 and yf != 2
+    need_h = yf != 0 and xf != 2
+    need_j = (xf == 2 and yf != 0) or (yf == 2 and xf != 0)
+    b = hv = jc = None
+    if need_b or need_j:
+        rows = p if need_j else p[2 : 3 + bh, :]
+        b1 = (
+            rows[:, 0 : bw + 1] - 5 * rows[:, 1 : bw + 2]
+            + 20 * rows[:, 2 : bw + 3] + 20 * rows[:, 3 : bw + 4]
+            - 5 * rows[:, 4 : bw + 5] + rows[:, 5 : bw + 6]
+        )  # un-rounded horizontal half-pel intermediates
+        if need_j:
+            j1 = (
+                b1[0 : bh + 1, :] - 5 * b1[1 : bh + 2, :]
+                + 20 * b1[2 : bh + 3, :] + 20 * b1[3 : bh + 4, :]
+                - 5 * b1[4 : bh + 5, :] + b1[5 : bh + 6, :]
+            )
+            jc = np.clip((j1 + 512) >> 10, 0, 255)
+            if need_b:
+                b = np.clip((b1[2 : 3 + bh, :] + 16) >> 5, 0, 255)
+        else:
+            b = np.clip((b1 + 16) >> 5, 0, 255)
+    if need_h:
+        h1 = (
+            p[0 : bh + 1, :] - 5 * p[1 : bh + 2, :]
+            + 20 * p[2 : bh + 3, :] + 20 * p[3 : bh + 4, :]
+            - 5 * p[4 : bh + 5, :] + p[5 : bh + 6, :]
+        )
+        hv = np.clip((h1[:, 2 : 3 + bw] + 16) >> 5, 0, 255)
+    if yf == 0:
+        b00 = b[0:bh, 0:bw]
+        if xf == 2:
+            return b00
+        gq = g[0:bh, 0:bw] if xf == 1 else g[0:bh, 1 : bw + 1]
+        return (gq + b00 + 1) >> 1
+    if xf == 0:
+        h00 = hv[0:bh, 0:bw]
+        if yf == 2:
+            return h00
+        gq = g[0:bh, 0:bw] if yf == 1 else g[1 : bh + 1, 0:bw]
+        return (gq + h00 + 1) >> 1
+    if xf == 2:
+        j00 = jc[0:bh, 0:bw]
+        if yf == 2:
+            return j00
+        bq = b[0:bh, 0:bw] if yf == 1 else b[1 : bh + 1, 0:bw]
+        return (bq + j00 + 1) >> 1
+    if yf == 2:
+        hq = hv[0:bh, 0:bw] if xf == 1 else hv[0:bh, 1 : bw + 1]
+        return (hq + jc[0:bh, 0:bw] + 1) >> 1
+    # xf and yf both odd: nearest-b / nearest-hv quarter average
+    bq = b[0:bh, 0:bw] if yf == 1 else b[1 : bh + 1, 0:bw]
+    hq = hv[0:bh, 0:bw] if xf == 1 else hv[0:bh, 1 : bw + 1]
+    return (bq + hq + 1) >> 1
 
 
 def _mc_chroma_block(
@@ -1882,6 +1899,7 @@ def decode_h264_stream_info(
     dpb: list = []  # (frame_num, planes) reference pictures
     cur_ref = False
     cur_fnum = 0
+    prev_ref_fnum = None  # frame_num of the last reference picture
     y = cb = cr = None
     tc4 = ctc4 = mode4 = mb_done = slice_of = None
     mv4x = mv4y = ref4 = None
@@ -2009,15 +2027,35 @@ def decode_h264_stream_info(
                     slice_counts.append(slice_idx + 1)
                     if cur_ref:
                         dpb.append((cur_fnum, (y, cb, cr)))
+                        prev_ref_fnum = cur_fnum
                         # sliding-window marking (spec 8.2.5.3):
                         # evict the oldest short-term reference past
-                        # max_num_ref_frames — bounds memory on long
-                        # tracks and keeps PicNum unambiguous across
-                        # frame_num wraps (window <= MaxFrameNum)
-                        while len(dpb) > sps["max_num_ref"]:
+                        # Max(max_num_ref_frames, 1) — the spec floor
+                        # keeps one reference even when an encoder
+                        # signals max_num_ref_frames=0 but still marks
+                        # pictures as references; bounds memory on
+                        # long tracks and keeps PicNum unambiguous
+                        # across frame_num wraps (window <= MaxFrameNum)
+                        while len(dpb) > max(sps["max_num_ref"], 1):
                             dpb.pop(0)
                 if nal_type == 5:
                     dpb.clear()  # IDR flushes the reference buffer
+                    prev_ref_fnum = None
+                elif prev_ref_fnum is not None and frame_num not in (
+                    prev_ref_fnum,
+                    (prev_ref_fnum + 1)
+                    % (1 << sps["log2_max_frame_num"]),
+                ):
+                    # spec 8.2.5.2 frame-gap inference ("non-existing"
+                    # reference frames) is unimplemented; decoding on
+                    # through a gap would silently build a
+                    # mis-numbered DPB and mismatch PicNum in
+                    # _reorder_l0 — fail closed instead
+                    raise NotImplementedError(
+                        f"frame_num gap ({prev_ref_fnum} -> "
+                        f"{frame_num}): spec 8.2.5.2 gap inference "
+                        "not supported"
+                    )
                 cur_ref = bool((nal_bytes[0] >> 5) & 3)
                 cur_fnum = frame_num
                 w, h = mbs_w * 16, mbs_h * 16

@@ -391,6 +391,25 @@ def test_p_slice_without_reference_raises():
         decode_h264_stream_info(stream)
 
 
+def test_frame_num_gap_raises():
+    # IDR has frame_num 0; a P slice jumping to frame_num 2 skips a
+    # reference frame — spec 8.2.5.2 gap inference is unimplemented,
+    # so the decoder must fail closed rather than mis-number the DPB
+    sl = _BitWriter()
+    sl.ue(0)  # first_mb
+    sl.ue(5)  # P slice
+    sl.ue(0)  # pps id
+    sl.u(2, 4)  # frame_num = 2 (gap: previous reference was 0)
+    sl.u(4, 4)  # poc lsb
+    sl.u(0, 1)  # no override
+    sl.u(0, 1)  # no reordering
+    sl.u(0, 1)  # no adaptive marking
+    sl.se(0)  # qp delta
+    sl.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="frame_num gap"):
+        decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
+
+
 # ------------------------------------------------------------------
 # AVC-in-MP4 sequential track decode (the container x INTER capstone)
 # ------------------------------------------------------------------
