@@ -376,7 +376,7 @@ def encode_ipcm_annexb(
     pps.se(0)  # pic_init_qp_minus26
     pps.se(0)  # pic_init_qs_minus26
     pps.se(0)  # chroma_qp_index_offset
-    pps.u(0, 1)  # deblocking_filter_control_present_flag
+    pps.u(1, 1)  # deblocking_filter_control_present_flag
     pps.u(0, 1)  # constrained_intra_pred_flag
     pps.u(0, 1)  # redundant_pic_cnt_present_flag
     pps.rbsp_trailing()
@@ -391,6 +391,7 @@ def encode_ipcm_annexb(
     sl.u(0, 1)  # no_output_of_prior_pics_flag
     sl.u(0, 1)  # long_term_reference_flag
     sl.se(0)  # slice_qp_delta
+    sl.ue(1)  # disable_deblocking_filter_idc: no in-loop filter
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
             sl.ue(25)  # mb_type: I_PCM
@@ -480,7 +481,7 @@ def _parse_pps(rbsp: bytes) -> dict:
     init_qp = r.se() + 26
     r.se()  # pic_init_qs_minus26
     r.se()  # chroma_qp_index_offset
-    r.u(1)  # deblocking_filter_control_present_flag
+    deblocking_control = r.u(1)  # deblocking_filter_control_present_flag
     constrained_intra = r.u(1)  # constrained_intra_pred_flag
     r.u(1)  # redundant_pic_cnt_present_flag
     return {
@@ -490,6 +491,7 @@ def _parse_pps(rbsp: bytes) -> dict:
         "num_ref_l0": num_ref_l0,
         "weighted_pred": weighted_pred,
         "constrained_intra": constrained_intra,
+        "deblocking_control": deblocking_control,
     }
 
 
@@ -2014,6 +2016,19 @@ def decode_h264_stream_info(
                 raise ValueError(
                     f"SliceQP_Y {qp_y} out of the 8-bit range 0..51"
                 )
+            # spec 8.7 in-loop deblocking is NOT implemented. The
+            # filter defaults ON (flag absent => idc 0), so the only
+            # streams this decoder can reproduce bit-exactly are ones
+            # that explicitly disable it — accept idc == 1, fail
+            # closed on everything else rather than emit pixels a
+            # conformant decoder would filter differently.
+            if not pps["deblocking_control"] or r.ue() != 1:
+                raise NotImplementedError(
+                    "in-loop deblocking filter (spec 8.7) not "
+                    "implemented: streams must signal "
+                    "deblocking_filter_control_present_flag=1 with "
+                    "disable_deblocking_filter_idc=1"
+                )
             mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
             if first_mb == 0:
                 # new picture: emit the previous one, allocate fresh
@@ -2771,12 +2786,12 @@ def encode_mixed_annexb(
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
     pps.se(qp - 26); pps.se(0); pps.se(0)
-    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)  # deblocking control ON
     pps.rbsp_trailing()
 
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
-    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0); sl.ue(1)  # deblocking OFF
     tc = np.full(mbs_w * mbs_h, -1, np.int32)
     for mb in range(mbs_w * mbs_h):
         mbx, mby = mb % mbs_w, mb // mbs_w
@@ -3959,7 +3974,7 @@ def _gop_parameter_sets(
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
     pps.se(qp - 26); pps.se(0); pps.se(0)
-    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)  # deblocking control ON
     pps.rbsp_trailing()
     return (
         bytes([(3 << 5) | 7]) + _escape_ebsp(sps.tobytes()),
@@ -3997,6 +4012,7 @@ def _encode_picture_slices(
             sl.u(0, 4)  # pic_order_cnt_lsb
             sl.u(0, 1); sl.u(0, 1)  # dec_ref_pic_marking
             sl.se(0)  # slice_qp_delta
+            sl.ue(1)  # disable_deblocking_filter_idc
             tc = np.full(mbs_w * mbs_h, -1, np.int32)
             for mb in range(mb0, mb1):
                 mbx, mby = mb % mbs_w, mb // mbs_w
@@ -4394,7 +4410,7 @@ def _pps_nal(pps_id: int, qp: int) -> bytes:
     pps.u(0, 1); pps.u(0, 1); pps.ue(0)
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
     pps.se(qp - 26); pps.se(0); pps.se(0)
-    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)  # deblocking control ON
     pps.rbsp_trailing()
     return bytes([(3 << 5) | 8]) + _escape_ebsp(pps.tobytes())
 
@@ -5214,12 +5230,12 @@ def encode_ac_annexb(i: int, with_i4x4: bool = False) -> bytes:
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
     pps.se(qp - 26); pps.se(0); pps.se(0)
-    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)  # deblocking control ON
     pps.rbsp_trailing()
 
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
-    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0); sl.ue(1)  # deblocking OFF
 
     tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
     ctc4 = np.full((2, 2 * mbs_h, 2 * mbs_w), -1, np.int32)
@@ -5856,6 +5872,7 @@ def _ladder_nals(
             sl.u(0, 4)  # pic_order_cnt_lsb
             sl.u(0, 1); sl.u(0, 1)  # dec_ref_pic_marking
             sl.se(0)  # slice_qp_delta
+            sl.ue(1)  # disable_deblocking_filter_idc
 
             def gated(arr, rr: int, cc_: int) -> int:
                 if (

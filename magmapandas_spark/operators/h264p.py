@@ -679,7 +679,7 @@ def _p_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
     pps.se(qp - 26); pps.se(0); pps.se(0)
-    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)  # deblocking control ON
     pps.rbsp_trailing()
 
     def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
@@ -689,7 +689,7 @@ def _p_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
     # picture 0: IDR, all I_PCM from the closed-form planes
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
-    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0); sl.ue(1)  # deblocking OFF
     for mb in range(n_mbs):
         mbx, mby = mb % mbs_w, mb // mbs_w
         sl.ue(25)
@@ -730,6 +730,7 @@ def _p_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
         sl.u(0, 1)  # ref_pic_list_modification_flag_l0
         sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
         sl.se(0)  # slice_qp_delta
+        sl.ue(1)  # disable_deblocking_filter_idc
 
         tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
         ctc4 = np.full((2, 2 * mbs_h, 2 * mbs_w), -1, np.int32)
@@ -1359,7 +1360,7 @@ def _p14_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
     pps.se(qp - 26); pps.se(0); pps.se(0)
-    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)  # deblocking control ON
     pps.rbsp_trailing()
 
     def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
@@ -1369,7 +1370,7 @@ def _p14_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
     # picture 0: IDR, all I_PCM, one slice
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
-    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0); sl.ue(1)  # deblocking OFF
     for mb in range(n_mbs):
         mbx, mby = mb % mbs_w, mb // mbs_w
         sl.ue(25)
@@ -1430,6 +1431,7 @@ def _p14_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
             sl.u(0, 1)  # ref_pic_list_modification_flag_l0
             sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
             sl.se(0)  # slice_qp_delta
+            sl.ue(1)  # disable_deblocking_filter_idc
 
             def visible(omb: int, mb: int) -> bool:
                 return omb == mb or (
@@ -1855,7 +1857,7 @@ def _p15_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
     pps.se(qp - 26); pps.se(0); pps.se(0)
-    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)  # deblocking control ON
     pps.rbsp_trailing()
 
     def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
@@ -1864,7 +1866,7 @@ def _p15_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
 
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
-    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0); sl.ue(1)  # deblocking OFF
     for mb in range(n_mbs):
         mbx, mby = mb % mbs_w, mb // mbs_w
         sl.ue(25)
@@ -1900,6 +1902,7 @@ def _p15_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
         sl.u(f, 4); sl.u((2 * f) % 16, 4)
         sl.u(0, 1); sl.u(0, 1); sl.u(0, 1)
         sl.se(0)
+        sl.ue(1)  # disable_deblocking_filter_idc
 
         tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
         ctc4 = np.full((2, 2 * mbs_h, 2 * mbs_w), -1, np.int32)
@@ -2358,7 +2361,7 @@ def _p16_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
     pps.ue(1)  # num_ref_idx_l0_default_active_minus1 = 1 (two refs)
     pps.ue(0); pps.u(0, 1); pps.u(0, 2)
     pps.se(qp - 26); pps.se(0); pps.se(0)
-    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)  # deblocking control ON
     pps.rbsp_trailing()
 
     def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
@@ -2367,7 +2370,7 @@ def _p16_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
 
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
-    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0); sl.ue(1)  # deblocking OFF
     for mb in range(n_mbs):
         mbx, mby = mb % mbs_w, mb // mbs_w
         sl.ue(25)
@@ -2410,6 +2413,7 @@ def _p16_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
         sl.u(0, 1)  # ref_pic_list_modification_flag_l0
         sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
         sl.se(0)
+        sl.ue(1)  # disable_deblocking_filter_idc
 
         tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
         ctc4 = np.full((2, 2 * mbs_h, 2 * mbs_w), -1, np.int32)
@@ -2899,7 +2903,7 @@ def _p17_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
     pps.u(1, 1)  # weighted_pred_flag = 1
     pps.u(0, 2)
     pps.se(qp - 26); pps.se(0); pps.se(0)
-    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)  # deblocking control ON
     pps.rbsp_trailing()
 
     def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
@@ -2908,7 +2912,7 @@ def _p17_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
 
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
-    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0); sl.ue(1)  # deblocking OFF
     for mb in range(n_mbs):
         mbx, mby = mb % mbs_w, mb // mbs_w
         sl.ue(25)
@@ -2970,6 +2974,7 @@ def _p17_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
                 sl.u(0, 1)
         sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
         sl.se(0)
+        sl.ue(1)  # disable_deblocking_filter_idc
 
         tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
         ctc4 = np.full((2, 2 * mbs_h, 2 * mbs_w), -1, np.int32)
@@ -3397,7 +3402,7 @@ def _p18_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
     pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
     pps.ue(1); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
     pps.se(qp - 26); pps.se(0); pps.se(0)
-    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)
+    pps.u(1, 1); pps.u(0, 1); pps.u(0, 1)  # deblocking control ON
     pps.rbsp_trailing()
 
     def nal(ref_idc: int, nal_type: int, w_: _BitWriter) -> bytes:
@@ -3406,7 +3411,7 @@ def _p18_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
 
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
-    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0); sl.ue(1)  # deblocking OFF
     for mb in range(n_mbs):
         mbx, mby = mb % mbs_w, mb // mbs_w
         sl.ue(25)
@@ -3456,6 +3461,7 @@ def _p18_nals(i: int) -> tuple[bytes, bytes, list[list[bytes]]]:
             sl.u(0, 1)
         sl.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
         sl.se(0)
+        sl.ue(1)  # disable_deblocking_filter_idc
 
         tc4 = np.full((4 * mbs_h, 4 * mbs_w), -1, np.int32)
         ctc4 = np.full((2, 2 * mbs_h, 2 * mbs_w), -1, np.int32)

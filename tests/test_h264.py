@@ -90,7 +90,7 @@ def test_truncated_i4x4_slice_is_clean_error():
 
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
-    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0); sl.ue(1)
     sl.ue(0)  # mb_type 0: I_4x4 — now parsed for real
     sl.rbsp_trailing()
     idx = bytes(data).rfind(b"\x00\x00\x00\x01\x65")
@@ -98,6 +98,39 @@ def test_truncated_i4x4_slice_is_clean_error():
         sl.tobytes()
     )
     with pytest.raises(ValueError, match="truncated RBSP|undecoded"):
+        decode_h264_iframe(stream)
+
+
+def test_deblocking_defaulted_on_raises():
+    """A stream whose PPS lacks deblocking_filter_control_present_flag
+    leaves the in-loop filter ON (spec default idc 0); spec 8.7 is
+    unimplemented, so the decoder must fail closed — its pixels would
+    differ from a conformant decoder's otherwise."""
+    from magmapandas_spark.operators.h264 import _BitWriter, _escape_ebsp
+
+    y, cb, cr = _fixture_planes(0)
+    data = encode_ipcm_annexb(y, cb, cr)
+    # rebuild the PPS with the flag CLEAR (mirrors the encoder's PPS
+    # field order; only the deblocking bit differs)
+    pps = _BitWriter()
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 1); pps.ue(0)
+    pps.ue(0); pps.ue(0); pps.u(0, 1); pps.u(0, 2)
+    pps.se(0); pps.se(0); pps.se(0)
+    pps.u(0, 1); pps.u(0, 1); pps.u(0, 1)  # deblocking control OFF
+    pps.rbsp_trailing()
+    pps_nal = b"\x00\x00\x00\x01\x68" + _escape_ebsp(pps.tobytes())
+    # slice without the idc field (old syntax, matching the PPS)
+    sl = _BitWriter()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.ue(25)  # I_PCM (never reached)
+    sl.rbsp_trailing()
+    sps_end = data.find(b"\x00\x00\x00\x01\x68")
+    stream = (
+        data[:sps_end] + pps_nal + b"\x00\x00\x00\x01\x65"
+        + _escape_ebsp(sl.tobytes())
+    )
+    with pytest.raises(NotImplementedError, match="deblocking"):
         decode_h264_iframe(stream)
 
 
@@ -183,7 +216,7 @@ def test_truncated_i16x16_ac_slice_is_clean_error():
     data = encode_mixed_annexb(y, cb, cr, cls)
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
-    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0); sl.ue(1)
     sl.ue(13)  # I_16x16, pred 0, cbp_luma 15 — AC residuals follow
     sl.rbsp_trailing()
     idx = data.rfind(b"\x00\x00\x00\x01\x65")

@@ -460,7 +460,7 @@ def test_chroma_mode_out_of_range_raises():
     data = encode_mixed_annexb(y, cb, cr, cls)
     sl = _BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
-    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0); sl.ue(1)
     sl.ue(1)   # I_16x16, pred 0, cbp 0
     sl.ue(7)   # intra_chroma_pred_mode = 7: out of range
     sl.rbsp_trailing()

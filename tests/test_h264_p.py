@@ -349,6 +349,7 @@ def test_p_mb_type_out_of_range_raises():
     sl.u(0, 1)  # no reordering
     sl.u(0, 1)  # no adaptive marking
     sl.se(0)  # qp delta
+    sl.ue(1)  # disable_deblocking_filter_idc
     sl.ue(0)  # mb_skip_run = 0
     sl.ue(31)  # mb_type 31 -> intra offset 26: out of Table 7-11
     sl.rbsp_trailing()
@@ -366,6 +367,7 @@ def test_more_active_refs_than_decoded_raises():
     sl.u(0, 1)
     sl.u(0, 1)
     sl.se(0)
+    sl.ue(1)
     sl.rbsp_trailing()
     with pytest.raises(ValueError, match="reference pictures"):
         decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
@@ -405,6 +407,7 @@ def test_frame_num_gap_raises():
     sl.u(0, 1)  # no reordering
     sl.u(0, 1)  # no adaptive marking
     sl.se(0)  # qp delta
+    sl.ue(1)  # disable_deblocking_filter_idc
     sl.rbsp_trailing()
     with pytest.raises(NotImplementedError, match="frame_num gap"):
         decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
@@ -680,6 +683,7 @@ def test_corrupt_sub_mb_type_raises():
     _p_header(sl)
     sl.u(0, 1); sl.u(0, 1); sl.u(0, 1)
     sl.se(0)
+    sl.ue(1)
     sl.ue(0)  # mb_skip_run
     sl.ue(3)  # P_8x8
     sl.ue(4)  # sub_mb_type out of P range (B-slice value)
@@ -761,6 +765,7 @@ def test_ref_idx_out_of_range_raises():
     sl.u(0, 1)
     sl.u(0, 1)
     sl.se(0)
+    sl.ue(1)
     sl.rbsp_trailing()
     with pytest.raises(ValueError, match="reference pictures"):
         decode_h264_stream_info(_base_stream() + _nal(2, 1, sl))
@@ -1041,6 +1046,7 @@ def test_sliding_window_evicts_past_max_num_ref_frames():
     sl.u(0, 1)
     sl.u(0, 1)
     sl.se(0)
+    sl.ue(1)
     sl.rbsp_trailing()
     with pytest.raises(ValueError, match="only 1 decoded"):
         decode_h264_stream_info(base + _nal(2, 1, sl))

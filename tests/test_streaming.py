@@ -86,3 +86,102 @@ def test_stateful_running_totals(spark, batch_events):
     assert np.allclose(
         merged["total_value_got"], merged["total_value_exp"], rtol=1e-9
     )
+
+
+def test_stateful_recovery_across_crash(spark, batch_events, tmp_path):
+    """Kill a stateful running-totals query mid-stream and restart it
+    from its checkpoint: the recovered state must make the final
+    per-user totals equal the batch twin over ALL input — exactly-once
+    across the crash, not just idempotent re-delivery.
+
+    The crash is deterministic: maxFilesPerTrigger=1 splits the input
+    into three micro-batches, and run 1's foreachBatch raises on
+    batch 1 AFTER batch 0 committed (state + sink output). Run 2
+    reuses the checkpoint: it must re-run batch 1 exactly once (its
+    failed attempt never committed), must NOT re-run batch 0, and must
+    resume from batch 0's recovered state rather than zero."""
+    from pyspark.sql import functions as F
+
+    in_dir = tmp_path / "input"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    # three input files = three micro-batches (same schema as events)
+    ev = batch_events.withColumn(
+        "part", (F.col("event_id") % 3).cast("int")
+    ).localCheckpoint(eager=True)
+    for p in range(3):
+        ev.filter(F.col("part") == p).drop("part").coalesce(1)\
+            .write.mode("overwrite").parquet(str(in_dir / f"f{p}.parquet"))
+        for f in (in_dir / f"f{p}.parquet").glob("part-*.parquet"):
+            f.rename(in_dir / f"events_{p}.parquet")
+    import shutil
+
+    for p in range(3):
+        shutil.rmtree(in_dir / f"f{p}.parquet")
+
+    schema = ev.drop("part").schema
+
+    def totals_stream():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        return streams.running_user_totals(raw)
+
+    def sink(crash: bool):
+        def process(batch_df, batch_id):
+            if crash and batch_id >= 1:
+                raise RuntimeError("injected crash on batch 1")
+            batch_df.withColumn("batch_id", F.lit(batch_id))\
+                .write.mode("append").parquet(out_dir)
+
+        return process
+
+    # run 1: commits batch 0, dies on batch 1
+    q = (
+        totals_stream().writeStream.foreachBatch(sink(crash=True))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+        raise RuntimeError(q.exception() or "query finished cleanly")
+
+    # run 2: restart from the SAME checkpoint, drain the rest
+    q2 = (
+        totals_stream().writeStream.foreachBatch(sink(crash=False))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    # batch 0 committed exactly once (run 2 must not replay it)
+    assert not got.duplicated(subset=["user_id", "batch_id"]).any()
+    assert sorted(got["batch_id"].unique()) == [0, 1, 2]
+
+    # final state (greatest batch_id per user) == batch twin totals
+    final = (
+        got.sort_values("batch_id").groupby("user_id").last().reset_index()
+    )
+    exp = (
+        batch_events.groupBy("user_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .toPandas()
+    )
+    merged = final.merge(exp, on="user_id", suffixes=("_got", "_exp"))
+    assert len(merged) == len(exp)
+    assert (merged["n_events_got"] == merged["n_events_exp"]).all()
+    assert np.allclose(
+        merged["total_value_got"], merged["total_value_exp"], rtol=1e-9
+    )
