@@ -65,20 +65,51 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Measurement protocol (round 10): pass 1 times every query once;
+    # pass 2 re-times queries in DESCENDING pass-1 time order (a
+    # second sample matters most where the first was large) until
+    # SPARK_GRAFT_BENCH_SAMPLES per query or the wall budget
+    # (SPARK_GRAFT_BENCH_BUDGET_S, default 1100 s total) runs out.
+    # ALL samples land in BENCH_FULL.json; the headline per-query
+    # number is the MINIMUM — on a multi-tenant host the min of
+    # samples estimates the plan's cost, and the recorded spread
+    # quantifies host weather (r9's 378→505 s drift on byte-identical
+    # code was unfalsifiable with one sample and a heuristic retry
+    # pass). Budget exhaustion trims second samples off the CHEAP tail
+    # first and is counted in `single_sampled`, so the record says so.
+    n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2")))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1100"))
+    load_before = os.getloadavg()
+    suite_t0 = time.perf_counter()
+
     qmap = suite.queries()
+    samples: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     for name, fn in qmap.items():
         dt = run_once(name, fn)
+        samples[name] = [round(dt, 4)]
         timings[name] = round(dt, 4)
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    # Host-burst hygiene: a co-tenant CPU burst can charge a 2 s query
-    # 15 s (SCALE.md "Bench variance" — r5/r7 adjudications). Re-time
-    # any query that looks burst-charged — wall > 3x its last
-    # committed BENCH_FULL.json time (or > 3x the in-run median when
-    # it has no history) and > 2 s absolute — and record the MINIMUM,
-    # so BENCH_rN reflects plans, not host weather. Bounded to the 15
-    # worst offenders so the retry pass can't double the suite wall.
+    for _ in range(n_samples - 1):
+        for name in sorted(timings, key=lambda n: -timings[n]):
+            if time.perf_counter() - suite_t0 > budget_s:
+                break
+            dt = run_once(name, qmap[name])
+            samples[name].append(round(dt, 4))
+            if dt < timings[name]:
+                timings[name] = round(dt, 4)
+            print(
+                f"# {name}: "
+                + "/".join(f"{r:.3f}" for r in samples[name]) + "s",
+                file=sys.stderr,
+            )
+    single_sampled = sum(1 for v in samples.values() if len(v) < n_samples)
+
+    # Continuity pass: a query whose min-of-samples still sits >3x its
+    # last committed record (and >2 s absolute) gets ONE extra sample —
+    # a burst can straddle both adjacent samples. The extra sample is
+    # recorded like the others; bounded to the 8 worst offenders.
     ref: dict[str, float] = {}
     bench_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -91,20 +122,17 @@ def main() -> None:
             ref = dict(prior.get("queries", {}))
     except Exception:
         pass
-    med = sorted(timings.values())[len(timings) // 2] if timings else 0.0
     suspects = sorted(
-        (
-            n
-            for n, t in timings.items()
-            if t > 2.0 and t > 3 * ref.get(n, med)
-        ),
+        (n for n, t in timings.items()
+         if t > 2.0 and n in ref and t > 3 * ref[n]),
         key=lambda n: -timings[n],
-    )[:15]
-    retried = 0  # suspects re-timed
-    replaced = 0  # retries that actually beat (and replaced) the record
+    )[:8]
+    retried = 0
+    replaced = 0
     for name in suspects:
         dt = run_once(name, qmap[name])
         retried += 1
+        samples[name].append(round(dt, 4))
         if dt < timings[name]:
             print(
                 f"# retry {name}: {timings[name]:.3f}s -> {dt:.3f}s "
@@ -114,6 +142,7 @@ def main() -> None:
             timings[name] = round(dt, 4)
             replaced += 1
 
+    load_after = os.getloadavg()
     total = sum(timings.values())
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
@@ -121,7 +150,13 @@ def main() -> None:
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
         "sf": sf_val,
+        "protocol": f"min-of-{n_samples}",
+        "single_sampled": single_sampled,
+        "wall_elapsed_s": round(time.perf_counter() - suite_t0, 1),
+        "load_before": [round(v, 2) for v in load_before],
+        "load_after": [round(v, 2) for v in load_after],
         "retried": retried,
         "replaced": replaced,
     }
@@ -139,9 +174,10 @@ def main() -> None:
     # rest folded into queries_omitted / omitted_total_s.
     budget = 1800
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact = {k: v for k, v in full.items() if k != "samples"}
     included: dict[str, float] = {}
     for name, secs in slowest:
-        trial = dict(full)
+        trial = dict(compact)
         trial["queries"] = {**included, name: round(secs, 2)}
         trial["queries_omitted"] = len(timings) - len(trial["queries"])
         trial["omitted_total_s"] = round(
@@ -151,7 +187,7 @@ def main() -> None:
         if len(json.dumps(trial)) > budget:
             break
         included[name] = round(secs, 2)
-    out = dict(full)
+    out = dict(compact)
     out["queries"] = included
     out["queries_omitted"] = len(timings) - len(included)
     out["omitted_total_s"] = round(

@@ -344,22 +344,46 @@ def run_shapes(spark, sf_dir: str) -> dict[str, float]:
         # the documents scan
         "corpus_build_funnel": qs["corpus_build_funnel"],
     }
-    out: dict[str, float] = {}
+    # Measurement protocol (round 10, same as bench.py): every shape
+    # is timed SPARK_GRAFT_PROBE_SAMPLES (default 2) times
+    # back-to-back; BOTH samples are recorded and the ratio check uses
+    # the per-shape MINIMUM. r9's two single-sample probe passes
+    # flagged disjoint shape sets on identical bytes — min-of-adjacent
+    # samples is the cheapest estimator that shrugs off a one-sided
+    # co-tenant burst.
+    n_samples = max(
+        1, int(os.environ.get("SPARK_GRAFT_PROBE_SAMPLES", "2"))
+    )
+    out: dict[str, list[float]] = {}
 
     # melt materialization timed on its own so the model-tier shapes
-    # measure their operators, not the shared cache build
-    t0 = time.perf_counter()
-    gf = suite.synthetic_melt(spark, sf_dir)
-    gf.df.write.format("noop").mode("overwrite").save()
-    out["melt_materialize"] = time.perf_counter() - t0
+    # measure their operators, not the shared cache build; re-sampling
+    # it means dropping the (session, sf_dir) memo + persisted blocks
+    # so the second sample rebuilds instead of reading the cache
+    runs = []
+    for s in range(n_samples):
+        if s:
+            gf.df.unpersist(True)
+            suite._melt_cache.pop((id(spark), sf_dir), None)
+        t0 = time.perf_counter()
+        gf = suite.synthetic_melt(spark, sf_dir)
+        gf.df.write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    out["melt_materialize"] = runs
 
     for name in SHAPES[1:]:
-        t0 = time.perf_counter()
-        shape_fns[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        out[name] = time.perf_counter() - t0
-        print(f"#   {name}: {out[name]:.2f}s", file=sys.stderr)
+        runs = []
+        for _ in range(n_samples):
+            t0 = time.perf_counter()
+            shape_fns[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        out[name] = runs
+        print(
+            f"#   {name}: " + "/".join(f"{r:.2f}" for r in runs) + "s",
+            file=sys.stderr,
+        )
     return out
 
 
@@ -385,16 +409,19 @@ def main() -> None:
     build_scaled_inputs(spark, sf_dir, x, big_dir)
 
     results = {}
+    load_before = os.getloadavg()
     for label, d in (("1x", base_dir), (f"{x}x", big_dir)):
         print(f"# running shapes at {label}", file=sys.stderr)
         spark.catalog.clearCache()  # drop the previous scale's persists
         rss0 = _maxrss_mb()
-        times = run_shapes(spark, d)
+        samples = run_shapes(spark, d)
         results[label] = {
-            "times": times,
+            "samples": samples,
+            "times": {n: min(r) for n, r in samples.items()},
             "driver_maxrss_mb_before": round(rss0, 1),
             "driver_maxrss_mb_after": round(_maxrss_mb(), 1),
         }
+    load_after = os.getloadavg()
 
     rows = []
     for name in SHAPES:
@@ -406,6 +433,10 @@ def main() -> None:
                 "shape": name,
                 "wall_1x_s": round(t1, 2),
                 f"wall_{x}x_s": round(tx, 2),
+                "samples_1x": [round(r, 2) for r in
+                               results["1x"]["samples"][name]],
+                f"samples_{x}x": [round(r, 2) for r in
+                                  results[f"{x}x"]["samples"][name]],
                 "ratio": round(ratio, 2),
                 "ratio_over_x": round(ratio / x, 2),
                 "linear_ok": ratio <= x * 1.3,
@@ -418,6 +449,10 @@ def main() -> None:
                 "metric": "scale_probe",
                 "scale_x": x,
                 "sf_dir": sf_dir,
+                "protocol": "min-of-"
+                + os.environ.get("SPARK_GRAFT_PROBE_SAMPLES", "2"),
+                "load_before": [round(v, 2) for v in load_before],
+                "load_after": [round(v, 2) for v in load_after],
                 "shapes": rows,
                 "driver_maxrss_mb": {
                     k: v["driver_maxrss_mb_after"] for k, v in results.items()
