@@ -115,10 +115,16 @@ def lloyd_refine(
     never does; at scale the standard re-seed policy is a caller
     decision, and silently diverging from the oracle is worse than
     failing loudly)."""
+    from magmapandas_spark.operators.dedup import fan_out
+
     k = len(init_centroids)
     dim = len(init_centroids[0])
     cents = [list(map(float, c)) for c in init_centroids]
-    emb = emb.select(id_col, vec_col).persist()
+    # fan_out before persist: every Lloyd iteration scans the cached
+    # relation with the SCAN's partitioning — a single-row-group input
+    # would pin all iterations to one core. The decimal sums are
+    # order-independent, so repartitioning cannot change the hash.
+    emb = fan_out(emb.select(id_col, vec_col)).persist()
     try:
         for _ in range(iters):
             assigned = _assign_cells(emb, cents, id_col, vec_col)

@@ -42,7 +42,11 @@ def setjoin_jaccard(docs: DataFrame, ngram: int = 3) -> DataFrame:
     """All pairs of documents with shingle-set Jaccard >= 3/5, found
     by prefix filtering and verified exactly. Returns
     (doc_a, doc_b, n_inter, s_a, s_b, jaccard_ppm)."""
-    toks = docs.select("doc_id", word_tokens("text").alias("t"))
+    from magmapandas_spark.operators.dedup import fan_out
+
+    # fan_out before tokenize/shingle: the explode amplifies inside
+    # the scan stage (see dedup.fan_out docstring)
+    toks = fan_out(docs).select("doc_id", word_tokens("text").alias("t"))
     sh = toks.select(
         "doc_id", F.explode(word_ngrams("t", ngram)).alias("g")
     )

@@ -490,8 +490,14 @@ def bootstrap_mean_ci(
         f"(CASE WHEN (h div {8 ** k}) % 8 = 0 THEN 1 ELSE 0 END)"
         for k in range(8)
     )
+    from magmapandas_spark.operators.dedup import fan_out
+
+    # fan_out BEFORE the B-fold explode: the replicate expansion and
+    # its per-(row, b) md5 run inside the scan stage, so a single-
+    # row-group input would serialize B x |rows| hashes onto one core
     rep = (
-        df.select(
+        fan_out(df)
+        .select(
             F.col(group_col).alias("g"),
             F.col(val_col).alias("x"),
             F.col(id_col),
