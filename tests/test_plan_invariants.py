@@ -931,3 +931,49 @@ def test_corpus_build_funnel_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     for spec in window_partition_specs(plan):
         assert spec.strip()
+
+
+def test_amplifying_scans_are_fanned_out(spark):
+    """Round-10 fix pinned: the bootstrap B-fold explode, the Lloyd
+    iteration cache, and the setjoin shingle explode amplify rows
+    inside the scan stage — a NARROW input must see a round-robin
+    Exchange BEFORE the amplification (or the whole pipeline
+    serializes onto one core), and an already-wide input must not pay
+    a second exchange."""
+    from magmapandas_spark.operators.stats import bootstrap_mean_ci
+
+    # narrow input (1 partition, the single-row-group regime): the
+    # fan-out exchange must appear under the replicate explode
+    ev = spark.read.parquet(f"{SF}/events.parquet").coalesce(1)
+    plan = plan_of(bootstrap_mean_ci(ev, "event_type", "value", "event_id"))
+    assert "roundrobinpartitioning" in plan.lower()
+    assert "Generate explode" in plan
+
+    # wide input: fan_out is a no-op — the only round-robin exchanges
+    # are the caller's own repartition(64) (the input relation appears
+    # in both the replicate and the estimate subtree); fan_out's
+    # shuffle-partition-sized target must NOT appear
+    wide = spark.read.parquet(f"{SF}/events.parquet").repartition(64)
+    plan_w = plan_of(
+        bootstrap_mean_ci(wide, "event_type", "value", "event_id")
+    ).lower()
+    tgt = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert f"roundrobinpartitioning({tgt})" not in plan_w
+    assert "roundrobinpartitioning(64)" in plan_w
+
+    from magmapandas_spark.operators.setjoin import setjoin_jaccard
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").coalesce(1)
+    # setjoin checkpoints mid-pipeline (the exchange lands in the
+    # checkpointed prefix), so assert on the full lazy build instead:
+    # running it from a 1-partition input must produce >1 shuffle
+    # partition of shingle work — cheapest observable: the plan of the
+    # pre-checkpoint token relation
+    from magmapandas_spark.operators.curation import word_tokens
+    from magmapandas_spark.operators.dedup import fan_out
+    from pyspark.sql import functions as F2
+
+    toks = fan_out(docs).select(
+        "doc_id", F2.explode(word_tokens("text")).alias("t")
+    )
+    assert "roundrobinpartitioning" in plan_of(toks).lower()
