@@ -38,7 +38,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-SCRATCH = str(Path(__file__).resolve().parent / ".scale_scratch")
+# env-overridable so two probes can't clobber each other's inputs
+SCRATCH = os.environ.get(
+    "SPARK_GRAFT_SCRATCH",
+    str(Path(__file__).resolve().parent / ".scale_scratch"),
+)
 
 
 def _maxrss_mb() -> float:
@@ -272,7 +276,7 @@ def _abc_sketch_only_shape(spark, sf_dir: str):
     return abc_classification_sketch(li, with_exact=False)
 
 
-def run_shapes(spark, sf_dir: str) -> dict[str, float]:
+def run_shapes(spark, sf_dir: str, only: list | None = None) -> dict:
     from magmapandas_spark.relational import suite
 
     qs = suite.queries()
@@ -355,23 +359,26 @@ def run_shapes(spark, sf_dir: str) -> dict[str, float]:
         1, int(os.environ.get("SPARK_GRAFT_PROBE_SAMPLES", "2"))
     )
     out: dict[str, list[float]] = {}
+    todo = SHAPES if only is None else [n for n in SHAPES if n in only]
 
     # melt materialization timed on its own so the model-tier shapes
     # measure their operators, not the shared cache build; re-sampling
     # it means dropping the (session, sf_dir) memo + persisted blocks
     # so the second sample rebuilds instead of reading the cache
-    runs = []
-    for s in range(n_samples):
-        if s:
-            gf.df.unpersist(True)
-            suite._melt_cache.pop((id(spark), sf_dir), None)
-        t0 = time.perf_counter()
-        gf = suite.synthetic_melt(spark, sf_dir)
-        gf.df.write.format("noop").mode("overwrite").save()
-        runs.append(time.perf_counter() - t0)
-    out["melt_materialize"] = runs
+    if "melt_materialize" in todo:
+        runs = []
+        gf = None
+        for s in range(n_samples):
+            if gf is not None:
+                gf.df.unpersist(True)
+                suite._melt_cache.pop((id(spark), sf_dir), None)
+            t0 = time.perf_counter()
+            gf = suite.synthetic_melt(spark, sf_dir)
+            gf.df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        out["melt_materialize"] = runs
 
-    for name in SHAPES[1:]:
+    for name in [n for n in todo if n != "melt_materialize"]:
         runs = []
         for _ in range(n_samples):
             t0 = time.perf_counter()
@@ -422,6 +429,33 @@ def main() -> None:
             "driver_maxrss_mb_after": round(_maxrss_mb(), 1),
         }
     load_after = os.getloadavg()
+
+    # Flagged-shape adjudication pass: adjacent samples share a burst
+    # window, so a sustained co-tenant burst can slow BOTH samples of
+    # one shape (r10: pricing_aggregate measured 40 s twice in-probe,
+    # 2-5 s solo minutes later). Any shape whose min-of-samples still
+    # breaks the linear bound gets one more sample per scale HERE —
+    # temporally separated from the originals by the rest of the
+    # probe — and the minimum wins. Bounded: only flagged shapes.
+    flagged = [
+        n for n in SHAPES
+        if results["1x"]["times"][n] > 0
+        and results[f"{x}x"]["times"][n] / results["1x"]["times"][n]
+        > x * 1.3
+    ]
+    if flagged:
+        for label, d in (("1x", base_dir), (f"{x}x", big_dir)):
+            spark.catalog.clearCache()
+            print(
+                f"# re-adjudicating flagged shapes at {label}: {flagged}",
+                file=sys.stderr,
+            )
+            extra = run_shapes(spark, d, only=flagged)
+            for n, runs in extra.items():
+                results[label]["samples"][n].extend(runs)
+                results[label]["times"][n] = min(
+                    results[label]["times"][n], *runs
+                )
 
     rows = []
     for name in SHAPES:
