@@ -134,6 +134,42 @@ def test_deblocking_defaulted_on_raises():
         decode_h264_iframe(stream)
 
 
+@pytest.mark.parametrize("idc,accepts", [(0, False), (1, True), (2, False)])
+def test_deblocking_idc_accept_matrix(idc, accepts):
+    """With deblocking control signaled, only idc=1 (filter fully
+    disabled) decodes; idc=0 (filter on) and idc=2 (on except slice
+    edges) both leave spec-8.7 filtering active and must fail closed."""
+    from magmapandas_spark.operators.h264 import _BitWriter, _escape_ebsp
+
+    y, cb, cr = _fixture_planes(0)
+    data = encode_ipcm_annexb(y, cb, cr)
+    sl = _BitWriter()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0); sl.u(0, 4)
+    sl.u(0, 1); sl.u(0, 1); sl.se(0)
+    sl.ue(idc)  # disable_deblocking_filter_idc
+    if idc != 1:
+        sl.se(0); sl.se(0)  # alpha/beta offsets present when idc != 1
+    mbs_w, mbs_h = y.shape[1] // 16, y.shape[0] // 16
+    for mby in range(mbs_h):
+        for mbx in range(mbs_w):
+            sl.ue(25)  # I_PCM
+            sl.align_zero()
+            sl.raw_bytes(y[mby*16:mby*16+16, mbx*16:mbx*16+16].tobytes())
+            sl.raw_bytes(cb[mby*8:mby*8+8, mbx*8:mbx*8+8].tobytes())
+            sl.raw_bytes(cr[mby*8:mby*8+8, mbx*8:mbx*8+8].tobytes())
+    sl.rbsp_trailing()
+    idx = data.rfind(b"\x00\x00\x00\x01\x65")
+    stream = data[:idx] + b"\x00\x00\x00\x01\x65" + _escape_ebsp(
+        sl.tobytes()
+    )
+    if accepts:
+        yd, cbd, crd, _ = decode_h264_iframe(stream)
+        assert np.array_equal(y, yd)
+    else:
+        with pytest.raises(NotImplementedError, match="deblocking"):
+            decode_h264_iframe(stream)
+
+
 def test_truncated_payload_raises():
     y, cb, cr = _fixture_planes(1)
     data = encode_ipcm_annexb(y, cb, cr)
