@@ -219,6 +219,12 @@ def grouped_ols2(
     at scale, center features first (the statistics are the same
     sums); the gate's features are small and tidy.
     """
+    from magmapandas_spark.operators.dedup import fan_out
+
+    # fan_out: the ten decimal Gram sums evaluate in the scan stage's
+    # partial aggregation — single-row-group inputs would serialize
+    # them onto one core (sums are order-independent by DECIMAL)
+    df = fan_out(df)
     x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
     stats = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -85,6 +85,10 @@ def hashed_linear_classifier(
     to 6.
 
     Returns (id, n_tokens, sum_weight, prob)."""
+    from magmapandas_spark.operators.dedup import fan_out
+
+    # fan_out: tokenize + the integer weight fold are scan-stage work
+    docs = fan_out(docs)
     toks = word_tokens(text_col)
 
     def w_int(tok: Column) -> Column:

@@ -50,8 +50,14 @@ def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     (col, null_count, ndv, min_num, max_num, min_str, max_str) —
     the numeric pair for numeric/timestamp columns (rounded doubles /
     epoch seconds), the string pair for VARCHAR, NULL otherwise."""
+    from magmapandas_spark.operators.dedup import fan_out
+
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = columns if columns is not None else list(fields)
+    # fan_out: the k-column unpivot explode and the per-column
+    # partial distincts run inside the scan stage — single-row-group
+    # inputs would serialize the whole ANALYZE onto one core
+    df = fan_out(df)
     # exact NDVs over the narrow unpivoted pairs (rendered values:
     # shortest-roundtrip double/timestamp strings are injective, so
     # string-distinct == value-distinct; NULLs excluded per standard
@@ -616,7 +622,12 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums -> full map-side combine), then a scan-free explode into the
     6 pair rows. k measures cost k(k+3)/2 scan-local terms — the
     gram_aggregate posture, no extra shuffle, no window."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from magmapandas_spark.operators.dedup import fan_out
+
+    # fan_out: the k(k+3)/2 decimal power-sum terms evaluate in the
+    # scan stage's partial aggregation — parallelize it before the
+    # single 1-row exchange (sums are order-independent by DECIMAL)
+    li = fan_out(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
     def ps(e):
         return F.sum(e.cast("decimal(38,6)")).cast("double")
