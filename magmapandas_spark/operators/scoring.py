@@ -85,10 +85,6 @@ def hashed_linear_classifier(
     to 6.
 
     Returns (id, n_tokens, sum_weight, prob)."""
-    from magmapandas_spark.operators.dedup import fan_out
-
-    # fan_out: tokenize + the integer weight fold are scan-stage work
-    docs = fan_out(docs)
     toks = word_tokens(text_col)
 
     def w_int(tok: Column) -> Column:
@@ -116,7 +112,14 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate query: hashed linear classifier over every document —
     integer feature sums, mean weight, and sigmoid all under the
     hash."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from magmapandas_spark.operators.dedup import fan_out
+
+    # fan_out HERE, not in the operator: the operator's zero-exchange
+    # scan-local plan is a pinned invariant (it composes into other
+    # pipelines' scan stages); the gate input is a single row group,
+    # so the standalone query pays one cheap row shuffle to tokenize
+    # on every core
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return hashed_linear_classifier(docs).orderBy("doc_id").coalesce(1)
 
 
