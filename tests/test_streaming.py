@@ -185,3 +185,100 @@ def test_stateful_recovery_across_crash(spark, batch_events, tmp_path):
     assert np.allclose(
         merged["total_value_got"], merged["total_value_exp"], rtol=1e-9
     )
+
+
+def test_windowed_agg_recovery_across_crash(spark, batch_events, tmp_path):
+    """Same crash/restart drill for the WINDOWED aggregation tier: the
+    watermarked tumbling counts must recover their window state from
+    the checkpoint and converge to the batch twin over all input."""
+    from pyspark.sql import functions as F
+
+    in_dir = tmp_path / "input"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    # split by TIME (not id): each file strictly newer than the last,
+    # so the advancing watermark never discards a later file's rows
+    # the batch twin would count
+    b1, b2 = (
+        batch_events.selectExpr(
+            "percentile(cast(ts as double), 0.33) as b1",
+            "percentile(cast(ts as double), 0.66) as b2",
+        ).collect()[0]
+    )
+    ev = batch_events.withColumn(
+        "part",
+        F.when(F.col("ts").cast("double") < b1, 0)
+        .when(F.col("ts").cast("double") < b2, 1)
+        .otherwise(2),
+    ).localCheckpoint(eager=True)
+    import shutil
+
+    for p in range(3):
+        ev.filter(F.col("part") == p).drop("part").coalesce(1)\
+            .write.mode("overwrite").parquet(str(in_dir / f"f{p}.parquet"))
+        for f in (in_dir / f"f{p}.parquet").glob("part-*.parquet"):
+            f.rename(in_dir / f"events_{p}.parquet")
+        shutil.rmtree(in_dir / f"f{p}.parquet")
+
+    schema = ev.drop("part").schema
+
+    def agg_stream():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        return streams.tumbling_counts(raw)
+
+    def sink(crash: bool):
+        def process(batch_df, batch_id):
+            if crash and batch_id >= 1:
+                raise RuntimeError("injected crash on batch 1")
+            batch_df.withColumn("batch_id", F.lit(batch_id))\
+                .write.mode("append").parquet(out_dir)
+
+        return process
+
+    q = (
+        agg_stream().writeStream.foreachBatch(sink(crash=True))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+        raise RuntimeError(q.exception() or "query finished cleanly")
+
+    q2 = (
+        agg_stream().writeStream.foreachBatch(sink(crash=False))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert not got.duplicated(
+        subset=["window_start", "event_type", "batch_id"]
+    ).any()
+    assert sorted(got["batch_id"].unique()) == [0, 1, 2]
+
+    final = (
+        got.sort_values("batch_id")
+        .groupby(["window_start", "event_type"])
+        .last()
+        .reset_index()
+    )
+    exp = streams.tumbling_counts(batch_events).toPandas()
+    merged = final.merge(
+        exp, on=["window_start", "event_type"], suffixes=("_got", "_exp")
+    )
+    assert len(merged) == len(exp)
+    assert (merged["n_events_got"] == merged["n_events_exp"]).all()
+    assert np.allclose(
+        merged["total_value_got"], merged["total_value_exp"], rtol=1e-9
+    )
