@@ -347,70 +347,75 @@ def _wrap(fn: Callable) -> Callable:
 # The correctness driver hash-verifies only the FIRST 50 entries of
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
-# Round-10 rotation — oldest-first, per the r9 verdict's item 4.
-# After r9 the driver-row union covers all 247 registry entries; the
-# staleness profile of the 245 oracle-bearing entries is
-# r3:6 r4:46 r5:49 r7:44 r8:50 r9:50.  The 50 slots go to the 50
-# stalest: all 6 r3 rows + 44 of the 46 r4 rows.  The two r4 rows
-# left out — `qfm_exact` and `iw_exact` — were independently re-run
-# exact-equal by the r9 judge this cycle (VERDICT.md §2.8), so their
-# effective verification is fresher than their driver stamp; they
-# lead the r11 rotation.  Everything past slot 50 stays covered by
-# tests/test_oracle.py (the identical rows+schema+values check over
-# the whole registry, run at sf0.01 and sf0.1 every session).
+# Round-11 rotation — oldest-first, per the r10 verdict's item 1.
+# After r10 the driver-row union covers all 247 registry entries; the
+# staleness profile (latest driver stamp per entry) is
+# r4:3 r5:49 r7:44 r8:50 r9:50 r10:50.  The 50 slots go to the 50
+# stalest: the 3 remaining r4 rows — `qfm_exact`, `iw_exact`
+# (hash-verified oracles, re-run exact by both the r9 and r10 judges
+# but never driver-stamped since r4) and `minhash_lsh_xxhash` (the
+# rows-only production probe, DESIGN.md §2) — followed by 47 of the
+# 49 r5 rows.  The two r5 rows left out — `pricing_summary` (the
+# flagship, exercised by every driver entry() smoke and golden
+# tests) and `thermometer_putirka2008_15` (judge-re-run exact in the
+# r10 thermometer slice, 27/27 golden) — carry the strongest
+# independent coverage of the cohort and rotate into r12.
+# Everything past slot 50 stays covered by tests/test_oracle.py
+# (the identical rows+schema+values check over the whole registry,
+# run at sf0.01 and sf0.1 every session).
 _GATE_ORDER = [
-    # r3-stamped (oldest)
-    "feo_fe2o3_split",
-    "fo2_buffers",
-    "ilmenite_speciation",
-    "thermometers_multi",
-    "thermometers_multi2",
-    "unit_conversions",
-    # r4-stamped
-    "asof_purchase_view",
-    "below_avg_revenue",
-    "customer_ntiles",
-    "customer_order_window",
-    "customer_semi_anti",
-    "dedup_clusters",
-    "dedup_clusters_distributed",
-    "dedup_verified",
-    "doc_fingerprint",
-    "embedding_topk",
-    "event_deltas",
-    "events_json",
-    "fe3fe2_errors",
-    "fe3fe2_solvers2",
-    "html_extract",
-    "ivf_topk_seeded",
-    "jpeg_decode",
-    "langid_heuristic",
-    "lsh_topk",
-    "media_features",
-    "media_inventory",
-    "minhash_lsh_candidates",
-    "mp4_metadata",
-    "ngram_jaccard_adjacent",
-    "order_cube",
-    "order_pivot",
-    "order_rollup",
-    "pricing_moments",
-    "pricing_quantiles",
-    "repetition_scores",
-    "revenue_by_nation",
-    "running_stddev",
-    "running_totals",
-    "salted_join_revenue",
-    "sequence_packing",
-    "simhash_buckets",
-    "skew_distinct",
-    "sliding_value_avg",
-    "text_chunks",
-    "text_clean",
-    "token_counts",
-    "top_parts_by_revenue",
-    "user_sessions",
-    "vocab_topk",
+    # r4-stamped (oldest)
+    "qfm_exact",
+    "iw_exact",
+    "minhash_lsh_xxhash",
+    # r5-stamped
+    "allison_saturation",
+    "audio_chunks",
+    "bloom_decontaminate",
+    "bpe_tokens",
+    "chondrite_normalize",
+    "cms_topk",
+    "dedup_exact",
+    "dedup_keep_best",
+    "density_viscosity",
+    "doc_stats",
+    "embedding_neardup",
+    "events_hourly",
+    "exact_substring_dups",
+    "gap_fill",
+    "gif_decode",
+    "histogram_quantiles",
+    "hll_distinct",
+    "host_quota",
+    "kmv_distinct",
+    "lm_quality",
+    "merge_upsert",
+    "mineral_forsterite",
+    "minhash_jaccard_est",
+    "mixture_schedule",
+    "pagerank",
+    "pair_overlap_scores",
+    "part_setops",
+    "pii_scan",
+    "png_decode",
+    "pq_topk_seeded",
+    "quality_ensemble",
+    "range_join_clicks",
+    "redox_chain",
+    "reservoir_normalize",
+    "rhodes_grid",
+    "robots_filter",
+    "semdedup",
+    "shishkina_co2_saturation",
+    "tas_classification",
+    "text_quality",
+    "tfidf_search",
+    "url_canonical",
+    "video_frames",
+    "volatile_saturation_im",
+    "warc_gz_records",
+    "warc_records",
+    "wav_chunks",
 ]
 
 
