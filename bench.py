@@ -69,7 +69,7 @@ def main() -> None:
     # pass 2 re-times queries in DESCENDING pass-1 time order (a
     # second sample matters most where the first was large) until
     # SPARK_GRAFT_BENCH_SAMPLES per query or the wall budget
-    # (SPARK_GRAFT_BENCH_BUDGET_S, default 1100 s total) runs out.
+    # (SPARK_GRAFT_BENCH_BUDGET_S, default 1600 s total) runs out.
     # ALL samples land in BENCH_FULL.json; the headline per-query
     # number is the MINIMUM — on a multi-tenant host the min of
     # samples estimates the plan's cost, and the recorded spread
@@ -77,8 +77,12 @@ def main() -> None:
     # code was unfalsifiable with one sample and a heuristic retry
     # pass). Budget exhaustion trims second samples off the CHEAP tail
     # first and is counted in `single_sampled`, so the record says so.
+    # Budget sizing (r10 verdict item 3): the r10 run measured pass 1
+    # at 545 s and a complete pass 2 at ~555 s; the old 1100 s default
+    # cut 47 second samples off the cheap tail. 1600 s covers both
+    # passes plus the bounded retry pass with slow-host headroom.
     n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2")))
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1100"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1600"))
     load_before = os.getloadavg()
     suite_t0 = time.perf_counter()
 
@@ -122,9 +126,23 @@ def main() -> None:
             ref = dict(prior.get("queries", {}))
     except Exception:
         pass
+    # History-less fallback (r10 ADVICE): a query with no prior
+    # BENCH_FULL record (new this round, or first run at this SF)
+    # can't be compared against its own history — compare it against
+    # the in-run median of min-of-samples times instead, so a
+    # sustained burst spanning both of its adjacent samples still
+    # earns a temporally-separated retry instead of being committed
+    # as its headline time. Shares the same bounded retry budget.
+    mins_sorted = sorted(timings.values())
+    run_median = mins_sorted[len(mins_sorted) // 2] if mins_sorted else 0.0
+    historyless = [
+        n for n, t in timings.items()
+        if t > 2.0 and n not in ref and t > 3 * max(run_median, 0.5)
+    ]
     suspects = sorted(
         (n for n, t in timings.items()
-         if t > 2.0 and n in ref and t > 3 * ref[n]),
+         if (t > 2.0 and n in ref and t > 3 * ref[n])
+         or n in historyless),
         key=lambda n: -timings[n],
     )[:8]
     retried = 0
@@ -159,6 +177,9 @@ def main() -> None:
         "load_after": [round(v, 2) for v in load_after],
         "retried": retried,
         "replaced": replaced,
+        "historyless_retried": sorted(
+            n for n in suspects if n in historyless
+        ),
     }
     # The complete per-query map, for humans/the judge
     with open(

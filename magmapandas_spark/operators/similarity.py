@@ -801,9 +801,20 @@ def ivf_topk_fitted(
     shape — was A/B-measured here in round 6 and LOST to this form at
     sf0.1: the window over N×k narrow rows is cheap at this k, and
     the fused 8×64-literal fold array pushed the projection out of
-    whole-stage codegen. semdedup keeps the array_min form because
-    its assignment feeds a persist consumed three times, where the
-    single-pass projection wins.)"""
+    whole-stage codegen. Re-measured in round 11: still loses, 2.77 s
+    vs 1.83 s. semdedup keeps the array_min form because its
+    assignment feeds a persist consumed three times, where the
+    single-pass projection wins.)
+
+    Round 11: the CORPUS assignment (n_keep=1) switched from the
+    row_number window to ``groupBy(cid).agg(min(struct(sd, cell)))``
+    — hash-identical output (struct ordering = sd asc, cell asc, the
+    window's exact sort key), but the partial aggregation collapses
+    the 8× crossJoin amplification MAP-SIDE, so the exchange carries
+    N one-row groups instead of 8N rows each dragging the 64-double
+    vector. 8× less shuffle at any scale; sf0.1 A/B min-of-3
+    2.01 → 1.83 s. The PROBE side keeps the window: n_keep>1 has no
+    single-struct aggregate twin and the probe set is tiny."""
     spark = corpus.sparkSession
     seeds = spark.createDataFrame(
         [(j, c) for j, c in enumerate(centroids)],
@@ -826,9 +837,25 @@ def ivf_topk_fitted(
             .select(idname, vecname, "cell")
         )
 
-    assigned = argmin_cells(
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")),
-        "cid", "cvec", 1,
+    corpus_scored = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "cid",
+            "cvec",
+            "cell",
+            _dist2(F.col("cvec"), F.col("svec")).alias("sd"),
+        )
+    )
+    # all 8 cvec copies of a cid are identical (crossJoin fan-out of
+    # one row), so first() is deterministic here
+    assigned = (
+        corpus_scored.groupBy("cid")
+        .agg(
+            F.min(F.struct("sd", "cell")).alias("m"),
+            F.first("cvec").alias("cvec"),
+        )
+        .select("cid", "cvec", F.col("m.cell").alias("cell"))
     )
     probes = argmin_cells(
         corpus.filter(query_pred).select(
@@ -965,8 +992,14 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell_rows: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-vector SemDeDup verdict against a fitted coarse codebook.
+
+    ``materialize=False`` returns the LAZY verdict plan (no eager
+    localCheckpoint, assignment cache left to the caller) — used by
+    the plan-invariant tests to pin the join/aggregation shape, which
+    the default eager checkpoint otherwise hides.
 
     Assignment is a scan-local argmin fold against the literal
     centroids (array_min over (sd, cell) structs — no crossJoin, no
@@ -1114,8 +1147,9 @@ def semdedup(
     # lineage, release the assignment cache — the dedup.py
     # convention: repeated calls in a long-lived session must not
     # accumulate cached tables until LRU pressure
-    out = out.localCheckpoint(eager=True)
-    base.unpersist()
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
     return out
 
 

@@ -175,6 +175,11 @@ SHAPES = [
     "corpus_build_funnel",
 ]
 
+#: shapes that read the shared synthetic-melt cache — the
+#: adjudication pass must re-materialize the melt (untimed) before
+#: re-sampling any of these
+MODEL_SHAPES = {"thermometer_projection", "saturation_solver"}
+
 
 #: guard bound for the probe's SemDeDup shape
 _PROBE_MCR = 64
@@ -367,11 +372,11 @@ def run_shapes(spark, sf_dir: str, only: list | None = None) -> dict:
     # so the second sample rebuilds instead of reading the cache
     if "melt_materialize" in todo:
         runs = []
-        gf = None
         for s in range(n_samples):
-            if gf is not None:
-                gf.df.unpersist(True)
-                suite._melt_cache.pop((id(spark), sf_dir), None)
+            # reset unconditionally (no-op on a cold memo): every
+            # sample times a genuine rebuild even when a prior pass
+            # left the memo warm (the adjudication-pass case)
+            suite.reset_melt_cache(spark, sf_dir)
             t0 = time.perf_counter()
             gf = suite.synthetic_melt(spark, sf_dir)
             gf.df.write.format("noop").mode("overwrite").save()
@@ -446,6 +451,20 @@ def main() -> None:
     if flagged:
         for label, d in (("1x", base_dir), (f"{x}x", big_dir)):
             spark.catalog.clearCache()
+            # clearCache drops the melt's persisted BLOCKS but not the
+            # suite memo — a flagged model-tier shape would recompute
+            # the unpersisted melt inline, inflating its extra sample
+            # toward a false linear_ok failure. Reset the memo and
+            # re-materialize UNTIMED so the samples below measure only
+            # the shapes' own operators. (melt_materialize itself, if
+            # flagged, resets again per-sample inside run_shapes.)
+            from magmapandas_spark.relational import suite as _suite
+
+            _suite.reset_melt_cache(spark, d)
+            if any(n in MODEL_SHAPES for n in flagged):
+                _suite.synthetic_melt(spark, d).df.write.format(
+                    "noop"
+                ).mode("overwrite").save()
             print(
                 f"# re-adjudicating flagged shapes at {label}: {flagged}",
                 file=sys.stderr,

@@ -977,3 +977,207 @@ def test_amplifying_scans_are_fanned_out(spark):
         "doc_id", F2.explode(word_tokens("text")).alias("t")
     )
     assert "roundrobinpartitioning" in plan_of(toks).lower()
+
+
+# =====================================================================
+# Round-11: pins for the top-10 bench queries (r10 verdict item 4) —
+# the queries a future "fan out"-style sweep could silently regress
+# the way ivf_topk regressed in r10. Queries already pinned above
+# (table_stats, setsim_join, crossmodal_dedup, copurchase_lift) are
+# not repeated.
+# =====================================================================
+
+def test_ivf_topk_assignment_partial_agg_no_corpus_window(spark):
+    """The r11 ivf_topk rewrite pinned: corpus cell-assignment is a
+    groupBy(cid).min(struct(sd, cell)) whose PARTIAL aggregate
+    collapses the 8× seed crossJoin map-side — the exchange carries N
+    one-row groups, never 8N rows dragging the 64-double vector. No
+    window may ever partition on cid again (the pre-r11 shape that
+    shuffled 8× the corpus), and the probe→corpus join stays a
+    broadcast equi-join on cell."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()["ivf_topk"](spark, SF))
+    # map-side combine of the assignment argmin
+    assert "partial_min(struct(sd" in plan
+    # every window is probe(qid)-keyed; the corpus-side window is gone
+    specs = window_partition_specs(plan)
+    assert specs and all("qid" in s for s in specs)
+    # probed search joins on cell with the tiny probe side broadcast
+    assert "BroadcastHashJoin [cell" in plan
+    # the only nested-loop joins are the two deliberate 8-row
+    # seed-codebook crosses (corpus assignment + probe assignment)
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_kmeans_iteration_stats_two_hashaggs_no_join(spark):
+    """One Lloyd iteration = scan-local assignment expression feeding
+    a partial+final HashAggregate pair on cell — no join, no window,
+    no Python, and exactly two exchanges: the fan_out round-robin
+    (narrow gate input) and the k-row cell aggregation. This is the
+    per-iteration job kmeans_refine pays iters× — an extra exchange
+    here multiplies by the iteration count."""
+    from magmapandas_spark.operators.dedup import fan_out
+    from magmapandas_spark.operators.kmeans import _assign_cells
+    from magmapandas_spark.operators.similarity import ivf_fit_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ivf_fit_centroids(SF)
+    assigned = _assign_cells(
+        fan_out(emb.select("vec_id", "embedding")),
+        cents, "vec_id", "embedding",
+    )
+    stats = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.element_at("embedding", i + 1)
+                .cast("double")
+                .cast("decimal(28,12)")
+            ).alias(f"s{i}")
+            for i in range(64)
+        ],
+    )
+    plan = plan_of(stats)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 2
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_minhash_candidates_banded_join_no_explosion(spark):
+    """The MinHash-LSH candidate pipeline (lsh_recall_eval's heavy
+    approximate leg; its exact leg is pinned by
+    test_setsim_join_no_cartesian): candidate pairs come from ONE
+    equi-join on the (band, sig) bucket key with the id1 < id2
+    dedup predicate inside the join — never a cartesian, never a
+    Python stage, and the signature build is a partial+final
+    aggregate pair (map-side combined minhash mins)."""
+    from magmapandas_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(
+        minhash_lsh_candidates(docs, hash_strategy="md5").select(
+            "id1", "id2"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [
+        l for l in plan.splitlines()
+        if "Join [band" in l or "Join [sig" in l
+    ]
+    assert len(joins) == 1 and "doc_id" in joins[0]  # id< inside join
+    assert plan.count("HashAggregate") == 2
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def _pagerank_round_plan(spark, personalized: bool):
+    """One rank-update round exactly as pagerank()/
+    personalized_pagerank() build it (unpersisted: the cache only
+    swaps scans for InMemoryTableScan, join/agg shape is identical)."""
+    from magmapandas_spark.operators.graph import synthetic_link_graph
+
+    edges = synthetic_link_graph(spark)
+    npart = 2
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(npart, "node")
+    )
+    e = (
+        edges.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+            on="src",
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"), "outdeg")
+        .repartition(npart, "u")
+    )
+    ranks = nodes.select("node", F.lit(1000).cast("long").alias("rank"))
+    contribs = (
+        e.join(ranks.select(F.col("node").alias("u"), "rank"), on="u")
+        .select(
+            F.col("v").alias("node"),
+            F.expr("(85 * rank) div (100 * outdeg)").alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("inflow"))
+    )
+    tp = (
+        F.lit(3) if not personalized
+        else F.when(F.col("node") % 50 == 0, F.lit(3)).otherwise(F.lit(0))
+    )
+    nxt = (
+        nodes.join(contribs, on="node", how="left")
+        .select(
+            "node",
+            (tp + F.coalesce(F.col("inflow"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+        )
+        .repartition(npart, "node")
+    )
+    return plan_of(nxt)
+
+
+@pytest.mark.parametrize("personalized", [False, True])
+def test_pagerank_round_keyed_joins_partial_agg(spark, personalized):
+    """One PageRank/PPR round (the job paid iterations×): every join
+    is a keyed equi-join (broadcast at gate scale; co-partitioned SMJ
+    at cluster scale — never nested-loop), the inflow aggregation has
+    a map-side partial, no Python anywhere, and every hash exchange
+    is on a graph key (node/u/src) — a surprise key here means a
+    plan-shape regression that multiplies by the iteration count."""
+    plan = _pagerank_round_plan(spark, personalized)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # inflow groupBy(node).sum: partial+final pair
+    assert "partial_sum(c" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan):
+        assert m.group(1) in ("node", "u", "src")
+
+
+def test_pq_topk_seeded_broadcast_crosses_no_python(spark):
+    """PQ encode + ADC: the only nested-loop joins are the two
+    deliberate broadcasts of the 16-row seed codebook / per-query
+    code rows (encode cross + ADC cross); code-pivot and lookup joins
+    are keyed; the entire pipeline is expression-tier (no Python),
+    and windows partition on the vector/query ids only."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()["pq_topk_seeded"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    specs = window_partition_specs(plan)
+    assert specs and all(("cid" in s) or ("qid" in s) for s in specs)
+
+
+def test_semdedup_assignment_scan_local_join_broadcast(spark):
+    """SemDeDup (lazy plan): cell assignment is the scan-local
+    array_min fold — NO crossJoin against the codebook, NO
+    assignment window — and the within-cell pair comparison joins on
+    cell with the build side BROADCAST (a shuffled join on an
+    8-value key would put all pairs on 8 tasks; the docstring's skew
+    defense). Python never appears."""
+    from magmapandas_spark.operators.similarity import (
+        ivf_fit_centroids,
+        semdedup,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = semdedup(emb, ivf_fit_centroids(SF), materialize=False)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_min" in plan
+    assert "BroadcastHashJoin [cell" in plan
+    specs = window_partition_specs(plan)
+    assert not specs  # no window anywhere on this path
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    emb.sparkSession.catalog.clearCache()
