@@ -309,3 +309,80 @@ def test_avc_permissive_quarantines_corrupt_payloads(spark):
 
     with _pytest.raises(Exception):
         decode_avc_frames(media, permissive=False).collect()
+
+
+# ---------------------------------------------------------------------
+# Round-11: accept/reject matrix for the two MP4 scope guards
+# (mp4.py codec gate + avcC NAL-length gate), with REAL near-miss
+# payloads — the same both-sides pinning the H.264 deblocking gate
+# uses, so a refactor can't silently widen either boundary.
+# ---------------------------------------------------------------------
+
+def test_mjpeg_codec_gate_accept_reject_matrix(spark):
+    """The MJPEG frame decoder's codec gate, pinned from both sides
+    with the SAME payload: a fully valid AVC-in-MP4 that the AVC
+    decoder ACCEPTS (frames decode, no error rows) must be REJECTED
+    by the MJPEG path with the codec NotImplementedError — a true
+    near-miss (well-formed container, real sample table, wrong
+    codec), not a malformed blob."""
+    from magmapandas_spark.operators.mp4 import (
+        decode_avc_frames,
+        decode_mjpeg_frames,
+        make_synthetic_avc_mp4,
+    )
+
+    avc = make_synthetic_avc_mp4(0)
+    media = spark.createDataFrame(
+        [(0, bytearray(avc))], "media_id long, payload binary"
+    )
+    # accept side: the AVC decoder decodes it cleanly
+    avc_rows = decode_avc_frames(media, permissive=True).collect()
+    assert avc_rows and all(r.error is None for r in avc_rows)
+    # reject side: the MJPEG path quarantines it on the codec gate
+    out = decode_mjpeg_frames(media, permissive=True).toPandas()
+    assert out["error"].notna().all()
+    msg = out.iloc[0]["error"]
+    assert "NotImplementedError" in msg and "MJPEG" in msg
+    # strict mode fails the stage instead of silently mis-decoding
+    with pytest.raises(Exception):
+        decode_mjpeg_frames(media).toPandas()
+
+
+def test_avcc_length_size_gate_accept_reject_matrix(spark):
+    """The avcC 4-byte-NAL-length gate, pinned with a REAL record: the
+    avcC box from a valid synthetic AVC MP4 parses as-is (accept), and
+    the SAME record with only lengthSizeMinusOne flipped from 3 to 1
+    (2-byte prefixes — the one byte that changes how the sample data
+    must be walked) raises NotImplementedError; routed through the
+    full permissive decoder the flipped file becomes error rows, never
+    frames decoded under the wrong length convention."""
+    from magmapandas_spark.operators.mp4 import (
+        decode_avc_frames,
+        make_synthetic_avc_mp4,
+        parse_avcc_config,
+    )
+
+    payload = make_synthetic_avc_mp4(0)
+    idx = payload.find(b"avcC") + 4  # avcC box payload start
+    assert idx > 3 and payload[idx] == 1  # configurationVersion
+    avcc = payload[idx:]
+    # accept side: the genuine record parses (1 SPS + 1 PPS)
+    sps, pps = parse_avcc_config(avcc)
+    assert len(sps) == 1 and len(pps) == 1
+    # reject side: same bytes, lengthSizeMinusOne 3 -> 1
+    flipped = bytearray(avcc)
+    assert (flipped[4] & 3) == 3
+    flipped[4] = (flipped[4] & ~3) | 1
+    with pytest.raises(NotImplementedError, match="4-byte"):
+        parse_avcc_config(bytes(flipped))
+    # and through the full decoder: quarantined, not mis-walked
+    bad_file = bytearray(payload)
+    bad_file[idx + 4] = (bad_file[idx + 4] & ~3) | 1
+    media = spark.createDataFrame(
+        [(0, bad_file)], "media_id long, payload binary"
+    )
+    rows = decode_avc_frames(media, permissive=True).collect()
+    assert rows and all(r.error is not None for r in rows)
+    assert any("NotImplementedError" in r.error for r in rows)
+    with pytest.raises(Exception):
+        decode_avc_frames(media).collect()
