@@ -1342,17 +1342,25 @@ def pq_seeded(
         .select("cid", "seed_id", F.col("e.m").alias("m"),
                 F.col("e.sd").alias("sd"))
     )
-    w = Window.partitionBy("cid", "m").orderBy("sd", "seed_id")
-    # ONE broadcast join attaches the winning centroid vector while the
-    # relation is still long-form, then a single pivot aggregation
-    # produces both the code columns and the centroid-vector columns —
-    # exactly one non-null (m == j) row per group feeds each
-    # first(when(...)), so the ignorenulls-first is deterministic.
-    # (Previously: pivot first, then 8 sequential broadcast joins — 8
-    # extra plan stages for the same result.)
+    # Round-11 (the ivf_topk rewrite applied here too): the per-
+    # (vector, subspace) argmin is a groupBy min(struct(sd, seed_id))
+    # — identical verdict and tie-break as the former
+    # row_number-over-(sd, seed_id) window, but the PARTIAL aggregate
+    # collapses the |seeds|× crossJoin amplification map-side, so the
+    # exchange carries N·M one-row groups instead of N·M·|seeds| rows
+    # (16× less at the gate codebook). ONE broadcast join then
+    # attaches the winning centroid vector while the relation is
+    # still long-form, and a single pivot aggregation produces both
+    # the code columns and the centroid-vector columns — exactly one
+    # non-null (m == j) row per group feeds each first(when(...)), so
+    # the ignorenulls-first is deterministic. (History: pivot first
+    # then 8 sequential broadcast joins — 8 extra plan stages — was
+    # replaced by the long-form join in r6; the window by this
+    # aggregate in r11.)
     winners = (
-        long.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        long.groupBy("cid", "m")
+        .agg(F.min(F.struct("sd", "seed_id")).alias("wmin"))
+        .select("cid", "m", F.col("wmin.seed_id").alias("seed_id"))
         .join(F.broadcast(seeds), on="seed_id")
     )
     codes = winners.groupBy("cid").agg(

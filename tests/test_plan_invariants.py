@@ -1146,16 +1146,20 @@ def test_pq_topk_seeded_broadcast_crosses_no_python(spark):
     """PQ encode + ADC: the only nested-loop joins are the two
     deliberate broadcasts of the 16-row seed codebook / per-query
     code rows (encode cross + ADC cross); code-pivot and lookup joins
-    are keyed; the entire pipeline is expression-tier (no Python),
-    and windows partition on the vector/query ids only."""
+    are keyed; the entire pipeline is expression-tier (no Python).
+    r11: the per-(vector, subspace) argmin is a map-side-combined
+    min(struct) aggregate — the encode exchange carries N·M one-row
+    groups, never N·M·|seeds| window rows — so the only window left
+    is the qid-keyed top-k."""
     from magmapandas_spark.relational import suite
 
     plan = plan_of(suite.queries()["pq_topk_seeded"](spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "partial_min(struct(sd" in plan
     specs = window_partition_specs(plan)
-    assert specs and all(("cid" in s) or ("qid" in s) for s in specs)
+    assert specs and all("qid" in s for s in specs)
 
 
 def test_semdedup_assignment_scan_local_join_broadcast(spark):
