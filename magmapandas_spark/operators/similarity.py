@@ -478,15 +478,22 @@ def ivf_seeded(
     the *search* machinery exercised is identical.
 
     Assignment is a crossJoin against the broadcast seed set (|seeds|
-    rows) + per-row argmax — a narrow O(N·|seeds|) pass; the argmax
-    window shuffles (id, cos) pairs only. Probing and rescoring reuse
-    the equi-join-on-cell shape of :func:`ivf_topk`."""
+    rows) + per-row argmax. Round-11: the CORPUS side (n_keep=1) is a
+    ``groupBy(cid).max(struct(scos, -seed_id))`` — the exact twin of
+    the former ``scos DESC, seed_id ASC`` row_number window (the
+    negated id flips the tie-break direction inside a max, and NaN
+    sorts greatest under both forms), with the partial aggregate
+    collapsing the |seeds|× amplification map-side so the exchange
+    carries N one-row groups instead of N·|seeds| rows dragging the
+    vector. The PROBE side keeps the window (n_keep>1, tiny input).
+    Probing and rescoring reuse the equi-join-on-cell shape of
+    :func:`ivf_topk`."""
     seeds = corpus.filter(F.col(id_col).isin(seed_ids)).select(
         F.col(id_col).alias("seed_id"), F.col(vec_col).alias("svec")
     )
 
-    def argmax_cells(df, idname, vecname, n_keep):
-        scored = df.crossJoin(F.broadcast(seeds)).select(
+    def _scored(df, idname, vecname):
+        return df.crossJoin(F.broadcast(seeds)).select(
             F.col(idname),
             F.col(vecname),
             F.col("seed_id"),
@@ -495,6 +502,9 @@ def ivf_seeded(
                 / (_norm(F.col(vecname)) * _norm(F.col("svec")))
             ).alias("scos"),
         )
+
+    def argmax_cells(df, idname, vecname, n_keep):
+        scored = _scored(df, idname, vecname)
         w = Window.partitionBy(idname).orderBy(
             F.col("scos").desc(), F.col("seed_id")
         )
@@ -504,9 +514,23 @@ def ivf_seeded(
             .select(idname, vecname, F.col("seed_id").alias("cell"))
         )
 
-    assigned = argmax_cells(
+    corpus_scored = _scored(
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")),
-        "cid", "cvec", 1,
+        "cid", "cvec",
+    )
+    # all |seeds| cvec copies of a cid are identical — first() is
+    # deterministic (same convention as ivf_topk_fitted)
+    assigned = (
+        corpus_scored.groupBy("cid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("scos"), (-F.col("seed_id")).alias("nseed")
+                )
+            ).alias("m"),
+            F.first("cvec").alias("cvec"),
+        )
+        .select("cid", "cvec", (-F.col("m.nseed")).alias("cell"))
     )
     probes = argmax_cells(
         corpus.filter(query_pred).select(
