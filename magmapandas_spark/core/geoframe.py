@@ -471,6 +471,27 @@ class GeoFrame:
     def to_pandas(self):
         return self.df.toPandas()
 
+    def sample(self, name) -> "pd.Series":
+        """One sample's composition as a pandas Series — the engine's
+        twin of the reference's scalar path (a 1-row frame squeezed to
+        a ``MagmaSeries``: ``MagmaSeries_baseclass.py:39``,
+        ``thermometers/melt.py:106``). SURVEY §7 risk 2 scoped the
+        dual scalar/columnar API out of the distributed engine (every
+        model is columnar); this accessor closes the ergonomic gap
+        for notebook spot-checks. Driver-side and bounded by
+        construction: exactly one row is fetched (filter pushed to
+        the scan); raises KeyError when the sample is absent."""
+        rows = (
+            self.df.filter(F.col("name") == F.lit(name)).limit(2).collect()
+        )
+        if not rows:
+            raise KeyError(f"no sample named {name!r}")
+        row = rows[0].asDict()
+        row.pop("name", None)
+        import pandas as pd
+
+        return pd.Series(row, name=name)
+
     def __repr__(self) -> str:
         return (
             f"GeoFrame(units={self.units.value!r}, "

@@ -132,3 +132,16 @@ def test_random_sample_zero_error_identity(melt_gf):
     orig = melt_gf.df.toPandas().set_index("name")
     sp = melt_gf.species
     assert np.allclose(out[sp], orig.loc[out.index, sp], rtol=1e-12)
+
+
+def test_geoframe_sample_accessor(melt_gf):
+    """Scalar-sample ergonomics (SURVEY §7 risk 2): one composition as
+    a pandas Series, filter pushed down, KeyError on a miss."""
+    import pytest as _pytest
+
+    s = melt_gf.sample("PI032-04-01")
+    assert s.name == "PI032-04-01"
+    assert abs(s["SiO2"] - 49.402603) < 1e-5
+    assert "name" not in s.index
+    with _pytest.raises(KeyError):
+        melt_gf.sample("nope")
