@@ -17,6 +17,34 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def select_retry_suspects(
+    timings: dict[str, float],
+    ref: dict[str, float],
+    cap: int = 8,
+) -> tuple[list[str], set[str]]:
+    """Continuity-pass selection (unit-tested in
+    tests/test_bench_protocol.py): queries whose min-of-samples sits
+    >3x their last committed record (and >2 s absolute) earn ONE
+    temporally-separated extra sample; queries with NO committed
+    record fall back to 3x the in-run median (r10 ADVICE — without
+    this a new query burst-charged across both adjacent samples is
+    committed as its headline time). Returns (suspects slowest-first,
+    capped, and the history-less subset)."""
+    mins_sorted = sorted(timings.values())
+    run_median = mins_sorted[len(mins_sorted) // 2] if mins_sorted else 0.0
+    historyless = {
+        n for n, t in timings.items()
+        if t > 2.0 and n not in ref and t > 3 * max(run_median, 0.5)
+    }
+    suspects = sorted(
+        (n for n, t in timings.items()
+         if (t > 2.0 and n in ref and t > 3 * ref[n])
+         or n in historyless),
+        key=lambda n: -timings[n],
+    )[:cap]
+    return suspects, historyless
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -126,25 +154,7 @@ def main() -> None:
             ref = dict(prior.get("queries", {}))
     except Exception:
         pass
-    # History-less fallback (r10 ADVICE): a query with no prior
-    # BENCH_FULL record (new this round, or first run at this SF)
-    # can't be compared against its own history — compare it against
-    # the in-run median of min-of-samples times instead, so a
-    # sustained burst spanning both of its adjacent samples still
-    # earns a temporally-separated retry instead of being committed
-    # as its headline time. Shares the same bounded retry budget.
-    mins_sorted = sorted(timings.values())
-    run_median = mins_sorted[len(mins_sorted) // 2] if mins_sorted else 0.0
-    historyless = [
-        n for n, t in timings.items()
-        if t > 2.0 and n not in ref and t > 3 * max(run_median, 0.5)
-    ]
-    suspects = sorted(
-        (n for n, t in timings.items()
-         if (t > 2.0 and n in ref and t > 3 * ref[n])
-         or n in historyless),
-        key=lambda n: -timings[n],
-    )[:8]
+    suspects, historyless = select_retry_suspects(timings, ref)
     retried = 0
     replaced = 0
     for name in suspects:
