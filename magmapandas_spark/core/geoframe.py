@@ -479,13 +479,21 @@ class GeoFrame:
         dual scalar/columnar API out of the distributed engine (every
         model is columnar); this accessor closes the ergonomic gap
         for notebook spot-checks. Driver-side and bounded by
-        construction: exactly one row is fetched (filter pushed to
-        the scan); raises KeyError when the sample is absent."""
+        construction (at most two rows fetched, filter pushed to the
+        scan); raises KeyError when the sample is absent and
+        ValueError when the name is ambiguous — silently picking one
+        of several duplicate-named rows would be partition-order
+        dependent."""
         rows = (
             self.df.filter(F.col("name") == F.lit(name)).limit(2).collect()
         )
         if not rows:
             raise KeyError(f"no sample named {name!r}")
+        if len(rows) > 1:
+            raise ValueError(
+                f"sample name {name!r} is not unique in this frame; "
+                "disambiguate upstream (select_samples) first"
+            )
         row = rows[0].asDict()
         row.pop("name", None)
         import pandas as pd

@@ -40,12 +40,15 @@ MAX_PLOT_ROWS = 5000
 
 
 def _collect(df, max_rows: int):
-    """Spark DataFrame → bounded pandas (pandas passes through)."""
+    """Spark DataFrame → bounded pandas; a pre-collected pandas frame
+    is bounded by the same rule (the max_rows contract holds for both
+    documented input shapes)."""
     import pandas as pd
 
     if isinstance(df, pd.DataFrame):
-        return df
-    pdf = df.limit(max_rows + 1).toPandas()
+        pdf = df
+    else:
+        pdf = df.limit(max_rows + 1).toPandas()
     if len(pdf) > max_rows:
         warnings.warn(
             f"plot input exceeds max_rows={max_rows}; plotting the "

@@ -845,13 +845,18 @@ def ivf_topk_fitted(
         "cell int, svec array<double>",
     )
 
-    def argmin_cells(df, idname, vecname, n_keep):
-        scored = df.crossJoin(F.broadcast(seeds)).select(
+    def _cell_scored(df, idname, vecname):
+        # shared by corpus assignment and probe selection so the two
+        # sides can never drift apart on the distance expression
+        return df.crossJoin(F.broadcast(seeds)).select(
             F.col(idname),
             F.col(vecname),
             F.col("cell"),
             _dist2(F.col(vecname), F.col("svec")).alias("sd"),
         )
+
+    def argmin_cells(df, idname, vecname, n_keep):
+        scored = _cell_scored(df, idname, vecname)
         w = Window.partitionBy(idname).orderBy(
             F.col("sd").asc(), F.col("cell")
         )
@@ -861,15 +866,9 @@ def ivf_topk_fitted(
             .select(idname, vecname, "cell")
         )
 
-    corpus_scored = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .crossJoin(F.broadcast(seeds))
-        .select(
-            "cid",
-            "cvec",
-            "cell",
-            _dist2(F.col("cvec"), F.col("svec")).alias("sd"),
-        )
+    corpus_scored = _cell_scored(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")),
+        "cid", "cvec",
     )
     # all 8 cvec copies of a cid are identical (crossJoin fan-out of
     # one row), so first() is deterministic here
@@ -1020,10 +1019,13 @@ def semdedup(
 ) -> DataFrame:
     """Per-vector SemDeDup verdict against a fitted coarse codebook.
 
-    ``materialize=False`` returns the LAZY verdict plan (no eager
-    localCheckpoint, assignment cache left to the caller) — used by
-    the plan-invariant tests to pin the join/aggregation shape, which
-    the default eager checkpoint otherwise hides.
+    ``materialize=False`` returns the LAZY verdict plan — no eager
+    localCheckpoint AND no persist (a persist with no paired
+    unpersist would leak for the session's lifetime; compose into a
+    pipeline that manages its own caching, or accept the assignment
+    recomputing per consumer). Used by the plan-invariant tests to
+    pin the join/aggregation shape, which the default eager
+    checkpoint otherwise hides.
 
     Assignment is a scan-local argmin fold against the literal
     centroids (array_min over (sd, cell) structs — no crossJoin, no
@@ -1078,12 +1080,17 @@ def semdedup(
     # norm is a per-VECTOR quantity — fold it here (N folds), not
     # inside the pair comparison (N²/k folds); same IEEE value either
     # way, so the SQL twin's inline sqrt(dot(b,b)) still matches.
+    # materialize=False skips the persist too: the lazy form exists
+    # for plan inspection / composition into pipelines that manage
+    # their own caching, and a persist with no paired unpersist would
+    # leak the assignment cache for the session's lifetime.
     base = (
         corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
         .select("vid", "v", best["cell"].alias("cell"),
                 _norm(F.col("v")).alias("nrm"))
-        .persist()
     )
+    if materialize:
+        base = base.persist()
     assigned = base
     join_keys = ["cell"]
     if max_cell_rows is not None:

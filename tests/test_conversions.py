@@ -145,3 +145,17 @@ def test_geoframe_sample_accessor(melt_gf):
     assert "name" not in s.index
     with _pytest.raises(KeyError):
         melt_gf.sample("nope")
+
+
+def test_geoframe_sample_ambiguous_name_raises(spark, melt_gf):
+    import pytest as _pytest
+
+    from magmapandas_spark.core.geoframe import GeoFrame
+
+    dup = GeoFrame(
+        melt_gf.df.unionByName(melt_gf.df),
+        units=melt_gf.units, datatype=melt_gf.datatype,
+        species=melt_gf.species,
+    )
+    with _pytest.raises(ValueError, match="not unique"):
+        dup.sample("PI032-04-01")

@@ -166,3 +166,15 @@ def test_render_paths():
         "SiO2", "T_K",
     )
     assert ax3.get_xlabel() == "SiO$_2$"
+
+
+def test_collect_bounds_pandas_input_too():
+    """max_rows applies to pre-collected pandas frames, not just Spark
+    inputs — both documented shapes honor the same contract."""
+    pdf = pd.DataFrame(
+        {"sio2_n": [49.0] * 30, "alkali_n": [3.0] * 30,
+         "rock": ["Basalt"] * 30}
+    )
+    with pytest.warns(UserWarning, match="max_rows"):
+        spec = geoplot.tas_spec(pdf, max_rows=10)
+    assert sum(len(s["x"]) for s in spec["series"]) == 10
