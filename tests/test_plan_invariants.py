@@ -1185,3 +1185,21 @@ def test_semdedup_assignment_scan_local_join_broadcast(spark):
     assert not specs  # no window anywhere on this path
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     emb.sparkSession.catalog.clearCache()
+
+
+def test_ivf_seeded_assignment_partial_agg_no_corpus_window(spark):
+    """The seeded-IVF twin of the ivf_topk pin: corpus assignment is
+    the map-side-combined groupBy(cid).max(struct(scos, -seed_id)),
+    every remaining window is probe(qid)-keyed, the probed search is
+    a broadcast equi-join on cell, and the only nested-loop joins are
+    the two deliberate seed-codebook crosses."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()["ivf_topk_seeded"](spark, SF))
+    assert "partial_max(struct(scos" in plan
+    specs = window_partition_specs(plan)
+    assert specs and all("qid" in s for s in specs)
+    assert "BroadcastHashJoin [cell" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
