@@ -250,6 +250,7 @@ def streaming_dedup_ingest(
     checkpoint_dir: str,
     hash_strategy: str = "xxhash64",
     timeout_s: int = 120,
+    fail_injector=None,
 ):
     """Streaming corpus ingestion with cross-batch dedup against a
     persisted LSH index — the production loop:
@@ -275,6 +276,19 @@ def streaming_dedup_ingest(
     this (stream-static joins can't see same-run appends; re-reading
     the index per batch can).
 
+    ``fail_injector`` is a test-only fault hook called with the
+    batch_id at the TOP of every micro-batch, BEFORE any side effect
+    — raising there simulates an executor/driver crash at a batch
+    boundary, the recoverable failure point of this (non-atomic
+    two-sink) batch body. The crash-recovery drill in
+    tests/test_streaming_ingest.py restarts from the same checkpoint
+    and asserts exactly-once acceptance. (A crash BETWEEN the two
+    appends below is NOT exactly-once recoverable — the accepted
+    parquet and the index would disagree on replay; at production
+    scale that pairing belongs in one transactional table format,
+    which is out of scope here and documented honestly rather than
+    papered over.)
+
     Returns the finished StreamingQuery (already awaited)."""
     from magmapandas_spark.operators.dedup import (
         band_table,
@@ -284,6 +298,8 @@ def streaming_dedup_ingest(
     from pyspark.sql import functions as F
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if fail_injector is not None:
+            fail_injector(batch_id)
         spark = batch_df.sparkSession
         if not batch_df.head(1):
             return

@@ -151,3 +151,103 @@ def test_streaming_fp_ingest_dedups_across_batches(spark, tmp_path):
     # collide with the index, 201 with batch 1's accepted 100, 203
     # with 202
     assert got == [100, 202], got
+
+
+def _replay_accept_rule(pairs, batch_id_lists):
+    """The ingest's documented accept rule, replayed driver-side:
+    per batch, drop collisions with earlier-ACCEPTED docs, then drop
+    id2 of every remaining within-batch pair."""
+    accepted: set = set()
+    for batch_ids in batch_id_lists:
+        batch = set(batch_ids)
+        collide_old = {
+            n for (a, b) in pairs
+            for n, o in ((a, b), (b, a))
+            if n in batch and o in accepted
+        }
+        fresh = batch - collide_old
+        drop = {b for (a, b) in pairs if a in fresh and b in fresh}
+        accepted |= fresh - drop
+    return accepted
+
+
+def test_streaming_ingest_recovery_across_crash(spark, workdir):
+    """Crash-recovery drill for the production dedup-ingest loop (the
+    third of the streaming drills): kill the query at the TOP of
+    batch 1 (before any side effect — the recoverable failure point),
+    restart from the SAME checkpoint, and require (a) the final
+    accept set equals the no-crash documented-rule replay over all
+    three batches, (b) no doc was accepted twice (batch 0 not
+    replayed), (c) the index holds exactly one band-set per accepted
+    doc — state and sink agree after recovery."""
+    from magmapandas_spark.operators.dedup import band_table
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    write_lsh_index(docs.limit(0), "ingest_crash_idx", hash_strategy="md5")
+    try:
+        src = f"{workdir}/src"
+        bounds = [(0, 100), (100, 200), (200, 300)]
+        for i, (lo, hi) in enumerate(bounds):
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.parquet(f"{src}/b{i}")
+
+        def stream():
+            return (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*")
+            )
+
+        accepted_path = f"{workdir}/accepted"
+        ckpt = f"{workdir}/ckpt"
+
+        def crash_on_1(batch_id):
+            if batch_id >= 1:
+                raise RuntimeError("injected crash on batch 1")
+
+        # run 1: batch 0 commits, batch 1 dies before any side effect
+        with pytest.raises(Exception, match="injected crash"):
+            streaming_dedup_ingest(
+                stream(), "ingest_crash_idx", accepted_path, ckpt,
+                hash_strategy="md5", fail_injector=crash_on_1,
+            )
+        after_crash = spark.read.parquet(accepted_path).count()
+        assert after_crash > 0  # batch 0 landed
+
+        # run 2: same checkpoint, no injector — drains batches 1-2
+        streaming_dedup_ingest(
+            stream(), "ingest_crash_idx", accepted_path, ckpt,
+            hash_strategy="md5",
+        )
+
+        got_rows = spark.read.parquet(accepted_path).collect()
+        got_ids = [r["doc_id"] for r in got_rows]
+        # (b) exactly-once: batch 0 not replayed, batch 1 ran once
+        assert len(got_ids) == len(set(got_ids))
+
+        # (a) final accept set == no-crash reference
+        pairs = [
+            (r["id1"], r["id2"])
+            for r in minhash_lsh_candidates(
+                docs, hash_strategy="md5"
+            ).collect()
+        ]
+        batch_id_lists = [
+            [r["doc_id"] for r in docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).select("doc_id").collect()]
+            for lo, hi in bounds
+        ]
+        assert set(got_ids) == _replay_accept_rule(pairs, batch_id_lists)
+
+        # (c) index/sink agreement: one band-set per accepted doc
+        n_bands_per_doc = band_table(
+            docs.limit(1), hash_strategy="md5"
+        ).count()
+        idx_rows = spark.table("ingest_crash_idx").count()
+        assert idx_rows == n_bands_per_doc * len(got_ids)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ingest_crash_idx")
