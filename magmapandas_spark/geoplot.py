@@ -391,6 +391,54 @@ def calibration_spec(
     }
 
 
+def calibration_PT_spec(
+    df,
+    t_col: str = "T_K",
+    p_col: str = "P_bar",
+    flag_col: str = "in_range",
+    model: str | None = None,
+    max_rows: int = MAX_PLOT_ROWS,
+) -> dict[str, Any]:
+    """P–T panel twin of the reference's ``plot_calibration_PT``
+    (``model_calibrations/plot_calibration.py:140-219``): temperature
+    in °C against pressure in kbar (the reference's axis convention),
+    split by the engine's calibration flag. The reference overlays
+    its packaged experimental datasets; the flag column carries that
+    verdict here (see :func:`calibration_spec`)."""
+    pdf = _collect(df, max_rows).copy()
+    pdf["_t_c"] = pdf[t_col].astype(float) - 273.15
+    pdf["_p_kbar"] = pdf[p_col].astype(float) / 1e3
+    spec = calibration_spec(
+        pdf, "_t_c", "_p_kbar", flag_col=flag_col, model=model,
+        max_rows=max_rows,
+    )
+    spec["kind"] = "calibration_PT"
+    spec["xlabel"] = "T (\N{DEGREE SIGN}C)"
+    spec["ylabel"] = "P (kbar)"
+    return spec
+
+
+def plot_calibration_PT(df, ax=None, **spec_kwargs):
+    """Render the P–T calibration panel; returns (fig, ax)."""
+    _require_matplotlib()
+    import matplotlib.pyplot as plt
+
+    spec = calibration_PT_spec(df, **spec_kwargs)
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(5.5, 5.2))
+    else:
+        fig = ax.figure
+    markers = {"in calibration": "o", "out of calibration": "x"}
+    for s in spec["series"]:
+        ax.scatter(s["x"], s["y"], s=16, label=s["label"],
+                   marker=markers.get(s["label"], "o"), alpha=0.8)
+    ax.set_xlabel(spec["xlabel"])
+    ax.set_ylabel(spec["ylabel"])
+    ax.set_title(spec["title"], fontsize="small")
+    ax.legend(fontsize="x-small", frameon=True, fancybox=False)
+    return fig, ax
+
+
 def plot_calibration(
     df, x_col: str, y_col: str, ax=None, **spec_kwargs
 ):

@@ -178,3 +178,30 @@ def test_collect_bounds_pandas_input_too():
     with pytest.warns(UserWarning, match="max_rows"):
         spec = geoplot.tas_spec(pdf, max_rows=10)
     assert sum(len(s["x"]) for s in spec["series"]) == 10
+
+
+def test_calibration_pt_spec_axis_conventions(spark):
+    """P-T panel: temperature converted to degrees C, pressure to kbar
+    (the reference's plot_calibration_PT axis convention), in/out
+    split intact."""
+    from magmapandas_spark.models import thermometers as tm
+    from magmapandas_spark.models.thermometers import calibration_flag
+    from magmapandas_spark.relational.suite import synthetic_melt
+
+    gf = synthetic_melt(spark, SF)
+    per_sample = (
+        tm.putirka2008_15(gf, P_bar="P_bar")
+        .withColumn("in_range", calibration_flag(gf, "putirka2008_15"))
+        .select("name", "T_K", "P_bar", "in_range")
+        .limit(50)
+    )
+    spec = geoplot.calibration_PT_spec(per_sample, model="putirka2008_15")
+    assert spec["kind"] == "calibration_PT"
+    assert spec["xlabel"].startswith("T (") and spec["ylabel"] == "P (kbar)"
+    pdf = per_sample.toPandas()
+    all_x = [v for s in spec["series"] for v in s["x"]]
+    all_y = [v for s in spec["series"] for v in s["y"]]
+    assert len(all_x) == len(pdf)
+    # axis transforms hold exactly
+    assert abs(min(all_x) - (pdf["T_K"].min() - 273.15)) < 1e-9
+    assert abs(max(all_y) - (pdf["P_bar"].max() / 1e3)) < 1e-9
