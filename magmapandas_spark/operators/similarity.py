@@ -8,6 +8,16 @@
   bucketing so only same-bucket candidates are scored. At 100 TB the
   brute-force cross product is O(|Q|·|C|); LSH turns it into a bucket
   equi-join (shuffle on bucket signature) with tunable recall.
+
+Degenerate-vector semantics: the EXPRESSION-tier cosine divides by the
+unclamped ``_norm``, so a zero vector FAILS LOUD under ANSI mode
+(DIVIDE_BY_ZERO) in every form — pinned, including window/aggregate
+parity, by tests/test_argmin_agg_equivalence.py. The Arrow-tier paths
+(:func:`ivf_topk`'s probe UDF, the pandas kernels) clamp the norm at
+1e-30 instead and score the zero vector as cos 0. The asymmetry is
+deliberate: changing the expression tier to clamp would change gate
+hash values for no correctness gain, and a zero embedding in a real
+corpus is a data bug better surfaced than smoothed.
 """
 
 from __future__ import annotations
