@@ -364,75 +364,73 @@ def _wrap(fn: Callable) -> Callable:
 # The correctness driver hash-verifies only the FIRST 50 entries of
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
-# Round-11 rotation — oldest-first, per the r10 verdict's item 1.
-# After r10 the driver-row union covers all 247 registry entries; the
-# staleness profile (latest driver stamp per entry) is
-# r4:3 r5:49 r7:44 r8:50 r9:50 r10:50.  The 50 slots go to the 50
-# stalest: the 3 remaining r4 rows — `qfm_exact`, `iw_exact`
-# (hash-verified oracles, re-run exact by both the r9 and r10 judges
-# but never driver-stamped since r4) and `minhash_lsh_xxhash` (the
-# rows-only production probe, DESIGN.md §2) — followed by 47 of the
-# 49 r5 rows.  The two r5 rows left out — `pricing_summary` (the
-# flagship, exercised by every driver entry() smoke and golden
-# tests) and `thermometer_putirka2008_15` (judge-re-run exact in the
-# r10 thermometer slice, 27/27 golden) — carry the strongest
-# independent coverage of the cohort and rotate into r12.
+# Round-12 rotation — oldest-first, per the r11 verdict's item 1.
+# After r11 the staleness profile (latest driver stamp per entry, all
+# 247) is r5:3 r7:44 r8:50 r9:50 r10:50 r11:50.  The 50 slots take
+# all three r5 rows — `pricing_summary` and
+# `thermometer_putirka2008_15` (the two deferred from r11, closing
+# the "nothing older than r7" demand) plus `ivfpq_topk` (the
+# rows-only composed-index probe, DESIGN.md §2, refreshing its
+# rows-only stamp) — followed by ALL 44 r7 rows, then the first 3 of
+# the r8 cohort alphabetically (`ab_chi2`, `abc_classification`,
+# `ann_recall`) to fill the head and start the next rotation wave.
 # Everything past slot 50 stays covered by tests/test_oracle.py
 # (the identical rows+schema+values check over the whole registry,
 # run at sf0.01 and sf0.1 every session).
 _GATE_ORDER = [
-    # r4-stamped (oldest)
-    "qfm_exact",
-    "iw_exact",
-    "minhash_lsh_xxhash",
-    # r5-stamped
-    "allison_saturation",
-    "audio_chunks",
-    "bloom_decontaminate",
-    "bpe_tokens",
-    "chondrite_normalize",
-    "cms_topk",
-    "dedup_exact",
-    "dedup_keep_best",
-    "density_viscosity",
-    "doc_stats",
-    "embedding_neardup",
-    "events_hourly",
-    "exact_substring_dups",
-    "gap_fill",
-    "gif_decode",
-    "histogram_quantiles",
-    "hll_distinct",
-    "host_quota",
-    "kmv_distinct",
-    "lm_quality",
-    "merge_upsert",
-    "mineral_forsterite",
-    "minhash_jaccard_est",
-    "mixture_schedule",
-    "pagerank",
-    "pair_overlap_scores",
-    "part_setops",
-    "pii_scan",
-    "png_decode",
-    "pq_topk_seeded",
-    "quality_ensemble",
-    "range_join_clicks",
-    "redox_chain",
-    "reservoir_normalize",
-    "rhodes_grid",
-    "robots_filter",
-    "semdedup",
-    "shishkina_co2_saturation",
-    "tas_classification",
-    "text_quality",
-    "tfidf_search",
-    "url_canonical",
-    "video_frames",
-    "volatile_saturation_im",
-    "warc_gz_records",
-    "warc_records",
-    "wav_chunks",
+    # r5-stamped (oldest; the two r11 deferrals + the rows-only probe)
+    "pricing_summary",
+    "thermometer_putirka2008_15",
+    "ivfpq_topk",
+    # r7-stamped (all 44)
+    "attribution",
+    "balance_cume_dist",
+    "benford_audit",
+    "bigram_lm",
+    "blame_supplier",
+    "bootstrap_ci",
+    "calibration_flags",
+    "copurchase_lift",
+    "cusum_alarms",
+    "domain_divergence",
+    "dominant_suppliers",
+    "er_golden",
+    "ewma_smooth",
+    "fe3fe2_deng2020",
+    "fe3fe2_expr_models",
+    "fe3fe2_expr_models2",
+    "fe3fe2_expr_models3",
+    "fe3fe2_hirschmann2022",
+    "geo_nearest",
+    "image_decode",
+    "isobar_grid",
+    "ivf_topk",
+    "kd_blundy_saper",
+    "kd_expr_models",
+    "kd_toplis_iteration",
+    "kfold_split",
+    "label_propagation",
+    "mad_outliers",
+    "magnetite_speciation",
+    "mc_thermometer",
+    "melt_describe",
+    "melt_structure",
+    "ngram_contamination",
+    "olmelt_thermometer",
+    "plag_endmembers",
+    "randomized_response",
+    "rfm_segments",
+    "sentence_stats",
+    "skyline_parts",
+    "snm_pairs",
+    "stratified_sample",
+    "sugawara6a_cpx",
+    "triangle_downsample",
+    "zonemap_prune",
+    # r8-stamped (head of the next rotation wave)
+    "ab_chi2",
+    "abc_classification",
+    "ann_recall",
 ]
 
 
