@@ -1162,13 +1162,14 @@ def test_pq_topk_seeded_broadcast_crosses_no_python(spark):
     assert specs and all("qid" in s for s in specs)
 
 
-def test_semdedup_assignment_scan_local_join_broadcast(spark):
+def test_semdedup_assignment_scan_local_grouped_kernel(spark):
     """SemDeDup (lazy plan): cell assignment is the scan-local
     array_min fold — NO crossJoin against the codebook, NO
-    assignment window — and the within-cell pair comparison joins on
-    cell with the build side BROADCAST (a shuffled join on an
-    8-value key would put all pairs on 8 tasks; the docstring's skew
-    defense). Python never appears."""
+    assignment window — and the within-cell comparison is ONE
+    grouped Arrow kernel (FlatMapGroupsInPandas) fed by a single
+    exchange on the group key: no pair self-join, no pair-relation
+    broadcast, no second aggregation, no output join (the r12
+    rewrite collapsed all four into the kernel)."""
     from magmapandas_spark.operators.similarity import (
         ivf_fit_centroids,
         semdedup,
@@ -1180,10 +1181,10 @@ def test_semdedup_assignment_scan_local_join_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "array_min" in plan
-    assert "BroadcastHashJoin [cell" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "Join" not in plan  # verdict needs no join at all
     specs = window_partition_specs(plan)
     assert not specs  # no window anywhere on this path
-    assert "EvalPython" not in plan and "MapInPandas" not in plan
     emb.sparkSession.catalog.clearCache()
 
 
