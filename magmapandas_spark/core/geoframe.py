@@ -484,6 +484,12 @@ class GeoFrame:
         ValueError when the name is ambiguous — silently picking one
         of several duplicate-named rows would be partition-order
         dependent."""
+        if "name" not in self.df.columns:
+            raise KeyError(
+                "sample() needs a 'name' column but this frame has "
+                f"none (columns: {self.df.columns}) — e.g. after an "
+                "aggregation that dropped it"
+            )
         rows = (
             self.df.filter(F.col("name") == F.lit(name)).limit(2).collect()
         )

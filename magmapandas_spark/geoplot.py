@@ -289,6 +289,17 @@ def spider_spec(
     if element_order is None:
         element_order = list(dict.fromkeys(pdf[element_col]))
     pos = {e: i for i, e in enumerate(element_order)}
+    skipped = sorted(set(pdf[element_col]) - set(pos))
+    if skipped:
+        import warnings
+
+        warnings.warn(
+            "spider_spec: value rows for elements not in "
+            f"element_order were dropped: {skipped} — a typo'd "
+            "element list would otherwise yield a plausible-looking "
+            "but incomplete figure",
+            stacklevel=2,
+        )
     series = []
     for name, grp in pdf.groupby(sample_col, sort=True):
         pts = sorted(
@@ -373,6 +384,18 @@ def calibration_spec(
                     "y": [float(v) for v in grp[y_col]],
                 }
             )
+        # rows whose flag is null/NaN belong to NEITHER == comparison
+        # above — surface them as a third series instead of silently
+        # dropping them from the figure
+        unk = pdf[pdf[flag_col].isna()]
+        if len(unk):
+            series.append(
+                {
+                    "label": "flag unknown",
+                    "x": [float(v) for v in unk[x_col]],
+                    "y": [float(v) for v in unk[y_col]],
+                }
+            )
     else:
         series.append(
             {
@@ -415,6 +438,10 @@ def calibration_PT_spec(
     spec["kind"] = "calibration_PT"
     spec["xlabel"] = "T (\N{DEGREE SIGN}C)"
     spec["ylabel"] = "P (kbar)"
+    # the reference inverts the pressure axis so P increases DOWNWARD
+    # (depth convention — plot_calibration.py:210's invert_yaxis);
+    # record it in the spec so every renderer honors it
+    spec["invert_y"] = True
     return spec
 
 
@@ -434,6 +461,8 @@ def plot_calibration_PT(df, ax=None, **spec_kwargs):
                    marker=markers.get(s["label"], "o"), alpha=0.8)
     ax.set_xlabel(spec["xlabel"])
     ax.set_ylabel(spec["ylabel"])
+    if spec.get("invert_y"):
+        ax.invert_yaxis()
     ax.set_title(spec["title"], fontsize="small")
     ax.legend(fontsize="x-small", frameon=True, fancybox=False)
     return fig, ax

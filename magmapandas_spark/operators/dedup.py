@@ -92,9 +92,19 @@ def minhash_signatures(
     """n minhash minima per doc — one aggregation, map-side partial
     min, single shuffle on doc id.
 
-    ``xxhash64``: n seeded hashes per shingle (prod default).
-    ``md5``: one md5 per shingle, n Kirsch–Mitzenmacher combinations —
-    exactly reproducible in DuckDB SQL."""
+    Both strategies use the 2-hash Kirsch–Mitzenmacher scheme
+    (mh_i = (h1 + i·h2) mod P): hashing cost per shingle is constant
+    in n, which is what a 100 TB shingle stream pays for. They differ
+    only in the base hash family:
+
+    ``xxhash64``: h1/h2 are two seed-separated JVM-intrinsic xxhash64
+    digests (prod default; the r12 rewrite from n seeded hashes per
+    shingle — 16× less hashing at n=32, and the 32-hash aggregate's
+    codegen was measured 2.4× slower to JIT cold, the r11 bench
+    drift).
+    ``md5``: h1/h2 are two 15-hex-char slices of ONE md5 digest —
+    exactly reproducible in DuckDB SQL, so this family carries the
+    oracle hash."""
     if hash_strategy == "md5":
         # ONE md5 digest per shingle, explicitly shared (not left to
         # expression CSE): h1/h2 are two 15-hex-char slices of the same
@@ -115,11 +125,23 @@ def minhash_signatures(
             for i in range(n_hashes)
         ]
         return hashed.groupBy(id_col).agg(*aggs)
+    # seed-separated digests: xxhash64(sh) and xxhash64(1, sh) are
+    # independent draws from the same family; pmod lands both in
+    # [0, P) so h1 + (n-1)·h2 stays far inside int64 (DESIGN: the
+    # Mersenne-prime bound shared with the md5 branch)
+    hashed = shingles.select(
+        id_col,
+        F.pmod(F.xxhash64(F.col("sh")), F.lit(_KM_PRIME)).alias("h1"),
+        F.pmod(F.xxhash64(F.lit(1), F.col("sh")), F.lit(_KM_PRIME)).alias(
+            "h2"
+        ),
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % _KM_PRIME)
+        .alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def band_table(

@@ -498,6 +498,22 @@ def ivf_seeded(
     vector. The PROBE side keeps the window (n_keep>1, tiny input).
     Probing and rescoring reuse the equi-join-on-cell shape of
     :func:`ivf_topk`."""
+    from pyspark.sql.types import NumericType
+
+    # the corpus-side argmax negates seed_id arithmetically (below);
+    # with a string id column that negation is null under non-ANSI
+    # (silently empty assignment) or an AnalysisException under ANSI.
+    # A score-side negation instead would flip NaN ordering (Spark
+    # sorts NaN greatest, so a NaN cosine is "best" under the window
+    # twin but "worst" under min(-scos)). Numeric ids are the
+    # declared contract (seed_ids: list[int]) — enforce it loudly.
+    id_type = corpus.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"ivf_seeded requires a numeric id column; {id_col!r} is "
+            f"{id_type.simpleString()} (the corpus assignment's "
+            "tie-break negates the id inside a max(struct) aggregate)"
+        )
     seeds = corpus.filter(F.col(id_col).isin(seed_ids)).select(
         F.col(id_col).alias("seed_id"), F.col(vec_col).alias("svec")
     )

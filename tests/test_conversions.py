@@ -159,3 +159,20 @@ def test_geoframe_sample_ambiguous_name_raises(spark, melt_gf):
     )
     with _pytest.raises(ValueError, match="not unique"):
         dup.sample("PI032-04-01")
+
+
+def test_geoframe_sample_without_name_column_raises(melt_gf):
+    """r11 ADVICE: a frame that dropped 'name' (e.g. post-aggregation)
+    must raise the documented KeyError naming the missing column, not
+    an opaque AnalysisException from the filter."""
+    import pytest as _pytest
+
+    from magmapandas_spark.core.geoframe import GeoFrame
+
+    nameless = GeoFrame(
+        melt_gf.df.drop("name"),
+        units=melt_gf.units, datatype=melt_gf.datatype,
+        species=melt_gf.species,
+    )
+    with _pytest.raises(KeyError, match="'name' column"):
+        nameless.sample("PI032-04-01")

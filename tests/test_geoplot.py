@@ -205,3 +205,72 @@ def test_calibration_pt_spec_axis_conventions(spark):
     # axis transforms hold exactly
     assert abs(min(all_x) - (pdf["T_K"].min() - 273.15)) < 1e-9
     assert abs(max(all_y) - (pdf["P_bar"].max() / 1e3)) < 1e-9
+
+
+def test_spider_spec_warns_on_dropped_elements():
+    """r11 ADVICE: long-form rows whose element is absent from an
+    explicit element_order must not vanish silently — a typo'd list
+    would yield a plausible but incomplete polyline."""
+    import warnings
+
+    pdf = pd.DataFrame(
+        {
+            "name": [1, 1, 1],
+            "element": ["La", "Ce", "Nd"],
+            "norm_value": [10.0, 8.0, 6.0],
+        }
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        spec = geoplot.spider_spec(pdf, element_order=["La", "Ce"])
+    assert any("Nd" in str(x.message) for x in w)
+    assert spec["series"][0]["y"] == [10.0, 8.0]
+    # no warning when the order covers everything
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        geoplot.spider_spec(pdf, element_order=["La", "Ce", "Nd"])
+    assert not [x for x in w if "dropped" in str(x.message)]
+
+
+def test_calibration_spec_null_flag_third_series():
+    """r11 ADVICE: rows with a null calibration flag appear as a
+    'flag unknown' series instead of vanishing from the figure."""
+    pdf = pd.DataFrame(
+        {
+            "SiO2": [48.0, 52.0, 55.0],
+            "T_K": [1400.0, 1380.0, 1360.0],
+            "in_range": [True, False, None],
+        }
+    )
+    spec = geoplot.calibration_spec(pdf, "SiO2", "T_K")
+    labels = [s["label"] for s in spec["series"]]
+    assert labels == ["in calibration", "out of calibration",
+                      "flag unknown"]
+    unk = spec["series"][2]
+    assert unk["x"] == [55.0] and unk["y"] == [1360.0]
+    # and absent entirely when every flag is set
+    spec2 = geoplot.calibration_spec(
+        pdf.assign(in_range=[True, False, True]), "SiO2", "T_K"
+    )
+    assert [s["label"] for s in spec2["series"]] == [
+        "in calibration", "out of calibration"
+    ]
+
+
+def test_calibration_pt_spec_records_inverted_y():
+    """r11 ADVICE: the reference inverts the pressure axis (depth
+    convention, plot_calibration.py:210) — the spec must record it so
+    renderers draw P increasing downward."""
+    pdf = pd.DataFrame(
+        {
+            "T_K": [1400.0, 1500.0],
+            "P_bar": [2000.0, 4000.0],
+            "in_range": [True, False],
+        }
+    )
+    spec = geoplot.calibration_PT_spec(pdf)
+    assert spec["invert_y"] is True
+    # the plain x-y calibration scatter stays upright
+    assert "invert_y" not in geoplot.calibration_spec(
+        pdf, "T_K", "P_bar"
+    )

@@ -309,3 +309,22 @@ def test_semdedup_cell_guard_warns_and_keep_superset(spark):
         )
     assert not any("max_cell_rows" in str(w.message) for w in caught2)
     assert big.equals(un)
+
+
+def test_ivf_seeded_rejects_string_ids(spark):
+    """r11 ADVICE: the corpus assignment negates seed_id inside a
+    max(struct) aggregate, which on a string id column yields nulls
+    (non-ANSI) or an AnalysisException (ANSI). The numeric-id
+    contract is enforced with a clear TypeError instead."""
+    import pytest as _pytest
+
+    from magmapandas_spark.operators.similarity import ivf_seeded
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .limit(10)
+        .withColumn("vec_id", F.col("vec_id").cast("string"))
+    )
+    with _pytest.raises(TypeError, match="numeric id"):
+        ivf_seeded(emb, [0, 1], F.col("vec_id") == "0")
