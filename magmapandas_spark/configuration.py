@@ -15,8 +15,10 @@ from dataclasses import dataclass, field, replace
 
 def _check(name: str, value, options) -> None:
     if value not in options:
+        # reference's user-facing wording (parse_io/validate.py:64)
         raise ValueError(
-            f"{name}: {value!r} not in {sorted(options)}"
+            f"{value!r} is not recognised, please choose from: "
+            f"{tuple(sorted(options))}"
         )
 
 
@@ -55,9 +57,12 @@ class Configuration:
     melt_thermometer: str = "putirka2008_15"
     volatile_solubility: str = "iaconomarziano2012"
     volatile_species: str = "mixed"
-    # engine extras (not in the reference): fixed-model values
+    # fixed-model values + 1σ errors (reference: _Kd_value/_Kd_error,
+    # configuration.py:130-143)
     Kd_fixed_value: float | None = None
+    Kd_fixed_error: float | None = None
     Fe3Fe2_fixed_value: float | None = None
+    Fe3Fe2_fixed_error: float | None = None
 
     def __setattr__(self, name, value):
         checks = {
@@ -68,6 +73,33 @@ class Configuration:
             "volatile_solubility": VOLATILE_MODELS,
             "volatile_species": VOLATILE_SPECIES,
         }
+        # the reference's fixed-value protocol
+        # (configuration.py:124-143): cfg.Kd_model = ("fixed", v, e)
+        # sets the model AND its value/error in one assignment, and a
+        # bare "fixed" string is rejected with instructions
+        if name in ("Kd_model", "Fe3Fe2_model"):
+            prefix = "Kd" if name == "Kd_model" else "Fe3Fe2"
+            if isinstance(value, (tuple, list)):
+                model, v, e = value
+                _check(name, model, checks[name])
+                if any(
+                    not isinstance(i, (float, int)) or i <= 0
+                    for i in (v, e)
+                ):
+                    raise ValueError(
+                        f"Please provide {prefix} value and error as "
+                        "positive floats or ints"
+                    )
+                object.__setattr__(self, name, model)
+                object.__setattr__(self, f"{prefix}_fixed_value", float(v))
+                object.__setattr__(self, f"{prefix}_fixed_error", float(e))
+                return
+            if value == "fixed":
+                raise ValueError(
+                    f"Please provide {prefix} value and error as "
+                    "positive floats or ints in a tuple or list, as "
+                    "('fixed', value, error) e.g. ('fixed', 0.3, 0.05)"
+                )
         if name in checks:
             _check(name, value, checks[name])
         object.__setattr__(self, name, value)
@@ -80,12 +112,51 @@ class Configuration:
         for k, v in Configuration().__dict__.items():
             object.__setattr__(self, k, v)
 
+    def _model_display(self, which: str) -> str:
+        """``fixed 0.33±0.02`` for fixed models (configuration.py:
+        199-212), the plain model name otherwise."""
+        model = getattr(self, f"{which}_model")
+        if model != "fixed":
+            return model
+        v = getattr(self, f"{which}_fixed_value")
+        e = getattr(self, f"{which}_fixed_error")
+        return f"fixed {v:.2f}±{e:.2f}"
+
+    def available_models(self) -> None:
+        """Print the option catalogue (``configuration.py:258-264``;
+        config.ipynb cell 4)."""
+        print(self.available_models_str())
+
+    @staticmethod
+    def available_models_str() -> str:
+        rows = [
+            ("fO2 buffers", sorted(FO2_BUFFERS)),
+            ("Melt Fe3+/Fe2+ models", sorted(FE3FE2_MODELS)),
+            ("Ol-melt Fe-Mg Kd models", sorted(KD_MODELS)),
+            ("Melt thermometers", sorted(MELT_THERMOMETERS)),
+            ("Volatile solubility models", sorted(VOLATILE_MODELS)),
+            ("Volatile species", sorted(VOLATILE_SPECIES)),
+        ]
+        pad = 70
+        lines = [
+            " MagmaPandas-Spark ".center(pad, "#"),
+            "#" * pad,
+            f"{'Configuration options':_<{pad}}",
+        ]
+        for name, opts in rows:
+            lines.append(f"{name:.<28}{', '.join(opts):.>42}"
+                         if len(", ".join(opts)) <= 42
+                         else f"{name}:\n    " + "\n    ".join(
+                             ", ".join(opts[i:i + 4])
+                             for i in range(0, len(opts), 4)))
+        return "\n".join(lines)
+
     def __repr__(self) -> str:  # ``configuration.py:198-236``
         rows = [
             ("fO2 buffer", self.fO2_buffer),
             ("ΔfO2", self.dfO2),
-            ("Kd Fe-Mg ol-melt", self.Kd_model),
-            ("Melt Fe3+/Fe2+", self.Fe3Fe2_model),
+            ("Kd Fe-Mg ol-melt", self._model_display("Kd")),
+            ("Melt Fe3+/Fe2+", self._model_display("Fe3Fe2")),
             ("Melt thermometer", self.melt_thermometer),
             ("Volatile solubility", self.volatile_solubility),
             ("Volatile species", self.volatile_species),

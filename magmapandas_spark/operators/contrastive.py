@@ -70,11 +70,30 @@ def hard_negative_mining(
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy("qid", "is_pos").orderBy(
-        F.col("cos").desc(), F.col("cid")
-    )
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    # n_keep=1 argmax per (anchor, polarity) — the map-side-combined
+    # max(struct(cos, -cid)) twin of the former
+    # `row_number() OVER (ORDER BY cos DESC, cid)` window (r12, the
+    # ivf_topk rewrite applied here): the partial aggregate collapses
+    # the |anchors|×N candidate relation to 2|anchors| rows BEFORE the
+    # exchange, where the window shuffled and sorted every candidate.
+    # Exact-equivalence notes: NaN cosines sort greatest under both
+    # forms; the negated id flips the tie-break inside a max and
+    # requires a numeric id (the embedding tier's contract; asserted
+    # in ivf_seeded — property-tested in
+    # tests/test_argmin_agg_equivalence.py on tie-rich inputs).
+    best = (
+        scored.groupBy("qid", "is_pos")
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))
+            ).alias("m")
+        )
+        .select(
+            "qid",
+            "is_pos",
+            (-F.col("m.nc")).alias("cid"),
+            F.col("m.cos").alias("cos"),
+        )
     )
     pos = best.filter(F.col("is_pos")).select(
         "qid",

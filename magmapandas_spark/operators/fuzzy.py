@@ -329,8 +329,6 @@ def q_er_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC is iteration-order independent), then applies the same
     survivorship window.
     """
-    from pyspark.sql import Window as W
-
     from magmapandas_spark.operators.dedup import connected_components
 
     parts = spark.read.parquet(f"{sf_dir}/part.parquet")
@@ -344,22 +342,34 @@ def q_er_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "node",
     )
-    w = W.partitionBy("cluster_id").orderBy(
-        F.desc("p_size"), "node"
-    )
+    # n_keep=1 argmax per cluster + member count — ONE
+    # map-side-combined aggregate instead of the former row_number
+    # window + count window (r12, the ivf_topk rewrite applied here):
+    # `max(struct(p_size, -node, payload...))` is the exact twin of
+    # `ORDER BY p_size DESC, node` (negated numeric key flips the
+    # tie-break inside a max; node = p_partkey, bigint), and the
+    # payload fields after the two ordering keys are only compared on
+    # an exact (p_size, node) tie — i.e. the same row. Property-tested
+    # in tests/test_argmin_agg_equivalence.py.
     return (
-        members.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n_members",
-            F.count(F.lit(1)).over(W.partitionBy("cluster_id")),
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("p_size"),
+                    (-F.col("node")).alias("nn"),
+                    F.col("node"),
+                    F.col("p_name"),
+                )
+            ).alias("m"),
         )
-        .filter(F.col("rn") == 1)
         .select(
             "cluster_id",
             "n_members",
-            F.col("node").alias("golden_key"),
-            F.col("p_name").alias("golden_name"),
-            F.col("p_size").alias("golden_size"),
+            F.col("m.node").alias("golden_key"),
+            F.col("m.p_name").alias("golden_name"),
+            F.col("m.p_size").alias("golden_size"),
         )
         .orderBy("cluster_id")
     )

@@ -117,20 +117,27 @@ def grid_nearest(
             * (F.col("plon") - F.col("clon"))
         ).alias("d2"),
     )
-    w = Window.partitionBy("pk").orderBy(
-        F.col("d2").asc_nulls_last(), F.col("ck").asc_nulls_last()
-    )
+    # n_keep=1 argmin per probe + candidate count — ONE
+    # map-side-combined aggregate instead of the former row_number
+    # window + count window (r12, the ivf_topk rewrite applied here):
+    # min(struct(d2, ck)) twins `ORDER BY d2 ASC NULLS LAST, ck` —
+    # the null orderings CAN differ (struct comparison puts nulls
+    # first, the window put them last), but a probe's rows are either
+    # all real matches or the single all-null left-join row (a left
+    # equi-join emits one or the other, never both), so the argmin is
+    # identical in every reachable group. Property-tested in
+    # tests/test_argmin_agg_equivalence.py, including the no-candidate
+    # group.
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n_candidates",
-            F.count("ck").over(Window.partitionBy("pk")),
+        joined.groupBy("pk")
+        .agg(
+            F.count("ck").alias("n_candidates"),
+            F.min(F.struct(F.col("d2"), F.col("ck"))).alias("m"),
         )
-        .filter(F.col("rn") == 1)
         .select(
             F.col("pk").alias("probe_key"),
-            F.col("ck").alias("nearest_key"),
-            "d2",
+            F.col("m.ck").alias("nearest_key"),
+            F.col("m.d2").alias("d2"),
             "n_candidates",
         )
         .orderBy("probe_key")
