@@ -1378,9 +1378,10 @@ def corpus_build_funnel(docs: DataFrame) -> DataFrame:
     survives to training.
 
     Scale posture: stages 1-3 are conditional aggregates over ONE
-    scan (no per-stage re-filtering passes); stage 4 is one
-    hash-partitioned keep-first window (bounded groups — prefix-hash
-    cardinality ~= |corpus|); stage 5 is the Bloom chain's k broadcast
+    scan (no per-stage re-filtering passes); stage 4 is a
+    map-side-combined keep-first aggregate on the prefix hash (r12 —
+    formerly a corpus-wide keep-first window whose sort dragged the
+    text column); stage 5 is the Bloom chain's k broadcast
     semi joins (benchmark-sized build sides) + one anti join. No
     stage materializes an intermediate corpus."""
     from magmapandas_spark.operators.bloom import bloom_flag_docs
@@ -1418,15 +1419,27 @@ def corpus_build_funnel(docs: DataFrame) -> DataFrame:
         " 3, 'langid', n3, t3)"
         " AS (stage, stage_name, n_docs, n_ws_tokens)"
     )
-    surv = base.filter(F.col("q") & F.col("l")).withColumn(
-        "keep",
-        F.row_number().over(
-            Window.partitionBy("h").orderBy("doc_id")
-        )
-        == 1,
+    # stage-4 keep-first: min(struct(doc_id, payload)) per prefix-hash
+    # — the map-side-combined twin of the former
+    # `row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1` window
+    # (r12, the ivf_topk rewrite applied here). doc_id is unique, so
+    # the payload fields after it are never compared — provably the
+    # same surviving row — while the rewrite drops the corpus-wide
+    # (h, doc_id) SORT of a text-carrying relation and combines
+    # duplicates map-side before the exchange. Two aggregates, one per
+    # consumer, so the tail branch's shuffle carries no text (the
+    # struct would otherwise defeat column pruning).
+    passed = base.filter(F.col("q") & F.col("l"))
+    kept_slim = (
+        passed.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "bench", "ws")).alias("m"))
+        .select("m.doc_id", "m.bench", "m.ws")
     )
-    cand = surv.filter(F.col("keep") & ~F.col("bench")).select(
-        "doc_id", "text"
+    cand = (
+        passed.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "bench", "text")).alias("m"))
+        .filter(~F.col("m.bench"))
+        .select("m.doc_id", "m.text")
     )
     bench_docs = docs.filter(F.col("doc_id") % 11 == 0).select(
         "doc_id", "text"
@@ -1435,23 +1448,21 @@ def corpus_build_funnel(docs: DataFrame) -> DataFrame:
         "doc_id", F.lit(True).alias("contaminated")
     )
     tail = (
-        surv.join(F.broadcast(flagged), "doc_id", "left")
+        kept_slim.join(F.broadcast(flagged), "doc_id", "left")
         .agg(
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n4"),
-            F.sum(F.when(F.col("keep"), F.col("ws"))).alias("t4"),
+            # sum(lit(1)), not count: over an empty survivor relation
+            # the old conditional sums returned NULL, count would say 0
+            F.sum(F.lit(1)).alias("n4"),
+            F.sum("ws").alias("t4"),
             F.sum(
                 F.when(
-                    F.col("keep")
-                    & ~F.col("bench")
-                    & F.col("contaminated").isNull(),
+                    ~F.col("bench") & F.col("contaminated").isNull(),
                     1,
                 ).otherwise(0)
             ).alias("n5"),
             F.sum(
                 F.when(
-                    F.col("keep")
-                    & ~F.col("bench")
-                    & F.col("contaminated").isNull(),
+                    ~F.col("bench") & F.col("contaminated").isNull(),
                     F.col("ws"),
                 )
             ).alias("t5"),

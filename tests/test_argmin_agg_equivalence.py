@@ -210,3 +210,220 @@ def test_random_tie_rich_grids(spark, mode, data, n_seeds, n_vecs):
         vecs = [_nonzero_vec(data, comp) for _ in range(n_vecs)]
     w, a = _assign_maps(spark, vecs, seeds, mode)
     assert w == a
+
+
+# ======================================================================
+# r12 collapses: hard_negatives (per-(qid, polarity) argmax-with-payload),
+# er_golden_multipass (argmax + member count + string payload), and
+# geo_nearest (argmin + count with the left-join null group)
+# ======================================================================
+
+
+def _hn_window(scored):
+    w = Window.partitionBy("qid", "is_pos").orderBy(
+        F.col("cos").desc(), F.col("cid")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "is_pos", "cid", "cos")
+    )
+
+
+def _hn_agg(scored):
+    return (
+        scored.groupBy("qid", "is_pos")
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))
+            ).alias("m")
+        )
+        .select(
+            "qid", "is_pos",
+            (-F.col("m.nc")).alias("cid"),
+            F.col("m.cos").alias("cos"),
+        )
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data(), n=st.integers(min_value=1, max_value=12))
+def test_hard_negatives_argmax_equivalence(spark, data, n):
+    """Tie-rich (qid, is_pos, cid, cos) relations: small-integer
+    cosines force exact score ties; the map-side max(struct(cos, -cid))
+    must match the window on winner id AND carried score."""
+    rows = [
+        (
+            data.draw(st.integers(0, 2)),
+            bool(data.draw(st.integers(0, 1))),
+            i,
+            float(data.draw(st.integers(-1, 1))),
+        )
+        for i in range(n)
+    ]
+    scored = spark.createDataFrame(
+        rows, "qid long, is_pos boolean, cid long, cos double"
+    )
+    key = lambda r: (r["qid"], r["is_pos"])
+    w = {key(r): (r["cid"], r["cos"]) for r in _hn_window(scored).collect()}
+    a = {key(r): (r["cid"], r["cos"]) for r in _hn_agg(scored).collect()}
+    assert w == a
+
+
+def _golden_window(members):
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("p_size"), "node"
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "n_members",
+                F.col("node").alias("golden_key"),
+                F.col("p_name").alias("golden_name"),
+                F.col("p_size").alias("golden_size"))
+    )
+
+
+def _golden_agg(members):
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(F.col("p_size"), (-F.col("node")).alias("nn"),
+                         F.col("node"), F.col("p_name"))
+            ).alias("m"),
+        )
+        .select("cluster_id", "n_members",
+                F.col("m.node").alias("golden_key"),
+                F.col("m.p_name").alias("golden_name"),
+                F.col("m.p_size").alias("golden_size"))
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data(), n=st.integers(min_value=1, max_value=12))
+def test_golden_record_argmax_equivalence(spark, data, n):
+    """Survivorship: duplicate p_size values force the node tie-break;
+    the string payload must ride the same winning row."""
+    rows = [
+        (
+            data.draw(st.integers(0, 2)),
+            i,
+            f"part_{i}",
+            data.draw(st.integers(1, 3)),
+        )
+        for i in range(n)
+    ]
+    members = spark.createDataFrame(
+        rows, "cluster_id long, node long, p_name string, p_size int"
+    )
+    w = {r["cluster_id"]: tuple(r)[1:]
+         for r in _golden_window(members).collect()}
+    a = {r["cluster_id"]: tuple(r)[1:]
+         for r in _golden_agg(members).collect()}
+    assert w == a
+
+
+def _nearest_window(joined):
+    w = Window.partitionBy("pk").orderBy(
+        F.col("d2").asc_nulls_last(), F.col("ck").asc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_candidates",
+            F.count("ck").over(Window.partitionBy("pk")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("pk").alias("probe_key"),
+                F.col("ck").alias("nearest_key"),
+                "d2", "n_candidates")
+    )
+
+
+def _nearest_agg(joined):
+    return (
+        joined.groupBy("pk")
+        .agg(
+            F.count("ck").alias("n_candidates"),
+            F.min(F.struct(F.col("d2"), F.col("ck"))).alias("m"),
+        )
+        .select(F.col("pk").alias("probe_key"),
+                F.col("m.ck").alias("nearest_key"),
+                F.col("m.d2").alias("d2"), "n_candidates")
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data(), n=st.integers(min_value=0, max_value=10))
+def test_geo_nearest_argmin_equivalence(spark, data, n):
+    """Probe groups are either all-real candidates (tie-rich integer
+    d2) or the single all-null left-join row — the two reachable
+    shapes of a left equi-join. Both forms must agree on winner,
+    distance, and candidate count for each."""
+    rows = [
+        (
+            data.draw(st.integers(0, 2)),
+            i,
+            float(data.draw(st.integers(0, 2))),
+        )
+        for i in range(n)
+    ]
+    # the no-candidate probe: one row, null candidate + null distance
+    rows.append((99, None, None))
+    joined = spark.createDataFrame(
+        rows, "pk long, ck long, d2 double"
+    )
+    w = {r["probe_key"]: tuple(r)[1:]
+         for r in _nearest_window(joined).collect()}
+    a = {r["probe_key"]: tuple(r)[1:]
+         for r in _nearest_agg(joined).collect()}
+    assert w == a
+
+
+def _keepfirst_window(base):
+    surv = base.withColumn(
+        "keep",
+        F.row_number().over(
+            Window.partitionBy("h").orderBy("doc_id")
+        )
+        == 1,
+    )
+    return surv.filter(F.col("keep")).select("h", "doc_id", "bench", "text")
+
+
+def _keepfirst_agg(base):
+    return (
+        base.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "bench", "text")).alias("m"))
+        .select("h", "m.doc_id", "m.bench", "m.text")
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data(), n=st.integers(min_value=1, max_value=12))
+def test_keepfirst_min_struct_equivalence(spark, data, n):
+    """corpus_build_funnel's stage-4 rewrite: keep-first per prefix
+    hash as min(struct(doc_id, payload)) must match the row_number
+    window on the surviving row AND its payload (doc_id unique, so
+    payload fields are never compared)."""
+    rows = [
+        (
+            f"h{data.draw(st.integers(0, 2))}",
+            i,
+            bool(data.draw(st.integers(0, 1))),
+            f"text_{i}",
+        )
+        for i in range(n)
+    ]
+    base = spark.createDataFrame(
+        rows, "h string, doc_id long, bench boolean, text string"
+    )
+    w = {r["h"]: tuple(r)[1:] for r in _keepfirst_window(base).collect()}
+    a = {r["h"]: tuple(r)[1:] for r in _keepfirst_agg(base).collect()}
+    assert w == a

@@ -1204,3 +1204,52 @@ def test_ivf_seeded_assignment_partial_agg_no_corpus_window(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 2
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_hard_negatives_argmax_is_partial_agg_no_window(spark):
+    """r12: the per-(anchor, polarity) best-candidate selection is the
+    map-side-combined max(struct(cos, -cid)) aggregate — no window
+    sorts the |anchors|×N candidate relation, and the partial
+    aggregate collapses it before the exchange."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()["hard_negatives"](spark, SF))
+    assert "partial_max(struct(cos" in plan
+    assert not window_partition_specs(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_er_golden_survivorship_is_partial_agg_no_window(spark):
+    """r12: golden-record survivorship is ONE aggregate carrying both
+    the member count and max(struct(p_size, -node, payload)) — the
+    former row_number + count window pair is gone."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()["er_golden"](spark, SF))
+    assert "partial_max(struct(p_size" in plan
+    assert not window_partition_specs(plan)
+
+
+def test_geo_nearest_argmin_is_partial_agg_no_window(spark):
+    """r12: nearest-candidate selection is min(struct(d2, ck)) + a
+    count in one aggregate; the join stays a hash equi-join on the
+    grid cell and no window remains."""
+    from magmapandas_spark.operators.spatial import q_geo_nearest
+
+    plan = plan_of(q_geo_nearest(spark, SF))
+    assert "partial_min(struct(d2" in plan
+    assert not window_partition_specs(plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_funnel_keepfirst_is_partial_agg_no_window(spark):
+    """r12: the funnel's stage-4 keep-first dedup is a
+    map-side-combined min(struct(doc_id, payload)) per prefix hash —
+    the former corpus-wide (h, doc_id) sort window that dragged the
+    text column is gone."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()["corpus_build_funnel"](spark, SF))
+    assert "partial_min(struct(doc_id" in plan
+    assert not window_partition_specs(plan)
