@@ -1253,3 +1253,24 @@ def test_corpus_funnel_keepfirst_is_partial_agg_no_window(spark):
     plan = plan_of(suite.queries()["corpus_build_funnel"](spark, SF))
     assert "partial_min(struct(doc_id" in plan
     assert not window_partition_specs(plan)
+
+
+def test_minhash_xxhash_signatures_are_two_hash_km(spark):
+    """r12: the production xxhash64 minhash family computes TWO
+    seed-separated digests per shingle and derives the n=32 signature
+    rows by Kirsch–Mitzenmacher integer combination — a plan carrying
+    32 xxhash64 invocations means the 16x-hashing regression came
+    back (and with it the 2.4x cold-JIT penalty the r11 bench
+    recorded)."""
+    from magmapandas_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(
+        minhash_signatures(shingle_df(docs), hash_strategy="xxhash64")
+    )
+    assert plan.count("xxhash64") == 2, plan.count("xxhash64")
+    # still the map-side-combined partial+final aggregate pair
+    assert plan.count("HashAggregate") == 2
