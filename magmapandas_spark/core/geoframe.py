@@ -471,6 +471,45 @@ class GeoFrame:
     def to_pandas(self):
         return self.df.toPandas()
 
+    def describe(self, percentiles: tuple = (0.25, 0.5, 0.75)) -> "DataFrame":
+        """pandas-`describe()`-shaped summary of every species column
+    (the reference inherits this from DataFrame —
+    frame_basics.ipynb cell 8): one row per statistic (count, mean,
+    std, min, the requested percentiles, max), one column per
+    species, plus the leading ``summary`` label column.
+
+    Computed as ONE Spark aggregation (map-side partial moments;
+    percentiles via the exact linear-interpolation ``percentile``,
+    the same rule pandas applies), then pivoted driver-side — the
+    result is statistics × columns, bounded by construction."""
+        stats: list[tuple[str, Column]] = []
+        for s in self.species:
+            stats += [
+                (f"{s}|count", F.count(s).cast("double")),
+                (f"{s}|mean", F.mean(s)),
+                (f"{s}|std", F.stddev(s)),
+                (f"{s}|min", F.min(F.col(s).cast("double"))),
+                *[
+                    (f"{s}|{int(p * 100)}%", F.percentile(s, F.lit(p)))
+                    for p in percentiles
+                ],
+                (f"{s}|max", F.max(F.col(s).cast("double"))),
+            ]
+        row = self.df.agg(*[c.alias(n) for n, c in stats]).collect()[0]
+        order = ["count", "mean", "std", "min"] + [
+            f"{int(p * 100)}%" for p in percentiles
+        ] + ["max"]
+        out_rows = [
+            tuple([stat] + [float(row[f"{s}|{stat}"])
+                            if row[f"{s}|{stat}"] is not None else None
+                            for s in self.species])
+            for stat in order
+        ]
+        schema = ", ".join(
+            ["summary string"] + [f"`{s}` double" for s in self.species]
+        )
+        return self.df.sparkSession.createDataFrame(out_rows, schema)
+
     def sample(self, name) -> "pd.Series":
         """One sample's composition as a pandas Series — the engine's
         twin of the reference's scalar path (a 1-row frame squeezed to

@@ -322,22 +322,21 @@ def test_fb_direct_constructor(spark):
 
 
 def test_fb_describe_matches_pandas(melt):
-    """Cell 8: melt.describe() — the Spark aggregate twin reproduces
-    the notebook's stored SiO2 summary (count/mean/std/min/max exact;
-    percentiles via Spark's exact linear-interpolation percentile)."""
-    row = melt.df.select(
-        F.count("SiO2").alias("n"),
-        F.mean("SiO2").alias("mean"),
-        F.stddev("SiO2").alias("std"),
-        F.min("SiO2").alias("min"),
-        F.percentile("SiO2", F.lit(0.25)).alias("p25"),
-        F.percentile("SiO2", F.lit(0.50)).alias("p50"),
-        F.percentile("SiO2", F.lit(0.75)).alias("p75"),
-        F.max("SiO2").alias("max"),
-    ).collect()[0]
-    assert row["n"] == 10
+    """Cell 8: melt.describe() — the GeoFrame API reproduces the
+    notebook's stored SiO2 summary (count/mean/std/min/max exact;
+    percentiles via Spark's exact linear-interpolation percentile,
+    the same rule pandas applies)."""
+    pdf = melt.describe().toPandas().set_index("summary")
+    assert pdf.loc["count", "SiO2"] == 10
+    keymap = {"mean": "mean", "std": "std", "min": "min",
+              "p25": "25%", "p50": "50%", "p75": "75%", "max": "max"}
     for k, v in FB_DESCRIBE_SIO2.items():
-        assert abs(row[k] - v) < 1e-5, (k, row[k], v)
+        got = pdf.loc[keymap[k], "SiO2"]
+        assert abs(got - v) < 1e-5, (k, got, v)
+    # statistic rows in pandas order, one column per species
+    assert list(pdf.index) == ["count", "mean", "std", "min",
+                               "25%", "50%", "75%", "max"]
+    assert "Al2O3" in pdf.columns
 
 
 def test_fb_horizontal_sum(olivine):
