@@ -516,6 +516,22 @@ def ensure_fp_index(spark: SparkSession, n_images: int = 40) -> str:
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    # opportunistic scratch hygiene: per-app table names mean every
+    # session leaves one dir behind; reap OTHER apps' dirs once they
+    # are a day old (a concurrent live session's table is never that
+    # old — sessions here live minutes; 24 h is two orders of margin)
+    import os
+    import time as _time
+
+    cutoff = _time.time() - 24 * 3600
+    try:
+        for d in os.listdir(wh):
+            if d.startswith("fp_index_gate_") and d != table:
+                p = os.path.join(wh, d)
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass  # warehouse dir listing is best-effort scratch hygiene
     write_fp_index(synthetic_png_media(spark, n_images), table)
     _FP_INDEX_BUILT.add(table)
     return table

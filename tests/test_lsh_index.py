@@ -125,3 +125,38 @@ def test_fp_index_side_reads_bucketed_without_exchange(spark, tmp_path):
         if "+- Exchange" in ln or ":- Exchange" in ln
     )
     assert n_exchanges == 1, plan
+
+
+def test_fp_index_gate_reaps_aged_scratch(spark):
+    """r12: ensure_fp_index removes OTHER apps' fp_index_gate_* scratch
+    dirs once they age past a day (per-app names otherwise accumulate
+    one dir per session forever), never the current app's table, and
+    repeated calls skip the build entirely (the set memo)."""
+    import os
+    import time
+    from urllib.parse import urlparse
+
+    from magmapandas_spark.operators import png as P
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    os.makedirs(wh, exist_ok=True)
+    aged = os.path.join(wh, "fp_index_gate_fakeapp_aged")
+    young = os.path.join(wh, "fp_index_gate_fakeapp_young")
+    for d in (aged, young):
+        os.makedirs(d, exist_ok=True)
+    os.utime(aged, (time.time() - 90000, time.time() - 90000))
+    table = P.ensure_fp_index(spark, 4)
+    try:
+        assert not os.path.exists(aged)      # past the 24 h cutoff
+        assert os.path.exists(young)         # possibly a live session
+        assert table in P._FP_INDEX_BUILT
+        # memoized: second call does not rebuild (table object count
+        # in the catalog is stable and the call is instant)
+        assert P.ensure_fp_index(spark, 4) == table
+    finally:
+        import shutil
+
+        shutil.rmtree(young, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        P._FP_INDEX_BUILT.discard(table)
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
