@@ -1012,28 +1012,45 @@ def keep_best_per_cluster(
     the highest-``quality_col`` doc (ties → lowest id; fully
     deterministic), report the rest as drop count.
 
-    Shape: clusters ⋈ quality (narrow), one window partitioned by
-    cluster_id — both shuffle on cluster id only, rows are (id, int)
-    pairs regardless of corpus width. Docs in no cluster never enter
-    (they are kept implicitly — composition with the corpus is an
-    anti-join on the cluster relation, not this operator's job).
+    Shape (r12): clusters ⋈ quality (narrow), then ONE
+    map-side-combined aggregate — `max(struct(quality, -id, id,
+    quality))` is the exact twin of the former `ORDER BY quality
+    DESC, id` row_number window (negated numeric id flips the
+    tie-break inside a max; the payload fields after the two ordering
+    keys are only compared on an exact (quality, id) tie, i.e. the
+    same row), with the member count in the same aggregate. The
+    partial aggregate means one combined row per (partition, cluster)
+    crosses the wire where the window shuffled and SORTED the whole
+    cluster relation — the difference between O(docs-in-clusters) and
+    O(clusters) exchange rows at 100 TB. Property-tested on tie-rich
+    inputs in tests/test_argmin_agg_equivalence.py. Docs in no
+    cluster never enter (they are kept implicitly — composition with
+    the corpus is an anti-join on the cluster relation, not this
+    operator's job).
 
     Returns (cluster_id, kept_doc, kept_quality, n_docs)."""
-    from pyspark.sql import Window
-
     j = clusters.join(
         docs.select(id_col, quality_col), on=id_col, how="inner"
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc(quality_col), id_col
-    )
-    ranked = j.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy("cluster_id").agg(
-        F.max(F.when(F.col("rn") == 1, F.col(id_col))).alias("kept_doc"),
-        F.max(F.when(F.col("rn") == 1, F.col(quality_col))).alias(
-            "kept_quality"
-        ),
-        F.count(F.lit(1)).alias("n_docs"),
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(
+                F.struct(
+                    F.col(quality_col),
+                    (-F.col(id_col)).alias("nid"),
+                    F.col(id_col).alias("kid"),
+                    F.col(quality_col).alias("kq"),
+                )
+            ).alias("m"),
+        )
+        .select(
+            "cluster_id",
+            F.col("m.kid").alias("kept_doc"),
+            F.col("m.kq").alias("kept_quality"),
+            "n_docs",
+        )
     )
 
 

@@ -427,3 +427,51 @@ def test_keepfirst_min_struct_equivalence(spark, data, n):
     w = {r["h"]: tuple(r)[1:] for r in _keepfirst_window(base).collect()}
     a = {r["h"]: tuple(r)[1:] for r in _keepfirst_agg(base).collect()}
     assert w == a
+
+
+def _keepbest_window(j):
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q"), "doc_id"
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("q"))).alias("kept_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _keepbest_agg(j):
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(
+                F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"),
+                         F.col("doc_id").alias("kid"),
+                         F.col("q").alias("kq"))
+            ).alias("m"),
+        )
+        .select("cluster_id", F.col("m.kid").alias("kept_doc"),
+                F.col("m.kq").alias("kept_quality"), "n_docs")
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data(), n=st.integers(min_value=1, max_value=12))
+def test_keep_best_per_cluster_argmax_equivalence(spark, data, n):
+    """dedup keep-policy rewrite: duplicate quality values force the
+    doc-id tie-break; winner id, carried quality, and member count
+    must match the former window+conditional-agg pair exactly."""
+    rows = [
+        (
+            data.draw(st.integers(0, 2)),
+            i,
+            data.draw(st.integers(1, 3)),
+        )
+        for i in range(n)
+    ]
+    j = spark.createDataFrame(rows, "cluster_id long, doc_id long, q int")
+    w = {r["cluster_id"]: tuple(r)[1:] for r in _keepbest_window(j).collect()}
+    a = {r["cluster_id"]: tuple(r)[1:] for r in _keepbest_agg(j).collect()}
+    assert w == a

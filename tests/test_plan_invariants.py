@@ -1274,3 +1274,15 @@ def test_minhash_xxhash_signatures_are_two_hash_km(spark):
     assert plan.count("xxhash64") == 2, plan.count("xxhash64")
     # still the map-side-combined partial+final aggregate pair
     assert plan.count("HashAggregate") == 2
+
+
+def test_dedup_keep_best_is_partial_agg_no_window(spark):
+    """r12: the dedup KEEP policy's best-doc selection is ONE
+    map-side-combined max(struct(quality, -id, payload)) aggregate —
+    the former row_number window sorted the whole cluster relation."""
+    from magmapandas_spark.relational import suite
+
+    plan = plan_of(suite.queries()["dedup_keep_best"](spark, SF))
+    assert "partial_max(struct(n_chars" in plan
+    specs = window_partition_specs(plan)
+    assert not specs
