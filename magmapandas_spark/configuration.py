@@ -10,7 +10,7 @@ match the reference (``configuration.py:90-97``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 
 
 def _check(name: str, value, options) -> None:
@@ -80,8 +80,15 @@ class Configuration:
         if name in ("Kd_model", "Fe3Fe2_model"):
             prefix = "Kd" if name == "Kd_model" else "Fe3Fe2"
             if isinstance(value, (tuple, list)):
+                if len(value) != 3 or value[0] != "fixed":
+                    # a non-'fixed' tuple would otherwise set the model
+                    # AND silently park stale fixed_value/error state
+                    raise ValueError(
+                        f"Please provide {prefix} value and error as "
+                        "positive floats or ints in a tuple or list, as "
+                        "('fixed', value, error) e.g. ('fixed', 0.3, 0.05)"
+                    )
                 model, v, e = value
-                _check(name, model, checks[name])
                 if any(
                     not isinstance(i, (float, int)) or i <= 0
                     for i in (v, e)
@@ -105,8 +112,18 @@ class Configuration:
         object.__setattr__(self, name, value)
 
     def snapshot(self) -> "Configuration":
-        """Immutable-ish copy captured at query-construction time."""
-        return replace(self)
+        """Immutable-ish copy captured at query-construction time.
+
+        Copies the __dict__ directly rather than via
+        ``dataclasses.replace``: replace() re-feeds every field
+        through ``__setattr__`` in declaration order, and a
+        configured fixed model would re-assign the bare "fixed"
+        string BEFORE its value/error fields exist on the new
+        instance — tripping the sequence-protocol guard on a state
+        that is already valid (r12 review finding, reproduced)."""
+        new = object.__new__(Configuration)
+        new.__dict__.update(self.__dict__)
+        return new
 
     def reset(self) -> None:
         for k, v in Configuration().__dict__.items():

@@ -490,14 +490,16 @@ class GeoFrame:
                 (f"{s}|std", F.stddev(s)),
                 (f"{s}|min", F.min(F.col(s).cast("double"))),
                 *[
-                    (f"{s}|{int(p * 100)}%", F.percentile(s, F.lit(p)))
+                    (f"{s}|{p * 100:g}%", F.percentile(s, F.lit(p)))
                     for p in percentiles
                 ],
                 (f"{s}|max", F.max(F.col(s).cast("double"))),
             ]
         row = self.df.agg(*[c.alias(n) for n, c in stats]).collect()[0]
+        # :g formatting matches pandas ("12.5%", not a truncated
+        # "12%") and keeps close percentiles from colliding aliases
         order = ["count", "mean", "std", "min"] + [
-            f"{int(p * 100)}%" for p in percentiles
+            f"{p * 100:g}%" for p in percentiles
         ] + ["max"]
         out_rows = [
             tuple([stat] + [float(row[f"{s}|{stat}"])

@@ -289,7 +289,10 @@ def spider_spec(
     if element_order is None:
         element_order = list(dict.fromkeys(pdf[element_col]))
     pos = {e: i for i, e in enumerate(element_order)}
-    skipped = sorted(set(pdf[element_col]) - set(pos))
+    skipped = sorted(
+        (e for e in set(pdf[element_col]) - set(pos) if e is not None),
+        key=str,
+    )
     if skipped:
         import warnings
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 from magmapandas_spark.operators.dedup import fan_out
 from magmapandas_spark.operators.similarity import _dot, _norm
@@ -77,24 +78,33 @@ def hard_negative_mining(
     # the |anchors|×N candidate relation to 2|anchors| rows BEFORE the
     # exchange, where the window shuffled and sorted every candidate.
     # Exact-equivalence notes: NaN cosines sort greatest under both
-    # forms; the negated id flips the tie-break inside a max and
-    # requires a numeric id (the embedding tier's contract; asserted
-    # in ivf_seeded — property-tested in
-    # tests/test_argmin_agg_equivalence.py on tie-rich inputs).
-    best = (
-        scored.groupBy("qid", "is_pos")
-        .agg(
-            F.max(
-                F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))
-            ).alias("m")
+    # forms; the negated id flips the tie-break inside a max —
+    # property-tested in tests/test_argmin_agg_equivalence.py on
+    # tie-rich inputs. Non-numeric ids cannot ride the negation (ANSI
+    # errors; non-ANSI silently nulls every winner) and take the
+    # window form, same verdict.
+    if isinstance(corpus.schema[id_col].dataType, NumericType):
+        best = (
+            scored.groupBy("qid", "is_pos")
+            .agg(
+                F.max(
+                    F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))
+                ).alias("m")
+            )
+            .select(
+                "qid",
+                "is_pos",
+                (-F.col("m.nc")).alias("cid"),
+                F.col("m.cos").alias("cos"),
+            )
         )
-        .select(
-            "qid",
-            "is_pos",
-            (-F.col("m.nc")).alias("cid"),
-            F.col("m.cos").alias("cos"),
+    else:
+        w = Window.partitionBy("qid", "is_pos").orderBy(
+            F.col("cos").desc(), F.col("cid")
         )
-    )
+        best = scored.withColumn(
+            "rn", F.row_number().over(w)
+        ).filter(F.col("rn") == 1)
     pos = best.filter(F.col("is_pos")).select(
         "qid",
         F.col("cid").alias("pos_id"),

@@ -32,6 +32,14 @@ from pyspark.sql import functions as F
 #: (DuckDB errors on BIGINT overflow; Spark would wrap silently).
 _KM_PRIME = 2_147_483_647
 
+#: bump on ANY change that alters persisted LSH signature/band values
+#: (hash family internals, KM combination, band sig encoding) — a
+#: persisted index probed under a different scheme silently matches
+#: nothing, so write_lsh_index records this and
+#: incremental_lsh_candidates enforces it. v2 = the r12 two-hash KM
+#: xxhash family (v1, unrecorded, was n seeded xxhash64 digests).
+LSH_SCHEME_VERSION = 2
+
 
 def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Round-robin repartition IF the plan's current parallelism is
@@ -205,7 +213,15 @@ def write_lsh_index(
     an equi-join in which ONLY the (small) new side shuffles; the
     stored side reads its buckets with no exchange. At 100 TB the
     index is bands×N fixed-width rows (~30 B each) and appending a
-    deduped batch's own bands keeps it current."""
+    deduped batch's own bands keeps it current.
+
+    A 1-row ``{table}_meta`` companion records the signature scheme
+    (params + ``LSH_SCHEME_VERSION``) so a probe built under a
+    DIFFERENT scheme fails loudly instead of silently matching
+    nothing — the r12 KM rewrite changed the xxhash signature values,
+    which is exactly the failure a schemeless persisted index cannot
+    detect."""
+    spark = docs.sparkSession
     (
         band_table(docs, id_col, text_col, n_hashes, bands, shingle,
                    hash_strategy)
@@ -214,6 +230,11 @@ def write_lsh_index(
         .sortBy("band", "sig")
         .saveAsTable(table, format="parquet")
     )
+    spark.createDataFrame(
+        [(n_hashes, bands, shingle, hash_strategy, LSH_SCHEME_VERSION)],
+        "n_hashes int, bands int, shingle int, hash_strategy string,"
+        " scheme_version int",
+    ).write.mode("overwrite").saveAsTable(f"{table}_meta", format="parquet")
 
 
 def incremental_lsh_candidates(
@@ -229,10 +250,43 @@ def incremental_lsh_candidates(
     """Candidate pairs between a NEW batch and the indexed corpus:
     returns distinct (new_id, old_id). The batch side is bands×|batch|
     rows; the index side is read bucketed on the join key — the plan
-    shuffles only the batch. Parameters must match the index's
-    (enforce at the pipeline level; signatures built with different
-    n_hashes/bands never collide correctly)."""
+    shuffles only the batch. Probe parameters + signature scheme are
+    checked against the index's ``_meta`` companion when present —
+    signatures built under different n_hashes/bands/hash family/scheme
+    version never collide correctly, and without the check the
+    mismatch presents as silently-zero candidates. Indexes written
+    before the meta companion existed get a warning instead."""
+    import warnings
+
     spark = new_docs.sparkSession
+    meta_table = f"{index_table}_meta"
+    if spark.catalog.tableExists(meta_table):
+        meta = spark.table(meta_table).collect()[0]
+        mine = {
+            "n_hashes": n_hashes,
+            "bands": bands,
+            "shingle": shingle,
+            "hash_strategy": hash_strategy,
+            "scheme_version": LSH_SCHEME_VERSION,
+        }
+        theirs = {k: meta[k] for k in mine}
+        if mine != theirs:
+            raise ValueError(
+                f"incremental_lsh_candidates: probe scheme {mine} does "
+                f"not match index {index_table!r}'s recorded scheme "
+                f"{theirs} — rebuild the index (write_lsh_index) or "
+                "probe with the index's parameters; mismatched schemes "
+                "silently produce zero candidates"
+            )
+    else:
+        warnings.warn(
+            f"LSH index {index_table!r} has no _meta companion "
+            "(written before scheme versioning): cannot verify the "
+            "probe's signature scheme matches — a mismatch presents "
+            "as zero candidates. Rebuild with write_lsh_index to "
+            "record the scheme.",
+            stacklevel=2,
+        )
     probe = band_table(
         new_docs, id_col, text_col, n_hashes, bands, shingle,
         hash_strategy,
@@ -1028,10 +1082,33 @@ def keep_best_per_cluster(
     the corpus is an anti-join on the cluster relation, not this
     operator's job).
 
+    Non-numeric id columns can't ride the negation (ANSI errors on
+    the cast; non-ANSI silently nulls it and ties would break toward
+    the HIGHEST id) — they take the original window form instead,
+    same verdict, tested side-by-side.
+
     Returns (cluster_id, kept_doc, kept_quality, n_docs)."""
+    from pyspark.sql.types import NumericType
+
     j = clusters.join(
         docs.select(id_col, quality_col), on=id_col, how="inner"
     )
+    if not isinstance(j.schema[id_col].dataType, NumericType):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc(quality_col), id_col
+        )
+        ranked = j.withColumn("rn", F.row_number().over(w))
+        return ranked.groupBy("cluster_id").agg(
+            F.max(F.when(F.col("rn") == 1, F.col(id_col))).alias(
+                "kept_doc"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col(quality_col))).alias(
+                "kept_quality"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
     return (
         j.groupBy("cluster_id")
         .agg(

@@ -504,7 +504,7 @@ def ensure_fp_index(spark: SparkSession, n_images: int = 40) -> str:
         r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId
     )
     table = f"fp_index_gate_{app}"
-    if table in _FP_INDEX_BUILT:
+    if (table, n_images) in _FP_INDEX_BUILT:
         return table
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a table dir left by a PRIOR run of this same app isn't in a
@@ -533,7 +533,9 @@ def ensure_fp_index(spark: SparkSession, n_images: int = 40) -> str:
     except OSError:
         pass  # warehouse dir listing is best-effort scratch hygiene
     write_fp_index(synthetic_png_media(spark, n_images), table)
-    _FP_INDEX_BUILT.add(table)
+    # keyed on (table, n_images): a later call with a different corpus
+    # size must rebuild, not silently return the smaller index
+    _FP_INDEX_BUILT.add((table, n_images))
     return table
 
 

@@ -176,3 +176,15 @@ def test_geoframe_sample_without_name_column_raises(melt_gf):
     )
     with _pytest.raises(KeyError, match="'name' column"):
         nameless.sample("PI032-04-01")
+
+
+def test_describe_fractional_percentile_labels(melt_gf):
+    """r12 review: non-integer percentiles keep their full label
+    (pandas' '12.5%', not a truncated '12%' colliding aliases)."""
+    pdf = (
+        melt_gf.describe(percentiles=(0.125, 0.5))
+        .toPandas()
+        .set_index("summary")
+    )
+    assert "12.5%" in pdf.index and "50%" in pdf.index
+    assert pdf.loc["12.5%", "SiO2"] <= pdf.loc["50%", "SiO2"]

@@ -190,3 +190,77 @@ def test_containment_catches_doc_inside_doc(spark):
     out = pair_overlap_scores(docs, pairs).toPandas()
     assert out.loc[0, "containment"] == 1.0
     assert out.loc[0, "jaccard"] < 0.5
+
+
+def test_keep_best_per_cluster_string_ids(spark):
+    """r12 review: string doc ids take the window form (the negation
+    trick would ANSI-error or silently flip ties) — same verdict as
+    the documented lowest-id rule."""
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2)], "doc_id string, cluster_id int"
+    )
+    docs = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 7)], "doc_id string, n_chars int"
+    )
+    out = {
+        r["cluster_id"]: (r["kept_doc"], r["kept_quality"], r["n_docs"])
+        for r in keep_best_per_cluster(clusters, docs).collect()
+    }
+    # quality tie in cluster 1 → lowest id 'a'
+    assert out[1] == ("a", 10, 2)
+    assert out[2] == ("c", 7, 1)
+
+
+def test_incremental_lsh_scheme_guard(spark, tmp_path):
+    """r12 review: a persisted index probed under a different
+    signature scheme silently matches nothing — the _meta companion
+    now fails loudly on mismatched params and warns when absent
+    (pre-versioning index)."""
+    import warnings
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        write_lsh_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text body")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    table = "lsh_scheme_guard_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for d in (table, f"{table}_meta"):
+        shutil.rmtree(f"{wh}/{d}", ignore_errors=True)
+    try:
+        write_lsh_index(docs, table, bands=8, n_hashes=32)
+        # matching probe: fine, no warning
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            incremental_lsh_candidates(docs, table).count()
+        # mismatched bands: loud error naming both schemes
+        with _pytest.raises(ValueError, match="does not match index"):
+            incremental_lsh_candidates(docs, table, bands=4, n_hashes=32)
+        # legacy index (no meta): warns but still runs
+        spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            incremental_lsh_candidates(docs, table).count()
+        assert any("_meta companion" in str(x.message) for x in w)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_meta")
+        for d in (table, f"{table}_meta"):
+            shutil.rmtree(f"{wh}/{d}", ignore_errors=True)

@@ -274,3 +274,23 @@ def test_calibration_pt_spec_records_inverted_y():
     assert "invert_y" not in geoplot.calibration_spec(
         pdf, "T_K", "P_bar"
     )
+
+
+def test_spider_spec_null_element_does_not_crash():
+    """r12 review: a null element name with an explicit element_order
+    must not TypeError inside the skipped-elements sort — nulls drop
+    silently (pandas groupby semantics), named strings still warn."""
+    import warnings
+
+    pdf = pd.DataFrame(
+        {
+            "name": [1, 1, 1],
+            "element": ["La", None, "Nd"],
+            "norm_value": [10.0, 8.0, 6.0],
+        }
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        spec = geoplot.spider_spec(pdf, element_order=["La"])
+    assert spec["series"][0]["y"] == [10.0]
+    assert any("Nd" in str(x.message) for x in w)

@@ -149,7 +149,7 @@ def test_fp_index_gate_reaps_aged_scratch(spark):
     try:
         assert not os.path.exists(aged)      # past the 24 h cutoff
         assert os.path.exists(young)         # possibly a live session
-        assert table in P._FP_INDEX_BUILT
+        assert (table, 4) in P._FP_INDEX_BUILT
         # memoized: second call does not rebuild (table object count
         # in the catalog is stable and the call is instant)
         assert P.ensure_fp_index(spark, 4) == table
@@ -158,5 +158,5 @@ def test_fp_index_gate_reaps_aged_scratch(spark):
 
         shutil.rmtree(young, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        P._FP_INDEX_BUILT.discard(table)
+        P._FP_INDEX_BUILT.discard((table, 4))
         shutil.rmtree(os.path.join(wh, table), ignore_errors=True)

@@ -106,3 +106,36 @@ def test_olivine_forsterite_and_plag(spark):
     em = Plagioclase(plag).endmembers().toPandas()
     total = em[["anorthite", "albite", "orthoclase"]].sum(axis=1)[0]
     assert abs(total - 100.0) < 1e-9
+
+
+def test_config_snapshot_preserves_fixed_models():
+    """r12 review: snapshot() at query construction must not re-trip
+    the sequence-protocol guard when a fixed model is configured
+    (dataclasses.replace did — reproduced crash)."""
+    from magmapandas_spark.configuration import Configuration
+
+    cfg = Configuration()
+    cfg.Kd_model = ("fixed", 0.3, 0.05)
+    cfg.Fe3Fe2_model = ("fixed", 0.25, 0.05)
+    s = cfg.snapshot()
+    assert s.Kd_model == "fixed" and s.Kd_fixed_value == 0.3
+    assert s.Fe3Fe2_fixed_error == 0.05
+    # the snapshot is an independent copy
+    s.Kd_fixed_value = 0.9
+    assert cfg.Kd_fixed_value == 0.3
+
+
+def test_config_tuple_protocol_rejects_malformed():
+    """r12 review: non-'fixed' tuples and wrong-length tuples raise
+    the instructive protocol error, not unpack errors or silent
+    stale-value state."""
+    import pytest as _pytest
+
+    from magmapandas_spark.configuration import Configuration
+
+    cfg = Configuration()
+    with _pytest.raises(ValueError, match="tuple or list"):
+        cfg.Kd_model = ("toplis2005", 0.3, 0.05)
+    with _pytest.raises(ValueError, match="tuple or list"):
+        cfg.Kd_model = ("fixed", 0.3)
+    assert cfg.Kd_fixed_value is None  # nothing leaked

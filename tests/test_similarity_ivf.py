@@ -328,3 +328,33 @@ def test_ivf_seeded_rejects_string_ids(spark):
     )
     with _pytest.raises(TypeError, match="numeric id"):
         ivf_seeded(emb, [0, 1], F.col("vec_id") == "0")
+
+
+def test_hard_negative_mining_string_ids(spark):
+    """r12 review: string vector ids must take the window form — the
+    (-cid) aggregate would ANSI-error or null every winner. Same
+    pos/neg picks as numeric ids mapped to strings."""
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.contrastive import (
+        hard_negative_mining,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .limit(30)
+        .withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    )
+    num = hard_negative_mining(emb.filter(F.col("vec_id") < 5), emb)
+    s_emb = emb.withColumn(
+        "vec_id", F.format_string("v%04d", F.col("vec_id"))
+    )
+    st = hard_negative_mining(
+        s_emb.filter(F.col("vec_id") < "v0005"), s_emb
+    )
+    n_rows = {r["qid"]: (r["pos_id"], r["neg_id"]) for r in num.collect()}
+    s_rows = {r["qid"]: (r["pos_id"], r["neg_id"]) for r in st.collect()}
+    assert len(s_rows) == len(n_rows) > 0
+    for qid, (p, n) in n_rows.items():
+        sp, sn = s_rows[f"v{qid:04d}"]
+        assert sp == f"v{p:04d}" and sn == f"v{n:04d}"
