@@ -32,6 +32,18 @@ from pyspark.sql import functions as F
 #: (DuckDB errors on BIGINT overflow; Spark would wrap silently).
 _KM_PRIME = 2_147_483_647
 
+def _drop_table_and_dir(spark, table: str) -> None:
+    """Drop a managed table AND its (possibly stale, prior-session)
+    warehouse directory so a following overwrite-saveAsTable cannot
+    hit LOCATION_ALREADY_EXISTS."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+
+
 #: bump on ANY change that alters persisted LSH signature/band values
 #: (hash family internals, KM combination, band sig encoding) — a
 #: persisted index probed under a different scheme silently matches
@@ -222,6 +234,13 @@ def write_lsh_index(
     which is exactly the failure a schemeless persisted index cannot
     detect."""
     spark = docs.sparkSession
+    # overwrite must also survive a STALE warehouse dir: a managed
+    # table written by a PREVIOUS session is not in this session's
+    # (in-memory) catalog, and saveAsTable refuses to reuse the
+    # location (LOCATION_ALREADY_EXISTS) — the ensure_fp_index
+    # discipline, applied to both the index and its meta companion
+    _drop_table_and_dir(spark, table)
+    _drop_table_and_dir(spark, f"{table}_meta")
     (
         band_table(docs, id_col, text_col, n_hashes, bands, shingle,
                    hash_strategy)

@@ -453,6 +453,11 @@ def write_fp_index(
     ONLY the new batch's fingerprints shuffle; the stored side reads
     its buckets with no exchange. At crawl scale the index is one
     ~40-byte row per image."""
+    from magmapandas_spark.operators.dedup import _drop_table_and_dir
+
+    # survive a stale prior-session warehouse dir (same hazard as
+    # write_lsh_index: LOCATION_ALREADY_EXISTS on a fresh catalog)
+    _drop_table_and_dir(media.sparkSession, table)
     (
         png_fingerprints(media)
         .write.mode("overwrite")

@@ -389,6 +389,9 @@ def write_ivf_index(
 ) -> None:
     """Persist an IVF assignment bucketed by cell: probe joins then
     shuffle neither side (bucket-pruned scan ⋈ broadcast probes)."""
+    from magmapandas_spark.operators.dedup import _drop_table_and_dir
+
+    _drop_table_and_dir(assigned.sparkSession, table)
     (
         assigned.write.mode("overwrite")
         .bucketBy(n_buckets or 16, "cell")
