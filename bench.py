@@ -45,6 +45,32 @@ def select_retry_suspects(
     return suspects, historyless
 
 
+def select_weather_suspects(
+    timings: dict[str, float],
+    ref: dict[str, float],
+    cap: int = 12,
+    factor: float = 1.4,
+    floor_s: float = 1.5,
+) -> list[str]:
+    """Host-weather adjudication (r12 verdict item 4, unit-tested in
+    tests/test_bench_protocol.py): the continuity pass's 3x threshold
+    is too coarse to self-adjudicate a loaded run — r12 left 15 false
+    regressions (1.4-2.3x) for the judge to re-time by hand. A query
+    whose min-of-samples sits >1.4x its last committed record (and
+    >1.5 s absolute, so the cheap tail's scheduling jitter doesn't
+    qualify) earns ONE temporally-separated extra sample; the
+    adjudication samples and the still-elevated survivors land in the
+    emitted record so the run carries its own weather verdict.
+    Returns suspects slowest-first, capped."""
+    return sorted(
+        (
+            n for n, t in timings.items()
+            if n in ref and t > floor_s and t > factor * ref[n]
+        ),
+        key=lambda n: -timings[n],
+    )[:cap]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -170,6 +196,33 @@ def main() -> None:
             timings[name] = round(dt, 4)
             replaced += 1
 
+    # Weather-adjudication pass (r12 verdict item 4): queries still
+    # >1.4x their committed record after the min-of-n and continuity
+    # passes get ONE more temporally-separated sample each — the
+    # sweep over the whole suspect list IS the temporal separation
+    # (a burst that straddled the adjacent min-of-n samples has moved
+    # on by the time the sweep returns). Survivors are named in
+    # `weather_suspects` so a loaded run carries its own verdict
+    # instead of leaving 1.4-2.3x false regressions for a judge to
+    # re-time by hand.
+    weather = select_weather_suspects(timings, ref)
+    for name in weather:
+        if time.perf_counter() - suite_t0 > budget_s + 120:
+            break
+        dt = run_once(name, qmap[name])
+        samples[name].append(round(dt, 4))
+        if dt < timings[name]:
+            print(
+                f"# weather {name}: {timings[name]:.3f}s -> {dt:.3f}s "
+                "(recording min)",
+                file=sys.stderr,
+            )
+            timings[name] = round(dt, 4)
+    weather_suspects = sorted(
+        n for n in weather
+        if n in ref and timings[n] > 1.4 * ref[n] and timings[n] > 1.5
+    )
+
     load_after = os.getloadavg()
     total = sum(timings.values())
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -190,6 +243,8 @@ def main() -> None:
         "historyless_retried": sorted(
             n for n in suspects if n in historyless
         ),
+        "weather_retried": len(weather),
+        "weather_suspects": weather_suspects,
     }
     # The complete per-query map, for humans/the judge
     with open(

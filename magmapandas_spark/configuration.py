@@ -89,8 +89,12 @@ class Configuration:
                         "('fixed', value, error) e.g. ('fixed', 0.3, 0.05)"
                     )
                 model, v, e = value
+                # bool is an int subclass: ('fixed', True, True) must
+                # not silently configure 1.00±1.00
                 if any(
-                    not isinstance(i, (float, int)) or i <= 0
+                    not isinstance(i, (float, int))
+                    or isinstance(i, bool)
+                    or i <= 0
                     for i in (v, e)
                 ):
                     raise ValueError(

@@ -153,6 +153,23 @@ def co2_solubility_np(
     return np.where(valid, co3_ppm / 1e4, 0.0)
 
 
+def _ln_p_h2o_prefix(wt, h2o_obs, parameters):
+    """P-independent prefix of eq. 13 inverted at saturation:
+    (ln(w_obs) − b·NBO/O) − B. The composition (and therefore NBO/O)
+    is FIXED during a saturation solve — only the −C·P/T tail varies
+    with the bisection iterate — so the solvers compute this once per
+    batch instead of once per iteration (61× fewer mol-fraction/NBO
+    evaluations; the subtraction chain is split at an association
+    boundary of the original left-to-right expression, so the final
+    value is bit-identical)."""
+    c = H2O_COEFFS[parameters]
+    hydrous = parameters != "anhydrous"
+    mol = _mol_fractions(wt, h2o_obs)
+    nbo_o = _nbo_o(mol, hydrous)
+    with np.errstate(divide="ignore"):
+        return np.log(h2o_obs) - c["b"] * nbo_o - c["B"]
+
+
 def _ln_p_h2o_partial(wt, h2o_obs, T_K, P_total, parameters):
     """ln P_H2O from eq. 13 inverted at saturation.
 
@@ -161,16 +178,14 @@ def _ln_p_h2o_partial(wt, h2o_obs, T_K, P_total, parameters):
     in P_H2O given total P. This collapses the reference's nested
     root-finding into a single 1-D solve."""
     c = H2O_COEFFS[parameters]
-    hydrous = parameters != "anhydrous"
-    mol = _mol_fractions(wt, h2o_obs)
-    nbo_o = _nbo_o(mol, hydrous)
-    with np.errstate(divide="ignore"):
-        rhs = np.log(h2o_obs) - c["b"] * nbo_o - c["B"] - c["C"] * P_total / T_K
-    return rhs / c["a"]
+    pre = _ln_p_h2o_prefix(wt, h2o_obs, parameters)
+    return (pre - c["C"] * P_total / T_K) / c["a"]
 
 
-def _ln_p_co2_partial(wt, h2o_obs, co2_obs, T_K, P_total, parameters):
-    """ln P_CO2 from eq. 12 inverted at saturation (a=1)."""
+def _ln_p_co2_prefix(wt, h2o_obs, co2_obs, parameters):
+    """P-independent prefix of eq. 12 inverted at saturation (see
+    :func:`_ln_p_h2o_prefix` for why: same association-boundary split,
+    bit-identical result)."""
     hydrous = parameters != "anhydrous"
     cc = CO2_COEFFS["hydrous" if hydrous else "anhydrous"]
     mol = _mol_fractions(wt, h2o_obs)
@@ -181,13 +196,20 @@ def _ln_p_co2_partial(wt, h2o_obs, co2_obs, T_K, P_total, parameters):
     x_FM = g("FeO") + g("MgO") + 2 * g("Fe2O3")
     x_NK = g("Na2O") + g("K2O")
     with np.errstate(divide="ignore"):
-        rhs = (
+        return (
             np.log(co2_obs * 1e4)
             - g("H2O") * cc["d_H2O"] - x_AI * cc["d_AI"]
             - x_FM * cc["d_FM"] - x_NK * cc["d_NK"]
-            - cc["b"] * nbo_o - cc["B"] - cc["C"] * P_total / T_K
+            - cc["b"] * nbo_o - cc["B"]
         )
-    return rhs / cc["a"]
+
+
+def _ln_p_co2_partial(wt, h2o_obs, co2_obs, T_K, P_total, parameters):
+    """ln P_CO2 from eq. 12 inverted at saturation (a=1)."""
+    hydrous = parameters != "anhydrous"
+    cc = CO2_COEFFS["hydrous" if hydrous else "anhydrous"]
+    pre = _ln_p_co2_prefix(wt, h2o_obs, co2_obs, parameters)
+    return (pre - cc["C"] * P_total / T_K) / cc["a"]
 
 
 def h2o_saturation_np(wt, h2o_obs, T_K, parameters="hydrous_webapp"):
@@ -197,9 +219,11 @@ def h2o_saturation_np(wt, h2o_obs, T_K, parameters="hydrous_webapp"):
     h2o_obs = np.asarray(h2o_obs, dtype=float)
     T, h2o_obs = np.broadcast_arrays(T, h2o_obs)
     safe = np.where(h2o_obs > 0, h2o_obs, 1.0)
+    c = H2O_COEFFS[parameters]
+    pre = _ln_p_h2o_prefix(wt, safe, parameters)
 
     def f(P):
-        return np.exp(_ln_p_h2o_partial(wt, safe, T, P, parameters)) - P
+        return np.exp((pre - c["C"] * P / T) / c["a"]) - P
 
     lo = np.full_like(T, 1e-15)
     hi = np.full_like(T, 1.5e4)
@@ -217,14 +241,12 @@ def co2_saturation_np(wt, co2_obs, T_K, x_fluid=0.0,
     T, co2_obs = np.broadcast_arrays(T, co2_obs)
     safe = np.where(co2_obs > 0, co2_obs, 1.0)
     zero_h2o = np.zeros_like(T)
+    hydrous = parameters != "anhydrous"
+    cc = CO2_COEFFS["hydrous" if hydrous else "anhydrous"]
+    pre = _ln_p_co2_prefix(wt, zero_h2o, safe, parameters)
 
     def f(P):
-        return (
-            np.exp(
-                _ln_p_co2_partial(wt, zero_h2o, safe, T, P, parameters)
-            )
-            - P
-        )
+        return np.exp((pre - cc["C"] * P / T) / cc["a"]) - P
 
     lo = np.full_like(T, 1e-10)
     hi = np.full_like(T, 1e5)
@@ -251,18 +273,21 @@ def mixed_saturation_np(wt, h2o_obs, co2_obs, T_K,
 
     w_safe = np.where(h2o_obs > 0, h2o_obs, 1.0)
     c_safe = np.where(co2_obs > 0, co2_obs, 1.0)
+    c = H2O_COEFFS[parameters]
+    hydrous = parameters != "anhydrous"
+    cc = CO2_COEFFS["hydrous" if hydrous else "anhydrous"]
+    pre_w = _ln_p_h2o_prefix(wt, w_safe, parameters)
+    pre_c = _ln_p_co2_prefix(wt, w_safe, c_safe, parameters)
 
     def residual(P):
-        p_h2o = np.exp(_ln_p_h2o_partial(wt, w_safe, T, P, parameters))
-        p_co2 = np.exp(
-            _ln_p_co2_partial(wt, w_safe, c_safe, T, P, parameters)
-        )
+        p_h2o = np.exp((pre_w - c["C"] * P / T) / c["a"])
+        p_co2 = np.exp((pre_c - cc["C"] * P / T) / cc["a"])
         return p_h2o + p_co2 - P
 
     lo = np.full_like(T, 1e-2)
     hi = np.full_like(T, 1e5)
     P = eos.bisect_vectorized(residual, lo, hi, iters=60)
-    p_h2o = np.exp(_ln_p_h2o_partial(wt, w_safe, T, P, parameters))
+    p_h2o = np.exp((pre_w - c["C"] * P / T) / c["a"])
     x = np.clip(p_h2o / P, 0.0, 1.0)
 
     # degenerate cases (reference L466-469, 483-487)

@@ -35,13 +35,26 @@ _KM_PRIME = 2_147_483_647
 def _drop_table_and_dir(spark, table: str) -> None:
     """Drop a managed table AND its (possibly stale, prior-session)
     warehouse directory so a following overwrite-saveAsTable cannot
-    hit LOCATION_ALREADY_EXISTS."""
+    hit LOCATION_ALREADY_EXISTS.
+
+    The directory cleanup assumes a LOCAL-filesystem warehouse (the
+    sandbox/test posture); on a remote warehouse URI (s3://, hdfs://)
+    the rmtree is skipped — DROP TABLE alone is the portable part.
+    Spark lowercases managed-table directory names, and a db-qualified
+    name maps to ``<db>.db/<table>``."""
+    import os
     import shutil
     from urllib.parse import urlparse
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    uri = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if uri.scheme not in ("", "file"):
+        return  # non-local warehouse: directory hygiene is not ours
+    parts = table.lower().split(".")
+    rel = (
+        f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[-1]
+    )
+    shutil.rmtree(os.path.join(uri.path, rel), ignore_errors=True)
 
 
 #: bump on ANY change that alters persisted LSH signature/band values

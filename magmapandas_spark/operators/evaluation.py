@@ -307,19 +307,41 @@ def lsh_recall_eval(
 
     if sample_pred is not None:
         docs = docs.filter(sample_pred)
+
     # both pair relations feed two consumers each (a count and the
     # hit join): eager-checkpoint the pair-sized results so the
-    # shingle pipelines run once, not twice
-    truth = (
-        setjoin_jaccard(docs)
-        .select(F.col("doc_a").alias("id1"), F.col("doc_b").alias("id2"))
-        .localCheckpoint(eager=True)
-    )
-    cand = (
-        minhash_lsh_candidates(docs, hash_strategy="md5")
-        .select("id1", "id2")
-        .localCheckpoint(eager=True)
-    )
+    # shingle pipelines run once, not twice.
+    #
+    # The two pipelines are INDEPENDENT (different shingle families:
+    # word-3 prefix-filter truth vs char-5 minhash banding) and each
+    # is a chain of stage barriers that underfills the cluster on its
+    # own — submit them from two driver threads so the scheduler
+    # back-fills one pipeline's stragglers with the other's tasks
+    # (optimization guide §2.6). Each thread computes its relation
+    # exactly once; values are unchanged.
+    def _truth() -> DataFrame:
+        return (
+            setjoin_jaccard(docs)
+            .select(
+                F.col("doc_a").alias("id1"), F.col("doc_b").alias("id2")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def _cand() -> DataFrame:
+        return (
+            minhash_lsh_candidates(docs, hash_strategy="md5")
+            .select("id1", "id2")
+            .localCheckpoint(eager=True)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        truth_f = pool.submit(_truth)
+        cand_f = pool.submit(_cand)
+        truth = truth_f.result()
+        cand = cand_f.result()
     n_truth = truth.count()
     hit = truth.join(cand, ["id1", "id2"], "left_semi")
     n_hit = hit.count()

@@ -385,9 +385,18 @@ def q_er_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ER_TRUTH_CAP = 400
 
 
-def multipass_snm_pairs(names: DataFrame) -> tuple[DataFrame, DataFrame]:
+def multipass_snm_pairs(
+    names: DataFrame, checkpoint: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """(pass-1 pairs, multi-pass pairs) over DISTINCT name strings,
     both normalized to ``id1 < id2`` (lexicographic) and distinct.
+
+    ``checkpoint=True`` eagerly materializes the shared name
+    dictionary and the pass-1 pair set so the multi-pass union reuses
+    them: without it, ``multi``'s plan re-executes the entire pass-1
+    SNM window + levenshtein verify AND re-derives the distinct name
+    dictionary a third time (one subtree per pass) — pair sets are
+    identical either way, only the plan shape changes.
 
     SNM runs on the DEDUPLICATED key dictionary, never the raw rows:
     duplicate-heavy data turns each repeated key into a window-
@@ -403,6 +412,8 @@ def multipass_snm_pairs(names: DataFrame) -> tuple[DataFrame, DataFrame]:
     (Hernández & Stolfo 1995).
     """
     nm = names.select(F.col("nm")).distinct()
+    if checkpoint:
+        nm = nm.localCheckpoint(eager=True)
     p1 = sorted_neighborhood_pairs(nm, "nm", "nm")
     rev = nm.select("nm", F.reverse(F.col("nm")).alias("rname"))
     p2 = sorted_neighborhood_pairs(rev, "rname", "nm")
@@ -414,6 +425,8 @@ def multipass_snm_pairs(names: DataFrame) -> tuple[DataFrame, DataFrame]:
         ).distinct()
 
     pairs1 = norm(p1)
+    if checkpoint:
+        pairs1 = pairs1.localCheckpoint(eager=True)
     multi = pairs1.unionByName(norm(p2)).distinct()
     return pairs1, multi
 
@@ -428,22 +441,39 @@ def q_er_golden_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     6× the pass-1 recall (500000 vs 83333 ppm)."""
     parts = spark.read.parquet(f"{sf_dir}/part.parquet")
     names = parts.select(F.col("p_name").alias("nm"))
-    pairs1, multi = multipass_snm_pairs(names)
-    pairs1 = pairs1.localCheckpoint(eager=True)
-    multi = multi.localCheckpoint(eager=True)
-    smp = (
-        parts.filter(F.col("p_partkey") < _ER_TRUTH_CAP)
-        .select(F.col("p_name").alias("nm"))
-        .distinct()
-    )
-    a = smp.select(F.col("nm").alias("id1"))
-    b = smp.select(F.col("nm").alias("id2"))
-    truth = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("id1") < F.col("id2"))
-        .filter(F.levenshtein("id1", "id2").between(1, 3))
-        .localCheckpoint(eager=True)
-    )
+    # checkpoint=True: the multi-pass union builds on the MATERIALIZED
+    # pass-1 pair set and name dictionary instead of re-executing the
+    # pass-1 window + levenshtein verify inside its own plan
+    pairs1, multi = multipass_snm_pairs(names, checkpoint=True)
+
+    # multi (pass-2 window + union) and the brute-force truth are
+    # independent pipelines; overlap them so one's stragglers
+    # back-fill the other's idle cores (optimization guide §2.6)
+    def _multi() -> DataFrame:
+        return multi.localCheckpoint(eager=True)
+
+    def _truth() -> DataFrame:
+        smp = (
+            parts.filter(F.col("p_partkey") < _ER_TRUTH_CAP)
+            .select(F.col("p_name").alias("nm"))
+            .distinct()
+        )
+        a = smp.select(F.col("nm").alias("id1"))
+        b = smp.select(F.col("nm").alias("id2"))
+        return (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("id1") < F.col("id2"))
+            .filter(F.levenshtein("id1", "id2").between(1, 3))
+            .localCheckpoint(eager=True)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        multi_f = pool.submit(_multi)
+        truth_f = pool.submit(_truth)
+        multi = multi_f.result()
+        truth = truth_f.result()
     n_truth = truth.count()
     n_hit1 = truth.join(pairs1, ["id1", "id2"], "left_semi").count()
     n_hit_multi = truth.join(multi, ["id1", "id2"], "left_semi").count()

@@ -491,7 +491,7 @@ def incremental_fp_duplicates(
 # thing the gate entry claims to measure (a deployed index is built
 # once and probed per batch; min-of-N bench samples therefore record
 # the steady-state probe cost, not the one-time build)
-_FP_INDEX_BUILT: set = set()
+_FP_INDEX_BUILT: dict = {}  # table -> n_images it was built with
 
 
 def ensure_fp_index(spark: SparkSession, n_images: int = 40) -> str:
@@ -509,7 +509,7 @@ def ensure_fp_index(spark: SparkSession, n_images: int = 40) -> str:
         r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId
     )
     table = f"fp_index_gate_{app}"
-    if (table, n_images) in _FP_INDEX_BUILT:
+    if _FP_INDEX_BUILT.get(table) == n_images:
         return table
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a table dir left by a PRIOR run of this same app isn't in a
@@ -538,9 +538,10 @@ def ensure_fp_index(spark: SparkSession, n_images: int = 40) -> str:
     except OSError:
         pass  # warehouse dir listing is best-effort scratch hygiene
     write_fp_index(synthetic_png_media(spark, n_images), table)
-    # keyed on (table, n_images): a later call with a different corpus
-    # size must rebuild, not silently return the smaller index
-    _FP_INDEX_BUILT.add((table, n_images))
+    # keyed table -> n_images: a later call with a different corpus
+    # size replaces the entry and rebuilds, never silently returning
+    # an index of the wrong size
+    _FP_INDEX_BUILT[table] = n_images
     return table
 
 

@@ -1042,6 +1042,13 @@ ORDER BY qid, rn
 #: vectors) no matter how wide a cell grows
 _SEMDEDUP_BLOCK = 4096
 
+#: unguarded-cell loudness bound: with ``max_cell_rows=None`` a whole
+#: cell lands on ONE task; past this population the Gram blocks alone
+#: are ≥ ~1 GiB (_SEMDEDUP_BLOCK × n doubles) and the executor is on
+#: an OOM trajectory — the kernel warns (executor stderr) so the
+#: failure mode is named before it kills the worker
+_SEMDEDUP_UNSHARDED_WARN_ROWS = 32_768
+
 
 def semdedup(
     corpus: DataFrame,
@@ -1182,10 +1189,22 @@ def semdedup(
         join_keys = ["cell", "sub"]
     thr = float(threshold)
 
+    guarded = max_cell_rows is not None
+
     def cell_verdict(pdf):
         import numpy as np
         import pandas as pd
 
+        if not guarded and len(pdf) > _SEMDEDUP_UNSHARDED_WARN_ROWS:
+            import warnings as _w
+
+            _w.warn(
+                f"semdedup: unguarded cell of {len(pdf)} rows on one "
+                "task (max_cell_rows=None disables the hash-split "
+                "guard) — set max_cell_rows or refit the codebook "
+                "with larger k before this OOMs an executor",
+                stacklevel=2,
+            )
         # float64 up front: elementwise float32→float64 is exact, so
         # the products below equal Spark's cast-then-multiply
         X = np.stack(pdf["v"].to_numpy()).astype(np.float64)

@@ -32,6 +32,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # JVM (not ICU) case mappings for UTF8_BINARY lower()/upper()/
+        # initcap(). Spark 4's default ICU path lazily initializes
+        # CollationAwareUTF8String, whose static initializer title-
+        # cases all 1,114,112 Unicode code points through a fresh ICU
+        # BreakIterator clone each — measured 350-450 s of one-core
+        # CPU on this sandbox (jstack: Lower.execBinaryICU blocked on
+        # the class-init monitor), charged to whichever query first
+        # lowercases a string, in EVERY fresh JVM. JVM and ICU case
+        # mappings agree on ASCII, and every case-mapped column in
+        # this suite is ASCII (audited: the only non-ASCII test-data
+        # column, events.props, is JSON-extracted, never case-mapped),
+        # so results are identical. On a multilingual 100 TB corpus
+        # either flip this back on (the init amortizes over a long
+        # job) or pin the case-mapping semantics you need explicitly.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -58,6 +58,30 @@ def test_suspects_mixed_history_and_new():
     assert historyless == {"new_burst"}
 
 
+# -- bench.select_weather_suspects -------------------------------------
+
+def test_weather_suspects_14x_threshold():
+    timings = {"a": 3.0, "b": 2.7, "c": 1.0, "d": 5.0}
+    ref = {"a": 2.0, "b": 2.0, "c": 0.5, "d": 4.0}
+    # a: 1.5x -> suspect; b: 1.35x -> not; c: 2x but under the 1.5 s
+    # floor -> not; d: 1.25x -> not
+    assert bench.select_weather_suspects(timings, ref) == ["a"]
+
+
+def test_weather_suspects_slowest_first_and_capped():
+    timings = {f"q{i}": 10.0 + i for i in range(15)}
+    ref = {f"q{i}": 1.0 for i in range(15)}
+    out = bench.select_weather_suspects(timings, ref)
+    assert len(out) == 12
+    assert out[0] == "q14"  # slowest first
+
+
+def test_weather_suspects_no_history_no_suspect():
+    # a query with no committed record cannot be weather-adjudicated
+    # (the continuity pass's history-less fallback owns that case)
+    assert bench.select_weather_suspects({"new": 9.0}, {}) == []
+
+
 # -- suite.reset_melt_cache --------------------------------------------
 
 def test_reset_melt_cache_drops_memo_and_rebuilds(spark):

@@ -149,14 +149,20 @@ def test_fp_index_gate_reaps_aged_scratch(spark):
     try:
         assert not os.path.exists(aged)      # past the 24 h cutoff
         assert os.path.exists(young)         # possibly a live session
-        assert (table, 4) in P._FP_INDEX_BUILT
+        assert P._FP_INDEX_BUILT.get(table) == 4
         # memoized: second call does not rebuild (table object count
         # in the catalog is stable and the call is instant)
         assert P.ensure_fp_index(spark, 4) == table
+        # r13 ADVICE fix: a DIFFERENT corpus size must rebuild and
+        # replace the memo entry, not return the stale 4-image index
+        assert P.ensure_fp_index(spark, 6) == table
+        assert P._FP_INDEX_BUILT.get(table) == 6
+        n6 = spark.table(table).count()
+        assert n6 == 6
     finally:
         import shutil
 
         shutil.rmtree(young, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        P._FP_INDEX_BUILT.discard((table, 4))
+        P._FP_INDEX_BUILT.pop(table, None)
         shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
