@@ -1709,6 +1709,11 @@ def budget_allocation(
         per_cust.join(F.broadcast(dim), "o_custkey")
         .groupBy("n_name")
         .agg(F.sum("cnt").alias("cnt"))
+        # materialize the ≤|nations|-row aggregate ONCE: the main
+        # chain and the tot roll-up each re-ran the fact aggregation
+        # + dimension join when left lazy (6 parquet scans in the
+        # plan — guide §3.3). Deterministic, hash unchanged.
+        .localCheckpoint(eager=True)
     )
     tot = per_nation.agg(F.sum("cnt").alias("total"))
     w = Window.orderBy(
@@ -1990,6 +1995,14 @@ def q_gini_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .select("n_name", "c_custkey", "rev_c")
+        # materialize the customer-grain (nation, custkey, rev_c)
+        # relation ONCE: stats, the binned histogram branch and the
+        # exact rank-window twin each re-ran the orders aggregation +
+        # both joins when left lazy (9 parquet scans in the plan —
+        # guide §3.3). Deterministic, hash unchanged; bounded by the
+        # customer dimension, the catalog-not-facts assumption this
+        # operator already makes.
+        .localCheckpoint(eager=True)
     )
     stats = cust.groupBy("n_name").agg(
         F.min("rev_c").alias("mn"),

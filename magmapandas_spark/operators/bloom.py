@@ -108,9 +108,15 @@ def bloom_flag_docs(
     only corpus-side shuffle is the final per-doc count of (id) rows.
 
     Returns (id, n_flagged) for flagged docs only."""
+    # Materialize the (≤ m-row) position set ONCE: each of the k semi
+    # joins broadcasts it, and without a checkpoint every broadcast
+    # build re-runs the whole benchmark tokenize→ngram→md5 pipeline
+    # (the plan showed k copies of the bench subtree — guide §3.3,
+    # materialize an intermediate to truncate the plan). The relation
+    # is bounded by m_bits regardless of benchmark size.
     positions = bench_bit_positions(
         bench, id_col, text_col, n, m_bits, k
-    )
+    ).localCheckpoint(eager=True)
     cng = _ngram_relation(corpus, id_col, text_col, n)
     survivors = cng.select(
         id_col,

@@ -229,12 +229,17 @@ def sorted_neighborhood_pairs(
     slide a fixed window, verify only in-window pairs.
 
     Spark-first shape: the sort key is PREFIX-BLOCKED (first two
-    characters), so the rank window partitions by block and the pair
-    generation is ``window`` co-partitioned equi-joins on
-    ``(block, rank = rank - k)`` — no global sort, no single-partition
-    window, no self-cross. Pairs that straddle a prefix block are the
-    documented recall loss (multi-pass SNM with a second key closes
-    it), mirroring LSH banding's false-negative contract.
+    characters), so the window partitions by block and the in-window
+    neighbors at offsets 1..``window`` are ``lead(·, k)`` columns of
+    ONE window pass — no global sort, no single-partition window, no
+    self-join (the former per-offset equi-join cascade re-evaluated
+    the distinct+rank pipeline once per offset and shuffled it
+    ``window``+1 times; ``lead`` reads the same sorted run). A row
+    pairs with rank r+k exactly when ``lead(·, k)`` is non-null, so
+    the pair set is identical by construction. Pairs that straddle a
+    prefix block are the documented recall loss (multi-pass SNM with
+    a second key closes it), mirroring LSH banding's false-negative
+    contract.
 
     Output: verified pairs (distance ≤ ``max_dist``) with exact
     integer distances.
@@ -248,28 +253,26 @@ def sorted_neighborhood_pairs(
     from pyspark.sql import Window as W
 
     w = W.partitionBy("blk").orderBy("key", "rid")
-    ranked = blocked.select(
-        "rid", "key", "blk", F.row_number().over(w).alias("rn")
-    )
-    left = ranked.select(
-        F.col("blk"),
+    leads = blocked.select(
         F.col("rid").alias("id_a"),
         F.col("key").alias("key_a"),
-        F.col("rn").alias("rn_a"),
+        F.array(
+            *[
+                F.struct(
+                    F.lead("rid", k).over(w).alias("id_b"),
+                    F.lead("key", k).over(w).alias("key_b"),
+                )
+                for k in range(1, window + 1)
+            ]
+        ).alias("_nbrs"),
     )
-    # one strict 1:1 equi-join per window offset (linear in n; a
-    # blk-only join with a range filter would be quadratic per block)
-    shifted = None
-    for k in range(1, window + 1):
-        right_k = ranked.select(
-            F.col("blk"),
-            F.col("rid").alias("id_b"),
-            F.col("key").alias("key_b"),
-            (F.col("rn") - k).alias("rn_a"),
+    pairs = (
+        leads.select(
+            "id_a", "key_a", F.explode("_nbrs").alias("_nb")
         )
-        part = left.join(right_k, ["blk", "rn_a"])
-        shifted = part if shifted is None else shifted.unionByName(part)
-    pairs = shifted
+        .filter(F.col("_nb.id_b").isNotNull())
+        .select("id_a", "key_a", "_nb.id_b", "_nb.key_b")
+    )
     return (
         pairs.select(
             "id_a",

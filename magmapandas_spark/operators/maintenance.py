@@ -357,7 +357,13 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    d = table_diff(old, new, "o_orderkey")
+    # materialize the narrow (key, change) diff ONCE: the per-class
+    # census and the changed-value fetch both consume it, and each
+    # lazy reference re-ran the digest full-outer join (6 parquet
+    # scans in the plan — guide §3.3). Production writes the diff to
+    # a table before consuming it twice; localCheckpoint is the
+    # in-session equivalent. Deterministic, hash unchanged.
+    d = table_diff(old, new, "o_orderkey").localCheckpoint(eager=True)
     changed_keys = d.filter(F.col("change") == "changed").select(
         "o_orderkey"
     )

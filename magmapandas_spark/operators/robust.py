@@ -74,13 +74,21 @@ def mad_outliers(
         F.col(val_col).alias("x"),
         F.col(id_col).alias("i"),
     )
-    med = _median_by_rank(base, "g", "x", "i", "med")
+    # materialize the two ≤|groups|-row median relations ONCE: dev is
+    # referenced by both the MAD branch and the flag branch, and each
+    # lazy reference re-ran the group-sort median window (8 parquet
+    # scans in the plan — guide §3.3). Now exactly the two per-group
+    # sorts the module docstring promises. Deterministic order
+    # statistics, hash unchanged.
+    med = _median_by_rank(base, "g", "x", "i", "med").localCheckpoint(
+        eager=True
+    )
     dev = base.join(F.broadcast(med), "g").select(
         "g", "i", "x", F.abs(F.col("x") - F.col("med")).alias("dev"), "med"
     )
     mad = _median_by_rank(
         dev.select("g", F.col("dev").alias("x"), "i"), "g", "x", "i", "mad"
-    )
+    ).localCheckpoint(eager=True)
     flagged = dev.join(F.broadcast(mad), "g").select(
         "g",
         "med",

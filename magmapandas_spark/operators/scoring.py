@@ -188,9 +188,18 @@ def dsir_importance(
             "_is_target",
         )
     )
-    stats = tok.groupBy("b").agg(
-        F.count(F.lit(1)).alias("r_cnt"),
-        F.sum(F.col("_is_target").cast("long")).alias("t_cnt"),
+    stats = (
+        tok.groupBy("b").agg(
+            F.count(F.lit(1)).alias("r_cnt"),
+            F.sum(F.col("_is_target").cast("long")).alias("t_cnt"),
+        )
+        # materialize the ≤n_buckets-row LM state ONCE: totals and the
+        # broadcast join each re-ran the full tokenize+explode pipeline
+        # when left lazy (3 tokenize passes in the plan — guide §3.3).
+        # The bucket-count relation IS the fitted language model, so
+        # materializing it is the operator's own contract.
+        # Deterministic, hash unchanged.
+        .localCheckpoint(eager=True)
     )
     totals = stats.agg(
         F.sum("r_cnt").alias("R"), F.sum("t_cnt").alias("T")

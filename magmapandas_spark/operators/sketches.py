@@ -555,8 +555,18 @@ def hll_join_cardinality(
     ka = a.select(F.col(a_key).alias("v")).filter(F.col("v").isNotNull())
     kb = b.select(F.col(b_key).alias("v")).filter(F.col("v").isNotNull())
     side = F.lit("k").alias("side")
-    ra = hll_register_relation(ka.select(side, "v"), "side", "v")
-    rb = hll_register_relation(kb.select(side, "v"), "side", "v")
+    # materialize each ≤m-row register relation ONCE: ru's merge and
+    # the per-side estimates each re-built the registers from a fresh
+    # table scan when left lazy (8 parquet scans in the plan — guide
+    # §3.3). The register relation IS the maintained sketch state the
+    # docstring describes, so materializing it is the operator's own
+    # contract. Deterministic, hash unchanged.
+    ra = hll_register_relation(
+        ka.select(side, "v"), "side", "v"
+    ).localCheckpoint(eager=True)
+    rb = hll_register_relation(
+        kb.select(side, "v"), "side", "v"
+    ).localCheckpoint(eager=True)
     ru = merge_hll_registers(ra, rb, "side")
 
     def est_of(regs, name):

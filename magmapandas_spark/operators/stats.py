@@ -744,6 +744,13 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("c_a"),
             F.sum("in_b").alias("c_b"),
         )
+        # materialize the ≤10-row bin-count relation ONCE: the final
+        # plan references it through scored/psi/tot, and each lazy
+        # reference re-ran the full corpus bin-count scan (plan showed
+        # 8 parquet scans — guide §3.3, truncate with an intermediate).
+        # Values are deterministic, so the hash is unchanged; now
+        # exactly the two structural passes the docstring promises.
+        .localCheckpoint(eager=True)
     )
     grid = spark.range(10).select(F.col("id").alias("bin"))
     j = grid.join(F.broadcast(counts), "bin", "left").select(
@@ -837,7 +844,15 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_nationkey").alias("a"), F.col("c_mktsegment").alias("b")
     )
-    cont = cust.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    cont = (
+        cust.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # materialize the |nations|×|segments| (≈125-row) contingency
+        # table ONCE: ma/mb/tot/scored/mi all derive from it and each
+        # lazy reference re-scanned customer (8 scans in the plan —
+        # guide §3.3). Deterministic counts, hash unchanged.
+        .localCheckpoint(eager=True)
+    )
     ma = cont.groupBy("a").agg(F.sum("c").alias("ca"))
     mb = cont.groupBy("b").agg(F.sum("c").alias("cb"))
     tot = cont.agg(F.sum("c").alias("n"))

@@ -297,15 +297,27 @@ def test_weighted_sample_is_takeordered(spark):
 def test_dsir_stats_are_broadcast(spark):
     """dsir_importance joins exploded tokens against the ≤ n_buckets
     bucket-stats relation — that side must be broadcast (it is bounded
-    by construction); a SortMergeJoin would shuffle the full token
-    stream a second time."""
+    by construction); a SortMergeJoin there would shuffle the full
+    token stream a second time. Since the r13 materialization of the
+    bucket-stats LM state, stats arrive as a checkpointed relation
+    (Scan ExistingRDD) under an explicit broadcast hint; the one
+    allowed SortMergeJoin is the final doc-grain left join attaching
+    scores to doc ids — the correct 100 TB shape for an O(docs)
+    relation (broadcasting it would only be a small-sf accident)."""
     from pyspark.sql import functions as F
     from magmapandas_spark.operators.scoring import dsir_importance
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(dsir_importance(docs, F.col("lang") == "en"))
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # at most ONE sort-merge join, and it must be keyed on the doc id
+    # (the score-attach join) — an SMJ keyed on the bucket column `b`
+    # would be the token⋈stats shuffle this pin exists to forbid
+    assert plan.count("SortMergeJoin") <= 1
+    if "SortMergeJoin" in plan:
+        smj_key = plan.split("SortMergeJoin [")[1].split("#")[0]
+        assert smj_key == "doc_id", smj_key
+    assert "Scan ExistingRDD" in plan  # materialized LM state
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
@@ -536,15 +548,32 @@ def test_table_diff_join_is_digest_narrow(spark):
     """The snapshot-diff outer join must consume (key, digest)
     projections — md5 reduces rows BEFORE the join, and the payload
     columns (o_orderpriority etc.) never ride the wide join: they
-    reappear only in the bounded changed-key value fetch."""
+    reappear only in the bounded changed-key value fetch. Since the
+    r13 materialization, the gate query checkpoints the (key, change)
+    diff once, so the md5/FullOuter shape is pinned on the UNDERLYING
+    table_diff relation and the gate plan is pinned to consume the
+    materialized diff instead of re-running the digest join per
+    consuming branch."""
+    from pyspark.sql import functions as F
+
+    from magmapandas_spark.operators.maintenance import table_diff
     from magmapandas_spark.relational import suite
+
+    old = spark.read.parquet(f"{SF}/orders.parquet")
+    new = old.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    lazy_plan = plan_of(table_diff(old, new, "o_orderkey"))
+    assert "CartesianProduct" not in lazy_plan
+    assert "md5" in lazy_plan
+    # the FULL OUTER join exists and consumes narrow projections
+    assert "FullOuter" in lazy_plan
 
     df = suite.queries()["table_diff"](spark, SF)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
-    assert "md5" in plan
-    # the FULL OUTER join exists and is keyed on the merge key
-    assert "FullOuter" in plan
+    # the diff is materialized once: the gate plan reads the
+    # checkpointed relation and never re-runs the digest join
+    assert "Scan ExistingRDD" in plan
+    assert "FullOuter" not in plan
 
 
 # -- round-7 wave (suite8) --------------------------------------------
