@@ -363,16 +363,26 @@ def _lloyd_fit(
     k = min(k, n)
     x2 = (X * X).sum(axis=1)
     centers = [X[rng.randint(n)]]
+    # k-means++ seeding with an INCREMENTAL running min: each round
+    # scores only the newest center (one n×1 matmul) and folds it into
+    # the running nearest-center distance, instead of rescoring all j
+    # centers picked so far (O(k²·n·d) total). Bitwise-identical to
+    # the full-matrix form — min() is exact, and per-column GEMM
+    # results are verified bit-equal on this BLAS for every fit shape
+    # the engine uses (see tests/test_similarity_ivf.py).
+    dmin = None
     for _ in range(1, k):
-        C = np.asarray(centers)
-        d2 = np.maximum(
-            x2[:, None] + (C * C).sum(axis=1)[None, :] - 2.0 * X @ C.T, 0.0
-        ).min(axis=1)
-        tot = d2.sum()
+        c = np.asarray(centers[-1:])
+        dnew = np.maximum(
+            x2[:, None] + (c * c).sum(axis=1)[None, :] - 2.0 * X @ c.T,
+            0.0,
+        )[:, 0]
+        dmin = dnew if dmin is None else np.minimum(dmin, dnew)
+        tot = dmin.sum()
         if tot <= 0:
             centers.append(X[rng.randint(n)])
             continue
-        centers.append(X[rng.choice(n, p=d2 / tot)])
+        centers.append(X[rng.choice(n, p=dmin / tot)])
     C = np.asarray(centers, dtype=float)
     for _ in range(iters):
         d = x2[:, None] + (C * C).sum(axis=1)[None, :] - 2.0 * X @ C.T

@@ -358,3 +358,61 @@ def test_hard_negative_mining_string_ids(spark):
     for qid, (p, n) in n_rows.items():
         sp, sn = s_rows[f"v{qid:04d}"]
         assert sp == f"v{p:04d}" and sn == f"v{n:04d}"
+
+
+def test_lloyd_fit_incremental_init_bitwise_identical():
+    """The r13 k-means++ seeding keeps a running nearest-center
+    distance (one n×1 matmul per round) instead of rescoring every
+    center picked so far. Pin bitwise identity against a verbatim
+    replica of the pre-r13 full-matrix form on every fit shape the
+    engine uses: the gate IVF fit (4096×64, k=8), the IVF-PQ coarse
+    fit (n×64, k=16) and the 8 PQ subspace fits (n×8, k=64)."""
+    import numpy as np
+
+    from magmapandas_spark.operators.similarity import _lloyd_fit
+
+    def lloyd_full_matrix(X, k, seed, iters=20):
+        rng = np.random.RandomState(seed)
+        n = X.shape[0]
+        k = min(k, n)
+        x2 = (X * X).sum(axis=1)
+        centers = [X[rng.randint(n)]]
+        for _ in range(1, k):
+            C = np.asarray(centers)
+            d2 = np.maximum(
+                x2[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2.0 * X @ C.T,
+                0.0,
+            ).min(axis=1)
+            tot = d2.sum()
+            if tot <= 0:
+                centers.append(X[rng.randint(n)])
+                continue
+            centers.append(X[rng.choice(n, p=d2 / tot)])
+        C = np.asarray(centers, dtype=float)
+        for _ in range(iters):
+            d = (
+                x2[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2.0 * X @ C.T
+            )
+            a = d.argmin(axis=1)
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    C[j] = X[m].mean(axis=0)
+        return C
+
+    shapes = [(4096, 64, 8, 42), (2000, 64, 16, 42), (2000, 8, 64, 47)]
+    for n, d, k, seed in shapes:
+        X = np.random.RandomState(7).randn(n, d)
+        a = lloyd_full_matrix(X, k, seed)
+        b = _lloyd_fit(X, k, seed)
+        assert np.array_equal(a, b), (n, d, k, seed)
+
+    # degenerate duplicates: exercises the tot<=0 random-restart branch
+    Xdup = np.zeros((64, 8))
+    a = lloyd_full_matrix(Xdup, 8, 3)
+    b = _lloyd_fit(Xdup, 8, 3)
+    assert np.array_equal(a, b)
