@@ -364,73 +364,71 @@ def _wrap(fn: Callable) -> Callable:
 # The correctness driver hash-verifies only the FIRST 50 entries of
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
-# Round-12 rotation — oldest-first, per the r11 verdict's item 1.
-# After r11 the staleness profile (latest driver stamp per entry, all
-# 247) is r5:3 r7:44 r8:50 r9:50 r10:50 r11:50.  The 50 slots take
-# all three r5 rows — `pricing_summary` and
-# `thermometer_putirka2008_15` (the two deferred from r11, closing
-# the "nothing older than r7" demand) plus `ivfpq_topk` (the
-# rows-only composed-index probe, DESIGN.md §2, refreshing its
-# rows-only stamp) — followed by ALL 44 r7 rows, then the first 3 of
-# the r8 cohort alphabetically (`ab_chi2`, `abc_classification`,
-# `ann_recall`) to fill the head and start the next rotation wave.
+# Round-13 rotation — oldest-first, per the r12 verdict's item 1.
+# After r12 the staleness profile (latest driver stamp per entry,
+# all 247) is r8:47 r9:50 r10:50 r11:50(+minhash_lsh_xxhash rows-
+# only) r12:50.  The 50 slots take `minhash_lsh_xxhash` (rows-only
+# production probe, DESIGN.md §2, refreshing its r11 rows-only
+# stamp, as the verdict ordered) + ALL 47 r8 rows, then the first
+# 2 of the r9 cohort alphabetically (`abc_classification_sketch`,
+# `audio_fingerprint`) to fill the head and start the next wave.
 # Everything past slot 50 stays covered by tests/test_oracle.py
 # (the identical rows+schema+values check over the whole registry,
 # run at sf0.01 and sf0.1 every session).
 _GATE_ORDER = [
-    # r5-stamped (oldest; the two r11 deferrals + the rows-only probe)
-    "pricing_summary",
-    "thermometer_putirka2008_15",
-    "ivfpq_topk",
-    # r7-stamped (all 44)
-    "attribution",
-    "balance_cume_dist",
-    "benford_audit",
-    "bigram_lm",
-    "blame_supplier",
-    "bootstrap_ci",
-    "calibration_flags",
-    "copurchase_lift",
-    "cusum_alarms",
-    "domain_divergence",
-    "dominant_suppliers",
-    "er_golden",
-    "ewma_smooth",
-    "fe3fe2_deng2020",
-    "fe3fe2_expr_models",
-    "fe3fe2_expr_models2",
-    "fe3fe2_expr_models3",
-    "fe3fe2_hirschmann2022",
-    "geo_nearest",
-    "image_decode",
-    "isobar_grid",
-    "ivf_topk",
-    "kd_blundy_saper",
-    "kd_expr_models",
-    "kd_toplis_iteration",
-    "kfold_split",
-    "label_propagation",
-    "mad_outliers",
-    "magnetite_speciation",
-    "mc_thermometer",
-    "melt_describe",
-    "melt_structure",
-    "ngram_contamination",
-    "olmelt_thermometer",
-    "plag_endmembers",
-    "randomized_response",
-    "rfm_segments",
-    "sentence_stats",
-    "skyline_parts",
-    "snm_pairs",
-    "stratified_sample",
-    "sugawara6a_cpx",
-    "triangle_downsample",
-    "zonemap_prune",
-    # r8-stamped (head of the next rotation wave)
-    "ab_chi2",
-    "abc_classification",
-    "ann_recall",
+    # rows-only probe refresh (r11 rows stamp)
+    "minhash_lsh_xxhash",
+    # r8-stamped (all 47, registry order)
+    "semdedup_sharded",
+    "video_frame_decode",
+    "bm25_search",
+    "line_dedup",
+    "quality_classifier",
+    "dsir_importance",
+    "weighted_sample",
+    "jsonl_ingest",
+    "domain_topk",
+    "inverted_index",
+    "table_stats",
+    "kmeans_refine",
+    "stratified_weighted_sample",
+    "binary_topk",
+    "curated_sample",
+    "hll_join_card",
+    "validate_lineitem",
+    "skew_report",
+    "linreg_normal",
+    "triangle_count",
+    "scd2_build",
+    "funnel_conversion",
+    "token_pmi",
+    "incremental_agg",
+    "cohort_retention",
+    "event_transitions",
+    "kmv_setops",
+    "ols_multi",
+    "session_paths",
+    "incremental_join",
+    "hybrid_search",
+    "fuzzy_join",
+    "table_diff",
+    "hard_negatives",
+    "k_anonymity",
+    "setsim_join",
+    "lsh_recall_eval",
+    "random_projection",
+    "retrieval_eval",
+    "winsorized_stats",
+    "kcore",
+    "rfm_segments_sketch",
+    "er_golden_multipass",
+    "two_hop_reach",
+    "budget_allocation",
+    "rake_keywords",
+    "h264_ipcm_decode",
+    # r9-stamped (head of the next rotation wave)
+    "abc_classification_sketch",
+    "audio_fingerprint",
 ]
 
 
