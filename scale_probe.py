@@ -173,6 +173,8 @@ SHAPES = [
     "balanced_resample",
     "abc_sketch_only",
     "corpus_build_funnel",
+    "keep_best_uniform",
+    "keep_best_skewed",
 ]
 
 #: shapes that read the shared synthetic-melt cache — the
@@ -272,6 +274,35 @@ def _lsh_recall_sampled_shape(spark, sf_dir: str):
     )
 
 
+def _keep_best_shape(skewed: bool):
+    """Round-13 shapes: the keep-best argmin collapse under uniform
+    vs ZIPFIAN cluster sizes. The skewed variant puts ~half of ALL
+    docs in one mega-cluster (the distribution where the pre-r12
+    row_number window degenerates to a single-task sort); the r12
+    max(struct) form partial-aggregates map-side, so one combined row
+    per (partition, cluster) crosses the wire and the mega-cluster
+    costs the same as the tail. Claim under test (r12 verdict item
+    6): ratio_over_x(skewed) <= ratio_over_x(uniform)."""
+
+    def shape(spark, sf_dir: str):
+        from pyspark.sql import functions as F
+
+        from magmapandas_spark.operators.dedup import (
+            keep_best_per_cluster,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        h = F.abs(F.xxhash64(F.col("doc_id")))
+        if skewed:
+            cl = F.when(h % 2 == 0, F.lit(0)).otherwise(h % 100_000)
+        else:
+            cl = h % 100_000
+        clusters = docs.select("doc_id", cl.alias("cluster_id"))
+        return keep_best_per_cluster(clusters, docs)
+
+    return shape
+
+
 def _abc_sketch_only_shape(spark, sf_dir: str):
     from magmapandas_spark.operators.analytics import (
         abc_classification_sketch,
@@ -352,6 +383,10 @@ def run_shapes(spark, sf_dir: str, only: list | None = None) -> dict:
         # (eval-set) side is corpus-INDEPENDENT, so wall must track
         # the documents scan
         "corpus_build_funnel": qs["corpus_build_funnel"],
+        # round-13 shapes: keep-best argmin collapse, uniform vs
+        # zipfian cluster sizes (see _keep_best_shape)
+        "keep_best_uniform": _keep_best_shape(skewed=False),
+        "keep_best_skewed": _keep_best_shape(skewed=True),
     }
     # Measurement protocol (round 10, same as bench.py): every shape
     # is timed SPARK_GRAFT_PROBE_SAMPLES (default 2) times
