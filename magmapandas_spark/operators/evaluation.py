@@ -302,11 +302,24 @@ def lsh_recall_eval(
     measure recall on a sample, never the full corpus (this is the
     suite's most expensive query when unsampled; see scale_probe's
     ``lsh_recall_sampled`` row)."""
-    from magmapandas_spark.operators.dedup import minhash_lsh_candidates
+    from magmapandas_spark.operators.dedup import fan_out, minhash_lsh_candidates
     from magmapandas_spark.operators.setjoin import setjoin_jaccard
 
     if sample_pred is not None:
         docs = docs.filter(sample_pred)
+
+    # Materialize the (sample-bounded) document slice ONCE: both
+    # shingle pipelines otherwise scan+filter the corpus parquet
+    # independently AND each pays its own fan_out round-robin
+    # shuffle of the raw text. Checkpointing after fan_out gives
+    # both legs the already-spread (doc_id, text) relation from
+    # executor memory — one scan, zero fan-out exchanges in the
+    # legs (each leg's own fan_out sees parallelism >= target and
+    # no-ops). The relation is the measurement slice, recomputed
+    # inside every invocation — never a cross-run cache.
+    docs = fan_out(
+        docs.select("doc_id", "text")
+    ).localCheckpoint(eager=True)
 
     # both pair relations feed two consumers each (a count and the
     # hit join): eager-checkpoint the pair-sized results so the

@@ -554,19 +554,26 @@ def hll_join_cardinality(
     fixed-order expression in the SQL twin."""
     ka = a.select(F.col(a_key).alias("v")).filter(F.col("v").isNotNull())
     kb = b.select(F.col(b_key).alias("v")).filter(F.col("v").isNotNull())
+    # materialize the ≤m-row-per-side register relations ONCE: ru's
+    # merge and the per-side estimates each re-built the registers
+    # from a fresh table scan when left lazy (8 parquet scans in the
+    # plan — guide §3.3). The register relation IS the maintained
+    # sketch state the docstring describes, so materializing it is
+    # the operator's own contract. Both sides are built in ONE
+    # union-with-side-tag aggregation (one driver-synchronous job,
+    # not two sequential ones): register values per side are
+    # identical to two separate builds — the group key only routes
+    # rows, max(rho) within (side, idx) sees the same inputs.
+    # Deterministic, hash unchanged.
+    tagged = ka.select(F.lit("a").alias("tag"), "v").unionByName(
+        kb.select(F.lit("b").alias("tag"), "v")
+    )
+    regs = hll_register_relation(tagged, "tag", "v").localCheckpoint(
+        eager=True
+    )
     side = F.lit("k").alias("side")
-    # materialize each ≤m-row register relation ONCE: ru's merge and
-    # the per-side estimates each re-built the registers from a fresh
-    # table scan when left lazy (8 parquet scans in the plan — guide
-    # §3.3). The register relation IS the maintained sketch state the
-    # docstring describes, so materializing it is the operator's own
-    # contract. Deterministic, hash unchanged.
-    ra = hll_register_relation(
-        ka.select(side, "v"), "side", "v"
-    ).localCheckpoint(eager=True)
-    rb = hll_register_relation(
-        kb.select(side, "v"), "side", "v"
-    ).localCheckpoint(eager=True)
+    ra = regs.filter(F.col("tag") == "a").select(side, "idx", "m_reg")
+    rb = regs.filter(F.col("tag") == "b").select(side, "idx", "m_reg")
     ru = merge_hll_registers(ra, rb, "side")
 
     def est_of(regs, name):
