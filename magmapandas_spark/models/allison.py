@@ -83,15 +83,19 @@ def _redkw(BP: np.ndarray, A2B: np.ndarray) -> np.ndarray:
     return np.where(pos | neg, FP, 1.0)
 
 
-def _rkcalc(T_K: np.ndarray, P_bar: np.ndarray, species: str) -> np.ndarray:
-    """ln fugacity from the MRK EOS (``CO2_H2O.py:40-73``)."""
+def _rk_prefix(T_K: np.ndarray, species: str):
+    """T-only terms of :func:`_rkcalc` — (ASUM, RXT, BSUM).
+
+    During a saturation bisection T is fixed while P moves, so these
+    are computed once per batch instead of once per iteration (the
+    48-eval inner fugacity inversion made them the hot path). The
+    split is at association boundaries of the original expressions
+    (ASUM and RXT are complete subexpressions), so every IEEE op and
+    its order is preserved — the tail result is bit-identical."""
     Rg = 82.05736
-    PBLN = np.log(P_bar)
     T_C = T_K - 273.15
     RXT = Rg * T_K
     RT = Rg * T_K**1.5 * 1e-6
-    P_atmos = P_bar / 1.013
-
     if species == "CO2":
         A_M = 73.03 - 0.0714 * T_C + 2.157e-05 * T_C**2
         BSUM = 29.7
@@ -99,20 +103,40 @@ def _rkcalc(T_K: np.ndarray, P_bar: np.ndarray, species: str) -> np.ndarray:
         A_M = 115.98 - 0.0016295 * T_K - 1.4984e-05 * T_K**2
         BSUM = 14.5
     ASUM = A_M / (BSUM * RT)
+    return ASUM, RXT, BSUM
+
+
+def _rkcalc_from_prefix(
+    P_bar: np.ndarray, ASUM: np.ndarray, RXT: np.ndarray, BSUM: float
+) -> np.ndarray:
+    """P-dependent tail of :func:`_rkcalc` (see :func:`_rk_prefix`)."""
+    PBLN = np.log(P_bar)
+    P_atmos = P_bar / 1.013
     BP = P_atmos * BSUM / RXT
     return _redkw(BP, ASUM) + PBLN
 
 
-def _saxena(T_K: np.ndarray, P_bar: np.ndarray) -> np.ndarray:
-    """Saxena & Fei (1987) high-P CO2 correction: ln F(P)/F(4 kbar)
-    (``CO2_H2O.py:151-184``)."""
-    PO = 4000.0
+def _rkcalc(T_K: np.ndarray, P_bar: np.ndarray, species: str) -> np.ndarray:
+    """ln fugacity from the MRK EOS (``CO2_H2O.py:40-73``)."""
+    ASUM, RXT, BSUM = _rk_prefix(T_K, species)
+    return _rkcalc_from_prefix(P_bar, ASUM, RXT, BSUM)
+
+
+def _saxena_prefix(T_K: np.ndarray):
+    """T-only coefficients of :func:`_saxena` — (A, B, C, D); same
+    association-boundary split discipline as :func:`_rk_prefix`."""
     TR = T_K / 304.2
-    PC = 73.9
     A = 2.0614 - 2.2351 / TR**2 - 0.39411 * np.log(TR)
     B = 0.055125 / TR + 0.039344 / TR**2
     C = -1.8935e-06 / TR - 1.1092e-05 / TR**2 - 2.1892e-05 / TR**3
     D = 5.0527e-11 / TR - 6.3033e-21 / TR**3
+    return A, B, C, D
+
+
+def _saxena_from_prefix(P_bar, A, B, C, D) -> np.ndarray:
+    """P-dependent tail of :func:`_saxena`."""
+    PO = 4000.0
+    PC = 73.9
     return (
         A * np.log(P_bar / PO)
         + (B / PC) * (P_bar - PO)
@@ -121,23 +145,61 @@ def _saxena(T_K: np.ndarray, P_bar: np.ndarray) -> np.ndarray:
     )
 
 
+def _saxena(T_K: np.ndarray, P_bar: np.ndarray) -> np.ndarray:
+    """Saxena & Fei (1987) high-P CO2 correction: ln F(P)/F(4 kbar)
+    (``CO2_H2O.py:151-184``)."""
+    return _saxena_from_prefix(P_bar, *_saxena_prefix(T_K))
+
+
+def _hb_fugacity_prefix(T_K: np.ndarray, species: str):
+    """Fugacity evaluator with the T-only work hoisted: returns
+    ``fug(P_bar)`` computing :func:`hb_fugacity_np` bit-identically
+    for P of T's shape. Beyond the :func:`_rk_prefix` terms this
+    hoists the ENTIRE constant 4-kbar MRK branch for CO2 —
+    ``_rkcalc(T, 4000, "CO2")`` does not depend on the iterate at
+    all, yet the unhoisted form recomputed it (a full `_redkw` pass)
+    in every one of the ~48×48 mixed-solver fugacity evals."""
+    T = np.atleast_1d(np.asarray(T_K, dtype=float))
+    ASUM, RXT, BSUM = _rk_prefix(T, species)
+    if species == "CO2":
+        A, B, C, D = _saxena_prefix(T)
+        ln_4k = _rkcalc_from_prefix(
+            np.full_like(T, 4000.0), ASUM, RXT, BSUM
+        )
+
+        def fug(P_bar: np.ndarray) -> np.ndarray:
+            P = np.atleast_1d(np.asarray(P_bar, dtype=float))
+            P_safe = np.maximum(P, 1e-50)
+            high = P_safe > 4000.0
+            ln_f = np.where(
+                high,
+                ln_4k
+                + _saxena_from_prefix(
+                    np.where(high, P_safe, 4000.0), A, B, C, D
+                ),
+                _rkcalc_from_prefix(
+                    np.where(high, 4000.0, P_safe), ASUM, RXT, BSUM
+                ),
+            )
+            return np.exp(ln_f)
+
+    else:
+
+        def fug(P_bar: np.ndarray) -> np.ndarray:
+            P = np.atleast_1d(np.asarray(P_bar, dtype=float))
+            P_safe = np.maximum(P, 1e-50)
+            return np.exp(_rkcalc_from_prefix(P_safe, ASUM, RXT, BSUM))
+
+    return fug
+
+
 def hb_fugacity_np(T_K, P_bar, species: str) -> np.ndarray:
     """Pure-fluid fugacity (bar): MRK below 4 kbar, MRK(4 kbar)+Saxena
     above for CO2 (``CO2_H2O.py:19-37``)."""
     T = np.atleast_1d(np.asarray(T_K, dtype=float))
     P = np.atleast_1d(np.asarray(P_bar, dtype=float))
     T, P = np.broadcast_arrays(T, P)
-    P_safe = np.maximum(P, 1e-50)
-    if species == "CO2":
-        high = P_safe > 4000.0
-        ln_f = np.where(
-            high,
-            _rkcalc(T, np.full_like(P_safe, 4000.0), "CO2") + _saxena(T, np.where(high, P_safe, 4000.0)),
-            _rkcalc(T, np.where(high, 4000.0, P_safe), "CO2"),
-        )
-    else:
-        ln_f = _rkcalc(T, P_safe, "H2O")
-    return np.exp(ln_f)
+    return _hb_fugacity_prefix(T, species)(P)
 
 
 # ----------------------------------------------------------------------
@@ -214,22 +276,32 @@ def allison_h2o_solubility_np(P_bar, T_K, x_fluid=1.0) -> np.ndarray:
     return np.where((P <= 0) | (x <= 0), 0.0, out)
 
 
-def allison_co2_solubility_np(wt, P_bar, T_K, x_fluid=0.0) -> np.ndarray:
-    """Dissolved CO2 wt.%, eq. 5 (``allison2022.py:272-335``)."""
+def allison_co2_solubility_np(
+    wt, P_bar, T_K, x_fluid=0.0, _fug_co2=None, _expK0=None, _dV=None
+) -> np.ndarray:
+    """Dissolved CO2 wt.%, eq. 5 (``allison2022.py:272-335``).
+
+    ``_fug_co2`` / ``_expK0`` / ``_dV`` are the P-independent hoists a
+    solver loop computes once per batch (the mixed-saturation outer
+    bisection calls this 48×; composition and T never change inside
+    it). When omitted they are built here — same values either way."""
     P = np.atleast_1d(np.asarray(P_bar, dtype=float))
     T = np.broadcast_to(np.atleast_1d(np.asarray(T_K, dtype=float)), P.shape)
     x = np.broadcast_to(np.asarray(x_fluid, dtype=float), P.shape)
     Ra = R * 10.0
     P0 = 1e3
 
-    fCO2 = hb_fugacity_np(T, P, "CO2") * (1.0 - x)
+    fug_co2 = _fug_co2 if _fug_co2 is not None else _hb_fugacity_prefix(
+        T, "CO2"
+    )
+    fCO2 = fug_co2(P) * (1.0 - x)
     # partial pressure of CO2 when the fluid is mixed (L319-324)
     mixed_fluid = x > 0
     if np.any(mixed_fluid):
         f_target = np.where(mixed_fluid, fCO2, 1.0)
 
         def froot(Pc):
-            return f_target - hb_fugacity_np(T, Pc, "CO2")
+            return f_target - fug_co2(Pc)
 
         lo = np.full_like(P, _P_BRACKET[0])
         hi = np.full_like(P, _P_BRACKET[1])
@@ -237,8 +309,13 @@ def allison_co2_solubility_np(wt, P_bar, T_K, x_fluid=0.0) -> np.ndarray:
     else:
         P_CO2 = P
 
-    cat = _allison_cations(wt)
-    K = np.exp(_lnK0(cat)) * np.exp(-_deltaV(cat) * (P_CO2 - P0) / (Ra * T))
+    if _expK0 is None:
+        cat = _allison_cations(wt)
+        expK0 = np.exp(_lnK0(cat))
+        dV = _deltaV(cat)
+    else:
+        expK0, dV = _expK0, _dV
+    K = expK0 * np.exp(-dV * (P_CO2 - P0) / (Ra * T))
     Kf = K * fCO2
     XCO3 = Kf / (1.0 - Kf)
     CO2 = 44.01 * XCO3 / (44.01 * XCO3 + (1.0 - XCO3) * _FW) * 100.0
@@ -250,9 +327,10 @@ def allison_h2o_saturation_np(wt, h2o_obs, T_K, x_fluid=1.0) -> np.ndarray:
     h2o = np.atleast_1d(np.asarray(h2o_obs, dtype=float))
     T = np.broadcast_to(np.atleast_1d(np.asarray(T_K, dtype=float)), h2o.shape)
     fH2O_pure = 104.98 * h2o**1.83 / x_fluid
+    fug_h2o = _hb_fugacity_prefix(T, "H2O")
 
     def f(P):
-        return fH2O_pure - hb_fugacity_np(T, P, "H2O")
+        return fH2O_pure - fug_h2o(P)
 
     lo = np.full_like(h2o, _P_BRACKET[0])
     hi = np.full_like(h2o, _P_BRACKET[1])
@@ -272,10 +350,12 @@ def allison_co2_saturation_np(wt, co2_obs, T_K, x_fluid=0.0) -> np.ndarray:
     XCO3 = co2_safe * (1.0 / 44.01) / ((100.0 / _FW) - (co2_safe / _FW))
     Kf = XCO3 / (1.0 + XCO3)
     P0, Ra = 1e3, R * 10.0
+    fug_co2 = _hb_fugacity_prefix(T, "CO2")
+    expK0 = np.exp(lnK0)
 
     def f(P):
-        K_fug = Kf / hb_fugacity_np(T, P, "CO2")
-        K_sol = np.exp(lnK0) * np.exp(-deltaV * (P - P0) / (Ra * T))
+        K_fug = Kf / fug_co2(P)
+        K_sol = expK0 * np.exp(-deltaV * (P - P0) / (Ra * T))
         return K_fug - K_sol
 
     lo = np.full_like(co2_safe, _P_BRACKET[0])
@@ -283,11 +363,11 @@ def allison_co2_saturation_np(wt, co2_obs, T_K, x_fluid=0.0) -> np.ndarray:
     P_CO2 = _bisect(f, lo, hi)
 
     if np.any(np.asarray(x_fluid) > 0):
-        fCO2 = hb_fugacity_np(T, P_CO2, "CO2")
+        fCO2 = fug_co2(P_CO2)
         fCO2_pure = fCO2 / (1.0 - x_fluid)
 
         def f2(P):
-            return fCO2_pure - hb_fugacity_np(T, P, "CO2")
+            return fCO2_pure - fug_co2(P)
 
         P_sat = _bisect(f2, lo, hi)
     else:
@@ -315,11 +395,26 @@ def allison_mixed_saturation_np(wt, h2o_obs, co2_obs, T_K):
     c_safe = np.where(co2 > 0, co2, 1e-6)
     fH2O_target = 104.98 * h_safe**1.83
 
+    # per-batch hoists: composition and T are fixed across the outer
+    # bisection, so the fugacity T-prefixes (incl. the constant
+    # 4-kbar MRK branch) and the wt-only carbonate terms are computed
+    # once instead of once per residual eval (48×) — and the hoisted
+    # fugacity evaluator also serves every inner-bisection eval
+    # (~48×48 per batch). Values bit-identical (see _rk_prefix).
+    fug_h2o = _hb_fugacity_prefix(T, "H2O")
+    fug_co2 = _hb_fugacity_prefix(T, "CO2")
+    cat = _allison_cations(wt)
+    expK0 = np.exp(_lnK0(cat))
+    dV = _deltaV(cat)
+
     def x_of_P(P):
-        return np.clip(fH2O_target / hb_fugacity_np(T, P, "H2O"), 0.0, 1.0)
+        return np.clip(fH2O_target / fug_h2o(P), 0.0, 1.0)
 
     def residual(P):
-        return allison_co2_solubility_np(wt, P, T, x_of_P(P)) - c_safe
+        return allison_co2_solubility_np(
+            wt, P, T, x_of_P(P),
+            _fug_co2=fug_co2, _expK0=expK0, _dV=dV,
+        ) - c_safe
 
     # CO2 solubility rises with P and falls with x_fluid; the combined
     # residual is monotonic across the bracket in practice — same
