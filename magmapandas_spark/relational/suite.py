@@ -364,71 +364,69 @@ def _wrap(fn: Callable) -> Callable:
 # The correctness driver hash-verifies only the FIRST 50 entries of
 # queries(). Registry order is therefore part of the gate contract
 # (size/resolvability pinned by tests/test_registry.py).
-# Round-13 rotation — oldest-first, per the r12 verdict's item 1.
-# After r12 the staleness profile (latest driver stamp per entry,
-# all 247) is r8:47 r9:50 r10:50 r11:50(+minhash_lsh_xxhash rows-
-# only) r12:50.  The 50 slots take `minhash_lsh_xxhash` (rows-only
-# production probe, DESIGN.md §2, refreshing its r11 rows-only
-# stamp, as the verdict ordered) + ALL 47 r8 rows, then the first
-# 2 of the r9 cohort alphabetically (`abc_classification_sketch`,
-# `audio_fingerprint`) to fill the head and start the next wave.
-# Everything past slot 50 stays covered by tests/test_oracle.py
-# (the identical rows+schema+values check over the whole registry,
-# run at sf0.01 and sf0.1 every session).
+# Round-14 rotation — oldest-first, per the r13 verdict's item 8.
+# After r13 the staleness profile (latest driver stamp per entry,
+# all 247) is r9:48 r10:50 r11:49 r12:50 r13:50. The 50 slots take
+# ALL 48 r9-stamped rows (registry order), then the first 2 of the
+# r10 cohort alphabetically (`asof_purchase_view`,
+# `below_avg_revenue`) to fill the head and start the next wave —
+# after this rotation no oracle-bearing entry's latest driver stamp
+# is older than r10. Everything past slot 50 stays covered by
+# tests/test_oracle.py (the identical rows+schema+values check over
+# the whole registry, run at sf0.01 and sf0.1 every session).
 _GATE_ORDER = [
-    # rows-only probe refresh (r11 rows stamp)
-    "minhash_lsh_xxhash",
-    # r8-stamped (all 47, registry order)
-    "semdedup_sharded",
-    "video_frame_decode",
-    "bm25_search",
-    "line_dedup",
-    "quality_classifier",
-    "dsir_importance",
-    "weighted_sample",
-    "jsonl_ingest",
-    "domain_topk",
-    "inverted_index",
-    "table_stats",
-    "kmeans_refine",
-    "stratified_weighted_sample",
-    "binary_topk",
-    "curated_sample",
-    "hll_join_card",
-    "validate_lineitem",
-    "skew_report",
-    "linreg_normal",
-    "triangle_count",
-    "scd2_build",
-    "funnel_conversion",
-    "token_pmi",
-    "incremental_agg",
-    "cohort_retention",
-    "event_transitions",
-    "kmv_setops",
-    "ols_multi",
-    "session_paths",
-    "incremental_join",
-    "hybrid_search",
-    "fuzzy_join",
-    "table_diff",
-    "hard_negatives",
-    "k_anonymity",
-    "setsim_join",
-    "lsh_recall_eval",
-    "random_projection",
-    "retrieval_eval",
-    "winsorized_stats",
-    "kcore",
-    "rfm_segments_sketch",
-    "er_golden_multipass",
-    "two_hop_reach",
-    "budget_allocation",
-    "rake_keywords",
-    "h264_ipcm_decode",
-    # r9-stamped (head of the next rotation wave)
-    "abc_classification_sketch",
-    "audio_fingerprint",
+    # r9-stamped (all 48, registry order)
+    "h264_intra_decode",
+    "h264_cavlc_decode",
+    "h264_lumadc_decode",
+    "h264_plane_decode",
+    "h264_gop_decode",
+    "h264_mp4_decode",
+    "h264_full_decode",
+    "h264_multiqp_decode",
+    "h264_qptrack_decode",
+    "video_fingerprint",
+    "ngram_novelty",
+    "seasonal_outliers",
+    "l_diversity",
+    "t_closeness",
+    "mutual_info",
+    "fd_check",
+    "degree_assortativity",
+    "length_lognormal",
+    "image_fingerprint",
+    "null_semantics",
+    "date_semantics",
+    "balanced_sample",
+    "dedup_impact",
+    "knn_label_noise",
+    "corr_matrix",
+    "seasonal_profile",
+    "gini_concentration",
+    "psi_drift",
+    "personalized_pagerank",
+    "rolling_range_frame",
+    "grouping_sets_revenue",
+    "unpivot_profile",
+    "gini_sketch",
+    "text_hapax",
+    "fp_index_probe",
+    "h264_ac_decode",
+    "h264_i4x4_decode",
+    "h264_ladder_decode",
+    "crossmodal_dedup",
+    "h264_mp4_ac_decode",
+    "corpus_build_funnel",
+    "h264_p_decode",
+    "h264_mp4_p_decode",
+    "h264_pparts_decode",
+    "h264_p8x8_decode",
+    "h264_multiref_decode",
+    "h264_weighted_decode",
+    "h264_reorder_decode",
+    # r10-stamped (head of the next rotation wave, alphabetical)
+    "asof_purchase_view",
+    "below_avg_revenue",
 ]
 
 
