@@ -206,10 +206,15 @@ def main() -> None:
     # instead of leaving 1.4-2.3x false regressions for a judge to
     # re-time by hand.
     weather = select_weather_suspects(timings, ref)
+    # count the adjudication samples that actually RAN — the wall
+    # budget can cut the sweep short, and recording len(weather)
+    # would overstate the pass (r13 ADVICE)
+    weather_retried = 0
     for name in weather:
         if time.perf_counter() - suite_t0 > budget_s + 120:
             break
         dt = run_once(name, qmap[name])
+        weather_retried += 1
         samples[name].append(round(dt, 4))
         if dt < timings[name]:
             print(
@@ -243,7 +248,7 @@ def main() -> None:
         "historyless_retried": sorted(
             n for n in suspects if n in historyless
         ),
-        "weather_retried": len(weather),
+        "weather_retried": weather_retried,
         "weather_suspects": weather_suspects,
     }
     # The complete per-query map, for humans/the judge

@@ -40,8 +40,11 @@ def _drop_table_and_dir(spark, table: str) -> None:
     The directory cleanup assumes a LOCAL-filesystem warehouse (the
     sandbox/test posture); on a remote warehouse URI (s3://, hdfs://)
     the rmtree is skipped — DROP TABLE alone is the portable part.
-    Spark lowercases managed-table directory names, and a db-qualified
-    name maps to ``<db>.db/<table>``."""
+    Spark lowercases managed-table directory names; a db-qualified
+    name maps to ``<db>.db/<table>`` EXCEPT the ``default`` database,
+    whose tables live at the warehouse root (``<warehouse>/<table>``,
+    no ``default.db`` level) — r13 ADVICE: the unqualified mapping
+    would have rmtree'd the wrong path for ``default.t``."""
     import os
     import shutil
     from urllib.parse import urlparse
@@ -51,9 +54,10 @@ def _drop_table_and_dir(spark, table: str) -> None:
     if uri.scheme not in ("", "file"):
         return  # non-local warehouse: directory hygiene is not ours
     parts = table.lower().split(".")
-    rel = (
-        f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[-1]
-    )
+    if len(parts) == 2 and parts[0] != "default":
+        rel = f"{parts[0]}.db/{parts[1]}"
+    else:
+        rel = parts[-1]
     shutil.rmtree(os.path.join(uri.path, rel), ignore_errors=True)
 
 

@@ -369,7 +369,13 @@ def _lloyd_fit(
     # centers picked so far (O(k²·n·d) total). Bitwise-identical to
     # the full-matrix form — min() is exact, and per-column GEMM
     # results are verified bit-equal on this BLAS for every fit shape
-    # the engine uses (see tests/test_similarity_ivf.py).
+    # the engine uses (see tests/test_similarity_ivf.py). That GEMM
+    # bit-equality is a PLATFORM-SCOPED property (r13 ADVICE): a BLAS
+    # whose n×1 GEMV path rounds differently than one column of its
+    # n×k GEMM could drift rng.choice probabilities and with them any
+    # persisted IVF/PQ index values — the test pins the identity on
+    # the deployment host, so a BLAS swap surfaces as a test failure,
+    # not silent index drift.
     dmin = None
     for _ in range(1, k):
         c = np.asarray(centers[-1:])
