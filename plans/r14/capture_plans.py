@@ -177,6 +177,39 @@ def main() -> None:
         + explain_str(q_hll_join_card(spark, SF_DIR)),
     )
 
+    # ----- kcore: exponential lazy subtree -> per-round cuts ----------
+    # BEFORE: round r's plan contains round r-1 TWICE (both semi-join
+    # sides), so the sym (distinct+union) subtree appears 2+2·prev
+    # times — 14 copies by round 3, plus 2 more in the degree report.
+    # AFTER: sym and each round's survivor set are localCheckpoint-ed;
+    # the final plan is one join pair over Scan ExistingRDD inputs.
+    from magmapandas_spark.operators.graph import q_kcore
+
+    write(
+        "kcore",
+        "# kcore — count the duplicated `Union`/`HashAggregate`\n"
+        "# (distinct) subtrees in BEFORE vs the Scan ExistingRDD\n"
+        "# inputs in AFTER.\n\n" + explain_str(q_kcore(spark, SF_DIR)),
+    )
+
+    # ----- pagerank / personalized_pagerank: same final plan ---------
+    # The r14 change is the lineage-cut CADENCE (checkpoint_interval=5
+    # instead of every round): the computed recurrence and the
+    # per-round plan are identical; what changes is 10 driver-side
+    # analyze/optimize/plan passes -> 2. The measured breakdown is in
+    # plans/r14/graph_loop_profile.txt; the final output plan below
+    # ends at the checkpointed RDD either way.
+    from magmapandas_spark.operators.graph import q_pagerank
+
+    write(
+        "pagerank",
+        "# pagerank — final output plan (ends at the checkpointed\n"
+        "# RDD in both modes; the change is how many lineage cuts —\n"
+        "# and so driver planning passes — the loop pays: 10 -> 2.\n"
+        "# See graph_loop_profile.txt for the measured breakdown.\n\n"
+        + explain_str(q_pagerank(spark, SF_DIR)),
+    )
+
     # ----- allison_saturation: kernel-internal change ----------------
     from magmapandas_spark.relational.suite3 import q_allison_saturation
 
