@@ -381,6 +381,168 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_recall_eval(spark, docs)
 
 
+# ---------------------------------------------------------------------
+# Statistical-oracle twins for the two rows-only production probes
+# (r13 verdict item 6): the engine-specific paths (xxhash64 banding,
+# IVF-PQ ADC) can never carry a value hash — their hash families /
+# float ADC scores are not DuckDB-expressible — but their QUALITY can:
+# each twin computes a recall against an exact, engine-neutral truth
+# and hashes the BOUND VERDICT (plus the truth-side counts, which the
+# oracle recomputes independently). A broken scheme (zero candidates,
+# wrong banding, collapsed codebooks) flips the verdict to false and
+# fails the gate — the probes stop being unfalsifiable row counts.
+# ---------------------------------------------------------------------
+
+#: xxhash banding must surface >= 90% of the exact Jaccard>=0.6 truth
+#: (measured 100% at sf0.01 and sf0.1; the margin absorbs hash-family
+#: tweaks without letting a broken scheme pass)
+_XX_RECALL_FLOOR_PPM = 900_000
+#: IVF-PQ ADC top-5 must average >= 10% exact-L2 recall@5 over the 20
+#: gate queries (measured 29% at sf0.01, 17% at sf0.1 — the 8x8 PQ
+#: grid is a coarse quantizer by design; chance is < 2%)
+_IVFPQ_RECALL_FLOOR_PPM = 100_000
+
+
+def q_minhash_xxhash_recall_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hashed recall-bound twin of ``minhash_lsh_xxhash``: the
+    xxhash64 banding's candidates must cover >= 90% of the exact
+    prefix-filter Jaccard>=0.6 pair set. Same two-pipeline shape as
+    :func:`lsh_recall_eval` (shared doc slice, overlapped legs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from magmapandas_spark.operators.dedup import (
+        fan_out,
+        minhash_lsh_candidates,
+    )
+    from magmapandas_spark.operators.setjoin import setjoin_jaccard
+
+    docs = fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    ).localCheckpoint(eager=True)
+
+    def _truth() -> DataFrame:
+        return (
+            setjoin_jaccard(docs)
+            .select(
+                F.col("doc_a").alias("id1"), F.col("doc_b").alias("id2")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def _cand() -> DataFrame:
+        return (
+            minhash_lsh_candidates(docs, hash_strategy="xxhash64")
+            .select("id1", "id2")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        truth_f = pool.submit(_truth)
+        cand_f = pool.submit(_cand)
+        truth = truth_f.result()
+        cand = cand_f.result()
+    n_truth = truth.count()
+    n_hit = truth.join(cand, ["id1", "id2"], "left_semi").count()
+    ok = (
+        n_truth == 0
+        or n_hit * 1_000_000 // n_truth >= _XX_RECALL_FLOOR_PPM
+    )
+    return spark.createDataFrame(
+        [(n_truth, _XX_RECALL_FLOOR_PPM, bool(ok))],
+        "n_truth long, recall_floor_ppm long, recall_ok boolean",
+    )
+
+
+def _sql_minhash_xxhash_recall_bound() -> str:
+    """DuckDB twin: recomputes the exact truth-pair count from the
+    same prefix-filter CTEs and asserts the bound verdict the Spark
+    side must reproduce — TRUE is only correct while the xxhash
+    banding genuinely covers the truth set, so a broken scheme fails
+    the hash, not a dashboard."""
+    from magmapandas_spark.operators.setjoin import _setsim_ctes
+
+    return f"""
+WITH {_setsim_ctes("ss_")},
+truth AS (
+  SELECT i.a AS id1, i.b AS id2
+  FROM ss_inter i
+  JOIN ss_sz sa ON sa.doc_id = i.a
+  JOIN ss_sz sb ON sb.doc_id = i.b
+  WHERE i.n_inter * 1000000 // (sa.s + sb.s - i.n_inter) >= 600000
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       CAST({_XX_RECALL_FLOOR_PPM} AS BIGINT) AS recall_floor_ppm,
+       TRUE AS recall_ok
+"""
+
+
+SQL_MINHASH_XXHASH_RECALL_BOUND = _sql_minhash_xxhash_recall_bound()
+
+
+def q_ivfpq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed recall-bound twin of ``ivfpq_topk``: the probed ADC
+    top-5 must average >= 10% recall against the exact L2 top-5 over
+    the 20 gate queries (chance < 2% — a collapsed codebook or broken
+    probe drops below the floor)."""
+    from pyspark.sql import Window
+
+    from magmapandas_spark.operators.projection import l2_fold
+    from magmapandas_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, cent, cbs = ivfpq_index(emb)
+    approx = ivfpq_topk(
+        emb.filter(F.col("vec_id") < 20), codes, cent, cbs
+    ).select("qid", "cid")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "cid")
+    truth = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "cid", l2_fold(F.col("qvec"), F.col("cvec")).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid")
+    )
+    row = (
+        approx.join(truth, ["qid", "cid"])
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .collect()[0]
+    )
+    n_queries = q.count()
+    mean_recall_ppm = (
+        row["n_hits"] * 1_000_000 // (5 * n_queries) if n_queries else 0
+    )
+    ok = n_queries == 0 or mean_recall_ppm >= _IVFPQ_RECALL_FLOOR_PPM
+    return spark.createDataFrame(
+        [(n_queries, _IVFPQ_RECALL_FLOOR_PPM, bool(ok))],
+        "n_queries long, recall_floor_ppm long, recall_ok boolean",
+    )
+
+
+SQL_IVFPQ_RECALL_BOUND = f"""
+SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 20)
+         AS n_queries,
+       CAST({_IVFPQ_RECALL_FLOOR_PPM} AS BIGINT) AS recall_floor_ppm,
+       TRUE AS recall_ok
+"""
+
+
 def _sql_lsh_recall_eval() -> str:
     from magmapandas_spark.operators.dedup import _minhash_pair_ctes
     from magmapandas_spark.operators.setjoin import _setsim_ctes

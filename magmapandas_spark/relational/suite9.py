@@ -62,7 +62,11 @@ def queries():
     from magmapandas_spark.operators.graph import q_kcore
     from magmapandas_spark.operators.setjoin import q_setsim_join
     from magmapandas_spark.operators.skyline import q_skyline_parts
-    from magmapandas_spark.operators.evaluation import q_lsh_recall_eval
+    from magmapandas_spark.operators.evaluation import (
+        q_ivfpq_recall_bound,
+        q_lsh_recall_eval,
+        q_minhash_xxhash_recall_bound,
+    )
     from magmapandas_spark.operators.timeseries import (
         q_cusum_alarms,
         q_triangle_downsample,
@@ -81,6 +85,10 @@ def queries():
         "kcore": q_kcore,
         "er_golden": q_er_golden,
         "lsh_recall_eval": q_lsh_recall_eval,
+        # r14 verdict item 6: hashed recall-bound twins for the two
+        # rows-only production probes (minhash_lsh_xxhash, ivfpq_topk)
+        "minhash_xxhash_recall_bound": q_minhash_xxhash_recall_bound,
+        "ivfpq_recall_bound": q_ivfpq_recall_bound,
         "triangle_downsample": q_triangle_downsample,
     }
 
@@ -102,7 +110,11 @@ def oracle_sql():
     from magmapandas_spark.operators.graph import SQL_KCORE
     from magmapandas_spark.operators.setjoin import SQL_SETSIM_JOIN
     from magmapandas_spark.operators.skyline import SQL_SKYLINE_PARTS
-    from magmapandas_spark.operators.evaluation import SQL_LSH_RECALL_EVAL
+    from magmapandas_spark.operators.evaluation import (
+        SQL_IVFPQ_RECALL_BOUND,
+        SQL_LSH_RECALL_EVAL,
+        SQL_MINHASH_XXHASH_RECALL_BOUND,
+    )
     from magmapandas_spark.operators.timeseries import (
         SQL_CUSUM_ALARMS,
         SQL_TRIANGLE_DOWNSAMPLE,
@@ -121,5 +133,7 @@ def oracle_sql():
         "kcore": SQL_KCORE,
         "er_golden": SQL_ER_GOLDEN,
         "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
+        "minhash_xxhash_recall_bound": SQL_MINHASH_XXHASH_RECALL_BOUND,
+        "ivfpq_recall_bound": SQL_IVFPQ_RECALL_BOUND,
         "triangle_downsample": SQL_TRIANGLE_DOWNSAMPLE,
     }
