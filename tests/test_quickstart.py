@@ -499,3 +499,261 @@ def test_cfg_fixed_models_and_reset():
     r2 = repr(cfg)
     assert "toplis2005" in r2 and "sun2024" in r2
     assert cfg.Kd_fixed_value is None
+
+
+# ----------------------------------------------------------------------
+# Fe3Fe2_errors.ipynb (r13 verdict item 7; r12 item 5 carried) —
+# the reference's error-model derivation notebook
+# (``model_calibrations/data/Fe3Fe2_errors.ipynb``). Its validation
+# CSV is not shipped, so the full fit cannot be replayed; the
+# STORED OUTPUTS are the parity surface: the model catalogue
+# (cell 7), the 1-bar fitted error parameters (cell 17) that the
+# engine embeds as FE3FE2_ERROR_PARAMS_1BAR, and the high-pressure
+# spline window endpoints (cell 21 knots) the engine embeds as
+# VALIDATION_LIMITS_HIGH_PRESSURE.
+# ----------------------------------------------------------------------
+
+# cell 7: print("\n".join(models)) — the 12 computed Fe3Fe2 models
+NB_FE_ERR_MODELS = [
+    "armstrong2019", "borisov2018", "deng2020", "hirschmann2022",
+    "jayasuriya2004", "kress_carmichael1991", "oneill2006", "oneill2018",
+    "putirka2016_6b", "putirka2016_6c", "sun2024", "zhang2017",
+]
+
+# cell 17: opt.curve_fit params per model (notebook display names ->
+# engine registry names). The notebook rerun and the reference's
+# committed Fe3Fe2_errors.py values differ in the ~5th significant
+# digit (scipy lm on identical data); rtol=1e-3 covers that drift.
+NB_1BAR_FITS = {
+    "armstrong2019": (1.85786526e-01, 3.01012779e-02, 9.80908180e-01,
+                      1.38981220e02),
+    "deng2020": (2.07517182e-01, 3.67122574e-03, 9.81786273e-01,
+                 1.96442938e02),
+    "hirschmann2022": (0.06558719, 0.02810096, 0.56167845, 4.64421989),
+    "oneill2006": (2.40671679e-01, 1.17056951e-02, 9.86394234e-01,
+                   2.09113418e02),
+    "oneill2018": (1.05928984e-02, 8.16688488e-02, 7.86674390e-01,
+                   1.12117269e01),
+    "sun2024": (0.05573283, 0.04157452, 0.4727692, 3.60686759),
+    "zhang2017": (1.71420881e-01, 5.50814149e-03, 9.85221818e-01,
+                  2.35216497e02),
+    "borisov2018": (0.07881702, 0.02656421, 0.4333133, 3.4452295),
+    "jayasuriya2004": (1.38784813e-01, 2.08193376e-02, 9.85875764e-01,
+                       1.86942686e02),
+    "kress_carmichael1991": (7.05463020e-02, 2.43940927e-02,
+                             9.88024806e-01, 2.25645326e02),
+    "putirka2016_6b": (5.72217982e-02, 5.16056662e-02, 9.85659083e-01,
+                       1.81879745e02),
+    "putirka2016_6c": (-3.34648539e-02, 7.56520883e-02, 9.84864214e-01,
+                       1.55199181e02),
+}
+
+# cell 21: every model's splrep knot vector starts/ends at the
+# validation window [0.05263158, 2.16064117]
+NB_HP_KNOTS = (0.05263158, 2.16064117)
+
+
+def test_fe_errors_model_catalogue_matches_notebook():
+    """Cell 7: the notebook computes errors for exactly the 12
+    non-fixed Fe3Fe2 models; the engine's registry carries all of
+    them (plus 'fixed' and the engine's documented sun2024_deng EOS
+    variant — the only extras)."""
+    from magmapandas_spark.models.fe3fe2 import Fe3Fe2_models
+
+    missing = set(NB_FE_ERR_MODELS) - set(Fe3Fe2_models)
+    assert not missing, missing
+    extras = set(Fe3Fe2_models) - set(NB_FE_ERR_MODELS)
+    assert extras == {"fixed", "sun2024_deng"}
+
+
+def test_fe_errors_1bar_fits_match_embedded_params():
+    """Cell 17: the notebook's freshly fitted 1-bar error parameters
+    reproduce the parameters the engine embeds (the reference's
+    committed Fe3Fe2_errors.py values) to fit-rerun tolerance."""
+    from magmapandas_spark.operators.montecarlo import (
+        FE3FE2_ERROR_PARAMS_1BAR,
+    )
+
+    assert sorted(NB_1BAR_FITS) == sorted(FE3FE2_ERROR_PARAMS_1BAR)
+    for name, nb in NB_1BAR_FITS.items():
+        emb = FE3FE2_ERROR_PARAMS_1BAR[name]
+        np.testing.assert_allclose(emb, nb, rtol=1e-3, err_msg=name)
+
+
+def test_fe_errors_1bar_curve_via_engine_expression(spark):
+    """The engine's fe3fe2_error_expr (the Spark column the Monte
+    Carlo tier consumes) evaluates the same a·x + b·x² + c^(x+d)
+    curve the notebook fits — checked at sample points against the
+    notebook's armstrong2019 parameters."""
+    from magmapandas_spark.operators.montecarlo import fe3fe2_error_expr
+
+    xs = [0.05, 0.3, 1.0, 3.0, 5.9]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [
+        r["e"]
+        for r in df.select(
+            fe3fe2_error_expr("armstrong2019", F.col("x")).alias("e")
+        ).collect()
+    ]
+    a, b, c, d = NB_1BAR_FITS["armstrong2019"]
+    want = [a * x + b * x * x + c ** (x + d) for x in xs]
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_fe_errors_hp_window_matches_notebook_knots():
+    """Cell 21: every stored splrep knot vector is clamped to the
+    high-pressure validation window — the engine embeds exactly those
+    endpoints (VALIDATION_LIMITS_HIGH_PRESSURE)."""
+    from magmapandas_spark.operators.montecarlo import (
+        VALIDATION_LIMITS_HIGH_PRESSURE,
+    )
+
+    np.testing.assert_allclose(
+        VALIDATION_LIMITS_HIGH_PRESSURE, NB_HP_KNOTS, rtol=1e-6
+    )
+
+
+def test_fe_errors_running_std_flow(spark):
+    """Cells 15-17's machinery on the engine: the distributed
+    running_stddev (boxsize=30) + fit_error_function round-trips a
+    curve of the notebook's own family — the flow the notebook runs
+    per model, with the fit recovering the generating parameters."""
+    from magmapandas_spark.operators.model_errors import (
+        error_func,
+        fit_error_function,
+        running_stddev,
+    )
+
+    rng = np.random.default_rng(11)
+    a, b, c, d = NB_1BAR_FITS["hirschmann2022"]
+    x = np.sort(rng.uniform(0.05, 5.9, 600))
+    sigma = error_func(x, a, b, c, d)
+    y = x + rng.normal(0.0, sigma)
+    df = spark.createDataFrame(
+        [(float(xi), float(yi)) for xi, yi in zip(x, y)],
+        "x double, y double",
+    )
+    stats = (
+        running_stddev(df, "x", "y", boxsize=30)
+        .select("x", "stddev")
+        .toPandas()
+    )
+    params, _ = fit_error_function(
+        stats["x"].to_numpy(), stats["stddev"].to_numpy()
+    )
+    xs = np.linspace(0.2, 5.5, 40)
+    np.testing.assert_allclose(
+        error_func(xs, *params), error_func(xs, a, b, c, d),
+        rtol=0.5, atol=0.05,
+    )
+
+
+# ----------------------------------------------------------------------
+# calibration_plots.ipynb — model-selection / calibration-dataset
+# flows (``docs/source/notebooks/calibration_plots.ipynb``). The
+# packaged experimental CSVs are reference package data (out of the
+# engine's scope by design — geoplot.calibration_spec docstring);
+# the parity surface is the model catalogues the notebook prints
+# (cells 8/14), the data contract of the reference CSVs the engine's
+# docs point at (cell 17), and the plot flows through the engine's
+# spec twins (cells 10-30).
+# ----------------------------------------------------------------------
+
+# cell 8 stored output
+NB_CAL_FE3FE2_MODELS = [
+    "armstrong2019", "borisov2018", "deng2020", "fixed",
+    "hirschmann2022", "jayasuriya2004", "kress_carmichael1991",
+    "oneill2006", "oneill2018", "putirka2016_6b", "putirka2016_6c",
+    "sun2024", "zhang2017",
+]
+NB_CAL_KD_MODELS = [
+    "blundy2020", "fixed", "putirka2016_8a", "putirka2016_8b",
+    "putirka2016_8c", "putirka2016_8d", "saper2022", "sun2020",
+    "toplis2005",
+]
+# cell 17 stored output: the calibration datasets' column contracts
+NB_CAL_FE3FE2_COLS = [
+    "ref", "run", "SiO2", "TiO2", "Al2O3", "MgO", "CaO", "Na2O", "K2O",
+    "P2O5", "MnO", "CoO", "NiO", "Pb", "FeO", "T_K", "fO2", "_Fe3Fe2",
+    "P_bar",
+]
+NB_CAL_KD_COLS = [
+    "ref", "run", "SiO2", "TiO2", "Al2O3", "FeO", "MnO", "MgO", "CaO",
+    "Na2O", "K2O", "P2O5", "Cr2O3", "CoO", "NiO", "H2O", "CO2", "total",
+    "_Fe3Fetotal", "T_K", "P_bar", "_Fe3Fe2", "olivine_forsterite",
+    "fO2", "kd_FeTMg", "kd_Fe2Mg",
+]
+
+_CAL_DATA_DIR = "/root/reference/src/MagmaPandas/model_calibrations/data"
+
+
+def test_cal_model_catalogues_match_notebook():
+    """Cells 8/14: mp.Fe3Fe2_models / mp.Kd_ol_FeMg_models — the
+    engine's registries list exactly the notebook's models."""
+    from magmapandas_spark.models.fe3fe2 import Fe3Fe2_models
+    from magmapandas_spark.models.kd import Kd_models
+
+    assert (
+        set(Fe3Fe2_models) - {"sun2024_deng"}  # documented engine extra
+        == set(NB_CAL_FE3FE2_MODELS)
+    )
+    assert sorted(Kd_models) == NB_CAL_KD_MODELS
+
+
+def test_cal_dataset_contract_matches_notebook():
+    """Cell 17: the packaged calibration CSVs (which the engine's
+    calibration_spec docs point users at) carry exactly the stored
+    column lists — including the axis options the notebook plots
+    (_Fe3Fe2, olivine_forsterite, kd_Fe2Mg)."""
+    import pandas as pd
+
+    fe = pd.read_csv(f"{_CAL_DATA_DIR}/Fe3Fe2_calibration_data.csv")
+    kd = pd.read_csv(f"{_CAL_DATA_DIR}/Kd_calibration_data.csv")
+    assert list(fe.columns) == NB_CAL_FE3FE2_COLS
+    assert list(kd.columns) == NB_CAL_KD_COLS
+
+
+def test_cal_plot_calibration_flow(spark):
+    """Cells 18/24: plot_calibration over the quickstart melts — the
+    engine flow is read_melt -> calibration_flag -> calibration_spec;
+    every melt sample lands in exactly one series and the spec carries
+    the notebook's axis choices."""
+    from magmapandas_spark.geoplot import calibration_spec
+    from magmapandas_spark.models.thermometers import calibration_flag
+
+    melt = read_melt(spark, MELTS_CSV, index_col="name")
+    flag = calibration_flag(melt, "putirka2008_15")
+    flagged = melt.df.withColumn("in_range", flag)
+    spec = calibration_spec(
+        flagged, "SiO2", "MgO", model="putirka2008_15"
+    )
+    assert spec["kind"] == "calibration"
+    labels = [s["label"] for s in spec["series"]]
+    assert labels[:2] == ["in calibration", "out of calibration"]
+    n_total = sum(len(s["x"]) for s in spec["series"])
+    assert n_total == melt.df.count()
+    assert spec["xlabel"].startswith("SiO")  # subscripted oxide label
+
+
+def test_cal_plot_calibration_pt_flow(spark):
+    """Cells 10/12: plot_calibration_PT — the engine's PT spec uses
+    the notebook's axis conventions (T in °C, P in kbar, pressure
+    increasing downward)."""
+    from magmapandas_spark.geoplot import calibration_PT_spec
+    from magmapandas_spark.models.thermometers import calibration_flag
+
+    melt = read_melt(spark, MELTS_CSV, index_col="name")
+    flag = calibration_flag(melt, "putirka2008_15")
+    flagged = (
+        melt.df.withColumn("in_range", flag)
+        .withColumn("T_K", F.lit(1473.15))
+        .withColumn("P_bar", F.lit(4000.0))
+    )
+    spec = calibration_PT_spec(flagged, model="putirka2008_15")
+    assert spec["kind"] == "calibration_PT"
+    assert spec["invert_y"] is True
+    assert "°C" in spec["xlabel"] and "kbar" in spec["ylabel"]
+    xs = [x for s in spec["series"] for x in s["x"]]
+    ys = [y for s in spec["series"] for y in s["y"]]
+    assert all(abs(x - 1200.0) < 1e-6 for x in xs)  # 1473.15 K -> °C
+    assert all(abs(y - 4.0) < 1e-9 for y in ys)  # 4000 bar -> kbar
