@@ -433,9 +433,19 @@ def min_label_propagation(
         )
         .distinct()
     )
-    sym = und.select(
-        F.col("u").alias("a"), F.col("v").alias("b")
-    ).unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    # Materialize the edge cache once and the label state once per
+    # round — the same fix as kcore_peel (r14): left lazy, round r's
+    # plan references labels_{r-1} TWICE (the neighbor-min join and
+    # the label update join), so the edge/label subtree count grows
+    # as 2^rounds (31 copies of the distinct+union pipeline at the
+    # default rounds=4), re-planned and re-executed wherever exchange
+    # reuse misses. Label state is one row per node (bounded);
+    # values unchanged (least/min see the same inputs).
+    sym = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(rounds):
@@ -459,6 +469,7 @@ def min_label_propagation(
                     F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
                 ).alias("lbl"),
             )
+            .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
 

@@ -192,6 +192,20 @@ def main() -> None:
         "# inputs in AFTER.\n\n" + explain_str(q_kcore(spark, SF_DIR)),
     )
 
+    # ----- label_propagation: same exponential shape as kcore --------
+    # BEFORE: round r references labels_{r-1} twice, so the edge/label
+    # subtree count grows 2^rounds. AFTER: edge cache + per-round
+    # label state checkpointed; the final plan consumes ExistingRDD.
+    from magmapandas_spark.operators.graph import q_label_propagation
+
+    write(
+        "label_propagation",
+        "# label_propagation — count the duplicated Union/distinct\n"
+        "# subtrees in BEFORE vs the Scan ExistingRDD inputs in\n"
+        "# AFTER (gate rounds=2; the shape grows 2^rounds).\n\n"
+        + explain_str(q_label_propagation(spark, SF_DIR)),
+    )
+
     # ----- pagerank / personalized_pagerank: same final plan ---------
     # The r14 change is the lineage-cut CADENCE (checkpoint_interval=5
     # instead of every round): the computed recurrence and the
